@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression for cosine similarity over two
+  * `array<float>` columns — the hot inner loop of similarity search.
+  *
+  * Preference order per SURVEY.md §2.6 / the build brief: built-ins
+  * can express this (zip_with + aggregate) but allocate an
+  * intermediate array per row; a Scala UDF would box every element.
+  * This expression runs a primitive float loop with full codegen
+  * (doGenCode), so it stays inside the WholeStageCodegen span.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects array<float>, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i); val yi = y.getFloat(i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          float $xi = $a.getFloat($i); float $yi = $b.getFloat($i);
+          $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+        }
+        ${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0
+          : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+
+  /** Register `cosine_sim` for SQL/expr use on a session. Idempotent. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+
+  /** Oracle-portable cosine: an explicit per-index f32 product/sum
+    * chain — left-associated float32 arithmetic is bit-identical in
+    * Spark and DuckDB, so similarity queries can be hash-checked.
+    * `a`/`b` are array-column SQL names; `dim` the fixed vector width.
+    * `base` = 0 for Spark, 1 for DuckDB indexing.
+    */
+  def chainDot(a: String, b: String, dim: Int, base: Int): String =
+    (0 until dim).map(d => s"$a[${d + base}] * $b[${d + base}]").mkString(" + ")
+
+  def chainNorm(a: String, dim: Int, base: Int): String =
+    s"sqrt(CAST(${chainDot(a, a, dim, base)} AS DOUBLE))"
+
+  /** cosine = dot/(norm*norm), all from the deterministic f32 chains. */
+  def chainCosine(a: String, b: String, dim: Int, base: Int): String =
+    s"(CAST(${chainDot(a, b, dim, base)} AS DOUBLE) / " +
+      s"(${chainNorm(a, dim, base)} * ${chainNorm(b, dim, base)}))"
+}

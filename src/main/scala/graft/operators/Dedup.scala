@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deduplication operators for a training-data pipeline (north-star
+  * surface): exact, n-gram Jaccard, MinHash-LSH, SimHash. All are
+  * shuffle-on-key plans — no driver-side loops — so they scale with
+  * partition count; the LSH variants exist precisely so the pair space
+  * never materializes as a cross join at 100 TB.
+  */
+object Dedup {
+
+  // ---- shingling ----------------------------------------------------
+  /** Distinct k-word shingles; short docs yield their whole token list
+    * as one shingle. Needs a `toks` column (array<string>). */
+  def shingleExpr(k: Int): Column =
+    expr(s"array_distinct(transform(sequence(0, greatest(size(toks) - $k, 0))," +
+      s" i -> array_join(slice(toks, i + 1, $k), ' ')))")
+
+  /** (doc_id, sh) exploded distinct shingles of `documents`-shaped df. */
+  def shingles(docs: DataFrame, k: Int = 5): DataFrame =
+    docs.withColumn("toks", TextFunctions.tokens(col("text")))
+      .select(col("doc_id"), explode(shingleExpr(k)).as("sh"))
+
+  /** DuckDB twin of [[shingles]] as a CTE tail named `sh`. */
+  def sqlShinglesCte(table: String, k: Int = 5): String =
+    s"""toks AS (SELECT doc_id, ${TextFunctions.sqlTokens("text")} AS tk FROM $table),
+       shi AS (SELECT doc_id, tk,
+           unnest(range(0, greatest(len(tk) - ${k - 1}, 1))) AS i FROM toks),
+       sh AS (SELECT DISTINCT doc_id,
+           array_to_string(tk[i + 1:i + $k], ' ') AS sh FROM shi)"""
+
+  // ---- exact dedup --------------------------------------------------
+  /** Canonical-row exact dedup on a normalized-text fingerprint: the
+    * survivor of each duplicate group is the lowest doc_id (a
+    * deterministic `dropDuplicates`). One shuffle on the fingerprint. */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    docs.withColumn("fp", TextFunctions.fingerprint(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("group_size", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("fp"), col("group_size"))
+  }
+
+  // ---- exact n-gram Jaccard pairs ----------------------------------
+  /** All pairs (a<b) with shingle-Jaccard ≥ minJ, via a shingle-key
+    * equi-join (partial-aggregated, skew-prone keys are real shingles —
+    * at scale you'd add a stopword-shingle filter; LSH below is the
+    * 100 TB path). Jaccard = |∩|/|∪| over ints → exact doubles. */
+  def ngramJaccardPairs(docs: DataFrame, k: Int = 5, minJ: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, k).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJ)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  def sqlNgramJaccard(table: String, k: Int = 5, minJ: Double = 0.5): String =
+    s"""WITH ${sqlShinglesCte(table, k)},
+       pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+       SELECT id_a, id_b,
+         inter / CAST(na.n + nb.n - inter AS DOUBLE) AS jaccard
+       FROM pairs
+       JOIN sizes na ON id_a = na.doc_id
+       JOIN sizes nb ON id_b = nb.doc_id
+       WHERE inter / CAST(na.n + nb.n - inter AS DOUBLE) >= $minJ"""
+
+  // ---- MinHash + LSH ------------------------------------------------
+  /** Signature count and banding. r=2, b=64 ⇒ candidate-recall at
+    * J=0.5 is 1-(1-0.25)^64 ≈ 1-1e-8; verification then makes the
+    * output exact w.r.t. the Jaccard threshold. At petabyte scale r
+    * rises (fewer, more selective candidates). */
+  val NumHashes = 128
+  val Bands = 64
+  val RowsPerBand: Int = NumHashes / Bands
+
+  /** MinHash signatures: one shuffle (groupBy doc), map-side combined
+    * min per hash seed. Hash h of shingle s = xxhash64(h, s). */
+  def minhashSignatures(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id")
+      .agg(
+        min(xxhash64(lit(0), col("sh"))).as("sig0"),
+        (1 until NumHashes).map(h =>
+          min(xxhash64(lit(h), col("sh"))).as(s"sig$h")): _*)
+
+  /** Candidate pairs whose signatures collide in ≥1 band, then exact
+    * Jaccard verification on just those pairs (candidate-local join,
+    * never all-pairs). */
+  def minhashLshPairs(docs: DataFrame, k: Int = 5, minJ: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, k).cache()
+    val sigs = minhashSignatures(sh)
+    val bandCols = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => col(s"sig${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bh"))
+    val candidates = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    pairInter(candidates, sh, minJ)
+  }
+
+  /** inter/union for an explicit pair list (the verify step). */
+  private def pairInter(cand: DataFrame, sh: DataFrame, minJ: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("id_a"), col("sh")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("shb")),
+        Seq("id_b"))
+      .filter(col("sh") === col("shb"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJ)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---- SimHash ------------------------------------------------------
+  /** Typed Aggregator: token-hash stream → 64-bit SimHash. Supports
+    * partial aggregation (merge), so it map-side combines like any
+    * built-in agg. */
+  object SimHashAgg extends Aggregator[Long, Array[Int], Long] {
+    def zero: Array[Int] = new Array[Int](64)
+    def reduce(buf: Array[Int], h: Long): Array[Int] = {
+      var j = 0
+      while (j < 64) {
+        buf(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      buf
+    }
+    def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var j = 0
+      while (j < 64) { a(j) += b(j); j += 1 }
+      a
+    }
+    def finish(buf: Array[Int]): Long = {
+      var out = 0L
+      var j = 0
+      while (j < 64) { if (buf(j) > 0) out |= (1L << j); j += 1 }
+      out
+    }
+    def bufferEncoder = org.apache.spark.sql.Encoders.kryo[Array[Int]]
+    def outputEncoder = org.apache.spark.sql.Encoders.scalaLong
+  }
+
+  /** doc_id → 64-bit simhash of its whitespace tokens. */
+  def simhashes(docs: DataFrame): DataFrame = {
+    val simhash = udaf(SimHashAgg)
+    docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("th"))
+      .groupBy("doc_id").agg(simhash(col("th")).as("simhash"))
+  }
+
+  /** Near-dup pairs with Hamming(simhash) ≤ maxHamming, candidate-
+    * generated by 4×16-bit block collision (a pair within Hamming ≤ 3
+    * of 4 blocks must match ≥1 block exactly; wider budgets still catch
+    * nearly all real near-dups). bit_count(a XOR b) is a built-in. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val sims = simhashes(docs).cache()
+    val blocks = sims.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("blk"),
+            col("simhash").bitwiseAND(lit(0xFFFFL << (b * 16))).as("bv"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.blk"), col("bk.bv"))
+    blocks.as("x").join(blocks.as("y"),
+        col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

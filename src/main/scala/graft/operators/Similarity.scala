@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Similarity search over an embedding column (north-star surface).
+  *
+  *  - [[bruteForceTopK]]: exact top-k, broadcast query set × full scan —
+  *    the baseline and the oracle for the approximate paths.
+  *  - [[lshTopK]]: random-hyperplane LSH buckets; only same-bucket
+  *    candidates are scored. The 100 TB path: candidate generation is an
+  *    equi-join on the signature, never a cross join.
+  *  - [[ivfTopK]]: IVF — sampled k-means coarse quantizer on the driver
+  *    (as real IVF trainers do), broadcast centroids, probe the nearest
+  *    `nprobe` cells.
+  */
+object Similarity {
+
+  /** Exact cosine top-k for each query vector (queries broadcast). */
+  def bruteForceTopK(spark: SparkSession, emb: DataFrame,
+      queryPred: org.apache.spark.sql.Column, k: Int = 10): DataFrame = {
+    VectorFunctions.register(spark)
+    val q = emb.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val joined = emb.select(col("vec_id"), col("embedding").as("e"))
+      .join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos", expr("cosine_sim(qe, e)"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "vec_id", "rank", "cos")
+  }
+
+  // ---- random-hyperplane LSH ---------------------------------------
+  /** Deterministic ±1 hyperplane weights from a seeded splitmix64. */
+  def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Array[Array[Float]] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    Array.tabulate(planes, dim) { (p, d) =>
+      if ((mix(seed + p * 10007L + d) & 1L) == 0L) 1.0f else -1.0f
+    }
+  }
+
+  /** Multi-table random-hyperplane LSH: `tables` independent
+    * signatures of `planes` sign bits each; a vector is a candidate if
+    * it shares a bucket with the query in ANY table. Candidate
+    * generation is an equi-join on (table, sig) — never a cross join —
+    * then exact cosine re-ranking on the candidates only. */
+  def lshTopK(spark: SparkSession, emb: DataFrame,
+      queryPred: org.apache.spark.sql.Column, k: Int = 10,
+      planes: Int = 4, tables: Int = 4): DataFrame = {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val dim = 64
+    val hp = spark.sparkContext.broadcast(
+      (0 until tables).map(t => hyperplanes(planes, dim, seed = 42L + t * 7919L)).toArray)
+    val sigs = udf { (v: Seq[Float]) =>
+      (0 until tables).map { t =>
+        var s = 0
+        var p = 0
+        while (p < planes) {
+          var acc = 0.0f
+          var d = 0
+          val w = hp.value(t)(p)
+          while (d < math.min(dim, v.length)) { acc += w(d) * v(d); d += 1 }
+          if (acc >= 0) s |= (1 << p)
+          p += 1
+        }
+        t * 65536 + s // disjoint bucket space per table
+      }
+    }
+    val withSig = emb.withColumn("sig", explode(sigs(col("embedding"))))
+    val q = withSig.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("sig"))
+    val cands = withSig.select(col("vec_id"), col("embedding").as("e"), col("sig"))
+      .join(broadcast(q), Seq("sig"))
+      .filter(col("vec_id") =!= col("qid"))
+      .dropDuplicates("qid", "vec_id") // same pair may collide in >1 table
+      .withColumn("cos", expr("cosine_sim(qe, e)"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "vec_id", "rank", "cos")
+  }
+
+  // ---- IVF ----------------------------------------------------------
+  /** Lloyd iterations on a driver-side sample (deterministic init:
+    * lowest vec_ids), then broadcast-assign + probe nearest cells. */
+  def trainCentroids(emb: DataFrame, nCells: Int, iters: Int = 3,
+      sampleN: Int = 2048): Array[Array[Float]] = {
+    val sample = emb.orderBy("vec_id").limit(sampleN)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    var cents = sample.take(nCells).map(_.clone())
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(nCells)(new Array[Double](cents(0).length))
+      val counts = new Array[Int](nCells)
+      sample.foreach { v =>
+        val c = nearestCell(v, cents)
+        counts(c) += 1
+        var d = 0
+        while (d < v.length) { sums(c)(d) += v(d); d += 1 }
+      }
+      cents = Array.tabulate(nCells) { c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(x => (x / counts(c)).toFloat)
+      }
+    }
+    cents
+  }
+
+  def nearestCell(v: Array[Float], cents: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d2 = 0.0
+      var d = 0
+      val ct = cents(c)
+      while (d < math.min(v.length, ct.length)) {
+        val diff = v(d) - ct(d); d2 += diff * diff; d += 1
+      }
+      if (d2 < bestD) { bestD = d2; best = c }
+      c += 1
+    }
+    best
+  }
+
+  def nearestCells(v: Array[Float], cents: Array[Array[Float]], n: Int): Seq[Int] = {
+    cents.indices.map { c =>
+      var d2 = 0.0
+      var d = 0
+      while (d < math.min(v.length, cents(c).length)) {
+        val diff = v(d) - cents(c)(d); d2 += diff * diff; d += 1
+      }
+      (c, d2)
+    }.sortBy(x => (x._2, x._1)).take(n).map(_._1)
+  }
+
+  def ivfTopK(spark: SparkSession, emb: DataFrame,
+      queryPred: org.apache.spark.sql.Column, k: Int = 10,
+      nCells: Int = 16, nprobe: Int = 3): DataFrame = {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val cents = spark.sparkContext.broadcast(trainCentroids(emb, nCells))
+    val cellOf = udf((v: Seq[Float]) => nearestCell(v.toArray, cents.value))
+    val probesOf = udf((v: Seq[Float]) => nearestCells(v.toArray, cents.value, nprobe))
+    val indexed = emb.withColumn("cell", cellOf(col("embedding")))
+    val q = emb.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(probesOf(col("embedding"))).as("cell"))
+    val cands = indexed.select(col("vec_id"), col("embedding").as("e"), col("cell"))
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", expr("cosine_sim(qe, e)"))
+      .select("qid", "vec_id", "cos").distinct()
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "vec_id", "rank", "cos")
+  }
+}

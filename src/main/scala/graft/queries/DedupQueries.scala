@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+/** Dedup operator queries over `documents`. d01-d03 are DuckDB-exact;
+  * d03's oracle is the *exact* all-pairs Jaccard — the LSH+verify path
+  * must reproduce it (r=2/b=64 ⇒ miss probability ≈1e-8 per pair at
+  * the J=0.5 threshold). d04 (SimHash) has no SQL twin (xxhash64). */
+object DedupQueries {
+
+  /** documents ∪ (documents with shifted ids) — yields real duplicate
+    * groups so survivor selection is exercised. */
+  private def doubled(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionByName(d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+  }
+  private val sqlDoubled =
+    """d2 AS (SELECT doc_id, text FROM documents
+       UNION ALL SELECT doc_id + 10000, text FROM documents)"""
+
+  val all: Seq[Q] = Seq(
+
+    Q("d01_exact_dedup",
+      (s, dir) => Dedup.exactDedup(doubled(s, dir)).orderBy("doc_id"),
+      Some(s"""WITH $sqlDoubled,
+        f AS (SELECT doc_id, ${TextFunctions.sqlFingerprint("text")} AS fp FROM d2),
+        g AS (SELECT doc_id, fp,
+            row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn,
+            count(*) OVER (PARTITION BY fp) AS group_size FROM f)
+        SELECT doc_id, fp, group_size FROM g WHERE rn = 1
+        ORDER BY doc_id NULLS FIRST""")),
+
+    Q("d02_ngram_jaccard",
+      (s, dir) =>
+        Dedup.ngramJaccardPairs(Tables(s, dir, "documents"))
+          .orderBy("id_a", "id_b"),
+      Some(Dedup.sqlNgramJaccard("documents") +
+        " ORDER BY id_a NULLS FIRST, id_b NULLS FIRST")),
+
+    Q("d03_minhash_lsh",
+      (s, dir) =>
+        Dedup.minhashLshPairs(Tables(s, dir, "documents"))
+          .orderBy("id_a", "id_b"),
+      Some(Dedup.sqlNgramJaccard("documents") +
+        " ORDER BY id_a NULLS FIRST, id_b NULLS FIRST")),
+
+    Q("d04_simhash_pairs",
+      (s, dir) =>
+        Dedup.simhashPairs(Tables(s, dir, "documents"))
+          .orderBy("id_a", "id_b"),
+      None),
+  )
+}

@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+import graft.operators.Similarity
+
+/** Similarity-search queries over `embeddings` (64-dim float).
+  *
+  * s01 (exact top-k) and s02 (near-dup pairs) use the f32-chain cosine
+  * so DuckDB replays them bit-exactly. s03/s04 are the approximate
+  * scale paths (LSH / IVF) — deterministic but engine-specific, so
+  * rows-only; their recall vs s01 is asserted in ScalaTest. */
+object SimilarityQueries {
+
+  private val Dim = 64
+  private val K = 10
+  private val QueryPred = "vec_id < 8"
+
+  val all: Seq[Q] = Seq(
+
+    Q("s01_knn_bruteforce",
+      (s, dir) => {
+        // norms precomputed per side (O(n)), only the dot product runs
+        // in pair space — the shape that survives a 100× scale-up
+        val emb = Tables(s, dir, "embeddings")
+          .withColumn("nrm", expr(chainNorm("embedding", Dim, 0)))
+        val q = emb.filter(expr(QueryPred))
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("nrm").as("qn"))
+        emb.select(col("vec_id"), col("embedding").as("e"), col("nrm").as("en"))
+          .join(broadcast(q), col("vec_id") =!= col("qid"))
+          .withColumn("cos",
+            expr(s"CAST(${chainDot("qe", "e", Dim, 0)} AS DOUBLE)") / (col("qn") * col("en")))
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rank") <= K)
+          .select("qid", "vec_id", "rank", "cos")
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH n AS (SELECT vec_id, embedding,
+            ${chainNorm("embedding", Dim, 1)} AS nrm FROM embeddings),
+        q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn
+          FROM n WHERE $QueryPred),
+        c AS (SELECT qid, vec_id,
+            CAST(${chainDot("qe", "embedding", Dim, 1)} AS DOUBLE) / (qn * nrm) AS cos
+          FROM n, q WHERE vec_id <> qid),
+        r AS (SELECT qid, vec_id, cos, CAST(row_number() OVER (
+            PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank FROM c)
+        SELECT qid, vec_id, rank, cos FROM r WHERE rank <= $K
+        ORDER BY qid NULLS FIRST, rank NULLS FIRST""")),
+
+    Q("s02_embedding_neardup",
+      (s, dir) => {
+        // all-pairs is the correctness baseline; the scale path is LSH
+        // bucketing (s03) which never materializes the pair space
+        val emb = Tables(s, dir, "embeddings")
+          .withColumn("nrm", expr(chainNorm("embedding", Dim, 0)))
+        val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+          col("nrm").as("na"))
+        val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+          col("nrm").as("nb"))
+        a.join(b, col("id_a") < col("id_b"))
+          .withColumn("cos",
+            expr(s"CAST(${chainDot("ea", "eb", Dim, 0)} AS DOUBLE)") / (col("na") * col("nb")))
+          .filter(col("cos") >= 0.35)
+          .select("id_a", "id_b", "cos")
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH n AS (SELECT vec_id, embedding,
+            ${chainNorm("embedding", Dim, 1)} AS nrm FROM embeddings),
+        c AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            CAST(${chainDot("a.embedding", "b.embedding", Dim, 1)} AS DOUBLE)
+              / (a.nrm * b.nrm) AS cos
+          FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        SELECT id_a, id_b, cos FROM c WHERE cos >= 0.35
+        ORDER BY id_a NULLS FIRST, id_b NULLS FIRST""")),
+
+    Q("s03_knn_lsh",
+      (s, dir) =>
+        Similarity.lshTopK(s, Tables(s, dir, "embeddings"), expr(QueryPred), K)
+          .orderBy("qid", "rank"),
+      None),
+
+    Q("s04_knn_ivf",
+      (s, dir) =>
+        Similarity.ivfTopK(s, Tables(s, dir, "embeddings"), expr(QueryPred), K)
+          .orderBy("qid", "rank"),
+      None),
+  )
+}

@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over `documents` (north-star surface:
+  * token counting, fingerprinting, language ID, quality scoring) —
+  * all pure built-in-function plans, all DuckDB-oracle-exact. */
+object TextAnalysis {
+
+  val all: Seq[Q] = Seq(
+
+    Q("t01_token_stats",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            length(col("text")).as("len"),
+            tokenCount(col("text")).as("n_tokens"),
+            uniqueTokenCount(col("text")).as("n_uniq"),
+            bpeTokenCount(col("text")).as("n_bpe"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+        CAST(length(text) AS INT) AS len,
+        ${sqlTokenCount("text")} AS n_tokens,
+        ${sqlUniqueTokenCount("text")} AS n_uniq,
+        ${sqlBpeTokenCount("text")} AS n_bpe
+        FROM documents ORDER BY doc_id NULLS FIRST""")),
+
+    Q("t02_fingerprint",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, ${sqlFingerprint("text")} AS fp
+        FROM documents ORDER BY doc_id NULLS FIRST""")),
+
+    Q("t03_langid",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), langId(col("text")).as("lang_pred"))
+          .groupBy("lang_pred").agg(count(lit(1)).as("n"))
+          .orderBy("lang_pred"),
+      Some(s"""SELECT ${sqlLangId("text")} AS lang_pred, count(*) AS n
+        FROM documents GROUP BY lang_pred ORDER BY lang_pred NULLS FIRST""")),
+
+    Q("t04_quality",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .filter(length(trim(col("text"))) > 0)
+          .select(
+            col("doc_id"),
+            alphaRatio(col("text")).as("alpha_ratio"),
+            uniqRatio(col("text")).as("uniq_ratio"),
+            quality(col("text"), col("n_chars")).as("quality"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+        ${sqlAlphaRatio("text")} AS alpha_ratio,
+        ${sqlUniqRatio("text")} AS uniq_ratio,
+        ${sqlQuality("text", "n_chars")} AS quality
+        FROM documents WHERE length(trim(text)) > 0
+        ORDER BY doc_id NULLS FIRST""")),
+
+    // quality-gated corpus stats per source — the "filter a training
+    // corpus" end-to-end shape
+    Q("t05_quality_filter",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .filter(length(trim(col("text"))) > 0)
+          .withColumn("quality", quality(col("text"), col("n_chars")))
+          .filter(col("quality") >= 0.5)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+               sum(tokenCount(col("text")).cast("long")).as("n_tokens"))
+          .orderBy("source"),
+      Some(s"""SELECT source, count(*) AS n_docs,
+        CAST(sum(${sqlTokenCount("text")}) AS BIGINT) AS n_tokens
+        FROM documents WHERE length(trim(text)) > 0
+          AND ${sqlQuality("text", "n_chars")} >= 0.5
+        GROUP BY source ORDER BY source NULLS FIRST""")),
+  )
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Tables(spark, sf, "documents")
+
+  test("exactDedup keeps the lowest doc_id of each duplicate group") {
+    val d = docs.select($"doc_id", $"text").limit(10)
+    val doubled = d.unionByName(
+      d.select(($"doc_id" + 1000).as("doc_id"), $"text"))
+    val out = Dedup.exactDedup(doubled).collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getLong(0) < 1000)) // originals survive
+    assert(out.forall(_.getLong(2) == 2))   // every group has 2 members
+  }
+
+  test("exactDedup is idempotent") {
+    val once = Dedup.exactDedup(docs).select("doc_id")
+    val again = Dedup.exactDedup(
+      once.join(docs, "doc_id").select("doc_id", "text"))
+    assert(once.count() == again.count())
+  }
+
+  test("minhash LSH finds the same pairs as exact Jaccard here") {
+    val exact = Dedup.ngramJaccardPairs(docs)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+
+  test("jaccard pairs are symmetric-free (a<b) and within [minJ,1]") {
+    Dedup.ngramJaccardPairs(docs).collect().foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val j = r.getDouble(2)
+      assert(j >= 0.5 && j <= 1.0)
+    }
+  }
+
+  test("simhash of identical texts is identical; near-dups are close") {
+    val pairs = Dedup.ngramJaccardPairs(docs, minJ = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (pairs.nonEmpty) {
+      val sims = Dedup.simhashes(docs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      pairs.foreach { case (a, b) =>
+        val ham = java.lang.Long.bitCount(sims(a) ^ sims(b))
+        assert(ham <= 16, s"near-dup pair ($a,$b) hamming=$ham")
+      }
+    }
+  }
+
+  test("shingles of short docs fall back to the whole token list") {
+    val tiny = Seq((1L, "only three words")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(tiny).collect()
+    assert(sh.length == 1 && sh.head.getString(1) == "only three words")
+  }
+}
