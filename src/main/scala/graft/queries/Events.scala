@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Event-time windowing over the `events` fixture (SURVEY.md §2.5 T6:
+  * the reference is processing-time-only; the north star adds real
+  * event-time windows). Batch mode here — identical `window()` /
+  * `session_window()` calls run under Structured Streaming with
+  * `withWatermark` (graft.streaming, ScalaTest-covered); the batch
+  * results are what the streaming query converges to, which is exactly
+  * what the DuckDB oracle can check. */
+object Events {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 6))).cast("double")
+
+  val all: Seq[Q] = Seq(
+
+    // ---- tumbling 1h windows per event type -------------------------
+    Q("v01_tumbling_window",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+          // window start as epoch seconds: timestamp binary layouts
+          // differ across engines, epoch bigints hash identically
+          .select(col("w.start").cast("long").as("ws"), col("event_type"),
+            col("n"), col("total"))
+          .orderBy("ws", "event_type"),
+      Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
+          event_type, count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        FROM events GROUP BY ws, event_type
+        ORDER BY ws NULLS FIRST, event_type NULLS FIRST""")),
+
+    // ---- sliding windows: 10 min size, 5 min slide ------------------
+    Q("v02_sliding_window",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("w.start").cast("long").as("ws"), col("n"))
+          .orderBy("ws"),
+      // every event belongs to exactly two windows: the one starting at
+      // its 5-min floor and the one 5 min earlier (epoch-aligned, same
+      // origin Spark uses)
+      Some("""WITH x AS (SELECT
+          CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS t5 FROM events),
+        e AS (SELECT unnest([t5, t5 - 300]) AS ws FROM x)
+        SELECT ws, count(*) AS n FROM e GROUP BY ws
+        ORDER BY ws NULLS FIRST""")),
+
+    // ---- session windows: 30 min inactivity gap per user ------------
+    Q("v03_session_window",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+          .select(col("user_id"),
+            col("w.start").cast("long").as("session_start"),
+            col("w.end").cast("long").as("session_end"), col("n"), col("total"))
+          .orderBy("user_id", "session_start"),
+      // gap-and-island formulation: a session breaks when the gap from
+      // the previous event exceeds 30 min; session end = last ts + gap
+      Some("""WITH g AS (SELECT user_id, ts, value,
+          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    > INTERVAL 30 MINUTE OR
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+               THEN 1 ELSE 0 END AS brk FROM events),
+        sid AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM g)
+        SELECT user_id,
+          CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+          CAST(floor(epoch(max(ts))) + 1800 AS BIGINT) AS session_end,
+          count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        FROM sid GROUP BY user_id, session_id
+        ORDER BY user_id NULLS FIRST, session_start NULLS FIRST""")),
+
+    // ---- semi-structured JSON extraction from props -----------------
+    Q("v04_json_props",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+            max(col("k")).as("k_max"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+          CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+          CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_max
+        FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""")),
+
+    // ---- top-k per group via window function over event aggregates --
+    Q("v05_top_users_per_type",
+      (s, dir) => {
+        val agg = Tables(s, dir, "events")
+          .groupBy("event_type", "user_id")
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        agg.withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("event_type"))
+              .orderBy(col("n").desc, col("user_id"))))
+          .filter(col("rk") <= 3)
+          .select("event_type", "user_id", "n", "total", "rk")
+          .orderBy("event_type", "rk")
+      },
+      Some("""WITH a AS (SELECT event_type, user_id, count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+          FROM events GROUP BY event_type, user_id),
+        r AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+            ORDER BY n DESC, user_id) AS INT) AS rk FROM a)
+        SELECT event_type, user_id, n, total, rk FROM r WHERE rk <= 3
+        ORDER BY event_type NULLS FIRST, rk NULLS FIRST""")),
+  )
+}
