@@ -16,7 +16,8 @@ object SparkEntry {
   /** All query modules, concatenated. Names must be unique. */
   def registry: Seq[Q] =
     Relational.all ++ Enrichment.all ++ TextAnalysis.all ++
-      DedupQueries.all ++ SimilarityQueries.all ++ Events.all
+      DedupQueries.all ++ SimilarityQueries.all ++ Events.all ++
+      MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

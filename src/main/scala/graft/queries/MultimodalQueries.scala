@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.multimodal.Multimodal
+import graft.operators.AsOfJoin
+
+/** Multimodal-column queries (binary payload + typed metadata; decode
+  * stubbed deterministically per the brief) and the as-of join —
+  * checked against DuckDB's native ASOF JOIN. */
+object MultimodalQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- metadata decode over binary payloads (mapPartitions path) --
+    Q("m01_media_meta",
+      (s, dir) =>
+        Multimodal.decodeMeta(s, Multimodal.mediaFrame(Tables(s, dir, "documents")))
+          .toDF().orderBy("doc_id"),
+      // the stub's metadata is pure octet arithmetic → SQL-replayable
+      Some("""WITH m AS (SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN 'image'
+               WHEN doc_id % 3 = 1 THEN 'audio'
+               ELSE 'video' END AS media_type,
+          encode(text) AS payload FROM documents)
+        SELECT doc_id, media_type,
+          CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+          CAST(octet_length(payload) % 1024 + 1 AS INT) AS width,
+          CAST(octet_length(payload) % 768 + 1 AS INT) AS height,
+          CAST(CASE WHEN media_type = 'audio' THEN 16000 ELSE 0 END AS INT) AS sample_rate,
+          CAST(CASE WHEN media_type = 'video'
+               THEN octet_length(payload) % 300 + 1 ELSE 1 END AS INT) AS n_frames
+        FROM m ORDER BY doc_id NULLS FIRST""")),
+
+    // ---- feature extraction (batched binary → float vector) ---------
+    Q("m02_media_features",
+      (s, dir) =>
+        Multimodal.extractFeatures(
+            s, Multimodal.mediaFrame(Tables(s, dir, "documents")))
+          .toDF()
+          .select(col("doc_id"),
+            round(aggregate(col("features"), lit(0.0),
+              (acc, x) => acc + x), 4).as("feat_sum"),
+            size(col("features")).as("dim"))
+          .orderBy("doc_id"),
+      None),
+
+    // ---- declarative frame sampling over video payloads -------------
+    Q("m03_frame_sample",
+      (s, dir) =>
+        Multimodal.sampleFrames(
+            Multimodal.mediaFrame(Tables(s, dir, "documents")))
+          .orderBy("doc_id"),
+      Some("""WITH m AS (SELECT doc_id, octet_length(encode(text)) AS nb
+          FROM documents WHERE doc_id % 3 = 2),
+        f AS (SELECT doc_id, CAST(nb % 300 + 1 AS INT) AS n_frames FROM m)
+        SELECT doc_id, n_frames,
+          CAST((n_frames + 29) // 30 AS INT) AS n_sampled,
+          CAST(((n_frames - 1) // 30) * 30 AS INT) AS last_frame
+        FROM f ORDER BY doc_id NULLS FIRST""")),
+
+    // ---- as-of join vs DuckDB's native ASOF JOIN --------------------
+    Q("q17_asof_join",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value"))
+        AsOfJoin.backward(purchases, clicks, "user_id", "ts", "ts",
+            Seq("ts", "value"))
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("long").as("p_ts"),
+            col("asof_ts").cast("long").as("c_ts"),
+            col("asof_value").as("c_value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id,
+          CAST(floor(epoch(p.ts)) AS BIGINT) AS p_ts,
+          CAST(floor(epoch(c.ts)) AS BIGINT) AS c_ts,
+          c.value AS c_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+              WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY event_id NULLS FIRST""")),
+  )
+}

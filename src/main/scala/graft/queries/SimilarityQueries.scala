@@ -55,16 +55,34 @@ object SimilarityQueries {
     Q("s02_embedding_neardup",
       (s, dir) => {
         // all-pairs is the correctness baseline; the scale path is LSH
-        // bucketing (s03) which never materializes the pair space
+        // bucketing (s03) which never materializes the pair space.
+        // The codegen'd cosine_sim expression gates the 2M-pair space
+        // at a slightly looser threshold (|double-acc − f32-chain| ≪
+        // 1e-3), then the oracle-exact f32 chain runs only on the few
+        // surviving pairs — lossless w.r.t. the 0.35 cut.
+        graft.functions.VectorFunctions.register(s)
         val emb = Tables(s, dir, "embeddings")
           .withColumn("nrm", expr(chainNorm("embedding", Dim, 0)))
+        // single-file scans arrive as one partition; the O(n²) probe
+        // side must be spread across cores or the loop join runs in
+        // one task no matter how many executors exist
+        val par = s.sparkContext.defaultParallelism * 2
         val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
-          col("nrm").as("na"))
+          col("nrm").as("na")).repartition(par)
         val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
           col("nrm").as("nb"))
-        a.join(b, col("id_a") < col("id_b"))
-          .withColumn("cos",
-            expr(s"CAST(${chainDot("ea", "eb", Dim, 0)} AS DOUBLE)") / (col("na") * col("nb")))
+        // Stage 1: the codegen'd cosine_sim gates the 2M-pair loop join
+        // (cheap, tight loop). Stage 2: the oracle-exact f32 chain runs
+        // only on the ~0.2% surviving candidates. localCheckpoint is
+        // the optimizer barrier — without it Catalyst pushes the
+        // 192-term chain into the join condition where it evaluates on
+        // every pair (measured 20x slower).
+        val exactCos =
+          expr(s"CAST(${chainDot("ea", "eb", Dim, 0)} AS DOUBLE)") / (col("na") * col("nb"))
+        val cands = a.join(b, col("id_a") < col("id_b") &&
+            expr("cosine_sim(ea, eb)") >= 0.349)
+          .localCheckpoint()
+        cands.withColumn("cos", exactCos)
           .filter(col("cos") >= 0.35)
           .select("id_a", "id_b", "cos")
           .orderBy("id_a", "id_b")

@@ -1,0 +1,47 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("backward as-of attaches the latest right row at or before left ts") {
+    val trades = Seq(
+      (1L, "A", ts("2024-01-01 10:00:05")),
+      (2L, "A", ts("2024-01-01 10:00:30")),
+      (3L, "B", ts("2024-01-01 10:00:10"))
+    ).toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 100.0),
+      ("A", ts("2024-01-01 10:00:20"), 101.0),
+      ("B", ts("2024-01-01 10:00:10"), 50.0), // same instant as trade 3
+      ("B", ts("2024-01-01 10:00:15"), 51.0)
+    ).toDF("sym", "t", "px")
+    val out = AsOfJoin.backward(trades, quotes, "sym", "t", "t", Seq("px"))
+      .select("trade_id", "asof_px").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L) == Some(100.0)) // latest quote <= 10:00:05
+    assert(out(2L) == Some(101.0)) // 10:00:20 quote wins over 10:00:00
+    assert(out(3L) == Some(50.0))  // inclusive: same-instant quote attaches
+  }
+
+  test("left rows with no prior right row get null") {
+    val l = Seq((1L, "X", ts("2024-01-01 09:00:00"))).toDF("id", "k", "t")
+    val r = Seq(("X", ts("2024-01-01 10:00:00"), 1.0)).toDF("k", "t", "v")
+    val out = AsOfJoin.backward(l, r, "k", "t", "t", Seq("v")).collect()
+    assert(out.length == 1 && out.head.isNullAt(out.head.fieldIndex("asof_v")))
+  }
+
+  test("plan shuffles once on the key, not a range-join explosion") {
+    val l = Seq((1L, "X", ts("2024-01-01 09:00:00"))).toDF("id", "k", "t")
+    val r = Seq(("X", ts("2024-01-01 10:00:00"), 1.0)).toDF("k", "t", "v")
+    val plan = AsOfJoin.backward(l, r, "k", "t", "t", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
+  }
+}
