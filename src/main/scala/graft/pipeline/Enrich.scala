@@ -36,11 +36,17 @@ object Enrich {
     coalesce(nonBlank :+ lit(""): _*)
   }
 
+  /** Occurrence counts via the non-regex `replace` built-in (plain
+    * UTF8String substring removal, codegen'd) — the regexp_replace
+    * variant compiled a Pattern per marker and blew the e04/e05 bench
+    * up ~30× (round-1 verdict item 1). `replace` removes non-overlapping
+    * occurrences left-to-right, identical to the indexOf loop in
+    * [[StandIn.countSub]] and to DuckDB's replace(). */
   private def countChar(t: Column, c: Char): Column =
-    length(t) - length(regexp_replace(t, java.util.regex.Pattern.quote(c.toString), ""))
+    length(t) - length(replace(t, lit(c.toString), lit("")))
 
   private def countSub(t: Column, m: String): Column =
-    (length(t) - length(regexp_replace(t, java.util.regex.Pattern.quote(m), ""))).divide(lit(m.length)).cast("long")
+    (length(t) - length(replace(t, lit(m), lit("")))).divide(lit(m.length)).cast("long")
 
   /** Full enrichment over a frame with columns (doc_id, text…); returns
     * the gated, enriched projection. Column names double as the oracle
