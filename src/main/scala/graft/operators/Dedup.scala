@@ -90,14 +90,48 @@ object Dedup {
   val Bands = 64
   val RowsPerBand: Int = NumHashes / Bands
 
-  /** MinHash signatures: one shuffle (groupBy doc), map-side combined
-    * min per hash seed. Hash h of shingle s = xxhash64(h, s). */
-  def minhashSignatures(sh: DataFrame): DataFrame =
-    sh.groupBy("doc_id")
-      .agg(
-        min(xxhash64(lit(0), col("sh"))).as("sig0"),
-        (1 until NumHashes).map(h =>
-          min(xxhash64(lit(h), col("sh"))).as(s"sig$h")): _*)
+  /** One-pass MinHash: typed Aggregator folding each shingle's base
+    * xxhash64 through 128 splitmix64-finalized streams (seed_i = i·γ),
+    * keeping the elementwise min. Supports partial aggregation (merge),
+    * so it map-side combines; buffer is a primitive long array behind
+    * an ExpressionEncoder (UnsafeArrayData — no Kryo). Replaces the
+    * round-1 plan of 128 separate min(xxhash64(i, sh)) agg columns,
+    * which paid 128 hash expressions × 1.4 M shingle rows and a very
+    * wide codegen span (round-1 verdict item 2). */
+  object MinHashAgg extends Aggregator[Long, Array[Long], Array[Long]] {
+    private final val Gamma = 0x9E3779B97F4A7C15L // splitmix64 stream gamma
+    def zero: Array[Long] = Array.fill(NumHashes)(Long.MaxValue)
+    def reduce(buf: Array[Long], h: Long): Array[Long] = {
+      var i = 0
+      while (i < NumHashes) {
+        var z = h + i * Gamma // splitmix64 finalizer: independent-ish family
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^= (z >>> 31)
+        if (z < buf(i)) buf(i) = z
+        i += 1
+      }
+      buf
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < NumHashes) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    def finish(buf: Array[Long]): Array[Long] = buf
+    def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** MinHash signatures: one shuffle (groupBy doc), map-side combined;
+    * `sig` is array<long> of length [[NumHashes]]. */
+  def minhashSignatures(sh: DataFrame): DataFrame = {
+    val minhash = udaf(MinHashAgg)
+    sh.select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .groupBy("doc_id").agg(minhash(col("h")).as("sig"))
+  }
 
   /** Candidate pairs whose signatures collide in ≥1 band, then exact
     * Jaccard verification on just those pairs (candidate-local join,
@@ -106,7 +140,8 @@ object Dedup {
     val sh = shingles(docs, k).cache()
     val sigs = minhashSignatures(sh)
     val bandCols = (0 until Bands).map { b =>
-      val cols = (0 until RowsPerBand).map(r => col(s"sig${b * RowsPerBand + r}"))
+      val cols = (0 until RowsPerBand).map(r =>
+        element_at(col("sig"), b * RowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
     }
     val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
@@ -161,7 +196,8 @@ object Dedup {
       while (j < 64) { if (buf(j) > 0) out |= (1L << j); j += 1 }
       out
     }
-    def bufferEncoder = org.apache.spark.sql.Encoders.kryo[Array[Int]]
+    def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
     def outputEncoder = org.apache.spark.sql.Encoders.scalaLong
   }
 
