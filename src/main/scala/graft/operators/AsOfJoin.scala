@@ -19,32 +19,36 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** @param valueCols right-side columns to carry (prefixed `asof_`) */
+  /** @param valueCols right-side columns to carry (prefixed `asof_`)
+    *
+    * The right side travels as ONE struct column so every `asof_*`
+    * value comes from the same matched right row — per-column
+    * `last(ignoreNulls)` windows would each skip back independently
+    * past a NULL field, stitching together fields of different right
+    * rows (diverging from ASOF semantics, which return the matched
+    * row's NULL). */
   def backward(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    val l = left
+    val rStructType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => right.schema(c)))
+    val lPadded = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
-    val lPadded = valueCols.foldLeft(l)((df, c) =>
-      df.withColumn(s"__r_$c", lit(null).cast(right.schema(c).dataType)))
-    val r0 = right
-      .withColumn("__ts", col(rightTs))
-      .withColumn("__side", lit(0))
+      .withColumn("__r", lit(null).cast(rStructType))
     val rPadded = leftCols.foldLeft(
-      valueCols.foldLeft(r0)((df, c) => df.withColumn(s"__r_$c", col(c)))
-        .select((Seq(col(key), col("__ts"), col("__side")) ++
-          valueCols.map(c => col(s"__r_$c"))): _*)) { (df, c) =>
+      right.select(col(key), col(rightTs).as("__ts"), lit(0).as("__side"),
+        struct(valueCols.map(col): _*).as("__r"))) { (df, c) =>
       if (c == key) df else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
-    val unioned = lPadded.select((leftCols.map(col) ++
-        Seq(col("__ts"), col("__side")) ++ valueCols.map(c => col(s"__r_$c"))): _*)
-      .unionByName(rPadded, allowMissingColumns = false)
+    val ordered = leftCols.map(col) ++ Seq(col("__ts"), col("__side"), col("__r"))
+    val unioned = lPadded.select(ordered: _*)
+      .unionByName(rPadded.select(ordered: _*), allowMissingColumns = false)
     val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val attached = valueCols.foldLeft(unioned)((df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w)))
-    attached.filter(col("__side") === 1)
-      .select((leftCols.map(col) ++ valueCols.map(c => col(s"asof_$c"))): _*)
+    unioned.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((leftCols.map(col) ++
+        valueCols.map(c => col(s"__m.$c").as(s"asof_$c"))): _*)
   }
 }

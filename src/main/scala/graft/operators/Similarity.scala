@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
@@ -19,6 +19,71 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
+  /** Scored neighbor (vec_id, cos) with its final rank. */
+  final case class Neighbor(vec_id: Long, rank: Int, cos: Double)
+  /** Bounded buffer: parallel arrays sorted by (cos desc, vec_id asc),
+    * length ≤ k — primitive-encoded, no Kryo. */
+  final case class TopKBuf(ids: Array[Long], cos: Array[Double])
+
+  /** Partition-local top-k per query: each partition keeps only its k
+    * best (partial aggregation / map-side combine), so the exchange
+    * moves ≤ k rows per (partition, qid) instead of the full n×q pair
+    * set — the shape that survives a 100× scale-up, vs the round-1
+    * `row_number().over(partitionBy(qid))` global window that shuffled
+    * every scored pair through |q| hot keys. */
+  final class TopKAgg(k: Int)
+      extends Aggregator[(Long, Double), TopKBuf, Array[Neighbor]] {
+    private def better(c1: Double, i1: Long, c2: Double, i2: Long): Boolean =
+      c1 > c2 || (c1 == c2 && i1 < i2)
+    def zero: TopKBuf = TopKBuf(Array.empty, Array.empty)
+    def reduce(b: TopKBuf, x: (Long, Double)): TopKBuf = {
+      val (id, c) = x
+      val n = b.ids.length
+      if (n == k && !better(c, id, b.cos(n - 1), b.ids(n - 1))) b
+      else {
+        var p = 0
+        while (p < n && better(b.cos(p), b.ids(p), c, id)) p += 1
+        val m = math.min(n + 1, k)
+        val ids = new Array[Long](m); val cos = new Array[Double](m)
+        System.arraycopy(b.ids, 0, ids, 0, p)
+        System.arraycopy(b.cos, 0, cos, 0, p)
+        ids(p) = id; cos(p) = c
+        if (p < m - 1) {
+          System.arraycopy(b.ids, p, ids, p + 1, m - 1 - p)
+          System.arraycopy(b.cos, p, cos, p + 1, m - 1 - p)
+        }
+        TopKBuf(ids, cos)
+      }
+    }
+    def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
+      var out = a
+      var i = 0
+      while (i < b.ids.length) { out = reduce(out, (b.ids(i), b.cos(i))); i += 1 }
+      out
+    }
+    def finish(b: TopKBuf): Array[Neighbor] =
+      Array.tabulate(b.ids.length)(i => Neighbor(b.ids(i), i + 1, b.cos(i)))
+    def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[TopKBuf]()
+    def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Neighbor]]()
+  }
+
+  /** Zero-row frame with the (qid, vec_id, rank, cos) result shape. */
+  private def emptyTopK(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id").as("qid"), col("vec_id"),
+      lit(1).as("rank"), lit(0d).as("cos")).filter(lit(false))
+
+  /** (qid, vec_id, cos) → (qid, vec_id, rank, cos), k best per qid. */
+  def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKAgg(k))
+    scored.groupBy("qid")
+      .agg(topk(col("vec_id"), col("cos")).as("topk"))
+      .select(col("qid"), explode(col("topk")).as("t"))
+      .select(col("qid"), col("t.vec_id").as("vec_id"),
+        col("t.rank").as("rank"), col("t.cos").as("cos"))
+  }
+
   /** Exact cosine top-k for each query vector (queries broadcast). */
   def bruteForceTopK(spark: SparkSession, emb: DataFrame,
       queryPred: org.apache.spark.sql.Column, k: Int = 10): DataFrame = {
@@ -28,10 +93,7 @@ object Similarity {
     val joined = emb.select(col("vec_id"), col("embedding").as("e"))
       .join(broadcast(q), col("vec_id") =!= col("qid"))
       .withColumn("cos", expr("cosine_sim(qe, e)"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "vec_id", "rank", "cos")
+    topKPerQuery(joined, k)
   }
 
   // ---- random-hyperplane LSH ---------------------------------------
@@ -58,7 +120,11 @@ object Similarity {
       planes: Int = 4, tables: Int = 4): DataFrame = {
     import spark.implicits._
     VectorFunctions.register(spark)
-    val dim = 64
+    // vector dimensionality comes from the data (round-1 ADVICE: no
+    // hardcoded 64) — one cheap driver probe of the first row
+    val firstVec = emb.select(size(col("embedding"))).take(1)
+    if (firstVec.isEmpty) return emptyTopK(emb)
+    val dim = firstVec(0).getInt(0)
     val hp = spark.sparkContext.broadcast(
       (0 until tables).map(t => hyperplanes(planes, dim, seed = 42L + t * 7919L)).toArray)
     val sigs = udf { (v: Seq[Float]) =>
@@ -84,10 +150,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("qid"))
       .dropDuplicates("qid", "vec_id") // same pair may collide in >1 table
       .withColumn("cos", expr("cosine_sim(qe, e)"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    cands.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "vec_id", "rank", "cos")
+    topKPerQuery(cands, k)
   }
 
   // ---- IVF ----------------------------------------------------------
@@ -98,17 +161,21 @@ object Similarity {
     val sample = emb.orderBy("vec_id").limit(sampleN)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
-    var cents = sample.take(nCells).map(_.clone())
+    if (sample.isEmpty) return Array.empty
+    // fewer sample vectors than requested cells → fewer cells (round-1
+    // ADVICE: Array.tabulate(nCells) over a short sample threw OOB)
+    val cells = math.min(nCells, sample.length)
+    var cents = sample.take(cells).map(_.clone())
     (0 until iters).foreach { _ =>
-      val sums = Array.fill(nCells)(new Array[Double](cents(0).length))
-      val counts = new Array[Int](nCells)
+      val sums = Array.fill(cells)(new Array[Double](cents(0).length))
+      val counts = new Array[Int](cells)
       sample.foreach { v =>
         val c = nearestCell(v, cents)
         counts(c) += 1
         var d = 0
         while (d < v.length) { sums(c)(d) += v(d); d += 1 }
       }
-      cents = Array.tabulate(nCells) { c =>
+      cents = Array.tabulate(cells) { c =>
         if (counts(c) == 0) cents(c)
         else sums(c).map(x => (x / counts(c)).toFloat)
       }
@@ -149,7 +216,9 @@ object Similarity {
       nCells: Int = 16, nprobe: Int = 3): DataFrame = {
     import spark.implicits._
     VectorFunctions.register(spark)
-    val cents = spark.sparkContext.broadcast(trainCentroids(emb, nCells))
+    val trained = trainCentroids(emb, nCells)
+    if (trained.isEmpty) return emptyTopK(emb)
+    val cents = spark.sparkContext.broadcast(trained)
     val cellOf = udf((v: Seq[Float]) => nearestCell(v.toArray, cents.value))
     val probesOf = udf((v: Seq[Float]) => nearestCells(v.toArray, cents.value, nprobe))
     val indexed = emb.withColumn("cell", cellOf(col("embedding")))
@@ -161,9 +230,6 @@ object Similarity {
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", expr("cosine_sim(qe, e)"))
       .select("qid", "vec_id", "cos").distinct()
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    cands.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "vec_id", "rank", "cos")
+    topKPerQuery(cands, k)
   }
 }

@@ -64,10 +64,12 @@ object Events {
             col("w.end").cast("long").as("session_end"), col("n"), col("total"))
           .orderBy("user_id", "session_start"),
       // gap-and-island formulation: a session breaks when the gap from
-      // the previous event exceeds 30 min; session end = last ts + gap
+      // the previous event reaches 30 min — Spark's session_window
+      // half-open [t, t+gap) merges only on strict overlap, so an
+      // exactly-30-min gap starts a NEW session; `>=` matches that
       Some("""WITH g AS (SELECT user_id, ts, value,
           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                    > INTERVAL 30 MINUTE OR
+                    >= INTERVAL 30 MINUTE OR
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                THEN 1 ELSE 0 END AS brk FROM events),
         sid AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts

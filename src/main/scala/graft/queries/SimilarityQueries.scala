@@ -29,16 +29,14 @@ object SimilarityQueries {
         val q = emb.filter(expr(QueryPred))
           .select(col("vec_id").as("qid"), col("embedding").as("qe"),
             col("nrm").as("qn"))
-        emb.select(col("vec_id"), col("embedding").as("e"), col("nrm").as("en"))
+        val scored = emb
+          .select(col("vec_id"), col("embedding").as("e"), col("nrm").as("en"))
           .join(broadcast(q), col("vec_id") =!= col("qid"))
           .withColumn("cos",
             expr(s"CAST(${chainDot("qe", "e", Dim, 0)} AS DOUBLE)") / (col("qn") * col("en")))
-          .withColumn("rank", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))))
-          .filter(col("rank") <= K)
-          .select("qid", "vec_id", "rank", "cos")
-          .orderBy("qid", "rank")
+        // partition-local top-k (map-side combined) — only ≤k rows per
+        // (partition, qid) reach the exchange, never the full pair set
+        Similarity.topKPerQuery(scored, K).orderBy("qid", "rank")
       },
       Some(s"""WITH n AS (SELECT vec_id, embedding,
             ${chainNorm("embedding", Dim, 1)} AS nrm FROM embeddings),

@@ -37,6 +37,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.length == 1 && out.head.isNullAt(out.head.fieldIndex("asof_v")))
   }
 
+  test("a matched right row's NULL field stays NULL (no field mixing)") {
+    // round-1 ADVICE: per-column last(ignoreNulls) windows would pull
+    // px from the 10:00:00 row but qty from the newer 10:00:20 row;
+    // ASOF semantics return the matched row wholesale, NULLs included
+    val trades = Seq((1L, "A", ts("2024-01-01 10:00:30"))).toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), Some(100.0), Some(5L)),
+      ("A", ts("2024-01-01 10:00:20"), None, Some(7L)) // matched row: px NULL
+    ).toDF("sym", "t", "px", "qty")
+    val out = AsOfJoin.backward(trades, quotes, "sym", "t", "t", Seq("px", "qty"))
+      .select("asof_px", "asof_qty").head()
+    assert(out.isNullAt(0), "px must be the matched row's NULL, not 100.0")
+    assert(out.getLong(1) == 7L)
+  }
+
   test("plan shuffles once on the key, not a range-join explosion") {
     val l = Seq((1L, "X", ts("2024-01-01 09:00:00"))).toDF("id", "k", "t")
     val r = Seq(("X", ts("2024-01-01 10:00:00"), 1.0)).toDF("k", "t", "v")

@@ -51,6 +51,47 @@ class SimilaritySpec extends SparkSpec {
     assert((bf & lsh).nonEmpty)
   }
 
+  test("topKPerQuery partial-aggregates before the exchange") {
+    val scored = emb.select(col("vec_id").as("qid"), col("vec_id"),
+      rand(7).as("cos"))
+    val plan = Similarity.topKPerQuery(scored, 5)
+      .queryExecution.executedPlan.toString
+    val partial = plan.indexOf("partial_")
+    val exchange = plan.indexOf("Exchange hashpartitioning(qid")
+    assert(partial >= 0, plan)
+    assert(exchange >= 0, plan)
+    // executedPlan prints top-down: the final agg + exchange appear
+    // before (above) the partial agg that feeds them
+    assert(exchange < partial, plan)
+  }
+
+  test("topKPerQuery matches a window-function top-k") {
+    VectorFunctions.register(spark)
+    val q = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = emb.select(col("vec_id"), col("embedding").as("e"))
+      .join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos", expr("cosine_sim(qe, e)"))
+    val viaAgg = Similarity.topKPerQuery(scored, 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    val viaWindow = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 7)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"),
+        r.getAs[Int]("rank"))).toSet
+    assert(viaAgg == viaWindow)
+  }
+
+  test("IVF centroid training clamps cells to the sample size") {
+    val tiny = emb.limit(3)
+    assert(Similarity.trainCentroids(tiny, nCells = 16).length == 3)
+    val res = Similarity.ivfTopK(spark, tiny, col("vec_id") < 2, 2)
+    assert(res.count() > 0)
+    assert(Similarity.trainCentroids(emb.limit(0), nCells = 16).isEmpty)
+    assert(Similarity.ivfTopK(spark, emb.limit(0), col("vec_id") < 2, 2).count() == 0)
+  }
+
   test("IVF top-k returns k deterministic neighbors per query") {
     val a = Similarity.ivfTopK(spark, emb, col("vec_id") < 8, 5).collect()
     val b = Similarity.ivfTopK(spark, emb, col("vec_id") < 8, 5).collect()
