@@ -98,6 +98,10 @@ object Enrich {
       .withColumn("topics",
         when(array_contains(col("sel"), col("top_topic")), col("sel"))
           .otherwise(concat(col("sel"), array(col("top_topic")))))
+      // P4: explicit topic-non-null gate (service.py:123-127). The
+      // stand-in never returns null, so this is a no-op filter — kept
+      // for plan-order parity with the reference.
+      .filter(col("topics").isNotNull)
       .withColumn("topics_str", array_join(col("topics"), ","))
       // P6 subject routing
       .withColumn("subject",

@@ -80,6 +80,27 @@ object Enrichment {
         count(*) AS n FROM enriched GROUP BY bucket
         ORDER BY bucket NULLS FIRST""")),
 
+    // ---- F12: wire-format serialization (nats_client.py:235) --------
+    // The actual bytes a NATS sink publishes: subject-keyed compact
+    // JSON + the idempotency key (Nats-Msg-Id analog). Long/string
+    // fields only — double wire formatting differs across engines and
+    // the doubles are already hash-checked via parquet in e01.
+    Q("e08_wire_format",
+      (s, dir) =>
+        enriched(s, dir)
+          .select(col("doc_id"), col("subject"),
+            to_json(struct(col("doc_id"), col("sentiment"),
+              col("topics_str"), col("top_topic"), col("subject")))
+              .as("payload"),
+            concat_ws(":", lit("doc"), col("doc_id")).as("msg_id"))
+          .orderBy("doc_id"),
+      Some(s"""$cte SELECT doc_id, subject,
+          to_json(struct_pack(doc_id := doc_id, sentiment := sentiment,
+            topics_str := topics_str, top_topic := top_topic,
+            subject := subject))::VARCHAR AS payload,
+          'doc:' || doc_id AS msg_id
+        FROM enriched ORDER BY doc_id NULLS FIRST""")),
+
     // ---- P6: routing-subject distribution (the sink partitioning) ---
     Q("e07_routing",
       (s, dir) =>
