@@ -119,9 +119,25 @@ object Enrich {
       topics_str: String, top_topic: String, top_confidence: Double,
       subject: String)
 
+  /** A6 per-model latency: distributed accumulators timing each
+    * inference stage inside the typed path (reference metrics.py:48-59,
+    * labels `sentiment`/`topic`). Batch durations (per-post analog)
+    * come from StreamingQueryProgress already. */
+  final case class StageTimers(
+      sentimentNs: org.apache.spark.util.LongAccumulator,
+      topicNs: org.apache.spark.util.LongAccumulator,
+      rows: org.apache.spark.util.LongAccumulator)
+  object StageTimers {
+    def apply(spark: SparkSession): StageTimers = StageTimers(
+      spark.sparkContext.longAccumulator("graft.sentiment_ns"),
+      spark.sparkContext.longAccumulator("graft.topic_ns"),
+      spark.sparkContext.longAccumulator("graft.enriched_rows"))
+  }
+
   /** The mapPartitions deployment shape: batched, per-executor pure
     * model, no shuffle. Bit-identical to [[enrichColumns]]. */
-  def enrichTyped(spark: SparkSession, docs: DataFrame): Dataset[EnrichedDoc] = {
+  def enrichTyped(spark: SparkSession, docs: DataFrame,
+      timers: Option[StageTimers] = None): Dataset[EnrichedDoc] = {
     import spark.implicits._
     docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
@@ -130,10 +146,17 @@ object Enrich {
           batch.flatMap { case (id, text) =>
             if (text == null || text.trim.isEmpty) None
             else {
+              val t0 = if (timers.isDefined) System.nanoTime() else 0L
               val (lab, conf, probs) = StandIn.sentiment(text)
+              timers.foreach(_.sentimentNs.add(System.nanoTime() - t0))
               if (conf < SentimentThreshold) None
               else {
+                val t1 = if (timers.isDefined) System.nanoTime() else 0L
                 val (tops, top, tconf) = StandIn.topics(text)
+                timers.foreach { t =>
+                  t.topicNs.add(System.nanoTime() - t1)
+                  t.rows.add(1)
+                }
                 Some(EnrichedDoc(id, lab, conf, probs(0), probs(1), probs(2),
                   tops.mkString(","), top, tconf,
                   s"bluesky.enriched.$lab.$top"))

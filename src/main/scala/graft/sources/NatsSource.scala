@@ -55,10 +55,21 @@ object NatsTable {
 }
 
 final class NatsTable(options: Map[String, String])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.read.streaming.ReportsSinkMetrics {
   private val streamName = options.getOrElse("stream",
     throw new IllegalArgumentException("option 'stream' is required"))
   override def name(): String = s"stub-nats:$streamName"
+
+  /** A1/A4 as sink metrics in StreamingQueryProgress.sink.metrics:
+    * cumulative publish totals, duplicate detections (still counted as
+    * published, nats_client.py:255-260), publish timeouts. */
+  override def metrics(): java.util.Map[String, String] =
+    StubJetStream.info(streamName).map { s =>
+      Map("publishedRows" -> s.publishedTotal.sum.toString,
+        "duplicateRows" -> s.duplicateTotal.sum.toString,
+        "publishTimeouts" -> s.timeoutTotal.sum.toString).asJava
+    }.getOrElse(java.util.Collections.emptyMap[String, String]())
   override def schema(): StructType = NatsTable.ReadSchema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,

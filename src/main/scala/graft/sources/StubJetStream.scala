@@ -71,6 +71,11 @@ final class StubStream(val name: String, val subjects: Seq[String],
   private var seqCounter = 0L
   // msgId -> (original seq, publish time) for the duplicate window
   private val dupIndex = mutable.HashMap[String, (Long, Long)]()
+  // cumulative publish counters (A1/A4: posts_published_total,
+  // duplicate detections, publish_timeout occurrences)
+  val publishedTotal = new java.util.concurrent.atomic.LongAdder
+  val duplicateTotal = new java.util.concurrent.atomic.LongAdder
+  val timeoutTotal = new java.util.concurrent.atomic.LongAdder
   /** Fault injection for retry tests: next N publishes time out. */
   @volatile var failNextPublishes: Int = 0
   /** Injectable clock so dedup-window expiry is testable. */
@@ -80,6 +85,7 @@ final class StubStream(val name: String, val subjects: Seq[String],
     synchronized {
       if (failNextPublishes > 0) {
         failNextPublishes -= 1
+        timeoutTotal.increment()
         throw new StubPublishTimeout(s"publish to $name timed out (injected)")
       }
       require(subjects.isEmpty ||
@@ -88,6 +94,8 @@ final class StubStream(val name: String, val subjects: Seq[String],
       val now = clock()
       if (msgId != null) dupIndex.get(msgId) match {
         case Some((seq, at)) if now - at < duplicateWindowMs =>
+          duplicateTotal.increment()
+          publishedTotal.increment() // "still counted as published" (S6)
           return PubAck(name, seq, duplicate = true) // not stored
         case _ =>
       }
@@ -95,6 +103,7 @@ final class StubStream(val name: String, val subjects: Seq[String],
       msgs += StubMsg(seqCounter, subject, data, msgId, now)
       if (msgId != null) dupIndex(msgId) = (seqCounter, now)
       while (msgs.length > maxMsgs) msgs.remove(0) // discard-old
+      publishedTotal.increment()
       PubAck(name, seqCounter, duplicate = false)
     }
 

@@ -20,12 +20,22 @@ final class MetricsListener extends StreamingQueryListener {
   @volatile var lastInputRowsPerSecond: Double = 0.0
   @volatile var lastProcessedRowsPerSecond: Double = 0.0
   @volatile var batches: Long = 0L
+  /** A9: latest observed source backlog (consumer num_pending — the
+    * reference's HPA autoscaling signal, nats_client.py:288-301). */
+  @volatile var backlogNumPending: Long = 0L
+  /** Highest backlog seen over the query's life. */
+  @volatile var maxBacklogNumPending: Long = 0L
 
   private def inc(name: String, by: Long): Unit =
     counters.computeIfAbsent(name, _ => new LongAdder).add(by)
 
   def count(name: String): Long =
     Option(counters.get(name)).map(_.sum()).getOrElse(0L)
+
+  /** Cumulative gauges (sink metrics report running totals). */
+  val gauges = new ConcurrentHashMap[String, java.lang.Long]()
+  def gauge(name: String): Long =
+    Option(gauges.get(name)).map(_.longValue()).getOrElse(0L)
 
   override def onQueryStarted(event: QueryStartedEvent): Unit =
     inc("queries_started", 1)
@@ -41,6 +51,22 @@ final class MetricsListener extends StreamingQueryListener {
       val row = om.get("graft_parse")
       inc("posts_processed_total", row.getAs[Long]("rows_total"))
       inc("errors_json_parse_total", row.getAs[Long]("poison_total"))
+    }
+    // A9: source backlog gauge from connector-reported source metrics
+    p.sources.foreach { s =>
+      Option(s.metrics) .flatMap(m => Option(m.get("numPending"))).foreach { v =>
+        backlogNumPending = v.toLong
+        maxBacklogNumPending = math.max(maxBacklogNumPending, backlogNumPending)
+      }
+    }
+    // A4 taxonomy + published totals from the sink's ReportsSinkMetrics
+    // (cumulative → gauges). publish_failed surfaces as a task/query
+    // failure, matching the reference, which raises after exhausting
+    // retries.
+    Option(p.sink.metrics).foreach { m =>
+      Option(m.get("publishedRows")).foreach(v => gauges.put("posts_published_total", v.toLong))
+      Option(m.get("duplicateRows")).foreach(v => gauges.put("publish_duplicates_total", v.toLong))
+      Option(m.get("publishTimeouts")).foreach(v => gauges.put("errors_publish_timeout_total", v.toLong))
     }
   }
 
