@@ -15,7 +15,7 @@ object SparkEntry {
 
   /** All query modules, concatenated. Names must be unique. */
   def registry: Seq[Q] =
-    Relational.all ++ Enrichment.all ++ TextAnalysis.all ++
+    Relational.all ++ Advanced.all ++ Enrichment.all ++ TextAnalysis.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ Events.all ++
       MultimodalQueries.all
 

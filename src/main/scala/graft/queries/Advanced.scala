@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.operators.{BandJoin, SkewJoin}
+
+/** Scale-pattern queries (SURVEY.md §2.6 extensions): skew-salted join,
+  * time-band range join, exact + approximate quantiles, pivot. Each is
+  * a pattern a 100 TB training-data pipeline leans on daily; results
+  * are deliberately expressible in ANSI SQL so every one hash-checks
+  * against DuckDB (the approximate-quantile error bound is ScalaTest'd
+  * instead, like q16's HLL).
+  */
+object Advanced {
+
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+  private def sqlDsum(expr: String, scale: Int = 2): String =
+    s"CAST(sum(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE)"
+
+  val all: Seq[Q] = Seq(
+
+    // ---- salted fact-fact join under a skew-hostile plan -------------
+    // Results are identical to the plain l_orderkey join (the oracle
+    // proves it); the plan spreads each orderkey over 8 reducers.
+    Q("q18_salted_join",
+      (s, dir) => {
+        val line = Tables(s, dir, "lineitem")
+          .withColumnRenamed("l_orderkey", "okey")
+        val ord = Tables(s, dir, "orders")
+          .withColumnRenamed("o_orderkey", "okey")
+        SkewJoin.saltedInnerJoin(line, ord, "okey", salt = 8)
+          .groupBy(col("o_orderpriority"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+              .as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority,
+          ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue,
+          count(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority NULLS FIRST""")),
+
+    // ---- time-band range join (equi-key + |Δt| ≤ 10 min) -------------
+    // The oracle is the naive inequality join; the engine runs the
+    // binned equi-join plan (BandJoin scaladoc) — same rows exactly.
+    Q("q19_band_join",
+      (s, dir) =>
+        BandJoin.selfBandPairs(Tables(s, dir, "events"),
+            key = "user_id", tsCol = "ts", idCol = "event_id",
+            bandSec = 600L)
+          .orderBy("user_id", "id_a", "id_b"),
+      Some("""SELECT a.user_id AS user_id,
+          a.event_id AS id_a, b.event_id AS id_b,
+          (epoch_us(b.ts) - epoch_us(a.ts)) / 1e6 AS gap_sec
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id AND a.event_id < b.event_id
+          AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 600000000
+        ORDER BY a.user_id NULLS FIRST, id_a NULLS FIRST, id_b NULLS FIRST""")),
+
+    // ---- exact interpolated quantiles by group -----------------------
+    // Spark `percentile` and DuckDB `quantile_cont` share the
+    // lower + frac·(upper − lower) definition; the approximate
+    // (percentile_approx) error bound is asserted in ApproxQuantileSpec.
+    Q("q20_quantiles",
+      (s, dir) => {
+        val ps = array(lit(0.25), lit(0.5), lit(0.75), lit(0.95))
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(percentile(col("l_extendedprice"), ps).as("q"))
+          .select(col("l_returnflag"),
+            col("q").getItem(0).as("p25"), col("q").getItem(1).as("p50"),
+            col("q").getItem(2).as("p75"), col("q").getItem(3).as("p95"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+          quantile_cont(l_extendedprice, 0.25) AS p25,
+          quantile_cont(l_extendedprice, 0.50) AS p50,
+          quantile_cont(l_extendedprice, 0.75) AS p75,
+          quantile_cont(l_extendedprice, 0.95) AS p95
+        FROM lineitem GROUP BY l_returnflag
+        ORDER BY l_returnflag NULLS FIRST""")),
+
+    // ---- pivot (long → wide reshaping) -------------------------------
+    // Spark's relational pivot with an explicit value list (implicit
+    // discovery would add a driver-side distinct pass — never at scale).
+    Q("q21_pivot",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .groupBy(year(col("l_shipdate")).as("ship_year"))
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .agg(dsum(col("l_extendedprice"), 2))
+          .orderBy("ship_year"),
+      Some("""SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+          CAST(sum(CASE WHEN l_returnflag = 'A'
+            THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS A,
+          CAST(sum(CASE WHEN l_returnflag = 'N'
+            THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS N,
+          CAST(sum(CASE WHEN l_returnflag = 'R'
+            THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS R
+        FROM lineitem GROUP BY 1
+        ORDER BY ship_year NULLS FIRST""")),
+  )
+}

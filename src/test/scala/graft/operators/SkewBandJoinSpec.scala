@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** Property checks: the salted join and the binned band join are pure
+  * plan rewrites — on ANY input they must produce exactly the rows of
+  * their naive formulations. ScalaCheck generators drive the inputs
+  * (deterministic seeds — the offline cache has no scalatest bridge, so
+  * generation is invoked directly), including hot-key distributions
+  * (the case salting exists for) and timestamps straddling bin edges
+  * (the case binning could get wrong).
+  */
+class SkewBandJoinSpec extends SparkSpec {
+
+  private val params = Gen.Parameters.default.withSize(60)
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(params, Seed(seed))
+
+  // keys drawn from a tiny domain → heavy collisions, one dominant key
+  private val hotKeyRows: Gen[List[(Long, Long)]] =
+    Gen.listOf(for {
+      k <- Gen.frequency(6 -> Gen.const(7L), 4 -> Gen.choose(0L, 4L))
+      v <- Gen.choose(0L, 1000L)
+    } yield (k, v))
+
+  test("saltedInnerJoin == plain join on skewed inputs (property)") {
+    import spark.implicits._
+    for (trial <- 0 until 5; salt <- Seq(1, 3, 8)) {
+      val left = sample(hotKeyRows, 100L + trial).toDF("k", "lv")
+      val right = sample(hotKeyRows, 200L + trial).toDF("k", "rv")
+      val plain = left.join(right, Seq("k"))
+        .select("k", "lv", "rv").collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val salted = SkewJoin.saltedInnerJoin(left, right, "k", salt)
+        .select("k", "lv", "rv").collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // multiset equality: duplicates matter in a join result
+      assert(salted.groupBy(identity).view.mapValues(_.size).toMap ==
+        plain.groupBy(identity).view.mapValues(_.size).toMap,
+        s"trial=$trial salt=$salt")
+    }
+  }
+
+  // timestamps clustered near multiples of the band width, so pairs
+  // regularly straddle bin boundaries; micros offsets hit the exact
+  // |Δt| == band inclusive edge
+  private val eventRows: Gen[List[(Long, Long, Long)]] =
+    Gen.listOf(for {
+      user <- Gen.choose(0L, 3L)
+      bin <- Gen.choose(0L, 5L)
+      off <- Gen.oneOf(0L, 1L, 999999L, 1000000L, 1500000L, 1999999L)
+    } yield (user, bin * 2000000L + off, 0L)).map(_.zipWithIndex.map {
+      case ((u, us, _), i) => (u, us, i.toLong)
+    })
+
+  test("selfBandPairs == naive inequality join incl. exact-band edges (property)") {
+    import spark.implicits._
+    val bandSec = 2L // 2s band == the 2e6-micros bin width above
+    for (trial <- 0 until 5) {
+      val rows = sample(eventRows, 300L + trial)
+      val df = rows.toDF("user_id", "us", "event_id")
+        .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      val got = BandJoin.selfBandPairs(df, "user_id", "ts", "event_id", bandSec)
+        .select("user_id", "id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expected = (for {
+        (u1, t1, i1) <- rows; (u2, t2, i2) <- rows
+        if u1 == u2 && i1 < i2 && math.abs(t2 - t1) <= bandSec * 1000000L
+      } yield (u1, i1, i2)).toSet
+      assert(got == expected, s"trial=$trial rows=${rows.size}")
+    }
+  }
+
+  test("band join emits each qualifying pair exactly once") {
+    import spark.implicits._
+    // events in the same AND adjacent bins — the three-bin explode must
+    // not double-count pairs whose candidate bins coincide
+    val rows = Seq((1L, 0L, 1L), (1L, 500000L, 2L), (1L, 2000000L, 3L))
+    val df = rows.toDF("user_id", "us", "event_id")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val got = BandJoin.selfBandPairs(df, "user_id", "ts", "event_id", 2L)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.distinct.length)
+    assert(got.toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+}
