@@ -26,9 +26,17 @@ object Bench {
     // (round-1 d01 carried ~7s of session warmup). Steady-state per-query
     // time is what the throughput comparison against BASELINE.md means.
     try {
-      val docs = spark.read.parquet(s"$sfDir/documents")
-      docs.groupBy(org.apache.spark.sql.functions.length(
-        org.apache.spark.sql.functions.col("text"))).count().count()
+      import org.apache.spark.sql.functions._
+      // same shapes the inventory leans on: parquet scan, string-heavy
+      // projection (md5/regexp/replace), hash-agg shuffle, window sort
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(256)
+      docs.select(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"),
+          (length(col("text")) - length(replace(col("text"), lit("e"), lit("")))).as("c"))
+        .groupBy("fp").agg(min(col("c")), count(lit(1)))
+        .count()
+      docs.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(1)).orderBy(col("doc_id"))))
+        .count()
     } catch { case _: Throwable => () }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }

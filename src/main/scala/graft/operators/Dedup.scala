@@ -35,17 +35,19 @@ object Dedup {
            array_to_string(tk[i + 1:i + $k], ' ') AS sh FROM shi)"""
 
   // ---- exact dedup --------------------------------------------------
-  /** Canonical-row exact dedup on a normalized-text fingerprint: the
-    * survivor of each duplicate group is the lowest doc_id (a
-    * deterministic `dropDuplicates`). One shuffle on the fingerprint. */
-  def exactDedup(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+  /** Exact dedup on a normalized-text fingerprint: the survivor of each
+    * duplicate group is the lowest doc_id (a deterministic
+    * `dropDuplicates`). A plain aggregate — partial-combined map-side,
+    * one shuffle keyed on the fingerprint, no sort. (To carry the whole
+    * surviving row instead of just its id, swap `min` for
+    * `min_by(struct(cols), doc_id)` — still one unsorted shuffle;
+    * round-1's window/row_number formulation paid two Window sorts for
+    * the same answer.) */
+  def exactDedup(docs: DataFrame): DataFrame =
     docs.withColumn("fp", TextFunctions.fingerprint(col("text")))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("group_size", count(lit(1)).over(Window.partitionBy(col("fp"))))
-      .filter(col("rn") === 1)
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("group_size"))
       .select(col("doc_id"), col("fp"), col("group_size"))
-  }
 
   // ---- exact n-gram Jaccard pairs ----------------------------------
   /** All pairs (a<b) with shingle-Jaccard ≥ minJ, via a shingle-key
