@@ -85,6 +85,25 @@ object StreamingEnrich {
       .withWatermark("event_ts", DedupWindow)
       .dropDuplicatesWithinWatermark("uri", "cid")
 
+  /** Stream-static broadcast join (SURVEY.md §2.6's idiomatic
+    * extension): decorate the enriched stream with a static dimension
+    * keyed on top_topic. The dim is broadcast to every task — the
+    * stream side stays narrow (no shuffle, no state), so this costs
+    * the same at 100 TB/day as at test scale. Left join: an unmapped
+    * topic must not drop the post. */
+  def withTopicCategory(enriched: DataFrame, topicDim: DataFrame): DataFrame =
+    enriched.join(broadcast(topicDim), Seq("top_topic"), "left")
+
+  /** Canonical static dim for [[withTopicCategory]]: tweet-topic-21
+    * labels → coarse category (the label's leading word, e.g.
+    * "arts_&_culture" → "arts"). */
+  def topicCategories(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    graft.pipeline.StandIn.TopicLabels.toSeq
+      .map(l => (l, l.takeWhile(_ != '_')))
+      .toDF("top_topic", "category")
+  }
+
   /** Start the query: subject-partitioned parquet sink, checkpointed.
     * partitionBy(sentiment, top_topic) is the Spark equivalent of the
     * reference's `bluesky.enriched.{sentiment}.{top_topic}` subject

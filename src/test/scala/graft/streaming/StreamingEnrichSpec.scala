@@ -71,6 +71,28 @@ class StreamingEnrichSpec extends SparkSpec {
     assert(spark.table("replay_out").count() == 1)
   }
 
+  test("stream-static broadcast join decorates without shuffling the stream") {
+    val mem = MemoryStream[String](spark)
+    val dim = StreamingEnrich.topicCategories(spark)
+    val df = StreamingEnrich.withTopicCategory(
+      StreamingEnrich.pipeline(mem.toDF()), dim)
+    val q = df.writeStream.format("memory").queryName("dim_out")
+      .outputMode("append").start()
+    mem.addData(post("at://d1", "dc1", "m m m museum join join join join"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dim_out").select("top_topic", "category").collect()
+    assert(got.length == 1)
+    assert(got(0).getString(1) == got(0).getString(0).takeWhile(_ != '_'))
+    // the equivalent batch plan broadcasts the dim — the stream side
+    // must never shuffle for a dimension decoration
+    val batchPlan = graft.pipeline.Enrich.enrichColumns(
+        Seq((1L, "m m m join join join join")).toDF("doc_id", "text"))
+      .join(broadcast(dim), Seq("top_topic"), "left")
+      .queryExecution.executedPlan.toString
+    assert(batchPlan.contains("BroadcastHashJoin"), batchPlan)
+    assert(!batchPlan.contains("Exchange hashpartitioning"), batchPlan)
+  }
+
   test("poison pills never fail the stream and are not emitted") {
     val mem = MemoryStream[String](spark)
     val df = StreamingEnrich.pipeline(mem.toDF())
