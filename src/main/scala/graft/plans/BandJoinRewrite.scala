@@ -36,7 +36,14 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), hint)
-        if j.resolved && j.getTagValue(Rewritten).isEmpty =>
+        if j.resolved && j.getTagValue(Rewritten).isEmpty &&
+          // structural re-entry guard: tags are lost when another rule
+          // copies the node, and re-matching would stack a 3x explode
+          // per fixpoint iteration
+          !cond.exists {
+            case a: AttributeReference => a.name.startsWith("graft_bin")
+            case _ => false
+          } =>
       bandPredicate(left, right, cond) match {
         case Some((x, y, c)) =>
           val lBin = floorDiv(castLong(x), c)
