@@ -69,19 +69,25 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  def sqlNgramJaccard(table: String, k: Int = 5, minJ: Double = 0.5): String =
-    s"""WITH ${sqlShinglesCte(table, k)},
-       pairs AS (
+  /** CTE chain ending in `jp` = (id_a, id_b, jaccard), thresholded. */
+  def sqlJaccardCtes(table: String, k: Int = 5, minJ: Double = 0.5): String =
+    s"""${sqlShinglesCte(table, k)},
+       prs AS (
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
          GROUP BY 1, 2),
-       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
-       SELECT id_a, id_b,
-         inter / CAST(na.n + nb.n - inter AS DOUBLE) AS jaccard
-       FROM pairs
-       JOIN sizes na ON id_a = na.doc_id
-       JOIN sizes nb ON id_b = nb.doc_id
-       WHERE inter / CAST(na.n + nb.n - inter AS DOUBLE) >= $minJ"""
+       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       jp AS (
+         SELECT id_a, id_b,
+           inter / CAST(na.n + nb.n - inter AS DOUBLE) AS jaccard
+         FROM prs
+         JOIN sizes na ON id_a = na.doc_id
+         JOIN sizes nb ON id_b = nb.doc_id
+         WHERE inter / CAST(na.n + nb.n - inter AS DOUBLE) >= $minJ)"""
+
+  def sqlNgramJaccard(table: String, k: Int = 5, minJ: Double = 0.5): String =
+    s"""WITH ${sqlJaccardCtes(table, k, minJ)}
+       SELECT id_a, id_b, jaccard FROM jp"""
 
   // ---- MinHash + LSH ------------------------------------------------
   /** Signature count and banding. r=2, b=64 ⇒ candidate-recall at
@@ -171,6 +177,40 @@ object Dedup {
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= minJ)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---- duplicate clusters (connected components) --------------------
+  /** Assign every doc to its duplicate cluster: connected components
+    * over a near-dup pair list, labels = min doc_id of the component
+    * (the canonical/survivor doc). Iterative min-label propagation —
+    * each round is one join + one aggregate, O(graph diameter) rounds,
+    * `localCheckpoint` cuts the growing lineage. Near-dup graphs are
+    * overwhelmingly tiny cliques (diameter ≤ 2-3), so rounds stay
+    * single-digit at any data size; for adversarial long-chain graphs
+    * the same loop upgrades to large-star/small-star (alternating
+    * min-propagation, provably O(log n) rounds). Driver code is a
+    * bounded LOOP counter only — all data work is distributed. */
+  def duplicateClusters(docs: DataFrame, pairs: DataFrame,
+      maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = docs.select(col("doc_id").as("id"), col("doc_id").as("component"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val viaNeighbor = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("component"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy("id").agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("component", "prev"), "id")
+        .filter(col("component") =!= col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("component"))
   }
 
   // ---- SimHash ------------------------------------------------------

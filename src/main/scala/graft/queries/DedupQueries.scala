@@ -53,5 +53,26 @@ object DedupQueries {
         Dedup.simhashPairs(Tables(s, dir, "documents"))
           .orderBy("id_a", "id_b"),
       None),
+
+    // component = min doc_id of each near-dup cluster (the survivor);
+    // Spark runs distributed min-label propagation over the LSH pairs,
+    // the oracle replays it as a DuckDB recursive CTE over the exact
+    // pairs (identical edges: LSH+verify == exact at this threshold)
+    Q("d05_dedup_components",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        Dedup.duplicateClusters(docs, Dedup.minhashLshPairs(docs))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${Dedup.sqlJaccardCtes("documents")},
+        edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+          UNION ALL SELECT id_b, id_a FROM jp),
+        reach AS (
+          SELECT doc_id AS id, doc_id AS label FROM documents
+          UNION
+          SELECT e.dst AS id, r.label AS label
+          FROM reach r JOIN edges e ON r.id = e.src)
+        SELECT id AS doc_id, min(label) AS component FROM reach
+        GROUP BY id ORDER BY doc_id NULLS FIRST""")),
   )
 }
