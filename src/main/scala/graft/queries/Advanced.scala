@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.operators.{BandJoin, SkewJoin}
+import graft.functions.TextFunctions
+import graft.operators.{BandJoin, Sampling, SkewJoin}
 
 /** Scale-pattern queries (SURVEY.md §2.6 extensions): skew-salted join,
   * time-band range join, exact + approximate quantiles, pivot. Each is
@@ -105,5 +106,32 @@ object Advanced {
             THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS R
         FROM lineitem GROUP BY 1
         ORDER BY ship_year NULLS FIRST""")),
+
+    // ---- reproducible mixture sampling -------------------------------
+    // Training-corpus mixture: per-language keep rates via a pure
+    // md5-of-key gate (Sampling scaladoc: rand()/sample() redraw under
+    // task retry; this is stable across retries, partitionings and
+    // engines — which is why DuckDB can hash-check the sampled SET).
+    Q("q22_mixture_sample",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .withColumn("lang", TextFunctions.langId(col("text")))
+        Sampling.mixtureSample(docs, col("doc_id"), col("lang"),
+            Seq("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25,
+              "es" -> 0.25, "und" -> 0.1), salt = "mix1")
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val rates = Seq("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25,
+          "es" -> 0.25, "und" -> 0.1)
+        val gate = rates.map { case (l, f) =>
+          s"(lang = '$l' AND ${Sampling.sqlKeep("doc_id", f, "mix1")})"
+        }.mkString(" OR ")
+        s"""WITH l AS (SELECT doc_id,
+            ${TextFunctions.sqlLangId("text")} AS lang FROM documents)
+          SELECT doc_id, lang FROM l WHERE $gate
+          ORDER BY doc_id NULLS FIRST"""
+      }),
   )
 }

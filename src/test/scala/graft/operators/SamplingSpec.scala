@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The properties that make hash-gate sampling the 100 TB choice:
+  * decisions are a pure function of (key, salt) — invariant under
+  * repartitioning (and hence task retry/AQE re-plans), redrawn by
+  * salt — and realized rates concentrate around the requested
+  * fraction. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val n = 20000L
+  private def keys = spark.range(n).select(col("id"))
+
+  test("sample is invariant under repartitioning (retry-stable)") {
+    val a = keys.filter(Sampling.keep(col("id"), 0.3, "s1"))
+      .collect().map(_.getLong(0)).toSet
+    val b = keys.repartition(13).filter(Sampling.keep(col("id"), 0.3, "s1"))
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("realized rate concentrates around the fraction") {
+    for (f <- Seq(0.1, 0.5, 0.9)) {
+      val got = keys.filter(Sampling.keep(col("id"), f, "s2")).count()
+      val sd = math.sqrt(n * f * (1 - f))
+      assert(math.abs(got - n * f) <= 5 * sd + 1, s"f=$f got=$got")
+    }
+  }
+
+  test("different salts redraw; same salt correlates across frames") {
+    val s1 = keys.filter(Sampling.keep(col("id"), 0.5, "a"))
+      .collect().map(_.getLong(0)).toSet
+    val s2 = keys.filter(Sampling.keep(col("id"), 0.5, "b"))
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 != s2)
+    // overlap of two independent 50% draws ~ 25%, far from 50%
+    val overlap = (s1 & s2).size.toDouble / n
+    assert(overlap > 0.2 && overlap < 0.3, s"overlap=$overlap")
+    // correlated sampling: an unrelated frame with the same keys+salt
+    // makes identical decisions (how joined tables stay aligned)
+    val other = spark.range(n).select(col("id"))
+      .filter(Sampling.keep(col("id"), 0.5, "a"))
+      .collect().map(_.getLong(0)).toSet
+    assert(other == s1)
+  }
+
+  test("fraction edges: 0 keeps nothing, 1 keeps everything") {
+    assert(keys.filter(Sampling.keep(col("id"), 0.0, "x")).count() == 0)
+    assert(keys.filter(Sampling.keep(col("id"), 1.0, "x")).count() == n)
+  }
+}
