@@ -44,7 +44,12 @@ object AsOfJoin {
     val ordered = leftCols.map(col) ++ Seq(col("__ts"), col("__side"), col("__r"))
     val unioned = lPadded.select(ordered: _*)
       .unionByName(rPadded.select(ordered: _*), allowMissingColumns = false)
-    val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side"))
+    // __r as the final sort key makes right-vs-right timestamp ties
+    // deterministic (field-wise struct comparison): the matched row is
+    // max by (ts, value struct), every run and partitioning. Left rows
+    // (__r null) are separated by __side already.
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__side"), col("__r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)

@@ -52,6 +52,39 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.getLong(1) == 7L)
   }
 
+  test("matches a naive per-row scan on random data incl. NULLs and ties (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val params = Gen.Parameters.default.withSize(50)
+    // small key/time domains force ties and empty-match cases
+    val leftGen = Gen.listOf(for {
+      k <- Gen.choose(0, 2); t <- Gen.choose(0L, 20L)
+    } yield (k, t)).map(_.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) })
+    val rightGen = Gen.listOf(for {
+      k <- Gen.choose(0, 2); t <- Gen.choose(0L, 20L)
+      v <- Gen.option(Gen.choose(0.0, 9.0))
+    } yield (k, t, v))
+    for (trial <- 0 until 5) {
+      val ls = leftGen.pureApply(params, Seed(700L + trial))
+      val rs = rightGen.pureApply(params, Seed(800L + trial))
+        .zipWithIndex.map { case ((k, t, v), i) => (k, t, v, i.toLong) }
+      val l = ls.toDF("id", "k", "t")
+      val r = rs.toDF("k", "t", "v", "rid")
+      // rid first in the struct → ties broken by rid (unique), so the
+      // naive oracle below is exact
+      val got = AsOfJoin.backward(l, r, "k", "t", "t", Seq("rid", "v"))
+        .collect().map(row => row.getLong(0) ->
+          (if (row.isNullAt(3)) None else Some(row.getLong(3)))).toMap
+      // naive: matched row = max (t, rid) among right rows with t <= lt
+      val expected = ls.map { case (id, k, lt) =>
+        val cands = rs.filter(x => x._1 == k && x._2 <= lt)
+        id -> (if (cands.isEmpty) None
+               else Some(cands.maxBy(x => (x._2, x._4))._4))
+      }.toMap
+      assert(got == expected, s"trial=$trial")
+    }
+  }
+
   test("plan shuffles once on the key, not a range-join explosion") {
     val l = Seq((1L, "X", ts("2024-01-01 09:00:00"))).toDF("id", "k", "t")
     val r = Seq(("X", ts("2024-01-01 10:00:00"), 1.0)).toDF("k", "t", "v")

@@ -68,6 +68,38 @@ class EnrichSpec extends SparkSpec {
       assert(out.select("custom_field").collect().head.getString(0) == "extra-value")
   }
 
+  test("Column path == typed path on adversarial random text (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // texts built from the actual marker alphabet + noise: marker chars
+    // at string edges, repeats straddling the K threshold, whitespace
+    // runs, empty-ish strings, unicode
+    val frag = Gen.frequency(
+      5 -> Gen.oneOf(StandIn.SentimentMarkers.map(_.toString)),
+      5 -> Gen.oneOf(StandIn.TopicMarkers),
+      3 -> Gen.oneOf(" ", "  ", "\t"),
+      3 -> Gen.alphaNumStr.map(_.take(6)),
+      1 -> Gen.oneOf("é", "漢", "🙂", ""))
+    val textGen = Gen.listOf(frag).map(_.mkString(" "))
+    val params = Gen.Parameters.default.withSize(30)
+    val texts = (0 until 120).map(i => textGen.pureApply(params, Seed(900L + i)))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val colPath = Enrich.enrichColumns(df)
+      .select("doc_id", "sentiment", "confidence", "p_negative", "p_neutral",
+        "p_positive", "topics_str", "top_topic", "top_confidence", "subject")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val typedPath = Enrich.enrichTyped(spark, df)
+      .collect().map(e => e.doc_id -> Seq(e.sentiment, e.confidence,
+        e.p_negative, e.p_neutral, e.p_positive, e.topics_str, e.top_topic,
+        e.top_confidence, e.subject)).toMap
+    assert(colPath.keySet == typedPath.keySet)
+    colPath.foreach { case (id, cols) =>
+      assert(cols == typedPath(id), s"doc $id: '${texts(id.toInt)}'")
+    }
+  }
+
   test("whole enrichment plan is narrow: no shuffle (Exchange) anywhere") {
     val docs = Tables(spark, sf, "documents")
     val plan = Enrich.enrichColumns(docs).queryExecution.executedPlan.toString
