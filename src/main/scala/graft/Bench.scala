@@ -14,6 +14,9 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // the deployment wiring a cluster would use (fresh context here,
+      // so the static conf applies): cosine_sim + BandJoinRewrite
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

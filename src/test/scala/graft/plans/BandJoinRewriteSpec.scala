@@ -8,8 +8,10 @@ import graft.SparkSpec
 /** The optimizer rule must (a) fire on naive abs-band joins and remove
   * the nested-loop plan, (b) preserve exact join semantics including
   * band edges and negative values (floorDiv, not truncation), and
-  * (c) wire up through spark.sql.extensions as a cluster would deploy
-  * it. */
+  * (c) wire up through SparkSessionExtensions as a cluster deploys it.
+  * The shared test session runs with GraftExtensions active (SparkSpec)
+  * — these tests exercise the injected rule itself; the negative test
+  * turns it off via excludedRules. */
 class BandJoinRewriteSpec extends SparkSpec {
   import spark.implicits._
 
@@ -25,51 +27,52 @@ class BandJoinRewriteSpec extends SparkSpec {
     } yield (i, j)).toSet
 
   test("rewrites a pure band join to a binned equi-join with identical rows") {
-    val prev = spark.experimental.extraOptimizations
-    spark.experimental.extraOptimizations = prev :+ BandJoinRewrite
+    val l = leftRows.toDF("lid", "x")
+    val r = rightRows.toDF("rid", "y")
+    val joined = l.join(r, abs(col("x") - col("y")) <= 100L)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bin"), s"rule did not fire:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val got = joined.select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.distinct.length, "pair emitted twice")
+    assert(got.toSet == expected(100L))
+  }
+
+  test("with the rule excluded the same join is a nested-loop plan (the problem exists)") {
+    val key = "spark.sql.optimizer.excludedRules"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "graft.plans.BandJoinRewrite")
     try {
       val l = leftRows.toDF("lid", "x")
       val r = rightRows.toDF("rid", "y")
-      val joined = l.join(r, abs(col("x") - col("y")) <= 100L)
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(plan.contains("graft_bin"), s"rule did not fire:\n$plan")
-      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
-      assert(!plan.contains("CartesianProduct"), plan)
-      val got = joined.select("lid", "rid").collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-      assert(got.length == got.distinct.length, "pair emitted twice")
-      assert(got.toSet == expected(100L))
-    } finally spark.experimental.extraOptimizations = prev
-  }
-
-  test("without the rule the same join is a nested-loop plan (the problem exists)") {
-    val l = leftRows.toDF("lid", "x")
-    val r = rightRows.toDF("rid", "y")
-    val plan = l.join(r, abs(col("x") - col("y")) <= 100L)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"), plan)
+      val plan = l.join(r, abs(col("x") - col("y")) <= 100L)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("graft_bin"), plan)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   test("extra equi-keys are kept as join keys alongside the bin") {
-    val prev = spark.experimental.extraOptimizations
-    spark.experimental.extraOptimizations = prev :+ BandJoinRewrite
-    try {
-      val l = Seq((1L, 1L, 0L), (2L, 2L, 0L)).toDF("lid", "k", "x")
-      val r = Seq((10L, 1L, 50L), (11L, 2L, 500L)).toDF("rid", "k2", "y")
-      val joined = l.join(r, col("k") === col("k2") &&
-        abs(col("x") - col("y")) <= 100L)
-      val got = joined.select("lid", "rid").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(got == Set((1L, 10L))) // (2,11) matches k but not the band
-    } finally spark.experimental.extraOptimizations = prev
+    val l = Seq((1L, 1L, 0L), (2L, 2L, 0L)).toDF("lid", "k", "x")
+    val r = Seq((10L, 1L, 50L), (11L, 2L, 500L)).toDF("rid", "k2", "y")
+    val joined = l.join(r, col("k") === col("k2") &&
+      abs(col("x") - col("y")) <= 100L)
+    val got = joined.select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L))) // (2,11) matches k but not the band
   }
 
   test("GraftExtensions deploys the rule and cosine_sim on new sessions") {
     // `spark.sql.extensions` is a STATIC conf read at SparkContext
-    // creation; the suite's context already exists, so exercise the
-    // same injection machinery via builder.withExtensions and prove the
-    // conf-string class name resolves the way applyExtensions would
-    // (zero-arg construct + apply).
+    // creation (Bench/Verify set it on their fresh contexts); the
+    // suite's context already exists, so exercise the same injection
+    // machinery via builder.withExtensions and prove the conf-string
+    // class name resolves the way applyExtensions would.
     val byName = Class.forName("graft.plans.GraftExtensions")
       .getDeclaredConstructor().newInstance()
       .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
