@@ -81,10 +81,13 @@ object Enrich {
       countSub(col("etext"), TopicMarkers(i)).as(s"c$i"))
     val withC = withSent.select(col("*") +: cnts: _*)
     val g = greatest(TopicMarkers.indices.map(i => col(s"c$i")): _*)
-    val selected = filter(
-      array(TopicLabels.indices.map(i =>
-        when(col(s"c$i") >= TopicK, lit(TopicLabels(i)))): _*),
-      x => x.isNotNull)
+    // concat of conditional singleton arrays, NOT filter(array(...), _):
+    // the higher-order-function lambda is a codegen barrier that split
+    // the DAG into interpreted row-at-a-time eval between two codegen
+    // stages (caught by EnrichSpec's no-fallback plan assertion)
+    val selected = concat(TopicLabels.indices.map(i =>
+      when(col(s"c$i") >= TopicK, array(lit(TopicLabels(i))))
+        .otherwise(lit(Array.empty[String]))): _*)
     val top = TopicLabels.indices.tail.foldLeft(
       when(col("c0") === col("g"), TopicLabels(0))) { (acc, i) =>
         acc.when(col(s"c$i") === col("g"), TopicLabels(i))

@@ -105,4 +105,19 @@ class EnrichSpec extends SparkSpec {
     val plan = Enrich.enrichColumns(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
+
+  test("enrichment expression tree stays inside WholeStageCodegen (no size fallback)") {
+    // the round-1 perf collapse was this exact failure mode: a
+    // regex-count tree too large for codegen, silently interpreted
+    val docs = Tables(spark, sf, "documents")
+    val exec = Enrich.enrichColumns(docs).queryExecution.executedPlan
+    val plan = exec.toString
+    // codegen'd operators print with a "*(stageId)" prefix
+    assert(plan.contains("*("), plan)
+    // every Project must sit inside a codegen stage — an unstarred
+    // Project is interpreted row-at-a-time eval in the hot path
+    val outside = plan.linesIterator
+      .filter(l => l.contains("Project") && !l.contains("*(")).toList
+    assert(outside.isEmpty, s"non-codegen Project stages:\n${outside.mkString("\n")}")
+  }
 }
