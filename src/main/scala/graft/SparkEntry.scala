@@ -13,11 +13,18 @@ import graft.queries._
   */
 object SparkEntry {
 
-  /** All query modules, concatenated. Names must be unique. */
-  def registry: Seq[Q] =
-    Relational.all ++ Advanced.all ++ Enrichment.all ++ TextAnalysis.all ++
-      DedupQueries.all ++ SimilarityQueries.all ++ Events.all ++
-      MultimodalQueries.all
+  /** All query modules, concatenated. Names must be unique — a
+    * duplicate would silently shadow its twin in the `queries` map and
+    * the driver's gate would "pass" while checking the wrong plan. */
+  def registry: Seq[Q] = {
+    val all =
+      Relational.all ++ Advanced.all ++ Enrichment.all ++ TextAnalysis.all ++
+        DedupQueries.all ++ SimilarityQueries.all ++ Events.all ++
+        MultimodalQueries.all
+    val dupes = all.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(", ")}")
+    all
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
