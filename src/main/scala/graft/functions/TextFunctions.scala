@@ -74,6 +74,39 @@ object TextFunctions {
     s"CASE WHEN $g = 0 THEN 'und' $whens END"
   }
 
+  // ---- repetition (Gopher-style duplicate n-gram fraction) ---------
+  /** Adjacent token 2-grams ("a b"), one per token position. zip_with
+    * is a codegen barrier (interpreted Project) but the plan stays
+    * narrow/per-row — embarrassingly parallel, nothing shuffles. */
+  def bigrams(t: Column): Column = {
+    val tk = tokens(t)
+    zip_with(
+      slice(tk, lit(1), size(tk) - 1),
+      slice(tk, lit(2), size(tk) - 1),
+      (a, b) => concat(a, lit(" "), b))
+  }
+  def sqlBigrams(t: String): String = {
+    val l = sqlTokens(t)
+    s"list_transform(range(1, len($l)), i -> $l[i] || ' ' || $l[i + 1])"
+  }
+
+  def bigramCount(t: Column): Column = size(bigrams(t))
+  def sqlBigramCount(t: String): String =
+    s"CAST(len(${sqlBigrams(t)}) AS INT)"
+
+  def uniqueBigramCount(t: Column): Column = size(array_distinct(bigrams(t)))
+  def sqlUniqueBigramCount(t: String): String =
+    s"CAST(len(list_distinct(${sqlBigrams(t)})) AS INT)"
+
+  /** Fraction of 2-gram occurrences that repeat an earlier one —
+    * single division so both engines produce the identical float64.
+    * Caller guarantees ≥2 tokens. */
+  def repRatio(t: Column): Column =
+    (bigramCount(t) - uniqueBigramCount(t)) / bigramCount(t).cast("double")
+  def sqlRepRatio(t: String): String =
+    s"(${sqlBigramCount(t)} - ${sqlUniqueBigramCount(t)}) / " +
+      s"CAST(${sqlBigramCount(t)} AS DOUBLE)"
+
   // ---- quality scoring ---------------------------------------------
   /** alpha_ratio: share of [a-zA-Z] chars. Caller guarantees length>0
     * (blank filter upstream). */

@@ -133,5 +133,28 @@ object Advanced {
           SELECT doc_id, lang FROM l WHERE $gate
           ORDER BY doc_id NULLS FIRST"""
       }),
+
+    // ---- multiple COUNT(DISTINCT) in one aggregate -------------------
+    // Catalyst plans N distinct aggregates over one input as a single
+    // Expand (N+1 projections of each row) + two-phase aggregation —
+    // one shuffle total, vs the naive N self-joined single-distinct
+    // queries. Shuffled volume scales with |groups|×N, not |rows|.
+    Q("q23_multi_distinct",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_partkey")).as("nd_part"),
+            countDistinct(col("l_suppkey")).as("nd_supp"),
+            countDistinct(col("l_orderkey")).as("nd_ord"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+          CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_part,
+          CAST(count(DISTINCT l_suppkey) AS BIGINT) AS nd_supp,
+          CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nd_ord,
+          count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+        ORDER BY l_returnflag NULLS FIRST""")),
   )
 }

@@ -74,5 +74,54 @@ object DedupQueries {
           FROM reach r JOIN edges e ON r.id = e.src)
         SELECT id AS doc_id, min(label) AS component FROM reach
         GROUP BY id ORDER BY doc_id NULLS FIRST""")),
+
+    // SemDedup-shaped corpus filter over embeddings: drop every vector
+    // that has a LOWER-id near-neighbor (cosine >= 0.35) — lower id
+    // survives, one anti-join selects the kept corpus. Pair generation
+    // here is the all-pairs correctness baseline (same two-stage gate
+    // as s02); at 100 TB the pairs come from the LSH buckets (s03
+    // machinery) instead, the anti-join is unchanged.
+    Q("d06_embedding_dedup",
+      (s, dir) => {
+        import graft.functions.VectorFunctions._
+        graft.functions.VectorFunctions.register(s)
+        val Dim = 64
+        val emb = Tables(s, dir, "embeddings")
+          .withColumn("nrm", expr(chainNorm("embedding", Dim, 0)))
+        val par = s.sparkContext.defaultParallelism * 2
+        val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+          col("nrm").as("na")).repartition(par)
+        val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+          col("nrm").as("nb"))
+        val exactCos =
+          expr(s"CAST(${chainDot("ea", "eb", Dim, 0)} AS DOUBLE)") / (col("na") * col("nb"))
+        // stage 1: codegen'd cosine_sim gates the pair loop; stage 2:
+        // the oracle-exact f32 chain on survivors only (localCheckpoint
+        // keeps Catalyst from inlining the 192-term chain into the join)
+        val dupIds = a.join(b, col("id_a") < col("id_b") &&
+            expr("cosine_sim(ea, eb)") >= 0.349)
+          .localCheckpoint()
+          .withColumn("cos", exactCos)
+          .filter(col("cos") >= 0.35)
+          .select(col("id_b").as("dup_id")).distinct()
+        Tables(s, dir, "embeddings")
+          .join(dupIds, col("vec_id") === col("dup_id"), "left_anti")
+          .select("vec_id")
+          .orderBy("vec_id")
+      },
+      Some({
+        import graft.functions.VectorFunctions._
+        val Dim = 64
+        s"""WITH n AS (SELECT vec_id, embedding,
+            ${chainNorm("embedding", Dim, 1)} AS nrm FROM embeddings),
+          c AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              CAST(${chainDot("a.embedding", "b.embedding", Dim, 1)} AS DOUBLE)
+                / (a.nrm * b.nrm) AS cos
+            FROM n a JOIN n b ON a.vec_id < b.vec_id),
+          dup AS (SELECT DISTINCT id_b FROM c WHERE cos >= 0.35)
+          SELECT vec_id FROM embeddings
+          WHERE vec_id NOT IN (SELECT id_b FROM dup)
+          ORDER BY vec_id NULLS FIRST"""
+      })),
   )
 }

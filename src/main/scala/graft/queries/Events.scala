@@ -118,5 +118,42 @@ object Events {
             ORDER BY n DESC, user_id) AS INT) AS rk FROM a)
         SELECT event_type, user_id, n, total, rk FROM r WHERE rk <= 3
         ORDER BY event_type NULLS FIRST, rk NULLS FIRST""")),
+
+    // ---- ordered-sequence funnel: view -> click -> purchase ---------
+    // Per-user conversion detection via conditional min() — one
+    // map-side-combined aggregate, no self-joins (the naive funnel is
+    // a 3-way self-join; conditional aggregation shuffles each user
+    // once regardless of funnel depth). NULL discipline: the IS NOT
+    // NULL conjuncts run first, so FALSE AND NULL = FALSE makes
+    // `converted` never NULL in either engine.
+    Q("v06_funnel",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        def firstTs(t: String) =
+          min(when(col("event_type") === t, col("ts")))
+        ev.groupBy("user_id")
+          .agg(firstTs("view").as("fv"), firstTs("click").as("fc"),
+            firstTs("purchase").as("fp"))
+          .select(col("user_id"),
+            col("fv").cast("long").as("first_view"),
+            col("fc").cast("long").as("first_click"),
+            col("fp").cast("long").as("first_purchase"),
+            (col("fv").isNotNull && col("fc").isNotNull &&
+              col("fp").isNotNull && col("fv") < col("fc") &&
+              col("fc") < col("fp")).as("converted"))
+          .orderBy("user_id")
+      },
+      Some("""WITH a AS (SELECT user_id,
+          min(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+          min(CASE WHEN event_type = 'click' THEN ts END) AS fc,
+          min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+        FROM events GROUP BY user_id)
+        SELECT user_id,
+          CAST(floor(epoch(fv)) AS BIGINT) AS first_view,
+          CAST(floor(epoch(fc)) AS BIGINT) AS first_click,
+          CAST(floor(epoch(fp)) AS BIGINT) AS first_purchase,
+          (fv IS NOT NULL AND fc IS NOT NULL AND fp IS NOT NULL
+            AND fv < fc AND fc < fp) AS converted
+        FROM a ORDER BY user_id NULLS FIRST""")),
   )
 }

@@ -80,5 +80,32 @@ object TextAnalysis {
         FROM documents WHERE length(trim(text)) > 0
           AND ${sqlQuality("text", "n_chars")} >= 0.5
         GROUP BY source ORDER BY source NULLS FIRST""")),
+
+    // within-document repetition: fraction of adjacent-token 2-grams
+    // that duplicate an earlier one (the Gopher "duplicate n-gram"
+    // quality signal — heavily repeated boilerplate scores high and
+    // gets filtered from a training corpus)
+    Q("t06_repetition",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .filter(tokenCount(col("text")) >= 2)
+          // alias the bigram array once: zip_with is interpreted (no
+          // codegen CSE), so letting each metric rebuild the tree would
+          // tokenize every row ~10x; CollapseProject keeps the shared
+          // alias because it's non-cheap and multiply referenced
+          .select(col("doc_id"), bigrams(col("text")).as("bg"))
+          .select(col("doc_id"),
+            size(col("bg")).as("n_bigrams"),
+            size(array_distinct(col("bg"))).as("n_uniq_bigrams"))
+          .select(col("doc_id"), col("n_bigrams"), col("n_uniq_bigrams"),
+            ((col("n_bigrams") - col("n_uniq_bigrams")) /
+              col("n_bigrams").cast("double")).as("rep_ratio"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+        ${sqlBigramCount("text")} AS n_bigrams,
+        ${sqlUniqueBigramCount("text")} AS n_uniq_bigrams,
+        ${sqlRepRatio("text")} AS rep_ratio
+        FROM documents WHERE ${sqlTokenCount("text")} >= 2
+        ORDER BY doc_id NULLS FIRST""")),
   )
 }
