@@ -49,11 +49,26 @@ object Bench {
       math.rint(os.getSystemLoadAverage * 100) / 100
     }
 
+    // Per-query watchdog: cancel the job group if a query wedges (one
+    // stuck task under host contention must not stall the whole bench;
+    // the other pass still supplies a timing for the query).
+    val queryTimeoutMs =
+      sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "300").toLong * 1000L
+    val watchdog = new java.util.Timer("bench-watchdog", true)
+
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Option[String]) = {
+      spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+      val cancel = new java.util.TimerTask {
+        def run(): Unit = spark.sparkContext.cancelJobGroup(name)
+      }
+      watchdog.schedule(cancel, queryTimeoutMs)
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None } catch {
         case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200))
+      } finally {
+        cancel.cancel()
+        spark.sparkContext.clearJobGroup()
       }
       // queries are independent: drop any cache an operator pinned and
       // any lineage-truncation blocks (localCheckpoint pins RDD blocks
@@ -73,8 +88,12 @@ object Bench {
     // spike would have to span both passes of the same query to
     // survive the min; loadavg below records the evidence either way.
     val loadStart = loadAvg
-    val passes = Seq(1, 2).map { _ =>
-      selected.map { case (name, fn) => (name, runOnce(name, fn)) }
+    val passes = Seq(1, 2).map { p =>
+      selected.map { case (name, fn) =>
+        val r = runOnce(name, fn)
+        System.err.println(f"[bench] pass$p $name ${r._1}%.2fs load=$loadAvg")
+        (name, r)
+      }
     }
     val loadEnd = loadAvg
     val results = selected.map { case (name, _) =>
