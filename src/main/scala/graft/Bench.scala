@@ -18,6 +18,12 @@ object Bench {
       // so the static conf applies): cosine_sim + BandJoinRewrite
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
+      // static conf, default 100: the inventory generates several
+      // codegen units per query x 56 queries per pass, so the default
+      // cache evicts everything between passes and "warm" still pays
+      // Janino recompiles — the dominant fixed cost of the widest
+      // plans (e04/e05's 19-marker trees)
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -101,10 +101,17 @@ object Enrich {
       .withColumn("topics",
         when(array_contains(col("sel"), col("top_topic")), col("sel"))
           .otherwise(concat(col("sel"), array(col("top_topic")))))
-      // P4: explicit topic-non-null gate (service.py:123-127). The
-      // stand-in never returns null, so this is a no-op filter — kept
-      // for plan-order parity with the reference.
-      .filter(col("topics").isNotNull)
+      // P4: topic-non-null gate (service.py:123-127). In the reference
+      // the classifier returns None only for blank text, which the P2
+      // blank filter has already removed — so P4 is subsumed, exactly
+      // as in the reference's own flow. It is deliberately NOT spelled
+      // `filter($"topics".isNotNull)`: PushDownPredicates substitutes
+      // the whole topic expression tree into a pre-projection Filter
+      // and NullPropagation then expands `CASE ... IS NOT NULL`, which
+      // measured 823 duplicated replace() calls in one Filter node
+      // (186 KB plan, ~4 s fixed cost per e04/e05 run, and ~40 extra
+      // full-text scans per row at scale). EnrichSpec asserts the
+      // non-null invariant and the plan-size budget instead.
       .withColumn("topics_str", array_join(col("topics"), ","))
       // P6 subject routing
       .withColumn("subject",

@@ -45,10 +45,18 @@ object Enrichment {
         GROUP BY sentiment ORDER BY sentiment NULLS FIRST""")),
 
     // ---- A3: per-element topic counts (explode = the Generator op) --
+    // explode_outer, not explode: F11 guarantees `topics` is non-empty
+    // (it always contains top_topic), so the two are row-identical —
+    // but plain explode triggers InferFiltersFromGenerate, whose
+    // inferred `size(topics) > 0 AND topics IS NOT NULL` predicate is
+    // pushed below the projections with the WHOLE topic expression
+    // tree substituted in twice (measured: 823 replace() calls in one
+    // Filter node, 186 KB plan, ~3 s fixed cost, ~40 redundant
+    // full-text scans per row at scale)
     Q("e04_topic_counts",
       (s, dir) =>
         enriched(s, dir)
-          .select(explode(col("topics")).as("topic"))
+          .select(explode_outer(col("topics")).as("topic"))
           .groupBy("topic").agg(count(lit(1)).as("n"))
           .orderBy("topic"),
       Some(s"""$cte, ex AS (
@@ -60,7 +68,7 @@ object Enrichment {
     Q("e05_top5_topics",
       (s, dir) =>
         enriched(s, dir)
-          .select(explode(col("topics")).as("topic"))
+          .select(explode_outer(col("topics")).as("topic")) // see e04
           .groupBy("topic").agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("topic"))
           .limit(5),

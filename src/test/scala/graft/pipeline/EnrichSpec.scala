@@ -120,4 +120,24 @@ class EnrichSpec extends SparkSpec {
       .filter(l => l.contains("Project") && !l.contains("*(")).toList
     assert(outside.isEmpty, s"non-codegen Project stages:\n${outside.mkString("\n")}")
   }
+
+  test("topics is never null/empty (P4 invariant) and explode stays plan-bounded") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sf, "documents")
+    val enriched = Enrich.enrichColumns(docs)
+    // the invariant that lets e04/e05 use explode_outer and lets P4 be
+    // subsumed by P2: F11 always puts top_topic into topics
+    assert(enriched.filter(col("topics").isNull || size(col("topics")) === 0)
+      .count() == 0L)
+    // plan-size budget: an optimizer rule substituting the enrichment
+    // tree into a pushed-down predicate (InferFiltersFromGenerate did —
+    // 823 replace() copies, 186 KB plan, ~3 s fixed cost per run)
+    // must not come back
+    val opt = enriched.select(explode_outer(col("topics")).as("t"))
+      .groupBy("t").count()
+      .queryExecution.optimizedPlan.toString
+    val replaces = "replace\\(".r.findAllIn(opt).size
+    assert(opt.length < 30000, s"optimized plan blew up to ${opt.length} chars")
+    assert(replaces < 60, s"marker-count tree duplicated: $replaces replace() calls")
+  }
 }
