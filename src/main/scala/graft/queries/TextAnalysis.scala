@@ -107,5 +107,40 @@ object TextAnalysis {
         ${sqlRepRatio("text")} AS rep_ratio
         FROM documents WHERE ${sqlTokenCount("text")} >= 2
         ORDER BY doc_id NULLS FIRST""")),
+
+    // corpus-statistics quality scoring: familiarity = mean corpus
+    // frequency of a document's tokens — the two-pass "build a model
+    // from the corpus, score the corpus with it" pipeline shape (the
+    // cheap cousin of KenLM perplexity filtering). Stays hash-exact
+    // because everything is integer until ONE final double division
+    // (float summation order would differ across engines; integer
+    // sums are order-free).
+    Q("t07_token_familiarity",
+      (s, dir) => {
+        val tok = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        val freq = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+        val total = freq.agg(sum(col("c")).as("total"))
+        tok.join(freq, "tok") // freq is |vocab|-sized; at corpus scale AQE picks the join side
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum(col("c")).as("fam_num"))
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"), col("n_tokens"), col("fam_num"),
+            (col("fam_num").cast("double") /
+              (col("n_tokens").cast("double") * col("total").cast("double")))
+              .as("familiarity"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS tok
+          FROM documents),
+        freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM freq),
+        d AS (SELECT doc_id, count(*) AS n_tokens,
+            CAST(sum(c) AS BIGINT) AS fam_num
+          FROM tok JOIN freq USING (tok) GROUP BY doc_id)
+        SELECT doc_id, n_tokens, fam_num,
+          CAST(fam_num AS DOUBLE) /
+            (CAST(n_tokens AS DOUBLE) * CAST(total AS DOUBLE)) AS familiarity
+        FROM d, tot ORDER BY doc_id NULLS FIRST""")),
   )
 }
