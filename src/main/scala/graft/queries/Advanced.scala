@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -156,5 +157,31 @@ object Advanced {
           count(*) AS n
         FROM lineitem GROUP BY l_returnflag
         ORDER BY l_returnflag NULLS FIRST""")),
+
+    // ---- RANGE window frame (value-based, not row-based) -------------
+    // Trailing 90-day spend per customer: the frame is defined by the
+    // ORDER BY *value* (day number), so same-day orders are peers and
+    // the result is deterministic under any within-day row order —
+    // rowsBetween (q07) could not express this. One shuffle on custkey.
+    Q("q24_range_frame",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("d")).rangeBetween(-90, Window.currentRow)
+        Tables(s, dir, "orders")
+          .withColumn("d", datediff(col("o_orderdate"), lit("1970-01-01")))
+          .withColumn("spend_90d",
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+              .cast("double"))
+          .select(col("o_custkey"), col("o_orderkey"), col("d"), col("spend_90d"))
+          .orderBy("o_custkey", "d", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+          CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT) AS d,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY date_diff('day', DATE '1970-01-01',
+              CAST(o_orderdate AS DATE))
+            RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_90d
+        FROM orders
+        ORDER BY o_custkey NULLS FIRST, d NULLS FIRST, o_orderkey NULLS FIRST""")),
   )
 }

@@ -155,5 +155,35 @@ object Events {
           (fv IS NOT NULL AND fc IS NOT NULL AND fp IS NOT NULL
             AND fv < fc AND fc < fp) AS converted
         FROM a ORDER BY user_id NULLS FIRST""")),
+
+    // ---- weekly retention cohorts -----------------------------------
+    // (user, week) activity distinct once, then a self-join shifted by
+    // one week — shuffled volume is |users × weeks| (post-distinct),
+    // never raw events. rate is a single final division (hash-exact).
+    Q("v07_retention",
+      (s, dir) => {
+        val uw = Tables(s, dir, "events")
+          .select(col("user_id"),
+            date_trunc("week", col("ts")).cast("long").as("wk"))
+          .distinct()
+        val nxt = uw.select(col("user_id").as("u2"),
+          (col("wk") - 604800L).as("wk2"))
+        uw.join(nxt, col("user_id") === col("u2") && col("wk") === col("wk2"),
+            "left")
+          .groupBy("wk")
+          .agg(count(lit(1)).as("n_active"),
+            count(col("u2")).as("n_retained"))
+          .withColumn("retention",
+            col("n_retained").cast("double") / col("n_active").cast("double"))
+          .orderBy("wk")
+      },
+      Some("""WITH uw AS (SELECT DISTINCT user_id,
+          CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS wk FROM events)
+        SELECT a.wk, count(*) AS n_active,
+          CAST(count(b.user_id) AS BIGINT) AS n_retained,
+          CAST(count(b.user_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS retention
+        FROM uw a LEFT JOIN uw b
+          ON a.user_id = b.user_id AND b.wk = a.wk + 604800
+        GROUP BY a.wk ORDER BY a.wk NULLS FIRST""")),
   )
 }
