@@ -94,13 +94,21 @@ object Bench {
     // spike would have to span both passes of the same query to
     // survive the min; loadavg below records the evidence either way.
     val loadStart = loadAvg
-    val passes = Seq(1, 2).map { p =>
-      selected.map { case (name, fn) =>
-        val r = runOnce(name, fn)
-        System.err.println(f"[bench] pass$p $name ${r._1}%.2fs load=$loadAvg")
-        (name, r)
-      }
+    def runPass(p: Int) = selected.map { case (name, fn) =>
+      val r = runOnce(name, fn)
+      System.err.println(f"[bench] pass$p $name ${r._1}%.2fs load=$loadAvg")
+      (name, r)
     }
+    // Skip pass 2 if pass 1 already blew a wall-clock budget (a badly
+    // contended box): a single-pass result beats risking the whole run
+    // against any outer timeout.
+    val pass2Budget =
+      sys.env.getOrElse("SPARK_GRAFT_PASS2_BUDGET_SEC", "600").toDouble
+    val pass1 = runPass(1)
+    val passes =
+      if (pass1.map(_._2._1).filter(_ >= 0).sum < pass2Budget)
+        Seq(pass1, runPass(2))
+      else Seq(pass1)
     val loadEnd = loadAvg
     val results = selected.map { case (name, _) =>
       val runs = passes.map(_.toMap.apply(name))
