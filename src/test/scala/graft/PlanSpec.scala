@@ -48,4 +48,32 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("funnel (v06) is one conditional aggregate, not self-joins") {
+    val plan = formatted(SparkEntry.queries("v06_funnel")(spark, sf))
+    assert(!plan.contains("Join"), s"funnel must not self-join:\n$plan")
+    assert(plan.contains("partial_min"), s"expected map-side combine:\n$plan")
+    // one hash shuffle (by user) + the output sort's range partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("multi-distinct aggregate (q23) plans one Expand, not N self-joins") {
+    val plan = formatted(SparkEntry.queries("q23_multi_distinct")(spark, sf))
+    assert(plan.contains("Expand"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("range-frame window (q24) shuffles once on the partition key") {
+    val plan = formatted(SparkEntry.queries("q24_range_frame")(spark, sf))
+    assert(plan.contains("specifiedwindowframe(RangeFrame, -90"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("token familiarity (t07) partial-aggregates both passes") {
+    val plan = formatted(SparkEntry.queries("t07_token_familiarity")(spark, sf))
+    assert(plan.contains("partial_count"), plan)
+    // the frequency model and the per-doc score each shuffle once;
+    // the scalar total rides a broadcast — no extra wide edges
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 3, plan)
+  }
 }
