@@ -1,0 +1,62 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.time.Duration
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+
+/** transformWithState duplicate-window semantics: first occurrence of a
+  * msg_id passes, duplicates inside the window drop (same batch or
+  * later batch), and the key expires once the watermark passes
+  * first_ts + window, so a later re-send passes again. */
+class DedupWindowSpec extends SparkSpec {
+  import DedupWindow.Msg
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("first-wins within the window, key expires at watermark + window") {
+    // transformWithState requires the RocksDB state store; scope the
+    // provider to this test and restore the default afterwards
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      val mem = MemoryStream[Msg](spark)
+      val out = DedupWindow.dedup(spark, mem.toDS(), Duration.ofSeconds(60))
+      val q = out.writeStream.format("memory")
+        .queryName("dedup_out").outputMode("append").start()
+
+      // same-batch duplicate + cross-batch duplicate both drop
+      mem.addData(
+        Msg("a", "p1", ts("2024-01-01 10:00:00")),
+        Msg("a", "p1-dup", ts("2024-01-01 10:00:05")),
+        Msg("b", "p2", ts("2024-01-01 10:00:10")))
+      q.processAllAvailable()
+      mem.addData(Msg("a", "p1-replay", ts("2024-01-01 10:00:30")))
+      q.processAllAvailable()
+      val first = spark.table("dedup_out").as[Msg].collect()
+      assert(first.map(m => (m.msg_id, m.payload)).sorted.toSeq ==
+        Seq(("a", "p1"), ("b", "p2")))
+
+      // watermark past 10:01:00 (= a's first ts + 60s window) expires
+      // the key: a re-send of "a" passes again
+      mem.addData(Msg("c", "p3", ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      mem.addData(Msg("a", "p1-late", ts("2024-01-01 10:05:10")))
+      q.processAllAvailable()
+      val after = spark.table("dedup_out").as[Msg].collect()
+      assert(after.count(_.msg_id == "a") == 2, after.mkString(","))
+      assert(after.exists(m => m.msg_id == "a" && m.payload == "p1-late"))
+      q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+}
