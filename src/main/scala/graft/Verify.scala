@@ -12,6 +12,9 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // static conf: default 100 entries evicts across the 59-query run
+      // and pays Janino recompiles (see Bench)
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -23,5 +23,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => BandJoinRewrite)
+
+    // Text-analysis primitives as SQL functions, so `spark.sql` users
+    // get the same surface as the Column API (`SELECT lang_id(text)…`).
+    // Column-built trees bridge through ExpressionUtils; unresolved
+    // children resolve during analysis like any builder output.
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import graft.functions.TextFunctions
+    def inject1(name: String, f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit =
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(TextFunctions.getClass.getName, name),
+        (exprs: Seq[Expression]) => expression(f(column(exprs(0))))))
+    inject1("lang_id", TextFunctions.langId)
+    inject1("doc_fingerprint", TextFunctions.fingerprint)
+    inject1("token_count", c => TextFunctions.tokenCount(c))
+    inject1("rep_ratio", TextFunctions.repRatio)
+    ext.injectFunction((FunctionIdentifier("quality_score"),
+      new ExpressionInfo(TextFunctions.getClass.getName, "quality_score"),
+      (exprs: Seq[Expression]) =>
+        expression(TextFunctions.quality(column(exprs(0)), column(exprs(1))))))
   }
 }
