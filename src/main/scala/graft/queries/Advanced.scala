@@ -183,5 +183,33 @@ object Advanced {
             RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_90d
         FROM orders
         ORDER BY o_custkey NULLS FIRST, d NULLS FIRST, o_orderkey NULLS FIRST""")),
+
+    // ---- full outer join ---------------------------------------------
+    // Daily order volume vs daily ship volume: ship dates run past the
+    // last order date, so both sides contribute unmatched rows. Both
+    // inputs aggregate BEFORE the join — the full-outer shuffle moves
+    // |days| rows, not |orders|+|lineitems|.
+    Q("q25_full_outer",
+      (s, dir) => {
+        def daily(table: String, dateCol: String, out: String) =
+          Tables(s, dir, table)
+            .groupBy(datediff(col(dateCol), lit("1970-01-01")).as("day"))
+            .agg(count(lit(1)).as(out))
+        daily("orders", "o_orderdate", "n_orders")
+          .join(daily("lineitem", "l_shipdate", "n_ships"), Seq("day"), "full_outer")
+          .select(col("day"), coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("n_ships"), lit(0L)).as("n_ships"))
+          .orderBy("day")
+      },
+      Some("""WITH o AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
+            CAST(o_orderdate AS DATE)) AS INT) AS day, count(*) AS n_orders
+          FROM orders GROUP BY 1),
+        l AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
+            CAST(l_shipdate AS DATE)) AS INT) AS day, count(*) AS n_ships
+          FROM lineitem GROUP BY 1)
+        SELECT COALESCE(o.day, l.day) AS day,
+          COALESCE(n_orders, 0) AS n_orders, COALESCE(n_ships, 0) AS n_ships
+        FROM o FULL OUTER JOIN l ON o.day = l.day
+        ORDER BY day NULLS FIRST""")),
   )
 }
