@@ -94,27 +94,51 @@ object Bench {
     // spike would have to span both passes of the same query to
     // survive the min; loadavg below records the evidence either way.
     val loadStart = loadAvg
-    def runPass(p: Int) = selected.map { case (name, fn) =>
-      val r = runOnce(name, fn)
-      System.err.println(f"[bench] pass$p $name ${r._1}%.2fs load=$loadAvg")
-      (name, r)
+    // best-so-far per query: lowest successful time, else latest error
+    val best = scala.collection.mutable.Map.empty[String, (Double, Option[String])]
+    def fold(name: String, r: (Double, Option[String])): Unit = best.get(name) match {
+      case Some((t, _)) if t >= 0 && (r._1 < 0 || r._1 >= t) => ()
+      case _ => best(name) = r
     }
-    // Skip pass 2 if pass 1 already blew a wall-clock budget (a badly
-    // contended box): a single-pass result beats risking the whole run
-    // against any outer timeout.
+    def runPass(p: String, qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) = {
+      val rs = qs.map { case (name, fn) =>
+        val r = runOnce(name, fn)
+        System.err.println(f"[bench] $p $name ${r._1}%.2fs load=$loadAvg")
+        fold(name, r)
+        (name, r)
+      }
+      rs.map(_._2._1).filter(_ >= 0).sum
+    }
+    // Pass 2 is skipped if pass 1 already blew a wall-clock budget (a
+    // badly contended box): a single-pass result beats risking the
+    // whole run against any outer timeout.
     val pass2Budget =
       sys.env.getOrElse("SPARK_GRAFT_PASS2_BUDGET_SEC", "600").toDouble
-    val pass1 = runPass(1)
-    val passes =
-      if (pass1.map(_._2._1).filter(_ >= 0).sum < pass2Budget)
-        Seq(pass1, runPass(2))
-      else Seq(pass1)
+    val passTotals = scala.collection.mutable.ArrayBuffer(runPass("pass1", selected))
+    if (passTotals.sum < pass2Budget)
+      passTotals += runPass("pass2", selected)
+    // Targeted retries: a host-starvation window can cover BOTH passes
+    // of a query (observed: two full passes at 408s/532s left a few
+    // mins 5-10x inflated). Re-run only the outliers — min above
+    // 5x the inventory median (and at least 3s) — bounded rounds,
+    // same overall budget.
+    var round = 0
+    while (round < 3 && passTotals.sum < 2 * pass2Budget) {
+      val ok = best.values.map(_._1).filter(_ >= 0).toSeq.sorted
+      val med = if (ok.isEmpty) 0.0 else ok(ok.size / 2)
+      val cut = math.max(3.0, 5 * med)
+      val suspects = selected.filter { case (n, _) =>
+        best.get(n).forall { case (t, _) => t < 0 || t > cut } }
+      if (suspects.isEmpty) round = 3
+      else {
+        passTotals += runPass(s"retry${round + 1}", suspects)
+        round += 1
+      }
+    }
     val loadEnd = loadAvg
     val results = selected.map { case (name, _) =>
-      val runs = passes.map(_.toMap.apply(name))
-      val ok = runs.map(_._1).filter(_ >= 0)
-      val err = if (ok.isEmpty) runs.flatMap(_._2).headOption else None
-      (name, if (ok.isEmpty) -1.0 else ok.min, err)
+      val (t, err) = best(name)
+      (name, t, if (t >= 0) None else err)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -122,9 +146,8 @@ object Bench {
       s"\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    val passTotals = passes.map(_.map(_._2._1).filter(_ >= 0).sum)
-      .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"pass_totals":$passTotals,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}""")
+    val passTotalsJson = passTotals.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"pass_totals":$passTotalsJson,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}""")
     spark.stop()
   }
 }
