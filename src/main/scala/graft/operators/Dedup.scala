@@ -181,8 +181,14 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
-    var labels = docs.select(col("doc_id").as("id"), col("doc_id").as("component"))
-      .localCheckpoint()
+    // Only docs that appear in an edge need propagation; everything
+    // else is its own singleton component and bypasses the loop. At
+    // corpus scale near-dup membership is a few percent, so the
+    // iterated frame shrinks by 10-100x (and each round's join/agg
+    // with it); singletons rejoin via one union at the end.
+    val inGraph = edges.select(col("src").as("id")).distinct().localCheckpoint()
+    val allDocs = docs.select(col("doc_id").as("id"))
+    var labels = inGraph.withColumn("component", col("id"))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -201,7 +207,9 @@ object Dedup {
       labels = next.select("id", "component")
       iter += 1
     }
-    labels.select(col("id").as("doc_id"), col("component"))
+    allDocs.join(labels, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("component"), col("id")).as("component"))
   }
 
   // ---- SimHash ------------------------------------------------------
