@@ -86,6 +86,42 @@ object Multimodal {
       .mapPartitions(_.grouped(128).flatMap(decoder.features(_, dim)))
   }
 
+  /** Average-hash (pHash family) of a payload: 64 positional buckets,
+    * bit_i = bucket sum above the global mean — the structure of a real
+    * 8×8 average hash, computed on raw bytes because the codec libs are
+    * absent (a real impl decodes + downsamples first, then this exact
+    * thresholding step runs unchanged). Near-identical payloads differ
+    * in few bits → Hamming-bucket joinable. */
+  def avgHash64(bytes: Array[Byte]): Long = {
+    val sums = new Array[Long](64)
+    var i = 0
+    while (i < bytes.length) {
+      sums(i % 64) += (bytes(i) & 0xFF)
+      i += 1
+    }
+    var total = 0L
+    var j = 0
+    while (j < 64) { total += sums(j); j += 1 }
+    val mean = if (bytes.length == 0) 0L else total / 64
+    var out = 0L
+    j = 0
+    while (j < 64) { if (sums(j) > mean) out |= (1L << j); j += 1 }
+    out
+  }
+
+  /** doc_id → perceptual hash for image payloads, batched like the
+    * decoders above. */
+  def imageHashes(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.filter(col("media_type") === "image")
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(128).flatMap(_.map { case (id, b) =>
+        (id, avgHash64(b))
+      }))
+      .toDF("doc_id", "phash")
+  }
+
   /** Frame sampling for video payloads: every `stride`-th frame index,
     * declaratively (sequence + filter — no UDF). */
   def sampleFrames(media: DataFrame, stride: Int = 30): DataFrame =

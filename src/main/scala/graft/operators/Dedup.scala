@@ -251,23 +251,30 @@ object Dedup {
       .groupBy("doc_id").agg(simhash(col("th")).as("simhash"))
   }
 
-  /** Near-dup pairs with Hamming(simhash) ≤ maxHamming, candidate-
-    * generated by 4×16-bit block collision (a pair within Hamming ≤ 3
-    * of 4 blocks must match ≥1 block exactly; wider budgets still catch
-    * nearly all real near-dups). bit_count(a XOR b) is a built-in. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
-    val sims = simhashes(docs).cache()
-    val blocks = sims.select(col("doc_id"), col("simhash"),
+  /** Near-dup pairs over any (id, 64-bit hash) frame with
+    * Hamming ≤ maxHamming, candidates from 4×16-bit block collision
+    * (pigeonhole: a pair within Hamming ≤ 3 must match ≥1 block
+    * exactly; wider budgets still catch nearly all real near-dups —
+    * same-content payloads differ in few bits). Never all-pairs:
+    * the join is an equi-join on (block, value). `bit_count(xor)`
+    * verifies exactly on candidates only. */
+  def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int): DataFrame = {
+    val blocks = hashes.select(col(idCol), col(hashCol),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("blk"),
-            col("simhash").bitwiseAND(lit(0xFFFFL << (b * 16))).as("bv"))): _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"), col("bk.blk"), col("bk.bv"))
+            col(hashCol).bitwiseAND(lit(0xFFFFL << (b * 16))).as("bv"))): _*)).as("bk"))
+      .select(col(idCol), col(hashCol), col("bk.blk"), col("bk.bv"))
     blocks.as("x").join(blocks.as("y"),
         col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        bit_count(col(s"x.$hashCol").bitwiseXOR(col(s"y.$hashCol"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Near-dup pairs with Hamming(simhash) ≤ maxHamming. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame =
+    hammingPairs(simhashes(docs).cache(), "doc_id", "simhash", maxHamming)
 }

@@ -60,6 +60,24 @@ object MultimodalQueries {
           CAST(((n_frames - 1) // 30) * 30 AS INT) AS last_frame
         FROM f ORDER BY doc_id NULLS FIRST""")),
 
+    // ---- image near-dup via perceptual hash -------------------------
+    // avg-hash each image payload, then Hamming-bucket candidate join
+    // (shared operators/Dedup.hammingPairs machinery — never all-pairs).
+    // The doubled frame plants exact payload duplicates (Hamming 0);
+    // id shift is a multiple of 3 so media_type assignment is stable.
+    // Engine-specific bit arithmetic → rows-only; semantics pinned in
+    // MultimodalSpec (exact-dup recall, threshold soundness).
+    Q("m04_phash_neardup",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+        val doubled = docs.unionByName(
+          docs.select((col("doc_id") + 30000).as("doc_id"), col("text")))
+        val hashes = Multimodal.imageHashes(s, Multimodal.mediaFrame(doubled))
+        graft.operators.Dedup.hammingPairs(hashes, "doc_id", "phash", 6)
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
     // ---- as-of join vs DuckDB's native ASOF JOIN --------------------
     Q("q17_asof_join",
       (s, dir) => {

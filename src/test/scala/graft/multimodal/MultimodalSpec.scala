@@ -41,4 +41,40 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Int]("n_sampled") == (n + 29) / 30)
     }
   }
+
+  test("perceptual-hash near-dup: exact dups always found, pairs sound") {
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val doubled = docs.unionByName(
+      docs.select((col("doc_id") + 30000).as("doc_id"), col("text")))
+    val hashes = Multimodal.imageHashes(spark, Multimodal.mediaFrame(doubled))
+    val pairs = graft.operators.Dedup
+      .hammingPairs(hashes, "doc_id", "phash", 6)
+      .as[(Long, Long, Int)].collect()
+    // every planted duplicate (same payload, id shifted) is a 0-distance
+    // pair — identical payloads always share all four hash blocks
+    val imageIds = docs.filter(col("doc_id") % 3 === 0)
+      .select("doc_id").as[Long].collect().toSet
+    val planted = imageIds.map(id => (id, id + 30000))
+    val zeroPairs = pairs.filter(_._3 == 0).map(p => (p._1, p._2)).toSet
+    assert(planted.subsetOf(zeroPairs),
+      s"missing planted dups: ${planted -- zeroPairs}")
+    // soundness: reported distance matches a direct recount, and is <= 6
+    val hs = hashes.as[(Long, Long)].collect().toMap
+    pairs.foreach { case (a, b, d) =>
+      assert(d == java.lang.Long.bitCount(hs(a) ^ hs(b)) && d <= 6)
+    }
+  }
+
+  test("avgHash64 flips few bits under a small payload perturbation") {
+    val base = Array.tabulate[Byte](4096)(i => (i % 251).toByte)
+    val tweaked = base.clone(); tweaked(17) = 0; tweaked(1031) = 127
+    val d = java.lang.Long.bitCount(
+      Multimodal.avgHash64(base) ^ Multimodal.avgHash64(tweaked))
+    assert(d <= 6, s"hamming $d after a 2-byte tweak")
+    // and a genuinely different payload lands far away
+    val other = Array.tabulate[Byte](4096)(i => ((i * 7 + 13) % 97).toByte)
+    assert(java.lang.Long.bitCount(
+      Multimodal.avgHash64(base) ^ Multimodal.avgHash64(other)) > 6)
+  }
 }
