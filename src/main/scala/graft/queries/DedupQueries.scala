@@ -123,5 +123,40 @@ object DedupQueries {
           WHERE vec_id NOT IN (SELECT id_b FROM dup)
           ORDER BY vec_id NULLS FIRST"""
       })),
+
+    // Cross-document span duplication (the "dedup at the substring
+    // level" signal from exact-substring training-data dedup): per doc,
+    // the fraction of its distinct 8-gram spans that appear in at least
+    // one OTHER document. One shuffle on the span key with map-side
+    // combine, one join back — never all-pairs. Half the corpus is
+    // planted as duplicates so both contaminated (frac 1.0) and clean
+    // docs exist.
+    Q("d07_span_duplication",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+        val planted = docs.unionByName(
+          docs.filter(col("doc_id") < 250)
+            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        val sh = Dedup.shingles(planted, k = 8)
+        val perSpan = sh.groupBy("sh").agg(count(lit(1)).as("nd"))
+        sh.join(perSpan, "sh")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+          .select(col("doc_id"), col("n_spans"), col("n_shared"),
+            (col("n_shared").cast("double") / col("n_spans").cast("double"))
+              .as("shared_frac"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d2 AS (SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 20000, text FROM documents WHERE doc_id < 250),
+        ${Dedup.sqlShinglesCte("d2", 8)},
+        ps AS (SELECT sh, count(*) AS nd FROM sh GROUP BY sh),
+        p AS (SELECT doc_id, count(*) AS n_spans,
+            CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+          FROM sh JOIN ps USING (sh) GROUP BY doc_id)
+        SELECT doc_id, n_spans, n_shared,
+          CAST(n_shared AS DOUBLE) / CAST(n_spans AS DOUBLE) AS shared_frac
+        FROM p ORDER BY doc_id NULLS FIRST""")),
   )
 }
