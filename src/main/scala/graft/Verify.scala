@@ -22,15 +22,36 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Watchdog per attempt: a query wedged by a host-starvation window
+    // must not take down the whole correctness dump (everything after
+    // it would read as missing). Cancel the job group on timeout and
+    // retry once — the window has usually passed by then.
+    val timeoutMs =
+      sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "300").toLong * 1000L
+    val watchdog = new java.util.Timer("verify-watchdog", true)
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.isEmpty || only(q._1)).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      var attempt = 0
+      var done = false
+      while (!done && attempt < 2) {
+        attempt += 1
+        val t0 = System.nanoTime()
+        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+        val cancel = new java.util.TimerTask {
+          def run(): Unit = spark.sparkContext.cancelJobGroup(name)
+        }
+        watchdog.schedule(cancel, timeoutMs)
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+          done = true
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name attempt $attempt failed: ${e.getMessage}")
+        } finally {
+          cancel.cancel()
+          spark.sparkContext.clearJobGroup()
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
