@@ -31,6 +31,26 @@ object TextFunctions {
   def sqlBpeTokenCount(t: String): String =
     s"CAST(len(regexp_extract_all($t, '$BpePattern', 0)) AS INT)"
 
+  /** First 64 bits of md5(c) (big-endian hex) as a signed long — a
+    * portable 64-bit hash: DuckDB reproduces the identical bit pattern
+    * (unsigned view) via [[sqlMd5Hash64U]], so operators built on it
+    * (SimHash d04) stay oracle-checkable where xxhash64 wouldn't be.
+    * Two 32-bit `conv` parses concatenated by shift/or — each half fits
+    * a long exactly, and overflow into the sign bit on the high half is
+    * precisely the wanted two's-complement pattern. All built-ins, so
+    * the hash stays inside WholeStageCodegen. */
+  def md5Hash64(c: Column): Column = {
+    val hex = md5(c)
+    shiftleft(conv(substring(hex, 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(hex, 9, 8), 16, 10).cast("long"))
+  }
+
+  /** DuckDB twin of [[md5Hash64]] as UBIGINT — the same 64 bits viewed
+    * unsigned, so shifts/masks/bit_count agree with Spark's signed
+    * long (which uses logical shifts on its side). */
+  def sqlMd5Hash64U(s: String): String =
+    s"(('0x' || substr(md5($s), 1, 16))::UBIGINT)"
+
   /** Document fingerprint: md5 of case/whitespace-normalized text —
     * same hex in every engine. */
   def fingerprint(t: Column): Column =

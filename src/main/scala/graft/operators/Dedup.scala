@@ -242,12 +242,14 @@ object Dedup {
     def outputEncoder = org.apache.spark.sql.Encoders.scalaLong
   }
 
-  /** doc_id → 64-bit simhash of its whitespace tokens. */
+  /** doc_id → 64-bit simhash of its whitespace tokens. Token hash is
+    * the portable md5-derived 64-bit value (not xxhash64) so DuckDB
+    * can replay the whole operator — see [[sqlSimhashPairs]]. */
   def simhashes(docs: DataFrame): DataFrame = {
     val simhash = udaf(SimHashAgg)
     docs.select(col("doc_id"),
         explode(TextFunctions.tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("th"))
+      .select(col("doc_id"), TextFunctions.md5Hash64(col("tok")).as("th"))
       .groupBy("doc_id").agg(simhash(col("th")).as("simhash"))
   }
 
@@ -277,4 +279,41 @@ object Dedup {
   /** Near-dup pairs with Hamming(simhash) ≤ maxHamming. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame =
     hammingPairs(simhashes(docs).cache(), "doc_id", "simhash", maxHamming)
+
+  /** DuckDB replay of [[hammingPairs]]: expects a CTE `sh(doc_id, h)`
+    * with h UBIGINT. Same block-collision candidate rule (a pair
+    * qualifies only if ≥1 of the 4 16-bit blocks matches exactly) +
+    * the exact bit_count verify — semantics identical to the Spark
+    * plan, just all-pairs because the oracle runs at sf0.01 only.
+    * Right-shift + mask rather than shifted masks: DuckDB's `<<` is
+    * overflow-checked and rejects 65535::UBIGINT << 48. */
+  def sqlHammingTail(maxHamming: Int): String = {
+    val blocks = (0 until 4).map(b =>
+      s"((a.h >> ${b * 16}) & 65535) = ((b.h >> ${b * 16}) & 65535)")
+      .mkString("(", "\n          OR ", ")")
+    s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.h, b.h)) <= $maxHamming
+         AND $blocks
+       ORDER BY id_a NULLS FIRST, id_b NULLS FIRST"""
+  }
+
+  /** DuckDB twin of [[simhashPairs]]: per-token md5-derived hashes →
+    * per-bit majority vote → 64-bit simhash → Hamming pairs. Bit j of
+    * the hash is read with an unsigned shift on both sides, and the
+    * hash is assembled through HUGEINT (DuckDB's UBIGINT `<<` is
+    * overflow-checked). */
+  def sqlSimhashPairs(table: String, maxHamming: Int = 8): String =
+    s"""WITH toks AS (SELECT doc_id, ${TextFunctions.sqlTokens("text")} AS tk FROM $table),
+       tok AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+       th AS (SELECT doc_id, ${TextFunctions.sqlMd5Hash64U("tok")} AS h FROM tok),
+       bits AS (SELECT doc_id, j,
+           sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         FROM th CROSS JOIN (SELECT unnest(range(64)) AS j) GROUP BY doc_id, j),
+       sh AS (SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN (1::HUGEINT << CAST(j AS INT))
+               ELSE 0::HUGEINT END)::UBIGINT AS h
+         FROM bits GROUP BY doc_id)
+       ${sqlHammingTail(maxHamming)}"""
 }

@@ -6,10 +6,11 @@ import graft.Tables
 import graft.functions.TextFunctions
 import graft.operators.Dedup
 
-/** Dedup operator queries over `documents`. d01-d03 are DuckDB-exact;
-  * d03's oracle is the *exact* all-pairs Jaccard — the LSH+verify path
-  * must reproduce it (r=2/b=64 ⇒ miss probability ≈1e-8 per pair at
-  * the J=0.5 threshold). d04 (SimHash) has no SQL twin (xxhash64). */
+/** Dedup operator queries over `documents`, all DuckDB-exact. d03's
+  * oracle is the *exact* all-pairs Jaccard — the LSH+verify path must
+  * reproduce it (r=2/b=64 ⇒ miss probability ≈1e-8 per pair at the
+  * J=0.5 threshold); d04's replays the whole SimHash pipeline on the
+  * portable md5-derived token hash. */
 object DedupQueries {
 
   /** documents ∪ (documents with shifted ids) — yields real duplicate
@@ -48,11 +49,14 @@ object DedupQueries {
       Some(Dedup.sqlNgramJaccard("documents") +
         " ORDER BY id_a NULLS FIRST, id_b NULLS FIRST")),
 
+    // SimHash is fully oracle-checked since the token hash moved to the
+    // portable md5-derived 64-bit value: DuckDB replays hash → per-bit
+    // vote → block-collision candidates → bit_count verify exactly.
     Q("d04_simhash_pairs",
       (s, dir) =>
         Dedup.simhashPairs(Tables(s, dir, "documents"))
           .orderBy("id_a", "id_b"),
-      None),
+      Some(Dedup.sqlSimhashPairs("documents"))),
 
     // component = min doc_id of each near-dup cluster (the survivor);
     // Spark runs distributed min-label propagation over the LSH pairs,

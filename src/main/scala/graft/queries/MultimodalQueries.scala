@@ -65,8 +65,9 @@ object MultimodalQueries {
     // (shared operators/Dedup.hammingPairs machinery — never all-pairs).
     // The doubled frame plants exact payload duplicates (Hamming 0);
     // id shift is a multiple of 3 so media_type assignment is stable.
-    // Engine-specific bit arithmetic → rows-only; semantics pinned in
-    // MultimodalSpec (exact-dup recall, threshold soundness).
+    // The avg-hash is pure byte arithmetic, so DuckDB replays it: hex
+    // the payload, parse byte values, positional-bucket sums, mean
+    // threshold, then the shared Hamming-pairs tail.
     Q("m04_phash_neardup",
       (s, dir) => {
         val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -76,7 +77,21 @@ object MultimodalQueries {
         graft.operators.Dedup.hammingPairs(hashes, "doc_id", "phash", 6)
           .orderBy("id_a", "id_b")
       },
-      None),
+      Some(s"""WITH d2 AS (SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 30000, text FROM documents),
+        img AS (SELECT doc_id, hex(encode(text)) AS hx FROM d2 WHERE doc_id % 3 = 0),
+        byt AS (SELECT doc_id, unnest(range(0, length(hx) // 2)) AS i, hx FROM img),
+        bv AS (SELECT doc_id, i % 64 AS j,
+            (strpos('0123456789ABCDEF', substr(hx, CAST(2 * i + 1 AS INT), 1)) - 1) * 16
+            + (strpos('0123456789ABCDEF', substr(hx, CAST(2 * i + 2 AS INT), 1)) - 1) AS v
+          FROM byt),
+        sums AS (SELECT doc_id, j, sum(v) AS s FROM bv GROUP BY doc_id, j),
+        mn AS (SELECT doc_id, sum(s) // 64 AS mean FROM sums GROUP BY doc_id),
+        sh AS (SELECT s.doc_id,
+            sum(CASE WHEN s.s > m.mean THEN (1::HUGEINT << CAST(s.j AS INT))
+                ELSE 0::HUGEINT END)::UBIGINT AS h
+          FROM sums s JOIN mn m USING (doc_id) GROUP BY s.doc_id)
+        ${graft.operators.Dedup.sqlHammingTail(6)}""")),
 
     // ---- as-of join vs DuckDB's native ASOF JOIN --------------------
     Q("q17_asof_join",
