@@ -25,9 +25,10 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Inner equi-join on `key`, hot-key-resilient. `right` is replicated
-    * `salt` ways — keep it the smaller input (dimension-sized, or at
-    * least shuffle-light). Result set is exactly
-    * `left.join(right, Seq(key))` in any row order. */
+    * `salt` ways — so this variant is ONLY for a dimension-sized (or at
+    * least broadcast-adjacent) right side; for fact-fact joins use
+    * [[hotKeySaltedJoin]], which replicates hot-key rows only. Result
+    * set is exactly `left.join(right, Seq(key))` in any row order. */
   def saltedInnerJoin(left: DataFrame, right: DataFrame, key: String,
       salt: Int = 16): DataFrame = {
     require(salt > 0, s"salt must be positive, got $salt")
@@ -39,5 +40,53 @@ object SkewJoin {
     val replicated = right.withColumn("_salt",
       explode(array((0 until salt).map(s => lit(s.toLong)): _*)))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Fact-fact-safe salted join: detect the hot keys first, then salt /
+    * replicate ONLY their rows; everything else takes a plain shuffle
+    * join. The ×salt blow-up is bounded by `maxHotKeys × salt` right
+    * rows instead of ×salt of the whole table — the shape that survives
+    * a right side that doesn't fit in memory.
+    *
+    * Hot-key detection is a frequency aggregate over a sample of the
+    * left (the probe side, where skew hurts): `sampleFraction = 1.0`
+    * computes exact counts (cheap at bench scale); at 100 TB drop it to
+    * ~1e-3 and scale `hotThreshold` down to match — detection only has
+    * to catch keys big enough to straggle, and those survive any
+    * sample. The hot set stays DISTRIBUTED end-to-end: a ≤`maxHotKeys`-
+    * row frame, `localCheckpoint`ed once (it gates four scans) and
+    * broadcast into semi/anti joins that split both inputs — no driver
+    * collect, no giant `isin` literal.
+    *
+    * Result set is exactly `left.join(right, Seq(key))` in any row
+    * order: the hot/cold split is a partition of the key space, each
+    * matching pair joins in exactly one branch, and within the hot
+    * branch each pair meets exactly once (one salt per left row, one
+    * replica per salt value on the right). */
+  def hotKeySaltedJoin(left: DataFrame, right: DataFrame, key: String,
+      salt: Int = 16, hotThreshold: Long = 1000L,
+      sampleFraction: Double = 1.0, maxHotKeys: Int = 10000): DataFrame = {
+    require(salt > 0, s"salt must be positive, got $salt")
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val probe =
+      if (sampleFraction >= 1.0) left
+      else left.sample(withReplacement = false, sampleFraction, seed = 42L)
+    val hotKeys = probe.groupBy(col(key)).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= hotThreshold)
+      .orderBy(col("_n").desc, col(key))
+      .limit(maxHotKeys)
+      .select(key)
+      .localCheckpoint() // materialize once; gates all four branch scans
+    val leftHot = left.join(broadcast(hotKeys), Seq(key), "left_semi")
+      .withColumn("_salt",
+        pmod(xxhash64(monotonically_increasing_id()), lit(salt.toLong)))
+    val rightHot = right.join(broadcast(hotKeys), Seq(key), "left_semi")
+      .withColumn("_salt",
+        explode(array((0 until salt).map(s => lit(s.toLong)): _*)))
+    val hotJoined = leftHot.join(rightHot, Seq(key, "_salt")).drop("_salt")
+    val coldJoined = left.join(broadcast(hotKeys), Seq(key), "left_anti")
+      .join(right.join(broadcast(hotKeys), Seq(key), "left_anti"), Seq(key))
+    hotJoined.unionByName(coldJoined)
   }
 }

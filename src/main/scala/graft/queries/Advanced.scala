@@ -27,14 +27,18 @@ object Advanced {
 
     // ---- salted fact-fact join under a skew-hostile plan -------------
     // Results are identical to the plain l_orderkey join (the oracle
-    // proves it); the plan spreads each orderkey over 8 reducers.
+    // proves it); the plan detects the heaviest orderkeys (≥4 lineitems
+    // here — at 100 TB the threshold targets genuine stragglers) and
+    // spreads ONLY their rows over 8 reducers. The cold majority joins
+    // plain, so neither fact table is blanket-replicated.
     Q("q18_salted_join",
       (s, dir) => {
         val line = Tables(s, dir, "lineitem")
           .withColumnRenamed("l_orderkey", "okey")
         val ord = Tables(s, dir, "orders")
           .withColumnRenamed("o_orderkey", "okey")
-        SkewJoin.saltedInnerJoin(line, ord, "okey", salt = 8)
+        SkewJoin.hotKeySaltedJoin(line, ord, "okey", salt = 8,
+            hotThreshold = 4L)
           .groupBy(col("o_orderpriority"))
           .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
               .as("revenue"),

@@ -45,6 +45,58 @@ class SkewBandJoinSpec extends SparkSpec {
     }
   }
 
+  test("hotKeySaltedJoin == plain join across hot-set sizes (property)") {
+    import spark.implicits._
+    // thresholds sweep from "everything is hot" to "nothing is hot" —
+    // the split must be row-invisible at every point in between
+    for (trial <- 0 until 3; threshold <- Seq(1L, 5L, 1000000L)) {
+      val left = sample(hotKeyRows, 400L + trial).toDF("k", "lv")
+      val right = sample(hotKeyRows, 500L + trial).toDF("k", "rv")
+      val plain = left.join(right, Seq("k"))
+        .select("k", "lv", "rv").collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val salted = SkewJoin.hotKeySaltedJoin(left, right, "k",
+          salt = 4, hotThreshold = threshold)
+        .select("k", "lv", "rv").collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(salted.groupBy(identity).view.mapValues(_.size).toMap ==
+        plain.groupBy(identity).view.mapValues(_.size).toMap,
+        s"trial=$trial threshold=$threshold")
+    }
+  }
+
+  test("hotKeySaltedJoin replicates only the hot-key subset") {
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join}
+    import spark.implicits._
+    // hot key 7 on both sides; cold keys 81..100 (left) overlap
+    // 81..105 (right) on 81..100 so the cold branch carries real rows
+    val left = (1 to 100).map(i => (if (i <= 80) 7L else i.toLong, i.toLong))
+      .toDF("k", "lv")
+    val right = (1 to 50).map(i => (if (i <= 25) 7L else (i + 55).toLong, i.toLong))
+      .toDF("k", "rv")
+    val df = SkewJoin.hotKeySaltedJoin(left, right, "k",
+      salt = 4, hotThreshold = 10L)
+    val plan = df.queryExecution.optimizedPlan
+    // the one explode (salt replication) must sit above a semi join
+    // against the hot-key frame — i.e. its input is the hot subset,
+    // never the whole right table
+    val gens = plan.collect { case g: Generate => g }
+    assert(gens.size == 1, s"expected one explode, got ${gens.size}")
+    assert(gens.head.child.collect {
+      case j: Join if j.joinType == LeftSemi => j
+    }.nonEmpty, "salt explode must consume the hot-key semi join")
+    // and the cold branch exists: anti joins keep hot keys out of it
+    assert(plan.collect {
+      case j: Join if j.joinType == LeftAnti => j
+    }.size == 2, "both inputs need a cold-side anti join")
+    // sanity on the rows themselves: hot key 7 joins 80×25 times in the
+    // salted branch, cold keys 81..100 join 1:1 in the plain branch
+    val rows = df.select("k", "lv", "rv").collect()
+    assert(rows.count(_.getLong(0) == 7L) == 80 * 25)
+    assert(rows.length == 80 * 25 + 20)
+  }
+
   // timestamps clustered near multiples of the band width, so pairs
   // regularly straddle bin boundaries; micros offsets hit the exact
   // |Δt| == band inclusive edge
