@@ -48,7 +48,17 @@ object DedupWindow {
         timerValues: TimerValues): Iterator[Msg] = {
       if (seen.exists()) Iterator.empty // duplicate inside the window
       else {
-        val first = rows.next() // first occurrence passes; rest drop
+        // "first" = earliest event time (tie → lowest payload), NOT
+        // whichever row the batch iterator happens to order first:
+        // Spark's intra-batch row order is partitioning-dependent, and
+        // the expiry timer anchors on the winner's ts, so iterator-order
+        // first-wins would make the kept set (and the window horizon)
+        // vary across replays of identical input.
+        val first = rows.reduceLeft { (a, b) =>
+          if (b.ts.getTime < a.ts.getTime ||
+              (b.ts.getTime == a.ts.getTime && b.payload < a.payload)) b
+          else a
+        }
         seen.update(first.ts.getTime)
         getHandle.registerTimer(first.ts.getTime + window.toMillis)
         Iterator.single(first)

@@ -59,4 +59,40 @@ class DedupWindowSpec extends SparkSpec {
       }
     }
   }
+
+  test("winner is the min-ts row regardless of intra-batch arrival order") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      // same multiset of duplicate rows, three arrival orders (replay
+      // can deliver any of them); the kept row and its timer anchor
+      // must not depend on which order Spark's iterator surfaces
+      val dupes = Seq(
+        Msg("k", "later", ts("2024-01-01 10:00:20")),
+        Msg("k", "first", ts("2024-01-01 10:00:01")),
+        Msg("k", "mid", ts("2024-01-01 10:00:10")))
+      val orders = Seq(dupes, dupes.reverse, dupes.sortBy(_.payload))
+      val kept = orders.zipWithIndex.map { case (batch, i) =>
+        val mem = MemoryStream[Msg](spark)
+        val out = DedupWindow.dedup(spark, mem.toDS(), Duration.ofSeconds(60))
+        val q = out.writeStream.format("memory")
+          .queryName(s"dedup_det_$i").outputMode("append").start()
+        mem.addData(batch: _*)
+        q.processAllAvailable()
+        val rows = spark.table(s"dedup_det_$i").as[Msg].collect().toSeq
+        q.stop()
+        rows
+      }
+      assert(kept.forall(_.map(m => (m.msg_id, m.payload)) ==
+        Seq(("k", "first"))), kept.mkString(" | "))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
