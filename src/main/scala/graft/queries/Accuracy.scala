@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Similarity
+
+/** Accuracy contracts of the approximate operators as driver-checkable
+  * rows (round-4 verdict item 5): the HLL error bound and the ANN
+  * recall@k were previously only ScalaTest'd, invisible to the
+  * CORRECTNESS gate. Each query measures the accuracy metric inside
+  * the engine (fully distributed — the only driver-side values are the
+  * literals) and emits (metric, bound, ok); the DuckDB oracle is the
+  * CONTRACT — constants with ok=true — so a regression that pushes a
+  * sketch or index outside its bound flips the row red in
+  * CORRECTNESS_r{N}.json, not just in a test report.
+  *
+  * The measured value itself is deliberately not a column: it is
+  * engine- and SF-dependent (a different corpus moves recall), so
+  * hash-comparing it against a constant would pin the oracle to one
+  * dataset. The bound is the portable contract; the raw values stay
+  * asserted (tighter) in ApproxDistinctSpec / SimilaritySpec.
+  */
+object Accuracy {
+
+  /** recall@k of `approx` against ground-truth `exact`, both shaped
+    * (qid, vec_id, ...): fraction of true top-k pairs the approximate
+    * index recovered. One broadcast-sized join + a global agg — no
+    * collect. */
+  private def recallRow(exact: DataFrame, approx: DataFrame,
+      metric: String, bound: Double): DataFrame =
+    exact.select(col("qid"), col("vec_id"))
+      .join(approx.select(col("qid"), col("vec_id"), lit(1L).as("hit")),
+        Seq("qid", "vec_id"), "left")
+      .agg((sum(coalesce(col("hit"), lit(0L))) /
+        count(lit(1)).cast("double")).as("recall"))
+      .select(lit(metric).as("metric"), lit(bound).as("bound"),
+        (col("recall") >= bound).as("ok"))
+
+  private val Dim = 64
+  private val K = 10
+  private val QueryPred = "vec_id < 8"
+
+  val all: Seq[Q] = Seq(
+
+    // ---- HLL sketch vs exact distinct (q16's accuracy contract) -----
+    // approx_count_distinct's documented default rSD is 5%; the 3·rSD
+    // (+1 for integer truncation) envelope is the same bound
+    // ApproxDistinctSpec asserts. Both estimates and both exact counts
+    // run in ONE aggregate pass over lineitem.
+    Q("q26_hll_accuracy",
+      (s, dir) => {
+        val agg = Tables(s, dir, "lineitem").agg(
+          approx_count_distinct(col("l_partkey")).as("est_p"),
+          countDistinct(col("l_partkey")).as("ex_p"),
+          approx_count_distinct(col("l_orderkey")).as("est_o"),
+          countDistinct(col("l_orderkey")).as("ex_o"))
+        def row(name: String, est: String, ex: String) =
+          agg.select(lit(name).as("metric"), lit(0.15).as("bound"),
+            (abs(col(est) - col(ex)) <=
+              lit(3 * 0.05) * col(ex) + lit(1)).as("ok"))
+        row("hll_orderkey_3rsd", "est_o", "ex_o")
+          .unionByName(row("hll_partkey_3rsd", "est_p", "ex_p"))
+          .orderBy("metric")
+      },
+      Some("""SELECT * FROM (
+          SELECT 'hll_orderkey_3rsd' AS metric, CAST(0.15 AS DOUBLE) AS bound, true AS ok
+          UNION ALL
+          SELECT 'hll_partkey_3rsd', CAST(0.15 AS DOUBLE), true)
+        ORDER BY metric NULLS FIRST""")),
+
+    // ---- ANN recall@10 vs brute force (s03/s04's accuracy contract) -
+    // Ground truth is the exact top-k (s01's operator); recall counts
+    // recovered (qid, neighbor) pairs. Bounds sit safely below the
+    // measured values (deterministic: seeded hyperplanes,
+    // vec_id-ordered k-means sample; IVF 0.80 @sf0.01 / 0.99 @sf0.1,
+    // LSH 0.425 at both) but far above where a broken index (empty
+    // buckets, wrong probe set) lands.
+    Q("s05_ann_recall",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val exact = Similarity.bruteForceTopK(s, emb, expr(QueryPred), K)
+          .localCheckpoint() // ground truth feeds both recall rows
+        val lsh = Similarity.lshTopK(s, emb, expr(QueryPred), K)
+        val ivf = Similarity.ivfTopK(s, emb, expr(QueryPred), K)
+        recallRow(exact, ivf, "ivf_recall_at_10", 0.6)
+          .unionByName(recallRow(exact, lsh, "lsh_recall_at_10", 0.25))
+          .orderBy("metric")
+      },
+      Some("""SELECT * FROM (
+          SELECT 'ivf_recall_at_10' AS metric, CAST(0.6 AS DOUBLE) AS bound, true AS ok
+          UNION ALL
+          SELECT 'lsh_recall_at_10', CAST(0.25 AS DOUBLE), true)
+        ORDER BY metric NULLS FIRST""")),
+  )
+}
