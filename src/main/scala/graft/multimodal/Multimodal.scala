@@ -48,12 +48,21 @@ object Multimodal {
 
     def features(batch: Seq[(Long, Array[Byte])], dim: Int): Seq[MediaFeatures] =
       batch.map { case (id, bytes) =>
-        val f = new Array[Float](dim)
+        // positional byte buckets accumulate in exact integer space;
+        // the ONE float op is the final /255 normalization. Per-byte
+        // f32 accumulation would make the value depend on a chain of
+        // float roundings no SQL engine can replay — this form is
+        // bit-identical in any IEEE engine (m02's DuckDB oracle
+        // recomputes it from the hex bytes), same normalized range.
+        val sums = new Array[Long](dim)
         var i = 0
         while (i < bytes.length) {
-          f(i % dim) += (bytes(i) & 0xFF) / 255.0f
+          sums(i % dim) += (bytes(i) & 0xFF)
           i += 1
         }
+        val f = new Array[Float](dim)
+        var j = 0
+        while (j < dim) { f(j) = sums(j) / 255.0f; j += 1 }
         MediaFeatures(id, f)
       }
   }

@@ -34,6 +34,12 @@ object MultimodalQueries {
         FROM m ORDER BY doc_id NULLS FIRST""")),
 
     // ---- feature extraction (batched binary → float vector) ---------
+    // The stub keeps byte-bucket sums in integer space with one final
+    // f32 /255 (Multimodal.FakeDecoder), so DuckDB replays the vector
+    // bit-exactly from the hex bytes: positional-bucket integer sums,
+    // FLOAT division (IEEE round-to-nearest in both engines), exact
+    // double summation of the 16 bucket values (24-bit mantissas over
+    // a narrow exponent range — no rounding, so agg order is free).
     Q("m02_media_features",
       (s, dir) =>
         Multimodal.extractFeatures(
@@ -44,7 +50,20 @@ object MultimodalQueries {
               (acc, x) => acc + x), 4).as("feat_sum"),
             size(col("features")).as("dim"))
           .orderBy("doc_id"),
-      None),
+      Some("""WITH m AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+          byt AS (SELECT doc_id, unnest(range(0, length(hx) // 2)) AS i, hx FROM m),
+          bv AS (SELECT doc_id, i % 16 AS j,
+              (strpos('0123456789ABCDEF', substr(hx, CAST(2 * i + 1 AS INT), 1)) - 1) * 16
+              + (strpos('0123456789ABCDEF', substr(hx, CAST(2 * i + 2 AS INT), 1)) - 1) AS v
+            FROM byt),
+          sums AS (SELECT doc_id, j, sum(v) AS s FROM bv GROUP BY doc_id, j),
+          fv AS (SELECT doc_id,
+              CAST(CAST(s AS REAL) / CAST(255 AS REAL) AS DOUBLE) AS f FROM sums),
+          agg AS (SELECT doc_id, round(sum(f), 4) AS feat_sum FROM fv GROUP BY doc_id)
+        SELECT m.doc_id, coalesce(agg.feat_sum, 0.0) AS feat_sum,
+          CAST(16 AS INT) AS dim
+        FROM m LEFT JOIN agg USING (doc_id)
+        ORDER BY m.doc_id NULLS FIRST""")),
 
     // ---- declarative frame sampling over video payloads -------------
     Q("m03_frame_sample",
