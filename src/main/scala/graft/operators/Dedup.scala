@@ -51,11 +51,35 @@ object Dedup {
 
   // ---- exact n-gram Jaccard pairs ----------------------------------
   /** All pairs (a<b) with shingle-Jaccard ≥ minJ, via a shingle-key
-    * equi-join (partial-aggregated, skew-prone keys are real shingles —
-    * at scale you'd add a stopword-shingle filter; LSH below is the
-    * 100 TB path). Jaccard = |∩|/|∪| over ints → exact doubles. */
-  def ngramJaccardPairs(docs: DataFrame, k: Int = 5, minJ: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, k).cache()
+    * equi-join (partial-aggregated). Jaccard = |∩|/|∪| over ints →
+    * exact doubles.
+    *
+    * `dfCap` is the skew guard for the `a.sh = b.sh` self-join: a
+    * boilerplate shingle shared by f documents emits f²/2 join rows,
+    * so one disclaimer line in 1% of a 100 TB corpus makes the plan
+    * quadratic in corpus size. With a cap, shingles whose document
+    * frequency exceeds it are removed from the universe FIRST (one
+    * partial-aggregated df pass + a broadcast anti-join — the pruned
+    * set is tiny by construction), and the exact pipeline runs on
+    * what remains; the join's per-key fan-out is then bounded by
+    * dfCap². Semantics = exact Jaccard over the pruned shingle
+    * universe: a qualifying pair is lost only if EVERY shingle it
+    * shares is boilerplate-hot — exactly the pairs a dedup pass wants
+    * to ignore (SCALE.md §d08 has the bound). Default = uncapped
+    * (the oracle baseline d02); d08 runs the capped path with the cap
+    * mirrored in its DuckDB twin. LSH below is the 100 TB path either
+    * way. */
+  def ngramJaccardPairs(docs: DataFrame, k: Int = 5, minJ: Double = 0.5,
+      dfCap: Int = Int.MaxValue): DataFrame = {
+    val allSh = shingles(docs, k)
+    val pruned =
+      if (dfCap == Int.MaxValue) allSh
+      else {
+        val hot = allSh.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > dfCap).select("sh")
+        allSh.join(broadcast(hot), Seq("sh"), "left_anti")
+      }
+    val sh = pruned.cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -69,14 +93,23 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** CTE chain ending in `jp` = (id_a, id_b, jaccard), thresholded. */
-  def sqlJaccardCtes(table: String, k: Int = 5, minJ: Double = 0.5): String =
-    s"""${sqlShinglesCte(table, k)},
+  /** CTE chain ending in `jp` = (id_a, id_b, jaccard), thresholded.
+    * `dfCap` mirrors [[ngramJaccardPairs]]'s pruned-universe semantics
+    * (shingles with df > cap removed before pairing/sizing). */
+  def sqlJaccardCtes(table: String, k: Int = 5, minJ: Double = 0.5,
+      dfCap: Int = Int.MaxValue): String = {
+    val prune =
+      if (dfCap == Int.MaxValue) ""
+      else s""",
+       keep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $dfCap),
+       shp AS (SELECT s.doc_id, s.sh FROM sh s JOIN keep USING (sh))"""
+    val src = if (dfCap == Int.MaxValue) "sh" else "shp"
+    s"""${sqlShinglesCte(table, k)}$prune,
        prs AS (
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-         FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         FROM $src a JOIN $src b ON a.sh = b.sh AND a.doc_id < b.doc_id
          GROUP BY 1, 2),
-       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       sizes AS (SELECT doc_id, count(*) AS n FROM $src GROUP BY doc_id),
        jp AS (
          SELECT id_a, id_b,
            inter / CAST(na.n + nb.n - inter AS DOUBLE) AS jaccard
@@ -84,9 +117,11 @@ object Dedup {
          JOIN sizes na ON id_a = na.doc_id
          JOIN sizes nb ON id_b = nb.doc_id
          WHERE inter / CAST(na.n + nb.n - inter AS DOUBLE) >= $minJ)"""
+  }
 
-  def sqlNgramJaccard(table: String, k: Int = 5, minJ: Double = 0.5): String =
-    s"""WITH ${sqlJaccardCtes(table, k, minJ)}
+  def sqlNgramJaccard(table: String, k: Int = 5, minJ: Double = 0.5,
+      dfCap: Int = Int.MaxValue): String =
+    s"""WITH ${sqlJaccardCtes(table, k, minJ, dfCap)}
        SELECT id_a, id_b, jaccard FROM jp"""
 
   // ---- MinHash + LSH ------------------------------------------------

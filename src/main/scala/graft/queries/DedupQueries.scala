@@ -42,6 +42,20 @@ object DedupQueries {
       Some(Dedup.sqlNgramJaccard("documents") +
         " ORDER BY id_a NULLS FIRST, id_b NULLS FIRST")),
 
+    // Bench-facing skew-guarded variant of d02: shingles with document
+    // frequency > 8 are pruned from the universe before the self-join
+    // (bounds the per-key fan-out at 8² instead of corpus²; see
+    // Dedup.ngramJaccardPairs scaladoc + SCALE.md §d08). The oracle
+    // mirrors the cap, so the row is hash-exact, and at sf0.01 the cap
+    // is inert (max df = 3) — output identical to d02 — while the
+    // pruning plan is what would run at 100 TB.
+    Q("d08_jaccard_capped",
+      (s, dir) =>
+        Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), dfCap = 8)
+          .orderBy("id_a", "id_b"),
+      Some(Dedup.sqlNgramJaccard("documents", dfCap = 8) +
+        " ORDER BY id_a NULLS FIRST, id_b NULLS FIRST")),
+
     Q("d03_minhash_lsh",
       (s, dir) =>
         Dedup.minhashLshPairs(Tables(s, dir, "documents"))

@@ -59,4 +59,31 @@ class DedupSpec extends SparkSpec {
     val sh = Dedup.shingles(tiny).collect()
     assert(sh.length == 1 && sh.head.getString(1) == "only three words")
   }
+
+  test("dfCap prunes boilerplate-only pairs, keeps genuine near-dups") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a genuine near-dup pair (docs 1, 2) plus ten unrelated docs that
+    // all end with the same boilerplate disclaimer — the hot-shingle
+    // pattern that makes the uncapped self-join quadratic at scale
+    val boiler = "this message is confidential please delete if received in error"
+    val body = (i: Long) => s"unique document body number $i talks about subject $i only"
+    val planted = (
+      Seq(
+        (1L, "the quick brown fox jumps over the lazy dog tonight"),
+        (2L, "the quick brown fox jumps over the lazy dog today")) ++
+        (10L to 19L).map(i => (i, s"${body(i)} $boiler"))
+      ).toDF("doc_id", "text")
+    val exact = pairs(Dedup.ngramJaccardPairs(planted, minJ = 0.2))
+    // cap below the boilerplate df (10) but above any genuine shingle df
+    val capped = pairs(Dedup.ngramJaccardPairs(planted, minJ = 0.2, dfCap = 5))
+    assert(capped.contains((1L, 2L)), s"real near-dup lost: $capped")
+    // every capped pair is also an exact pair (pruning only removes)
+    assert(capped.subsetOf(exact), s"capped=$capped exact=$exact")
+    // the boilerplate cohort pairs only via the hot shingles → pruned
+    assert(!capped.exists { case (a, b) => a >= 10 && b >= 10 }, s"$capped")
+    // an inert cap (above every df) reproduces the exact output
+    assert(pairs(Dedup.ngramJaccardPairs(planted, minJ = 0.2, dfCap = 1000)) == exact)
+  }
 }
