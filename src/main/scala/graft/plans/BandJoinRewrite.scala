@@ -11,6 +11,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
 /** Optimizer rule: rewrite a naive band join —
   *
   *   `l JOIN r ON ... AND abs(l.x − r.y) <= c`   (x, y integral)
+  *   `l JOIN r ON ... AND l.x BETWEEN r.y − c1 AND r.y + c2`
   *
   * — into the binned equi-join `graft.operators.BandJoin` implements by
   * hand: explode the left side into time-bins {b−1, b, b+1} of width c,
@@ -74,9 +75,18 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     StaticInvoke(classOf[java.lang.Math], LongType, "floorDiv",
       Seq(x, Literal(c)), Seq(LongType, LongType))
 
-  /** First conjunct of shape abs(x − y) <= c (either literal side /
-    * comparison direction) with x, y integral and from opposite join
-    * sides; returns (left-side expr, right-side expr, band). */
+  /** Band predicate in either user spelling, with x, y integral and
+    * from opposite join sides; returns (left-side expr, right-side
+    * expr, band):
+    *
+    *  1. `abs(x − y) <= c` — one conjunct (either literal side /
+    *     comparison direction);
+    *  2. `x BETWEEN y − c1 AND y + c2` — which the parser splits into
+    *     the two range conjuncts `x >= y − c1` and `x <= y + c2`. The
+    *     bin width is max(c1, c2): a matching pair satisfies
+    *     |x − y| <= max, so it shares one of the three candidate bins,
+    *     and the exact original predicate stays as the post-filter, so
+    *     an asymmetric band still returns exactly its own rows. */
   private def bandPredicate(left: LogicalPlan, right: LogicalPlan,
       cond: Expression): Option[(Expression, Expression, Long)] = {
     def integral(e: Expression): Boolean =
@@ -92,17 +102,52 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       else if (y.references.subsetOf(left.outputSet) &&
           x.references.subsetOf(right.outputSet)) Some((y, x))
       else None
-    splitConjunctivePredicates(cond).iterator.map {
+    def accept(x: Expression, y: Expression, c: Long) =
+      if (c > 0 && integral(x) && integral(y) && sides(x, y).isDefined) {
+        val (lx, ry) = sides(x, y).get
+        Some((lx, ry, c))
+      } else None
+
+    val conjuncts = splitConjunctivePredicates(cond)
+
+    val absForm = conjuncts.iterator.map {
       case LessThanOrEqual(Abs(Subtract(x, y, _), _), lit: Literal) =>
         (x, y, longOf(lit))
       case GreaterThanOrEqual(lit: Literal, Abs(Subtract(x, y, _), _)) =>
         (x, y, longOf(lit))
       case _ => (null, null, None)
     }.collectFirst {
-      case (x, y, Some(c)) if x != null && c > 0 &&
-          integral(x) && integral(y) && sides(x, y).isDefined =>
-        val (lx, ry) = sides(x, y).get
-        (lx, ry, c)
+      case (x, y, Some(c)) if x != null && accept(x, y, c).isDefined =>
+        accept(x, y, c).get
     }
+
+    // BETWEEN form: normalize each conjunct to "a − b <= c", then find
+    // a matching opposite-direction pair over the same (a, b).
+    def diffBound(e: Expression): Option[(Expression, Expression, Long)] =
+      e match {
+        case LessThanOrEqual(x, Add(y, l: Literal, _)) =>
+          longOf(l).map(c => (x, y, c)) //  x <= y + c   ⇒ x − y <= c
+        case LessThanOrEqual(x, Add(l: Literal, y, _)) =>
+          longOf(l).map(c => (x, y, c))
+        case GreaterThanOrEqual(x, Subtract(y, l: Literal, _)) =>
+          longOf(l).map(c => (y, x, c)) //  x >= y − c   ⇒ y − x <= c
+        case LessThanOrEqual(Subtract(x, y, _), l: Literal) =>
+          longOf(l).map(c => (x, y, c)) //  x − y <= c
+        case GreaterThanOrEqual(l: Literal, Subtract(x, y, _)) =>
+          longOf(l).map(c => (x, y, c))
+        case _ => None
+      }
+    def betweenForm: Option[(Expression, Expression, Long)] = {
+      val bounds = conjuncts.flatMap(diffBound)
+      bounds.iterator.flatMap { case (a, b, c1) =>
+        bounds.collectFirst {
+          case (b2, a2, c2) if a.semanticEquals(a2) && b.semanticEquals(b2) =>
+            (a, b, math.max(c1, c2))
+        }
+      }.flatMap { case (x, y, c) => accept(x, y, c) }
+        .nextOption()
+    }
+
+    absForm.orElse(betweenForm)
   }
 }

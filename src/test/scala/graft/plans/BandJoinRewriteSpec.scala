@@ -40,6 +40,37 @@ class BandJoinRewriteSpec extends SparkSpec {
     assert(got.toSet == expected(100L))
   }
 
+  test("rewrites the BETWEEN spelling of the same band join") {
+    val l = leftRows.toDF("lid", "x")
+    val r = rightRows.toDF("rid", "y")
+    val joined = l.join(r,
+      col("x").between(col("y") - 100L, col("y") + 100L))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bin"), s"rule did not fire:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    val got = joined.select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.distinct.length, "pair emitted twice")
+    assert(got.toSet == expected(100L))
+  }
+
+  test("asymmetric BETWEEN band keeps exact rows (bin = max bound)") {
+    val l = leftRows.toDF("lid", "x")
+    val r = rightRows.toDF("rid", "y")
+    val joined = l.join(r,
+      col("x").between(col("y") - 50L, col("y") + 100L))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bin"), s"rule did not fire:\n$plan")
+    val naive = (for {
+      (i, x) <- leftRows; (j, y) <- rightRows
+      if x >= y - 50L && x <= y + 100L
+    } yield (i, j)).toSet
+    val got = joined.select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.distinct.length, "pair emitted twice")
+    assert(got.toSet == naive)
+  }
+
   test("with the rule excluded the same join is a nested-loop plan (the problem exists)") {
     val key = "spark.sql.optimizer.excludedRules"
     val prev = spark.conf.getOption(key)
