@@ -104,11 +104,41 @@ object StreamingEnrich {
       .toDF("top_topic", "category")
   }
 
-  /** Start the query: subject-partitioned parquet sink, checkpointed.
-    * partitionBy(sentiment, top_topic) is the Spark equivalent of the
-    * reference's `bluesky.enriched.{sentiment}.{top_topic}` subject
-    * routing (nats_client.py:237-240). */
+  /** Wire projection (F12, nats_client.py:235-253): the exact rows the
+    * JetStream sink publishes — routing `subject` (P6), compact-JSON
+    * `value` carrying the EnrichedPost shape, and the `uri:cid`
+    * idempotency key the sink sends as the Nats-Msg-Id analog. */
+  def wireFormat(enriched: DataFrame): DataFrame =
+    enriched.select(
+      col("subject"),
+      to_json(struct(col("uri"), col("cid"), col("sentiment_data"),
+        col("topics_data"), col("processed_at"), col("processor")))
+        .as("value"),
+      concat_ws(":", col("uri"), col("cid")).as("msg_id"))
+
+  /** Production entry point: parse → enrich → dedup → publish to the
+    * JetStream-shaped sink (NatsWriteBuilder) with per-row subject
+    * routing, retry/backoff and the msg-id dedup window — the full
+    * reference loop (service.py main loop + nats_client publish). The
+    * `format` is the connector's DataSourceRegister short name:
+    * "stub-nats" here, a real client-backed provider under the same
+    * contract in a deployment with the NATS jar. */
   def run(spark: SparkSession, raw: DataFrame, checkpointDir: String,
+      outStream: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      format: String = "stub-nats"): StreamingQuery =
+    wireFormat(pipeline(raw)).writeStream
+      .format(format)
+      .option("stream", outStream)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** Dev/warehouse sink: subject-partitioned parquet, checkpointed.
+    * partitionBy(sentiment, top_topic) is the filesystem equivalent of
+    * the reference's `bluesky.enriched.{sentiment}.{top_topic}`
+    * subject routing (nats_client.py:237-240). */
+  def runParquet(spark: SparkSession, raw: DataFrame, checkpointDir: String,
       outDir: String, trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
     pipeline(raw).writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>

@@ -26,7 +26,7 @@ class StreamingEnrichSpec extends SparkSpec {
       post("at://1", "c1", "m m m museum join join join join stream"), // dup (uri,cid)
       """{not valid json at all""", // poison pill
       post("at://3", "c3", ""))     // blank text → filtered
-    val q = StreamingEnrich.run(spark, mem.toDF(), ckpt, out,
+    val q = StreamingEnrich.runParquet(spark, mem.toDF(), ckpt, out,
       org.apache.spark.sql.streaming.Trigger.AvailableNow())
     q.awaitTermination(60000)
     val written = spark.read.parquet(out)
@@ -105,5 +105,35 @@ class StreamingEnrichSpec extends SparkSpec {
     q.stop()
     val rows = spark.table("poison_out").select("uri").collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("at://ok"))
+  }
+
+  test("run() publishes the wire format through the JetStream-shaped sink") {
+    import graft.sources.StubJetStream
+    StubJetStream.reset()
+    val mem = MemoryStream[String](spark)
+    val ckpt = Files.createTempDirectory("senrich_nats_ckpt").toString
+    mem.addData(
+      post("at://1", "c1", "m m m museum join join join join stream"),
+      post("at://1", "c1", "m m m museum join join join join stream"), // dup
+      """{not valid json""")
+    val q = StreamingEnrich.run(spark, mem.toDF(), ckpt, "enriched-out",
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    val stream = StubJetStream.info("enriched-out").get
+    val msgs = stream.allMessages
+    // dup deduped upstream (watermark window), poison dropped → 1 msg
+    assert(msgs.map(_.msgId) == Seq("at://1:c1"), msgs.mkString(","))
+    assert(msgs.head.subject.startsWith("bluesky.enriched."), msgs.head.subject)
+    assert(msgs.head.data.contains("\"uri\":\"at://1\""), msgs.head.data)
+    assert(msgs.head.data.contains("\"processor\":\"graft-spark\""))
+    // a replay of the same wire rows is absorbed by the sink's msg-id
+    // window (effectively-once): same stream, fresh checkpoint
+    val mem2 = MemoryStream[String](spark)
+    mem2.addData(post("at://1", "c1", "m m m museum join join join join stream"))
+    val ckpt2 = Files.createTempDirectory("senrich_nats_ckpt2").toString
+    val q2 = StreamingEnrich.run(spark, mem2.toDF(), ckpt2, "enriched-out",
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q2.awaitTermination(60000)
+    assert(StubJetStream.info("enriched-out").get.allMessages.size == 1)
   }
 }
