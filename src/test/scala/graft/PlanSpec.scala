@@ -76,4 +76,25 @@ class PlanSpec extends SparkSpec {
     // the scalar total rides a broadcast — no extra wide edges
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 3, plan)
   }
+
+  test("df-capped jaccard (d08) prunes via broadcast, df pass partial-aggregates") {
+    val plan = formatted(SparkEntry.queries("d08_jaccard_capped")(spark, sf))
+    // the hot-shingle frame (tiny by construction) must ride a
+    // broadcast into the anti-join — a shuffled anti-join would add a
+    // full-width exchange of the shingle table just to prune it
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"), s"hot-shingle prune not broadcast:\n$plan")
+    // the df count that feeds it map-side combines
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("recall contract (s05) keeps the exact top-k partial-aggregated") {
+    val plan = formatted(SparkEntry.queries("s05_ann_recall")(spark, sf))
+    // ground truth + both indexes all run the bounded top-k Aggregator;
+    // partial_ proves the per-partition combine is still in the plan
+    assert(plan.contains("partial_"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
