@@ -127,6 +127,35 @@ object TextFunctions {
     s"(${sqlBigramCount(t)} - ${sqlUniqueBigramCount(t)}) / " +
       s"CAST(${sqlBigramCount(t)} AS DOUBLE)"
 
+  // ---- PII redaction -----------------------------------------------
+  /** Patterns restricted to syntax Java regex and RE2 (DuckDB) parse
+    * identically — no lookaround, no backrefs, no shorthand classes —
+    * so the redacted text is oracle-hash-checkable. */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"
+  val DigitRunPattern = "[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+"
+
+  /** Replace emails and ≥7-digit runs (phone/ID-shaped) with typed
+    * placeholder tokens — the standard scrub pass before training.
+    * Order matters: emails first, so an address's digits can't be
+    * half-eaten by the digit-run rule. */
+  def redactPii(t: Column): Column =
+    regexp_replace(
+      regexp_replace(t, EmailPattern, "<email>"),
+      DigitRunPattern, "<digits>")
+  def sqlRedactPii(t: String): String =
+    s"regexp_replace(regexp_replace($t, '$EmailPattern', '<email>', 'g'), " +
+      s"'$DigitRunPattern', '<digits>', 'g')"
+
+  def emailCount(t: Column): Column =
+    size(regexp_extract_all(t, lit(EmailPattern), lit(0)))
+  def sqlEmailCount(t: String): String =
+    s"CAST(len(regexp_extract_all($t, '$EmailPattern', 0)) AS INT)"
+
+  def digitRunCount(t: Column): Column =
+    size(regexp_extract_all(t, lit(DigitRunPattern), lit(0)))
+  def sqlDigitRunCount(t: String): String =
+    s"CAST(len(regexp_extract_all($t, '$DigitRunPattern', 0)) AS INT)"
+
   // ---- quality scoring ---------------------------------------------
   /** alpha_ratio: share of [a-zA-Z] chars. Caller guarantees length>0
     * (blank filter upstream). */

@@ -176,5 +176,34 @@ object DedupQueries {
         SELECT doc_id, n_spans, n_shared,
           CAST(n_shared AS DOUBLE) / CAST(n_spans AS DOUBLE) AS shared_frac
         FROM p ORDER BY doc_id NULLS FIRST""")),
+
+    // ---- d09: incremental dedup (daily ingest vs historical corpus) --
+    // The production shape of exact dedup at 100 TB: a new batch is
+    // fingerprint-anti-joined against the corpus's fingerprint index —
+    // one shuffle per side on fp, no broadcast (the corpus side is the
+    // big one), partial-agg distinct on the index. Fixture: the batch
+    // replays every even doc verbatim (must drop) and ships odd docs
+    // with new content (must survive).
+    Q("d09_incremental_dedup",
+      (s, dir) => {
+        val hist = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+        val batch = hist.select((col("doc_id") + 20000).as("doc_id"),
+          when(col("doc_id") % 2 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" fresh update"))).as("text"))
+        val index = hist
+          .select(TextFunctions.fingerprint(col("text")).as("fp")).distinct()
+        batch.withColumn("fp", TextFunctions.fingerprint(col("text")))
+          .join(index, Seq("fp"), "left_anti")
+          .select(col("doc_id"), col("fp"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH b AS (SELECT doc_id + 20000 AS doc_id,
+          CASE WHEN doc_id % 2 = 0 THEN text
+               ELSE text || ' fresh update' END AS text FROM documents),
+        idx AS (SELECT DISTINCT ${TextFunctions.sqlFingerprint("text")} AS fp
+          FROM documents)
+        SELECT doc_id, ${TextFunctions.sqlFingerprint("text")} AS fp
+        FROM b WHERE fp NOT IN (SELECT fp FROM idx)
+        ORDER BY doc_id NULLS FIRST""")),
   )
 }

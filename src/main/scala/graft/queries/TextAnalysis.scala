@@ -142,5 +142,68 @@ object TextAnalysis {
           CAST(fam_num AS DOUBLE) /
             (CAST(n_tokens AS DOUBLE) * CAST(total AS DOUBLE)) AS familiarity
         FROM d, tot ORDER BY doc_id NULLS FIRST""")),
+
+    // ---- t08: PII redaction (scrub pass before training) -------------
+    // The synthetic corpus carries no PII, so every 7th doc gets a
+    // deterministic planted email + 10-digit number (mirrored in the
+    // oracle) — the redaction genuinely fires and the hash compare
+    // covers both the rewritten text and the counts. Pure per-row
+    // regexp plan: narrow, embarrassingly parallel at any scale.
+    Q("t08_pii_redaction",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .withColumn("text2",
+            when(col("doc_id") % 7 === 0,
+              concat(col("text"), lit(" contact user"),
+                col("doc_id").cast("string"), lit("@example.com tel 555"),
+                (col("doc_id") + 1000000L).cast("string")))
+              .otherwise(col("text")))
+          .select(col("doc_id"),
+            emailCount(col("text2")).as("n_emails"),
+            digitRunCount(col("text2")).as("n_digit_runs"),
+            redactPii(col("text2")).as("red_text"))
+          .orderBy("doc_id"),
+      Some(s"""WITH p AS (SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' ||
+            CAST(doc_id AS VARCHAR) || '@example.com tel 555' ||
+            CAST(doc_id + 1000000 AS VARCHAR) ELSE text END AS text2
+          FROM documents)
+        SELECT doc_id, ${sqlEmailCount("text2")} AS n_emails,
+          ${sqlDigitRunCount("text2")} AS n_digit_runs,
+          ${sqlRedactPii("text2")} AS red_text
+        FROM p ORDER BY doc_id NULLS FIRST""")),
+
+    // ---- t09: sliding-window chunking (context-length splitting) -----
+    // Long docs split into 64-token windows at stride 48 (16-token
+    // overlap) — the shape every training pipeline uses to fit a
+    // context length. Chunk count via integer arithmetic (no float
+    // ceil), chunk identity as a fingerprint so the hash compare pins
+    // the exact token partitioning. transform + posexplode keeps it
+    // one narrow Generate — rows fan out, nothing shuffles.
+    Q("t09_chunking",
+      (s, dir) => {
+        val W = 64; val S = 48
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .withColumn("n", size(col("toks")))
+          .withColumn("n_chunks",
+            expr(s"CASE WHEN n <= $W THEN 1 ELSE (n - $W + ${S - 1}) DIV $S + 1 END"))
+          .select(col("doc_id"), col("n"),
+            posexplode(expr(
+              s"transform(sequence(0, n_chunks - 1), i -> array_join(slice(toks, i * $S + 1, $W), ' '))")))
+          .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+            md5(col("col")).as("chunk_fp"),
+            least(lit(W), col("n") - col("pos") * S).cast("int").as("n_chunk_toks"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, ${sqlTokens("text")} AS tk FROM documents),
+          n AS (SELECT doc_id, tk, len(tk) AS n FROM toks),
+          c AS (SELECT doc_id, tk, n,
+            CASE WHEN n <= 64 THEN 1 ELSE (n - 64 + 47) // 48 + 1 END AS n_chunks FROM n),
+          e AS (SELECT doc_id, tk, n, unnest(range(0, n_chunks)) AS i FROM c)
+        SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+          md5(array_to_string(tk[i * 48 + 1:i * 48 + 64], ' ')) AS chunk_fp,
+          CAST(least(64, n - i * 48) AS INT) AS n_chunk_toks
+        FROM e ORDER BY doc_id NULLS FIRST, chunk_idx NULLS FIRST""")),
   )
 }
