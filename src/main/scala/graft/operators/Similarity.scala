@@ -114,10 +114,19 @@ object Similarity {
     * signatures of `planes` sign bits each; a vector is a candidate if
     * it shares a bucket with the query in ANY table. Candidate
     * generation is an equi-join on (table, sig) — never a cross join —
-    * then exact cosine re-ranking on the candidates only. */
+    * then exact cosine re-ranking on the candidates only.
+    *
+    * `multiprobe`: the QUERY side additionally probes every bucket at
+    * Hamming distance 1 from its home signature (the classic
+    * multiprobe-LSH trick: a near neighbor that lands just across one
+    * hyperplane is the dominant miss mode). Costs ×(planes+1) rows on
+    * the query side only — the small, broadcast side — while the
+    * indexed corpus keeps exactly one row per (table, home bucket), so
+    * the scale shape is unchanged. Measured on the fixture: recall@10
+    * 0.43 → substantially higher (see s05's floor). */
   def lshTopK(spark: SparkSession, emb: DataFrame,
       queryPred: org.apache.spark.sql.Column, k: Int = 10,
-      planes: Int = 4, tables: Int = 4): DataFrame = {
+      planes: Int = 4, tables: Int = 4, multiprobe: Boolean = true): DataFrame = {
     import spark.implicits._
     VectorFunctions.register(spark)
     // vector dimensionality comes from the data (round-1 ADVICE: no
@@ -127,28 +136,38 @@ object Similarity {
     val dim = firstVec(0).getInt(0)
     val hp = spark.sparkContext.broadcast(
       (0 until tables).map(t => hyperplanes(planes, dim, seed = 42L + t * 7919L)).toArray)
-    val sigs = udf { (v: Seq[Float]) =>
-      (0 until tables).map { t =>
-        var s = 0
-        var p = 0
-        while (p < planes) {
-          var acc = 0.0f
-          var d = 0
-          val w = hp.value(t)(p)
-          while (d < math.min(dim, v.length)) { acc += w(d) * v(d); d += 1 }
-          if (acc >= 0) s |= (1 << p)
-          p += 1
-        }
-        t * 65536 + s // disjoint bucket space per table
+    def homeSig(v: Seq[Float], t: Int): Int = {
+      var s = 0
+      var p = 0
+      while (p < planes) {
+        var acc = 0.0f
+        var d = 0
+        val w = hp.value(t)(p)
+        while (d < math.min(dim, v.length)) { acc += w(d) * v(d); d += 1 }
+        if (acc >= 0) s |= (1 << p)
+        p += 1
       }
+      s
+    }
+    val sigs = udf { (v: Seq[Float]) =>
+      (0 until tables).map(t => t * 65536 + homeSig(v, t))
+    }
+    val probeSigs = udf { (v: Seq[Float]) =>
+      (0 until tables).flatMap { t =>
+        val home = homeSig(v, t)
+        val flips = if (multiprobe) (0 until planes).map(b => home ^ (1 << b))
+          else Seq.empty
+        (home +: flips).map(t * 65536 + _)
+      }.distinct
     }
     val withSig = emb.withColumn("sig", explode(sigs(col("embedding"))))
-    val q = withSig.filter(queryPred)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("sig"))
+    val q = emb.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(probeSigs(col("embedding"))).as("sig"))
     val cands = withSig.select(col("vec_id"), col("embedding").as("e"), col("sig"))
       .join(broadcast(q), Seq("sig"))
       .filter(col("vec_id") =!= col("qid"))
-      .dropDuplicates("qid", "vec_id") // same pair may collide in >1 table
+      .dropDuplicates("qid", "vec_id") // same pair may collide in >1 bucket
       .withColumn("cos", expr("cosine_sim(qe, e)"))
     topKPerQuery(cands, k)
   }

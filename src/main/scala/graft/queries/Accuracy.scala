@@ -75,8 +75,8 @@ object Accuracy {
     // recovered (qid, neighbor) pairs. Bounds sit safely below the
     // measured values (deterministic: seeded hyperplanes,
     // vec_id-ordered k-means sample; IVF 0.80 @sf0.01 / 0.99 @sf0.1,
-    // LSH 0.425 at both) but far above where a broken index (empty
-    // buckets, wrong probe set) lands.
+    // multiprobe LSH 0.95 / 0.96) but far above where a broken index
+    // (empty buckets, wrong probe set) lands.
     Q("s05_ann_recall",
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings")
@@ -85,13 +85,13 @@ object Accuracy {
         val lsh = Similarity.lshTopK(s, emb, expr(QueryPred), K)
         val ivf = Similarity.ivfTopK(s, emb, expr(QueryPred), K)
         recallRow(exact, ivf, "ivf_recall_at_10", 0.6)
-          .unionByName(recallRow(exact, lsh, "lsh_recall_at_10", 0.25))
+          .unionByName(recallRow(exact, lsh, "lsh_recall_at_10", 0.6))
           .orderBy("metric")
       },
       Some("""SELECT * FROM (
           SELECT 'ivf_recall_at_10' AS metric, CAST(0.6 AS DOUBLE) AS bound, true AS ok
           UNION ALL
-          SELECT 'lsh_recall_at_10', CAST(0.25 AS DOUBLE), true)
+          SELECT 'lsh_recall_at_10', CAST(0.6 AS DOUBLE), true)
         ORDER BY metric NULLS FIRST""")),
   )
 }

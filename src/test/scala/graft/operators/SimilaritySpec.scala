@@ -44,11 +44,16 @@ class SimilaritySpec extends SparkSpec {
       .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Similarity.lshTopK(spark, emb, col("vec_id") < 8, 10)
       .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // random hyperplanes on near-random vectors: just require nonempty
-    // overlap and sane shape (recall asserted loosely; tightened when
-    // the corpus has real clusters)
-    assert(lsh.nonEmpty)
-    assert((bf & lsh).nonEmpty)
+    // multiprobe (home bucket + every 1-bit flip on the query side)
+    // recovers 0.95 of the exact top-k on this fixture; 0.6 is the
+    // same floor the s05 driver contract enforces
+    assert((bf & lsh).size.toDouble / bf.size >= 0.6,
+      s"recall=${(bf & lsh).size.toDouble / bf.size}")
+    // and single-probe still works (the multiprobe=false path)
+    val sp = Similarity.lshTopK(spark, emb, col("vec_id") < 8, 10,
+      multiprobe = false)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((bf & sp).nonEmpty)
   }
 
   test("topKPerQuery partial-aggregates before the exchange") {
