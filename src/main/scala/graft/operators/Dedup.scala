@@ -124,6 +124,44 @@ object Dedup {
     s"""WITH ${sqlJaccardCtes(table, k, minJ, dfCap)}
        SELECT id_a, id_b, jaccard FROM jp"""
 
+  // ---- benchmark decontamination ------------------------------------
+  /** Eval-set contamination check (the GPT-3/PaLM "n-gram overlap"
+    * decontamination pass every training pipeline runs before
+    * training): for each training doc, how many of its distinct
+    * k-gram spans appear in ANY benchmark/eval document.
+    *
+    * Scale shape: eval sets are tiny relative to the corpus (a few
+    * million n-grams vs trillions), so the eval n-gram universe is
+    * `broadcast` — the corpus side stays narrow (tokenize → explode →
+    * broadcast hash join, no corpus shuffle) and the only shuffle is
+    * the map-side-combined per-doc count. Returns every training doc
+    * (clean docs with n_contaminated = 0) so the output can drive a
+    * filter OR a contamination report. */
+  def decontaminate(train: DataFrame, evalSet: DataFrame, k: Int = 8): DataFrame = {
+    val evalSh = shingles(evalSet, k).select(col("sh")).distinct()
+      .withColumn("hit", lit(1))
+    shingles(train, k)
+      .join(broadcast(evalSh), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("hit"), lit(0))).as("n_contaminated"))
+      .select(col("doc_id"), col("n_spans"), col("n_contaminated"),
+        (col("n_contaminated") > 0).as("contaminated"))
+  }
+
+  /** DuckDB twin of [[decontaminate]] where the eval set is the subset
+    * of `table` satisfying `evalPred` (the fixture's shape). */
+  def sqlDecontaminate(table: String, evalPred: String, k: Int = 8): String =
+    s"""WITH ${sqlShinglesCte(table, k)},
+       ev AS (SELECT DISTINCT sh FROM sh
+         JOIN $table USING (doc_id) WHERE $evalPred),
+       m AS (SELECT s.doc_id, count(*) AS n_spans,
+           CAST(sum(CASE WHEN ev.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated
+         FROM sh s LEFT JOIN ev ON s.sh = ev.sh GROUP BY s.doc_id)
+       SELECT doc_id, n_spans, n_contaminated, n_contaminated > 0 AS contaminated
+       FROM m ORDER BY doc_id NULLS FIRST"""
+
   // ---- MinHash + LSH ------------------------------------------------
   /** Signature count and banding. r=2, b=64 ⇒ candidate-recall at
     * J=0.5 is 1-(1-0.25)^64 ≈ 1-1e-8; verification then makes the

@@ -177,6 +177,22 @@ object DedupQueries {
           CAST(n_shared AS DOUBLE) / CAST(n_spans AS DOUBLE) AS shared_frac
         FROM p ORDER BY doc_id NULLS FIRST""")),
 
+    // ---- d10: benchmark decontamination ------------------------------
+    // Eval-overlap check (GPT-3 §C / PaLM appendix shape): every 17th
+    // doc plays the benchmark set; each training doc reports how many
+    // of its distinct 8-gram spans appear in any eval doc. Eval docs
+    // are fully contaminated by construction (they contain themselves),
+    // so both branches of the flag are exercised. The eval n-gram
+    // universe is broadcast — the corpus side never shuffles except
+    // for the final per-doc count.
+    Q("d10_decontamination",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        Dedup.decontaminate(docs, docs.filter(col("doc_id") % 17 === 0))
+          .orderBy("doc_id")
+      },
+      Some(Dedup.sqlDecontaminate("documents", "doc_id % 17 = 0"))),
+
     // ---- d09: incremental dedup (daily ingest vs historical corpus) --
     // The production shape of exact dedup at 100 TB: a new batch is
     // fingerprint-anti-joined against the corpus's fingerprint index —

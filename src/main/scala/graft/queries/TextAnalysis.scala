@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -205,5 +206,54 @@ object TextAnalysis {
           md5(array_to_string(tk[i * 48 + 1:i * 48 + 64], ' ')) AS chunk_fp,
           CAST(least(64, n - i * 48) AS INT) AS n_chunk_toks
         FROM e ORDER BY doc_id NULLS FIRST, chunk_idx NULLS FIRST""")),
+
+    // ---- t10: TF-IDF keyword extraction ------------------------------
+    // Top-3 characteristic terms per document. Corpus-stopwords (df >
+    // 90% of docs) are dropped first — the df-threshold flavor of
+    // stopword removal; a planted universal footer token (df = 100%)
+    // proves the cut fires while the synthetic corpus's real tokens
+    // (max df ≈ 80%) survive. idf here is the log-free N/df (ln() is
+    // not bit-reproducible across engines; N/df induces a coarser but
+    // deterministic ranking — ties broken by term so the hash compare
+    // is exact). score = tf·N/df stays integer until ONE final double
+    // division. Shape: tf agg on (doc_id, term), df agg derived from
+    // tf (vocab-sized → AQE broadcasts the join), per-doc top-k window.
+    Q("t10_tfidf_terms",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(col("text"), lit(" corpusfooter")).as("text"))
+        val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("tok"))
+        tf.join(df, "tok")
+          .crossJoin(broadcast(n))
+          .filter(col("df") * 10 <= col("n_docs") * 9)
+          .withColumn("score",
+            (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("tok").as("term"),
+            col("tf"), col("df"), col("score"))
+          .orderBy("doc_id", "rank")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, text || ' corpusfooter' AS text
+          FROM documents),
+        tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS tok FROM d),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+        df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        n AS (SELECT count(*) AS n_docs FROM d),
+        sc AS (SELECT doc_id, tok, tf, df,
+            CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score
+          FROM tf JOIN df USING (tok), n
+          WHERE df * 10 <= n_docs * 9),
+        r AS (SELECT *, row_number()
+            OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rank FROM sc)
+        SELECT doc_id, CAST(rank AS INT) AS rank, tok AS term, tf, df, score
+        FROM r WHERE rank <= 3
+        ORDER BY doc_id NULLS FIRST, rank NULLS FIRST""")),
   )
 }

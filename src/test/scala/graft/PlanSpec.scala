@@ -90,6 +90,26 @@ class PlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("decontamination (d10) broadcasts the eval n-grams, corpus side stays narrow") {
+    val plan = formatted(SparkEntry.queries("d10_decontamination")(spark, sf))
+    // the eval n-gram universe (tiny vs the corpus) must ride a
+    // broadcast; a sort-merge join here would shuffle every corpus
+    // n-gram just to probe a benchmark-sized set
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"corpus side shuffled for the probe:\n$plan")
+    // the per-doc contamination count map-side combines
+    assert(plan.contains("partial_count"), plan)
+  }
+
+  test("tf-idf (t10) partial-aggregates tf and df; no shuffled join for the doc count") {
+    val plan = formatted(SparkEntry.queries("t10_tfidf_terms")(spark, sf))
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the scalar n_docs rides a broadcast (1-row BNLJ is the intended
+    // plan for a scalar cross join; anything else re-shuffles tf)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("recall contract (s05) keeps the exact top-k partial-aggregated") {
     val plan = formatted(SparkEntry.queries("s05_ann_recall")(spark, sf))
     // ground truth + both indexes all run the bounded top-k Aggregator;

@@ -86,4 +86,30 @@ class DedupSpec extends SparkSpec {
     // an inert cap (above every df) reproduces the exact output
     assert(pairs(Dedup.ngramJaccardPairs(planted, minJ = 0.2, dfCap = 1000)) == exact)
   }
+
+  test("decontaminate flags eval-overlapping docs and only those") {
+    val mk = (i: Long, t: String) => (i, t)
+    val evalDoc = "what is the capital of france paris is the capital of france"
+    val train = Seq(
+      mk(1L, s"quiz answer leaked verbatim $evalDoc end of page"), // contains an eval 8-gram
+      mk(2L, "a perfectly clean training document about cooking pasta at home tonight"),
+      mk(3L, evalDoc) // the eval doc itself in the corpus
+    ).toDF("doc_id", "text")
+    val evalSet = Seq(mk(100L, evalDoc)).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, evalSet).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L)) // every train doc reported
+    assert(out(1L)._2 && out(1L)._1 > 0, s"planted leak not flagged: $out")
+    assert(!out(2L)._2 && out(2L)._1 == 0, s"clean doc flagged: $out")
+    assert(out(3L)._2, s"verbatim eval doc not flagged: $out")
+  }
+
+  test("decontaminate counts are bounded by the doc's own span count") {
+    val docs = Tables(spark, sf, "documents")
+    Dedup.decontaminate(docs, docs.filter($"doc_id" % 17 === 0))
+      .collect().foreach { r =>
+        assert(r.getLong(2) <= r.getLong(1),
+          s"n_contaminated > n_spans for doc ${r.getLong(0)}")
+      }
+  }
 }
