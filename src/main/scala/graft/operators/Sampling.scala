@@ -52,4 +52,49 @@ object Sampling {
     }
     df.filter(pred)
   }
+
+  /** Temperature-rebalanced mixture (the multilingual-corpus sampler:
+    * stratum s keeps rate (c_min/c_s)^α with α = 1/2, so the rarest
+    * stratum keeps everything and big strata are downsampled TOWARD —
+    * not all the way to — balance). Rates are DATA-DEPENDENT: one tiny
+    * per-stratum count pass (broadcast back), then the same pure
+    * md5-of-key gate as [[mixtureSample]] — a narrow filter, stable
+    * under retries/AQE. α = 1/2 specifically because IEEE sqrt and
+    * division are correctly rounded, so both engines compute the same
+    * 16-bit threshold floor(√(c_min/c_s)·2¹⁶) bit-for-bit (pow(x, α)
+    * for general α is libm-dependent and would not hash-check).
+    * Threshold 2¹⁶ (rate 1.0) short-circuits: `hex()` of it would be 5
+    * chars and lpad-to-4 would TRUNCATE to '1000', silently dropping
+    * 15/16 of the rarest stratum. */
+  def temperatureRebalance(df: DataFrame, key: Column, stratum: Column,
+      salt: String): DataFrame = {
+    // internal names prefixed so they can't collide with caller columns
+    val counts = df.groupBy(stratum.as("_tr_strat")).agg(count(lit(1)).as("c"))
+    val cmin = counts.agg(min(col("c")).as("cmin"))
+    val rates = counts.crossJoin(broadcast(cmin))
+      .withColumn("_tr_thr",
+        floor(sqrt(col("cmin").cast("double") / col("c").cast("double"))
+          * 65536).cast("int"))
+      .select(col("_tr_strat"), col("_tr_thr"))
+    df.join(broadcast(rates), stratum === col("_tr_strat"))
+      .filter(col("_tr_thr") === 65536 ||
+        substring(md5(concat(key.cast("string"), lit(":" + salt))), 1, 4) <
+          lower(lpad(hex(col("_tr_thr")), 4, "0")))
+      .drop("_tr_strat", "_tr_thr")
+  }
+
+  /** DuckDB twin of [[temperatureRebalance]] over table `t`:
+    * SELECTs `cols` of the kept rows (caller appends ORDER BY). */
+  def sqlTemperatureRebalance(t: String, keyExpr: String, stratumCol: String,
+      salt: String, cols: String): String =
+    s"""WITH cnt AS (SELECT $stratumCol, count(*) AS c FROM $t GROUP BY $stratumCol),
+       m AS (SELECT min(c) AS cmin FROM cnt),
+       r AS (SELECT $stratumCol,
+           CAST(floor(sqrt(CAST(cmin AS DOUBLE) / CAST(c AS DOUBLE)) * 65536)
+             AS INT) AS thr
+         FROM cnt, m)
+       SELECT $cols FROM $t JOIN r USING ($stratumCol)
+       WHERE thr = 65536 OR
+         substr(md5(CAST($keyExpr AS VARCHAR) || ':$salt'), 1, 4) <
+           lower(lpad(hex(thr), 4, '0'))"""
 }

@@ -139,6 +139,24 @@ object Advanced {
           ORDER BY doc_id NULLS FIRST"""
       }),
 
+    // ---- temperature-rebalanced mixture ------------------------------
+    // Data-dependent cousin of q22: keep rates are COMPUTED from the
+    // corpus (rate_s = √(c_min/c_s), the α=1/2 multilingual rebalance)
+    // instead of hand-picked. `lang` is naturally skewed here (en ≈
+    // 3.4× fr), so en genuinely downsamples while the rarest lang
+    // exercises the rate-1.0 short-circuit. α=1/2 because IEEE sqrt /
+    // divide are correctly rounded — the 16-bit gate threshold is
+    // bit-identical in both engines (see Sampling scaladoc).
+    Q("q27_temperature_mix",
+      (s, dir) =>
+        Sampling.temperatureRebalance(
+            Tables(s, dir, "documents"), col("doc_id"), col("lang"), salt = "temp1")
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id"),
+      Some(Sampling.sqlTemperatureRebalance(
+          "documents", "doc_id", "lang", "temp1", "doc_id, lang") +
+        " ORDER BY doc_id NULLS FIRST")),
+
     // ---- multiple COUNT(DISTINCT) in one aggregate -------------------
     // Catalyst plans N distinct aggregates over one input as a single
     // Expand (N+1 projections of each row) + two-phase aggregation —

@@ -52,4 +52,26 @@ class SamplingSpec extends SparkSpec {
     assert(keys.filter(Sampling.keep(col("id"), 0.0, "x")).count() == 0)
     assert(keys.filter(Sampling.keep(col("id"), 1.0, "x")).count() == n)
   }
+
+  test("temperature rebalance: rarest stratum kept whole, rates ≈ √(c_min/c_s)") {
+    // skewed strata: 16000 'big', 3000 'mid', 1000 'rare'
+    val df = spark.range(n).select(col("id"),
+      when(col("id") < 16000, "big")
+        .when(col("id") < 19000, "mid").otherwise("rare").as("strat"))
+    val kept = Sampling.temperatureRebalance(df, col("id"), col("strat"), "t1")
+      .groupBy("strat").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("rare") == 1000L, s"rate-1.0 stratum must keep all rows: $kept")
+    for ((s, c) <- Seq("big" -> 16000L, "mid" -> 3000L)) {
+      val want = c * math.sqrt(1000.0 / c)
+      val sd = math.sqrt(want * (1 - math.sqrt(1000.0 / c)))
+      assert(math.abs(kept(s) - want) <= 5 * sd + 1, s"$s kept=${kept(s)} want≈$want")
+    }
+    // decisions are key-pure: repartitioning changes nothing
+    val a = Sampling.temperatureRebalance(df, col("id"), col("strat"), "t1")
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureRebalance(df.repartition(13), col("id"), col("strat"), "t1")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
 }
