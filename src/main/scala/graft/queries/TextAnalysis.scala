@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions._
+import graft.operators.Packing
 
 /** Text-analysis operators over `documents` (north-star surface:
   * token counting, fingerprinting, language ID, quality scoring) —
@@ -255,5 +256,33 @@ object TextAnalysis {
         SELECT doc_id, CAST(rank AS INT) AS rank, tok AS term, tf, df, score
         FROM r WHERE rank <= 3
         ORDER BY doc_id NULLS FIRST, rank NULLS FIRST""")),
+
+    // ---- t11: sequence packing (pack-then-slice layout) --------------
+    // GPT-style packing: concatenate the corpus in doc_id order, cut
+    // every 256 tokens; each doc reports its global token offset and
+    // first/last training sequence. The global prefix sum runs as a
+    // two-phase distributed scan (Packing scaladoc) — the oracle's
+    // un-partitioned window IS the single-reducer plan the operator
+    // exists to avoid, which is fine for DuckDB at sf0.01 and exactly
+    // why the Spark side doesn't use one (PlanSpec pins the absence).
+    Q("t11_seq_packing",
+      (s, dir) => {
+        val counts = Tables(s, dir, "documents")
+          .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"))
+        Packing.packPlan(counts, "doc_id", "n_tokens", budget = 256)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+          CAST(${sqlTokenCount("text")} AS BIGINT) AS n_tokens FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+            CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              AS start_tok
+          FROM t)
+        SELECT doc_id, n_tokens, start_tok,
+          start_tok // 256 AS seq_first,
+          greatest(start_tok // 256, (start_tok + n_tokens - 1) // 256) AS seq_last,
+          CAST(start_tok % 256 AS INT) AS seq_offset
+        FROM c ORDER BY doc_id NULLS FIRST""")),
   )
 }
