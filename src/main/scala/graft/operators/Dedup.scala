@@ -214,15 +214,22 @@ object Dedup {
     * re-joining an exploded shingle table: the whole operator is one
     * narrow signature pass, one (band, hash) equi-join, and joins
     * against the tiny candidate list. */
-  def minhashLshPairs(docs: DataFrame, k: Int = 5, minJ: Double = 0.5): DataFrame = {
-    val sigs = signatures(docs, k)
+  /** (doc_id, band, bh) bucket memberships of a `signatures` frame —
+    * the LSH index layout (at scale this frame is what you PERSIST as
+    * the historical index; see [[incrementalNearDupSurvivors]]). */
+  def bandBuckets(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until Bands).map { b =>
       val cols = (0 until RowsPerBand).map(r =>
         element_at(col("sig"), b * RowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
     }
-    val buckets = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bh"))
+  }
+
+  def minhashLshPairs(docs: DataFrame, k: Int = 5, minJ: Double = 0.5): DataFrame = {
+    val sigs = signatures(docs, k)
+    val buckets = bandBuckets(sigs)
     val candidates = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -236,6 +243,37 @@ object Dedup {
         (size(col("sha")) + size(col("shb")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= minJ)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Incremental NEAR-dup dedup: which batch docs survive against a
+    * historical corpus (the production companion of [[exactDedup]]'s
+    * d09 shape — nightly ingest, minus anything the corpus already has
+    * a near-duplicate of). Candidates come from joining the batch's
+    * band buckets against the history's band buckets — at 100 TB the
+    * history side of this join is a PERSISTED index (the
+    * [[bandBuckets]] + signature frames, bucketed on (band, bh) so the
+    * probe co-locates), not recomputed; only the new batch is
+    * signature-scanned each run. Verification is the exact Jaccard on
+    * carried shingle arrays, candidates only. Within-batch duplicates
+    * are deliberately NOT dropped here — that's a separate
+    * [[minhashLshPairs]] pass; mixing the two would make survival
+    * depend on batch composition. */
+  def incrementalNearDupSurvivors(hist: DataFrame, batch: DataFrame,
+      k: Int = 5, minJ: Double = 0.5): DataFrame = {
+    val hs = signatures(hist, k)
+    val bs = signatures(batch, k)
+    val cand = bandBuckets(bs).as("b").join(bandBuckets(hs).as("h"),
+        col("b.band") === col("h.band") && col("b.bh") === col("h.bh"))
+      .select(col("b.doc_id").as("bid"), col("h.doc_id").as("hid"))
+      .distinct()
+    val dupIds = cand
+      .join(bs.select(col("doc_id").as("bid"), col("shs").as("shb")), "bid")
+      .join(hs.select(col("doc_id").as("hid"), col("shs").as("shh")), "hid")
+      .withColumn("inter", size(array_intersect(col("shb"), col("shh"))))
+      .filter(col("inter") /
+        (size(col("shb")) + size(col("shh")) - col("inter")).cast("double") >= minJ)
+      .select(col("bid").as("doc_id")).distinct()
+    batch.join(dupIds, Seq("doc_id"), "left_anti").select("doc_id")
   }
 
   // ---- duplicate clusters (connected components) --------------------

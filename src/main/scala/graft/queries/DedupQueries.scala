@@ -193,6 +193,45 @@ object DedupQueries {
       },
       Some(Dedup.sqlDecontaminate("documents", "doc_id % 17 = 0"))),
 
+    // ---- d11: incremental NEAR-dup dedup (batch vs historical index) --
+    // The near-dup companion of d09: a new batch probes the corpus's
+    // LSH band-bucket index; batch docs with a historical near-dup
+    // (exact-verified J >= 0.5) are dropped. Fixture: 250 lightly
+    // edited replays (long ones drop — a 5-token pad on a 60-token doc
+    // keeps J ≈ 0.9; SHORT ones legitimately survive, J < 0.5 at ~10
+    // tokens) + 50 genuinely new docs (unseen vocabulary, survive).
+    // The oracle replays it as exact all-pairs Jaccard on the
+    // hist ∪ batch union restricted to cross-group pairs — within-
+    // batch dups deliberately don't disqualify (see operator doc).
+    Q("d11_incremental_neardup",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val near = docs.filter(col("doc_id") < 250)
+          .select((col("doc_id") + 30000).as("doc_id"),
+            concat(col("text"), lit(" zz edit marker token pad")).as("text"))
+        val fresh = docs.filter(col("doc_id") >= 250 && col("doc_id") < 300)
+          .select((col("doc_id") + 30000).as("doc_id"),
+            concat(lit("brand new document number "), col("doc_id").cast("string"),
+              lit(" with totally unseen vocabulary alpha beta gamma delta" +
+                " epsilon zeta eta theta")).as("text"))
+        Dedup.incrementalNearDupSurvivors(docs, near.unionByName(fresh))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d2 AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 30000, text || ' zz edit marker token pad'
+            FROM documents WHERE doc_id < 250
+          UNION ALL SELECT doc_id + 30000, 'brand new document number ' ||
+              CAST(doc_id AS VARCHAR) || ' with totally unseen vocabulary' ||
+              ' alpha beta gamma delta epsilon zeta eta theta'
+            FROM documents WHERE doc_id >= 250 AND doc_id < 300),
+        ${Dedup.sqlJaccardCtes("d2")},
+        dup AS (SELECT DISTINCT id_b AS doc_id FROM jp
+          WHERE id_a < 30000 AND id_b >= 30000)
+        SELECT doc_id FROM d2
+        WHERE doc_id >= 30000 AND doc_id NOT IN (SELECT doc_id FROM dup)
+        ORDER BY doc_id NULLS FIRST""")),
+
     // ---- d09: incremental dedup (daily ingest vs historical corpus) --
     // The production shape of exact dedup at 100 TB: a new batch is
     // fingerprint-anti-joined against the corpus's fingerprint index —

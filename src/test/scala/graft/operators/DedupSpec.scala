@@ -104,6 +104,22 @@ class DedupSpec extends SparkSpec {
     assert(out(3L)._2, s"verbatim eval doc not flagged: $out")
   }
 
+  test("incremental near-dup: history matches drop, new docs survive, batch-internal dups don't disqualify") {
+    val hist = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away tonight while everyone sleeps soundly"),
+      (2L, "completely different historical text about cooking pasta in rome with fresh tomatoes and basil leaves")
+    ).toDF("doc_id", "text")
+    val novel = "entirely novel content with vocabulary never seen before in any archived document whatsoever"
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog and runs far away tonight while everyone sleeps soundly tiny edit"),
+      (11L, novel),
+      (12L, novel) // exact twin of 11 WITHIN the batch: must still survive
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDupSurvivors(hist, batch)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(11L, 12L), s"got $out")
+  }
+
   test("decontaminate counts are bounded by the doc's own span count") {
     val docs = Tables(spark, sf, "documents")
     Dedup.decontaminate(docs, docs.filter($"doc_id" % 17 === 0))
