@@ -83,6 +83,28 @@ object Sampling {
       .drop("_tr_strat", "_tr_thr")
   }
 
+  /** Exact per-stratum quotas: the first `k` rows of each stratum in
+    * md5-hash order — a deterministic uniform draw with a HARD quota
+    * (rate-based sampling like [[mixtureSample]]/[[temperatureRebalance]]
+    * only hits quotas in expectation; balanced eval subsets need
+    * exactly k). Ordering key = first 13 hex chars of md5(key:salt):
+    * 52 bits, exactly representable in double, so the in-engine
+    * numeric compare and the oracle's fixed-width-hex string compare
+    * induce the SAME order; ties (52-bit birthday at ~10⁸ rows per
+    * stratum) break by id in both. Runs on the bounded top-k
+    * Aggregator — each partition keeps ≤ k candidates per stratum and
+    * the shuffle moves ≤ k·strata rows, not the corpus (the
+    * `row_number().over(partitionBy(stratum))` window would sort every
+    * stratum through one reducer each). Output: (qid=stratum, vec_id=
+    * key, rank, cos) from [[Similarity.topKPerQuery]]; callers rename. */
+  def stratifiedQuota(df: DataFrame, key: Column, stratum: Column,
+      k: Int, salt: String): DataFrame = {
+    val scored = df.select(stratum.as("qid"), key.cast("long").as("vec_id"),
+      negate(conv(substring(md5(concat(key.cast("string"), lit(":" + salt))),
+        1, 13), 16, 10).cast("double")).as("cos"))
+    Similarity.topKPerQuery(scored, k)
+  }
+
   /** DuckDB twin of [[temperatureRebalance]] over table `t`:
     * SELECTs `cols` of the kept rows (caller appends ORDER BY). */
   def sqlTemperatureRebalance(t: String, keyExpr: String, stratumCol: String,

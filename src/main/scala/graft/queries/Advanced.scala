@@ -157,6 +157,28 @@ object Advanced {
           "documents", "doc_id", "lang", "temp1", "doc_id, lang") +
         " ORDER BY doc_id NULLS FIRST")),
 
+    // ---- exact per-stratum quota sampling ----------------------------
+    // Hard quotas (40 docs per lang) in deterministic md5-hash order —
+    // the balanced-eval-subset draw that rate-based q22/q27 can't
+    // guarantee. Runs on the bounded top-k Aggregator (≤ k rows per
+    // partition per stratum reach the shuffle), not a per-stratum
+    // window sort; the 52-bit hash prefix makes the engine's numeric
+    // order equal the oracle's hex string order (Sampling scaladoc).
+    Q("q28_stratified_quota",
+      (s, dir) =>
+        Sampling.stratifiedQuota(Tables(s, dir, "documents"),
+            col("doc_id"), col("lang"), k = 40, salt = "quota1")
+          .select(col("qid").as("lang"), col("rank").as("rn"),
+            col("vec_id").as("doc_id"))
+          .orderBy("lang", "rn"),
+      Some("""WITH r AS (SELECT lang, doc_id,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':quota1'), 1, 13),
+              doc_id) AS rn
+          FROM documents)
+        SELECT lang, CAST(rn AS INT) AS rn, doc_id FROM r WHERE rn <= 40
+        ORDER BY lang NULLS FIRST, rn NULLS FIRST""")),
+
     // ---- multiple COUNT(DISTINCT) in one aggregate -------------------
     // Catalyst plans N distinct aggregates over one input as a single
     // Expand (N+1 projections of each row) + two-phase aggregation —

@@ -74,4 +74,28 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(a == b)
   }
+
+  test("stratified quota: exactly min(k, |stratum|) rows, window-equivalent, retry-stable") {
+    val df = spark.range(n).select(col("id"),
+      when(col("id") % 100 === 0, "rare").otherwise("common").as("strat"))
+    def draw(d: org.apache.spark.sql.DataFrame) =
+      Sampling.stratifiedQuota(d, col("id"), col("strat"), k = 50, "q1")
+        .collect().map(r => (r.getString(0), r.getInt(2), r.getLong(1))).toSet
+    val got = draw(df)
+    assert(got.count(_._1 == "common") == 50)
+    assert(got.count(_._1 == "rare") == 50) // 200 candidates, quota binds
+    // equals the window formulation (the plan it replaces)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("strat")
+      .orderBy(substring(md5(concat(col("id").cast("string"), lit(":q1"))), 1, 13),
+        col("id"))
+    val ref = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 50)
+      .collect().map(r => (r.getString(1), r.getInt(2), r.getLong(0))).toSet
+    assert(got == ref)
+    // decisions are key-pure: partitioning can't change the draw
+    assert(draw(df.repartition(13)) == got)
+    // a quota above the stratum size returns the whole stratum
+    val small = Sampling.stratifiedQuota(
+      df.filter(col("strat") === "rare"), col("id"), col("strat"), 1000, "q1")
+    assert(small.count() == n / 100)
+  }
 }
