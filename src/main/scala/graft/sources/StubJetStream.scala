@@ -39,8 +39,15 @@ object StubJetStream {
     streams.getOrElseUpdate(name,
       new StubStream(name, subjects, maxMsgs, duplicateWindowMs))
 
-  /** Test helper: drop all streams and consumers. */
+  /** Test helper: drop all streams and consumers. Prefer [[drop]] in
+    * suites — test suites share this JVM-global registry and run in
+    * parallel, so a global clear here nukes streams another suite is
+    * actively reading/writing ("stream vanished" mid-test). */
   def reset(): Unit = streams.clear()
+
+  /** Test helper: drop one stream (and its consumers) by name, leaving
+    * other suites' streams alone. */
+  def drop(name: String): Unit = streams.remove(name)
 
   /** `subject.tokens.>`-style match: `>` matches 1+ trailing tokens. */
   def subjectMatches(pattern: String, subject: String): Boolean = {

@@ -18,6 +18,11 @@ class NatsConnectorSpec extends SparkSpec {
   private def post(uri: String, cid: String, text: String): String =
     s"""{"uri":"$uri","cid":"$cid","author":"a.test","text":"$text","created_at":"2024-01-01T00:00:00Z"}"""
 
+  /** Drop only THIS suite's streams — a global reset() would race
+    * with other suites sharing the stub registry. */
+  private def cleanSlate(): Unit =
+    Seq(InStream, OutStream, "dw").foreach(StubJetStream.drop)
+
   private def input(): StubStream =
     StubJetStream.ensure(InStream, Seq("bluesky.posts.>"))
 
@@ -37,7 +42,7 @@ class NatsConnectorSpec extends SparkSpec {
   }
 
   test("end-to-end: stub-nats source → enrichment → stub-nats sink") {
-    StubJetStream.reset()
+    cleanSlate()
     val in = input()
     in.publish("bluesky.posts.a", post("at://1", "c1",
       "m m m museum join join join join stream"), "at://1:c1")
@@ -70,7 +75,7 @@ class NatsConnectorSpec extends SparkSpec {
   }
 
   test("restart resumes from committed offsets; replay is dedup'd at the sink") {
-    StubJetStream.reset()
+    cleanSlate()
     val in = input()
     (1 to 3).foreach(i => in.publish("bluesky.posts.x",
       post(s"at://r$i", s"rc$i", "m m m join join join join"), s"at://r$i:rc$i"))
@@ -125,7 +130,7 @@ class NatsConnectorSpec extends SparkSpec {
   }
 
   test("admission control caps batch size at max_ack_pending") {
-    StubJetStream.reset()
+    cleanSlate()
     val in = input()
     (1 to 7).foreach(i => in.publish("bluesky.posts.x",
       post(s"at://a$i", s"ac$i", "m m m join join join join"), null))
@@ -144,7 +149,7 @@ class NatsConnectorSpec extends SparkSpec {
   }
 
   test("redelivery is visible via num_delivered (T3)") {
-    StubJetStream.reset()
+    cleanSlate()
     val in = input()
     in.publish("bluesky.posts.x", post("at://d1", "dc1", "t"), null)
     def readAll(name: String): Array[Int] = {
@@ -161,7 +166,7 @@ class NatsConnectorSpec extends SparkSpec {
   }
 
   test("publish retries with linear backoff, then fails the task") {
-    StubJetStream.reset()
+    cleanSlate()
     val out = StubJetStream.ensure(OutStream, Seq("bluesky.enriched.>"))
     val fac = NatsWriterFactory(OutStream, subjectIdx = 0, valueIdx = 1,
       msgIdIdx = -1, maxRetries = 3, retryDelayMs = 1)
@@ -184,7 +189,7 @@ class NatsConnectorSpec extends SparkSpec {
   }
 
   test("duplicate window expires: same msg-id republishes after expiry") {
-    StubJetStream.reset()
+    cleanSlate()
     val s = StubJetStream.ensure("dw", Seq(">"), duplicateWindowMs = 1000L)
     var now = 0L
     s.clock = () => now

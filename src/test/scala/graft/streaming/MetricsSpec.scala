@@ -15,10 +15,10 @@ class MetricsSpec extends SparkSpec {
     s"""{"uri":"at://m$i","cid":"mc$i","author":"a","text":"m m m join join join join","created_at":"2024-01-01T00:00:00Z"}"""
 
   test("listener surfaces backlog gauge, publish totals, and timeout taxonomy") {
-    StubJetStream.reset()
-    val in = StubJetStream.ensure("bluesky-posts", Seq("bluesky.posts.>"))
+    Seq("metrics-posts", "metrics-posts-enriched").foreach(StubJetStream.drop)
+    val in = StubJetStream.ensure("metrics-posts", Seq("bluesky.posts.>"))
     (1 to 6).foreach(i => in.publish("bluesky.posts.x", post(i), s"at://m$i:mc$i"))
-    val out = StubJetStream.ensure("bluesky-posts-enriched", Seq("bluesky.enriched.>"))
+    val out = StubJetStream.ensure("metrics-posts-enriched", Seq("bluesky.enriched.>"))
     out.failNextPublishes = 1 // one transient timeout → retried, counted
 
     val listener = new MetricsListener
@@ -26,13 +26,13 @@ class MetricsSpec extends SparkSpec {
     try {
       val q = StreamingEnrich.pipeline(
           spark.readStream.format("stub-nats")
-            .option("stream", "bluesky-posts")
+            .option("stream", "metrics-posts")
             .option("subject", "bluesky.posts.>")
             .option("maxAckPending", "2").load())
         .select(col("subject"), col("raw_value").as("value"),
           concat_ws(":", col("uri"), col("cid")).as("msg_id"))
         .writeStream.format("stub-nats")
-        .option("stream", "bluesky-posts-enriched")
+        .option("stream", "metrics-posts-enriched")
         .option("checkpointLocation",
           Files.createTempDirectory("metrics_ckpt").toString)
         .trigger(Trigger.AvailableNow()).start()

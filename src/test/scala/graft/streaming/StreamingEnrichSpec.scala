@@ -109,7 +109,7 @@ class StreamingEnrichSpec extends SparkSpec {
 
   test("run() publishes the wire format through the JetStream-shaped sink") {
     import graft.sources.StubJetStream
-    StubJetStream.reset()
+    StubJetStream.drop("enriched-out")
     val mem = MemoryStream[String](spark)
     val ckpt = Files.createTempDirectory("senrich_nats_ckpt").toString
     mem.addData(
