@@ -110,6 +110,32 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("incremental near-dup (d11) stays equi-join end to end") {
+    val plan = formatted(SparkEntry.queries("d11_incremental_neardup")(spark, sf))
+    // candidates must come from the (band, bh) equi-join against the
+    // index — any cartesian/BNLJ here means the bucket probe degraded
+    // to all-pairs
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("temperature mix (q27) gates with a narrow filter, rates ride a broadcast") {
+    val plan = formatted(SparkEntry.queries("q27_temperature_mix")(spark, sf))
+    // the per-stratum rate frame is tiny and must broadcast — a
+    // shuffled join would re-shuffle the corpus just to attach one int
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("stratified quota (q28) partial-aggregates; no per-stratum window sort") {
+    val plan = formatted(SparkEntry.queries("q28_stratified_quota")(spark, sf))
+    // the bounded top-k Aggregator must keep its partition-local
+    // combine (≤ k rows per partition per stratum reach the shuffle);
+    // a Window here would sort whole strata through single reducers
+    assert(plan.contains("partial_"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("recall contract (s05) keeps the exact top-k partial-aggregated") {
     val plan = formatted(SparkEntry.queries("s05_ann_recall")(spark, sf))
     // ground truth + both indexes all run the bounded top-k Aggregator;
