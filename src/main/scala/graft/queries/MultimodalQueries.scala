@@ -112,6 +112,49 @@ object MultimodalQueries {
           FROM sums s JOIN mn m USING (doc_id) GROUP BY s.doc_id)
         ${graft.operators.Dedup.sqlHammingTail(6)}""")),
 
+    // ---- m05: cross-modal retrieval (CLIP-shaped) --------------------
+    // Top-k retrieval ACROSS modalities: queries from one embedding
+    // modality, corpus restricted to the other (label parity plays the
+    // modality tag — in a real pipeline these are the image and text
+    // towers of a joint embedding space). Same scale shape as s01:
+    // tiny query side broadcast, norms precomputed per side, f32-chain
+    // cosine for bit-exact DuckDB replay, partition-local top-k so ≤ k
+    // rows per (partition, qid) reach the exchange. No self-exclusion
+    // predicate — the modality split already makes the sides disjoint.
+    Q("m05_crossmodal_topk",
+      (s, dir) => {
+        import graft.functions.VectorFunctions._
+        val Dim = 64; val K = 10
+        val emb = Tables(s, dir, "embeddings")
+          .withColumn("nrm", expr(chainNorm("embedding", Dim, 0)))
+        val q = emb.filter(col("label") % 2 === 0 && col("vec_id") < 16)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("nrm").as("qn"))
+        val corpus = emb.filter(col("label") % 2 === 1)
+          .select(col("vec_id"), col("embedding").as("e"), col("nrm").as("en"))
+        val scored = corpus.crossJoin(broadcast(q))
+          .withColumn("cos",
+            expr(s"CAST(${chainDot("qe", "e", Dim, 0)} AS DOUBLE)") /
+              (col("qn") * col("en")))
+        graft.operators.Similarity.topKPerQuery(scored, K)
+          .orderBy("qid", "rank")
+      },
+      Some({
+        import graft.functions.VectorFunctions._
+        val Dim = 64; val K = 10
+        s"""WITH n AS (SELECT vec_id, label, embedding,
+            ${chainNorm("embedding", Dim, 1)} AS nrm FROM embeddings),
+        q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn
+          FROM n WHERE label % 2 = 0 AND vec_id < 16),
+        c AS (SELECT qid, vec_id,
+            CAST(${chainDot("qe", "embedding", Dim, 1)} AS DOUBLE) / (qn * nrm) AS cos
+          FROM n, q WHERE label % 2 = 1),
+        r AS (SELECT qid, vec_id, cos, CAST(row_number() OVER (
+            PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank FROM c)
+        SELECT qid, vec_id, rank, cos FROM r WHERE rank <= $K
+        ORDER BY qid NULLS FIRST, rank NULLS FIRST"""
+      })),
+
     // ---- as-of join vs DuckDB's native ASOF JOIN --------------------
     Q("q17_asof_join",
       (s, dir) => {
