@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Packing, Sampling}
+
+/** End-to-end training-corpus preparation: the whole LLM data pipeline
+  * as ONE composed query, proving the operators chain — quality gate →
+  * exact dedup → benchmark decontamination → temperature-rebalanced
+  * mixture → sequence packing. Every stage is individually
+  * oracle-exact (t04, d01, d10, q27, t11), so the composition
+  * hash-checks end to end as well; the output is the final packed
+  * corpus layout a trainer would read.
+  *
+  * Scale: the chain is filters + one dedup shuffle + a broadcast probe
+  * + a narrow gate + the two-phase prefix scan — no stage introduces a
+  * plan shape beyond what its standalone query already pinned.
+  */
+object CorpusPrep {
+
+  val all: Seq[Q] = Seq(
+
+    Q("p01_corpus_prep",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        // 1. quality gate (t04 scoring)
+        val quality = docs.filter(length(trim(col("text"))) > 0)
+          .filter(TextFunctions.quality(col("text"), col("n_chars")) >= 0.5)
+        // 2. exact dedup — survivor = min doc_id per fingerprint
+        val survivors = Dedup.exactDedup(quality).select("doc_id")
+        val deduped = quality.join(survivors, "doc_id")
+        // 3. drop docs sharing an 8-gram with the benchmark set
+        val evalSet = docs.filter(col("doc_id") % 17 === 0)
+        val clean = deduped.join(
+          Dedup.decontaminate(deduped, evalSet)
+            .filter(!col("contaminated")).select("doc_id"), "doc_id")
+        // 4. temperature-rebalanced language mixture (q27 gate)
+        val sampled = Sampling.temperatureRebalance(
+          clean, col("doc_id"), col("lang"), salt = "prep1")
+        // 5. pack into 256-token training sequences (t11 scan)
+        Packing.packPlan(
+            sampled.select(col("doc_id"),
+              TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+            "doc_id", "n_tokens", budget = 256)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH q AS (SELECT doc_id, text, lang FROM documents
+          WHERE length(trim(text)) > 0
+            AND ${TextFunctions.sqlQuality("text", "n_chars")} >= 0.5),
+        g AS (SELECT doc_id, text, lang, row_number() OVER (
+            PARTITION BY ${TextFunctions.sqlFingerprint("text")}
+            ORDER BY doc_id) AS rn FROM q),
+        s AS (SELECT doc_id, text, lang FROM g WHERE rn = 1),
+        ${Dedup.sqlShinglesCte("s", 8)},
+        etoks AS (SELECT doc_id, ${TextFunctions.sqlTokens("text")} AS tk
+          FROM documents WHERE doc_id % 17 = 0),
+        eshi AS (SELECT doc_id, tk,
+            unnest(range(0, greatest(len(tk) - 7, 1))) AS i FROM etoks),
+        ev AS (SELECT DISTINCT array_to_string(tk[i + 1:i + 8], ' ') AS sh
+          FROM eshi),
+        cont AS (SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (sh)),
+        clean AS (SELECT * FROM s
+          WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+        cnt AS (SELECT lang, count(*) AS c FROM clean GROUP BY lang),
+        m AS (SELECT min(c) AS cmin FROM cnt),
+        r AS (SELECT lang, CAST(floor(sqrt(CAST(cmin AS DOUBLE)
+            / CAST(c AS DOUBLE)) * 65536) AS INT) AS thr FROM cnt, m),
+        samp AS (SELECT clean.* FROM clean JOIN r USING (lang)
+          WHERE thr = 65536 OR
+            substr(md5(CAST(doc_id AS VARCHAR) || ':prep1'), 1, 4) <
+              lower(lpad(hex(thr), 4, '0'))),
+        t AS (SELECT doc_id,
+            CAST(${TextFunctions.sqlTokenCount("text")} AS BIGINT) AS n_tokens
+          FROM samp),
+        c AS (SELECT doc_id, n_tokens,
+            CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              AS start_tok
+          FROM t)
+        SELECT doc_id, n_tokens, start_tok,
+          start_tok // 256 AS seq_first,
+          greatest(start_tok // 256, (start_tok + n_tokens - 1) // 256) AS seq_last,
+          CAST(start_tok % 256 AS INT) AS seq_offset
+        FROM c ORDER BY doc_id NULLS FIRST""")),
+  )
+}
