@@ -104,6 +104,36 @@ class DedupSpec extends SparkSpec {
     assert(out(3L)._2, s"verbatim eval doc not flagged: $out")
   }
 
+  test("hammingPairs pigeonhole guarantee: every pair within Hamming ≤ 3 is found") {
+    // 4 disjoint 16-bit blocks ⇒ a pair differing in ≤ 3 bits must
+    // agree exactly on ≥ 1 block, so block-collision candidates can't
+    // miss (this is the guarantee d04/m04 lean on). Seeded random
+    // corpus + planted near pairs, both directions checked.
+    val rnd = new scala.util.Random(42)
+    val base = Seq.tabulate(60)(i => (i.toLong, rnd.nextLong()))
+    val planted = base.take(20).map { case (i, h) =>
+      var v = h
+      (0 until 1 + rnd.nextInt(3)).foreach(_ => v ^= (1L << rnd.nextInt(64)))
+      (1000L + i, v)
+    }
+    val df = (base ++ planted).toDF("doc_id", "h")
+    val found = Dedup.hammingPairs(df, "doc_id", "h", maxHamming = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = (base ++ planted)
+    // completeness: every qualifying pair was found...
+    for (Seq((ia, ha), (ib, hb)) <- all.combinations(2)) {
+      if (java.lang.Long.bitCount(ha ^ hb) <= 3)
+        assert(found.contains((math.min(ia, ib), math.max(ia, ib))),
+          s"missed pair ($ia,$ib) hamming=${java.lang.Long.bitCount(ha ^ hb)}")
+    }
+    // ...and nothing else (soundness of the exact verify)
+    val hs = all.toMap
+    found.foreach { case (a, b) =>
+      assert(java.lang.Long.bitCount(hs(a) ^ hs(b)) <= 3, s"bogus pair ($a,$b)")
+    }
+  }
+
   test("incremental near-dup: history matches drop, new docs survive, batch-internal dups don't disqualify") {
     val hist = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and runs far away tonight while everyone sleeps soundly"),

@@ -95,4 +95,31 @@ class DedupWindowSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming incremental dedup: stream-static anti-join vs the corpus index (d09 shape)") {
+    // d09's batch anti-join is also the streaming-ingest shape: the
+    // historical fingerprint index sits on the STATIC side of a
+    // stream-static left-anti join, so each micro-batch ships only
+    // never-seen-before documents. The static side re-scans per batch
+    // (at scale: a bucketed/indexed table), stream side stays narrow.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    val hist = Seq("seen doc one", "seen doc two").toDF("text")
+      .select(TextFunctions.fingerprint(col("text")).as("fp")).distinct()
+    val mem = MemoryStream[String](spark)
+    val out = mem.toDF().select(col("value").as("text"),
+        TextFunctions.fingerprint(col("value")).as("fp"))
+      .join(hist, Seq("fp"), "left_anti")
+    val q = out.writeStream.format("memory")
+      .queryName("inc_dedup_out").outputMode("append").start()
+    mem.addData("seen doc one", "brand new doc", "seen doc two")
+    q.processAllAvailable()
+    mem.addData("another new doc", "seen doc one")
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("inc_dedup_out").select("text")
+      .collect().map(_.getString(0)).toSet
+    assert(kept == Set("brand new doc", "another new doc"), kept.toString)
+  }
 }
