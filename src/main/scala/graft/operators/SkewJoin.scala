@@ -43,10 +43,10 @@ object SkewJoin {
   }
 
   /** Fact-fact-safe salted join: detect the hot keys first, then salt /
-    * replicate ONLY their rows; everything else takes a plain shuffle
-    * join. The ×salt blow-up is bounded by `maxHotKeys × salt` right
-    * rows instead of ×salt of the whole table — the shape that survives
-    * a right side that doesn't fit in memory.
+    * replicate ONLY their rows. The ×salt blow-up is bounded by
+    * `maxHotKeys × salt` right rows instead of ×salt of the whole
+    * table — the shape that survives a right side that doesn't fit in
+    * memory.
     *
     * Hot-key detection is a frequency aggregate over a sample of the
     * left (the probe side, where skew hurts): `sampleFraction = 1.0`
@@ -54,15 +54,23 @@ object SkewJoin {
     * ~1e-3 and scale `hotThreshold` down to match — detection only has
     * to catch keys big enough to straggle, and those survive any
     * sample. The hot set stays DISTRIBUTED end-to-end: a ≤`maxHotKeys`-
-    * row frame, `localCheckpoint`ed once (it gates four scans) and
-    * broadcast into semi/anti joins that split both inputs — no driver
+    * row frame, `localCheckpoint`ed once and broadcast — no driver
     * collect, no giant `isin` literal.
     *
+    * Each input is scanned exactly ONCE (pinned in SkewBandJoinSpec):
+    * a broadcast left-outer join tags every row with a `_hot` flag, and
+    * the salt is conditional on it — hot left rows scatter across
+    * `salt` reducers, cold left rows take salt 0; hot right rows
+    * replicate `salt` ways, cold right rows keep a single replica
+    * (salt 0). One equi-join on (key, salt) then serves both
+    * populations — no semi/anti re-scans of the facts, no union, and
+    * only ONE shuffle join in the plan.
+    *
     * Result set is exactly `left.join(right, Seq(key))` in any row
-    * order: the hot/cold split is a partition of the key space, each
-    * matching pair joins in exactly one branch, and within the hot
-    * branch each pair meets exactly once (one salt per left row, one
-    * replica per salt value on the right). */
+    * order: each left row carries exactly one salt value, and each
+    * right row exists exactly once per salt value its key can produce
+    * on the left (all of [0, salt) for hot keys, {0} for cold keys),
+    * so every matching (l, r) pair joins exactly once. */
   def hotKeySaltedJoin(left: DataFrame, right: DataFrame, key: String,
       salt: Int = 16, hotThreshold: Long = 1000L,
       sampleFraction: Double = 1.0, maxHotKeys: Int = 10000): DataFrame = {
@@ -76,17 +84,20 @@ object SkewJoin {
       .filter(col("_n") >= hotThreshold)
       .orderBy(col("_n").desc, col(key))
       .limit(maxHotKeys)
-      .select(key)
-      .localCheckpoint() // materialize once; gates all four branch scans
-    val leftHot = left.join(broadcast(hotKeys), Seq(key), "left_semi")
-      .withColumn("_salt",
-        pmod(xxhash64(monotonically_increasing_id()), lit(salt.toLong)))
-    val rightHot = right.join(broadcast(hotKeys), Seq(key), "left_semi")
-      .withColumn("_salt",
-        explode(array((0 until salt).map(s => lit(s.toLong)): _*)))
-    val hotJoined = leftHot.join(rightHot, Seq(key, "_salt")).drop("_salt")
-    val coldJoined = left.join(broadcast(hotKeys), Seq(key), "left_anti")
-      .join(right.join(broadcast(hotKeys), Seq(key), "left_anti"), Seq(key))
-    hotJoined.unionByName(coldJoined)
+      .select(col(key), lit(true).as("_hot"))
+      .localCheckpoint() // materialize once; broadcast into both flag joins
+    // `_hot` is null (not false) for cold rows — when() treats both as
+    // "not hot", so the otherwise-branch salt applies
+    val saltedLeft = left.join(broadcast(hotKeys), Seq(key), "left")
+      .withColumn("_salt", when(col("_hot"),
+          pmod(xxhash64(monotonically_increasing_id()), lit(salt.toLong)))
+        .otherwise(lit(0L)))
+      .drop("_hot")
+    val saltedRight = right.join(broadcast(hotKeys), Seq(key), "left")
+      .withColumn("_salt", explode(when(col("_hot"),
+          array((0 until salt).map(s => lit(s.toLong)): _*))
+        .otherwise(array(lit(0L)))))
+      .drop("_hot")
+    saltedLeft.join(saltedRight, Seq(key, "_salt")).drop("_salt")
   }
 }

@@ -17,6 +17,16 @@ import graft.operators.{Dedup, Packing, Sampling}
   * Scale: the chain is filters + one dedup shuffle + a broadcast probe
   * + a narrow gate + the two-phase prefix scan — no stage introduces a
   * plan shape beyond what its standalone query already pinned.
+  *
+  * The two multi-consumer frontiers are pinned with `localCheckpoint`:
+  * `deduped` feeds both the decontamination shingle pass and the
+  * survivor join, `clean` feeds both the mixture-rate count and the
+  * sampling gate. Without the pins Spark re-evaluates the whole
+  * upstream lineage (quality filter + fingerprint chain, then the
+  * shingle probe) once per consumer — at sf0.1 that tripled p01's
+  * cost vs its stage sum; at 100 TB it re-reads the corpus. With
+  * them, each stage runs exactly once and downstream stages read the
+  * materialized frontier (PlanSpec pins the final plan's leaf set).
   */
 object CorpusPrep {
 
@@ -30,12 +40,13 @@ object CorpusPrep {
           .filter(TextFunctions.quality(col("text"), col("n_chars")) >= 0.5)
         // 2. exact dedup — survivor = min doc_id per fingerprint
         val survivors = Dedup.exactDedup(quality).select("doc_id")
-        val deduped = quality.join(survivors, "doc_id")
+        val deduped = quality.join(survivors, "doc_id").localCheckpoint()
         // 3. drop docs sharing an 8-gram with the benchmark set
         val evalSet = docs.filter(col("doc_id") % 17 === 0)
         val clean = deduped.join(
           Dedup.decontaminate(deduped, evalSet)
             .filter(!col("contaminated")).select("doc_id"), "doc_id")
+          .localCheckpoint()
         // 4. temperature-rebalanced language mixture (q27 gate)
         val sampled = Sampling.temperatureRebalance(
           clean, col("doc_id"), col("lang"), salt = "prep1")

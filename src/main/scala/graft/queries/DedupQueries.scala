@@ -154,7 +154,7 @@ object DedupQueries {
         val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
         val planted = docs.unionByName(
           docs.filter(col("doc_id") < 250)
-            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+            .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
         val sh = Dedup.shingles(planted, k = 8)
         val perSpan = sh.groupBy("sh").agg(count(lit(1)).as("nd"))
         sh.join(perSpan, "sh")
@@ -167,7 +167,7 @@ object DedupQueries {
           .orderBy("doc_id")
       },
       Some(s"""WITH d2 AS (SELECT doc_id, text FROM documents
-          UNION ALL SELECT doc_id + 20000, text FROM documents WHERE doc_id < 250),
+          UNION ALL SELECT doc_id + 1000000000, text FROM documents WHERE doc_id < 250),
         ${Dedup.sqlShinglesCte("d2", 8)},
         ps AS (SELECT sh, count(*) AS nd FROM sh GROUP BY sh),
         p AS (SELECT doc_id, count(*) AS n_spans,
@@ -203,14 +203,21 @@ object DedupQueries {
     // The oracle replays it as exact all-pairs Jaccard on the
     // hist ∪ batch union restricted to cross-group pairs — within-
     // batch dups deliberately don't disqualify (see operator doc).
+    // Batch ids live at +1e9 so the two id spaces stay disjoint at any
+    // supported SF (doc_id is int64; a hard-coded small offset would
+    // collide once the corpus outgrows it and silently corrupt the
+    // oracle's id-range group classification). Fixture pairs must also
+    // stay far from the J=0.5 threshold (here J≈0.9): the hash-exact
+    // gate relies on LSH recovering every oracle pair, and r=2/b=64
+    // miss odds are ~1e-8 only when J is well above minJ.
     Q("d11_incremental_neardup",
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
         val near = docs.filter(col("doc_id") < 250)
-          .select((col("doc_id") + 30000).as("doc_id"),
+          .select((col("doc_id") + 1000000000L).as("doc_id"),
             concat(col("text"), lit(" zz edit marker token pad")).as("text"))
         val fresh = docs.filter(col("doc_id") >= 250 && col("doc_id") < 300)
-          .select((col("doc_id") + 30000).as("doc_id"),
+          .select((col("doc_id") + 1000000000L).as("doc_id"),
             concat(lit("brand new document number "), col("doc_id").cast("string"),
               lit(" with totally unseen vocabulary alpha beta gamma delta" +
                 " epsilon zeta eta theta")).as("text"))
@@ -219,17 +226,17 @@ object DedupQueries {
       },
       Some(s"""WITH d2 AS (
           SELECT doc_id, text FROM documents
-          UNION ALL SELECT doc_id + 30000, text || ' zz edit marker token pad'
+          UNION ALL SELECT doc_id + 1000000000, text || ' zz edit marker token pad'
             FROM documents WHERE doc_id < 250
-          UNION ALL SELECT doc_id + 30000, 'brand new document number ' ||
+          UNION ALL SELECT doc_id + 1000000000, 'brand new document number ' ||
               CAST(doc_id AS VARCHAR) || ' with totally unseen vocabulary' ||
               ' alpha beta gamma delta epsilon zeta eta theta'
             FROM documents WHERE doc_id >= 250 AND doc_id < 300),
         ${Dedup.sqlJaccardCtes("d2")},
         dup AS (SELECT DISTINCT id_b AS doc_id FROM jp
-          WHERE id_a < 30000 AND id_b >= 30000)
+          WHERE id_a < 1000000000 AND id_b >= 1000000000)
         SELECT doc_id FROM d2
-        WHERE doc_id >= 30000 AND doc_id NOT IN (SELECT doc_id FROM dup)
+        WHERE doc_id >= 1000000000 AND doc_id NOT IN (SELECT doc_id FROM dup)
         ORDER BY doc_id NULLS FIRST""")),
 
     // ---- d09: incremental dedup (daily ingest vs historical corpus) --
@@ -238,11 +245,12 @@ object DedupQueries {
     // one shuffle per side on fp, no broadcast (the corpus side is the
     // big one), partial-agg distinct on the index. Fixture: the batch
     // replays every even doc verbatim (must drop) and ships odd docs
-    // with new content (must survive).
+    // with new content (must survive). Batch ids live at +1e9 — see
+    // d11's note on SF-proof id-space disjointness.
     Q("d09_incremental_dedup",
       (s, dir) => {
         val hist = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
-        val batch = hist.select((col("doc_id") + 20000).as("doc_id"),
+        val batch = hist.select((col("doc_id") + 1000000000L).as("doc_id"),
           when(col("doc_id") % 2 === 0, col("text"))
             .otherwise(concat(col("text"), lit(" fresh update"))).as("text"))
         val index = hist
@@ -252,7 +260,7 @@ object DedupQueries {
           .select(col("doc_id"), col("fp"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH b AS (SELECT doc_id + 20000 AS doc_id,
+      Some(s"""WITH b AS (SELECT doc_id + 1000000000 AS doc_id,
           CASE WHEN doc_id % 2 = 0 THEN text
                ELSE text || ' fresh update' END AS text FROM documents),
         idx AS (SELECT DISTINCT ${TextFunctions.sqlFingerprint("text")} AS fp

@@ -40,14 +40,19 @@ object MultimodalQueries {
     // FLOAT division (IEEE round-to-nearest in both engines), exact
     // double summation of the 16 bucket values (24-bit mantissas over
     // a narrow exponent range — no rounding, so agg order is free).
+    // The emitted value is floor(sum * 1e4) — an integer derived from
+    // the identical double in both engines. (round(x, 4) is NOT
+    // portable: Spark rounds HALF_UP on the double's exact decimal
+    // expansion, DuckDB rounds via float arithmetic; they disagree on
+    // 2.675-style edge values.)
     Q("m02_media_features",
       (s, dir) =>
         Multimodal.extractFeatures(
             s, Multimodal.mediaFrame(Tables(s, dir, "documents")))
           .toDF()
           .select(col("doc_id"),
-            round(aggregate(col("features"), lit(0.0),
-              (acc, x) => acc + x), 4).as("feat_sum"),
+            floor(aggregate(col("features"), lit(0.0),
+              (acc, x) => acc + x) * 10000).as("feat_sum_e4"),
             size(col("features")).as("dim"))
           .orderBy("doc_id"),
       Some("""WITH m AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
@@ -59,8 +64,10 @@ object MultimodalQueries {
           sums AS (SELECT doc_id, j, sum(v) AS s FROM bv GROUP BY doc_id, j),
           fv AS (SELECT doc_id,
               CAST(CAST(s AS REAL) / CAST(255 AS REAL) AS DOUBLE) AS f FROM sums),
-          agg AS (SELECT doc_id, round(sum(f), 4) AS feat_sum FROM fv GROUP BY doc_id)
-        SELECT m.doc_id, coalesce(agg.feat_sum, 0.0) AS feat_sum,
+          agg AS (SELECT doc_id,
+              CAST(floor(sum(f) * 10000) AS BIGINT) AS feat_sum_e4
+            FROM fv GROUP BY doc_id)
+        SELECT m.doc_id, coalesce(agg.feat_sum_e4, 0) AS feat_sum_e4,
           CAST(16 AS INT) AS dim
         FROM m LEFT JOIN agg USING (doc_id)
         ORDER BY m.doc_id NULLS FIRST""")),
@@ -83,7 +90,9 @@ object MultimodalQueries {
     // avg-hash each image payload, then Hamming-bucket candidate join
     // (shared operators/Dedup.hammingPairs machinery — never all-pairs).
     // The doubled frame plants exact payload duplicates (Hamming 0);
-    // id shift is a multiple of 3 so media_type assignment is stable.
+    // id shift is a multiple of 3 so media_type assignment is stable,
+    // and lives at ~1e9 so planted ids never collide with real ids at
+    // any supported SF.
     // The avg-hash is pure byte arithmetic, so DuckDB replays it: hex
     // the payload, parse byte values, positional-bucket sums, mean
     // threshold, then the shared Hamming-pairs tail.
@@ -91,13 +100,13 @@ object MultimodalQueries {
       (s, dir) => {
         val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
         val doubled = docs.unionByName(
-          docs.select((col("doc_id") + 30000).as("doc_id"), col("text")))
+          docs.select((col("doc_id") + 1000000002L).as("doc_id"), col("text")))
         val hashes = Multimodal.imageHashes(s, Multimodal.mediaFrame(doubled))
         graft.operators.Dedup.hammingPairs(hashes, "doc_id", "phash", 6)
           .orderBy("id_a", "id_b")
       },
       Some(s"""WITH d2 AS (SELECT doc_id, text FROM documents
-          UNION ALL SELECT doc_id + 30000, text FROM documents),
+          UNION ALL SELECT doc_id + 1000000002, text FROM documents),
         img AS (SELECT doc_id, hex(encode(text)) AS hx FROM d2 WHERE doc_id % 3 = 0),
         byt AS (SELECT doc_id, unnest(range(0, length(hx) // 2)) AS i, hx FROM img),
         bv AS (SELECT doc_id, i % 64 AS j,

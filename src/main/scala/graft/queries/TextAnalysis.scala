@@ -1,6 +1,5 @@
 package graft.queries
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -218,7 +217,10 @@ object TextAnalysis {
     // deterministic ranking — ties broken by term so the hash compare
     // is exact). score = tf·N/df stays integer until ONE final double
     // division. Shape: tf agg on (doc_id, term), df agg derived from
-    // tf (vocab-sized → AQE broadcasts the join), per-doc top-k window.
+    // tf (vocab-sized → AQE broadcasts the join), per-doc top-k via
+    // the bounded KeywordTopK Aggregator — partial-aggregated, ≤ 3
+    // rows per (partition, doc) reach the exchange; never a
+    // row_number window (PlanSpec pins the absence).
     Q("t10_tfidf_terms",
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
@@ -228,17 +230,12 @@ object TextAnalysis {
         val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
         val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
         val n = docs.agg(count(lit(1)).as("n_docs"))
-        val w = Window.partitionBy("doc_id")
-          .orderBy(col("score").desc, col("tok"))
-        tf.join(df, "tok")
+        val scored = tf.join(df, "tok")
           .crossJoin(broadcast(n))
           .filter(col("df") * 10 <= col("n_docs") * 9)
           .withColumn("score",
             (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 3)
-          .select(col("doc_id"), col("rank"), col("tok").as("term"),
-            col("tf"), col("df"), col("score"))
+        graft.operators.KeywordTopK.topTermsPerDoc(scored, 3)
           .orderBy("doc_id", "rank")
       },
       Some(s"""WITH d AS (SELECT doc_id, text || ' corpusfooter' AS text

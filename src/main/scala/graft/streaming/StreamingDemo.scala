@@ -29,7 +29,7 @@ object StreamingDemo {
       .option("maxFilesPerTrigger", 4)
       .text(inDir)
       .withColumnRenamed("value", "value")
-    val q = StreamingEnrich.run(spark, raw, ckptDir, outDir, Trigger.AvailableNow())
+    val q = StreamingEnrich.runParquet(spark, raw, ckptDir, outDir, Trigger.AvailableNow())
     q.awaitTermination()
     System.err.println(
       s"[stream] processed=${listener.count("posts_processed_total")} " +

@@ -123,7 +123,7 @@ object StreamingEnrich {
     * `format` is the connector's DataSourceRegister short name:
     * "stub-nats" here, a real client-backed provider under the same
     * contract in a deployment with the NATS jar. */
-  def run(spark: SparkSession, raw: DataFrame, checkpointDir: String,
+  def runNats(spark: SparkSession, raw: DataFrame, checkpointDir: String,
       outStream: String,
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
       format: String = "stub-nats"): StreamingQuery =

@@ -101,13 +101,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_count"), plan)
   }
 
-  test("tf-idf (t10) partial-aggregates tf and df; no shuffled join for the doc count") {
+  test("tf-idf (t10) partial-aggregates tf, df and the top-k; no window sort") {
     val plan = formatted(SparkEntry.queries("t10_tfidf_terms")(spark, sf))
     assert(plan.contains("partial_count"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
     // the scalar n_docs rides a broadcast (1-row BNLJ is the intended
     // plan for a scalar cross join; anything else re-shuffles tf)
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    // per-doc top-3 runs the bounded KeywordTopK Aggregator: the plan
+    // must show its partial (map-side) phase and no Window node — a
+    // row_number window would shuffle+sort every scored (doc, term)
+    assert(plan.contains("partial_keywordtopkagg"), plan)
+    assert(!plan.contains("Window"), plan)
   }
 
   test("incremental near-dup (d11) stays equi-join end to end") {
@@ -134,6 +139,40 @@ class PlanSpec extends SparkSpec {
     // a Window here would sort whole strata through single reducers
     assert(plan.contains("partial_"), plan)
     assert(!plan.contains("Window"), plan)
+  }
+
+  test("corpus prep (p01) scans the corpus a bounded number of times") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    // count rows read from FILES (stages containing a FileScanRDD)
+    // across EVERY job p01 triggers — the checkpoint materializations
+    // and the final collect. Without the localCheckpoint pins on the
+    // dedup/decontamination frontiers, each downstream consumer
+    // re-evaluates the whole upstream lineage and this count blows up
+    // to ≥4× the corpus (the sf0.1 3×-stage-sum regression).
+    val fileRecords = new java.util.concurrent.atomic.AtomicLong
+    val listener = new SparkListener {
+      override def onStageCompleted(ev: SparkListenerStageCompleted): Unit =
+        if (ev.stageInfo.rddInfos.exists(_.name.contains("FileScanRDD")))
+          fileRecords.addAndGet(ev.stageInfo.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val total = try {
+      SparkEntry.queries("p01_corpus_prep")(spark, sf).collect()
+      // the listener bus is async — wait for the counter to go quiet
+      var prev = -1L; var stable = 0
+      while (stable < 5) {
+        val cur = fileRecords.get
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        Thread.sleep(100)
+      }
+      fileRecords.get
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    // expected file reads: quality gate ×2 inside the one dedup job
+    // (agg + survivor join-back) + the eval-set probe ×1 — everything
+    // downstream reads the checkpointed frontiers, never the files
+    assert(total <= 3 * n + 16,
+      s"corpus scanned too often: $total file-rows read for n=$n")
   }
 
   test("recall contract (s05) keeps the exact top-k partial-aggregated") {

@@ -65,12 +65,12 @@ class SkewBandJoinSpec extends SparkSpec {
     }
   }
 
-  test("hotKeySaltedJoin replicates only the hot-key subset") {
-    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
-    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join}
+  test("hotKeySaltedJoin scans each input once and salts only hot keys") {
+    import org.apache.spark.sql.catalyst.plans.LeftOuter
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LocalRelation, Union}
     import spark.implicits._
     // hot key 7 on both sides; cold keys 81..100 (left) overlap
-    // 81..105 (right) on 81..100 so the cold branch carries real rows
+    // 81..105 (right) on 81..100 so the cold population carries real rows
     val left = (1 to 100).map(i => (if (i <= 80) 7L else i.toLong, i.toLong))
       .toDF("k", "lv")
     val right = (1 to 50).map(i => (if (i <= 25) 7L else (i + 55).toLong, i.toLong))
@@ -78,20 +78,32 @@ class SkewBandJoinSpec extends SparkSpec {
     val df = SkewJoin.hotKeySaltedJoin(left, right, "k",
       salt = 4, hotThreshold = 10L)
     val plan = df.queryExecution.optimizedPlan
-    // the one explode (salt replication) must sit above a semi join
-    // against the hot-key frame — i.e. its input is the hot subset,
-    // never the whole right table
+    // single-scan contract: each fact input appears exactly once as a
+    // leaf (the hot-key frame is a checkpointed RDD leaf, not a
+    // LocalRelation, so counting LocalRelations counts the inputs) —
+    // no semi/anti re-scans, no union of hot and cold branches
+    val inputLeaves = plan.collect { case l: LocalRelation => l }
+    assert(inputLeaves.size == 2,
+      s"each input must be scanned once, got ${inputLeaves.size} input leaves")
+    assert(plan.collect { case u: Union => u }.isEmpty,
+      "single-join shape: no hot/cold union")
+    // exactly one explode, and it consumes the flag join (the whole
+    // right side tagged `_hot`), emitting salt replicas conditionally:
+    // ×salt for hot rows, ×1 for cold rows
     val gens = plan.collect { case g: Generate => g }
     assert(gens.size == 1, s"expected one explode, got ${gens.size}")
     assert(gens.head.child.collect {
-      case j: Join if j.joinType == LeftSemi => j
-    }.nonEmpty, "salt explode must consume the hot-key semi join")
-    // and the cold branch exists: anti joins keep hot keys out of it
-    assert(plan.collect {
-      case j: Join if j.joinType == LeftAnti => j
-    }.size == 2, "both inputs need a cold-side anti join")
-    // sanity on the rows themselves: hot key 7 joins 80×25 times in the
-    // salted branch, cold keys 81..100 join 1:1 in the plain branch
+      case j: Join if j.joinType == LeftOuter => j
+    }.nonEmpty, "salt explode must consume the broadcast hot-flag join")
+    // one shuffle-able inner join on (key, salt); the two flag joins are
+    // broadcast left-outers against the ≤maxHotKeys frame
+    val joins = plan.collect { case j: Join => j }
+    assert(joins.size == 3, s"expected 3 joins (2 flag + 1 salted), got ${joins.size}")
+    assert(joins.count(_.joinType == LeftOuter) == 2)
+    // replication is bounded by the hot subset: 80 hot + 20 cold left
+    // rows and 25×4 hot + 25 cold right replicas — not |right|×salt
+    // sanity on the rows themselves: hot key 7 joins 80×25 times, cold
+    // keys 81..100 join 1:1
     val rows = df.select("k", "lv", "rv").collect()
     assert(rows.count(_.getLong(0) == 7L) == 80 * 25)
     assert(rows.length == 80 * 25 + 20)

@@ -107,7 +107,7 @@ class StreamingEnrichSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).toSeq == Seq("at://ok"))
   }
 
-  test("run() publishes the wire format through the JetStream-shaped sink") {
+  test("runNats() publishes the wire format through the JetStream-shaped sink") {
     import graft.sources.StubJetStream
     StubJetStream.drop("enriched-out")
     val mem = MemoryStream[String](spark)
@@ -116,7 +116,7 @@ class StreamingEnrichSpec extends SparkSpec {
       post("at://1", "c1", "m m m museum join join join join stream"),
       post("at://1", "c1", "m m m museum join join join join stream"), // dup
       """{not valid json""")
-    val q = StreamingEnrich.run(spark, mem.toDF(), ckpt, "enriched-out",
+    val q = StreamingEnrich.runNats(spark, mem.toDF(), ckpt, "enriched-out",
       org.apache.spark.sql.streaming.Trigger.AvailableNow())
     q.awaitTermination(60000)
     val stream = StubJetStream.info("enriched-out").get
@@ -131,7 +131,7 @@ class StreamingEnrichSpec extends SparkSpec {
     val mem2 = MemoryStream[String](spark)
     mem2.addData(post("at://1", "c1", "m m m museum join join join join stream"))
     val ckpt2 = Files.createTempDirectory("senrich_nats_ckpt2").toString
-    val q2 = StreamingEnrich.run(spark, mem2.toDF(), ckpt2, "enriched-out",
+    val q2 = StreamingEnrich.runNats(spark, mem2.toDF(), ckpt2, "enriched-out",
       org.apache.spark.sql.streaming.Trigger.AvailableNow())
     q2.awaitTermination(60000)
     assert(StubJetStream.info("enriched-out").get.allMessages.size == 1)
