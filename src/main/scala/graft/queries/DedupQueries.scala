@@ -19,6 +19,40 @@ object DedupQueries {
     val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
     d.unionByName(d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
   }
+
+  /** The d11/d12 ingest-batch fixture: 250 lightly-edited replays of
+    * the corpus (near-dups, must drop) + 50 genuinely new docs (must
+    * survive), ids at +1e9 (disjoint from the corpus at any SF). */
+  private def ingestBatch(docs: org.apache.spark.sql.DataFrame) = {
+    val near = docs.filter(col("doc_id") < 250)
+      .select((col("doc_id") + 1000000000L).as("doc_id"),
+        concat(col("text"), lit(" zz edit marker token pad")).as("text"))
+    val fresh = docs.filter(col("doc_id") >= 250 && col("doc_id") < 300)
+      .select((col("doc_id") + 1000000000L).as("doc_id"),
+        concat(lit("brand new document number "), col("doc_id").cast("string"),
+          lit(" with totally unseen vocabulary alpha beta gamma delta" +
+            " epsilon zeta eta theta")).as("text"))
+    near.unionByName(fresh)
+  }
+
+  /** Shared oracle for d11/d12: exact all-pairs Jaccard on the
+    * hist ∪ batch union, survivors = batch docs with no cross-group
+    * pair. */
+  private val sqlIngestSurvivors =
+    s"""WITH d2 AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 1000000000, text || ' zz edit marker token pad'
+          FROM documents WHERE doc_id < 250
+        UNION ALL SELECT doc_id + 1000000000, 'brand new document number ' ||
+            CAST(doc_id AS VARCHAR) || ' with totally unseen vocabulary' ||
+            ' alpha beta gamma delta epsilon zeta eta theta'
+          FROM documents WHERE doc_id >= 250 AND doc_id < 300),
+      ${Dedup.sqlJaccardCtes("d2")},
+      dup AS (SELECT DISTINCT id_b AS doc_id FROM jp
+        WHERE id_a < 1000000000 AND id_b >= 1000000000)
+      SELECT doc_id FROM d2
+      WHERE doc_id >= 1000000000 AND doc_id NOT IN (SELECT doc_id FROM dup)
+      ORDER BY doc_id NULLS FIRST"""
   private val sqlDoubled =
     """d2 AS (SELECT doc_id, text FROM documents
        UNION ALL SELECT doc_id + 10000, text FROM documents)"""
@@ -213,31 +247,28 @@ object DedupQueries {
     Q("d11_incremental_neardup",
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
-        val near = docs.filter(col("doc_id") < 250)
-          .select((col("doc_id") + 1000000000L).as("doc_id"),
-            concat(col("text"), lit(" zz edit marker token pad")).as("text"))
-        val fresh = docs.filter(col("doc_id") >= 250 && col("doc_id") < 300)
-          .select((col("doc_id") + 1000000000L).as("doc_id"),
-            concat(lit("brand new document number "), col("doc_id").cast("string"),
-              lit(" with totally unseen vocabulary alpha beta gamma delta" +
-                " epsilon zeta eta theta")).as("text"))
-        Dedup.incrementalNearDupSurvivors(docs, near.unionByName(fresh))
+        Dedup.incrementalNearDupSurvivors(docs, ingestBatch(docs))
           .orderBy("doc_id")
       },
-      Some(s"""WITH d2 AS (
-          SELECT doc_id, text FROM documents
-          UNION ALL SELECT doc_id + 1000000000, text || ' zz edit marker token pad'
-            FROM documents WHERE doc_id < 250
-          UNION ALL SELECT doc_id + 1000000000, 'brand new document number ' ||
-              CAST(doc_id AS VARCHAR) || ' with totally unseen vocabulary' ||
-              ' alpha beta gamma delta epsilon zeta eta theta'
-            FROM documents WHERE doc_id >= 250 AND doc_id < 300),
-        ${Dedup.sqlJaccardCtes("d2")},
-        dup AS (SELECT DISTINCT id_b AS doc_id FROM jp
-          WHERE id_a < 1000000000 AND id_b >= 1000000000)
-        SELECT doc_id FROM d2
-        WHERE doc_id >= 1000000000 AND doc_id NOT IN (SELECT doc_id FROM dup)
-        ORDER BY doc_id NULLS FIRST""")),
+      Some(sqlIngestSurvivors)),
+
+    // ---- d12: same ingest, probing the PERSISTED bucketed index -----
+    // The deployed shape of d11: the history's band buckets and
+    // signatures are written ONCE as tables bucketed on their join
+    // keys (writeNearDupIndex); the nightly batch probes them in
+    // place — the corpus-sized side never re-shuffles (LayoutSpec
+    // pins the exchange-free scan). Output is identical to d11, so it
+    // shares the oracle: same fixture, same survivors, hash-exact.
+    Q("d12_neardup_index_probe",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        Dedup.writeNearDupIndex(
+          docs.select(col("doc_id"), col("text")), "graft_d12_idx")
+        Dedup.incrementalNearDupSurvivorsIndexed(s, "graft_d12_idx",
+            ingestBatch(docs))
+          .orderBy("doc_id")
+      },
+      Some(sqlIngestSurvivors)),
 
     // ---- d09: incremental dedup (daily ingest vs historical corpus) --
     // The production shape of exact dedup at 100 TB: a new batch is

@@ -48,6 +48,64 @@ class LayoutSpec extends SparkSpec {
     assert(leaves.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,"), leaves)
   }
 
+  test("persisted LSH index: history side of the probe joins without an exchange") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.operators.Dedup
+    val docs = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    Dedup.writeNearDupIndex(docs, "graft_test_ndidx", numBuckets = 4)
+    val batch = docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 1000000000L).as("doc_id"),
+        concat(col("text"), lit(" zz pad")).as("text"))
+    def isIndexScan(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains("graft_test_ndidx"))
+      case _ => false
+    }
+    // at test scale Spark would broadcast the tiny index; at 100 TB
+    // the index side is the corpus-sized one — force the shuffled-join
+    // shape the bucketing contract is about, and plan non-adaptively
+    // so exchanges are visible pre-execution
+    val conf = spark.conf
+    val (aqe0, bjt0) = (conf.get("spark.sql.adaptive.enabled"),
+      conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    val plan = try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Dedup.incrementalNearDupSurvivorsIndexed(spark, "graft_test_ndidx", batch)
+        .queryExecution.executedPlan
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqe0)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", bjt0)
+    }
+    // both index tables are scanned, and neither is re-partitioned on
+    // its way into the join that consumes it: the bucketed layout IS
+    // the join partitioning, so only the batch-sized side moves.
+    // (Shuffles ABOVE the probe join — the candidate distinct, the
+    // anti join — are the batch-sized frames and are fine.)
+    val idxScans = plan.collect { case f: FileSourceScanExec if isIndexScan(f) => f }
+    assert(idxScans.size == 2, s"expected buckets+sigs scans:\n$plan")
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.nonEmpty,
+      "the batch side must shuffle to the bucket layout")
+    def pathTo(p: SparkPlan, target: SparkPlan): Option[List[SparkPlan]] =
+      if (p.eq(target)) Some(List(p))
+      else p.children.view.flatMap(c => pathTo(c, target)).headOption.map(p :: _)
+    idxScans.foreach { scan =>
+      val path = pathTo(plan, scan).getOrElse(fail(s"scan not in plan:\n$plan"))
+      val belowJoin = path.drop(path.lastIndexWhere(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]))
+      assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"index table re-shuffled before its join — bucketed layout not engaged:\n$plan")
+    }
+    // and the probe path returns exactly what the recompute path does
+    val viaIndex = Dedup.incrementalNearDupSurvivorsIndexed(
+      spark, "graft_test_ndidx", batch).collect().map(_.getLong(0)).sorted
+    val recomputed = Dedup.incrementalNearDupSurvivors(docs, batch)
+      .collect().map(_.getLong(0)).sorted
+    assert(viaIndex.sameElements(recomputed),
+      s"index probe diverged: ${viaIndex.length} vs ${recomputed.length} survivors")
+  }
+
   test("hive-partitioned layout prunes whole files at listing time") {
     val out = Files.createTempDirectory("layout_hive").toString
     Tables(spark, sf, "documents")
