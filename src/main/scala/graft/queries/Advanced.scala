@@ -29,8 +29,9 @@ object Advanced {
     // Results are identical to the plain l_orderkey join (the oracle
     // proves it); the plan detects the heaviest orderkeys (≥4 lineitems
     // here — at 100 TB the threshold targets genuine stragglers) and
-    // spreads ONLY their rows over 8 reducers. The cold majority joins
-    // plain, so neither fact table is blanket-replicated.
+    // spreads ONLY their rows over 8 reducers. Cold keys keep salt 0
+    // (single replica), so neither fact is blanket-replicated AND each
+    // fact is scanned exactly once (SkewBandJoinSpec pins both).
     Q("q18_salted_join",
       (s, dir) => {
         val line = Tables(s, dir, "lineitem")
