@@ -105,6 +105,58 @@ object Sampling {
     Similarity.topKPerQuery(scored, k)
   }
 
+  /** Deterministic corpus shuffle: every row gets its 0-based position
+    * in md5(key:salt) order — the reproducible global permutation a
+    * training pipeline applies before sequence packing. Data order is
+    * a hyperparameter: a retried/re-run job must ship the SAME order,
+    * which `orderBy(rand())` cannot promise; changing `salt` redraws
+    * the permutation.
+    *
+    * The global rank is the same scale trap as t11's prefix sum — a
+    * `row_number()` over one un-partitioned window moves the corpus
+    * through ONE reducer. Same cure (Packing's two-phase scan): range
+    * partition by the hash, per-partition row counts (P numbers) to
+    * the driver, exclusive scan there, then one narrow mapPartitions
+    * adding base + local index. `localCheckpoint` pins the sampled
+    * range boundaries across the two jobs. Ordering key = the 52-bit
+    * md5 prefix ([[stratifiedQuota]]'s trick: numeric order == the
+    * oracle's fixed-width-hex order), ties broken by `key` in BOTH
+    * the range partitioner and the within-partition sort, so the
+    * position is a pure function of the input set. */
+  def deterministicShuffle(df: DataFrame, key: Column, salt: String,
+      numParts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p = if (numParts > 0) numParts else spark.sparkContext.defaultParallelism
+    val hashed = df.withColumn("_sh_h",
+      conv(substring(md5(concat(key.cast("string"), lit(":" + salt))), 1, 13),
+        16, 10).cast("long"))
+    val parted = hashed
+      .repartitionByRange(p, col("_sh_h"), key)
+      .sortWithinPartitions(col("_sh_h"), key)
+      .withColumn("_sh_pid", spark_partition_id())
+      .localCheckpoint() // pin range boundaries across the two jobs
+    val counts = parted.groupBy(col("_sh_pid"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // exclusive scan over P per-partition counts (driver: O(P))
+    val bases = (0 until p).scanLeft(0L)((acc, i) =>
+      acc + counts.getOrElse(i, 0L)).toArray
+    val schema = parted.schema
+      .add("shuffle_pos", org.apache.spark.sql.types.LongType)
+    val bc = spark.sparkContext.broadcast(bases)
+    val pidIdx = parted.schema.fieldIndex("_sh_pid")
+    parted.mapPartitions { it =>
+      var run = -1L // initialized from the first row's pid
+      it.map { r =>
+        if (run < 0) run = bc.value(r.getInt(pidIdx))
+        val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ run)
+        run += 1
+        out
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+      .drop("_sh_h", "_sh_pid")
+  }
+
   /** DuckDB twin of [[temperatureRebalance]] over table `t`:
     * SELECTs `cols` of the kept rows (caller appends ORDER BY). */
   def sqlTemperatureRebalance(t: String, keyExpr: String, stratumCol: String,

@@ -180,6 +180,25 @@ object Advanced {
         SELECT lang, CAST(rn AS INT) AS rn, doc_id FROM r WHERE rn <= 40
         ORDER BY lang NULLS FIRST, rn NULLS FIRST""")),
 
+    // ---- deterministic corpus shuffle --------------------------------
+    // Reproducible global permutation in md5 order (data order is a
+    // training hyperparameter — a rerun must ship the same order). The
+    // rank runs as the two-phase distributed scan, never a one-reducer
+    // global window (PlanSpec pins the absence); the oracle's
+    // row_number window IS that single-reducer plan, fine for DuckDB
+    // at sf0.01 and exactly what the operator exists to avoid.
+    Q("q29_corpus_shuffle",
+      (s, dir) =>
+        Sampling.deterministicShuffle(
+            Tables(s, dir, "documents").select(col("doc_id"), col("lang")),
+            col("doc_id"), salt = "shuf1")
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang,
+          CAST(row_number() OVER (
+            ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':shuf1'), 1, 13),
+              doc_id) - 1 AS BIGINT) AS shuffle_pos
+        FROM documents ORDER BY doc_id NULLS FIRST""")),
+
     // ---- multiple COUNT(DISTINCT) in one aggregate -------------------
     // Catalyst plans N distinct aggregates over one input as a single
     // Expand (N+1 projections of each row) + two-phase aggregation —

@@ -175,6 +175,14 @@ class PlanSpec extends SparkSpec {
       s"corpus scanned too often: $total file-rows read for n=$n")
   }
 
+  test("corpus shuffle (q29) has no global window; rank rides the two-phase scan") {
+    val df = SparkEntry.queries("q29_corpus_shuffle")(spark, sf)
+    val plan = formatted(df)
+    // a row_number() over an un-partitioned window would sort the whole
+    // corpus through one reducer — the plan the operator exists to avoid
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("recall contract (s05) keeps the exact top-k partial-aggregated") {
     val plan = formatted(SparkEntry.queries("s05_ann_recall")(spark, sf))
     // ground truth + both indexes all run the bounded top-k Aggregator;

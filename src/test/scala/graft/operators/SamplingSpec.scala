@@ -75,6 +75,29 @@ class SamplingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("deterministic shuffle: a permutation, window-equivalent, partitioning-invariant") {
+    val df = spark.range(0, 3000).select(col("id"), (col("id") % 7).as("tag"))
+    def run(d: org.apache.spark.sql.DataFrame, parts: Int) =
+      Sampling.deterministicShuffle(d, col("id"), "sh1", parts)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = run(df, 8)
+    // positions are exactly 0..n-1 (a permutation, no gaps/dups)
+    assert(got.values.toSeq.sorted == (0L until 3000L), "not a permutation")
+    // equals the single-reducer window formulation it replaces
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(substring(md5(concat(col("id").cast("string"), lit(":sh1"))), 1, 13),
+        col("id"))
+    val ref = df.withColumn("p", row_number().over(w) - 1)
+      .collect().map(r => r.getLong(0) -> (r.getInt(2).toLong)).toMap
+    assert(got == ref)
+    // pure function of the input set: partition count / input layout
+    // can't move anything (retry/AQE stability)
+    assert(run(df.repartition(13), 3) == got)
+    // extra columns pass through untouched
+    val cols = Sampling.deterministicShuffle(df, col("id"), "sh1").columns.toSeq
+    assert(cols == Seq("id", "tag", "shuffle_pos"), cols.toString)
+  }
+
   test("stratified quota: exactly min(k, |stratum|) rows, window-equivalent, retry-stable") {
     val df = spark.range(n).select(col("id"),
       when(col("id") % 100 === 0, "rare").otherwise("common").as("strat"))
