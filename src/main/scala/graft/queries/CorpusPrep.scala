@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -9,10 +10,12 @@ import graft.operators.{Dedup, Packing, Sampling}
 /** End-to-end training-corpus preparation: the whole LLM data pipeline
   * as ONE composed query, proving the operators chain — quality gate →
   * exact dedup → benchmark decontamination → temperature-rebalanced
-  * mixture → sequence packing. Every stage is individually
-  * oracle-exact (t04, d01, d10, q27, t11), so the composition
-  * hash-checks end to end as well; the output is the final packed
-  * corpus layout a trainer would read.
+  * mixture → sequence packing (p01), plus the deterministic-shuffle
+  * variant that packs in permuted order (p02, the order a trainer
+  * actually consumes). Every stage is individually oracle-exact (t04,
+  * d01, d10, q27, q29, t11), so the compositions hash-check end to end
+  * as well; the output is the final packed corpus layout a trainer
+  * would read.
   *
   * Scale: the chain is filters + one dedup shuffle + a broadcast probe
   * + a narrow gate + the two-phase prefix scan — no stage introduces a
@@ -30,67 +33,113 @@ import graft.operators.{Dedup, Packing, Sampling}
   */
 object CorpusPrep {
 
+  /** Stages 1–4 (quality → dedup → decontamination → mixture), ending
+    * at the (doc_id, n_tokens) frame both packing variants consume. */
+  private def preppedTokens(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    // 1. quality gate (t04 scoring)
+    val quality = docs.filter(length(trim(col("text"))) > 0)
+      .filter(TextFunctions.quality(col("text"), col("n_chars")) >= 0.5)
+    // 2. exact dedup — survivor = min doc_id per fingerprint
+    val survivors = Dedup.exactDedup(quality).select("doc_id")
+    val deduped = quality.join(survivors, "doc_id").localCheckpoint()
+    // 3. drop docs sharing an 8-gram with the benchmark set
+    val evalSet = docs.filter(col("doc_id") % 17 === 0)
+    val clean = deduped.join(
+      Dedup.decontaminate(deduped, evalSet)
+        .filter(!col("contaminated")).select("doc_id"), "doc_id")
+      .localCheckpoint()
+    // 4. temperature-rebalanced language mixture (q27 gate)
+    Sampling.temperatureRebalance(clean, col("doc_id"), col("lang"),
+        salt = "prep1")
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+  }
+
+  /** Oracle CTEs for stages 1–4, ending at `t(doc_id, n_tokens)`. */
+  private val sqlThroughTokens =
+    s"""WITH q AS (SELECT doc_id, text, lang FROM documents
+        WHERE length(trim(text)) > 0
+          AND ${TextFunctions.sqlQuality("text", "n_chars")} >= 0.5),
+      g AS (SELECT doc_id, text, lang, row_number() OVER (
+          PARTITION BY ${TextFunctions.sqlFingerprint("text")}
+          ORDER BY doc_id) AS rn FROM q),
+      s AS (SELECT doc_id, text, lang FROM g WHERE rn = 1),
+      ${Dedup.sqlShinglesCte("s", 8)},
+      etoks AS (SELECT doc_id, ${TextFunctions.sqlTokens("text")} AS tk
+        FROM documents WHERE doc_id % 17 = 0),
+      eshi AS (SELECT doc_id, tk,
+          unnest(range(0, greatest(len(tk) - 7, 1))) AS i FROM etoks),
+      ev AS (SELECT DISTINCT array_to_string(tk[i + 1:i + 8], ' ') AS sh
+        FROM eshi),
+      cont AS (SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (sh)),
+      clean AS (SELECT * FROM s
+        WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+      cnt AS (SELECT lang, count(*) AS c FROM clean GROUP BY lang),
+      m AS (SELECT min(c) AS cmin FROM cnt),
+      r AS (SELECT lang, CAST(floor(sqrt(CAST(cmin AS DOUBLE)
+          / CAST(c AS DOUBLE)) * 65536) AS INT) AS thr FROM cnt, m),
+      samp AS (SELECT clean.* FROM clean JOIN r USING (lang)
+        WHERE thr = 65536 OR
+          substr(md5(CAST(doc_id AS VARCHAR) || ':prep1'), 1, 4) <
+            lower(lpad(hex(thr), 4, '0'))),
+      t AS (SELECT doc_id,
+          CAST(${TextFunctions.sqlTokenCount("text")} AS BIGINT) AS n_tokens
+        FROM samp)"""
+
   val all: Seq[Q] = Seq(
 
     Q("p01_corpus_prep",
-      (s, dir) => {
-        val docs = Tables(s, dir, "documents")
-        // 1. quality gate (t04 scoring)
-        val quality = docs.filter(length(trim(col("text"))) > 0)
-          .filter(TextFunctions.quality(col("text"), col("n_chars")) >= 0.5)
-        // 2. exact dedup — survivor = min doc_id per fingerprint
-        val survivors = Dedup.exactDedup(quality).select("doc_id")
-        val deduped = quality.join(survivors, "doc_id").localCheckpoint()
-        // 3. drop docs sharing an 8-gram with the benchmark set
-        val evalSet = docs.filter(col("doc_id") % 17 === 0)
-        val clean = deduped.join(
-          Dedup.decontaminate(deduped, evalSet)
-            .filter(!col("contaminated")).select("doc_id"), "doc_id")
-          .localCheckpoint()
-        // 4. temperature-rebalanced language mixture (q27 gate)
-        val sampled = Sampling.temperatureRebalance(
-          clean, col("doc_id"), col("lang"), salt = "prep1")
+      (s, dir) =>
         // 5. pack into 256-token training sequences (t11 scan)
-        Packing.packPlan(
-            sampled.select(col("doc_id"),
-              TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
-            "doc_id", "n_tokens", budget = 256)
-          .orderBy("doc_id")
-      },
-      Some(s"""WITH q AS (SELECT doc_id, text, lang FROM documents
-          WHERE length(trim(text)) > 0
-            AND ${TextFunctions.sqlQuality("text", "n_chars")} >= 0.5),
-        g AS (SELECT doc_id, text, lang, row_number() OVER (
-            PARTITION BY ${TextFunctions.sqlFingerprint("text")}
-            ORDER BY doc_id) AS rn FROM q),
-        s AS (SELECT doc_id, text, lang FROM g WHERE rn = 1),
-        ${Dedup.sqlShinglesCte("s", 8)},
-        etoks AS (SELECT doc_id, ${TextFunctions.sqlTokens("text")} AS tk
-          FROM documents WHERE doc_id % 17 = 0),
-        eshi AS (SELECT doc_id, tk,
-            unnest(range(0, greatest(len(tk) - 7, 1))) AS i FROM etoks),
-        ev AS (SELECT DISTINCT array_to_string(tk[i + 1:i + 8], ' ') AS sh
-          FROM eshi),
-        cont AS (SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (sh)),
-        clean AS (SELECT * FROM s
-          WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
-        cnt AS (SELECT lang, count(*) AS c FROM clean GROUP BY lang),
-        m AS (SELECT min(c) AS cmin FROM cnt),
-        r AS (SELECT lang, CAST(floor(sqrt(CAST(cmin AS DOUBLE)
-            / CAST(c AS DOUBLE)) * 65536) AS INT) AS thr FROM cnt, m),
-        samp AS (SELECT clean.* FROM clean JOIN r USING (lang)
-          WHERE thr = 65536 OR
-            substr(md5(CAST(doc_id AS VARCHAR) || ':prep1'), 1, 4) <
-              lower(lpad(hex(thr), 4, '0'))),
-        t AS (SELECT doc_id,
-            CAST(${TextFunctions.sqlTokenCount("text")} AS BIGINT) AS n_tokens
-          FROM samp),
+        Packing.packPlan(preppedTokens(s, dir), "doc_id", "n_tokens",
+            budget = 256)
+          .orderBy("doc_id"),
+      Some(s"""$sqlThroughTokens,
         c AS (SELECT doc_id, n_tokens,
             CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
               AS start_tok
           FROM t)
         SELECT doc_id, n_tokens, start_tok,
+          start_tok // 256 AS seq_first,
+          greatest(start_tok // 256, (start_tok + n_tokens - 1) // 256) AS seq_last,
+          CAST(start_tok % 256 AS INT) AS seq_offset
+        FROM c ORDER BY doc_id NULLS FIRST""")),
+
+    // ---- p02: the trainer's actual order — shuffle THEN pack ---------
+    // p01 packs in doc_id order; a real pipeline shuffles first (data
+    // order is a hyperparameter) and packs in permuted order. q29's
+    // deterministic shuffle assigns positions, t11's two-phase scan
+    // packs keyed on them, doc_id joins back over the 1:1 position —
+    // q29 and t11 provably compose, and the whole 6-stage chain stays
+    // hash-exact against the chained oracle.
+    Q("p02_shuffled_pack",
+      (s, dir) => {
+        val shuffled = Sampling.deterministicShuffle(
+          preppedTokens(s, dir), col("doc_id"), salt = "prep2")
+        Packing.packPlan(
+            shuffled.select(col("shuffle_pos"), col("n_tokens")),
+            "shuffle_pos", "n_tokens", budget = 256)
+          .join(shuffled.select(col("doc_id"), col("shuffle_pos")),
+            "shuffle_pos")
+          .select(col("doc_id"), col("shuffle_pos"), col("n_tokens"),
+            col("start_tok"), col("seq_first"), col("seq_last"),
+            col("seq_offset"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$sqlThroughTokens,
+        sh2 AS (SELECT doc_id, n_tokens,
+            CAST(row_number() OVER (ORDER BY
+                substr(md5(CAST(doc_id AS VARCHAR) || ':prep2'), 1, 13),
+                doc_id) - 1 AS BIGINT) AS shuffle_pos
+          FROM t),
+        c AS (SELECT doc_id, shuffle_pos, n_tokens,
+            CAST(COALESCE(sum(n_tokens) OVER (ORDER BY shuffle_pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              AS start_tok
+          FROM sh2)
+        SELECT doc_id, shuffle_pos, n_tokens, start_tok,
           start_tok // 256 AS seq_first,
           greatest(start_tok // 256, (start_tok + n_tokens - 1) // 256) AS seq_last,
           CAST(start_tok % 256 AS INT) AS seq_offset
