@@ -96,6 +96,57 @@ object Similarity {
     topKPerQuery(joined, k)
   }
 
+  /** Int8-quantized brute-force top-k with exact re-rank — the
+    * memory-bandwidth lever of large-scale ANN (FAISS-style scalar
+    * quantization): score candidates on 4×-smaller int8 codes, then
+    * re-rank only a per-query shortlist with the exact f32 cosine.
+    *
+    * Quantization is a GLOBAL symmetric scale (one scalar agg riding a
+    * broadcast — no collect): code = floor(x·127/max|x|). Everything
+    * downstream of the codes is INTEGER arithmetic, so the whole
+    * operator — codes, integer dot scores, shortlist cut (ties broken
+    * by vec_id), exact re-rank — replays bit-identically in DuckDB and
+    * hash-checks (unlike LSH/IVF, whose bucketing is engine-specific).
+    *
+    * Scale shape: stage 1 is s01's broadcast-queries + partition-local
+    * bounded top-k on the codes (≤ shortlist rows per partition per
+    * qid reach the exchange); stage 2 touches ≤ shortlist·|q| rows. In
+    * production the same codes live INSIDE IVF cells (scan 4× less per
+    * cell); composing with [[ivfTopK]]'s cell probe is mechanical. */
+  def quantizedTopK(spark: SparkSession, emb: DataFrame,
+      queryPred: org.apache.spark.sql.Column, k: Int = 10,
+      shortlist: Int = 30): DataFrame = {
+    val firstVec = emb.select(size(col("embedding"))).take(1)
+    if (firstVec.isEmpty) return emptyTopK(emb)
+    val dim = firstVec(0).getInt(0)
+    val maxabs = emb.agg(
+      max(array_max(transform(col("embedding"), x => abs(x)))).as("ma"))
+    val z = emb.crossJoin(broadcast(maxabs))
+      .withColumn("qv", expr("transform(embedding, " +
+        "x -> CAST(floor((CAST(x AS DOUBLE) * 127.0D) / CAST(ma AS DOUBLE)) AS INT))"))
+    val q = z.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"))
+    // stage 1: integer dot on the codes (exact, engine-portable)
+    val scored = z.select(col("vec_id"), col("qv"))
+      .join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos", expr(
+        "CAST(aggregate(zip_with(qq, qv, (a, b) -> CAST(a AS BIGINT) * b), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE)"))
+    val cands = topKPerQuery(scored.select("qid", "vec_id", "cos"), shortlist)
+    // stage 2: exact f32 cosine on the shortlist only, final top-k
+    val en = emb.select(col("vec_id"), col("embedding"),
+      expr(VectorFunctions.chainNorm("embedding", dim, 0)).as("nrm"))
+    val joined = cands.select("qid", "vec_id")
+      .join(en.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn")), "qid")
+      .join(en.select(col("vec_id"), col("embedding").as("e"),
+        col("nrm").as("en")), "vec_id")
+      .withColumn("cos",
+        expr(s"CAST(${VectorFunctions.chainDot("qe", "e", dim, 0)} AS DOUBLE)") /
+          (col("qn") * col("en")))
+    topKPerQuery(joined.select("qid", "vec_id", "cos"), k)
+  }
+
   // ---- random-hyperplane LSH ---------------------------------------
   /** Deterministic ±1 hyperplane weights from a seeded splitmix64. */
   def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Array[Array[Float]] = {

@@ -105,5 +105,40 @@ object SimilarityQueries {
         Similarity.ivfTopK(s, Tables(s, dir, "embeddings"), expr(QueryPred), K)
           .orderBy("qid", "rank"),
       None),
+
+    // ---- s06: int8-quantized ANN with exact re-rank ------------------
+    // Unlike s03/s04, quantized search IS oracle-exact: the codes,
+    // integer dot scores, shortlist cut and f32 re-rank are all
+    // deterministic integer/chain arithmetic DuckDB replays verbatim —
+    // so the third ANN family gets a hash row, not a rows-only check.
+    Q("s06_knn_quantized",
+      (s, dir) =>
+        Similarity.quantizedTopK(s, Tables(s, dir, "embeddings"),
+            expr(QueryPred), K, shortlist = 30)
+          .orderBy("qid", "rank"),
+      Some(s"""WITH ma AS (SELECT max(list_max(list_transform(embedding,
+            x -> abs(x)))) AS m FROM embeddings),
+        z AS (SELECT vec_id, embedding, list_transform(embedding,
+            x -> CAST(floor((CAST(x AS DOUBLE) * 127.0) / CAST(m AS DOUBLE))
+              AS INT)) AS qv
+          FROM embeddings, ma),
+        q AS (SELECT vec_id AS qid, qv AS qq FROM z WHERE $QueryPred),
+        sc AS (SELECT qid, z.vec_id,
+            CAST(${chainDot("qq", "qv", Dim, 1)} AS DOUBLE) AS cos
+          FROM z, q WHERE z.vec_id <> qid),
+        sl AS (SELECT qid, vec_id, row_number() OVER (
+            PARTITION BY qid ORDER BY cos DESC, vec_id) AS r FROM sc),
+        cand AS (SELECT qid, vec_id FROM sl WHERE r <= 30),
+        n AS (SELECT vec_id, embedding,
+            ${chainNorm("embedding", Dim, 1)} AS nrm FROM embeddings),
+        x AS (SELECT c.qid, c.vec_id,
+            CAST(${chainDot("qe.embedding", "e.embedding", Dim, 1)} AS DOUBLE)
+              / (qe.nrm * e.nrm) AS cos
+          FROM cand c JOIN n qe ON qe.vec_id = c.qid
+            JOIN n e ON e.vec_id = c.vec_id),
+        r AS (SELECT qid, vec_id, cos, CAST(row_number() OVER (
+            PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank FROM x)
+        SELECT qid, vec_id, rank, cos FROM r WHERE rank <= $K
+        ORDER BY qid NULLS FIRST, rank NULLS FIRST""")),
   )
 }

@@ -56,6 +56,26 @@ class SimilaritySpec extends SparkSpec {
     assert((bf & sp).nonEmpty)
   }
 
+  test("quantized top-k has high recall vs brute force; shortlist=n is exact") {
+    val bf = Similarity.bruteForceTopK(spark, emb, col("vec_id") < 8, 10)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qz = Similarity.quantizedTopK(spark, emb, col("vec_id") < 8, 10,
+        shortlist = 30)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // int8 codes + a 3k shortlist lose very little: the only misses are
+    // true neighbors whose quantized score falls below 30th place
+    assert((bf & qz).size.toDouble / bf.size >= 0.9,
+      s"recall=${(bf & qz).size.toDouble / bf.size}")
+    // with the shortlist covering the whole corpus the re-rank IS the
+    // exact search — quantization can then only reorder the shortlist
+    // cut, not the final answer
+    val n = emb.count().toInt
+    val full = Similarity.quantizedTopK(spark, emb, col("vec_id") < 8, 10,
+        shortlist = n)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == bf)
+  }
+
   test("topKPerQuery partial-aggregates before the exchange") {
     val scored = emb.select(col("vec_id").as("qid"), col("vec_id"),
       rand(7).as("cos"))
