@@ -183,6 +183,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("shuffled pack (p02) composes both two-phase scans without a window") {
+    // shuffle assigns positions, packing prefix-sums over them — BOTH
+    // global orderings must ride the two-phase scan; any Window node
+    // means one of them regressed to a single-reducer sort
+    val plan = formatted(SparkEntry.queries("p02_shuffled_pack")(spark, sf))
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("recall contract (s05) keeps the exact top-k partial-aggregated") {
     val plan = formatted(SparkEntry.queries("s05_ann_recall")(spark, sf))
     // ground truth + both indexes all run the bounded top-k Aggregator;

@@ -96,6 +96,10 @@ class SamplingSpec extends SparkSpec {
     // extra columns pass through untouched
     val cols = Sampling.deterministicShuffle(df, col("id"), "sh1").columns.toSeq
     assert(cols == Seq("id", "tag", "shuffle_pos"), cols.toString)
+    // empty input → empty permutation (no div-by-zero, no lost schema)
+    val empty = Sampling.deterministicShuffle(
+      df.filter(col("id") < 0), col("id"), "sh1")
+    assert(empty.count() == 0 && empty.columns.last == "shuffle_pos")
   }
 
   test("stratified quota: exactly min(k, |stratum|) rows, window-equivalent, retry-stable") {
