@@ -191,6 +191,16 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("quantized ANN (s06) partial-aggregates both top-k stages; no window") {
+    val plan = formatted(SparkEntry.queries("s06_knn_quantized")(spark, sf))
+    // shortlist cut and final re-rank both run the bounded Aggregator
+    // (map-side combine); the scalar quantization scale rides a 1-row
+    // broadcast — no corpus re-shuffle, no window sorts
+    assert(plan.contains("partial_"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("recall contract (s05) keeps the exact top-k partial-aggregated") {
     val plan = formatted(SparkEntry.queries("s05_ann_recall")(spark, sf))
     // ground truth + both indexes all run the bounded top-k Aggregator;
