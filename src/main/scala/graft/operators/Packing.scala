@@ -24,10 +24,11 @@ import org.apache.spark.sql.functions._
   *
   * No stage sees more than corpus/P rows in one task; the only wide op
   * is the range exchange any global ordering pays. The partitioned
-  * frame is pinned with `localCheckpoint` so phases 2 and 3 read the
+  * frame is pinned with [[Frontier.pin]] so phases 2 and 3 read the
   * SAME partitioning (range boundaries come from sampling; re-planning
   * between the two jobs could otherwise shift rows across partitions
-  * and corrupt every base offset).
+  * and corrupt every base offset); `graft.pin.reliable` upgrades the
+  * pin to a fault-tolerant checkpoint for cluster runs.
   */
 object Packing {
 
@@ -38,13 +39,12 @@ object Packing {
     val spark = counts.sparkSession
     import spark.implicits._
     val p = if (numParts > 0) numParts else spark.sparkContext.defaultParallelism
-    val parted = counts
+    val parted = Frontier.pin(counts
       .select(col(idCol).cast("long"), col(nCol).cast("long"))
       .repartitionByRange(p, col(idCol))
       .sortWithinPartitions(idCol)
       .select(col(idCol), col(nCol), spark_partition_id().as("pid"))
-      .as[(Long, Long, Int)]
-      .localCheckpoint() // pin the range boundaries across both jobs
+      .as[(Long, Long, Int)]) // pin the range boundaries across both jobs
     val subtotals = parted.groupBy(col("pid"))
       .agg(sum(col(nCol)).as("s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

@@ -117,12 +117,22 @@ object Sampling {
     * through ONE reducer. Same cure (Packing's two-phase scan): range
     * partition by the hash, per-partition row counts (P numbers) to
     * the driver, exclusive scan there, then one narrow mapPartitions
-    * adding base + local index. `localCheckpoint` pins the sampled
+    * adding base + local index. [[Frontier.pin]] pins the sampled
     * range boundaries across the two jobs. Ordering key = the 52-bit
     * md5 prefix ([[stratifiedQuota]]'s trick: numeric order == the
     * oracle's fixed-width-hex order), ties broken by `key` in BOTH
     * the range partitioner and the within-partition sort, so the
-    * position is a pure function of the input set. */
+    * position is a pure function of the input set.
+    *
+    * PRECONDITION: `key` must be unique per row (a doc/row id, as
+    * q29/p02 use). The tie-break (hash, key) is total only then; rows
+    * sharing a key value compare equal in both the range partitioner
+    * and the within-partition sort, so THEIR relative positions would
+    * be partition-dependent and the purity promise above would not
+    * hold for them. (Extending the tie-break over every remaining
+    * column would only push the same caveat to fully-duplicate rows —
+    * callers with non-unique keys should shuffle on a synthesized
+    * unique key instead.) */
   def deterministicShuffle(df: DataFrame, key: Column, salt: String,
       numParts: Int = 0): DataFrame = {
     val spark = df.sparkSession
@@ -130,11 +140,11 @@ object Sampling {
     val hashed = df.withColumn("_sh_h",
       conv(substring(md5(concat(key.cast("string"), lit(":" + salt))), 1, 13),
         16, 10).cast("long"))
-    val parted = hashed
+    val parted = Frontier.pin(hashed
       .repartitionByRange(p, col("_sh_h"), key)
       .sortWithinPartitions(col("_sh_h"), key)
-      .withColumn("_sh_pid", spark_partition_id())
-      .localCheckpoint() // pin range boundaries across the two jobs
+      .withColumn("_sh_pid", spark_partition_id()))
+      // pin range boundaries across the two jobs (Frontier durability)
     val counts = parted.groupBy(col("_sh_pid"))
       .agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Skew-resilient equi-join via key salting (SURVEY.md §2.6 / the
@@ -21,8 +21,23 @@ import org.apache.spark.sql.functions._
   * Output rows are identical to `left.join(right, key)`: each left row
   * carries exactly one salt value and each right row exists once per
   * salt value, so every matching (l, r) pair joins exactly once.
+  *
+  * The salt is a DETERMINISTIC function of the row's own columns
+  * (`xxhash64` over all of them, mod salt) — never
+  * `monotonically_increasing_id()`/`rand()`, whose values depend on
+  * partition layout and task attempt: a fetch-failure recompute of the
+  * salted map stage would re-salt rows after some reducers already
+  * consumed old output, dropping or duplicating hot-key pairs. A pure
+  * row hash replays identically on retry and under AQE re-plans.
+  * (Fully identical duplicate rows share a salt and land on one
+  * reducer; real fact rows carry near-unique payloads, so the spread
+  * over hot keys is unaffected in practice.)
   */
 object SkewJoin {
+
+  /** Deterministic salt in [0, salt): pure hash of the row content. */
+  private def rowSalt(cols: Seq[String], salt: Int): Column =
+    pmod(xxhash64(cols.map(col): _*), lit(salt.toLong))
 
   /** Inner equi-join on `key`, hot-key-resilient. `right` is replicated
     * `salt` ways — so this variant is ONLY for a dimension-sized (or at
@@ -32,14 +47,44 @@ object SkewJoin {
   def saltedInnerJoin(left: DataFrame, right: DataFrame, key: String,
       salt: Int = 16): DataFrame = {
     require(salt > 0, s"salt must be positive, got $salt")
-    // uniform, data-independent salt: monotonically_increasing_id is
-    // unique per row (partition id in the high bits), xxhash64 scatters
-    // it so consecutive rows of one hot key fan out across reducers
-    val salted = left.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salt.toLong)))
+    val salted = left.withColumn("_salt", rowSalt(left.columns.toSeq, salt))
     val replicated = right.withColumn("_salt",
       explode(array((0 until salt).map(s => lit(s.toLong)): _*)))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** The hot-key set of `left` on `key`: keys whose (estimated) row
+    * count reaches `hotThreshold`, as a ≤ `maxHotKeys`-row frame of
+    * (key, _hot=true) — DISTRIBUTED end-to-end (no driver collect, no
+    * giant `isin` literal), pinned once so both flag joins of
+    * [[hotKeySaltedJoin]] broadcast the same draw.
+    *
+    * `hotThreshold` is in FULL-data row units. With
+    * `sampleFraction < 1` detection runs over a deterministic sample
+    * (seed 42) and the cut scales to `ceil(hotThreshold ·
+    * sampleFraction)` (floor 1): a key big enough to straggle a
+    * reducer — millions of rows at 100 TB — survives any practical
+    * sampling rate (binomial concentration: at fraction f its sampled
+    * count sits within a few percent of f·n), so the sampled pass
+    * costs a fraction of the scan and still catches every genuine
+    * straggler. Borderline keys may flip in or out of the hot set;
+    * that only moves WHICH keys get spread — the join result is
+    * salt-invariant either way. */
+  private[graft] def detectHotKeys(left: DataFrame, key: String,
+      hotThreshold: Long, sampleFraction: Double,
+      maxHotKeys: Int): DataFrame = {
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val probe =
+      if (sampleFraction >= 1.0) left
+      else left.sample(withReplacement = false, sampleFraction, seed = 42L)
+    val cut = math.max(1L, math.ceil(hotThreshold * sampleFraction).toLong)
+    Frontier.pin(
+      probe.groupBy(col(key)).agg(count(lit(1)).as("_n"))
+        .filter(col("_n") >= cut)
+        .orderBy(col("_n").desc, col(key))
+        .limit(maxHotKeys)
+        .select(col(key), lit(true).as("_hot")))
   }
 
   /** Fact-fact-safe salted join: detect the hot keys first, then salt /
@@ -49,13 +94,11 @@ object SkewJoin {
     * memory.
     *
     * Hot-key detection is a frequency aggregate over a sample of the
-    * left (the probe side, where skew hurts): `sampleFraction = 1.0`
-    * computes exact counts (cheap at bench scale); at 100 TB drop it to
-    * ~1e-3 and scale `hotThreshold` down to match — detection only has
-    * to catch keys big enough to straggle, and those survive any
-    * sample. The hot set stays DISTRIBUTED end-to-end: a ≤`maxHotKeys`-
-    * row frame, `localCheckpoint`ed once and broadcast — no driver
-    * collect, no giant `isin` literal.
+    * left (the probe side, where skew hurts) — see [[detectHotKeys]]
+    * for the sampling contract. At bench scale `sampleFraction = 1.0`
+    * is affordable; at 100 TB drop it to ~1e-3 so detection reads a
+    * fraction of the fact instead of paying a full scan+partial-agg
+    * pass before the join starts.
     *
     * Each input is scanned exactly ONCE (pinned in SkewBandJoinSpec):
     * a broadcast left-outer join tags every row with a `_hot` flag, and
@@ -75,22 +118,13 @@ object SkewJoin {
       salt: Int = 16, hotThreshold: Long = 1000L,
       sampleFraction: Double = 1.0, maxHotKeys: Int = 10000): DataFrame = {
     require(salt > 0, s"salt must be positive, got $salt")
-    require(sampleFraction > 0 && sampleFraction <= 1.0,
-      s"sampleFraction must be in (0, 1], got $sampleFraction")
-    val probe =
-      if (sampleFraction >= 1.0) left
-      else left.sample(withReplacement = false, sampleFraction, seed = 42L)
-    val hotKeys = probe.groupBy(col(key)).agg(count(lit(1)).as("_n"))
-      .filter(col("_n") >= hotThreshold)
-      .orderBy(col("_n").desc, col(key))
-      .limit(maxHotKeys)
-      .select(col(key), lit(true).as("_hot"))
-      .localCheckpoint() // materialize once; broadcast into both flag joins
+    val hotKeys = detectHotKeys(left, key, hotThreshold, sampleFraction,
+      maxHotKeys)
     // `_hot` is null (not false) for cold rows — when() treats both as
     // "not hot", so the otherwise-branch salt applies
     val saltedLeft = left.join(broadcast(hotKeys), Seq(key), "left")
       .withColumn("_salt", when(col("_hot"),
-          pmod(xxhash64(monotonically_increasing_id()), lit(salt.toLong)))
+          rowSalt(left.columns.toSeq, salt))
         .otherwise(lit(0L)))
       .drop("_hot")
     val saltedRight = right.join(broadcast(hotKeys), Seq(key), "left")

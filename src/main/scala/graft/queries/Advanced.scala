@@ -32,6 +32,11 @@ object Advanced {
     // spreads ONLY their rows over 8 reducers. Cold keys keep salt 0
     // (single replica), so neither fact is blanket-replicated AND each
     // fact is scanned exactly once (SkewBandJoinSpec pins both).
+    // Detection runs the SAMPLED path (fraction 0.5, threshold scaled
+    // inside detectHotKeys) — the 100 TB shape, where the hot-set pass
+    // reads a fraction of the fact instead of a full scan; the result
+    // is hash-exact regardless of which borderline keys the sample
+    // promotes, because salting is row-invisible.
     Q("q18_salted_join",
       (s, dir) => {
         val line = Tables(s, dir, "lineitem")
@@ -39,7 +44,7 @@ object Advanced {
         val ord = Tables(s, dir, "orders")
           .withColumnRenamed("o_orderkey", "okey")
         SkewJoin.hotKeySaltedJoin(line, ord, "okey", salt = 8,
-            hotThreshold = 4L)
+            hotThreshold = 4L, sampleFraction = 0.5)
           .groupBy(col("o_orderpriority"))
           .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
               .as("revenue"),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Packing, Sampling}
+import graft.operators.{Dedup, Frontier, Packing, Sampling}
 
 /** End-to-end training-corpus preparation: the whole LLM data pipeline
   * as ONE composed query, proving the operators chain — quality gate →
@@ -21,7 +21,7 @@ import graft.operators.{Dedup, Packing, Sampling}
   * + a narrow gate + the two-phase prefix scan — no stage introduces a
   * plan shape beyond what its standalone query already pinned.
   *
-  * The two multi-consumer frontiers are pinned with `localCheckpoint`:
+  * The two multi-consumer frontiers are pinned with [[Frontier.pin]]:
   * `deduped` feeds both the decontamination shingle pass and the
   * survivor join, `clean` feeds both the mixture-rate count and the
   * sampling gate. Without the pins Spark re-evaluates the whole
@@ -29,7 +29,10 @@ import graft.operators.{Dedup, Packing, Sampling}
   * shingle probe) once per consumer — at sf0.1 that tripled p01's
   * cost vs its stage sum; at 100 TB it re-reads the corpus. With
   * them, each stage runs exactly once and downstream stages read the
-  * materialized frontier (PlanSpec pins the final plan's leaf set).
+  * materialized frontier (PlanSpec pins the final plan's leaf set);
+  * `graft.pin.reliable` upgrades every pin to a fault-tolerant
+  * checkpoint so an executor loss doesn't kill a cluster-scale run
+  * (FrontierSpec proves the reliable mode stays row-identical).
   */
 object CorpusPrep {
 
@@ -42,13 +45,12 @@ object CorpusPrep {
       .filter(TextFunctions.quality(col("text"), col("n_chars")) >= 0.5)
     // 2. exact dedup — survivor = min doc_id per fingerprint
     val survivors = Dedup.exactDedup(quality).select("doc_id")
-    val deduped = quality.join(survivors, "doc_id").localCheckpoint()
+    val deduped = Frontier.pin(quality.join(survivors, "doc_id"))
     // 3. drop docs sharing an 8-gram with the benchmark set
     val evalSet = docs.filter(col("doc_id") % 17 === 0)
-    val clean = deduped.join(
+    val clean = Frontier.pin(deduped.join(
       Dedup.decontaminate(deduped, evalSet)
-        .filter(!col("contaminated")).select("doc_id"), "doc_id")
-      .localCheckpoint()
+        .filter(!col("contaminated")).select("doc_id"), "doc_id"))
     // 4. temperature-rebalanced language mixture (q27 gate)
     Sampling.temperatureRebalance(clean, col("doc_id"), col("lang"),
         salt = "prep1")

@@ -109,6 +109,51 @@ class SkewBandJoinSpec extends SparkSpec {
     assert(rows.length == 80 * 25 + 20)
   }
 
+  test("sampled detection still catches the planted hot key; join stays exact") {
+    import spark.implicits._
+    // key 7 owns 400 of 500 left rows — the straggler shape detection
+    // exists for. hotThreshold is in FULL-data units (40); at fraction
+    // 0.25 the internal cut scales to 10 and the sampled count of a
+    // genuinely hot key (~100 here) clears it with huge margin, while
+    // cold keys (1 row each) stay under it
+    val left = (1 to 500).map(i => (if (i <= 400) 7L else i.toLong, i.toLong))
+      .toDF("k", "lv")
+    val right = (1 to 60).map(i => (if (i <= 30) 7L else (i + 400).toLong, i.toLong))
+      .toDF("k", "rv")
+    val hot = SkewJoin.detectHotKeys(left, "k", hotThreshold = 40L,
+        sampleFraction = 0.25, maxHotKeys = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(hot.contains(7L), s"planted hot key missed by sampled detection: $hot")
+    assert(hot.size < 20, s"cold keys wrongly promoted: $hot")
+    val plain = left.join(right, Seq("k")).select("k", "lv", "rv")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val salted = SkewJoin.hotKeySaltedJoin(left, right, "k", salt = 4,
+        hotThreshold = 40L, sampleFraction = 0.25).select("k", "lv", "rv")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(salted.groupBy(identity).view.mapValues(_.size).toMap ==
+      plain.groupBy(identity).view.mapValues(_.size).toMap)
+  }
+
+  test("salted-join plans contain no nondeterministic expressions") {
+    import spark.implicits._
+    // the salt must be a pure function of row content: a task-retry
+    // recompute of the salted map stage replays identical shuffle keys
+    // (monotonically_increasing_id/rand here would re-salt rows after
+    // some reducers consumed old output, dropping/duplicating pairs)
+    val left = (1 to 100).map(i => (i % 5L, i.toLong)).toDF("k", "lv")
+    val right = (1 to 20).map(i => (i % 5L, i.toLong)).toDF("k", "rv")
+    for (df <- Seq(
+        SkewJoin.saltedInnerJoin(left, right, "k", salt = 4),
+        SkewJoin.hotKeySaltedJoin(left, right, "k", salt = 4, hotThreshold = 5L))) {
+      val nondet = df.queryExecution.optimizedPlan.collect {
+        case p => p.expressions.flatMap(_.collect {
+          case e if !e.deterministic => e
+        })
+      }.flatten
+      assert(nondet.isEmpty, s"nondeterministic expressions in plan: $nondet")
+    }
+  }
+
   // timestamps clustered near multiples of the band width, so pairs
   // regularly straddle bin boundaries; micros offsets hit the exact
   // |Δt| == band inclusive edge
