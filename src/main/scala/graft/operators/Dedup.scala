@@ -294,20 +294,60 @@ object Dedup {
     val spark = hist.sparkSession
     // a managed-table LOCATION can outlive the (in-memory) catalog
     // entry across sessions — clear both, or a fresh session fails
-    // with LOCATION_ALREADY_EXISTS on its first write
+    // with LOCATION_ALREADY_EXISTS on its first write. The location is
+    // resolved through the catalog (metadata when the table exists,
+    // defaultTablePath otherwise), never hand-assembled: the layout
+    // <warehouse>/<table> only holds in the default database — under
+    // any other current database it is <warehouse>/<db>.db/<table>,
+    // and a hand-built path would delete the wrong directory.
+    val catalog = spark.sessionState.catalog
     Seq(s"${name}_buckets", s"${name}_sigs").foreach { t =>
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(t)
+      val locUri =
+        if (catalog.tableExists(ident)) catalog.getTableMetadata(ident).location
+        else catalog.defaultTablePath(ident)
       spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      val loc = new org.apache.hadoop.fs.Path(locUri)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }
-    val hs = signatures(hist, k)
+    val hs = Frontier.pin(signatures(hist, k))
     bandBuckets(hs).write.format("parquet")
       .bucketBy(numBuckets, "band", "bh")
       .saveAsTable(s"${name}_buckets")
     hs.select(col("doc_id"), col("shs")).write.format("parquet")
       .bucketBy(numBuckets, "doc_id")
+      .saveAsTable(s"${name}_sigs")
+  }
+
+  /** Index MAINTENANCE: append a batch's signatures and band buckets
+    * to an existing [[writeNearDupIndex]] index — the step that turns
+    * the write-once index into a maintained artifact (the reference's
+    * rolling dedup window continuously admits new ids the same way:
+    * `/root/reference/src/nats_client.py:99,246-260`). A nightly
+    * pipeline probes the index with its batch, keeps the survivors,
+    * and appends exactly those survivors so the NEXT ingest
+    * deduplicates against them too.
+    *
+    * The bucket spec is read from the catalog and reused, so every
+    * append lands bucket-aligned files next to the existing ones —
+    * Spark's bucketed scan unions the per-append files of each bucket
+    * and the probe join stays exchange-free on the index side
+    * (LayoutSpec re-asserts the no-exchange walk AFTER an append).
+    * Cost per ingest: one signature scan of the batch + a batch-sized
+    * bucketed write; the corpus-sized index is never rewritten. */
+  def appendToNearDupIndex(batch: DataFrame, name: String, k: Int = 5): Unit = {
+    val spark = batch.sparkSession
+    val catalog = spark.sessionState.catalog
+    def spec(t: String) = catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(t))
+      .bucketSpec.getOrElse(sys.error(s"$t is not a bucketed index table"))
+    val bs = Frontier.pin(signatures(batch, k))
+    bandBuckets(bs).write.format("parquet").mode("append")
+      .bucketBy(spec(s"${name}_buckets").numBuckets, "band", "bh")
+      .saveAsTable(s"${name}_buckets")
+    bs.select(col("doc_id"), col("shs")).write.format("parquet").mode("append")
+      .bucketBy(spec(s"${name}_sigs").numBuckets, "doc_id")
       .saveAsTable(s"${name}_sigs")
   }
 

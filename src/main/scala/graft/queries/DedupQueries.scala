@@ -35,6 +35,73 @@ object DedupQueries {
     near.unionByName(fresh)
   }
 
+  /** The d13 second-night batch (ids at +2e9): 50 EXACT copies of
+    * batch A's fresh docs (near-dups of nothing in the original
+    * corpus — they drop iff the survivors of ingest A were really
+    * appended to the index) + 100 lightly-edited replays of corpus
+    * docs 300–399 (probe the ORIGINAL index entries, proving they
+    * survived the append) + 50 genuinely novel docs (night-2 fresh
+    * content — must SURVIVE, so the output is non-empty and a probe
+    * that over-drops flips rows too). */
+  private def ingestBatchB(docs: org.apache.spark.sql.DataFrame) = {
+    val copies = docs.filter(col("doc_id") >= 250 && col("doc_id") < 300)
+      .select((col("doc_id") + 2000000000L).as("doc_id"),
+        concat(lit("brand new document number "), col("doc_id").cast("string"),
+          lit(" with totally unseen vocabulary alpha beta gamma delta" +
+            " epsilon zeta eta theta")).as("text"))
+    val replays = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+      .select((col("doc_id") + 2000000000L).as("doc_id"),
+        concat(col("text"), lit(" zz edit marker token pad")).as("text"))
+    val fresh = docs.filter(col("doc_id") >= 400 && col("doc_id") < 450)
+      .select((col("doc_id") + 2000000000L).as("doc_id"),
+        concat(lit("second night novel document "), col("doc_id").cast("string"),
+          lit(" with different unseen vocabulary nu xi omicron pi rho" +
+            " sigma tau upsilon phi chi")).as("text"))
+    copies.unionByName(replays).unionByName(fresh)
+  }
+
+  /** d13 oracle: replay BOTH ingests exactly. Pairs come from the
+    * exact all-pairs Jaccard over hist ∪ A ∪ B; A's survivors are the
+    * A docs with no cross-pair to hist; B's survivors (the output) are
+    * the B docs with no cross-pair to hist OR to a surviving-A doc —
+    * i.e. to the maintained index contents after the append. Non-
+    * surviving A docs were never appended, so they cannot disqualify
+    * a B doc. */
+  private val sqlTwoIngestSurvivors =
+    s"""WITH d3 AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 1000000000, text || ' zz edit marker token pad'
+          FROM documents WHERE doc_id < 250
+        UNION ALL SELECT doc_id + 1000000000, 'brand new document number ' ||
+            CAST(doc_id AS VARCHAR) || ' with totally unseen vocabulary' ||
+            ' alpha beta gamma delta epsilon zeta eta theta'
+          FROM documents WHERE doc_id >= 250 AND doc_id < 300
+        UNION ALL SELECT doc_id + 2000000000, 'brand new document number ' ||
+            CAST(doc_id AS VARCHAR) || ' with totally unseen vocabulary' ||
+            ' alpha beta gamma delta epsilon zeta eta theta'
+          FROM documents WHERE doc_id >= 250 AND doc_id < 300
+        UNION ALL SELECT doc_id + 2000000000, text || ' zz edit marker token pad'
+          FROM documents WHERE doc_id >= 300 AND doc_id < 400
+        UNION ALL SELECT doc_id + 2000000000, 'second night novel document ' ||
+            CAST(doc_id AS VARCHAR) || ' with different unseen vocabulary' ||
+            ' nu xi omicron pi rho sigma tau upsilon phi chi'
+          FROM documents WHERE doc_id >= 400 AND doc_id < 450),
+      ${Dedup.sqlJaccardCtes("d3")},
+      dupA AS (SELECT DISTINCT id_b AS doc_id FROM jp
+        WHERE id_a < 1000000000
+          AND id_b >= 1000000000 AND id_b < 2000000000),
+      survA AS (SELECT doc_id FROM d3
+        WHERE doc_id >= 1000000000 AND doc_id < 2000000000
+          AND doc_id NOT IN (SELECT doc_id FROM dupA)),
+      dupB AS (SELECT DISTINCT id_b AS doc_id FROM jp
+        WHERE id_b >= 2000000000
+          AND (id_a < 1000000000 OR
+               id_a IN (SELECT doc_id FROM survA)))
+      SELECT doc_id FROM d3
+      WHERE doc_id >= 2000000000
+        AND doc_id NOT IN (SELECT doc_id FROM dupB)
+      ORDER BY doc_id NULLS FIRST"""
+
   /** Shared oracle for d11/d12: exact all-pairs Jaccard on the
     * hist ∪ batch union, survivors = batch docs with no cross-group
     * pair. */
@@ -269,6 +336,31 @@ object DedupQueries {
           .orderBy("doc_id")
       },
       Some(sqlIngestSurvivors)),
+
+    // ---- d13: index MAINTENANCE — two nights of ingest ---------------
+    // The full production loop d12 only demos: night 1 probes the
+    // corpus index and APPENDS its survivors (appendToNearDupIndex,
+    // bucket layout preserved); night 2's batch then probes an index
+    // containing corpus + night-1 survivors. Batch B's exact copies of
+    // A's fresh docs drop ONLY if the append really landed (they match
+    // nothing in the original corpus), and B's corpus replays drop
+    // ONLY if the original entries survived the append — both failure
+    // modes of a broken maintenance path flip rows in this output.
+    // Oracle = the two-ingest replay over exact all-pairs Jaccard.
+    Q("d13_index_maintenance",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        Dedup.writeNearDupIndex(
+          docs.select(col("doc_id"), col("text")), "graft_d13_idx")
+        val batchA = ingestBatch(docs)
+        val survA = Dedup.incrementalNearDupSurvivorsIndexed(
+          s, "graft_d13_idx", batchA)
+        Dedup.appendToNearDupIndex(batchA.join(survA, "doc_id"), "graft_d13_idx")
+        Dedup.incrementalNearDupSurvivorsIndexed(s, "graft_d13_idx",
+            ingestBatchB(docs))
+          .orderBy("doc_id")
+      },
+      Some(sqlTwoIngestSurvivors)),
 
     // ---- d09: incremental dedup (daily ingest vs historical corpus) --
     // The production shape of exact dedup at 100 TB: a new batch is

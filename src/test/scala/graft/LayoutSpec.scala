@@ -48,41 +48,37 @@ class LayoutSpec extends SparkSpec {
     assert(leaves.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,"), leaves)
   }
 
-  test("persisted LSH index: history side of the probe joins without an exchange") {
+  /** The d12/d13 layout contract: both index tables are scanned, and
+    * neither is re-partitioned on its way into the join that consumes
+    * it — the bucketed layout IS the join partitioning, so only the
+    * batch-sized side moves. (Shuffles ABOVE the probe join — the
+    * candidate distinct, the anti join — are the batch-sized frames
+    * and are fine.) At test scale Spark would broadcast the tiny
+    * index; at 100 TB the index side is the corpus-sized one — force
+    * the shuffled-join shape the bucketing contract is about, and plan
+    * non-adaptively so exchanges are visible pre-execution. */
+  private def assertProbeLayoutEngaged(name: String,
+      batch: org.apache.spark.sql.DataFrame): Unit = {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import graft.operators.Dedup
-    val docs = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
-    Dedup.writeNearDupIndex(docs, "graft_test_ndidx", numBuckets = 4)
-    val batch = docs.filter(col("doc_id") < 20)
-      .select((col("doc_id") + 1000000000L).as("doc_id"),
-        concat(col("text"), lit(" zz pad")).as("text"))
     def isIndexScan(p: SparkPlan): Boolean = p match {
       case f: FileSourceScanExec =>
-        f.relation.location.rootPaths.exists(_.toString.contains("graft_test_ndidx"))
+        f.relation.location.rootPaths.exists(_.toString.contains(name))
       case _ => false
     }
-    // at test scale Spark would broadcast the tiny index; at 100 TB
-    // the index side is the corpus-sized one — force the shuffled-join
-    // shape the bucketing contract is about, and plan non-adaptively
-    // so exchanges are visible pre-execution
     val conf = spark.conf
     val (aqe0, bjt0) = (conf.get("spark.sql.adaptive.enabled"),
       conf.get("spark.sql.autoBroadcastJoinThreshold"))
     val plan = try {
       conf.set("spark.sql.adaptive.enabled", "false")
       conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      Dedup.incrementalNearDupSurvivorsIndexed(spark, "graft_test_ndidx", batch)
+      Dedup.incrementalNearDupSurvivorsIndexed(spark, name, batch)
         .queryExecution.executedPlan
     } finally {
       conf.set("spark.sql.adaptive.enabled", aqe0)
       conf.set("spark.sql.autoBroadcastJoinThreshold", bjt0)
     }
-    // both index tables are scanned, and neither is re-partitioned on
-    // its way into the join that consumes it: the bucketed layout IS
-    // the join partitioning, so only the batch-sized side moves.
-    // (Shuffles ABOVE the probe join — the candidate distinct, the
-    // anti join — are the batch-sized frames and are fine.)
     val idxScans = plan.collect { case f: FileSourceScanExec if isIndexScan(f) => f }
     assert(idxScans.size == 2, s"expected buckets+sigs scans:\n$plan")
     assert(plan.collect { case e: ShuffleExchangeExec => e }.nonEmpty,
@@ -97,6 +93,16 @@ class LayoutSpec extends SparkSpec {
       assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
         s"index table re-shuffled before its join — bucketed layout not engaged:\n$plan")
     }
+  }
+
+  test("persisted LSH index: history side of the probe joins without an exchange") {
+    import graft.operators.Dedup
+    val docs = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    Dedup.writeNearDupIndex(docs, "graft_test_ndidx", numBuckets = 4)
+    val batch = docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 1000000000L).as("doc_id"),
+        concat(col("text"), lit(" zz pad")).as("text"))
+    assertProbeLayoutEngaged("graft_test_ndidx", batch)
     // and the probe path returns exactly what the recompute path does
     val viaIndex = Dedup.incrementalNearDupSurvivorsIndexed(
       spark, "graft_test_ndidx", batch).collect().map(_.getLong(0)).sorted
@@ -104,6 +110,54 @@ class LayoutSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted
     assert(viaIndex.sameElements(recomputed),
       s"index probe diverged: ${viaIndex.length} vs ${recomputed.length} survivors")
+  }
+
+  test("index append: layout stays exchange-free, next ingest sees the survivors") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    Dedup.writeNearDupIndex(docs, "graft_test_ndidx_app", numBuckets = 4)
+    // night 1: replays of corpus docs (mostly near-dups) + 5 genuinely
+    // fresh docs that must survive and be appended
+    val freshA = spark.range(5).select((col("id") + 1000000100L).as("doc_id"),
+      concat(lit("wholly new alpha document index "), col("id").cast("string"),
+        lit(" beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+        .as("text"))
+    val batchA = docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 1000000000L).as("doc_id"),
+        concat(col("text"), lit(" zz edit marker token pad")).as("text"))
+      .unionByName(freshA)
+    val survA = Dedup.incrementalNearDupSurvivorsIndexed(
+      spark, "graft_test_ndidx_app", batchA)
+    val survivorsA = batchA.join(survA, "doc_id").localCheckpoint()
+    Dedup.appendToNearDupIndex(survivorsA, "graft_test_ndidx_app")
+    // night 2: exact copies of night-1's fresh docs (match NOTHING in
+    // the original corpus — they drop iff the append landed) + fresh
+    // B-docs that must survive
+    val copiesOfA = freshA.select((col("doc_id") + 1000000000L).as("doc_id"),
+      col("text"))
+    val freshB = spark.range(3).select((col("id") + 2000000200L).as("doc_id"),
+      concat(lit("second night novel text "), col("id").cast("string"),
+        lit(" nu xi omicron pi rho sigma tau upsilon phi chi psi omega"))
+        .as("text"))
+    val batchB = copiesOfA.unionByName(freshB)
+    // the bucketed-probe contract must hold on the APPENDED index: the
+    // per-append files land bucket-aligned, so the scan still carries
+    // the join partitioning and neither index table re-shuffles
+    assertProbeLayoutEngaged("graft_test_ndidx_app", batchB)
+    val viaIndex = Dedup.incrementalNearDupSurvivorsIndexed(
+        spark, "graft_test_ndidx_app", batchB)
+      .collect().map(_.getLong(0)).sorted
+    // maintenance evidence: every copy of an appended survivor drops,
+    // every novel doc survives
+    assert(viaIndex.sameElements(freshB.collect().map(_.getLong(0)).sorted),
+      s"expected only fresh B docs to survive, got ${viaIndex.mkString(",")}")
+    // and the whole two-night loop equals the recompute over the
+    // maintained corpus (hist ∪ appended survivors)
+    val recomputed = Dedup.incrementalNearDupSurvivors(
+        docs.unionByName(survivorsA), batchB)
+      .collect().map(_.getLong(0)).sorted
+    assert(viaIndex.sameElements(recomputed))
   }
 
   test("hive-partitioned layout prunes whole files at listing time") {
