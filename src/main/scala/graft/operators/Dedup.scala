@@ -349,6 +349,11 @@ object Dedup {
     bs.select(col("doc_id"), col("shs")).write.format("parquet").mode("append")
       .bucketBy(spec(s"${name}_sigs").numBuckets, "doc_id")
       .saveAsTable(s"${name}_sigs")
+    // make the append visible to THIS session's next probe even if the
+    // insert path left a cached file listing behind (other sessions
+    // must refresh on their side — caches are per-session)
+    Seq(s"${name}_buckets", s"${name}_sigs")
+      .foreach(spark.catalog.refreshTable)
   }
 
   /** [[incrementalNearDupSurvivors]] probing a PERSISTED index written
