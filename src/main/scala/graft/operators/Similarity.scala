@@ -16,6 +16,10 @@ import graft.functions.VectorFunctions
   *  - [[ivfTopK]]: IVF — sampled k-means coarse quantizer on the driver
   *    (as real IVF trainers do), broadcast centroids, probe the nearest
   *    `nprobe` cells.
+  *  - [[quantizedTopK]]: int8 scalar quantization + exact re-rank (the
+  *    bytes-per-vector lever; oracle-exact, s06).
+  *  - [[ivfSq8TopK]]: both levers composed — int8 codes inside IVF
+  *    cells with exact re-rank (FAISS `IVFx,SQ8`; s07).
   */
 object Similarity {
 
@@ -113,27 +117,32 @@ object Similarity {
     * qid reach the exchange); stage 2 touches ≤ shortlist·|q| rows. In
     * production the same codes live INSIDE IVF cells (scan 4× less per
     * cell); composing with [[ivfTopK]]'s cell probe is mechanical. */
-  def quantizedTopK(spark: SparkSession, emb: DataFrame,
-      queryPred: org.apache.spark.sql.Column, k: Int = 10,
-      shortlist: Int = 30): DataFrame = {
-    val firstVec = emb.select(size(col("embedding"))).take(1)
-    if (firstVec.isEmpty) return emptyTopK(emb)
-    val dim = firstVec(0).getInt(0)
+  /** `emb` plus an int8 code column `qv`: one GLOBAL symmetric scale
+    * (a scalar agg riding a broadcast — no collect), code =
+    * floor(x·127/max|x|). Degenerate guard: an all-zero corpus has
+    * max|x| = 0, which would NULL/NaN every code and poison the
+    * downstream arithmetic — the `ma > 0` filter turns that case into
+    * a clean empty result instead (cosine is undefined on zero
+    * vectors anyway). */
+  private def withInt8Codes(emb: DataFrame): DataFrame = {
     val maxabs = emb.agg(
       max(array_max(transform(col("embedding"), x => abs(x)))).as("ma"))
-    val z = emb.crossJoin(broadcast(maxabs))
+    emb.crossJoin(broadcast(maxabs))
+      .filter(col("ma").isNotNull && col("ma") > 0)
       .withColumn("qv", expr("transform(embedding, " +
         "x -> CAST(floor((CAST(x AS DOUBLE) * 127.0D) / CAST(ma AS DOUBLE)) AS INT))"))
-    val q = z.filter(queryPred)
-      .select(col("vec_id").as("qid"), col("qv").as("qq"))
-    // stage 1: integer dot on the codes (exact, engine-portable)
-    val scored = z.select(col("vec_id"), col("qv"))
-      .join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("cos", expr(
-        "CAST(aggregate(zip_with(qq, qv, (a, b) -> CAST(a AS BIGINT) * b), " +
-          "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE)"))
-    val cands = topKPerQuery(scored.select("qid", "vec_id", "cos"), shortlist)
-    // stage 2: exact f32 cosine on the shortlist only, final top-k
+  }
+
+  /** Integer dot product of two int8 code arrays (exact,
+    * engine-portable BIGINT arithmetic). */
+  private val codeDot =
+    "CAST(aggregate(zip_with(qq, qv, (a, b) -> CAST(a AS BIGINT) * b), " +
+      "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE)"
+
+  /** Exact f32-chain cosine re-rank of a (qid, vec_id) shortlist:
+    * touches ≤ |cands| rows, returns the final per-query top-k. */
+  private def exactReRank(emb: DataFrame, cands: DataFrame, dim: Int,
+      k: Int): DataFrame = {
     val en = emb.select(col("vec_id"), col("embedding"),
       expr(VectorFunctions.chainNorm("embedding", dim, 0)).as("nrm"))
     val joined = cands.select("qid", "vec_id")
@@ -145,6 +154,24 @@ object Similarity {
         expr(s"CAST(${VectorFunctions.chainDot("qe", "e", dim, 0)} AS DOUBLE)") /
           (col("qn") * col("en")))
     topKPerQuery(joined.select("qid", "vec_id", "cos"), k)
+  }
+
+  def quantizedTopK(spark: SparkSession, emb: DataFrame,
+      queryPred: org.apache.spark.sql.Column, k: Int = 10,
+      shortlist: Int = 30): DataFrame = {
+    val firstVec = emb.select(size(col("embedding"))).take(1)
+    if (firstVec.isEmpty) return emptyTopK(emb)
+    val dim = firstVec(0).getInt(0)
+    val z = withInt8Codes(emb)
+    val q = z.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"))
+    // stage 1: integer dot on the codes (exact, engine-portable)
+    val scored = z.select(col("vec_id"), col("qv"))
+      .join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos", expr(codeDot))
+    val cands = topKPerQuery(scored.select("qid", "vec_id", "cos"), shortlist)
+    // stage 2: exact f32 cosine on the shortlist only, final top-k
+    exactReRank(emb, cands, dim, k)
   }
 
   // ---- random-hyperplane LSH ---------------------------------------
@@ -301,5 +328,57 @@ object Similarity {
       .withColumn("cos", expr("cosine_sim(qe, e)"))
       .select("qid", "vec_id", "cos").distinct()
     topKPerQuery(cands, k)
+  }
+
+  // ---- IVF-SQ8: int8 codes INSIDE the IVF cells ----------------------
+  /** The production ANN composition (FAISS's `IVFx,SQ8` index): the
+    * coarse quantizer bounds WHICH vectors each query scans
+    * (nprobe/nCells of the corpus), the int8 codes bound the BYTES per
+    * scanned vector (4× down), and the exact f32 re-rank on the
+    * per-query shortlist restores full-precision ranking. [[ivfTopK]]
+    * and [[quantizedTopK]] each prove one lever; this is both at once
+    * — per probed cell the scan is corpus/nCells rows of 1-byte codes,
+    * the shape that holds when neither the corpus nor a cell fits in
+    * memory as f32.
+    *
+    * Plan shape: centroids train on a bounded driver sample and ride a
+    * broadcast (as in IVF); codes come from the one global-scale agg
+    * (as in SQ8); candidate generation is the (cell) equi-join against
+    * the exploded nprobe probe set — each corpus vector lives in
+    * exactly ONE cell, so a (qid, vec_id) candidate appears at most
+    * once and needs no dedup; the shortlist cut and final top-k run
+    * the bounded partition-local Aggregator. Recall loss vs exact is
+    * the UNION of the two mechanisms' losses (missed cells + code
+    * rounding inside the shortlist) — s05's contract row bounds it.
+    *
+    * Like the parts it composes: deterministic but engine-specific
+    * (the k-means sample and float cell assignment don't replay in
+    * DuckDB), so s07 is rows-only with the recall contract as its
+    * correctness gate. */
+  def ivfSq8TopK(spark: SparkSession, emb: DataFrame,
+      queryPred: org.apache.spark.sql.Column, k: Int = 10,
+      nCells: Int = 16, nprobe: Int = 3, shortlist: Int = 30): DataFrame = {
+    VectorFunctions.register(spark)
+    val firstVec = emb.select(size(col("embedding"))).take(1)
+    if (firstVec.isEmpty) return emptyTopK(emb)
+    val dim = firstVec(0).getInt(0)
+    val trained = trainCentroids(emb, nCells)
+    if (trained.isEmpty) return emptyTopK(emb)
+    val cents = spark.sparkContext.broadcast(trained)
+    val cellOf = udf((v: Seq[Float]) => nearestCell(v.toArray, cents.value))
+    val probesOf = udf((v: Seq[Float]) => nearestCells(v.toArray, cents.value, nprobe))
+    val coded = withInt8Codes(emb)
+    // the persisted form of `indexed` is a table bucketed/partitioned
+    // by cell holding ONLY (vec_id, qv) — 1 byte per dimension
+    val indexed = coded.select(col("vec_id"), col("qv"),
+      cellOf(col("embedding")).as("cell"))
+    val q = coded.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"),
+        explode(probesOf(col("embedding"))).as("cell"))
+    val scored = indexed.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", expr(codeDot))
+    val cands = topKPerQuery(scored.select("qid", "vec_id", "cos"), shortlist)
+    exactReRank(emb, cands, dim, k)
   }
 }

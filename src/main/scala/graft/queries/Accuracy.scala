@@ -80,16 +80,21 @@ object Accuracy {
     Q("s05_ann_recall",
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings")
-        val exact = Similarity.bruteForceTopK(s, emb, expr(QueryPred), K)
-          .localCheckpoint() // ground truth feeds both recall rows
+        val exact = graft.operators.Frontier.pin(
+          Similarity.bruteForceTopK(s, emb, expr(QueryPred), K))
+          // ground truth feeds all three recall rows
         val lsh = Similarity.lshTopK(s, emb, expr(QueryPred), K)
         val ivf = Similarity.ivfTopK(s, emb, expr(QueryPred), K)
+        val sq8 = Similarity.ivfSq8TopK(s, emb, expr(QueryPred), K)
         recallRow(exact, ivf, "ivf_recall_at_10", 0.6)
+          .unionByName(recallRow(exact, sq8, "ivfsq8_recall_at_10", 0.6))
           .unionByName(recallRow(exact, lsh, "lsh_recall_at_10", 0.6))
           .orderBy("metric")
       },
       Some("""SELECT * FROM (
           SELECT 'ivf_recall_at_10' AS metric, CAST(0.6 AS DOUBLE) AS bound, true AS ok
+          UNION ALL
+          SELECT 'ivfsq8_recall_at_10', CAST(0.6 AS DOUBLE), true
           UNION ALL
           SELECT 'lsh_recall_at_10', CAST(0.6 AS DOUBLE), true)
         ORDER BY metric NULLS FIRST""")),

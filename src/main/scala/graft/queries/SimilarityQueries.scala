@@ -106,6 +106,19 @@ object SimilarityQueries {
           .orderBy("qid", "rank"),
       None),
 
+    // ---- s07: IVF-SQ8 — int8 codes inside the IVF cells --------------
+    // The composed production index (both scale levers at once: nprobe
+    // cells bound the rows scanned, int8 codes bound the bytes per
+    // row, exact re-rank restores precision). Rows-only like its s04
+    // parent (k-means cells don't replay in DuckDB); its recall@10 vs
+    // the exact s01 is driver-gated by s05's ivfsq8 contract row.
+    Q("s07_knn_ivf_sq8",
+      (s, dir) =>
+        Similarity.ivfSq8TopK(s, Tables(s, dir, "embeddings"),
+            expr(QueryPred), K)
+          .orderBy("qid", "rank"),
+      None),
+
     // ---- s06: int8-quantized ANN with exact re-rank ------------------
     // Unlike s03/s04, quantized search IS oracle-exact: the codes,
     // integer dot scores, shortlist cut and f32 re-rank are all

@@ -123,4 +123,41 @@ class SimilaritySpec extends SparkSpec {
     assert(a.toSeq == b.toSeq) // deterministic across runs
     assert(a.groupBy(_.getLong(0)).forall(_._2.length == 5))
   }
+
+  test("IVF-SQ8 composes both levers: recall holds, full probe+shortlist is exact") {
+    val bf = Similarity.bruteForceTopK(spark, emb, col("vec_id") < 8, 10)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq8 = Similarity.ivfSq8TopK(spark, emb, col("vec_id") < 8, 10)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // misses = neighbors in unprobed cells ∪ code-rounding below the
+    // shortlist cut; 0.6 is the s05 driver-contract floor
+    assert((bf & sq8).size.toDouble / bf.size >= 0.6,
+      s"recall=${(bf & sq8).size.toDouble / bf.size}")
+    // degenerate exactness: probing EVERY cell removes the IVF loss and
+    // a corpus-wide shortlist removes the quantization loss — what
+    // remains must be exactly the brute-force answer
+    val n = emb.count().toInt
+    val full = Similarity.ivfSq8TopK(spark, emb, col("vec_id") < 8, 10,
+        nCells = 4, nprobe = 4, shortlist = n)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == bf)
+    // deterministic across runs (seeded sample + pure arithmetic)
+    val again = Similarity.ivfSq8TopK(spark, emb, col("vec_id") < 8, 10)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == sq8)
+  }
+
+  test("quantized paths return clean empty results on a degenerate corpus") {
+    import spark.implicits._
+    // all-zero embeddings: max|x| = 0 — codes would be NULL/NaN without
+    // the guard; the contract is an EMPTY result (cosine is undefined),
+    // never NaN rows or a crash
+    val zeros = (0L until 8L).map(i => (i, Array.fill(16)(0.0f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.quantizedTopK(spark, zeros, col("vec_id") < 2, 3).count() == 0)
+    assert(Similarity.ivfSq8TopK(spark, zeros, col("vec_id") < 2, 3).count() == 0)
+    // and the genuinely-empty input keeps its existing guard
+    assert(Similarity.quantizedTopK(spark, zeros.limit(0), col("vec_id") < 2, 3)
+      .count() == 0)
+  }
 }
