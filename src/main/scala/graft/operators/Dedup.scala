@@ -380,48 +380,90 @@ object Dedup {
   }
 
   // ---- duplicate clusters (connected components) --------------------
+  /** Connected components over an undirected edge list via alternating
+    * LARGE-STAR / SMALL-STAR (the MapReduce CC algorithm of Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14):
+    * provably O(log n) rounds on ANY graph — including the adversarial
+    * long-chain/path graphs where plain min-label propagation needs
+    * O(diameter) rounds (a 1000-link chain: ~10 rounds here vs 1000
+    * there, and at 100 TB every round is a full shuffle of the edge
+    * set).
+    *
+    * Edges are kept CANONICAL: strict (u, v) with u > v, distinct.
+    * One round is two distributed steps, each a groupBy-min + a join
+    * (never a per-node collect_list — neighbor lists stay as rows, so
+    * a high-degree hub can't blow a task):
+    *
+    *  - large-star: m(u) = min over u's FULL neighborhood ∪ {u} (both
+    *    orientations); every neighbor v > u re-links to m(u). Long
+    *    tails fold toward local minima — this is the doubling step.
+    *  - small-star: on canonical edges, m(u) = min(N<(u) ∪ {u});
+    *    every smaller neighbor AND u itself re-link to m(u). Stars
+    *    flatten so the next large-star sees minimal chains.
+    *
+    * The edge set is pinned per round ([[Frontier.pin]] — lineage
+    * would otherwise grow by four joins per round) and convergence is
+    * exact set equality (two distinct sets: equal counts + empty
+    * except — both edge-set-sized but shuffle-light jobs, and rounds
+    * are logarithmic). At the fixpoint the graph is a star forest:
+    * every node links directly to its component's minimum.
+    *
+    * Returns (labels(id, component) for every node with an edge,
+    * rounds executed). Isolated nodes don't appear — callers default
+    * them to themselves. */
+  private[graft] def connectedComponentsStar(pairs: DataFrame,
+      maxIters: Int = 25): (DataFrame, Int) = {
+    var edges = Frontier.pin(pairs
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct())
+    var rounds = 0
+    var converged = edges.isEmpty
+    while (!converged && rounds < maxIters) {
+      // large-star over both orientations of the canonical set
+      val both = edges.unionByName(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val lmins = both.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      // emitted (v, m(u)) has v > u ≥ m(u): already canonical
+      val large = both.join(lmins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star on the canonical direction: m ≤ v < u for kept rows
+      val smins = large.groupBy("u").agg(min("v").as("m"))
+      val small = Frontier.pin(
+        large.join(smins, "u")
+          .select(col("v").as("u"), col("m").as("v"))
+          .filter(col("u") =!= col("v"))
+          .unionByName(smins.select(col("u"), col("m").as("v")))
+          .distinct())
+      converged = small.count() == edges.count() &&
+        small.except(edges).isEmpty
+      edges = small
+      rounds += 1
+    }
+    (edges.select(col("u").as("id"), col("v").as("component"))
+      // safety under a maxIters bail-out: keep the best-known label
+      .groupBy("id").agg(min("component").as("component")), rounds)
+  }
+
   /** Assign every doc to its duplicate cluster: connected components
     * over a near-dup pair list, labels = min doc_id of the component
-    * (the canonical/survivor doc). Iterative min-label propagation —
-    * each round is one join + one aggregate, O(graph diameter) rounds,
-    * `localCheckpoint` cuts the growing lineage. Near-dup graphs are
-    * overwhelmingly tiny cliques (diameter ≤ 2-3), so rounds stay
-    * single-digit at any data size; for adversarial long-chain graphs
-    * the same loop upgrades to large-star/small-star (alternating
-    * min-propagation, provably O(log n) rounds). Driver code is a
-    * bounded LOOP counter only — all data work is distributed. */
+    * (the canonical/survivor doc). Runs [[connectedComponentsStar]] —
+    * O(log n) rounds even on adversarial chain graphs (ComponentsSpec
+    * pins a 1000-link chain converging in ≤ 15 rounds); near-dup
+    * graphs are overwhelmingly tiny cliques, so in practice rounds
+    * stay low single-digit. Driver code is a bounded loop counter
+    * only — all data work is distributed. Docs without any near-dup
+    * pair bypass the loop entirely (their own singleton component via
+    * the final left join), so the iterated edge set is the few
+    * percent of the corpus that has duplicates, not the corpus. */
   def duplicateClusters(docs: DataFrame, pairs: DataFrame,
       maxIters: Int = 25): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
-    // Only docs that appear in an edge need propagation; everything
-    // else is its own singleton component and bypasses the loop. At
-    // corpus scale near-dup membership is a few percent, so the
-    // iterated frame shrinks by 10-100x (and each round's join/agg
-    // with it); singletons rejoin via one union at the end.
-    val inGraph = edges.select(col("src").as("id")).distinct().localCheckpoint()
-    val allDocs = docs.select(col("doc_id").as("id"))
-    var labels = inGraph.withColumn("component", col("id"))
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      val viaNeighbor = edges.join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("component"),
-          lit(null).cast("long").as("prev"))
-      // prev label rides through the union (max(prev): the one non-null)
-      // so convergence is read off the materialized round itself — no
-      // per-round labels⋈next join just to count changes
-      val next = labels.withColumn("prev", col("component"))
-        .unionByName(viaNeighbor)
-        .groupBy("id").agg(min(col("component")).as("component"),
-          max(col("prev")).as("prev"))
-        .localCheckpoint()
-      changed = next.filter(col("component") =!= col("prev")).count()
-      labels = next.select("id", "component")
-      iter += 1
-    }
-    allDocs.join(labels, Seq("id"), "left")
+    val (labels, _) = connectedComponentsStar(
+      pairs.select(col("id_a").as("u"), col("id_b").as("v")), maxIters)
+    docs.select(col("doc_id").as("id")).join(labels, Seq("id"), "left")
       .select(col("id").as("doc_id"),
         coalesce(col("component"), col("id")).as("component"))
   }

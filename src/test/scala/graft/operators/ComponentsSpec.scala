@@ -54,4 +54,35 @@ class ComponentsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 5L))
   }
+
+  test("a 1000-node chain converges in O(log n) rounds (large-star/small-star)") {
+    // the adversarial case for plain min-label propagation: diameter
+    // 999 would need ~999 rounds there; alternating large-star/
+    // small-star doubles the folding each round — the contract is
+    // logarithmic, and the labels still match union-find exactly
+    val n = 1000L
+    val chain = (0L until n - 1).map(i => (i, i + 1))
+    val (labels, rounds) = Dedup.connectedComponentsStar(
+      chain.toDF("u", "v"), maxIters = 25)
+    assert(rounds <= 15, s"chain took $rounds rounds — not logarithmic")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every non-root node labels to the global min 0
+    assert(got.size == n - 1 && got.values.forall(_ == 0L), s"rounds=$rounds")
+    // and through the public API the root keeps itself
+    val docs = (0L until n).toDF("doc_id")
+    val viaApi = Dedup.duplicateClusters(docs, chain.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaApi == (0L until n).map(_ -> 0L).toMap)
+  }
+
+  test("a clique and mixed components stay exact under the star rounds") {
+    val docs = (0L until 12L).toDF("doc_id")
+    // a 4-clique {0..3}, a triangle {7,8,9} linked to 4, isolated rest
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (7L, 8L), (8L, 9L), (7L, 9L), (4L, 9L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(docs, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 4L,
+      5L -> 5L, 6L -> 6L, 7L -> 4L, 8L -> 4L, 9L -> 4L, 10L -> 10L, 11L -> 11L))
+  }
 }
