@@ -2,11 +2,12 @@ package graft.streaming
 
 import java.time.Duration
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.functions.TextFunctions
-import graft.operators.Dedup
+import graft.operators.{Dedup, Packing, Sampling}
 
 /** The corpus-prep FRONT DOOR (p01 stages 1–3) as one Structured
   * Streaming query: quality gate → exact dedup → decontamination flag,
@@ -68,5 +69,55 @@ object StreamingCorpusPrep {
       .withColumn("contaminated",
         arrays_overlap(Dedup.shingleExpr(8), col("eval_sh")))
       .select("doc_id", "text", "ts", "contaminated")
+  }
+
+  // ---- stages 4-5 on a stream: the boundary, made explicit ----------
+  //
+  // Stage 4 (mixture) is rate-gated and the gate itself is a PURE
+  // per-row predicate (md5-of-key) — it streams as a narrow filter
+  // with no state. What does NOT stream is q27's temperature RATE
+  // DERIVATION: (c_min/c_s)^α needs the per-stratum counts of the
+  // WHOLE corpus, and an unbounded stream never closes that total. A
+  // production pipeline derives the rates OFFLINE (q27 over
+  // yesterday's corpus — they drift on corpus timescales, not
+  // micro-batch timescales) and ships them to the stream as static
+  // config; [[mixtureGate]] below is exactly that shape, and its kept
+  // set provably equals the batch gate at the same rates
+  // (StreamingCorpusPrepSpec).
+  //
+  // Stage 5 (sequence packing) is BATCH-SHAPED, irreducibly: a doc's
+  // global token offset is a prefix sum over a TOTAL ORDER of the
+  // corpus, and every later insertion shifts every later offset — on
+  // an unbounded stream the answer for any doc is never final, so a
+  // "streaming global pack" is not an operator, it's a contradiction
+  // (same reason t11/q29 are the two-phase scan, not a window: the
+  // order must be closed before positions exist). The production
+  // bridge is EPOCHS: close an ingest window (a micro-batch, an hour,
+  // a nightly run), pack the closed set with the batch operator, emit
+  // (epoch, packed layout). [[packEpochs]] composes exactly that in
+  // foreachBatch; each epoch's output is bit-identical to running
+  // batch t11 on that epoch's rows (parity-tested), and a trainer
+  // consumes epochs in order.
+
+  /** Stage 4 for streams: the q22-style static-rate mixture gate over
+    * an engine-derived language id. Stateless and narrow — safe under
+    * retries because the gate is a pure function of doc_id. */
+  def mixtureGate(kept: DataFrame, rates: Seq[(String, Double)],
+      salt: String): DataFrame =
+    Sampling.mixtureSample(
+      kept.withColumn("lang", TextFunctions.langId(col("text"))),
+      col("doc_id"), col("lang"), rates, salt)
+
+  /** Stage 5's epoch bridge: pack each closed micro-batch of
+    * (doc_id, n_tokens) with the batch two-phase-scan planner and hand
+    * `sink` the per-epoch layout (epoch column appended). */
+  def packEpochs(tokenCounts: DataFrame, budget: Int)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val step: (Dataset[Row], Long) => Unit = (b, epoch) => {
+      val packed = Packing.packPlan(b.toDF(), "doc_id", "n_tokens", budget)
+        .withColumn("epoch", lit(epoch))
+      sink(packed, epoch)
+    }
+    tokenCounts.writeStream.outputMode("append").foreachBatch(step).start()
   }
 }

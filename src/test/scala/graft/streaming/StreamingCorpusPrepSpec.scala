@@ -20,6 +20,7 @@ import graft.operators.Dedup
   * min-event-time winner coincides with batch dedup's min-doc_id
   * survivor. */
 case class PrepDoc(doc_id: Long, text: String, n_chars: Long, ts: Timestamp)
+case class TokenCount(doc_id: Long, n_tokens: Long)
 
 class StreamingCorpusPrepSpec extends SparkSpec {
 
@@ -56,6 +57,18 @@ class StreamingCorpusPrepSpec extends SparkSpec {
     Dedup.decontaminate(deduped, evalSet)
       .select("doc_id", "contaminated").collect()
       .map(r => (r.getLong(0), r.getBoolean(1))).toSet
+  }
+
+  /** DedupWindow's transformWithState needs the RocksDB provider. */
+  private def withRocksDB[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   test("front door keeps the same docs with the same flags as the batch stages") {
@@ -96,6 +109,74 @@ class StreamingCorpusPrepSpec extends SparkSpec {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }
+    }
+  }
+
+  test("stage 4 streams: static-rate mixture gate == the batch gate") {
+    withRocksDB {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // rates as static config — the streaming approximation of q27
+    // (rate DERIVATION needs whole-corpus counts and stays offline);
+    // the gate itself is a pure md5-of-doc_id filter, so the stream
+    // and batch draws are the same draw
+    val rates = Seq("en" -> 0.7)
+    val docsDf = fixture.toDF()
+    val evalSet = evalTexts.toDF("doc_id", "text")
+    // batch reference: stages 1-3 kept set, decontaminated, then gated
+    val quality = docsDf.filter(length(trim(col("text"))) > 0)
+      .filter(TextFunctions.quality(col("text"), col("n_chars")) >= 0.5)
+    val deduped = quality.join(Dedup.exactDedup(quality).select("doc_id"), "doc_id")
+    val clean = deduped.join(Dedup.decontaminate(deduped, evalSet)
+      .filter(!col("contaminated")).select("doc_id"), "doc_id")
+    val expected = Sampling.mixtureSample(
+        clean.withColumn("lang", TextFunctions.langId(col("text"))),
+        col("doc_id"), col("lang"), rates, "mix7")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(expected.nonEmpty && expected.size < 8,
+      s"gate fixture degenerate: $expected") // some kept, some dropped
+
+    val mem = MemoryStream[PrepDoc](spark)
+    val gated = StreamingCorpusPrep.mixtureGate(
+      StreamingCorpusPrep.frontDoor(spark, mem.toDF(), evalSet,
+          window = java.time.Duration.ofDays(1), delay = "1 hour")
+        .filter(!col("contaminated")),
+      rates, "mix7")
+    val q = gated.writeStream.format("memory")
+      .queryName("mixture_gate").outputMode("append").start()
+    mem.addData(fixture: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("mixture_gate")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == expected, s"stream=$streamed batch=$expected")
+    }
+  }
+
+  test("stage 5 bridges as epochs: each closed micro-batch packs like batch t11") {
+    import spark.implicits._
+    import graft.operators.Packing
+    val epochs = Seq(
+      (0L until 40L).map(i => TokenCount(i, (i % 7) * 30 + 5)),
+      (100L until 170L).map(i => TokenCount(i, (i % 5) * 50 + 1)))
+    val mem = MemoryStream[TokenCount](spark)
+    val got = scala.collection.mutable.Map[Long, Seq[(Long, Long, Long, Long)]]()
+    val q = StreamingCorpusPrep.packEpochs(mem.toDF(), budget = 256) {
+      (packed, epoch) =>
+        got(epoch) = packed.select("doc_id", "start_tok", "seq_first", "seq_last")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).sortBy(_._1).toSeq
+    }
+    try {
+      epochs.foreach { e => mem.addData(e: _*); q.processAllAvailable() }
+    } finally q.stop()
+    assert(got.size == 2)
+    epochs.zipWithIndex.foreach { case (e, i) =>
+      val batch = Packing.packPlan(e.toDF(), "doc_id", "n_tokens", 256)
+        .select("doc_id", "start_tok", "seq_first", "seq_last")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sortBy(_._1).toSeq
+      assert(got(i.toLong) == batch, s"epoch $i diverged from batch packing")
     }
   }
 }
