@@ -155,16 +155,32 @@ class PlanSpec extends SparkSpec {
         if (ev.stageInfo.rddInfos.exists(_.name.contains("FileScanRDD")))
           fileRecords.addAndGet(ev.stageInfo.taskMetrics.inputMetrics.recordsRead)
     }
+    // the listener bus is async: drain it deterministically with
+    // waitUntilEmpty (private[spark], hence reflection) — BEFORE
+    // attaching, so a previous test's straggler stages can't leak into
+    // the counter, and AFTER the collect, so every p01 stage is
+    // counted. Falls back to a quiet-window poll if the method moves.
+    def drainBus(): Unit = try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethods.find(_.getName.endsWith("listenerBus"))
+        .get.invoke(sc)
+      bus.getClass.getMethods
+        .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+        .get.invoke(bus)
+    } catch {
+      case _: Throwable =>
+        var prev = -1L; var stable = 0
+        while (stable < 10) {
+          val cur = fileRecords.get
+          if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+          Thread.sleep(100)
+        }
+    }
+    drainBus()
     spark.sparkContext.addSparkListener(listener)
     val total = try {
       SparkEntry.queries("p01_corpus_prep")(spark, sf).collect()
-      // the listener bus is async — wait for the counter to go quiet
-      var prev = -1L; var stable = 0
-      while (stable < 5) {
-        val cur = fileRecords.get
-        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
-        Thread.sleep(100)
-      }
+      drainBus()
       fileRecords.get
     } finally spark.sparkContext.removeSparkListener(listener)
     val n = spark.read.parquet(s"$sf/documents.parquet").count()
