@@ -318,7 +318,43 @@ object Dedup {
     hs.select(col("doc_id"), col("shs")).write.format("parquet")
       .bucketBy(numBuckets, "doc_id")
       .saveAsTable(s"${name}_sigs")
+    // stamp the shingle width on both tables: signatures built with a
+    // different k are INCOMPARABLE (different shingle universe →
+    // different minhashes and Jaccard denominators), so probe/append
+    // must be able to verify they speak the index's k
+    Seq(s"${name}_buckets", s"${name}_sigs").foreach { t =>
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('$ShingleKProp' = '$k')")
+    }
   }
+
+  /** Table property recording the shingle width an index was built
+    * with — see [[writeNearDupIndex]]. */
+  val ShingleKProp = "graft.shingle.k"
+
+  /** The `k` stamped on index table `t`, or an error naming the fix if
+    * the table predates the stamp (rebuild via [[writeNearDupIndex]]). */
+  private def storedShingleK(spark: SparkSession, t: String): Int =
+    spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(t))
+      .properties.get(ShingleKProp)
+      .map(_.toInt)
+      .getOrElse(sys.error(s"$t has no $ShingleKProp property — not a " +
+        "graft near-dup index (or built before k-stamping); rebuild it " +
+        "with writeNearDupIndex"))
+
+  /** Fail fast when a caller's `k` disagrees with the one the index
+    * was built with: the mismatch is otherwise SILENT — band hashes
+    * simply stop colliding and exact-verify Jaccard compares disjoint
+    * shingle universes, so probes under-detect duplicates and appends
+    * poison the index with incomparable signatures. */
+  private def requireShingleK(spark: SparkSession, name: String, k: Int): Unit =
+    Seq(s"${name}_buckets", s"${name}_sigs").foreach { t =>
+      val stored = storedShingleK(spark, t)
+      require(stored == k,
+        s"index $name was built with shingle k=$stored but k=$k was " +
+          "passed: signatures would be incomparable (duplicates would " +
+          "silently go undetected). Pass the index's k or rebuild it.")
+    }
 
   /** Index MAINTENANCE: append a batch's signatures and band buckets
     * to an existing [[writeNearDupIndex]] index — the step that turns
@@ -342,6 +378,7 @@ object Dedup {
     def spec(t: String) = catalog
       .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(t))
       .bucketSpec.getOrElse(sys.error(s"$t is not a bucketed index table"))
+    requireShingleK(spark, name, k)
     val bs = Frontier.pin(signatures(batch, k))
     bandBuckets(bs).write.format("parquet").mode("append")
       .bucketBy(spec(s"${name}_buckets").numBuckets, "band", "bh")
@@ -362,6 +399,7 @@ object Dedup {
     * oracle), different read path: only the batch is scanned fresh. */
   def incrementalNearDupSurvivorsIndexed(spark: SparkSession, name: String,
       batch: DataFrame, k: Int = 5, minJ: Double = 0.5): DataFrame = {
+    requireShingleK(spark, name, k)
     val hb = spark.table(s"${name}_buckets")
     val hsig = spark.table(s"${name}_sigs")
     val bs = signatures(batch, k)
@@ -403,9 +441,12 @@ object Dedup {
     *
     * The edge set is pinned per round ([[Frontier.pin]] — lineage
     * would otherwise grow by four joins per round) and convergence is
-    * exact set equality (two distinct sets: equal counts + empty
-    * except — both edge-set-sized but shuffle-light jobs, and rounds
-    * are logarithmic). At the fixpoint the graph is a star forest:
+    * exact set equality, detected in ONE action per round: the
+    * symmetric difference (union of the two excepts over the pinned,
+    * already-distinct sets) is empty iff the round changed nothing —
+    * one shuffle-light job instead of the two counts + except a
+    * count-compare formulation pays, and rounds are logarithmic. At
+    * the fixpoint the graph is a star forest:
     * every node links directly to its component's minimum.
     *
     * Returns (labels(id, component) for every node with an edge,
@@ -438,8 +479,8 @@ object Dedup {
           .filter(col("u") =!= col("v"))
           .unionByName(smins.select(col("u"), col("m").as("v")))
           .distinct())
-      converged = small.count() == edges.count() &&
-        small.except(edges).isEmpty
+      converged = small.except(edges)
+        .unionByName(edges.except(small)).isEmpty
       edges = small
       rounds += 1
     }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.SparkContext
 import org.apache.spark.sql.Dataset
 
 /** Frontier pinning: materialize a multi-consumer (or
@@ -28,25 +29,66 @@ import org.apache.spark.sql.Dataset
   * what pinning requires: phase 2 of a two-phase scan must observe the
   * very partitioning phase 3 reads, and a sampled hot set must be
   * drawn once, not once per consumer.
+  *
+  * Reliable mode REQUIRES a checkpoint dir on a non-local master: the
+  * dir must be shared storage every executor can read back, and a
+  * silently auto-created driver-local temp dir would defeat the exact
+  * fault tolerance the mode exists for (executors write their rdd-*
+  * partitions to non-shared local disks; recovery reads then fail
+  * after the very executor loss the mode guards against). Only a
+  * local[*] master auto-creates a temp dir — same machine, so the
+  * files are reachable — and registers it for deletion on JVM exit.
   */
 object Frontier {
 
   /** Session-conf knob: set to "true" for reliable checkpoints. */
   val ReliableConf = "graft.pin.reliable"
 
-  /** Pin `ds` per the session's durability mode (see object doc). In
-    * reliable mode a missing checkpoint dir is defaulted to a local
-    * temp dir — fine for local[*]; a cluster deployment sets
-    * `spark.sparkContext.setCheckpointDir` to shared storage. */
+  /** The fail-fast contract above, factored pure for testability:
+    * a missing checkpoint dir is an ERROR unless the master is local. */
+  private[graft] def requireCheckpointDir(isLocal: Boolean,
+      dirConfigured: Boolean): Unit =
+    require(isLocal || dirConfigured,
+      s"$ReliableConf=true on a cluster master requires " +
+        "spark.sparkContext.setCheckpointDir(<shared storage>): an " +
+        "auto-created driver-local temp dir is not readable by remote " +
+        "executors and would silently void the fault-tolerance the " +
+        "reliable mode exists for")
+
+  private def ensureCheckpointDir(sc: SparkContext): Unit =
+    if (sc.getCheckpointDir.isEmpty) {
+      requireCheckpointDir(sc.isLocal, dirConfigured = false)
+      val dir = java.nio.file.Files.createTempDirectory("graft-reliable-pin")
+      sys.addShutdownHook { // temp dirs must not outlive the test JVM
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        if (Files.exists(dir))
+          Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+      }
+      sc.setCheckpointDir(dir.toString)
+    }
+
+  /** Pin `ds` per the session's durability mode (see object doc).
+    *
+    * Reliable mode persists the dataset around the `checkpoint()`
+    * call: an eager reliable checkpoint otherwise computes the lineage
+    * TWICE (once for the eager action, once more when the checkpoint
+    * files are written), and the frontiers this helper pins are
+    * exactly the corpus-sized frames where paying the pipeline twice
+    * hurts most. With the persist, the action populates the cache and
+    * the checkpoint-write job re-reads blocks instead of re-running
+    * the plan (FrontierSpec counts evaluations through an
+    * accumulator); the cache is dropped once the checkpoint files
+    * hold the frame. */
   def pin[T](ds: Dataset[T]): Dataset[T] = {
     val spark = ds.sparkSession
     if (!spark.conf.get(ReliableConf, "false").toBoolean) ds.localCheckpoint()
     else {
-      val sc = spark.sparkContext
-      if (sc.getCheckpointDir.isEmpty)
-        sc.setCheckpointDir(java.nio.file.Files.createTempDirectory(
-          "graft-reliable-pin").toString)
-      ds.checkpoint()
+      ensureCheckpointDir(spark.sparkContext)
+      ds.persist()
+      try ds.checkpoint()
+      finally ds.unpersist(blocking = false)
     }
   }
 }

@@ -23,21 +23,41 @@ import org.apache.spark.sql.functions._
   * salt value, so every matching (l, r) pair joins exactly once.
   *
   * The salt is a DETERMINISTIC function of the row's own columns
-  * (`xxhash64` over all of them, mod salt) — never
+  * (`xxhash64` over the HASHABLE ones, mod salt) — never
   * `monotonically_increasing_id()`/`rand()`, whose values depend on
   * partition layout and task attempt: a fetch-failure recompute of the
   * salted map stage would re-salt rows after some reducers already
   * consumed old output, dropping or duplicating hot-key pairs. A pure
   * row hash replays identically on retry and under AQE re-plans.
-  * (Fully identical duplicate rows share a salt and land on one
-  * reducer; real fact rows carry near-unique payloads, so the spread
-  * over hot keys is unaffected in practice.)
+  * MapType columns (top-level or nested) are excluded from the hash:
+  * Spark disallows hashing maps (their entry order is undefined, so a
+  * "hash" would not even be a function of the value), and a left frame
+  * carrying a map payload must still salt cleanly off its remaining
+  * columns. (Fully identical duplicate rows — identical across every
+  * hashable column — share a salt and land on one reducer; real fact
+  * rows carry near-unique payloads, so the spread over hot keys is
+  * unaffected in practice.)
   */
 object SkewJoin {
 
-  /** Deterministic salt in [0, salt): pure hash of the row content. */
-  private def rowSalt(cols: Seq[String], salt: Int): Column =
-    pmod(xxhash64(cols.map(col): _*), lit(salt.toLong))
+  import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+
+  /** xxhash64 accepts any type except maps (at any nesting depth). */
+  private def hashable(dt: DataType): Boolean = dt match {
+    case _: MapType => false
+    case s: StructType => s.fields.forall(f => hashable(f.dataType))
+    case a: ArrayType => hashable(a.elementType)
+    case _ => true
+  }
+
+  /** Deterministic salt in [0, salt): pure hash of the row's hashable
+    * content. The equi-join key is always in the hash — join keys are
+    * comparable, hence hashable — so the set is never empty. */
+  private def rowSalt(df: DataFrame, salt: Int): Column = {
+    val cols = df.schema.fields.filter(f => hashable(f.dataType)).map(_.name)
+    require(cols.nonEmpty, "no hashable columns to derive a salt from")
+    pmod(xxhash64(cols.toSeq.map(col): _*), lit(salt.toLong))
+  }
 
   /** Inner equi-join on `key`, hot-key-resilient. `right` is replicated
     * `salt` ways — so this variant is ONLY for a dimension-sized (or at
@@ -47,7 +67,7 @@ object SkewJoin {
   def saltedInnerJoin(left: DataFrame, right: DataFrame, key: String,
       salt: Int = 16): DataFrame = {
     require(salt > 0, s"salt must be positive, got $salt")
-    val salted = left.withColumn("_salt", rowSalt(left.columns.toSeq, salt))
+    val salted = left.withColumn("_salt", rowSalt(left, salt))
     val replicated = right.withColumn("_salt",
       explode(array((0 until salt).map(s => lit(s.toLong)): _*)))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
@@ -124,7 +144,7 @@ object SkewJoin {
     // "not hot", so the otherwise-branch salt applies
     val saltedLeft = left.join(broadcast(hotKeys), Seq(key), "left")
       .withColumn("_salt", when(col("_hot"),
-          rowSalt(left.columns.toSeq, salt))
+          rowSalt(left, salt))
         .otherwise(lit(0L)))
       .drop("_hot")
     val saltedRight = right.join(broadcast(hotKeys), Seq(key), "left")

@@ -160,6 +160,34 @@ class LayoutSpec extends SparkSpec {
     assert(viaIndex.sameElements(recomputed))
   }
 
+  test("index stamps its shingle k; mismatched probe/append fail fast") {
+    import graft.operators.Dedup
+    val docs = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 50)
+    Dedup.writeNearDupIndex(docs, "graft_test_ndidx_k", numBuckets = 4, k = 5)
+    // the k the index was built with is recorded on both tables —
+    // signatures under a different k live in a different shingle
+    // universe, so a silent mismatch would simply stop detecting dups
+    Seq("graft_test_ndidx_k_buckets", "graft_test_ndidx_k_sigs").foreach { t =>
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(t)
+      assert(spark.sessionState.catalog.getTableMetadata(ident)
+        .properties.get(Dedup.ShingleKProp).contains("5"))
+    }
+    val batch = docs.select((col("doc_id") + 1000000000L).as("doc_id"),
+      col("text"))
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDupSurvivorsIndexed(
+        spark, "graft_test_ndidx_k", batch, k = 7)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.appendToNearDupIndex(batch, "graft_test_ndidx_k", k = 7)
+    }
+    // matching k works end-to-end (every batch doc is an exact replay →
+    // all drop)
+    assert(Dedup.incrementalNearDupSurvivorsIndexed(
+      spark, "graft_test_ndidx_k", batch, k = 5).isEmpty)
+  }
+
   test("hive-partitioned layout prunes whole files at listing time") {
     val out = Files.createTempDirectory("layout_hive").toString
     Tables(spark, sf, "documents")

@@ -48,6 +48,32 @@ class FrontierSpec extends SparkSpec {
       s"reliable mode changed p01: ${default.size} vs ${reliable.size} rows")
   }
 
+  test("reliable pin evaluates the pinned lineage exactly once") {
+    // checkpoint(eager=true) alone runs the plan twice (the eager
+    // action + the checkpoint-write job); pin() persists around the
+    // checkpoint so the write job reads cached blocks instead. An
+    // accumulator-counting UDF observes every evaluation.
+    val acc = spark.sparkContext.longAccumulator("frontier-evals")
+    val counted = udf { (x: Long) => acc.add(1L); x }
+    val df = spark.range(0, 100, 1, 4).select(counted(col("id")).as("id"))
+    val pinned = inReliableMode(Frontier.pin(df))
+    assert(acc.value == 100L,
+      s"pinned lineage ran ${acc.value / 100.0} times, expected once")
+    assert(pinned.count() == 100L)
+    assert(acc.value == 100L, "a consumer re-evaluated the pinned lineage")
+  }
+
+  test("reliable pin fails fast without a checkpoint dir off-local") {
+    // pure-guard contract: a cluster master must configure shared
+    // checkpoint storage; only local masters may fall back to an
+    // auto-created temp dir
+    intercept[IllegalArgumentException] {
+      Frontier.requireCheckpointDir(isLocal = false, dirConfigured = false)
+    }
+    Frontier.requireCheckpointDir(isLocal = false, dirConfigured = true)
+    Frontier.requireCheckpointDir(isLocal = true, dirConfigured = false)
+  }
+
   test("deterministicShuffle keeps its purity contract in reliable mode") {
     import spark.implicits._
     val df = (1 to 500).map(i => (i.toLong, i * 3L)).toDF("doc_id", "n")

@@ -134,6 +134,33 @@ class SkewBandJoinSpec extends SparkSpec {
       plain.groupBy(identity).view.mapValues(_.size).toMap)
   }
 
+  test("map-typed payload columns don't break the salt (excluded from hash)") {
+    import spark.implicits._
+    // hashing a MapType is disallowed in Spark (map entry order is
+    // undefined); the salt must skip map columns — at any nesting
+    // depth — and still spread off the remaining ones
+    val left = (1 to 100)
+      .map(i => (if (i <= 80) 7L else i.toLong, i.toLong, Map("m" -> i)))
+      .toDF("k", "lv", "props")
+    val right = (1 to 20).map(i => (if (i <= 10) 7L else (i + 70).toLong, i.toLong))
+      .toDF("k", "rv")
+    for (df <- Seq(
+        SkewJoin.saltedInnerJoin(left, right, "k", salt = 4),
+        SkewJoin.hotKeySaltedJoin(left, right, "k", salt = 4, hotThreshold = 10L))) {
+      val got = df.select("k", "lv", "rv").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val plain = left.join(right, Seq("k")).select("k", "lv", "rv").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got.groupBy(identity).view.mapValues(_.size).toMap ==
+        plain.groupBy(identity).view.mapValues(_.size).toMap)
+    }
+    // the hot rows really spread: key 7's 80 rows use more than one salt
+    val salted = left.withColumn("_s",
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64($"k", $"lv"), lit(4L)))
+    assert(salted.filter($"k" === 7L).select("_s").distinct().count() > 1)
+  }
+
   test("salted-join plans contain no nondeterministic expressions") {
     import spark.implicits._
     // the salt must be a pure function of row content: a task-retry
