@@ -300,17 +300,7 @@ object Dedup {
     // <warehouse>/<table> only holds in the default database — under
     // any other current database it is <warehouse>/<db>.db/<table>,
     // and a hand-built path would delete the wrong directory.
-    val catalog = spark.sessionState.catalog
-    Seq(s"${name}_buckets", s"${name}_sigs").foreach { t =>
-      val ident = spark.sessionState.sqlParser.parseTableIdentifier(t)
-      val locUri =
-        if (catalog.tableExists(ident)) catalog.getTableMetadata(ident).location
-        else catalog.defaultTablePath(ident)
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new org.apache.hadoop.fs.Path(locUri)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-    }
+    Seq(s"${name}_buckets", s"${name}_sigs").foreach(dropTableAndLocation(spark, _))
     val hs = Frontier.pin(signatures(hist, k))
     bandBuckets(hs).write.format("parquet")
       .bucketBy(numBuckets, "band", "bh")
@@ -325,6 +315,22 @@ object Dedup {
     Seq(s"${name}_buckets", s"${name}_sigs").foreach { t =>
       spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('$ShingleKProp' = '$k')")
     }
+  }
+
+  /** Drop `t` AND its on-disk location (resolved through the catalog —
+    * see the location note in [[writeNearDupIndex]]): a managed-table
+    * LOCATION can outlive the in-memory catalog entry across sessions,
+    * and a fresh write would then fail with LOCATION_ALREADY_EXISTS. */
+  private def dropTableAndLocation(spark: SparkSession, t: String): Unit = {
+    val catalog = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(t)
+    val locUri =
+      if (catalog.tableExists(ident)) catalog.getTableMetadata(ident).location
+      else catalog.defaultTablePath(ident)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new org.apache.hadoop.fs.Path(locUri)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
   }
 
   /** Table property recording the shingle width an index was built
@@ -391,6 +397,58 @@ object Dedup {
     // must refresh on their side — caches are per-session)
     Seq(s"${name}_buckets", s"${name}_sigs")
       .foreach(spark.catalog.refreshTable)
+  }
+
+  /** Index COMPACTION: rewrite both index tables in place, collapsing
+    * the per-append file accumulation [[appendToNearDupIndex]] causes.
+    * Every bucketed append lands a NEW file set next to the existing
+    * ones (bucketed scans union per-bucket file lists), so after N
+    * nightly ingests each bucket is ~N small files: listing cost,
+    * open/seek overhead, and per-file row-group stats all degrade —
+    * the classic small-files decay of any maintained index. Nightly
+    * append + periodic compaction is the standard lifecycle.
+    *
+    * The rewrite is SHUFFLE-FREE: the source scan is forced to read
+    * bucketed (`autoBucketedScan` off for the rewrite — left to its
+    * own devices the planner drops both the bucketed read and any
+    * explicit repartition here, since no join consumes the
+    * partitioning, and tasks would then hold mixed buckets), so each
+    * task owns exactly one bucket's file set and the bucketed write
+    * merges it into exactly one file — a narrow per-bucket file merge,
+    * the cheapest possible compaction at any scale. The fresh table is
+    * written under a temp name, then drop-and-renamed over the
+    * original; the bucket spec and shingle-k stamp carry over, so the
+    * probe's exchange-free contract holds unchanged afterwards
+    * (LayoutSpec re-walks the plan post-compaction). Readers in THIS
+    * session see the swap via refreshTable; concurrent cross-session
+    * readers of a production deployment would coordinate the swap
+    * through their metastore's atomic rename, same as any
+    * rewrite-based compaction. */
+  def compactNearDupIndex(spark: SparkSession, name: String): Unit = {
+    val catalog = spark.sessionState.catalog
+    val AutoScan = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val auto0 = spark.conf.get(AutoScan)
+    try {
+      spark.conf.set(AutoScan, "false")
+      Seq(s"${name}_buckets", s"${name}_sigs").foreach { t =>
+        val meta = catalog
+          .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(t))
+        val spec = meta.bucketSpec
+          .getOrElse(sys.error(s"$t is not a bucketed index table"))
+        val k = meta.properties.getOrElse(ShingleKProp,
+          sys.error(s"$t has no $ShingleKProp property"))
+        val bcols = spec.bucketColumnNames
+        val tmp = s"${t}_compacting"
+        dropTableAndLocation(spark, tmp)
+        spark.table(t).write.format("parquet")
+          .bucketBy(spec.numBuckets, bcols.head, bcols.tail: _*)
+          .saveAsTable(tmp)
+        spark.sql(s"ALTER TABLE $tmp SET TBLPROPERTIES ('$ShingleKProp' = '$k')")
+        dropTableAndLocation(spark, t)
+        spark.sql(s"ALTER TABLE $tmp RENAME TO $t")
+        spark.catalog.refreshTable(t)
+      }
+    } finally spark.conf.set(AutoScan, auto0)
   }
 
   /** [[incrementalNearDupSurvivors]] probing a PERSISTED index written

@@ -362,6 +362,31 @@ object DedupQueries {
       },
       Some(sqlTwoIngestSurvivors)),
 
+    // ---- d14: index COMPACTION between ingests -----------------------
+    // The d13 loop with the third lifecycle step: after night 1's
+    // append, the index is compacted (both bucketed tables rewritten
+    // in place, collapsing the per-append file accumulation) before
+    // night 2 probes it. Compaction must be behavior-INVISIBLE — same
+    // two-ingest oracle as d13, hash-exact — while the physical layout
+    // (one file per bucket, exchange-free probe) is pinned by
+    // LayoutSpec. A compaction that dropped/duplicated signatures or
+    // broke the bucket alignment flips rows here.
+    Q("d14_index_compaction",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        Dedup.writeNearDupIndex(
+          docs.select(col("doc_id"), col("text")), "graft_d14_idx")
+        val batchA = ingestBatch(docs)
+        val survA = Dedup.incrementalNearDupSurvivorsIndexed(
+          s, "graft_d14_idx", batchA)
+        Dedup.appendToNearDupIndex(batchA.join(survA, "doc_id"), "graft_d14_idx")
+        Dedup.compactNearDupIndex(s, "graft_d14_idx")
+        Dedup.incrementalNearDupSurvivorsIndexed(s, "graft_d14_idx",
+            ingestBatchB(docs))
+          .orderBy("doc_id")
+      },
+      Some(sqlTwoIngestSurvivors)),
+
     // ---- d09: incremental dedup (daily ingest vs historical corpus) --
     // The production shape of exact dedup at 100 TB: a new batch is
     // fingerprint-anti-joined against the corpus's fingerprint index —

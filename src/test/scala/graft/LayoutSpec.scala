@@ -160,6 +160,68 @@ class LayoutSpec extends SparkSpec {
     assert(viaIndex.sameElements(recomputed))
   }
 
+  test("compaction collapses per-append files; probe contract unchanged") {
+    import graft.operators.Dedup
+    def indexFiles(name: String): Int =
+      Seq(s"${name}_buckets", s"${name}_sigs").map { t =>
+        val loc = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(t)).location
+        val dir = new java.io.File(new java.net.URI(loc.getPath).getPath)
+        Option(dir.listFiles()).toSeq.flatten
+          .count(f => f.getName.endsWith(".parquet"))
+      }.sum
+    val docs = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    Dedup.writeNearDupIndex(docs, "graft_test_ndidx_cp", numBuckets = 4)
+    // three nightly appends of genuinely-new docs: each lands a fresh
+    // bucket-aligned file set next to the existing ones
+    for (night <- 1 to 3) {
+      val batch = spark.range(5)
+        .select((col("id") + 1000000000L * night + 500).as("doc_id"),
+          concat(lit(s"night $night novel content item "),
+            col("id").cast("string"),
+            lit(" uniquely worded filler alpha" + night * 7 +
+              " beta" + night * 13 + " gamma" + night * 17 +
+              " delta epsilon zeta eta theta iota")).as("text"))
+      Dedup.appendToNearDupIndex(batch, "graft_test_ndidx_cp")
+    }
+    val before = indexFiles("graft_test_ndidx_cp")
+    // probe batch: an exact copy of one appended doc (must drop) + one
+    // novel doc (must survive) — drawn BEFORE compaction
+    val probe = spark.range(1)
+      .select((col("id") + 1000000500L).as("doc_id"),
+        concat(lit("night 1 novel content item "), col("id").cast("string"),
+          lit(" uniquely worded filler alpha7 beta13 gamma17" +
+            " delta epsilon zeta eta theta iota")).as("text"))
+      .unionByName(spark.range(1)
+        .select((col("id") + 3000000000L).as("doc_id"),
+          lit("wholly unrelated probe text omega psi chi phi upsilon tau" +
+            " sigma rho pi omicron").as("text")))
+      .localCheckpoint()
+    val survBefore = Dedup.incrementalNearDupSurvivorsIndexed(
+      spark, "graft_test_ndidx_cp", probe).collect().map(_.getLong(0)).sorted
+    Dedup.compactNearDupIndex(spark, "graft_test_ndidx_cp")
+    val after = indexFiles("graft_test_ndidx_cp")
+    // 1 build + 3 appends over 2 tables → ≥8 file sets before; the
+    // compacted layout is one file per bucket per table
+    assert(after < before, s"compaction did not shrink files: $before → $after")
+    assert(after <= 8, s"expected ≤ one file per bucket per table, got $after")
+    // the bucket layout still carries the join partitioning (the
+    // exchange-free contract) and the k stamp survived the rewrite
+    assertProbeLayoutEngaged("graft_test_ndidx_cp", probe)
+    Seq("graft_test_ndidx_cp_buckets", "graft_test_ndidx_cp_sigs").foreach { t =>
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(t)
+      assert(spark.sessionState.catalog.getTableMetadata(ident)
+        .properties.get(Dedup.ShingleKProp).contains("5"))
+    }
+    val survAfter = Dedup.incrementalNearDupSurvivorsIndexed(
+      spark, "graft_test_ndidx_cp", probe).collect().map(_.getLong(0)).sorted
+    assert(survAfter.sameElements(survBefore),
+      s"compaction changed probe results: ${survBefore.mkString(",")} vs " +
+        survAfter.mkString(","))
+    // and the fixture really exercised both branches
+    assert(survBefore.sameElements(Array(3000000000L)))
+  }
+
   test("index stamps its shingle k; mismatched probe/append fail fast") {
     import graft.operators.Dedup
     val docs = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
