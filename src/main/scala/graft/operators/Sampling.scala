@@ -167,6 +167,92 @@ object Sampling {
       .drop("_sh_h", "_sh_pid")
   }
 
+  /** Token-BUDGET sampling: per stratum (domain/language/source), keep
+    * documents in deterministic md5(key:salt) order until the
+    * stratum's cumulative token count reaches `budget` — the mixture
+    * primitive a trainer actually specifies ("200 B tokens of web, 50 B
+    * of code"): rate-based sampling ([[mixtureSample]]) hits a TOKEN
+    * target only in expectation and only if mean doc length is known;
+    * this hits it exactly (to within one document), reproducibly.
+    *
+    * The per-stratum cumulative sum is the same scale trap as t11's
+    * global prefix sum, with a twist: `sum() OVER (PARTITION BY
+    * stratum ORDER BY hash)` distributes across strata but still
+    * sorts EACH stratum through one reducer — and a trainer's strata
+    * are few and huge (5 domains × 20 B tokens), which is exactly the
+    * worst case. Same cure as t11/q29, generalized: range-partition by
+    * (stratum, hash, key) so each partition owns a contiguous slice of
+    * one-or-more strata, per-(partition, stratum) subtotals to the
+    * driver (a few entries per partition — contiguity bounds the
+    * overlap), exclusive per-stratum scan there, one narrow
+    * mapPartitions adding bases while running the local per-stratum
+    * sum and gating on `budget`. [[Frontier.pin]] pins the range
+    * boundaries across the two jobs.
+    *
+    * Keep rule is INCLUSIVE prefix: a doc survives iff its stratum's
+    * cumulative tokens INCLUDING it stay ≤ budget (greedy prefix in
+    * hash order — deterministic, partitioning-invariant, and the same
+    * set DuckDB's windowed twin selects). `key` must be unique per row
+    * (see [[deterministicShuffle]]'s precondition — same tie-break
+    * contract). Output: (doc_id, stratum, n_tokens, cum_tokens). */
+  def tokenBudgetSample(df: DataFrame, key: Column, stratum: Column,
+      tokens: Column, budget: Long, salt: String,
+      numParts: Int = 0): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = if (numParts > 0) numParts else spark.sparkContext.defaultParallelism
+    val base = df.select(key.cast("long").as("_tb_id"),
+      stratum.cast("string").as("_tb_s"),
+      tokens.cast("long").as("_tb_n"),
+      conv(substring(md5(concat(key.cast("string"), lit(":" + salt))), 1, 13),
+        16, 10).cast("long").as("_tb_h"))
+    val parted = Frontier.pin(base
+      .repartitionByRange(p, col("_tb_s"), col("_tb_h"), col("_tb_id"))
+      .sortWithinPartitions(col("_tb_s"), col("_tb_h"), col("_tb_id"))
+      .withColumn("_tb_pid", spark_partition_id())
+      .as[(Long, String, Long, Long, Int)])
+    val subtotals = parted.groupBy(col("_tb_pid"), col("_tb_s"))
+      .agg(sum(col("_tb_n")).as("t"))
+      .collect().map(r => ((r.getInt(0), r.getString(1)), r.getLong(2)))
+    // exclusive per-stratum scan over the (partition, stratum)
+    // subtotals in partition order — driver work is O(entries), and
+    // contiguity keeps entries ≈ P + strata, not P × strata
+    val running = scala.collection.mutable.Map.empty[String, Long]
+    val bases = subtotals.sortBy(_._1._1).map { case ((pid, s), t) =>
+      val b = running.getOrElse(s, 0L)
+      running(s) = b + t
+      (pid, s) -> b
+    }.toMap
+    val bc = spark.sparkContext.broadcast(bases)
+    parted.mapPartitions { it =>
+      var curS: String = null
+      var run = 0L
+      it.flatMap { case (id, s, n, h, pid) =>
+        if (s != curS) { curS = s; run = bc.value.getOrElse((pid, s), 0L) }
+        run += n
+        if (run <= budget) Some((id, s, n, run)) else None
+      }
+    }.toDF("doc_id", "stratum", "n_tokens", "cum_tokens")
+  }
+
+  /** DuckDB twin of [[tokenBudgetSample]] over table `t`. The window
+    * spelling is CORRECT here (and the in-engine plan deliberately
+    * avoids it): (h, key) is tie-free, so the default RANGE frame has
+    * no peers and equals ROWS. Caller appends ORDER BY. */
+  def sqlTokenBudgetSample(t: String, keyExpr: String, stratumExpr: String,
+      tokensExpr: String, budget: Long, salt: String): String =
+    s"""WITH tb AS (SELECT $keyExpr AS doc_id, $stratumExpr AS stratum,
+        CAST($tokensExpr AS BIGINT) AS n_tokens,
+        substr(md5(CAST($keyExpr AS VARCHAR) || ':$salt'), 1, 13) AS h
+      FROM $t),
+      c AS (SELECT doc_id, stratum, n_tokens,
+        CAST(sum(n_tokens) OVER (PARTITION BY stratum
+          ORDER BY h, doc_id) AS BIGINT) AS cum_tokens
+      FROM tb)
+      SELECT doc_id, stratum, n_tokens, cum_tokens FROM c
+      WHERE cum_tokens <= $budget"""
+
   /** DuckDB twin of [[temperatureRebalance]] over table `t`:
     * SELECTs `cols` of the kept rows (caller appends ORDER BY). */
   def sqlTemperatureRebalance(t: String, keyExpr: String, stratumCol: String,

@@ -204,6 +204,26 @@ object Advanced {
               doc_id) - 1 AS BIGINT) AS shuffle_pos
         FROM documents ORDER BY doc_id NULLS FIRST""")),
 
+    // ---- q30: token-budget mixture -----------------------------------
+    // The trainer-facing mixture spec ("N tokens per domain"): per
+    // lang, keep docs in deterministic md5 order until 2500 cumulative
+    // tokens. Every lang at sf0.01 holds 3.5k-12k tokens, so each
+    // stratum exercises both the kept prefix and the dropped tail. The
+    // in-engine plan is the generalized two-phase scan (no per-stratum
+    // one-reducer window — see tokenBudgetSample's scaladoc; the
+    // oracle's window spelling is safe only because DuckDB runs at
+    // oracle scale).
+    Q("q30_token_budget",
+      (s, dir) =>
+        Sampling.tokenBudgetSample(Tables(s, dir, "documents"),
+            col("doc_id"), col("lang"),
+            TextFunctions.tokenCount(col("text")),
+            budget = 2500L, salt = "tb1")
+          .orderBy("doc_id"),
+      Some(Sampling.sqlTokenBudgetSample("documents", "doc_id", "lang",
+          TextFunctions.sqlTokenCount("text"), 2500L, "tb1") +
+        " ORDER BY doc_id NULLS FIRST")),
+
     // ---- multiple COUNT(DISTINCT) in one aggregate -------------------
     // Catalyst plans N distinct aggregates over one input as a single
     // Expand (N+1 projections of each row) + two-phase aggregation —

@@ -102,6 +102,53 @@ class SamplingSpec extends SparkSpec {
     assert(empty.count() == 0 && empty.columns.last == "shuffle_pos")
   }
 
+  test("token budget: greedy prefix per stratum, window-equivalent, no Window node") {
+    // few, huge strata — the trainer shape the per-stratum window
+    // would serialize through one reducer each
+    val df = spark.range(0, 5000).select(col("id"),
+      (col("id") % 3).cast("string").as("dom"),
+      (col("id") % 17 + 1).as("ntok"))
+    val budget = 2000L
+    def run(d: org.apache.spark.sql.DataFrame, parts: Int = 0) =
+      Sampling.tokenBudgetSample(d, col("id"), col("dom"), col("ntok"),
+          budget, "tb-test", parts)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+    val got = run(df, 8)
+    // equals the windowed formulation it replaces
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("dom")
+      .orderBy(substring(md5(concat(col("id").cast("string"), lit(":tb-test"))),
+        1, 13), col("id"))
+    val ref = df.withColumn("cum", sum(col("ntok")).over(w))
+      .filter(col("cum") <= budget)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == ref)
+    // greedy-prefix maximality: each stratum's kept sum is ≤ budget and
+    // within one max-doc of it (the next-ranked doc would overflow)
+    val perDom = got.groupBy(_._2).view.mapValues(_.toSeq.map(_._3).sum)
+    perDom.foreach { case (dom, tot) =>
+      assert(tot <= budget && tot > budget - 17, s"$dom kept $tot")
+    }
+    assert(perDom.keySet == Set("0", "1", "2"))
+    // pure function of the input set: partitioning/layout can't move it
+    assert(run(df.repartition(13), 3) == got)
+    // the in-engine plan never sorts a stratum through one reducer
+    val plan = Sampling.tokenBudgetSample(df, col("id"), col("dom"),
+      col("ntok"), budget, "tb-test").queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    // budget edges: 0 keeps nothing; ∞ keeps everything with exact sums
+    assert(run(df.limit(0), 2).isEmpty)
+    assert(Sampling.tokenBudgetSample(df, col("id"), col("dom"), col("ntok"),
+      0L, "tb-test").count() == 0)
+    val all = Sampling.tokenBudgetSample(df, col("id"), col("dom"), col("ntok"),
+      Long.MaxValue, "tb-test")
+    assert(all.count() == 5000)
+    assert(all.groupBy("stratum").agg(max("cum_tokens").as("m"))
+      .collect().map(_.getLong(1)).sum ==
+      df.agg(sum("ntok")).head().getLong(0))
+  }
+
   test("stratified quota: exactly min(k, |stratum|) rows, window-equivalent, retry-stable") {
     val df = spark.range(n).select(col("id"),
       when(col("id") % 100 === 0, "rare").otherwise("common").as("strat"))
