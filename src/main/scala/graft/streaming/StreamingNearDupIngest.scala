@@ -60,17 +60,32 @@ object StreamingNearDupIngest {
   /** Start the continuous ingest over a streaming (doc_id, text, ...)
     * frame. `sink(survivors, batchId)` receives each micro-batch's
     * surviving rows (already appended to the index) — write them to
-    * the kept-corpus table, a queue, etc. */
+    * the kept-corpus table, a queue, etc.
+    *
+    * `compactEvery = n` folds the third lifecycle step into the loop:
+    * after every n-th micro-batch the index is compacted
+    * ([[Dedup.compactNearDupIndex]]) — without it, a long-running
+    * ingest accretes one file set per batch per bucket and the probe's
+    * listing/open costs creep up with stream AGE rather than stream
+    * rate. foreachBatch's strict sequencing makes the rewrite safe
+    * mid-stream: no probe is in flight while the tables swap, and the
+    * next batch re-resolves them through the (refreshed) catalog.
+    * Compaction is behavior-invisible, so parity with sequential
+    * batch runs is unchanged (StreamingNearDupIngestSpec replays both
+    * paths with compaction on). */
   def start(spark: SparkSession, docs: DataFrame, indexName: String,
-      k: Int = 5, minJ: Double = 0.5)(
+      k: Int = 5, minJ: Double = 0.5, compactEvery: Int = 0)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val step: (Dataset[Row], Long) => Unit = (batch, batchId) => {
       // cache: the batch feeds the signature scan AND the survivor
       // join-back; without the pin a re-evaluation could re-read the
       // source offsets
       val b = batch.persist()
-      try sink(probeAndAppend(indexName, b.toDF(), k, minJ), batchId)
-      finally b.unpersist()
+      try {
+        sink(probeAndAppend(indexName, b.toDF(), k, minJ), batchId)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          Dedup.compactNearDupIndex(b.sparkSession, indexName)
+      } finally b.unpersist()
     }
     docs.writeStream.outputMode("append").foreachBatch(step).start()
   }

@@ -77,5 +77,36 @@ class StreamingNearDupIngestSpec extends SparkSpec {
     assert(expected.head.size == 4)
     assert(expected(1).size == 3, expected(1).toString)
     assert(expected(2).size == 2, expected(2).toString)
+
+    // ---- full lifecycle: probe + append + compact-every-batch -------
+    // compaction mid-stream must be behavior-invisible (same survivors
+    // per night) while holding the file count flat in stream age
+    def indexFiles(name: String): Int =
+      Seq(s"${name}_buckets", s"${name}_sigs").map { t =>
+        val loc = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(t)).location
+        Option(new java.io.File(new java.net.URI(loc.getPath).getPath)
+          .listFiles()).toSeq.flatten.count(_.getName.endsWith(".parquet"))
+      }.sum
+    Dedup.writeNearDupIndex(corpus, "graft_snd_compact", numBuckets = 4)
+    val gotC = scala.collection.mutable.Map[Long, Set[Long]]()
+    val memC = MemoryStream[IngestDoc](spark)
+    val qc = StreamingNearDupIngest.start(spark, memC.toDF(),
+        "graft_snd_compact", compactEvery = 1) { (surv, id) =>
+      gotC(id) = surv.select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    try {
+      batches.foreach { b =>
+        memC.addData(b: _*)
+        qc.processAllAvailable()
+      }
+    } finally qc.stop()
+    assert(gotC.toSeq.sortBy(_._1).map(_._2) == expected,
+      s"compaction changed survivors: $gotC vs $expected")
+    // 1 build + 3 appends would be ≥4 file sets per table without
+    // compaction; the step compacts AFTER each append, so the final
+    // state is ≤ one file per bucket per table
+    assert(indexFiles("graft_snd_compact") <= 8,
+      s"file count not held flat: ${indexFiles("graft_snd_compact")}")
   }
 }
