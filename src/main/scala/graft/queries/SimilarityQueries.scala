@@ -119,6 +119,20 @@ object SimilarityQueries {
           .orderBy("qid", "rank"),
       None),
 
+    // ---- s08: IVF-PQ — product-quantized codes inside the IVF cells --
+    // The heaviest-compression family member: 8 sub-byte PQ codes per
+    // 64-dim vector (vs SQ8's 64 bytes), scored by per-query ADC
+    // lookup tables riding the broadcast, exact re-rank on the
+    // shortlist. Rows-only like s03/s04/s07 (k-means samples don't
+    // replay in DuckDB); recall@10 vs exact s01 is driver-gated by
+    // s05's pq contract row.
+    Q("s08_knn_ivf_pq",
+      (s, dir) =>
+        Similarity.ivfPqTopK(s, Tables(s, dir, "embeddings"),
+            expr(QueryPred), K)
+          .orderBy("qid", "rank"),
+      None),
+
     // ---- s06: int8-quantized ANN with exact re-rank ------------------
     // Unlike s03/s04, quantized search IS oracle-exact: the codes,
     // integer dot scores, shortlist cut and f32 re-rank are all

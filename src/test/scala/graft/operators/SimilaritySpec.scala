@@ -147,6 +147,33 @@ class SimilaritySpec extends SparkSpec {
     assert(again == sq8)
   }
 
+  test("IVF-PQ: ADC recall holds; full probe + corpus shortlist is exact") {
+    val bf = Similarity.bruteForceTopK(spark, emb, col("vec_id") < 8, 10)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.ivfPqTopK(spark, emb, col("vec_id") < 8, 10)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // misses = neighbors in unprobed cells ∪ PQ rounding below the
+    // shortlist cut; 0.6 is the s05 driver-contract floor
+    assert((bf & pq).size.toDouble / bf.size >= 0.6,
+      s"recall=${(bf & pq).size.toDouble / bf.size}")
+    // degenerate exactness: probing EVERY cell removes the IVF loss and
+    // a corpus-wide shortlist feeds the exact re-rank every candidate —
+    // what remains must be exactly the brute-force answer even though
+    // the 8-byte codes score with 32× loss
+    val n = emb.count().toInt
+    val full = Similarity.ivfPqTopK(spark, emb, col("vec_id") < 8, 10,
+        nCells = 4, nprobe = 4, shortlist = n)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == bf)
+    // deterministic across runs (seeded samples + pure arithmetic)
+    val again = Similarity.ivfPqTopK(spark, emb, col("vec_id") < 8, 10)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == pq)
+    // empty input keeps the guard of the other families
+    assert(Similarity.ivfPqTopK(spark, emb.limit(0), col("vec_id") < 2, 3)
+      .count() == 0)
+  }
+
   test("quantized paths return clean empty results on a degenerate corpus") {
     import spark.implicits._
     // all-zero embeddings: max|x| = 0 — codes would be NULL/NaN without
