@@ -83,7 +83,11 @@ object StreamingCorpusPrep {
   // micro-batch timescales) and ships them to the stream as static
   // config; [[mixtureGate]] below is exactly that shape, and its kept
   // set provably equals the batch gate at the same rates
-  // (StreamingCorpusPrepSpec).
+  // (StreamingCorpusPrepSpec). When the mixture is specified as TOKEN
+  // BUDGETS instead of rates (q30's contract), the stateful
+  // [[TokenBudgetGate]] is the streaming stage 4: per-stratum running
+  // totals carried across micro-batches, q30-exact when an epoch
+  // closes in one batch.
   //
   // Stage 5 (sequence packing) is BATCH-SHAPED, irreducibly: a doc's
   // global token offset is a prefix sum over a TOTAL ORDER of the
