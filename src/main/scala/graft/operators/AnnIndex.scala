@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED ANN index: the maintained-artifact lifecycle the near-dup
+  * index has (d12 write → d13 append → d14 compact), applied to
+  * similarity search. [[Similarity.ivfPqTopK]] trains its quantizers
+  * and encodes the corpus PER QUERY RUN — correct, but at 100 TB the
+  * encode pass dwarfs the search; a production deployment builds the
+  * index once, probes it many times, and appends new vectors nightly.
+  *
+  *  - `<name>_cells`: (vec_id, codes) PARTITIONED BY cell — directory
+  *    partitioning, not bucketing, because the probe's win is reading
+  *    nprobe/nCells of the data: the probe joins the (broadcast) query
+  *    cell set against the partition column, and Spark's dynamic
+  *    partition pruning skips every unprobed cell's directory at
+  *    listing time (AnnIndexSpec asserts the dynamicpruning filter in
+  *    the scan). m ints per vector — the PQ compression is what makes
+  *    the index table this small in the first place.
+  *  - `<name>_model`: the trained coarse centroids and PQ codebooks as
+  *    rows (kind, i, j, vec) — nCells + m·ksub small vectors, collected
+  *    and broadcast by every probe/append. The model is FROZEN at build
+  *    time (the FAISS contract): appended vectors encode with the
+  *    existing quantizers, so old and new codes stay comparable —
+  *    retraining is a rebuild, not an append.
+  *
+  * Probe result == [[Similarity.ivfPqTopK]] at equal parameters
+  * (bit-identical: same deterministic sample → same model → same codes
+  * and ADC scores; AnnIndexSpec pins the equality), so s09 shares s08's
+  * correctness story: rows-only registration, recall driver-gated via
+  * the s05 contract on the in-memory twin.
+  */
+object AnnIndex {
+
+  /** Model/geometry stamps (validated on probe/append — a probe against
+    * an index built with different geometry would silently mis-rank). */
+  val DimProp = "graft.ann.dim"
+  val MProp = "graft.ann.m"
+  val KsubProp = "graft.ann.ksub"
+  val NCellsProp = "graft.ann.ncells"
+
+  private def dropTableAndLocation(spark: SparkSession, t: String): Unit = {
+    val catalog = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(t)
+    val locUri =
+      if (catalog.tableExists(ident)) catalog.getTableMetadata(ident).location
+      else catalog.defaultTablePath(ident)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new org.apache.hadoop.fs.Path(locUri)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
+  /** Build the index: train the coarse quantizer + PQ codebooks on the
+    * bounded driver sample (identical to [[Similarity.ivfPqTopK]]'s
+    * training), encode the corpus once, persist codes partitioned by
+    * cell and the model as its own table. */
+  def writeAnnIndex(emb: DataFrame, name: String, nCells: Int = 16,
+      m: Int = 8, ksub: Int = 32): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val firstVec = emb.select(size(col("embedding"))).take(1)
+    require(firstVec.nonEmpty, "cannot build an ANN index over an empty corpus")
+    val dim = firstVec(0).getInt(0)
+    val trained = Similarity.trainCentroids(emb, nCells)
+    val books = Similarity.trainPqCodebooks(emb, m, ksub)
+    val cents = spark.sparkContext.broadcast(trained)
+    val bb = spark.sparkContext.broadcast(books)
+    val dsub = dim / m
+    val cellOf = udf((v: Seq[Float]) =>
+      Similarity.nearestCell(v.toArray, cents.value))
+    val encode = udf { (v: Seq[Float]) =>
+      val a = v.toArray
+      (0 until m).map(j =>
+        Similarity.nearestCell(a.slice(j * dsub, (j + 1) * dsub), bb.value(j)))
+    }
+    Seq(s"${name}_cells", s"${name}_model")
+      .foreach(dropTableAndLocation(spark, _))
+    emb.select(col("vec_id"), encode(col("embedding")).as("codes"),
+        cellOf(col("embedding")).as("cell"))
+      .write.format("parquet").partitionBy("cell")
+      .saveAsTable(s"${name}_cells")
+    val centRows = trained.zipWithIndex.map { case (v, i) =>
+      ("cent", i, 0, v.toSeq) }
+    val bookRows = for {
+      (book, j) <- books.zipWithIndex; (v, c) <- book.zipWithIndex
+    } yield ("book", j, c, v.toSeq)
+    (centRows ++ bookRows).toSeq.toDF("kind", "i", "j", "vec")
+      .coalesce(1).write.format("parquet").saveAsTable(s"${name}_model")
+    Seq(s"${name}_cells", s"${name}_model").foreach { t =>
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('$DimProp' = '$dim', " +
+        s"'$MProp' = '$m', '$KsubProp' = '$ksub', '$NCellsProp' = '$nCells')")
+    }
+  }
+
+  private def props(spark: SparkSession, t: String): Map[String, String] =
+    spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(t))
+      .properties
+
+  private def geometry(spark: SparkSession, name: String): (Int, Int, Int) = {
+    val p = props(spark, s"${name}_cells")
+    def g(k: String) = p.getOrElse(k,
+      sys.error(s"${name}_cells has no $k property — not a graft ANN index"))
+      .toInt
+    (g(DimProp), g(MProp), g(KsubProp))
+  }
+
+  /** The frozen model, loaded (tiny: nCells + m·ksub vectors). */
+  private def loadModel(spark: SparkSession, name: String,
+      m: Int): (Array[Array[Float]], Array[Array[Array[Float]]]) = {
+    val rows = spark.table(s"${name}_model").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getSeq[Float](3).toArray))
+    val cents = rows.filter(_._1 == "cent").sortBy(_._2).map(_._4)
+    val books = Array.tabulate(m) { j =>
+      rows.filter(r => r._1 == "book" && r._2 == j).sortBy(_._3).map(_._4)
+    }
+    (cents, books)
+  }
+
+  /** Nightly append: encode the batch with the FROZEN model and land
+    * its codes in the existing cell directories (dynamic partition
+    * overwrite is off for appends — each cell dir just gains a file;
+    * [[Dedup.compactNearDupIndex]]'s rewrite pattern applies if the
+    * per-append files ever matter, but cells are directories here, so
+    * probes prune rather than list them all). */
+  def appendToAnnIndex(batch: DataFrame, name: String): Unit = {
+    val spark = batch.sparkSession
+    val (dim, m, _) = geometry(spark, name)
+    val (cents0, books0) = loadModel(spark, name, m)
+    val cents = spark.sparkContext.broadcast(cents0)
+    val bb = spark.sparkContext.broadcast(books0)
+    val dsub = dim / m
+    val cellOf = udf((v: Seq[Float]) =>
+      Similarity.nearestCell(v.toArray, cents.value))
+    val encode = udf { (v: Seq[Float]) =>
+      val a = v.toArray
+      (0 until m).map(j =>
+        Similarity.nearestCell(a.slice(j * dsub, (j + 1) * dsub), bb.value(j)))
+    }
+    batch.select(col("vec_id"), encode(col("embedding")).as("codes"),
+        cellOf(col("embedding")).as("cell"))
+      .write.format("parquet").mode("append").partitionBy("cell")
+      .saveAsTable(s"${name}_cells")
+    spark.catalog.refreshTable(s"${name}_cells")
+  }
+
+  /** Probe the persisted index: ADC scoring against the codes of the
+    * nprobe nearest cells per query (dynamic partition pruning keeps
+    * the scan to those cells' directories), exact f32 re-rank of the
+    * shortlist against `emb` (the raw vectors live in the SOURCE
+    * table — a PQ index stores codes, not vectors). Queries =
+    * `emb.filter(queryPred)`, as in the in-memory operators. */
+  def probeAnnIndex(spark: SparkSession, name: String, emb: DataFrame,
+      queryPred: org.apache.spark.sql.Column, k: Int = 10, nprobe: Int = 4,
+      shortlist: Int = 60): DataFrame = {
+    val (dim, m, ksub) = geometry(spark, name)
+    val (cents0, books0) = loadModel(spark, name, m)
+    val cents = spark.sparkContext.broadcast(cents0)
+    val bb = spark.sparkContext.broadcast(books0)
+    val dsub = dim / m
+    val probesOf = udf((v: Seq[Float]) =>
+      Similarity.nearestCells(v.toArray, cents.value, nprobe))
+    val lutOf = udf { (v: Seq[Float]) =>
+      val a = v.toArray
+      val out = new Array[Double](m * ksub)
+      var j = 0
+      while (j < m) {
+        val cb = bb.value(j)
+        var c = 0
+        while (c < cb.length) {
+          var acc = 0.0
+          var d = 0
+          while (d < dsub) { acc += a(j * dsub + d) * cb(c)(d); d += 1 }
+          out(j * ksub + c) = acc
+          c += 1
+        }
+        j += 1
+      }
+      out.toSeq
+    }
+    val q = emb.filter(queryPred)
+      .select(col("vec_id").as("qid"), lutOf(col("embedding")).as("lut"),
+        explode(probesOf(col("embedding"))).as("cell"))
+    val scored = spark.table(s"${name}_cells")
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", expr(
+        s"aggregate(transform(codes, (c, j) -> element_at(lut, j * $ksub + c + 1)), " +
+          "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+    val cands = Similarity.topKPerQuery(
+      scored.select("qid", "vec_id", "cos"), shortlist)
+    Similarity.exactReRank(emb, cands, dim, k)
+  }
+}

@@ -140,9 +140,10 @@ object Similarity {
       "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE)"
 
   /** Exact f32-chain cosine re-rank of a (qid, vec_id) shortlist:
-    * touches ≤ |cands| rows, returns the final per-query top-k. */
-  private def exactReRank(emb: DataFrame, cands: DataFrame, dim: Int,
-      k: Int): DataFrame = {
+    * touches ≤ |cands| rows, returns the final per-query top-k.
+    * Shared with [[AnnIndex.probeAnnIndex]]. */
+  private[operators] def exactReRank(emb: DataFrame, cands: DataFrame,
+      dim: Int, k: Int): DataFrame = {
     val en = emb.select(col("vec_id"), col("embedding"),
       expr(VectorFunctions.chainNorm("embedding", dim, 0)).as("nrm"))
     val joined = cands.select("qid", "vec_id")

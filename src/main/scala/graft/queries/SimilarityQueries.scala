@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.VectorFunctions._
-import graft.operators.Similarity
+import graft.operators.{AnnIndex, Similarity}
 
 /** Similarity-search queries over `embeddings` (64-dim float).
   *
@@ -131,6 +131,24 @@ object SimilarityQueries {
         Similarity.ivfPqTopK(s, Tables(s, dir, "embeddings"),
             expr(QueryPred), K)
           .orderBy("qid", "rank"),
+      None),
+
+    // ---- s09: probe of the PERSISTED ANN index -----------------------
+    // The deployed shape of s08 (the d12 story for similarity search):
+    // codes live in a cell-partitioned table built once, the probe
+    // reads only the nprobe cells per query (dynamic partition pruning
+    // — AnnIndexSpec asserts the filter reaches the scan), re-rank
+    // pulls raw vectors from the source. Output is bit-identical to
+    // s08 at equal parameters (same frozen model), so it shares s08's
+    // correctness story: rows-only, recall driver-gated via s05.
+    Q("s09_ann_index_probe",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        AnnIndex.writeAnnIndex(
+          emb.select(col("vec_id"), col("embedding")), "graft_s09_idx")
+        AnnIndex.probeAnnIndex(s, "graft_s09_idx", emb, expr(QueryPred), K)
+          .orderBy("qid", "rank")
+      },
       None),
 
     // ---- s06: int8-quantized ANN with exact re-rank ------------------

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** The persisted ANN index's three contracts: the probe is
+  * bit-identical to the in-memory IVF-PQ operator at equal parameters
+  * (same deterministic training → same model → same codes/scores), the
+  * cell-partitioned layout actually prunes (dynamic partition pruning
+  * reaches the scan), and an append encodes with the FROZEN model so
+  * probes find new vectors without a rebuild. */
+class AnnIndexSpec extends SparkSpec {
+
+  private lazy val emb = Tables(spark, sf, "embeddings")
+
+  test("probe == in-memory ivfPqTopK at equal parameters; DPP prunes cells") {
+    AnnIndex.writeAnnIndex(emb, "graft_test_ann")
+    val probe = AnnIndex.probeAnnIndex(spark, "graft_test_ann", emb,
+      col("vec_id") < 8, k = 10)
+    val inMem = Similarity.ivfPqTopK(spark, emb, col("vec_id") < 8, 10)
+    val a = probe.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getInt(2), r.getDouble(3))).toSet
+    val b = inMem.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getInt(2), r.getDouble(3))).toSet
+    assert(a == b, s"persisted probe diverged: ${a.size} vs ${b.size} rows")
+    // the scan of the codes table carries a dynamic partition-pruning
+    // filter on cell — unprobed cell directories are never listed
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan)
+    // geometry stamps recorded
+    val props = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("graft_test_ann_cells"))
+      .properties
+    assert(props.get(AnnIndex.MProp).contains("8"))
+    assert(props.get(AnnIndex.KsubProp).contains("32"))
+  }
+
+  test("append encodes with the frozen model; probes find the new vectors") {
+    val base = emb.select("vec_id", "embedding")
+    AnnIndex.writeAnnIndex(base, "graft_test_ann_app")
+    // the appended batch: exact copies of vectors 0..3 under new ids —
+    // their nearest neighbors by construction
+    val batch = base.filter(col("vec_id") < 4)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    AnnIndex.appendToAnnIndex(batch, "graft_test_ann_app")
+    val all = base.unionByName(batch)
+    val got = AnnIndex.probeAnnIndex(spark, "graft_test_ann_app", all,
+        col("vec_id") < 4, k = 10)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each original query's rank-1 neighbor is its appended clone
+    (0L until 4L).foreach { q =>
+      assert(got(q) == q + 1000000L,
+        s"query $q rank-1 = ${got(q)}, expected its appended clone")
+    }
+  }
+
+  test("probing a non-index table fails fast") {
+    intercept[Exception] {
+      AnnIndex.probeAnnIndex(spark, "graft_no_such_index", emb,
+        col("vec_id") < 2)
+    }
+  }
+}
