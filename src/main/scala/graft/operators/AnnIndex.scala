@@ -155,6 +155,16 @@ object AnnIndex {
     * `emb.filter(queryPred)`, as in the in-memory operators. */
   def probeAnnIndex(spark: SparkSession, name: String, emb: DataFrame,
       queryPred: org.apache.spark.sql.Column, k: Int = 10, nprobe: Int = 4,
+      shortlist: Int = 60): DataFrame =
+    probeQueries(spark, name, emb.filter(queryPred), emb, k, nprobe, shortlist)
+
+  /** Probe with an EXPLICIT query frame — the shape streaming ingest
+    * needs, where the queries (an arriving micro-batch) are not yet
+    * rows of the corpus table. `rerank` must carry raw vectors for
+    * both the query ids and every indexed candidate (typically
+    * `corpus ∪ queries`); the index supplies only codes. */
+  def probeQueries(spark: SparkSession, name: String, queries: DataFrame,
+      rerank: DataFrame, k: Int = 10, nprobe: Int = 4,
       shortlist: Int = 60): DataFrame = {
     val (dim, m, ksub) = geometry(spark, name)
     val (cents0, books0) = loadModel(spark, name, m)
@@ -181,7 +191,7 @@ object AnnIndex {
       }
       out.toSeq
     }
-    val q = emb.filter(queryPred)
+    val q = queries
       .select(col("vec_id").as("qid"), lutOf(col("embedding")).as("lut"),
         explode(probesOf(col("embedding"))).as("cell"))
     val scored = spark.table(s"${name}_cells")
@@ -192,6 +202,40 @@ object AnnIndex {
           "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
     val cands = Similarity.topKPerQuery(
       scored.select("qid", "vec_id", "cos"), shortlist)
-    Similarity.exactReRank(emb, cands, dim, k)
+    Similarity.exactReRank(rerank, cands, dim, k)
+  }
+
+  /** Compact the cells table: each append lands one file PER CELL
+    * DIRECTORY, so a long-lived index accretes files with append count
+    * and the probe's per-cell listing/open costs creep up with index
+    * AGE ([[Dedup.compactNearDupIndex]]'s disease, directory-partition
+    * flavor). The rewrite is ONE hash exchange on `cell` — unlike the
+    * near-dup index there is no bucket-join contract that forbids an
+    * exchange (the probe's contract is directory PRUNING, which
+    * `partitionBy` on the rewrite restores), and the codes table is the
+    * ~32× compressed artifact, so the shuffle moves ~3% of one corpus
+    * scan. After `repartition(cell)` every cell's rows live in exactly
+    * one task, and `partitionBy` splits a task's output one file per
+    * cell — so each cell directory collapses to ONE file. The same
+    * drop-and-rename swap as d14 preserves the geometry stamps; the
+    * model table is a single frozen file and never needs compacting. */
+  def compactAnnIndex(spark: SparkSession, name: String): Unit = {
+    val t = s"${name}_cells"
+    val (dim, m, ksub) = geometry(spark, name)
+    val nCells = props(spark, t).getOrElse(NCellsProp,
+      sys.error(s"$t has no $NCellsProp property")).toInt
+    val tmp = s"${t}_compacting"
+    dropTableAndLocation(spark, tmp)
+    spark.table(t).repartition(col("cell"))
+      .write.format("parquet").partitionBy("cell").saveAsTable(tmp)
+    spark.sql(s"ALTER TABLE $tmp SET TBLPROPERTIES ('$DimProp' = '$dim', " +
+      s"'$MProp' = '$m', '$KsubProp' = '$ksub', '$NCellsProp' = '$nCells')")
+    dropTableAndLocation(spark, t)
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $t")
+    // the rename moves the managed table's directory but the catalog's
+    // partition entries still hold ABSOLUTE pre-rename locations —
+    // re-discover them from the new root or the next probe scans air
+    spark.sql(s"ALTER TABLE $t RECOVER PARTITIONS")
+    spark.catalog.refreshTable(t)
   }
 }

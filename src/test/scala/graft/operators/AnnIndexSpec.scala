@@ -56,6 +56,48 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("compaction collapses per-append files; probe identical; DPP intact") {
+    val base = emb.select("vec_id", "embedding")
+    AnnIndex.writeAnnIndex(base, "graft_test_ann_cmp")
+    // three nightly appends: fixture vectors under fresh ids
+    val appends = (0 until 3).map(n => base
+      .filter(col("vec_id") >= n * 4 && col("vec_id") < (n + 1) * 4)
+      .select((col("vec_id") + 2000000L + n * 100L).as("vec_id"),
+        col("embedding")))
+    appends.foreach(AnnIndex.appendToAnnIndex(_, "graft_test_ann_cmp"))
+    val all = appends.foldLeft(base)(_ unionByName _)
+    def probe() = AnnIndex.probeAnnIndex(spark, "graft_test_ann_cmp", all,
+      col("vec_id") < 4, k = 10)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val before = collect(probe())
+
+    def perCellFiles: Seq[Int] = {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser
+          .parseTableIdentifier("graft_test_ann_cmp_cells")).location
+      Option(new java.io.File(new java.net.URI(loc.getPath).getPath)
+        .listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    }
+    assert(perCellFiles.exists(_ > 1), "appends should accrete files")
+
+    AnnIndex.compactAnnIndex(spark, "graft_test_ann_cmp")
+    assert(perCellFiles.nonEmpty && perCellFiles.forall(_ == 1),
+      s"per-cell files after compaction: $perCellFiles")
+    val compacted = probe()
+    assert(collect(compacted) == before, "compaction changed the probe result")
+    // the rewritten table still partition-prunes via the broadcast
+    // query-cell join, and the geometry stamps survived the swap
+    val plan = compacted.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan)
+    val props = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser
+        .parseTableIdentifier("graft_test_ann_cmp_cells")).properties
+    assert(props.get(AnnIndex.MProp).contains("8"))
+  }
+
   test("probing a non-index table fails fast") {
     intercept[Exception] {
       AnnIndex.probeAnnIndex(spark, "graft_no_such_index", emb,
