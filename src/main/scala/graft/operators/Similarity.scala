@@ -364,10 +364,33 @@ object Similarity {
     * vec_ids) and bounded driver cost (sampleN·dim floats). Returns
     * [m][ksub][dim/m]. */
   def trainPqCodebooks(emb: DataFrame, m: Int, ksub: Int, iters: Int = 3,
-      sampleN: Int = 2048): Array[Array[Array[Float]]] = {
-    val sample = emb.orderBy("vec_id").limit(sampleN)
+      sampleN: Int = 2048): Array[Array[Array[Float]]] =
+    trainBooksOn(pqSample(emb, sampleN), m, ksub, iters)
+
+  /** Codebooks trained on COARSE RESIDUALS (v − its cell's centroid):
+    * the accuracy upgrade at equal bytes — residuals concentrate near
+    * the origin, so the same ksub codewords cover them with less
+    * rounding error than the raw, centroid-spread vectors. Same
+    * deterministic sample and init as the raw trainer. */
+  def trainPqCodebooksResidual(emb: DataFrame, cents: Array[Array[Float]],
+      m: Int, ksub: Int, iters: Int = 3,
+      sampleN: Int = 2048): Array[Array[Array[Float]]] =
+    trainBooksOn(pqSample(emb, sampleN).map(residualOf(_, cents)),
+      m, ksub, iters)
+
+  private def pqSample(emb: DataFrame, sampleN: Int): Array[Array[Float]] =
+    emb.orderBy("vec_id").limit(sampleN)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
+
+  private[operators] def residualOf(v: Array[Float],
+      cents: Array[Array[Float]]): Array[Float] = {
+    val c = cents(nearestCell(v, cents))
+    Array.tabulate(v.length)(i => v(i) - c(i))
+  }
+
+  private def trainBooksOn(sample: Array[Array[Float]], m: Int, ksub: Int,
+      iters: Int): Array[Array[Array[Float]]] = {
     if (sample.isEmpty) return Array.empty
     val dim = sample(0).length
     require(dim % m == 0, s"m=$m must divide dim=$dim")
@@ -411,11 +434,15 @@ object Similarity {
     * shortlist then re-ranks exact f32 ([[quantizedTopK]]'s stage 2),
     * restoring full-precision order.
     *
-    * Codes quantize the RAW vectors (FAISS `by_residual=false`);
-    * residual encoding (quantize v − centroid, fold
-    * `dot(q, centroid)` into the score) is the accuracy upgrade at
-    * equal bytes and slots into the same LUT shape — one more term in
-    * the per-(query, cell) table.
+    * `residual = false` quantizes the RAW vectors (FAISS
+    * `by_residual=false`); `residual = true` quantizes v − centroid
+    * (the FAISS default) — codebooks train on the coarse residuals,
+    * codes encode each vector's residual against ITS OWN cell, and the
+    * ADC score folds the missing `dot(q, centroid)` back in as one
+    * extra per-(query, probed-cell) term riding the same broadcast
+    * explode. Equal bytes, strictly less rounding error (residuals
+    * cluster near the origin), measurably higher shortlist recall —
+    * SimilaritySpec pins residual ≥ raw on the fixture.
     *
     * Like s03/s04/s07: deterministic but engine-specific (k-means
     * samples and float cell assignment don't replay in DuckDB), so
@@ -424,13 +451,15 @@ object Similarity {
   def ivfPqTopK(spark: SparkSession, emb: DataFrame,
       queryPred: org.apache.spark.sql.Column, k: Int = 10,
       nCells: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 32,
-      shortlist: Int = 60): DataFrame = {
+      shortlist: Int = 60, residual: Boolean = false): DataFrame = {
     VectorFunctions.register(spark)
     val firstVec = emb.select(size(col("embedding"))).take(1)
     if (firstVec.isEmpty) return emptyTopK(emb)
     val dim = firstVec(0).getInt(0)
     val trained = trainCentroids(emb, nCells)
-    val books = trainPqCodebooks(emb, m, ksub)
+    val books =
+      if (residual) trainPqCodebooksResidual(emb, trained, m, ksub)
+      else trainPqCodebooks(emb, m, ksub)
     if (trained.isEmpty || books.isEmpty) return emptyTopK(emb)
     val cents = spark.sparkContext.broadcast(trained)
     val bb = spark.sparkContext.broadcast(books)
@@ -439,9 +468,19 @@ object Similarity {
     val probesOf = udf((v: Seq[Float]) =>
       nearestCells(v.toArray, cents.value, nprobe))
     val encode = udf { (v: Seq[Float]) =>
-      val a = v.toArray
+      val a0 = v.toArray
+      val a = if (residual) residualOf(a0, cents.value) else a0
       (0 until m).map(j =>
         nearestCell(a.slice(j * dsub, (j + 1) * dsub), bb.value(j)))
+    }
+    // residual ADC's extra term: dot(query, probed cell's centroid) —
+    // the part of dot(q, v) the codes no longer carry
+    val qcellDot = udf { (v: Seq[Float], cell: Int) =>
+      val c = cents.value(cell)
+      var acc = 0.0
+      var d = 0
+      while (d < math.min(v.length, c.length)) { acc += v(d) * c(d); d += 1 }
+      acc
     }
     val lutOf = udf { (v: Seq[Float]) =>
       val a = v.toArray
@@ -468,12 +507,16 @@ object Similarity {
       cellOf(col("embedding")).as("cell"))
     val q = emb.filter(queryPred)
       .select(col("vec_id").as("qid"), lutOf(col("embedding")).as("lut"),
+        col("embedding").as("qe"),
         explode(probesOf(col("embedding"))).as("cell"))
+      .withColumn("qc",
+        if (residual) qcellDot(col("qe"), col("cell")) else lit(0.0))
+      .drop("qe")
     // ADC: codegen'd lookup-accumulate; each corpus vector lives in one
     // cell, so candidates need no dedup (as in ivfSq8TopK)
     val scored = indexed.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos", expr(
+      .withColumn("cos", col("qc") + expr(
         s"aggregate(transform(codes, (c, j) -> element_at(lut, j * $ksub + c + 1)), " +
           "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
     val cands = topKPerQuery(scored.select("qid", "vec_id", "cos"), shortlist)

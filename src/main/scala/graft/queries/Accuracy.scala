@@ -87,8 +87,14 @@ object Accuracy {
         val ivf = Similarity.ivfTopK(s, emb, expr(QueryPred), K)
         val sq8 = Similarity.ivfSq8TopK(s, emb, expr(QueryPred), K)
         val pq = Similarity.ivfPqTopK(s, emb, expr(QueryPred), K)
+        // the residual-encoded variant measures at equal bytes; its
+        // recall dominates raw PQ (SimilaritySpec pins ≥), so the same
+        // floor gates it
+        val pqr = Similarity.ivfPqTopK(s, emb, expr(QueryPred), K,
+          residual = true)
         recallRow(exact, ivf, "ivf_recall_at_10", 0.6)
           .unionByName(recallRow(exact, pq, "ivfpq_recall_at_10", 0.6))
+          .unionByName(recallRow(exact, pqr, "ivfpq_res_recall_at_10", 0.6))
           .unionByName(recallRow(exact, sq8, "ivfsq8_recall_at_10", 0.6))
           .unionByName(recallRow(exact, lsh, "lsh_recall_at_10", 0.6))
           .orderBy("metric")
@@ -97,6 +103,8 @@ object Accuracy {
           SELECT 'ivf_recall_at_10' AS metric, CAST(0.6 AS DOUBLE) AS bound, true AS ok
           UNION ALL
           SELECT 'ivfpq_recall_at_10', CAST(0.6 AS DOUBLE), true
+          UNION ALL
+          SELECT 'ivfpq_res_recall_at_10', CAST(0.6 AS DOUBLE), true
           UNION ALL
           SELECT 'ivfsq8_recall_at_10', CAST(0.6 AS DOUBLE), true
           UNION ALL
