@@ -36,9 +36,10 @@ import graft.operators.{Dedup, Frontier, Packing, Sampling}
   */
 object CorpusPrep {
 
-  /** Stages 1–4 (quality → dedup → decontamination → mixture), ending
-    * at the (doc_id, n_tokens) frame both packing variants consume. */
-  private def preppedTokens(s: SparkSession, dir: String): DataFrame = {
+  /** Stages 1–3 (quality → dedup → decontamination), ending at the
+    * pinned `clean` (doc_id, text, lang) frontier every downstream
+    * mixture variant consumes. */
+  private def cleanDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
     // 1. quality gate (t04 scoring)
     val quality = docs.filter(length(trim(col("text"))) > 0)
@@ -48,18 +49,22 @@ object CorpusPrep {
     val deduped = Frontier.pin(quality.join(survivors, "doc_id"))
     // 3. drop docs sharing an 8-gram with the benchmark set
     val evalSet = docs.filter(col("doc_id") % 17 === 0)
-    val clean = Frontier.pin(deduped.join(
+    Frontier.pin(deduped.join(
       Dedup.decontaminate(deduped, evalSet)
         .filter(!col("contaminated")).select("doc_id"), "doc_id"))
-    // 4. temperature-rebalanced language mixture (q27 gate)
-    Sampling.temperatureRebalance(clean, col("doc_id"), col("lang"),
-        salt = "prep1")
-      .select(col("doc_id"),
-        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
   }
 
-  /** Oracle CTEs for stages 1–4, ending at `t(doc_id, n_tokens)`. */
-  private val sqlThroughTokens =
+  /** Stages 1–4 (… → temperature mixture), ending at the
+    * (doc_id, n_tokens) frame p01/p02's packing consumes. */
+  private def preppedTokens(s: SparkSession, dir: String): DataFrame =
+    // 4. temperature-rebalanced language mixture (q27 gate)
+    Sampling.temperatureRebalance(cleanDocs(s, dir), col("doc_id"),
+        col("lang"), salt = "prep1")
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+
+  /** Oracle CTEs for stages 1–3, ending at `clean(doc_id, text, lang)`. */
+  private val sqlThroughClean =
     s"""WITH q AS (SELECT doc_id, text, lang FROM documents
         WHERE length(trim(text)) > 0
           AND ${TextFunctions.sqlQuality("text", "n_chars")} >= 0.5),
@@ -76,7 +81,11 @@ object CorpusPrep {
         FROM eshi),
       cont AS (SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (sh)),
       clean AS (SELECT * FROM s
-        WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+        WHERE doc_id NOT IN (SELECT doc_id FROM cont))"""
+
+  /** Oracle CTEs for stages 1–4, ending at `t(doc_id, n_tokens)`. */
+  private val sqlThroughTokens =
+    s"""$sqlThroughClean,
       cnt AS (SELECT lang, count(*) AS c FROM clean GROUP BY lang),
       m AS (SELECT min(c) AS cmin FROM cnt),
       r AS (SELECT lang, CAST(floor(sqrt(CAST(cmin AS DOUBLE)
@@ -142,6 +151,59 @@ object CorpusPrep {
               AS start_tok
           FROM sh2)
         SELECT doc_id, shuffle_pos, n_tokens, start_tok,
+          start_tok // 256 AS seq_first,
+          greatest(start_tok // 256, (start_tok + n_tokens - 1) // 256) AS seq_last,
+          CAST(start_tok % 256 AS INT) AS seq_offset
+        FROM c ORDER BY doc_id NULLS FIRST""")),
+
+    // ---- p03: the token-budget pipeline — "N tokens per language" ----
+    // The mixture spec a trainer actually writes: after quality/dedup/
+    // decontamination, keep each language's docs in deterministic hash
+    // order until 2000 cumulative tokens (q30's two-phase scan — exact
+    // to within one doc, vs q27's in-expectation rates), then shuffle
+    // and pack the kept set. Three two-phase scans chained (budget →
+    // shuffle → pack), every boundary pinned; the 6-stage composition
+    // stays hash-exact against the chained windowed oracle.
+    Q("p03_budget_pack",
+      (s, dir) => {
+        val kept = Sampling.tokenBudgetSample(cleanDocs(s, dir),
+            col("doc_id"), col("lang"),
+            TextFunctions.tokenCount(col("text")),
+            budget = 2000L, salt = "prep3")
+          .select(col("doc_id"), col("stratum").as("lang"), col("n_tokens"))
+        val shuffled = Sampling.deterministicShuffle(kept, col("doc_id"),
+          salt = "prep3s")
+        Packing.packPlan(
+            shuffled.select(col("shuffle_pos"), col("n_tokens")),
+            "shuffle_pos", "n_tokens", budget = 256)
+          .join(shuffled.select(col("doc_id"), col("lang"),
+            col("shuffle_pos")), "shuffle_pos")
+          .select(col("doc_id"), col("lang"), col("shuffle_pos"),
+            col("n_tokens"), col("start_tok"), col("seq_first"),
+            col("seq_last"), col("seq_offset"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$sqlThroughClean,
+        tb AS (SELECT doc_id, lang,
+            CAST(${TextFunctions.sqlTokenCount("text")} AS BIGINT) AS n_tokens,
+            substr(md5(CAST(doc_id AS VARCHAR) || ':prep3'), 1, 13) AS h
+          FROM clean),
+        kb AS (SELECT doc_id, lang, n_tokens,
+            CAST(sum(n_tokens) OVER (PARTITION BY lang
+              ORDER BY h, doc_id) AS BIGINT) AS cum
+          FROM tb),
+        kept AS (SELECT doc_id, lang, n_tokens FROM kb WHERE cum <= 2000),
+        sh3 AS (SELECT doc_id, lang, n_tokens,
+            CAST(row_number() OVER (ORDER BY
+                substr(md5(CAST(doc_id AS VARCHAR) || ':prep3s'), 1, 13),
+                doc_id) - 1 AS BIGINT) AS shuffle_pos
+          FROM kept),
+        c AS (SELECT doc_id, lang, shuffle_pos, n_tokens,
+            CAST(COALESCE(sum(n_tokens) OVER (ORDER BY shuffle_pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              AS start_tok
+          FROM sh3)
+        SELECT doc_id, lang, shuffle_pos, n_tokens, start_tok,
           start_tok // 256 AS seq_first,
           greatest(start_tok // 256, (start_tok + n_tokens - 1) // 256) AS seq_last,
           CAST(start_tok % 256 AS INT) AS seq_offset
