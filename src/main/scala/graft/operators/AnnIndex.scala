@@ -25,6 +25,16 @@ import org.apache.spark.sql.functions._
   *    existing quantizers, so old and new codes stay comparable —
   *    retraining is a rebuild, not an append.
   *
+  * `residual = true` builds the index over coarse residuals
+  * ([[Similarity.trainPqCodebooksResidual]]) — same bytes, higher
+  * shortlist recall. The flag is STAMPED in the table properties
+  * alongside the geometry, because every later lifecycle step must
+  * agree with it: an append that encoded raw against residual
+  * codebooks would produce codes that silently mis-rank, and a probe
+  * that skipped the dot(q, centroid) fold-back would mis-score every
+  * candidate. Probe/append/compact all read the stamp; nothing is
+  * passed by hand.
+  *
   * Probe result == [[Similarity.ivfPqTopK]] at equal parameters
   * (bit-identical: same deterministic sample → same model → same codes
   * and ADC scores; AnnIndexSpec pins the equality), so s09 shares s08's
@@ -39,6 +49,11 @@ object AnnIndex {
   val MProp = "graft.ann.m"
   val KsubProp = "graft.ann.ksub"
   val NCellsProp = "graft.ann.ncells"
+  /** Whether codes quantize coarse residuals (v − centroid) instead of
+    * raw vectors. Stamped at build time like the geometry: appends must
+    * encode the SAME WAY or their codes silently mis-rank, and probes
+    * must know whether to fold the dot(q, centroid) term back in. */
+  val ResidualProp = "graft.ann.residual"
 
   private def dropTableAndLocation(spark: SparkSession, t: String): Unit = {
     val catalog = spark.sessionState.catalog
@@ -57,28 +72,21 @@ object AnnIndex {
     * training), encode the corpus once, persist codes partitioned by
     * cell and the model as its own table. */
   def writeAnnIndex(emb: DataFrame, name: String, nCells: Int = 16,
-      m: Int = 8, ksub: Int = 32): Unit = {
+      m: Int = 8, ksub: Int = 32, residual: Boolean = false): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     val firstVec = emb.select(size(col("embedding"))).take(1)
     require(firstVec.nonEmpty, "cannot build an ANN index over an empty corpus")
     val dim = firstVec(0).getInt(0)
     val trained = Similarity.trainCentroids(emb, nCells)
-    val books = Similarity.trainPqCodebooks(emb, m, ksub)
+    val books =
+      if (residual) Similarity.trainPqCodebooksResidual(emb, trained, m, ksub)
+      else Similarity.trainPqCodebooks(emb, m, ksub)
     val cents = spark.sparkContext.broadcast(trained)
     val bb = spark.sparkContext.broadcast(books)
-    val dsub = dim / m
-    val cellOf = udf((v: Seq[Float]) =>
-      Similarity.nearestCell(v.toArray, cents.value))
-    val encode = udf { (v: Seq[Float]) =>
-      val a = v.toArray
-      (0 until m).map(j =>
-        Similarity.nearestCell(a.slice(j * dsub, (j + 1) * dsub), bb.value(j)))
-    }
     Seq(s"${name}_cells", s"${name}_model")
       .foreach(dropTableAndLocation(spark, _))
-    emb.select(col("vec_id"), encode(col("embedding")).as("codes"),
-        cellOf(col("embedding")).as("cell"))
+    encoded(emb, cents, bb, dim, m, residual)
       .write.format("parquet").partitionBy("cell")
       .saveAsTable(s"${name}_cells")
     val centRows = trained.zipWithIndex.map { case (v, i) =>
@@ -90,8 +98,29 @@ object AnnIndex {
       .coalesce(1).write.format("parquet").saveAsTable(s"${name}_model")
     Seq(s"${name}_cells", s"${name}_model").foreach { t =>
       spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('$DimProp' = '$dim', " +
-        s"'$MProp' = '$m', '$KsubProp' = '$ksub', '$NCellsProp' = '$nCells')")
+        s"'$MProp' = '$m', '$KsubProp' = '$ksub', " +
+        s"'$NCellsProp' = '$nCells', '$ResidualProp' = '$residual')")
     }
+  }
+
+  /** (vec_id, codes, cell) for `emb` under the given frozen model —
+    * the one encode used by build and append (they MUST agree, or
+    * appended codes mis-rank against built ones). */
+  private def encoded(emb: DataFrame,
+      cents: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]],
+      bb: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Float]]]],
+      dim: Int, m: Int, residual: Boolean): DataFrame = {
+    val dsub = dim / m
+    val cellOf = udf((v: Seq[Float]) =>
+      Similarity.nearestCell(v.toArray, cents.value))
+    val encode = udf { (v: Seq[Float]) =>
+      val a0 = v.toArray
+      val a = if (residual) Similarity.residualOf(a0, cents.value) else a0
+      (0 until m).map(j =>
+        Similarity.nearestCell(a.slice(j * dsub, (j + 1) * dsub), bb.value(j)))
+    }
+    emb.select(col("vec_id"), encode(col("embedding")).as("codes"),
+      cellOf(col("embedding")).as("cell"))
   }
 
   private def props(spark: SparkSession, t: String): Map[String, String] =
@@ -99,12 +128,15 @@ object AnnIndex {
       .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(t))
       .properties
 
-  private def geometry(spark: SparkSession, name: String): (Int, Int, Int) = {
+  private def geometry(spark: SparkSession,
+      name: String): (Int, Int, Int, Boolean) = {
     val p = props(spark, s"${name}_cells")
     def g(k: String) = p.getOrElse(k,
       sys.error(s"${name}_cells has no $k property — not a graft ANN index"))
       .toInt
-    (g(DimProp), g(MProp), g(KsubProp))
+    // pre-residual indexes carry no flag: raw encoding
+    (g(DimProp), g(MProp), g(KsubProp),
+      p.get(ResidualProp).exists(_.toBoolean))
   }
 
   /** The frozen model, loaded (tiny: nCells + m·ksub vectors). */
@@ -128,20 +160,11 @@ object AnnIndex {
     * probes prune rather than list them all). */
   def appendToAnnIndex(batch: DataFrame, name: String): Unit = {
     val spark = batch.sparkSession
-    val (dim, m, _) = geometry(spark, name)
+    val (dim, m, _, residual) = geometry(spark, name)
     val (cents0, books0) = loadModel(spark, name, m)
     val cents = spark.sparkContext.broadcast(cents0)
     val bb = spark.sparkContext.broadcast(books0)
-    val dsub = dim / m
-    val cellOf = udf((v: Seq[Float]) =>
-      Similarity.nearestCell(v.toArray, cents.value))
-    val encode = udf { (v: Seq[Float]) =>
-      val a = v.toArray
-      (0 until m).map(j =>
-        Similarity.nearestCell(a.slice(j * dsub, (j + 1) * dsub), bb.value(j)))
-    }
-    batch.select(col("vec_id"), encode(col("embedding")).as("codes"),
-        cellOf(col("embedding")).as("cell"))
+    encoded(batch, cents, bb, dim, m, residual)
       .write.format("parquet").mode("append").partitionBy("cell")
       .saveAsTable(s"${name}_cells")
     spark.catalog.refreshTable(s"${name}_cells")
@@ -166,7 +189,7 @@ object AnnIndex {
   def probeQueries(spark: SparkSession, name: String, queries: DataFrame,
       rerank: DataFrame, k: Int = 10, nprobe: Int = 4,
       shortlist: Int = 60): DataFrame = {
-    val (dim, m, ksub) = geometry(spark, name)
+    val (dim, m, ksub, residual) = geometry(spark, name)
     val (cents0, books0) = loadModel(spark, name, m)
     val cents = spark.sparkContext.broadcast(cents0)
     val bb = spark.sparkContext.broadcast(books0)
@@ -191,13 +214,26 @@ object AnnIndex {
       }
       out.toSeq
     }
+    // residual ADC's extra term: dot(query, probed cell's centroid) —
+    // the part of dot(q, v) the residual codes no longer carry
+    val qcellDot = udf { (v: Seq[Float], cell: Int) =>
+      val c = cents.value(cell)
+      var acc = 0.0
+      var d = 0
+      while (d < math.min(v.length, c.length)) { acc += v(d) * c(d); d += 1 }
+      acc
+    }
     val q = queries
       .select(col("vec_id").as("qid"), lutOf(col("embedding")).as("lut"),
+        col("embedding").as("qe"),
         explode(probesOf(col("embedding"))).as("cell"))
+      .withColumn("qc",
+        if (residual) qcellDot(col("qe"), col("cell")) else lit(0.0))
+      .drop("qe")
     val scored = spark.table(s"${name}_cells")
       .join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos", expr(
+      .withColumn("cos", col("qc") + expr(
         s"aggregate(transform(codes, (c, j) -> element_at(lut, j * $ksub + c + 1)), " +
           "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
     val cands = Similarity.topKPerQuery(
@@ -221,7 +257,7 @@ object AnnIndex {
     * model table is a single frozen file and never needs compacting. */
   def compactAnnIndex(spark: SparkSession, name: String): Unit = {
     val t = s"${name}_cells"
-    val (dim, m, ksub) = geometry(spark, name)
+    val (dim, m, ksub, residual) = geometry(spark, name)
     val nCells = props(spark, t).getOrElse(NCellsProp,
       sys.error(s"$t has no $NCellsProp property")).toInt
     val tmp = s"${t}_compacting"
@@ -229,7 +265,8 @@ object AnnIndex {
     spark.table(t).repartition(col("cell"))
       .write.format("parquet").partitionBy("cell").saveAsTable(tmp)
     spark.sql(s"ALTER TABLE $tmp SET TBLPROPERTIES ('$DimProp' = '$dim', " +
-      s"'$MProp' = '$m', '$KsubProp' = '$ksub', '$NCellsProp' = '$nCells')")
+      s"'$MProp' = '$m', '$KsubProp' = '$ksub', " +
+      s"'$NCellsProp' = '$nCells', '$ResidualProp' = '$residual')")
     dropTableAndLocation(spark, t)
     spark.sql(s"ALTER TABLE $tmp RENAME TO $t")
     // the rename moves the managed table's directory but the catalog's

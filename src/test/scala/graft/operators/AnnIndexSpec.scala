@@ -56,6 +56,34 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("residual index: probe == in-memory residual ivfPqTopK; append encodes residually") {
+    val base = emb.select("vec_id", "embedding")
+    AnnIndex.writeAnnIndex(base, "graft_test_ann_res", residual = true)
+    val probe = AnnIndex.probeAnnIndex(spark, "graft_test_ann_res", base,
+      col("vec_id") < 8, k = 10)
+    val inMem = Similarity.ivfPqTopK(spark, base, col("vec_id") < 8, 10,
+      residual = true)
+    def set(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(2), r.getDouble(3))).toSet
+    assert(set(probe) == set(inMem),
+      "residual persisted probe diverged from the in-memory operator")
+    // the stamp survives and gates the append's encoding: an appended
+    // exact clone must still land at rank 1 (codes comparable)
+    val batch = base.filter(col("vec_id") < 2)
+      .select((col("vec_id") + 3000000L).as("vec_id"), col("embedding"))
+    AnnIndex.appendToAnnIndex(batch, "graft_test_ann_res")
+    val all = base.unionByName(batch)
+    val got = AnnIndex.probeAnnIndex(spark, "graft_test_ann_res", all,
+        col("vec_id") < 2, k = 10)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 2L).foreach { q =>
+      assert(got(q) == q + 3000000L,
+        s"query $q rank-1 = ${got(q)}, expected its appended clone")
+    }
+  }
+
   test("compaction collapses per-append files; probe identical; DPP intact") {
     val base = emb.select("vec_id", "embedding")
     AnnIndex.writeAnnIndex(base, "graft_test_ann_cmp")
