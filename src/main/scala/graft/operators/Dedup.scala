@@ -70,7 +70,40 @@ object Dedup {
     * mirrored in its DuckDB twin. LSH below is the 100 TB path either
     * way. */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 5, minJ: Double = 0.5,
-      dfCap: Int = Int.MaxValue): DataFrame = {
+      dfCap: Int = Int.MaxValue): DataFrame =
+    shingleIntersections(docs, k, dfCap)
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJ)
+      .select("id_a", "id_b", "jaccard")
+
+  /** All pairs (a<b) with shingle CONTAINMENT ≥ minC, where
+    * containment = |∩| / min(|A|, |B|): the asymmetric-duplicate
+    * detector — a short doc quoted verbatim inside a long one has
+    * containment ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0, so every
+    * Jaccard-thresholded pass (d02/d03/d08) is BLIND to it, and
+    * quote-heavy corpora (forums, aggregators, wikis) are full of it.
+    *
+    * Scale note: MinHash-LSH banding CANNOT accelerate this — band
+    * collision probability tracks Jaccard, and the interesting
+    * containment pairs are exactly the low-Jaccard ones — so the
+    * candidate source is the same df-capped shingle equi-join as d08,
+    * with the same dfCap² fan-out bound (SCALE.md §d15: the one-sided
+    * miss analysis mirrors §d08 — a qualifying pair is lost only if
+    * every shared shingle is boilerplate-hot). */
+  def containmentPairs(docs: DataFrame, k: Int = 5, minC: Double = 0.8,
+      dfCap: Int = Int.MaxValue): DataFrame =
+    shingleIntersections(docs, k, dfCap)
+      .withColumn("containment",
+        col("inter") / least(col("na"), col("nb")).cast("double"))
+      .filter(col("containment") >= minC)
+      .select("id_a", "id_b", "containment")
+
+  /** Shared candidate core of the exact pair measures:
+    * (id_a, id_b, inter, na, nb) for every pair sharing ≥1 surviving
+    * shingle, via the df-capped shingle equi-join (partial-aggregated,
+    * one shuffle keyed on sh, fan-out ≤ dfCap² per key). */
+  private def shingleIntersections(docs: DataFrame, k: Int,
+      dfCap: Int): DataFrame = {
     val allSh = shingles(docs, k)
     val pruned =
       if (dfCap == Int.MaxValue) allSh
@@ -88,9 +121,6 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
       .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
-      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= minJ)
-      .select("id_a", "id_b", "jaccard")
   }
 
   /** CTE chain ending in `jp` = (id_a, id_b, jaccard), thresholded.
@@ -123,6 +153,30 @@ object Dedup {
       dfCap: Int = Int.MaxValue): String =
     s"""WITH ${sqlJaccardCtes(table, k, minJ, dfCap)}
        SELECT id_a, id_b, jaccard FROM jp"""
+
+  /** DuckDB twin of [[containmentPairs]] (same pruned-universe CTEs,
+    * min-side normalizer). */
+  def sqlContainment(table: String, k: Int = 5, minC: Double = 0.8,
+      dfCap: Int = Int.MaxValue): String = {
+    val prune =
+      if (dfCap == Int.MaxValue) ""
+      else s""",
+       keep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $dfCap),
+       shp AS (SELECT s.doc_id, s.sh FROM sh s JOIN keep USING (sh))"""
+    val src = if (dfCap == Int.MaxValue) "sh" else "shp"
+    s"""WITH ${sqlShinglesCte(table, k)}$prune,
+       prs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         FROM $src a JOIN $src b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       sizes AS (SELECT doc_id, count(*) AS n FROM $src GROUP BY doc_id)
+       SELECT id_a, id_b,
+         inter / CAST(least(na.n, nb.n) AS DOUBLE) AS containment
+       FROM prs
+       JOIN sizes na ON id_a = na.doc_id
+       JOIN sizes nb ON id_b = nb.doc_id
+       WHERE inter / CAST(least(na.n, nb.n) AS DOUBLE) >= $minC"""
+  }
 
   // ---- benchmark decontamination ------------------------------------
   /** Eval-set contamination check (the GPT-3/PaLM "n-gram overlap"

@@ -157,6 +157,21 @@ object DedupQueries {
       Some(Dedup.sqlNgramJaccard("documents", dfCap = 8) +
         " ORDER BY id_a NULLS FIRST, id_b NULLS FIRST")),
 
+    // Asymmetric near-dup: containment |∩|/min(|A|,|B|) catches a
+    // short doc quoted verbatim inside a long one (containment ≈ 1,
+    // Jaccard ≈ |A|/|B| ≈ 0) — the pair class every Jaccard pass is
+    // blind to. Same df-capped shingle join as d08 (banding can't
+    // source these candidates: collision probability tracks Jaccard,
+    // and the interesting pairs are exactly the low-Jaccard ones).
+    // Exact integer inter/min → the double division hash-checks.
+    Q("d15_containment",
+      (s, dir) =>
+        Dedup.containmentPairs(Tables(s, dir, "documents"), minC = 0.6,
+            dfCap = 8)
+          .orderBy("id_a", "id_b"),
+      Some(Dedup.sqlContainment("documents", minC = 0.6, dfCap = 8) +
+        " ORDER BY id_a NULLS FIRST, id_b NULLS FIRST")),
+
     Q("d03_minhash_lsh",
       (s, dir) =>
         Dedup.minhashLshPairs(Tables(s, dir, "documents"))

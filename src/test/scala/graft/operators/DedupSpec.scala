@@ -25,6 +25,30 @@ class DedupSpec extends SparkSpec {
     assert(once.count() == again.count())
   }
 
+  test("containment catches the subset duplicate Jaccard is blind to") {
+    // a 16-token doc quoted verbatim inside a 60-token doc: every short
+    // shingle appears in the long one → containment 1.0 exactly, while
+    // Jaccard = 12/56 ≈ 0.21 sits far under any useful threshold
+    val long = (1 to 60).map(i => s"word$i").mkString(" ")
+    val short = (20 to 35).map(i => s"word$i").mkString(" ")
+    val planted = Seq((1L, long), (2L, short)).toDF("doc_id", "text")
+    val c = Dedup.containmentPairs(planted, minC = 0.9).collect()
+    assert(c.length == 1)
+    assert((c(0).getLong(0), c(0).getLong(1)) == (1L, 2L))
+    assert(c(0).getDouble(2) == 1.0)
+    assert(Dedup.ngramJaccardPairs(planted, minJ = 0.5).isEmpty,
+      "the Jaccard pass should miss the asymmetric pair")
+    // containment dominates Jaccard (min ≤ union), so on the fixture
+    // the containment pairs at θ contain the Jaccard pairs at θ
+    val jf = Dedup.ngramJaccardPairs(docs, minJ = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cf = Dedup.containmentPairs(docs, minC = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jf.subsetOf(cf))
+  }
+
   test("minhash LSH finds the same pairs as exact Jaccard here") {
     val exact = Dedup.ngramJaccardPairs(docs)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
