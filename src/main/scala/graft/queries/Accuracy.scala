@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Similarity
+import graft.operators.{HeavyHitters, Similarity}
 
 /** Accuracy contracts of the approximate operators as driver-checkable
   * rows (round-4 verdict item 5): the HLL error bound and the ANN
@@ -109,6 +109,51 @@ object Accuracy {
           SELECT 'ivfsq8_recall_at_10', CAST(0.6 AS DOUBLE), true
           UNION ALL
           SELECT 'lsh_recall_at_10', CAST(0.6 AS DOUBLE), true)
+        ORDER BY metric NULLS FIRST""")),
+
+    // ---- Misra–Gries heavy hitters (the frequent-items sketch) -------
+    // k=4 counters over documents.lang: 'en' holds ~44% of the corpus,
+    // so the heavy set {freq > n/4} is non-empty (gated by the third
+    // row — a vacuously-true guarantee proves nothing). The surviving
+    // counter VALUES are partitioning-dependent; the three rows gate
+    // exactly the sketch's partitioning-INVARIANT guarantees, which is
+    // what makes the query oracle-checkable: every heavy key reported,
+    // every reported count a lower bound within n/k, heavy set
+    // non-empty. Exact counts and the sketch both run distributed; the
+    // only driver values are the literals.
+    Q("q31_heavy_hitters",
+      (s, dir) => {
+        val mg = udaf(new HeavyHitters.HeavyHittersAgg(4))
+        val docs = Tables(s, dir, "documents")
+        val nDf = docs.agg(count(lit(1)).cast("double").as("n"))
+        val ent = docs.agg(mg(col("lang")).as("hh"))
+          .select(explode(col("hh")).as("e"))
+          .select(col("e.key").as("lang"), col("e.cnt").as("mg_cnt"))
+        val joined = docs.groupBy("lang")
+          .agg(count(lit(1)).cast("double").as("ex"))
+          .crossJoin(broadcast(nDf))
+          .join(ent, Seq("lang"), "left")
+        def row(metric: String, ok: org.apache.spark.sql.Column) =
+          joined.agg(ok.as("ok")).select(lit(metric).as("metric"),
+            lit(0.25).as("bound"), col("ok"))
+        row("mg_all_heavy_reported",
+            sum(when(col("ex") > col("n") / 4 && col("mg_cnt").isNull,
+              1).otherwise(0)) === 0)
+          .unionByName(row("mg_counts_lower_bounds_within_nk",
+            sum(when(col("mg_cnt").isNotNull &&
+              (col("mg_cnt") > col("ex") ||
+                col("ex") - col("mg_cnt") > col("n") / 4),
+              1).otherwise(0)) === 0))
+          .unionByName(row("mg_nonvacuous",
+            sum(when(col("ex") > col("n") / 4, 1).otherwise(0)) >= 1))
+          .orderBy("metric")
+      },
+      Some("""SELECT * FROM (
+          SELECT 'mg_all_heavy_reported' AS metric, CAST(0.25 AS DOUBLE) AS bound, true AS ok
+          UNION ALL
+          SELECT 'mg_counts_lower_bounds_within_nk', CAST(0.25 AS DOUBLE), true
+          UNION ALL
+          SELECT 'mg_nonvacuous', CAST(0.25 AS DOUBLE), true)
         ORDER BY metric NULLS FIRST""")),
   )
 }
