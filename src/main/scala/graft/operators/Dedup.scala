@@ -203,6 +203,78 @@ object Dedup {
         (col("n_contaminated") > 0).as("contaminated"))
   }
 
+  /** SPAN-level decontamination: instead of dropping a contaminated
+    * doc wholesale (d10's gate — which at a 1% contamination rate
+    * throws away 99%-clean documents), remove exactly the tokens
+    * covered by a contaminated k-gram and keep the rest — the surgical
+    * variant real pipelines run on high-value corpora.
+    *
+    * Shape: the corpus side stays narrow — positional k-grams
+    * (posexplode, no distinct: POSITIONS are the point) probe the
+    * broadcast eval universe; the only shuffle is the per-doc
+    * collect_set of hit positions, whose payload is bounded by hits
+    * (rare by construction — eval sets are tiny), not by doc length.
+    * The hit sets then ride a broadcast back onto the corpus and the
+    * redaction itself is one codegen'd transform/filter over the token
+    * array: a token survives iff no hit k-gram covers its position.
+    * Every doc comes back (clean ones verbatim, fully-contaminated
+    * ones as ""), so the output can drive a rewrite OR a report.
+    * Integer positions + string join ⇒ the whole thing hash-checks. */
+  def redactContaminatedSpans(train: DataFrame, evalSet: DataFrame,
+      k: Int = 8): DataFrame = {
+    val evalSh = shingles(evalSet, k).select(col("sh")).distinct()
+    val toks = train.withColumn("toks", TextFunctions.tokens(col("text")))
+    val posSh = toks.select(col("doc_id"), posexplode(
+      expr(s"transform(sequence(0, greatest(size(toks) - $k, 0)), " +
+        "i -> array_join(slice(toks, i + 1, " + k + "), ' '))")))
+      .toDF("doc_id", "i", "sh")
+    val hitSets = posSh.join(broadcast(evalSh), Seq("sh"))
+      .groupBy("doc_id").agg(collect_set(col("i")).as("his"))
+    toks.join(broadcast(hitSets), Seq("doc_id"), "left")
+      .withColumn("kept", expr(
+        s"""IF(his IS NULL, toks,
+           filter(transform(toks, (t, p) ->
+             IF(exists(his, h -> p >= h AND p <= h + ${k - 1}),
+               CAST(NULL AS STRING), t)),
+             t -> t IS NOT NULL))"""))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("clean_text"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_masked"))
+  }
+
+  /** DuckDB twin of [[redactContaminatedSpans]] with the eval set =
+    * rows of `table` satisfying `evalPred`. Positions are 0-based in
+    * both dialects; DuckDB's 1-based list indexing is confined to the
+    * `tk[...]` slices. */
+  def sqlRedactContaminatedSpans(table: String, evalPred: String,
+      k: Int = 8): String =
+    s"""WITH toks AS (SELECT doc_id,
+         ${graft.functions.TextFunctions.sqlTokens("text")} AS tk FROM $table),
+       etoks AS (SELECT ${graft.functions.TextFunctions.sqlTokens("text")} AS tk
+         FROM $table WHERE $evalPred),
+       eshi AS (SELECT tk,
+           unnest(range(0, greatest(len(tk) - ${k - 1}, 1))) AS i FROM etoks),
+       ev AS (SELECT DISTINCT array_to_string(tk[i + 1:i + $k], ' ') AS sh
+         FROM eshi),
+       tshi AS (SELECT doc_id, tk,
+           unnest(range(0, greatest(len(tk) - ${k - 1}, 1))) AS i FROM toks),
+       hits AS (SELECT doc_id, i FROM tshi
+         JOIN ev ON array_to_string(tk[i + 1:i + $k], ' ') = ev.sh),
+       mask AS (SELECT DISTINCT doc_id, unnest(range(i, i + $k)) AS p
+         FROM hits),
+       tp AS (SELECT doc_id, tk, unnest(range(0, len(tk))) AS p FROM toks),
+       kept AS (SELECT t.doc_id, t.p, t.tk[t.p + 1] AS tok FROM tp t
+         LEFT JOIN mask m ON t.doc_id = m.doc_id AND t.p = m.p
+         WHERE m.p IS NULL)
+       SELECT doc_id, clean_text, n_kept, n_masked FROM (
+         SELECT t.doc_id AS doc_id,
+           COALESCE(string_agg(k.tok, ' ' ORDER BY k.p), '') AS clean_text,
+           CAST(count(k.tok) AS BIGINT) AS n_kept,
+           CAST(len(any_value(t.tk)) - count(k.tok) AS BIGINT) AS n_masked
+         FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
+         GROUP BY t.doc_id)"""
+
   /** DuckDB twin of [[decontaminate]] where the eval set is the subset
     * of `table` satisfying `evalPred` (the fixture's shape). */
   def sqlDecontaminate(table: String, evalPred: String, k: Int = 8): String =

@@ -309,6 +309,24 @@ object DedupQueries {
       },
       Some(Dedup.sqlDecontaminate("documents", "doc_id % 17 = 0"))),
 
+    // ---- d16: span-level decontamination -----------------------------
+    // The surgical variant of d10: at a 1% contamination rate the d10
+    // gate throws away 99%-clean documents; d16 removes exactly the
+    // tokens covered by a contaminated 8-gram and keeps the rest.
+    // Every doc comes back — eval docs collapse to "" (they contain
+    // themselves), clean docs pass through verbatim, partially-hit
+    // docs lose only the covered spans — so all three redaction
+    // regimes hash-check in one row set.
+    Q("d16_span_redaction",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        Dedup.redactContaminatedSpans(docs,
+            docs.filter(col("doc_id") % 17 === 0))
+          .orderBy("doc_id")
+      },
+      Some(Dedup.sqlRedactContaminatedSpans("documents", "doc_id % 17 = 0") +
+        " ORDER BY doc_id NULLS FIRST")),
+
     // ---- d11: incremental NEAR-dup dedup (batch vs historical index) --
     // The near-dup companion of d09: a new batch probes the corpus's
     // LSH band-bucket index; batch docs with a historical near-dup

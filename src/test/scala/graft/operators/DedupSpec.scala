@@ -49,6 +49,29 @@ class DedupSpec extends SparkSpec {
     assert(jf.subsetOf(cf))
   }
 
+  test("span redaction removes exactly the covered tokens, keeps every doc") {
+    // eval doc = tokens 10..25 of a 40-token sequence; the train doc
+    // quotes tokens 10..21 verbatim (12 tokens ⇒ 5 hit 8-grams at
+    // offsets 10..14 of the train doc, covering positions 10..21)
+    val evalDoc = (10 to 25).map(i => s"v$i").mkString(" ")
+    val train = Seq(
+      1L -> ((0 to 9) ++ (10 to 21)).map(i => s"v$i").mkString(" "),
+      2L -> (100 to 130).map(i => s"v$i").mkString(" "), // clean
+      3L -> evalDoc // fully contaminated (is the eval doc)
+    ).toDF("doc_id", "text")
+    val out = Dedup.redactContaminatedSpans(train,
+        Seq(99L -> evalDoc).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: the quoted block (positions 10..21) vanishes, prefix stays
+    assert(out(1L) == (((0 to 9).map(i => s"v$i").mkString(" "), 10L, 12L)))
+    // doc 2: untouched, zero masked
+    assert(out(2L)._2 == 31L && out(2L)._3 == 0L)
+    assert(out(2L)._1 == (100 to 130).map(i => s"v$i").mkString(" "))
+    // doc 3: nothing survives, but the row is still there
+    assert(out(3L) == (("", 0L, 16L)))
+  }
+
   test("minhash LSH finds the same pairs as exact Jaccard here") {
     val exact = Dedup.ngramJaccardPairs(docs)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
