@@ -297,6 +297,44 @@ object Dedup {
   val Bands = 64
   val RowsPerBand: Int = NumHashes / Bands
 
+  /** A planned band shape: collision probability at the dedup
+    * threshold (candidate recall) and at the background similarity
+    * (the candidate-rate tax every non-dup pair pays). */
+  final case class LshPlan(rowsPerBand: Int, bands: Int,
+      recallAtThreshold: Double, rateAtBackground: Double)
+
+  /** P(band collision) = 1 − (1 − J^r)^b — the S-curve every
+    * LSH-tuning decision reads off. */
+  def lshCollisionProb(j: Double, r: Int, b: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(j, r), b)
+
+  /** Pick the band shape for a hash budget: the LARGEST r whose band
+    * count b = ⌈ln(1−targetRecall)/ln(1−minJ^r)⌉ still fits r·b ≤
+    * maxHashes. Raising r is the petabyte lever — at fixed recall it
+    * collapses the background candidate rate (the S-curve steepens),
+    * and the background rate is what a 100 TB corpus actually pays:
+    * with J_bg ≈ 0.1, r=2/b=49 taxes ~39% of all compared pairs into
+    * candidates while r=3/b=104 taxes ~10% — but r=3 needs a 312-hash
+    * budget at recall 1−1e−6, which is why the 128-hash default
+    * deploys r=2 (and spends its spare budget on b=64 for recall
+    * 1−1e−8, strictly above plan). The planner makes the documented
+    * "raise r at scale" upgrade a computed decision instead of a
+    * folklore constant; DedupSpec pins the math and the monotonicity. */
+  def lshBandPlan(minJ: Double, targetRecall: Double = 0.999999,
+      maxHashes: Int = NumHashes, backgroundJ: Double = 0.1): LshPlan = {
+    require(minJ > 0 && minJ < 1 && targetRecall > 0 && targetRecall < 1)
+    val feasible = Iterator.from(1).map { r =>
+      val b = math.ceil(
+        math.log1p(-targetRecall) / math.log1p(-math.pow(minJ, r))).toInt
+      (r, b)
+    }.takeWhile { case (r, b) => b > 0 && r * b <= maxHashes }.toSeq
+    require(feasible.nonEmpty,
+      s"no (r, b) with r·b ≤ $maxHashes reaches recall $targetRecall at J=$minJ")
+    val (r, b) = feasible.last // largest feasible r = most selective
+    LshPlan(r, b, lshCollisionProb(minJ, r, b),
+      lshCollisionProb(backgroundJ, r, b))
+  }
+
   /** Per-doc distinct shingle hashes + 128-way MinHash signature in ONE
     * narrow pass — no explode, no shuffle: each row folds its own
     * shingle hashes through 128 splitmix64-finalized streams

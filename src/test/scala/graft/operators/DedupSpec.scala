@@ -49,6 +49,28 @@ class DedupSpec extends SparkSpec {
     assert(jf.subsetOf(cf))
   }
 
+  test("LSH band planner: deployed shape at 128 hashes, r rises with budget") {
+    // 128-hash budget at J=0.5 → r=2 (b=49 needed for recall 1-1e-6);
+    // the deployed b=64 spends the whole budget for recall above plan
+    val p128 = Dedup.lshBandPlan(0.5)
+    assert(p128.rowsPerBand == 2, p128.toString)
+    assert(p128.rowsPerBand * p128.bands <= Dedup.NumHashes)
+    assert(p128.recallAtThreshold >= 0.999999)
+    val deployed = Dedup.lshCollisionProb(0.5, Dedup.RowsPerBand, Dedup.Bands)
+    assert(deployed >= p128.recallAtThreshold)
+    // a 512-hash budget affords r=3: same recall target, the
+    // background candidate rate collapses ~4× — the petabyte lever
+    val p512 = Dedup.lshBandPlan(0.5, maxHashes = 512)
+    assert(p512.rowsPerBand > p128.rowsPerBand)
+    assert(p512.recallAtThreshold >= 0.999999)
+    assert(p512.rateAtBackground < p128.rateAtBackground / 2,
+      s"${p512.rateAtBackground} vs ${p128.rateAtBackground}")
+    // an infeasible demand fails fast instead of shipping a bad index
+    intercept[IllegalArgumentException] {
+      Dedup.lshBandPlan(0.1, targetRecall = 0.999999, maxHashes = 8)
+    }
+  }
+
   test("span redaction removes exactly the covered tokens, keeps every doc") {
     // eval doc = tokens 10..25 of a 40-token sequence; the train doc
     // quotes tokens 10..21 verbatim (12 tokens ⇒ 5 hit 8-grams at
