@@ -42,6 +42,42 @@ object Sampling {
     else if (fraction <= 0.0) "FALSE"
     else s"substr(md5(CAST($keyExpr AS VARCHAR) || ':$salt'), 1, 4) < '${hexThreshold(fraction)}'"
 
+  /** Deterministic train/val/test split: a TOTAL partition of the
+    * input (every row lands in exactly one split — sampling's gate
+    * decides keep-or-drop, a split decides WHERE), assigned by which
+    * band of the 16-bit md5 prefix the row's key falls in. The
+    * cumulative thresholds make the bands disjoint and exhaustive by
+    * construction, so the invariant needs no runtime check; a row's
+    * split never changes under retries, repartitioning, or corpus
+    * growth (new rows land somewhere, old rows never move — the
+    * property that keeps a held-out set held out across corpus
+    * versions). One narrow `CASE` column — no shuffle, no state.
+    * Fractions must sum to ≤ 1; any remainder falls to the LAST
+    * split (the conventional catch-all). */
+  def datasetSplit(df: DataFrame, key: Column,
+      fractions: Seq[(String, Double)], salt: String): DataFrame = {
+    require(fractions.nonEmpty && fractions.map(_._2).sum <= 1.0 + 1e-9,
+      s"split fractions must sum to <= 1: $fractions")
+    val h = substring(md5(concat(key.cast("string"), lit(":" + salt))), 1, 4)
+    val cum = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val cases = fractions.init.zip(cum.init).foldLeft(when(lit(false), "")) {
+      case (acc, ((name, _), c)) =>
+        acc.when(h < lit(hexThreshold(c)), name)
+    }
+    df.withColumn("split", cases.otherwise(fractions.last._1))
+  }
+
+  /** SQL twin of [[datasetSplit]] (appends the `split` projection). */
+  def sqlDatasetSplit(keyExpr: String, fractions: Seq[(String, Double)],
+      salt: String): String = {
+    val h = s"substr(md5(CAST($keyExpr AS VARCHAR) || ':$salt'), 1, 4)"
+    val cum = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val whens = fractions.init.zip(cum.init).map { case ((name, _), c) =>
+      s"WHEN $h < '${hexThreshold(c)}' THEN '$name'"
+    }.mkString(" ")
+    s"CASE $whens ELSE '${fractions.last._1}' END"
+  }
+
   /** Mixture sampling: per-stratum keep fractions (e.g. language →
     * mixture weight). Rows in strata missing from `fractions` are
     * dropped. One narrow filter — no shuffle, no state. */

@@ -224,6 +224,26 @@ object Advanced {
           TextFunctions.sqlTokenCount("text"), 2500L, "tb1") +
         " ORDER BY doc_id NULLS FIRST")),
 
+    // ---- q32: deterministic train/val/test split ---------------------
+    // A TOTAL partition (vs sampling's keep-or-drop): every doc lands
+    // in exactly one split by which band of its md5 prefix it falls
+    // in. Cumulative thresholds make bands disjoint+exhaustive by
+    // construction, and a row's split never changes as the corpus
+    // grows — the property that keeps a held-out set held out across
+    // corpus versions. One narrow CASE, no shuffle; the assignment
+    // itself hash-checks.
+    Q("q32_dataset_split",
+      (s, dir) =>
+        Sampling.datasetSplit(
+            Tables(s, dir, "documents").select("doc_id", "lang"),
+            col("doc_id"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "split1")
+          .orderBy("doc_id"),
+      Some("SELECT doc_id, lang, " +
+        Sampling.sqlDatasetSplit("doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "split1") +
+        " AS split FROM documents ORDER BY doc_id NULLS FIRST")),
+
     // ---- multiple COUNT(DISTINCT) in one aggregate -------------------
     // Catalyst plans N distinct aggregates over one input as a single
     // Expand (N+1 projections of each row) + two-phase aggregation —

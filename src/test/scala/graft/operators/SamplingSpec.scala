@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 
 /** The properties that make hash-gate sampling the 100 TB choice:
   * decisions are a pure function of (key, salt) — invariant under
@@ -51,6 +51,34 @@ class SamplingSpec extends SparkSpec {
   test("fraction edges: 0 keeps nothing, 1 keeps everything") {
     assert(keys.filter(Sampling.keep(col("id"), 0.0, "x")).count() == 0)
     assert(keys.filter(Sampling.keep(col("id"), 1.0, "x")).count() == n)
+  }
+
+  test("dataset split: total partition, stable under corpus growth") {
+    val docs = Tables(spark, sf, "documents").select("doc_id")
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val split = Sampling.datasetSplit(docs, col("doc_id"), fr, "s1")
+    val byDoc = split.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // total: every row assigned, only the declared labels appear
+    assert(byDoc.size == docs.count())
+    assert(byDoc.values.toSet.subsetOf(Set("train", "val", "test")))
+    // roughly honored fractions (binomial tolerance on 500 docs)
+    val train = byDoc.values.count(_ == "train").toDouble / byDoc.size
+    assert(train > 0.7 && train < 0.9, s"train fraction $train")
+    // growth stability: computing on any subset never moves a row —
+    // the held-out set stays held out as the corpus grows
+    val sub = Sampling.datasetSplit(docs.filter(col("doc_id") < 100),
+        col("doc_id"), fr, "s1")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    sub.foreach { case (id, sp) => assert(byDoc(id) == sp) }
+    // remainder falls to the last split: fractions summing under 1
+    val rem = Sampling.datasetSplit(docs, col("doc_id"),
+        Seq("a" -> 0.5, "b" -> 0.2), "s1")
+      .collect().map(_.getString(1))
+    assert(rem.count(_ == "b").toDouble / rem.length > 0.4) // 0.2 + 0.3 rest
+    intercept[IllegalArgumentException] {
+      Sampling.datasetSplit(docs, col("doc_id"),
+        Seq("a" -> 0.9, "b" -> 0.2), "s1")
+    }
   }
 
   test("temperature rebalance: rarest stratum kept whole, rates ≈ √(c_min/c_s)") {
