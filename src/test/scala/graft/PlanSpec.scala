@@ -224,4 +224,43 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("budget pack (p03) chains three two-phase scans without a window") {
+    // token budget, shuffle position and pack prefix are all global
+    // orderings — any Window node means one regressed to a
+    // single-reducer sort (q30's per-stratum window trap included)
+    val plan = formatted(SparkEntry.queries("p03_budget_pack")(spark, sf))
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("span redaction (d16) broadcasts both the eval universe and the hit sets") {
+    val plan = formatted(SparkEntry.queries("d16_span_redaction")(spark, sf))
+    // two broadcast joins (eval n-grams onto positional spans, hit
+    // position sets back onto the corpus); the corpus is never
+    // shuffled by doc — the only exchange is the per-doc hit agg
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("heavy hitters (q31) partial-aggregates the sketch") {
+    val plan = formatted(SparkEntry.queries("q31_heavy_hitters")(spark, sf))
+    // the MG buffer combines map-side: at most k entries per partition
+    // cross the exchange, not one per distinct key
+    assert(plan.contains("partial_"), plan)
+    // the 1-row corpus count rides a broadcast, never a cartesian
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("dataset split (q32) is a narrow projection - no exchange at all") {
+    val df = SparkEntry.queries("q32_dataset_split")(spark, sf)
+    // drop the presentation orderBy: the OPERATOR is split assignment
+    val op = Tables(spark, sf, "documents").select("doc_id")
+    val plan = formatted(graft.operators.Sampling.datasetSplit(
+      op, org.apache.spark.sql.functions.col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.2), "s"))
+    assert(!plan.contains("Exchange"), plan)
+    assert(df.columns.contains("split"))
+  }
 }
