@@ -185,5 +185,43 @@ object Events {
         FROM uw a LEFT JOIN uw b
           ON a.user_id = b.user_id AND b.wk = a.wk + 604800
         GROUP BY a.wk ORDER BY a.wk NULLS FIRST""")),
+
+    // ---- v08: event-transition matrix --------------------------------
+    // The Markov view of user behavior ("after a click, what next?"):
+    // per-user lag ordered by (ts, event_id) — tie-free at any SF —
+    // then (prev, next) counts and per-prev transition probabilities.
+    // The window partitions by user_id, so the sort distributes across
+    // users (the correct shape for millions of users — never a global
+    // window); probabilities come from a join against the per-prev
+    // totals, both partial-aggregated. Exact integer counts ⇒ the
+    // double division hash-checks.
+    Q("v08_transitions",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val t = Tables(s, dir, "events")
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+        val c = t.groupBy(col("prev_type"),
+            col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+        val tot = c.groupBy("prev_type").agg(sum(col("n")).as("tn"))
+        c.join(tot, "prev_type")
+          .select(col("prev_type"), col("next_type"), col("n"),
+            (col("n").cast("double") / col("tn").cast("double")).as("p"))
+          .orderBy("prev_type", "next_type")
+      },
+      Some("""WITH t AS (SELECT user_id, event_type,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS prev_type
+        FROM events),
+        c AS (SELECT prev_type, event_type AS next_type,
+            count(*) AS n
+          FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        tot AS (SELECT prev_type, sum(n) AS tn FROM c GROUP BY 1)
+        SELECT c.prev_type, c.next_type, CAST(c.n AS BIGINT) AS n,
+          CAST(c.n AS DOUBLE) / CAST(tot.tn AS DOUBLE) AS p
+        FROM c JOIN tot USING (prev_type)
+        ORDER BY prev_type NULLS FIRST, next_type NULLS FIRST""")),
   )
 }
