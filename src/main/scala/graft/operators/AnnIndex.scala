@@ -241,6 +241,43 @@ object AnnIndex {
     Similarity.exactReRank(rerank, cands, dim, k)
   }
 
+  /** The when-to-REBUILD signal. The model is frozen (appends encode
+    * with the build-time quantizers), so under distribution drift the
+    * index silently degrades in two measurable ways: cells go out of
+    * BALANCE (hot cells make nprobe scans expensive, empty cells waste
+    * probes) and vectors land ever FARTHER from their centroids
+    * (coarse residuals grow, so the PQ codes round harder and
+    * shortlist recall decays). Both signals in one distributed pass
+    * over the raw vectors: per-cell row counts and mean/max
+    * distance-to-centroid — assignment is the same broadcast-centroid
+    * narrow map as the probe, the aggregate is partial-combined, and
+    * nothing but the nCells-row summary reaches the driver. Policy
+    * belongs to the caller (rebuild when max/mean count skew or the
+    * drift ratio vs the build-time baseline crosses a threshold);
+    * the spec pins that a drifted append moves the signal. */
+  def cellStats(spark: SparkSession, name: String,
+      emb: DataFrame): DataFrame = {
+    val (_, m, _, _) = geometry(spark, name)
+    val (cents0, _) = loadModel(spark, name, m)
+    val cents = spark.sparkContext.broadcast(cents0)
+    val assign = udf { (v: Seq[Float]) =>
+      val a = v.toArray
+      val c = Similarity.nearestCell(a, cents.value)
+      val ct = cents.value(c)
+      var d2 = 0.0
+      var d = 0
+      while (d < math.min(a.length, ct.length)) {
+        val diff = a(d) - ct(d); d2 += diff * diff; d += 1
+      }
+      (c, math.sqrt(d2))
+    }
+    emb.select(assign(col("embedding")).as("a"))
+      .select(col("a._1").as("cell"), col("a._2").as("dist"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), avg(col("dist")).as("mean_dist"),
+        max(col("dist")).as("max_dist"))
+  }
+
   /** Compact the cells table: each append lands one file PER CELL
     * DIRECTORY, so a long-lived index accretes files with append count
     * and the probe's per-cell listing/open costs creep up with index

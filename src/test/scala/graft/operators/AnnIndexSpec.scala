@@ -126,6 +126,28 @@ class AnnIndexSpec extends SparkSpec {
     assert(props.get(AnnIndex.MProp).contains("8"))
   }
 
+  test("cellStats: drifted vectors move the rebuild signal") {
+    import spark.implicits._
+    val base = emb.select("vec_id", "embedding")
+    AnnIndex.writeAnnIndex(base, "graft_test_ann_st")
+    val baseline = AnnIndex.cellStats(spark, "graft_test_ann_st", base)
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(baseline.values.map(_._1).sum == base.count())
+    // an out-of-distribution batch (vectors far outside the trained
+    // region) must raise the mean distance of whatever cells absorb it
+    val dim = base.select(size(col("embedding"))).first().getInt(0)
+    val far = (0 until 8).map(i =>
+      (4000000L + i, Seq.fill(dim)(50.0f + i))).toDF("vec_id", "embedding")
+    val shifted = AnnIndex.cellStats(spark, "graft_test_ann_st",
+        base.unionByName(far))
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(shifted.values.map(_._1).sum == base.count() + 8)
+    val moved = shifted.exists { case (c, (_, mean)) =>
+      baseline.get(c).forall(b => mean > b._2 * 1.5)
+    }
+    assert(moved, s"drift did not move any cell's mean: $baseline vs $shifted")
+  }
+
   test("probing a non-index table fails fast") {
     intercept[Exception] {
       AnnIndex.probeAnnIndex(spark, "graft_no_such_index", emb,
