@@ -731,6 +731,27 @@ object Dedup {
         coalesce(col("component"), col("id")).as("component"))
   }
 
+  /** One survivor per duplicate cluster by QUALITY, not by id: "keep
+    * the lowest doc_id" (d01/d05's convention) is an arbitrary policy —
+    * a trainer keeps the BEST copy (longest, cleanest, highest quality
+    * score) and drops the rest. One `max_by` aggregate over the
+    * clustered frame: survivor = argmax (score, then lowest id as the
+    * deterministic tie-break) per component, partial-aggregated, one
+    * shuffle keyed on component — the policy change costs nothing over
+    * the id convention. Returns (component, doc_id, quality,
+    * group_size); singletons survive as themselves. */
+  def clusterSurvivors(docs: DataFrame, pairs: DataFrame, score: Column,
+      maxIters: Int = 25): DataFrame =
+    docs.withColumn("_q", score)
+      .join(duplicateClusters(docs, pairs, maxIters), "doc_id")
+      .groupBy(col("component"))
+      .agg(
+        max_by(struct(col("doc_id"), col("_q").as("quality")),
+          struct(col("_q"), (-col("doc_id")).as("nid"))).as("s"),
+        count(lit(1)).as("group_size"))
+      .select(col("component"), col("s.doc_id").as("doc_id"),
+        col("s.quality").as("quality"), col("group_size"))
+
   // ---- SimHash ------------------------------------------------------
   /** Typed Aggregator: token-hash stream → 64-bit SimHash. Supports
     * partial aggregation (merge), so it map-side combines like any

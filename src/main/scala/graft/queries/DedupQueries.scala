@@ -309,6 +309,39 @@ object DedupQueries {
       },
       Some(Dedup.sqlDecontaminate("documents", "doc_id % 17 = 0"))),
 
+    // ---- d17: quality-preferring cluster survivors -------------------
+    // The survivor POLICY a trainer actually wants: per duplicate
+    // cluster (d05's components over the d03 pairs), keep the highest
+    // quality-score copy — not the lowest id, which is an arbitrary
+    // convention. One max_by aggregate over the clustered frame; ties
+    // break to the lowest id so the row set stays deterministic.
+    Q("d17_cluster_survivors",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        Dedup.clusterSurvivors(docs, Dedup.minhashLshPairs(docs),
+            TextFunctions.quality(col("text"), col("n_chars")))
+          .orderBy("component")
+      },
+      Some(s"""WITH RECURSIVE ${Dedup.sqlJaccardCtes("documents")},
+        edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+          UNION ALL SELECT id_b, id_a FROM jp),
+        reach AS (
+          SELECT doc_id AS id, doc_id AS label FROM documents
+          UNION
+          SELECT e.dst AS id, r.label AS label
+          FROM reach r JOIN edges e ON r.id = e.src),
+        comp AS (SELECT id AS doc_id, min(label) AS component
+          FROM reach GROUP BY id),
+        scored AS (SELECT d.doc_id, c.component,
+            ${TextFunctions.sqlQuality("text", "n_chars")} AS q,
+            count(*) OVER (PARTITION BY c.component) AS gs
+          FROM documents d JOIN comp c ON d.doc_id = c.doc_id),
+        rn AS (SELECT *, row_number() OVER (PARTITION BY component
+            ORDER BY q DESC, doc_id) AS r FROM scored)
+        SELECT component, doc_id, q AS quality,
+          CAST(gs AS BIGINT) AS group_size
+        FROM rn WHERE r = 1 ORDER BY component NULLS FIRST""")),
+
     // ---- d16: span-level decontamination -----------------------------
     // The surgical variant of d10: at a 1% contamination rate the d10
     // gate throws away 99%-clean documents; d16 removes exactly the

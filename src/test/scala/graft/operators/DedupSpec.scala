@@ -25,6 +25,26 @@ class DedupSpec extends SparkSpec {
     assert(once.count() == again.count())
   }
 
+  test("cluster survivors: highest quality wins, not lowest id") {
+    // a near-dup pair where the HIGHER id is the better copy (longer,
+    // more varied) — the id convention would keep doc 1, the quality
+    // policy must keep doc 2; doc 3 is a singleton and keeps itself
+    val base = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val planted = Seq(
+      1L -> (base + " x x x x x x x x"), // repetitive tail: lower quality
+      2L -> (base + " beta gamma delta epsilon zeta eta theta iota"),
+      3L -> (1 to 20).map(i => s"only$i").mkString(" ")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(planted, minJ = 0.3)
+    assert(pairs.count() == 1) // 1-2 are a cluster, 3 is not
+    val score = length(col("text")).cast("double") // stand-in quality
+    val surv = Dedup.clusterSurvivors(planted, pairs, score)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3)))).toMap
+    assert(surv(1L) == ((2L, 2L)), s"cluster kept ${surv(1L)}") // best copy
+    assert(surv(3L) == ((3L, 1L))) // singleton survives as itself
+  }
+
   test("containment catches the subset duplicate Jaccard is blind to") {
     // a 16-token doc quoted verbatim inside a 60-token doc: every short
     // shingle appears in the long one → containment 1.0 exactly, while
