@@ -28,6 +28,25 @@ object HeavyHitters {
 
   final case class MGEntry(key: String, cnt: Long)
 
+  /** The mergeable-summaries combine (shared by the Aggregator's merge
+    * and [[graft.streaming.StreamingHeavyHitters]]'s cross-batch
+    * fold): sum the counter maps, then subtract the (k+1)-th largest
+    * count and drop what hits zero. ≤ k entries survive and each key's
+    * total decrement stays ≤ n/(k+1) summed over any merge tree. */
+  def mgMerge(a: Map[String, Long], b: Map[String, Long],
+      k: Int): Map[String, Long] = {
+    val s = b.foldLeft(a) { case (acc, (k2, v)) =>
+      acc.updated(k2, acc.getOrElse(k2, 0L) + v)
+    }
+    if (s.size <= k) s
+    else {
+      val d = s.values.toSeq.sortBy(-_).apply(k)
+      s.flatMap { case (k2, v) =>
+        if (v - d > 0L) Some(k2 -> (v - d)) else None
+      }
+    }
+  }
+
   final class HeavyHittersAgg(k: Int)
       extends Aggregator[String, Map[String, Long], Array[MGEntry]] {
     require(k >= 1, s"need at least one counter, got $k")
@@ -42,20 +61,8 @@ object HeavyHitters {
         if (v > 1L) Some(k2 -> (v - 1L)) else None
       }
 
-    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-      val s = b.foldLeft(a) { case (acc, (k2, v)) =>
-        acc.updated(k2, acc.getOrElse(k2, 0L) + v)
-      }
-      if (s.size <= k) s
-      else {
-        // subtract the (k+1)-th largest count from everything; ≤ k
-        // survive and each key's total decrement stays ≤ n/(k+1)
-        val d = s.values.toSeq.sortBy(-_).apply(k)
-        s.flatMap { case (k2, v) =>
-          if (v - d > 0L) Some(k2 -> (v - d)) else None
-        }
-      }
-    }
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      mgMerge(a, b, k)
 
     def finish(m: Map[String, Long]): Array[MGEntry] =
       m.toSeq.sortBy { case (k2, v) => (-v, k2) }
