@@ -588,6 +588,26 @@ object Dedup {
     * readers of a production deployment would coordinate the swap
     * through their metastore's atomic rename, same as any
     * rewrite-based compaction. */
+  /** Probe-health telemetry for the persisted index — the near-dup
+    * twin of [[AnnIndex.cellStats]]. Hot (band, bh) keys ARE the probe
+    * join's skew: a boilerplate cohort lands f docs on one bucket key
+    * and every probing doc that hits it fans out f ways, so the skew
+    * ratio (max/mean key size) is the number to alarm on — remediation
+    * is the d08 df-cap at signature time (kill the boilerplate
+    * shingles) or a rebuild from a cleaner corpus. One
+    * partial-aggregated pass over the buckets table; only the one-row
+    * summary reaches the caller. */
+  def indexStats(spark: SparkSession, name: String): DataFrame = {
+    val perKey = spark.table(s"${name}_buckets")
+      .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("n"))
+    perKey.agg(
+      sum(col("n")).as("n_entries"),
+      count(lit(1)).as("n_keys"),
+      max(col("n")).as("max_key"),
+      avg(col("n")).as("mean_key"))
+      .withColumn("skew", col("max_key") / col("mean_key"))
+  }
+
   def compactNearDupIndex(spark: SparkSession, name: String): Unit = {
     val catalog = spark.sessionState.catalog
     val AutoScan = "spark.sql.sources.bucketing.autoBucketedScan.enabled"

@@ -25,6 +25,26 @@ class DedupSpec extends SparkSpec {
     assert(once.count() == again.count())
   }
 
+  test("indexStats: a boilerplate cohort shows up as bucket skew") {
+    // clean corpus: distinct vocab per doc → every (band, bh) key ~1
+    val clean = (1 to 30).map(i =>
+      (i.toLong, (1 to 20).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    Dedup.writeNearDupIndex(clean, "graft_ixs_clean", numBuckets = 4)
+    val sClean = Dedup.indexStats(spark, "graft_ixs_clean").first()
+    // cohort: 15 identical docs collide in EVERY band → hot keys of 15
+    val cohort = clean.unionByName((100 to 114).map(i =>
+        (i.toLong, "common disclaimer text repeated verbatim across the" +
+          " whole cohort every single time"))
+      .toDF("doc_id", "text"))
+    Dedup.writeNearDupIndex(cohort, "graft_ixs_hot", numBuckets = 4)
+    val sHot = Dedup.indexStats(spark, "graft_ixs_hot").first()
+    assert(sClean.getLong(2) <= 2, s"clean max_key ${sClean.getLong(2)}")
+    assert(sHot.getLong(2) == 15, s"hot max_key ${sHot.getLong(2)}")
+    assert(sHot.getDouble(4) > sClean.getDouble(4) * 3,
+      s"skew did not move: ${sClean.getDouble(4)} -> ${sHot.getDouble(4)}")
+  }
+
   test("cluster survivors: highest quality wins, not lowest id") {
     // a near-dup pair where the HIGHER id is the better copy (longer,
     // more varied) — the id convention would keep doc 1, the quality
