@@ -7,6 +7,23 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Drop a managed test table AND its warehouse directory. The
+    * in-memory catalog dies with each JVM but the directory does not,
+    * so a plain DROP TABLE IF EXISTS in a fresh JVM no-ops while the
+    * next saveAsTable fails with LOCATION_ALREADY_EXISTS. */
+  def dropTestTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = new java.io.File(new java.net.URI(spark.sessionState.catalog
+      .defaultTablePath(spark.sessionState.sqlParser
+        .parseTableIdentifier(name)).getPath).getPath)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+      }
+      rm(loc)
+    }
+  }
 }
 
 object SparkSpec {

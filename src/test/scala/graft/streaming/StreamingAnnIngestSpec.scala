@@ -39,17 +39,8 @@ class StreamingAnnIngestSpec extends SparkSpec {
       .select("vec_id", "embedding").filter(col("vec_id") < 40)
     val (index, corpus) = (s"graft_sann_$tag", s"graft_sann_${tag}_corpus")
     AnnIndex.writeAnnIndex(base, index)
-    // drop catalog entry AND any orphaned location a crashed run left
-    spark.sql(s"DROP TABLE IF EXISTS $corpus")
-    val loc = new java.io.File(new java.net.URI(spark.sessionState.catalog
-      .defaultTablePath(spark.sessionState.sqlParser
-        .parseTableIdentifier(corpus)).getPath).getPath)
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
-      }
-      rm(loc)
-    }
+    // drop catalog entry AND any orphaned location a prior JVM left
+    dropTestTable(corpus)
     base.write.format("parquet").mode("overwrite").saveAsTable(corpus)
     (index, corpus)
   }

@@ -25,7 +25,7 @@ class StreamingHeavyHittersSpec extends SparkSpec {
       Seq.fill(200)("a") ++ Seq.fill(100)("b") ++ (251 to 400).map(i => s"t$i"))
     val n = batches.map(_.size).sum
 
-    spark.sql("DROP TABLE IF EXISTS graft_shh_bank")
+    dropTestTable("graft_shh_bank")
     val perBatch = scala.collection.mutable.Map[Long, Int]()
     val mem = MemoryStream[HHEvent](spark)
     val q = StreamingHeavyHitters.start(spark, mem.toDF(), col("key"), 4,
