@@ -11,6 +11,34 @@ import graft.operators.AsOfJoin
   * checked against DuckDB's native ASOF JOIN. */
 object MultimodalQueries {
 
+  /** The m04/m06 fixture: real docs plus exact clones under shifted
+    * ids (multiple of 3 keeps media_type assignment stable; ~1e9
+    * clears real ids at any supported SF). */
+  private def doubledDocs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    docs.unionByName(
+      docs.select((col("doc_id") + 1000000002L).as("doc_id"), col("text")))
+  }
+
+  /** Oracle CTEs ending at `sh(doc_id, h)` — the avg-hash replayed in
+    * DuckDB byte arithmetic (shared by m04 and m06). */
+  private val phashCtes =
+    """d2 AS (SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 1000000002, text FROM documents),
+        img AS (SELECT doc_id, hex(encode(text)) AS hx FROM d2 WHERE doc_id % 3 = 0),
+        byt AS (SELECT doc_id, unnest(range(0, length(hx) // 2)) AS i, hx FROM img),
+        bv AS (SELECT doc_id, i % 64 AS j,
+            (strpos('0123456789ABCDEF', substr(hx, CAST(2 * i + 1 AS INT), 1)) - 1) * 16
+            + (strpos('0123456789ABCDEF', substr(hx, CAST(2 * i + 2 AS INT), 1)) - 1) AS v
+          FROM byt),
+        sums AS (SELECT doc_id, j, sum(v) AS s FROM bv GROUP BY doc_id, j),
+        mn AS (SELECT doc_id, sum(s) // 64 AS mean FROM sums GROUP BY doc_id),
+        sh AS (SELECT s.doc_id,
+            sum(CASE WHEN s.s > m.mean THEN (1::HUGEINT << CAST(s.j AS INT))
+                ELSE 0::HUGEINT END)::UBIGINT AS h
+          FROM sums s JOIN mn m USING (doc_id) GROUP BY s.doc_id)"""
+
   val all: Seq[Q] = Seq(
 
     // ---- metadata decode over binary payloads (mapPartitions path) --
@@ -98,28 +126,61 @@ object MultimodalQueries {
     // threshold, then the shared Hamming-pairs tail.
     Q("m04_phash_neardup",
       (s, dir) => {
-        val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
-        val doubled = docs.unionByName(
-          docs.select((col("doc_id") + 1000000002L).as("doc_id"), col("text")))
-        val hashes = Multimodal.imageHashes(s, Multimodal.mediaFrame(doubled))
+        val hashes = Multimodal.imageHashes(s,
+          Multimodal.mediaFrame(doubledDocs(s, dir)))
         graft.operators.Dedup.hammingPairs(hashes, "doc_id", "phash", 6)
           .orderBy("id_a", "id_b")
       },
-      Some(s"""WITH d2 AS (SELECT doc_id, text FROM documents
-          UNION ALL SELECT doc_id + 1000000002, text FROM documents),
-        img AS (SELECT doc_id, hex(encode(text)) AS hx FROM d2 WHERE doc_id % 3 = 0),
-        byt AS (SELECT doc_id, unnest(range(0, length(hx) // 2)) AS i, hx FROM img),
-        bv AS (SELECT doc_id, i % 64 AS j,
-            (strpos('0123456789ABCDEF', substr(hx, CAST(2 * i + 1 AS INT), 1)) - 1) * 16
-            + (strpos('0123456789ABCDEF', substr(hx, CAST(2 * i + 2 AS INT), 1)) - 1) AS v
-          FROM byt),
-        sums AS (SELECT doc_id, j, sum(v) AS s FROM bv GROUP BY doc_id, j),
-        mn AS (SELECT doc_id, sum(s) // 64 AS mean FROM sums GROUP BY doc_id),
-        sh AS (SELECT s.doc_id,
-            sum(CASE WHEN s.s > m.mean THEN (1::HUGEINT << CAST(s.j AS INT))
-                ELSE 0::HUGEINT END)::UBIGINT AS h
-          FROM sums s JOIN mn m USING (doc_id) GROUP BY s.doc_id)
+      Some(s"""WITH $phashCtes
         ${graft.operators.Dedup.sqlHammingTail(6)}""")),
+
+    // ---- m06: image dedup clusters + keep-highest-resolution ---------
+    // The media pipeline a real corpus runs after m04 finds the pairs:
+    // connected components over the pHash matches (d05's star
+    // machinery), then ONE SURVIVOR per visual cluster by the media
+    // policy — keep the biggest payload (the highest-resolution /
+    // least-recompressed copy), not the lowest id; ties (the planted
+    // exact clones) break to the lowest id deterministically. Same
+    // composition as d17 with a media-native score, proving the
+    // survivor machinery is score-agnostic.
+    Q("m06_image_dedup",
+      (s, dir) => {
+        val media = Multimodal.mediaFrame(doubledDocs(s, dir))
+          .filter(col("media_type") === "image")
+        val hashes = Multimodal.imageHashes(s, media)
+        val pairs = graft.operators.Dedup
+          .hammingPairs(hashes, "doc_id", "phash", 6)
+        graft.operators.Dedup.clusterSurvivors(
+            media.select(col("doc_id"), col("payload")), pairs,
+            octet_length(col("payload")).cast("double"))
+          .orderBy("component")
+      },
+      Some(s"""WITH RECURSIVE $phashCtes,
+        prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.h, b.h)) <= 6
+            AND (${(0 until 4).map(b =>
+              s"((a.h >> ${b * 16}) & 65535) = ((b.h >> ${b * 16}) & 65535)")
+              .mkString("\n              OR ")})),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+          UNION ALL SELECT id_b, id_a FROM prs),
+        univ AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM d2
+          WHERE doc_id % 3 = 0),
+        reach AS (
+          SELECT doc_id AS id, doc_id AS label FROM univ
+          UNION
+          SELECT e.dst AS id, r.label AS label
+          FROM reach r JOIN edges e ON r.id = e.src),
+        comp AS (SELECT id AS doc_id, min(label) AS component
+          FROM reach GROUP BY id),
+        scored AS (SELECT u.doc_id, c.component, CAST(u.nb AS DOUBLE) AS q,
+            count(*) OVER (PARTITION BY c.component) AS gs
+          FROM univ u JOIN comp c ON u.doc_id = c.doc_id),
+        rn AS (SELECT *, row_number() OVER (PARTITION BY component
+            ORDER BY q DESC, doc_id) AS r FROM scored)
+        SELECT component, doc_id, q AS quality,
+          CAST(gs AS BIGINT) AS group_size
+        FROM rn WHERE r = 1 ORDER BY component NULLS FIRST""")),
 
     // ---- m05: cross-modal retrieval (CLIP-shaped) --------------------
     // Top-k retrieval ACROSS modalities: queries from one embedding
