@@ -281,5 +281,59 @@ object TextAnalysis {
           greatest(start_tok // 256, (start_tok + n_tokens - 1) // 256) AS seq_last,
           CAST(start_tok % 256 AS INT) AS seq_offset
         FROM c ORDER BY doc_id NULLS FIRST""")),
+
+    // ---- t12: bigram-LM scoring (KenLM-perplexity shape) -------------
+    // The full CCNet-style "train an n-gram LM on the corpus, score
+    // the corpus with it" loop, one level up from t07's unigram
+    // familiarity: per document, the mean conditional probability
+    // P(w2|w1) = c(w1 w2)/c(w1·) over its bigram occurrences. Rare
+    // continuations drag the score down exactly like high perplexity
+    // does; boilerplate scores near 1. Hash-exact because each
+    // per-bigram probability is integer-scaled (micro-prob = cb·1e6
+    // DIV cu — integral division both engines evaluate identically)
+    // BEFORE the per-doc sum, so float summation order never enters;
+    // ONE final double division produces the score.
+    //
+    // Scale: model pass = one partial-agg shuffle on the observed-
+    // bigram key (vocab-sized, ≪ corpus); context counts derive from
+    // the bigram counts (second, smaller agg) — the corpus is read
+    // once. Score pass = exploded bigrams ⋈ model on the bigram key
+    // (AQE sizes the join; the model side is skew-free by
+    // construction) then a per-doc partial agg. No window, no
+    // driver-side state.
+    Q("t12_bigram_lm",
+      (s, dir) => {
+        val bg = Tables(s, dir, "documents")
+          .filter(tokenCount(col("text")) >= 2)
+          .select(col("doc_id"), explode(bigrams(col("text"))).as("bg"))
+        val cb = bg.groupBy("bg").agg(count(lit(1)).as("cb"))
+        val model = cb
+          .withColumn("w1", substring_index(col("bg"), " ", 1))
+        val cu = model.groupBy("w1").agg(sum(col("cb")).as("cu"))
+        val probs = model.join(cu, "w1")
+          .select(col("bg"), expr("cb * 1000000L DIV cu").as("micro_p"))
+        bg.join(probs, "bg")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+               sum(col("micro_p")).as("lm_num"))
+          .select(col("doc_id"), col("n_bigrams"), col("lm_num"),
+            (col("lm_num").cast("double") /
+              (col("n_bigrams").cast("double") * 1e6)).as("lm_score"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH bg AS (SELECT doc_id, unnest(${sqlBigrams("text")}) AS bg
+          FROM documents WHERE ${sqlTokenCount("text")} >= 2),
+        cb AS (SELECT bg, count(*) AS cb FROM bg GROUP BY bg),
+        m AS (SELECT bg, cb, split_part(bg, ' ', 1) AS w1 FROM cb),
+        cu AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM m GROUP BY w1),
+        p AS (SELECT bg, cb * 1000000 // cu AS micro_p
+          FROM m JOIN cu USING (w1)),
+        d AS (SELECT doc_id, count(*) AS n_bigrams,
+            CAST(sum(micro_p) AS BIGINT) AS lm_num
+          FROM bg JOIN p USING (bg) GROUP BY doc_id)
+        SELECT doc_id, n_bigrams, lm_num,
+          CAST(lm_num AS DOUBLE) /
+            (CAST(n_bigrams AS DOUBLE) * 1e6) AS lm_score
+        FROM d ORDER BY doc_id NULLS FIRST""")),
   )
 }

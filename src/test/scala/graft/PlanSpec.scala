@@ -263,4 +263,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
     assert(df.columns.contains("split"))
   }
+
+  test("bigram LM (t12) partial-aggregates both passes; no window") {
+    val plan = formatted(SparkEntry.queries("t12_bigram_lm")(spark, sf))
+    // model pass (bigram counts) and score pass (per-doc sum) both
+    // map-side combine; the per-term micro-prob keeps the sum integral
+    assert(plan.contains("partial_count"), plan)
+    assert(plan.contains("partial_sum"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
