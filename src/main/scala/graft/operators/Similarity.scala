@@ -88,14 +88,29 @@ object Similarity {
         col("t.rank").as("rank"), col("t.cos").as("cos"))
   }
 
-  /** Exact cosine top-k for each query vector (queries broadcast). */
+  /** Exact cosine top-k for each query vector (queries broadcast).
+    *
+    * `scope` = metadata columns that must MATCH between query and
+    * candidate (tenant id, language, label …) — the "filtered search"
+    * every production vector store supports. Scoping is applied as
+    * equi-join keys, never as a post-filter on scored candidates: the
+    * broadcast nested-loop join becomes a broadcast HASH join on the
+    * scope key, so each corpus vector is scored only against its own
+    * tenant's queries — the pair space shrinks by the tenant count
+    * instead of paying full-corpus scoring and discarding most of it. */
   def bruteForceTopK(spark: SparkSession, emb: DataFrame,
-      queryPred: org.apache.spark.sql.Column, k: Int = 10): DataFrame = {
+      queryPred: org.apache.spark.sql.Column, k: Int = 10,
+      scope: Seq[String] = Nil): DataFrame = {
     VectorFunctions.register(spark)
     val q = emb.filter(queryPred)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val joined = emb.select(col("vec_id"), col("embedding").as("e"))
-      .join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("vec_id").as("qid") +: col("embedding").as("qe") +:
+        scope.map(col): _*)
+    val base = emb.select(col("vec_id") +: col("embedding").as("e") +:
+      scope.map(col): _*)
+    val joined = (if (scope.isEmpty)
+        base.join(broadcast(q), col("vec_id") =!= col("qid"))
+      else
+        base.join(broadcast(q), scope).filter(col("vec_id") =!= col("qid")))
       .withColumn("cos", expr("cosine_sim(qe, e)"))
     topKPerQuery(joined, k)
   }
@@ -309,9 +324,17 @@ object Similarity {
     }.sortBy(x => (x._2, x._1)).take(n).map(_._1)
   }
 
+  /** `scope` scopes the search to candidates whose metadata columns
+    * match the query's (see [[bruteForceTopK]]): the scope keys ride
+    * the cell equi-join, so candidate generation never touches another
+    * tenant's rows — PRE-filtering, not score-and-discard. Recall
+    * within a scope behaves like unfiltered IVF with a smaller corpus
+    * per cell; when scopes are tiny, raise nprobe (the standard
+    * filtered-ANN mitigation) — s05's contract row gates the floor. */
   def ivfTopK(spark: SparkSession, emb: DataFrame,
       queryPred: org.apache.spark.sql.Column, k: Int = 10,
-      nCells: Int = 16, nprobe: Int = 3): DataFrame = {
+      nCells: Int = 16, nprobe: Int = 3,
+      scope: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
     VectorFunctions.register(spark)
     val trained = trainCentroids(emb, nCells)
@@ -321,10 +344,13 @@ object Similarity {
     val probesOf = udf((v: Seq[Float]) => nearestCells(v.toArray, cents.value, nprobe))
     val indexed = emb.withColumn("cell", cellOf(col("embedding")))
     val q = emb.filter(queryPred)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        explode(probesOf(col("embedding"))).as("cell"))
-    val cands = indexed.select(col("vec_id"), col("embedding").as("e"), col("cell"))
-      .join(broadcast(q), Seq("cell"))
+      .select(col("vec_id").as("qid") +: col("embedding").as("qe") +:
+        scope.map(col): _*)
+      .withColumn("cell", explode(probesOf(col("qe"))))
+    val cands = indexed
+      .select(col("vec_id") +: col("embedding").as("e") +: col("cell") +:
+        scope.map(col): _*)
+      .join(broadcast(q), "cell" +: scope)
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", expr("cosine_sim(qe, e)"))
       .select("qid", "vec_id", "cos").distinct()

@@ -92,7 +92,16 @@ object Accuracy {
         // floor gates it
         val pqr = Similarity.ivfPqTopK(s, emb, expr(QueryPred), K,
           residual = true)
-        recallRow(exact, ivf, "ivf_recall_at_10", 0.6)
+        // filtered search: ground truth and index both label-scoped
+        // (s10/s11); the scope shrinks each cell's candidate pool, so
+        // the probe runs at nprobe=8 — same floor as the rest
+        val fExact = graft.operators.Frontier.pin(
+          Similarity.bruteForceTopK(s, emb, expr(QueryPred), K,
+            scope = Seq("label")))
+        val fIvf = Similarity.ivfTopK(s, emb, expr(QueryPred), K,
+          nprobe = 8, scope = Seq("label"))
+        recallRow(fExact, fIvf, "filtered_ivf_recall_at_10", 0.6)
+          .unionByName(recallRow(exact, ivf, "ivf_recall_at_10", 0.6))
           .unionByName(recallRow(exact, pq, "ivfpq_recall_at_10", 0.6))
           .unionByName(recallRow(exact, pqr, "ivfpq_res_recall_at_10", 0.6))
           .unionByName(recallRow(exact, sq8, "ivfsq8_recall_at_10", 0.6))
@@ -100,7 +109,9 @@ object Accuracy {
           .orderBy("metric")
       },
       Some("""SELECT * FROM (
-          SELECT 'ivf_recall_at_10' AS metric, CAST(0.6 AS DOUBLE) AS bound, true AS ok
+          SELECT 'filtered_ivf_recall_at_10' AS metric, CAST(0.6 AS DOUBLE) AS bound, true AS ok
+          UNION ALL
+          SELECT 'ivf_recall_at_10', CAST(0.6 AS DOUBLE), true
           UNION ALL
           SELECT 'ivfpq_recall_at_10', CAST(0.6 AS DOUBLE), true
           UNION ALL

@@ -185,5 +185,57 @@ object SimilarityQueries {
             PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank FROM x)
         SELECT qid, vec_id, rank, cos FROM r WHERE rank <= $K
         ORDER BY qid NULLS FIRST, rank NULLS FIRST""")),
+
+    // ---- s10: filtered (scoped) exact search -------------------------
+    // Metadata-filtered vector search — the shape every production
+    // vector store supports (per-tenant / per-class retrieval): each
+    // query sees only candidates whose `label` matches its own. The
+    // scope rides the join as an EQUI-key, so s01's broadcast
+    // nested-loop becomes a broadcast HASH join on label — the pair
+    // space shrinks by the class count instead of scoring everything
+    // and discarding. Same f32-chain cosine as s01 → hash-exact.
+    Q("s10_filtered_knn",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+          .withColumn("nrm", expr(chainNorm("embedding", Dim, 0)))
+        val q = emb.filter(expr(QueryPred))
+          .select(col("vec_id").as("qid"), col("label"),
+            col("embedding").as("qe"), col("nrm").as("qn"))
+        val scored = emb
+          .select(col("vec_id"), col("label"), col("embedding").as("e"),
+            col("nrm").as("en"))
+          .join(broadcast(q), Seq("label"))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("cos",
+            expr(s"CAST(${chainDot("qe", "e", Dim, 0)} AS DOUBLE)") / (col("qn") * col("en")))
+        Similarity.topKPerQuery(scored, K).orderBy("qid", "rank")
+      },
+      Some(s"""WITH n AS (SELECT vec_id, label, embedding,
+            ${chainNorm("embedding", Dim, 1)} AS nrm FROM embeddings),
+        q AS (SELECT vec_id AS qid, label, embedding AS qe, nrm AS qn
+          FROM n WHERE $QueryPred),
+        c AS (SELECT qid, n.vec_id,
+            CAST(${chainDot("qe", "n.embedding", Dim, 1)} AS DOUBLE)
+              / (qn * n.nrm) AS cos
+          FROM n JOIN q ON n.label = q.label AND n.vec_id <> q.qid),
+        r AS (SELECT qid, vec_id, cos, CAST(row_number() OVER (
+            PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank FROM c)
+        SELECT qid, vec_id, rank, cos FROM r WHERE rank <= $K
+        ORDER BY qid NULLS FIRST, rank NULLS FIRST""")),
+
+    // ---- s11: filtered ANN (scope keys inside the IVF probe) ---------
+    // s10's scale path: the label scope joins WITH the cell key, so
+    // the probe scans only same-label rows of the nprobe cells —
+    // pre-filtering, never score-and-discard. Rows-only like its s04
+    // parent (k-means cells don't replay in DuckDB); recall@10 vs the
+    // exact filtered s10 is driver-gated by s05's filtered contract
+    // row (nprobe raised to 8: the standard mitigation for scopes
+    // shrinking the per-cell candidate pool).
+    Q("s11_filtered_ivf",
+      (s, dir) =>
+        Similarity.ivfTopK(s, Tables(s, dir, "embeddings"),
+            expr(QueryPred), K, nprobe = 8, scope = Seq("label"))
+          .orderBy("qid", "rank"),
+      None),
   )
 }

@@ -222,4 +222,31 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.quantizedTopK(spark, zeros.limit(0), col("vec_id") < 2, 3)
       .count() == 0)
   }
+
+  test("scoped search: every neighbor shares the query's label; recall holds") {
+    // ground truth: label-scoped exact top-k (s10's operator)
+    val fbf = Similarity.bruteForceTopK(spark, emb, col("vec_id") < 8, 10,
+      scope = Seq("label"))
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // scope containment: a cross-label neighbor means the filter leaked
+    val fIvf = Similarity.ivfTopK(spark, emb, col("vec_id") < 8, 10,
+      nprobe = 8, scope = Seq("label"))
+    for (df <- Seq(fbf, fIvf); r <- df.select("qid", "vec_id").collect()) {
+      assert(labels(r.getLong(0)) == labels(r.getLong(1)),
+        s"cross-label neighbor: qid=${r.getLong(0)} vec=${r.getLong(1)}")
+    }
+    // the scoped index recovers the scoped exact set above the same
+    // floor the s05 driver contract enforces
+    val ex = fbf.select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ap = fIvf.select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((ex & ap).size.toDouble / ex.size >= 0.6,
+      s"filtered recall=${(ex & ap).size.toDouble / ex.size}")
+    // scoping is an equi-join, never a post-filter: the plan must not
+    // contain a nested-loop join even on the brute-force path
+    assert(!fbf.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+  }
 }
