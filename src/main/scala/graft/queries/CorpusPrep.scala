@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Frontier, Packing, Sampling}
+import graft.operators.{Dedup, Frontier, Packing, Sampling, Sharding}
 
 /** End-to-end training-corpus preparation: the whole LLM data pipeline
   * as ONE composed query, proving the operators chain — quality gate →
@@ -98,6 +98,35 @@ object CorpusPrep {
           CAST(${TextFunctions.sqlTokenCount("text")} AS BIGINT) AS n_tokens
         FROM samp)"""
 
+  /** p02's packed frame — prepped tokens in deterministic-shuffle
+    * order, packed by the two-phase scan, doc_id joined back over the
+    * 1:1 position — before presentation ordering; feeds p02 and the
+    * p04 shard writer. */
+  private def shuffledPack(s: SparkSession, dir: String): DataFrame = {
+    val shuffled = Sampling.deterministicShuffle(
+      preppedTokens(s, dir), col("doc_id"), salt = "prep2")
+    Packing.packPlan(
+        shuffled.select(col("shuffle_pos"), col("n_tokens")),
+        "shuffle_pos", "n_tokens", budget = 256)
+      .join(shuffled.select(col("doc_id"), col("shuffle_pos")),
+        "shuffle_pos")
+  }
+
+  /** Oracle CTEs through p02's pack, ending at
+    * `c(doc_id, shuffle_pos, n_tokens, start_tok)`. */
+  private val sqlThroughShuffledPack =
+    s"""$sqlThroughTokens,
+        sh2 AS (SELECT doc_id, n_tokens,
+            CAST(row_number() OVER (ORDER BY
+                substr(md5(CAST(doc_id AS VARCHAR) || ':prep2'), 1, 13),
+                doc_id) - 1 AS BIGINT) AS shuffle_pos
+          FROM t),
+        c AS (SELECT doc_id, shuffle_pos, n_tokens,
+            CAST(COALESCE(sum(n_tokens) OVER (ORDER BY shuffle_pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              AS start_tok
+          FROM sh2)"""
+
   val all: Seq[Q] = Seq(
 
     Q("p01_corpus_prep",
@@ -126,30 +155,13 @@ object CorpusPrep {
     // q29 and t11 provably compose, and the whole 6-stage chain stays
     // hash-exact against the chained oracle.
     Q("p02_shuffled_pack",
-      (s, dir) => {
-        val shuffled = Sampling.deterministicShuffle(
-          preppedTokens(s, dir), col("doc_id"), salt = "prep2")
-        Packing.packPlan(
-            shuffled.select(col("shuffle_pos"), col("n_tokens")),
-            "shuffle_pos", "n_tokens", budget = 256)
-          .join(shuffled.select(col("doc_id"), col("shuffle_pos")),
-            "shuffle_pos")
+      (s, dir) =>
+        shuffledPack(s, dir)
           .select(col("doc_id"), col("shuffle_pos"), col("n_tokens"),
             col("start_tok"), col("seq_first"), col("seq_last"),
             col("seq_offset"))
-          .orderBy("doc_id")
-      },
-      Some(s"""$sqlThroughTokens,
-        sh2 AS (SELECT doc_id, n_tokens,
-            CAST(row_number() OVER (ORDER BY
-                substr(md5(CAST(doc_id AS VARCHAR) || ':prep2'), 1, 13),
-                doc_id) - 1 AS BIGINT) AS shuffle_pos
-          FROM t),
-        c AS (SELECT doc_id, shuffle_pos, n_tokens,
-            CAST(COALESCE(sum(n_tokens) OVER (ORDER BY shuffle_pos
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-              AS start_tok
-          FROM sh2)
+          .orderBy("doc_id"),
+      Some(s"""$sqlThroughShuffledPack
         SELECT doc_id, shuffle_pos, n_tokens, start_tok,
           start_tok // 256 AS seq_first,
           greatest(start_tok // 256, (start_tok + n_tokens - 1) // 256) AS seq_last,
@@ -208,5 +220,48 @@ object CorpusPrep {
           greatest(start_tok // 256, (start_tok + n_tokens - 1) // 256) AS seq_last,
           CAST(start_tok % 256 AS INT) AS seq_offset
         FROM c ORDER BY doc_id NULLS FIRST""")),
+
+    // ---- p04: the shard writer — packed stream → trainer layout ------
+    // The last hop a real pipeline runs: p02's packed order is cut
+    // into 2048-token shards (8 × 256-token sequences), WRITTEN as one
+    // directory per shard (dynamic partition layout, one file each —
+    // the streaming-dataset unit of I/O and resume), and the query's
+    // result is the per-shard manifest computed from the files READ
+    // BACK — the round trip through disk is under test, not just the
+    // assignment arithmetic. Docs spanning a shard boundary carry the
+    // exact token overlap, so manifest token counts tile the corpus
+    // (ShardingSpec asserts; the chained oracle hash-checks the whole
+    // 7-stage composition end to end).
+    Q("p04_training_shards",
+      (s, dir) => {
+        val packed = shuffledPack(s, dir)
+          .select(col("doc_id"), col("shuffle_pos"), col("n_tokens"),
+            col("start_tok"))
+        val assign = Sharding.shardAssignments(packed, tokensPerShard = 2048L)
+        val path = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_p04_shards").getAbsolutePath
+        val back = Sharding.writeShards(assign, path)
+        Sharding.manifest(back, "shuffle_pos")
+          // partition-column type inference narrows `shard` to INT on
+          // read-back; restore the operator's LONG for the oracle
+          .withColumn("shard", col("shard").cast("long"))
+          .orderBy("shard")
+      },
+      Some(s"""$sqlThroughShuffledPack,
+        sp AS (SELECT doc_id, shuffle_pos, n_tokens, start_tok,
+            start_tok // 2048 AS shard_first,
+            greatest(start_tok // 2048,
+              (start_tok + n_tokens - 1) // 2048) AS shard_last
+          FROM c),
+        ex AS (SELECT doc_id, shuffle_pos, n_tokens, start_tok,
+            unnest(range(shard_first, shard_last + 1)) AS shard FROM sp),
+        ov AS (SELECT shard, shuffle_pos,
+            least((shard + 1) * 2048, start_tok + n_tokens) -
+              greatest(shard * 2048, start_tok) AS tok_in_shard FROM ex)
+        SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+          CAST(sum(tok_in_shard) AS BIGINT) AS n_tokens,
+          CAST(min(shuffle_pos) AS BIGINT) AS min_pos,
+          CAST(max(shuffle_pos) AS BIGINT) AS max_pos
+        FROM ov GROUP BY shard ORDER BY shard NULLS FIRST""")),
   )
 }

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ShardingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // a packed stream: positions 0..5, token counts chosen so doc 2
+  // spans the 10-token shard boundary and doc 4 covers a full shard
+  private lazy val packed = Packing.packPlan(
+    Seq((0L, 4L), (1L, 3L), (2L, 6L), (3L, 2L), (4L, 10L), (5L, 1L))
+      .toDF("pos", "n_tokens"),
+    "pos", "n_tokens", budget = 5)
+
+  test("token overlaps tile the corpus exactly") {
+    val assign = Sharding.shardAssignments(packed, tokensPerShard = 10L)
+    // per-shard token counts sum to the corpus total…
+    assert(assign.agg(sum("tok_in_shard")).as[Long].head() == 26L)
+    // …and every shard except the last is full
+    val perShard = Sharding.manifest(assign, "pos")
+      .orderBy("shard").select("shard", "n_tokens").as[(Long, Long)].collect()
+    assert(perShard.map(_._1).sameElements(Array(0L, 1L, 2L)))
+    assert(perShard.dropRight(1).forall(_._2 == 10L))
+    assert(perShard.last._2 == 6L)
+  }
+
+  test("a boundary-spanning doc appears in every shard it overlaps") {
+    val assign = Sharding.shardAssignments(packed, tokensPerShard = 10L)
+    // doc at pos 2 holds tokens [7, 13): 3 tokens in shard 0, 3 in 1
+    val spans = assign.filter(col("pos") === 2L)
+      .select("shard", "tok_in_shard").as[(Long, Long)].collect().sortBy(_._1)
+    assert(spans.sameElements(Array((0L, 3L), (1L, 3L))))
+  }
+
+  test("a zero-token doc lands in exactly its start shard with 0 overlap") {
+    val z = Seq((0L, 10L, 0L), (1L, 10L, 5L)).toDF("pos", "start_tok", "n_tokens")
+    val assign = Sharding.shardAssignments(z, tokensPerShard = 10L)
+    val row = assign.filter(col("pos") === 0L)
+      .select("shard", "tok_in_shard").as[(Long, Long)].collect()
+    assert(row.sameElements(Array((1L, 0L))))
+  }
+
+  test("writeShards lays out one file per shard and round-trips the rows") {
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_sharding_spec").getAbsolutePath
+    val assign = Sharding.shardAssignments(packed, tokensPerShard = 10L)
+    val back = Sharding.writeShards(assign, path)
+    // round trip preserves the assignment set
+    assert(back.count() == assign.count())
+    assert(back.select("pos", "shard", "tok_in_shard").except(
+      assign.select("pos", "shard", "tok_in_shard")).isEmpty)
+    // one sequential file per shard directory — the streaming unit
+    for (d <- new java.io.File(path).listFiles() if d.getName.startsWith("shard=")) {
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName}: ${files.length} files")
+    }
+  }
+}
