@@ -66,4 +66,40 @@ object Sharding {
         sum(col("tok_in_shard")).as("n_tokens"),
         min(col(posCol)).as("min_pos"),
         max(col(posCol)).as("max_pos"))
+
+  /** Append a new batch to an existing shard layout — the maintenance
+    * path (the d13/d14 story for shards): a growing corpus appends
+    * nightly; rewriting every shard would be a full-corpus write.
+    * The new batch's assignments carry GLOBAL offsets (previous corpus
+    * total + its own prefix sums), so new rows only land in shards ≥
+    * the batch's min shard. Shards below that boundary are sealed —
+    * never read, never rewritten (ShardingSpec asserts their files are
+    * byte-identical after append); the boundary shard (where the
+    * previous corpus ended mid-shard) is rewritten merged with the new
+    * batch's contribution via DYNAMIC partition overwrite — only the
+    * shard directories present in the written frame are replaced.
+    * Cost scales with the ingest, not the corpus.
+    *
+    * The one driver-side value is the batch's min shard (an O(1) agg,
+    * same class as Packing's P subtotals). */
+  def appendShards(newAssign: DataFrame, path: String): DataFrame = {
+    val spark = newAssign.sparkSession
+    val pinned = Frontier.pin(newAssign) // consumed by boundary agg + write
+    val bRow = pinned.agg(min(col("shard"))).collect()(0)
+    if (bRow.isNullAt(0)) return spark.read.parquet(path) // empty batch
+    val boundary = bRow.getLong(0)
+    // carry forward the boundary shard's existing rows (partition-type
+    // inference narrows shard to INT on read-back — restore LONG)
+    val carry = spark.read.parquet(path)
+      .withColumn("shard", col("shard").cast("long"))
+      .filter(col("shard") >= boundary)
+    carry.unionByName(pinned.select(carry.columns.map(col): _*))
+      .repartition(col("shard"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile", 1000000)
+      .partitionBy("shard")
+      .parquet(path)
+    spark.read.parquet(path)
+  }
 }

@@ -263,5 +263,53 @@ object CorpusPrep {
           CAST(min(shuffle_pos) AS BIGINT) AS min_pos,
           CAST(max(shuffle_pos) AS BIGINT) AS max_pos
         FROM ov GROUP BY shard ORDER BY shard NULLS FIRST""")),
+
+    // ---- p05: incremental shard APPEND — maintenance, not rebuild ----
+    // The d13/d14 story for the trainer layout: the corpus grows, the
+    // shard set must not be rewritten. The packed stream is split at
+    // the position midpoint; batch A writes the initial layout, batch
+    // B (whose offsets continue from A's total by the prefix property
+    // of the shuffle order) APPENDS — sealed shards untouched, only
+    // the boundary shard rewritten merged (dynamic partition
+    // overwrite). Incremental == one-shot by construction, so the
+    // manifest hash-checks against the SAME oracle as p04: the gate
+    // proves two-step ingest converges to the single-build layout.
+    // (ShardingSpec asserts the sealed files are byte-identical and
+    // only boundary+ dirs change; the cut is the one driver-side O(1)
+    // agg, same class as Packing's P subtotals.)
+    Q("p05_shard_append",
+      (s, dir) => {
+        val pk = Frontier.pin(shuffledPack(s, dir)
+          .select(col("doc_id"), col("shuffle_pos"), col("n_tokens"),
+            col("start_tok")))
+        val cut = pk.agg((count(lit(1)) / 2).cast("long")).collect()(0).getLong(0)
+        val a = Sharding.shardAssignments(
+          pk.filter(col("shuffle_pos") < cut), tokensPerShard = 2048L)
+        val b = Sharding.shardAssignments(
+          pk.filter(col("shuffle_pos") >= cut), tokensPerShard = 2048L)
+        val path = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_p05_shards").getAbsolutePath
+        Sharding.writeShards(a, path)
+        val back = Sharding.appendShards(b, path)
+        Sharding.manifest(back, "shuffle_pos")
+          .withColumn("shard", col("shard").cast("long"))
+          .orderBy("shard")
+      },
+      Some(s"""$sqlThroughShuffledPack,
+        sp AS (SELECT doc_id, shuffle_pos, n_tokens, start_tok,
+            start_tok // 2048 AS shard_first,
+            greatest(start_tok // 2048,
+              (start_tok + n_tokens - 1) // 2048) AS shard_last
+          FROM c),
+        ex AS (SELECT doc_id, shuffle_pos, n_tokens, start_tok,
+            unnest(range(shard_first, shard_last + 1)) AS shard FROM sp),
+        ov AS (SELECT shard, shuffle_pos,
+            least((shard + 1) * 2048, start_tok + n_tokens) -
+              greatest(shard * 2048, start_tok) AS tok_in_shard FROM ex)
+        SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+          CAST(sum(tok_in_shard) AS BIGINT) AS n_tokens,
+          CAST(min(shuffle_pos) AS BIGINT) AS min_pos,
+          CAST(max(shuffle_pos) AS BIGINT) AS max_pos
+        FROM ov GROUP BY shard ORDER BY shard NULLS FIRST""")),
   )
 }

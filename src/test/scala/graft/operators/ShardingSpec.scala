@@ -58,4 +58,33 @@ class ShardingSpec extends SparkSpec {
       assert(files.length == 1, s"${d.getName}: ${files.length} files")
     }
   }
+
+  test("appendShards seals old shards, rewrites only the boundary onward") {
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_sharding_append_spec").getAbsolutePath
+    val all = Sharding.shardAssignments(packed, tokensPerShard = 10L)
+    // batch A = positions 0..3 (tokens [0,15) — ends inside shard 1);
+    // batch B = positions 4..5 with offsets continuing from A's total
+    Sharding.writeShards(all.filter(col("pos") < 4L), path)
+    def listing() = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("shard="))
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    val before = listing()
+    val back = Sharding.appendShards(all.filter(col("pos") >= 4L), path)
+    val after = listing()
+    // shard 0 is sealed: same file, same bytes, same mtime
+    val sealedFiles = before.keys.filter(_.contains("shard=0"))
+    assert(sealedFiles.nonEmpty)
+    sealedFiles.foreach(p => assert(after(p) == before(p), s"sealed $p rewritten"))
+    // the boundary shard (1) was rewritten; new shard dirs appeared
+    assert(before.keys.exists(_.contains("shard=1")))
+    assert(before.keys.filter(_.contains("shard=1"))
+      .forall(p => !after.contains(p) || after(p) != before(p)))
+    // the merged layout equals the one-shot layout row-for-row
+    val oneShot = Sharding.manifest(all, "pos")
+    val merged = Sharding.manifest(
+      back.withColumn("shard", col("shard").cast("long")), "pos")
+    assert(merged.except(oneShot).isEmpty && oneShot.except(merged).isEmpty)
+  }
 }
