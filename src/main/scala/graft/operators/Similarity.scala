@@ -575,4 +575,74 @@ object Similarity {
     val cands = topKPerQuery(scored.select("qid", "vec_id", "cos"), shortlist)
     exactReRank(emb, cands, dim, k)
   }
+
+  // ---- MMR: diversity-aware re-rank ----------------------------------
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein '98) —
+    * the retrieval-side diversity operator: from each query's
+    * `pool`-sized candidate list, greedily select k maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s), so near-duplicate
+    * candidates can't crowd the result the way plain top-k lets them
+    * (RAG context selection, dedup'd few-shot retrieval). λ=1 reduces
+    * exactly to top-k (SimilaritySpec pins the equality).
+    *
+    * Scale shape: the candidate pool comes from any top-k family
+    * member (exact here; swap in an IVF/PQ probe at corpus scale), so
+    * the expensive part inherits that operator's plan. The greedy
+    * stage is per-query work on a BOUNDED pool (O(pool²·dim) ≈ 60k
+    * mults at pool=30) — `flatMapGroups` over qid distributes queries
+    * across executors, nothing global. Vectors attach to the pool via
+    * one broadcast-able equi-join (pool is |q|·pool rows — tiny next
+    * to the corpus). Deterministic: ties break on (score, vec_id), so
+    * the selection is partitioning-invariant (spec-pinned); rows-only
+    * at the gate with the s13 contract rows as the driver check. */
+  def mmrTopK(spark: SparkSession, emb: DataFrame,
+      queryPred: org.apache.spark.sql.Column, k: Int = 10,
+      pool: Int = 30, lambda: Double = 0.7): DataFrame = {
+    import spark.implicits._
+    val cands = bruteForceTopK(spark, emb, queryPred, pool)
+      .select(col("qid"), col("vec_id"), col("cos"))
+    val ds = cands
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("qid"), col("vec_id"), col("cos"), col("embedding"))
+      .as[(Long, Long, Double, Seq[Float])]
+    ds.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      // pool-local greedy: all state is per-query and bounded
+      val arr = it.toArray.sortBy(t => (-t._3, t._2))
+      val n = arr.length
+      val vecs = arr.map(_._4.toArray)
+      val nrm = vecs.map(v => math.sqrt(v.foldLeft(0.0)((a, x) =>
+        a + x.toDouble * x)))
+      def sim(i: Int, j: Int): Double = {
+        var d = 0.0; var x = 0
+        val vi = vecs(i); val vj = vecs(j)
+        while (x < math.min(vi.length, vj.length)) {
+          d += vi(x).toDouble * vj(x); x += 1
+        }
+        if (nrm(i) == 0 || nrm(j) == 0) 0.0 else d / (nrm(i) * nrm(j))
+      }
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Int, Double, Double)]
+      while (selected.size < math.min(k, n)) {
+        var best = -1
+        var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < n) {
+          if (!selected.contains(i)) {
+            val maxSim =
+              if (selected.isEmpty) 0.0
+              else selected.iterator.map(sim(i, _)).max
+            val score = lambda * arr(i)._3 - (1 - lambda) * maxSim
+            // deterministic: strict improvement, or tie broken by the
+            // candidate's own relevance order (arr is rel-sorted)
+            if (score > bestScore) { best = i; bestScore = score }
+          }
+          i += 1
+        }
+        selected += best
+        out += ((qid, arr(best)._2, selected.size, arr(best)._3, bestScore))
+      }
+      out.iterator
+    }.toDF("qid", "vec_id", "rank", "cos", "mmr")
+  }
 }

@@ -122,6 +122,61 @@ object Accuracy {
           SELECT 'lsh_recall_at_10', CAST(0.6 AS DOUBLE), true)
         ORDER BY metric NULLS FIRST""")),
 
+    // ---- MMR re-rank contract (s12's driver gate) --------------------
+    // The three partitioning-invariant guarantees of the greedy MMR
+    // selection, measured fully distributed (pairwise sims are
+    // |q|·k²/2 rows — trivial at any scale since k is fixed):
+    //   1. rank-1 = the exact top-1 (the first greedy pick has no
+    //      diversity penalty, so λ·rel alone decides it);
+    //   2. relevance retention: Σcos(MMR) ≥ 0.8·Σcos(exact top-k) —
+    //      diversity may only trade away a bounded slice of relevance;
+    //   3. diversity no worse: mean pairwise sim within the MMR set ≤
+    //      within the exact top-k set (the reason the operator exists).
+    Q("s13_mmr_contract",
+      (s, dir) => {
+        graft.functions.VectorFunctions.register(s)
+        val emb = Tables(s, dir, "embeddings")
+        val exact = graft.operators.Frontier.pin(
+          Similarity.bruteForceTopK(s, emb, expr(QueryPred), K))
+        val mmr = graft.operators.Frontier.pin(
+          Similarity.mmrTopK(s, emb, expr(QueryPred), K))
+        def meanPairSim(df: DataFrame, as: String) = {
+          def side(n: String) = df
+            .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+            .select(col("qid"), col("vec_id").as(s"i$n"),
+              col("embedding").as(s"e$n"))
+          side("a").join(side("b"), Seq("qid"))
+            .filter(col("ia") < col("ib"))
+            .agg(avg(expr("cosine_sim(ea, eb)")).as(as))
+        }
+        // all three checks stay in the engine: 1-row aggs cross-joined
+        val t1 = exact.filter(col("rank") === 1)
+          .select(col("qid"), col("vec_id").as("ev"))
+          .join(mmr.filter(col("rank") === 1)
+            .select(col("qid"), col("vec_id").as("mv")), "qid")
+          .agg(sum(when(col("ev") === col("mv"), 0).otherwise(1)).as("bad"))
+        val rel = exact.agg(sum(col("cos")).as("se"))
+          .crossJoin(mmr.agg(sum(col("cos")).as("sm")))
+        val div = meanPairSim(exact, "de").crossJoin(meanPairSim(mmr, "dm"))
+        def row(metric: String, bound: Double, src: DataFrame,
+            ok: org.apache.spark.sql.Column) =
+          src.select(lit(metric).as("metric"), lit(bound).as("bound"),
+            ok.as("ok"))
+        row("mmr_diversity_no_worse", 0.0, div, col("dm") <= col("de"))
+          .unionByName(row("mmr_relevance_retention", 0.8, rel,
+            col("sm") >= lit(0.8) * col("se")))
+          .unionByName(row("mmr_top1_preserved", 0.0, t1,
+            col("bad") === 0))
+          .orderBy("metric")
+      },
+      Some("""SELECT * FROM (
+          SELECT 'mmr_diversity_no_worse' AS metric, CAST(0.0 AS DOUBLE) AS bound, true AS ok
+          UNION ALL
+          SELECT 'mmr_relevance_retention', CAST(0.8 AS DOUBLE), true
+          UNION ALL
+          SELECT 'mmr_top1_preserved', CAST(0.0 AS DOUBLE), true)
+        ORDER BY metric NULLS FIRST""")),
+
     // ---- Misra–Gries heavy hitters (the frequent-items sketch) -------
     // k=4 counters over documents.lang: 'en' holds ~44% of the corpus,
     // so the heavy set {freq > n/4} is non-empty (gated by the third

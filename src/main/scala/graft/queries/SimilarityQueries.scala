@@ -237,5 +237,21 @@ object SimilarityQueries {
             expr(QueryPred), K, nprobe = 8, scope = Seq("label"))
           .orderBy("qid", "rank"),
       None),
+
+    // ---- s12: MMR diversity re-rank ----------------------------------
+    // Maximal marginal relevance over each query's 30-candidate pool:
+    // greedy λ·rel − (1−λ)·max-sim-to-selected, so near-duplicate
+    // candidates can't crowd the context (RAG selection, few-shot
+    // retrieval). Greedy float comparisons don't replay in SQL →
+    // rows-only; the driver gate is s13's three contract rows (top-1
+    // preserved, relevance retention ≥ 0.8, diversity no worse), and
+    // SimilaritySpec pins the λ=1 ≡ top-k reduction and
+    // partitioning-invariance.
+    Q("s12_mmr_rerank",
+      (s, dir) =>
+        Similarity.mmrTopK(s, Tables(s, dir, "embeddings"),
+            expr(QueryPred), K)
+          .orderBy("qid", "rank"),
+      None),
   )
 }

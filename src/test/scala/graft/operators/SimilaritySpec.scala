@@ -249,4 +249,33 @@ class SimilaritySpec extends SparkSpec {
     assert(!fbf.queryExecution.executedPlan.toString
       .contains("BroadcastNestedLoopJoin"))
   }
+
+  test("MMR at lambda=1 reduces exactly to the relevance top-k") {
+    val bf = Similarity.bruteForceTopK(spark, emb, col("vec_id") < 8, 10)
+      .select("qid", "rank", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val mmr = Similarity.mmrTopK(spark, emb, col("vec_id") < 8, 10,
+        lambda = 1.0)
+      .select("qid", "rank", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(mmr == bf, "lambda=1 must preserve the exact ranking")
+  }
+
+  test("MMR selection is partitioning-invariant and diversity-improving") {
+    val sel = Similarity.mmrTopK(spark, emb, col("vec_id") < 8, 10)
+      .select("qid", "rank", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val repart = Similarity.mmrTopK(spark,
+        emb.repartition(7, col("label")), col("vec_id") < 8, 10)
+      .select("qid", "rank", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(sel == repart, "greedy selection must not depend on layout")
+    // the diversity objective actually bites on this corpus: the MMR
+    // set differs from plain top-k (λ=0.7 trades some relevance)
+    val bf = Similarity.bruteForceTopK(spark, emb, col("vec_id") < 8, 10)
+      .select("qid", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sel.map(t => (t._1, t._3)) != bf,
+      "fixture too easy: MMR chose exactly the top-k set")
+  }
 }
