@@ -203,6 +203,42 @@ object Dedup {
         (col("n_contaminated") > 0).as("contaminated"))
   }
 
+  /** Bloom-filter decontamination — d10's broadcast, 10–50× smaller.
+    * d10 broadcasts the eval universe's distinct k-grams verbatim; at
+    * a large eval suite (hundreds of benchmarks × contamination
+    * k-grams) that broadcast is GBs. A Bloom filter at fpp=1e-4 costs
+    * ~2.4 bytes/item instead of the full string — and its one-sided
+    * error is exactly the right shape for decontamination: a false
+    * NEGATIVE (missed contamination) is impossible by construction,
+    * while a false positive only over-drops a clean doc at a bounded,
+    * driver-gated rate. Doc-level FP rate is 1−(1−fpp)^n_spans — the
+    * reason the default fpp is 1e-4, not the textbook 1%: at ~60
+    * spans/doc, 1% would flag ~45% of clean docs; 1e-4 flags ~0.6%.
+    *
+    * The filter is built by one aggregation (`stat.bloomFilter`) and
+    * ships to executors as a broadcast — the same bounded-driver-
+    * artifact pattern as IVF's centroids; the sizing `count` is an
+    * eval-sized action. The probe is a narrow per-shingle UDF —
+    * embarrassingly parallel, no join at all (vs d10's broadcast hash
+    * join), which is the second win: the corpus side never even
+    * builds join keys. Flags are deterministic (fixed-seed Murmur3),
+    * but engine-specific → the registered query is the d18 contract
+    * (no-false-negatives / FP-rate / non-vacuous), not a hash row. */
+  def decontaminateBloom(train: DataFrame, evalSet: DataFrame, k: Int = 8,
+      fpp: Double = 1e-4): DataFrame = {
+    val spark = train.sparkSession
+    val evalSh = shingles(evalSet, k).select(col("sh")).distinct()
+    val bf = evalSh.stat.bloomFilter("sh", math.max(evalSh.count(), 1L), fpp)
+    val bcast = spark.sparkContext.broadcast(bf)
+    val might = udf((s: String) => bcast.value.mightContainString(s))
+    shingles(train, k)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(might(col("sh")), 1).otherwise(0)).as("n_flagged"))
+      .select(col("doc_id"), col("n_spans"), col("n_flagged"),
+        (col("n_flagged") > 0).as("contaminated"))
+  }
+
   /** SPAN-level decontamination: instead of dropping a contaminated
     * doc wholesale (d10's gate — which at a 1% contamination rate
     * throws away 99%-clean documents), remove exactly the tokens

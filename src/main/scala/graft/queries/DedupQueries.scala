@@ -482,5 +482,51 @@ object DedupQueries {
         SELECT doc_id, ${TextFunctions.sqlFingerprint("text")} AS fp
         FROM b WHERE fp NOT IN (SELECT fp FROM idx)
         ORDER BY doc_id NULLS FIRST""")),
+
+    // ---- d18: Bloom-filter decontamination contract ------------------
+    // d10 with the eval universe compressed into a Bloom filter (the
+    // 100 TB shape: a full eval-suite 8-gram set broadcasts in GBs,
+    // the filter in MBs — and the corpus side probes a narrow UDF
+    // instead of building join keys at all). Bloom flags are
+    // deterministic but engine-specific, so the registered query is
+    // the CONTRACT, measured against the exact d10 gate fully
+    // in-engine: (1) no false negatives — impossible by construction,
+    // a red row means the filter was built or probed wrong; (2) doc-
+    // level FP rate among exact-clean docs ≤ 5% (fpp=1e-4 across ~60
+    // spans/doc predicts ~0.6%); (3) non-vacuous — the fixture really
+    // contains contaminated docs, so row 1 proves something.
+    Q("d18_bloom_decontamination",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val evalSet = docs.filter(col("doc_id") % 17 === 0)
+        val exact = graft.operators.Frontier.pin(
+          Dedup.decontaminate(docs, evalSet)
+            .select(col("doc_id"), col("contaminated").as("ex")))
+        val bloom = Dedup.decontaminateBloom(docs, evalSet)
+          .select(col("doc_id"), col("contaminated").as("bl"))
+        val j = exact.join(bloom, "doc_id")
+        def row(metric: String, bound: Double, src: org.apache.spark.sql.DataFrame,
+            ok: org.apache.spark.sql.Column) =
+          src.select(lit(metric).as("metric"), lit(bound).as("bound"),
+            ok.as("ok"))
+        row("bloom_fp_rate_le_5pct", 0.05,
+            j.filter(!col("ex")).agg((sum(when(col("bl"), 1).otherwise(0)) /
+              count(lit(1)).cast("double")).as("fp")),
+            col("fp") <= 0.05)
+          .unionByName(row("bloom_no_false_negatives", 0.0,
+            j.agg(sum(when(col("ex") && !col("bl"), 1).otherwise(0))
+              .as("miss")), col("miss") === 0))
+          .unionByName(row("bloom_non_vacuous", 0.0,
+            j.agg(sum(when(col("ex"), 1).otherwise(0)).as("pos")),
+            col("pos") > 0))
+          .orderBy("metric")
+      },
+      Some("""SELECT * FROM (
+          SELECT 'bloom_fp_rate_le_5pct' AS metric, CAST(0.05 AS DOUBLE) AS bound, true AS ok
+          UNION ALL
+          SELECT 'bloom_no_false_negatives', CAST(0.0 AS DOUBLE), true
+          UNION ALL
+          SELECT 'bloom_non_vacuous', CAST(0.0 AS DOUBLE), true)
+        ORDER BY metric NULLS FIRST""")),
   )
 }

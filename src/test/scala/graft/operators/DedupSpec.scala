@@ -267,4 +267,23 @@ class DedupSpec extends SparkSpec {
           s"n_contaminated > n_spans for doc ${r.getLong(0)}")
       }
   }
+
+  test("bloom decontamination: flags superset of exact, bounded FPs, deterministic") {
+    val docs = Tables(spark, sf, "documents")
+    val evalSet = docs.filter($"doc_id" % 17 === 0)
+    def flags(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val exact = flags(Dedup.decontaminate(docs, evalSet))
+    val bloom = flags(Dedup.decontaminateBloom(docs, evalSet))
+    // one-sided error: every exact-contaminated doc is bloom-flagged
+    exact.foreach { case (id, ex) =>
+      if (ex) assert(bloom(id), s"false negative on doc $id")
+    }
+    // doc-level FP rate among exact-clean docs stays under the d18 bound
+    val clean = exact.filter(!_._2).keySet
+    val fp = clean.count(bloom(_)).toDouble / math.max(clean.size, 1)
+    assert(fp <= 0.05, s"doc-level FP rate $fp")
+    // fixed-seed hashing: a rebuild produces identical flags
+    assert(flags(Dedup.decontaminateBloom(docs, evalSet)) == bloom)
+  }
 }
