@@ -122,6 +122,41 @@ object Accuracy {
           SELECT 'lsh_recall_at_10', CAST(0.6 AS DOUBLE), true)
         ORDER BY metric NULLS FIRST""")),
 
+    // ---- GK quantile sketch (q20's approximate sibling) --------------
+    // percentile_approx is the Greenwald–Khanna mergeable sketch with
+    // the documented guarantee rank(est) ∈ [(p−ε)n, (p+ε)n], ε =
+    // 1/accuracy. The contract measures the est's ACTUAL rank with a
+    // second aggregate over the same table (one pass each, est rides a
+    // broadcast) and checks the rank-error envelope (+1 for ties/
+    // truncation) — completing the sketch family's driver gates: HLL
+    // (q26), Misra–Gries (q31), Bloom (d18), GK (here).
+    Q("q33_quantile_sketch",
+      (s, dir) => {
+        val acc = 100
+        val li = Tables(s, dir, "lineitem")
+        val est = li.agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(acc)).as("e50"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(acc)).as("e95"),
+          count(lit(1)).as("n"))
+        val ranks = li.crossJoin(broadcast(est)).agg(
+          sum(when(col("l_extendedprice") <= col("e50"), 1L).otherwise(0L)).as("r50"),
+          sum(when(col("l_extendedprice") <= col("e95"), 1L).otherwise(0L)).as("r95"),
+          first(col("n")).as("n"))
+        def row(metric: String, r: String, p: Double) =
+          ranks.select(lit(metric).as("metric"),
+            lit(1.0 / acc).as("bound"),
+            (abs(col(r) - lit(p) * col("n")) <=
+              col("n").cast("double") / acc + 1).as("ok"))
+        row("gk_p50_rank_error", "r50", 0.5)
+          .unionByName(row("gk_p95_rank_error", "r95", 0.95))
+          .orderBy("metric")
+      },
+      Some("""SELECT * FROM (
+          SELECT 'gk_p50_rank_error' AS metric, CAST(0.01 AS DOUBLE) AS bound, true AS ok
+          UNION ALL
+          SELECT 'gk_p95_rank_error', CAST(0.01 AS DOUBLE), true)
+        ORDER BY metric NULLS FIRST""")),
+
     // ---- MMR re-rank contract (s12's driver gate) --------------------
     // The three partitioning-invariant guarantees of the greedy MMR
     // selection, measured fully distributed (pairwise sims are
