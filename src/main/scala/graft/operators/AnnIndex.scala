@@ -54,6 +54,12 @@ object AnnIndex {
     * encode the SAME WAY or their codes silently mis-rank, and probes
     * must know whether to fold the dot(q, centroid) term back in. */
   val ResidualProp = "graft.ann.residual"
+  /** Comma-joined metadata columns stored WITH the codes for scoped
+    * (filtered) probes — the persisted form of [[Similarity.ivfTopK]]'s
+    * `scope`. Stamped at build time: an append must supply the same
+    * columns, and a probe reads the stamp to know which equi-keys to
+    * add to the cell join. Empty = unscoped (legacy indexes). */
+  val ScopeProp = "graft.ann.scope"
 
   private def dropTableAndLocation(spark: SparkSession, t: String): Unit = {
     val catalog = spark.sessionState.catalog
@@ -72,7 +78,8 @@ object AnnIndex {
     * training), encode the corpus once, persist codes partitioned by
     * cell and the model as its own table. */
   def writeAnnIndex(emb: DataFrame, name: String, nCells: Int = 16,
-      m: Int = 8, ksub: Int = 32, residual: Boolean = false): Unit = {
+      m: Int = 8, ksub: Int = 32, residual: Boolean = false,
+      scope: Seq[String] = Nil): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     val firstVec = emb.select(size(col("embedding"))).take(1)
@@ -86,7 +93,7 @@ object AnnIndex {
     val bb = spark.sparkContext.broadcast(books)
     Seq(s"${name}_cells", s"${name}_model")
       .foreach(dropTableAndLocation(spark, _))
-    encoded(emb, cents, bb, dim, m, residual)
+    encoded(emb, cents, bb, dim, m, residual, scope)
       .write.format("parquet").partitionBy("cell")
       .saveAsTable(s"${name}_cells")
     val centRows = trained.zipWithIndex.map { case (v, i) =>
@@ -99,7 +106,8 @@ object AnnIndex {
     Seq(s"${name}_cells", s"${name}_model").foreach { t =>
       spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('$DimProp' = '$dim', " +
         s"'$MProp' = '$m', '$KsubProp' = '$ksub', " +
-        s"'$NCellsProp' = '$nCells', '$ResidualProp' = '$residual')")
+        s"'$NCellsProp' = '$nCells', '$ResidualProp' = '$residual', " +
+        s"'$ScopeProp' = '${scope.mkString(",")}')")
     }
   }
 
@@ -109,7 +117,8 @@ object AnnIndex {
   private def encoded(emb: DataFrame,
       cents: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]],
       bb: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Float]]]],
-      dim: Int, m: Int, residual: Boolean): DataFrame = {
+      dim: Int, m: Int, residual: Boolean,
+      scope: Seq[String] = Nil): DataFrame = {
     val dsub = dim / m
     val cellOf = udf((v: Seq[Float]) =>
       Similarity.nearestCell(v.toArray, cents.value))
@@ -119,8 +128,8 @@ object AnnIndex {
       (0 until m).map(j =>
         Similarity.nearestCell(a.slice(j * dsub, (j + 1) * dsub), bb.value(j)))
     }
-    emb.select(col("vec_id"), encode(col("embedding")).as("codes"),
-      cellOf(col("embedding")).as("cell"))
+    emb.select(col("vec_id") +: encode(col("embedding")).as("codes") +:
+      cellOf(col("embedding")).as("cell") +: scope.map(col): _*)
   }
 
   private def props(spark: SparkSession, t: String): Map[String, String] =
@@ -138,6 +147,11 @@ object AnnIndex {
     (g(DimProp), g(MProp), g(KsubProp),
       p.get(ResidualProp).exists(_.toBoolean))
   }
+
+  /** Scope columns stamped at build time (empty for legacy indexes). */
+  private def scopeOf(spark: SparkSession, name: String): Seq[String] =
+    props(spark, s"${name}_cells").get(ScopeProp)
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
 
   /** The frozen model, loaded (tiny: nCells + m·ksub vectors). */
   private def loadModel(spark: SparkSession, name: String,
@@ -161,10 +175,13 @@ object AnnIndex {
   def appendToAnnIndex(batch: DataFrame, name: String): Unit = {
     val spark = batch.sparkSession
     val (dim, m, _, residual) = geometry(spark, name)
+    val scope = scopeOf(spark, name)
+    require(scope.forall(batch.columns.contains),
+      s"index $name is scoped on ${scope.mkString(",")}; batch must carry those columns")
     val (cents0, books0) = loadModel(spark, name, m)
     val cents = spark.sparkContext.broadcast(cents0)
     val bb = spark.sparkContext.broadcast(books0)
-    encoded(batch, cents, bb, dim, m, residual)
+    encoded(batch, cents, bb, dim, m, residual, scope)
       .write.format("parquet").mode("append").partitionBy("cell")
       .saveAsTable(s"${name}_cells")
     spark.catalog.refreshTable(s"${name}_cells")
@@ -223,15 +240,19 @@ object AnnIndex {
       while (d < math.min(v.length, c.length)) { acc += v(d) * c(d); d += 1 }
       acc
     }
+    // scoped indexes: the stamped metadata columns join WITH the cell
+    // key, so the scan never scores another scope's codes (the
+    // persisted form of ivfTopK's pre-filtering scope)
+    val scope = scopeOf(spark, name)
     val q = queries
-      .select(col("vec_id").as("qid"), lutOf(col("embedding")).as("lut"),
-        col("embedding").as("qe"),
-        explode(probesOf(col("embedding"))).as("cell"))
+      .select(col("vec_id").as("qid") +: lutOf(col("embedding")).as("lut") +:
+        col("embedding").as("qe") +:
+        explode(probesOf(col("embedding"))).as("cell") +: scope.map(col): _*)
       .withColumn("qc",
         if (residual) qcellDot(col("qe"), col("cell")) else lit(0.0))
       .drop("qe")
     val scored = spark.table(s"${name}_cells")
-      .join(broadcast(q), Seq("cell"))
+      .join(broadcast(q), "cell" +: scope)
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", col("qc") + expr(
         s"aggregate(transform(codes, (c, j) -> element_at(lut, j * $ksub + c + 1)), " +
@@ -299,11 +320,13 @@ object AnnIndex {
       sys.error(s"$t has no $NCellsProp property")).toInt
     val tmp = s"${t}_compacting"
     dropTableAndLocation(spark, tmp)
-    spark.table(t).repartition(col("cell"))
+    val scope = scopeOf(spark, name) // carried: a lost stamp would
+    spark.table(t).repartition(col("cell")) // silently unscope probes
       .write.format("parquet").partitionBy("cell").saveAsTable(tmp)
     spark.sql(s"ALTER TABLE $tmp SET TBLPROPERTIES ('$DimProp' = '$dim', " +
       s"'$MProp' = '$m', '$KsubProp' = '$ksub', " +
-      s"'$NCellsProp' = '$nCells', '$ResidualProp' = '$residual')")
+      s"'$NCellsProp' = '$nCells', '$ResidualProp' = '$residual', " +
+      s"'$ScopeProp' = '${scope.mkString(",")}')")
     dropTableAndLocation(spark, t)
     spark.sql(s"ALTER TABLE $tmp RENAME TO $t")
     // the rename moves the managed table's directory but the catalog's

@@ -253,5 +253,58 @@ object SimilarityQueries {
             expr(QueryPred), K)
           .orderBy("qid", "rank"),
       None),
+
+    // ---- s14: filtered probe of the PERSISTED ANN index --------------
+    // s10/s11's scope applied to the deployed index: `label` is stored
+    // WITH the codes and stamped in the table properties, the probe
+    // reads the stamp and joins on (cell, label) — so the pruned cell
+    // scan never scores another scope's codes, and append/compact
+    // carry the stamp (an index that silently unscoped after
+    // maintenance would leak cross-tenant results). Engine-specific
+    // like its s09 parent, so the registered query IS the contract
+    // (the d18 pattern): scope containment violations = 0, recall@10
+    // vs the scoped exact s10 ≥ 0.6, non-vacuous.
+    Q("s14_filtered_ann_index",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        AnnIndex.writeAnnIndex(
+          emb.select(col("vec_id"), col("embedding"), col("label")),
+          "graft_s14_idx", scope = Seq("label"))
+        val probe = graft.operators.Frontier.pin(
+          AnnIndex.probeAnnIndex(s, "graft_s14_idx", emb,
+            expr(QueryPred), K, nprobe = 8))
+        val exact = graft.operators.Frontier.pin(
+          Similarity.bruteForceTopK(s, emb, expr(QueryPred), K,
+            scope = Seq("label")))
+        val lbl = emb.select(col("vec_id"), col("label"))
+        val leaks = probe
+          .join(lbl.select(col("vec_id").as("qid"), col("label").as("ql")), "qid")
+          .join(lbl, "vec_id")
+          .agg(sum(when(col("label") =!= col("ql"), 1).otherwise(0)).as("bad"))
+        val rec = exact.select(col("qid"), col("vec_id"))
+          .join(probe.select(col("qid"), col("vec_id"), lit(1L).as("hit")),
+            Seq("qid", "vec_id"), "left")
+          .agg((sum(coalesce(col("hit"), lit(0L))) /
+            count(lit(1)).cast("double")).as("recall"))
+        val nv = probe.agg(count(lit(1)).as("n"))
+        def row(metric: String, bound: Double,
+            src: org.apache.spark.sql.DataFrame,
+            ok: org.apache.spark.sql.Column) =
+          src.select(lit(metric).as("metric"), lit(bound).as("bound"),
+            ok.as("ok"))
+        row("sidx_non_vacuous", 0.0, nv, col("n") > 0)
+          .unionByName(row("sidx_recall_at_10", 0.6, rec,
+            col("recall") >= 0.6))
+          .unionByName(row("sidx_scope_containment", 0.0, leaks,
+            col("bad") === 0))
+          .orderBy("metric")
+      },
+      Some("""SELECT * FROM (
+          SELECT 'sidx_non_vacuous' AS metric, CAST(0.0 AS DOUBLE) AS bound, true AS ok
+          UNION ALL
+          SELECT 'sidx_recall_at_10', CAST(0.6 AS DOUBLE), true
+          UNION ALL
+          SELECT 'sidx_scope_containment', CAST(0.0 AS DOUBLE), true)
+        ORDER BY metric NULLS FIRST""")),
   )
 }

@@ -154,4 +154,41 @@ class AnnIndexSpec extends SparkSpec {
         col("vec_id") < 2)
     }
   }
+
+  test("scoped index: containment survives append AND compaction") {
+    import spark.implicits._
+    val base = emb.select(col("vec_id"), col("embedding"), col("label"))
+    AnnIndex.writeAnnIndex(base, "graft_test_ann_scope",
+      scope = Seq("label"))
+    // label map includes the to-be-appended vectors up front so the
+    // containment check covers them once they land
+    val labels = base.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap ++
+      (0 until 4).map(i => (5000000L + i).toLong -> i % 2)
+    def assertScoped(tag: String): Unit = {
+      val rows = AnnIndex.probeAnnIndex(spark, "graft_test_ann_scope",
+        emb, col("vec_id") < 8, k = 10, nprobe = 8)
+        .select("qid", "vec_id").collect()
+      assert(rows.nonEmpty, s"$tag: empty probe")
+      rows.foreach(r => assert(labels(r.getLong(0)) == labels(r.getLong(1)),
+        s"$tag: cross-label leak qid=${r.getLong(0)} vec=${r.getLong(1)}"))
+    }
+    assertScoped("after build")
+    // an append must carry the scope column — and stays scoped
+    val dim = base.select(size(col("embedding"))).first().getInt(0)
+    val extra = (0 until 4).map(i =>
+      (5000000L + i, Seq.fill(dim)(0.1f * (i + 1)), i % 2))
+      .toDF("vec_id", "embedding", "label")
+    AnnIndex.appendToAnnIndex(extra, "graft_test_ann_scope")
+    assertScoped("after append")
+    // appending WITHOUT the scope column fails fast, not silently
+    intercept[Exception] {
+      AnnIndex.appendToAnnIndex(
+        extra.select("vec_id", "embedding"), "graft_test_ann_scope")
+    }
+    // compaction must carry the scope stamp — a lost stamp silently
+    // unscopes every later probe (the bug this test pins out)
+    AnnIndex.compactAnnIndex(spark, "graft_test_ann_scope")
+    assertScoped("after compaction")
+  }
 }
