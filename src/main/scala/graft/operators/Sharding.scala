@@ -49,6 +49,10 @@ object Sharding {
     * maxRecordsPerFile is the guard against a pathologically large
     * shard parameter. */
   def writeShards(assignments: DataFrame, path: String): DataFrame = {
+    // empty-corpus guard: a zero-row partitioned write leaves a layout
+    // with no files, and the read-back (schema inference over nothing)
+    // throws — an empty layout IS the empty frame, nothing to write
+    if (assignments.isEmpty) return assignments
     assignments.repartition(col("shard"))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", 1000000)
@@ -84,6 +88,12 @@ object Sharding {
     * same class as Packing's P subtotals). */
   def appendShards(newAssign: DataFrame, path: String): DataFrame = {
     val spark = newAssign.sparkSession
+    // appending to a layout that was never written (empty first build)
+    // degenerates to the initial write — same result, no failed read;
+    // Hadoop FS API so the check holds on cluster filesystems too
+    val hp = new org.apache.hadoop.fs.Path(path)
+    if (!hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp))
+      return writeShards(newAssign, path)
     val pinned = Frontier.pin(newAssign) // consumed by boundary agg + write
     val bRow = pinned.agg(min(col("shard"))).collect()(0)
     if (bRow.isNullAt(0)) return spark.read.parquet(path) // empty batch

@@ -87,4 +87,52 @@ class ShardingSpec extends SparkSpec {
       back.withColumn("shard", col("shard").cast("long")), "pos")
     assert(merged.except(oneShot).isEmpty && oneShot.except(merged).isEmpty)
   }
+
+  test("empty corpus and never-written layouts degrade cleanly") {
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_sharding_empty_spec").getAbsolutePath
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(path))
+    val all = Sharding.shardAssignments(packed, tokensPerShard = 10L)
+    val none = all.filter(col("pos") < 0L)
+    // empty write: no files, no failed read-back, empty frame out
+    assert(Sharding.writeShards(none, path).isEmpty)
+    // append to a never-written layout = the initial write
+    val back = Sharding.appendShards(all, path)
+    assert(back.count() == all.count())
+    // empty append onto a real layout is a no-op returning the layout
+    assert(Sharding.appendShards(none, path).count() == all.count())
+  }
+
+  test("tiling and contiguity hold for arbitrary corpora (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val params = Gen.Parameters.default.withSize(40)
+    val countsGen = Gen.nonEmptyListOf(Gen.choose(0L, 23L))
+    for (trial <- 0 until 5) {
+      val counts = countsGen.pureApply(params, Seed(900L + trial))
+        .zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      val s = 1L + trial * 3L // shard sizes 1, 4, 7, 10, 13
+      val assign = Sharding.shardAssignments(
+        Packing.packPlan(counts.toDF("pos", "n_tokens"),
+          "pos", "n_tokens", budget = 5), tokensPerShard = s)
+      val m = Sharding.manifest(assign, "pos").orderBy("shard")
+        .select("shard", "n_tokens").as[(Long, Long)].collect()
+      val total = counts.map(_._2).sum
+      // tiling: per-shard tokens sum to the corpus total
+      assert(m.map(_._2).sum == total, s"trial $trial s=$s")
+      // contiguity: shards are exactly 0..ceil(total/s)-1, every
+      // non-final shard full (zero-token docs can pad past the end)
+      if (total > 0) {
+        val nShards = (total + s - 1) / s
+        assert(m.map(_._1).filter(_ < nShards)
+          .sameElements(0L until nShards), s"trial $trial s=$s")
+        m.filter(t => t._1 < nShards - 1).foreach { case (sh, tok) =>
+          assert(tok == s, s"trial $trial s=$s shard $sh not full: $tok")
+        }
+      }
+    }
+  }
 }
