@@ -597,11 +597,22 @@ object Similarity {
     * at the gate with the s13 contract rows as the driver check. */
   def mmrTopK(spark: SparkSession, emb: DataFrame,
       queryPred: org.apache.spark.sql.Column, k: Int = 10,
-      pool: Int = 30, lambda: Double = 0.7): DataFrame = {
+      pool: Int = 30, lambda: Double = 0.7): DataFrame =
+    mmrRerank(
+      bruteForceTopK(spark, emb, queryPred, pool), emb, k, lambda)
+
+  /** Re-rank ANY candidate frame (qid, vec_id, cos) with the greedy
+    * MMR selection — the pool can come from the exact search (above),
+    * an in-memory ANN family, or the persisted index probe
+    * ([[AnnIndex.probeAnnIndex]]): diversity composes with whatever
+    * recall/latency point the caller picked (SimilaritySpec pins the
+    * persisted-probe composition). `emb` supplies the vectors for the
+    * candidate-candidate similarities. */
+  def mmrRerank(cands: DataFrame, emb: DataFrame, k: Int,
+      lambda: Double): DataFrame = {
+    val spark = cands.sparkSession
     import spark.implicits._
-    val cands = bruteForceTopK(spark, emb, queryPred, pool)
-      .select(col("qid"), col("vec_id"), col("cos"))
-    val ds = cands
+    val ds = cands.select(col("qid"), col("vec_id"), col("cos"))
       .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
       .select(col("qid"), col("vec_id"), col("cos"), col("embedding"))
       .as[(Long, Long, Double, Seq[Float])]

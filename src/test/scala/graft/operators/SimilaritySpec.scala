@@ -278,4 +278,26 @@ class SimilaritySpec extends SparkSpec {
     assert(sel.map(t => (t._1, t._3)) != bf,
       "fixture too easy: MMR chose exactly the top-k set")
   }
+
+  test("MMR composes with the persisted index probe as its pool") {
+    AnnIndex.writeAnnIndex(emb.select(col("vec_id"), col("embedding")),
+      "graft_test_mmr_idx")
+    val pool = AnnIndex.probeAnnIndex(spark, "graft_test_mmr_idx", emb,
+      col("vec_id") < 4, k = 30)
+    val sel = Similarity.mmrRerank(pool, emb, k = 10, lambda = 0.7)
+    val rows = sel.select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // every selection came from the probe's pool, k per query
+    val poolSet = pool.select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.forall(poolSet.contains))
+    assert(rows.groupBy(_._1).forall(_._2.length == 10))
+    // lambda=1 over the same pool reduces to the pool's own top-10
+    val top10 = Similarity.mmrRerank(pool, emb, k = 10, lambda = 1.0)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val poolTop = pool.filter(col("rank") <= 10).select("qid", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(top10 == poolTop)
+  }
 }
