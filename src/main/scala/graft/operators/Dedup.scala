@@ -311,6 +311,86 @@ object Dedup {
          FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
          GROUP BY t.doc_id)"""
 
+  // ---- duplicate-SPAN removal (exact-substring self-dedup) ----------
+  /** Removes cross-document duplicated k-token spans from the corpus
+    * itself, keeping ONE canonical copy of each — the self-dedup
+    * sibling of [[redactContaminatedSpans]] (whose span set comes from
+    * an external eval set and which masks EVERY hit). This is the
+    * "train-train" exact-substring dedup signal: verbatim boilerplate
+    * (license headers, navigation chrome, quoted replies) repeated
+    * across documents is removed everywhere except its first
+    * occurrence, so the training distribution keeps the content once.
+    *
+    * Tile variant: documents are cut into NON-overlapping k-token
+    * tiles and a tile is a duplicate iff its exact text occurs at ≥2
+    * (doc, position) sites. The canonical survivor of each duplicated
+    * tile is the lexicographically smallest (doc_id, tile_idx)
+    * occurrence; every other occurrence is dropped and each doc's text
+    * is rebuilt from its surviving tiles in order. Suffix-array
+    * ExactSubstr dedup (arbitrary-offset matches) is the offline
+    * sibling; tiling trades boundary-offset misses (a span straddling
+    * a tile edge isn't caught) for a plan that is pure shuffle-on-key:
+    * one partial-aggregated shuffle on tile text (count + min-struct,
+    * map-side combined), one co-partitioned join back on tile text,
+    * one shuffle on doc_id to rebuild — the pair space NEVER
+    * materializes, so the plan scales like d01, not like a self-join.
+    * Integer tile indices + string join ⇒ hash-exact cross-engine. */
+  def removeDuplicateSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    val toks = docs.withColumn("toks", TextFunctions.tokens(col("text")))
+      .withColumn("n_tiles",
+        expr(s"CAST(greatest((size(toks) + ${k - 1}) div $k, 1) AS BIGINT)"))
+    val tiles = toks.select(col("doc_id"), posexplode(
+      expr(s"transform(sequence(0, CAST(n_tiles AS INT) - 1), " +
+        s"i -> array_join(slice(toks, i * $k + 1, $k), ' '))")))
+      .toDF("doc_id", "i", "tile")
+    val canon = tiles.groupBy("tile").agg(
+      count(lit(1)).as("occ"),
+      min(struct(col("doc_id"), col("i"))).as("keep"))
+    val kept = tiles.join(canon, "tile")
+      .filter(col("occ") === 1 ||
+        (col("doc_id") === col("keep.doc_id") && col("i") === col("keep.i")))
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(expr(
+        "transform(sort_array(collect_list(struct(i, tile))), x -> x.tile)"),
+        " ").as("clean_text"))
+    toks.select(col("doc_id"), col("n_tiles"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tiles"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** DuckDB twin of [[removeDuplicateSpans]] over `table`. The
+    * min-struct canonical pick is replayed as two-level min (min
+    * doc_id, then min tile_idx within it) — identical by definition
+    * of lexicographic struct order. */
+  def sqlRemoveDuplicateSpans(table: String, k: Int = 8): String =
+    s"""WITH toks AS (SELECT doc_id,
+         ${TextFunctions.sqlTokens("text")} AS tk FROM $table),
+       nt AS (SELECT doc_id, tk,
+           CAST(greatest((len(tk) + ${k - 1}) // $k, 1) AS BIGINT) AS n_tiles
+         FROM toks),
+       ti AS (SELECT doc_id, tk, unnest(range(0, n_tiles)) AS i FROM nt),
+       tl AS (SELECT doc_id, i,
+           array_to_string(tk[i * $k + 1:i * $k + $k], ' ') AS tile FROM ti),
+       cn AS (SELECT tile, count(*) AS occ, min(doc_id) AS kd
+         FROM tl GROUP BY tile),
+       ck AS (SELECT t.tile, min(t.i) AS ki
+         FROM tl t JOIN cn c ON t.tile = c.tile AND t.doc_id = c.kd
+         GROUP BY t.tile),
+       kp AS (SELECT t.doc_id, t.i, t.tile
+         FROM tl t JOIN cn c ON t.tile = c.tile
+           LEFT JOIN ck ON t.tile = ck.tile
+         WHERE c.occ = 1 OR (t.doc_id = c.kd AND t.i = ck.ki)),
+       rb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+           string_agg(tile, ' ' ORDER BY i) AS clean_text
+         FROM kp GROUP BY doc_id)
+       SELECT n.doc_id, n.n_tiles,
+         COALESCE(r.n_kept, 0) AS n_kept,
+         COALESCE(r.clean_text, '') AS clean_text
+       FROM nt n LEFT JOIN rb r USING (doc_id)"""
+
   /** DuckDB twin of [[decontaminate]] where the eval set is the subset
     * of `table` satisfying `evalPred` (the fixture's shape). */
   def sqlDecontaminate(table: String, evalPred: String, k: Int = 8): String =

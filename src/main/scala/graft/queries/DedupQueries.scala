@@ -528,5 +528,29 @@ object DedupQueries {
           UNION ALL
           SELECT 'bloom_non_vacuous', CAST(0.0 AS DOUBLE), true)
         ORDER BY metric NULLS FIRST""")),
+
+    // ---- d19: duplicate-SPAN removal (self-dedup, keep-one) ----------
+    // The train-train exact-substring signal d07 only MEASURES: every
+    // cross-site duplicated 8-token tile is removed at all but its
+    // canonical (lowest doc_id, lowest position) occurrence, and each
+    // doc's text is rebuilt from the survivors. Differs from d16 in
+    // both the span source (the corpus itself, not an eval set) and
+    // the policy (keep one copy, not mask all). Fixture plants full
+    // copies of docs < 250 at +1e9, so planted copies collapse to ""
+    // (their canonical is always the original) while originals keep
+    // their text minus any naturally shared boilerplate.
+    Q("d19_span_removal",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+        val planted = docs.unionByName(
+          docs.filter(col("doc_id") < 250)
+            .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+        Dedup.removeDuplicateSpans(planted, k = 8).orderBy("doc_id")
+      },
+      Some(s"""WITH d2 AS (SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 1000000000, text FROM documents
+          WHERE doc_id < 250),
+        x AS (${Dedup.sqlRemoveDuplicateSpans("d2", 8)})
+        SELECT * FROM x ORDER BY doc_id NULLS FIRST""")),
   )
 }

@@ -134,6 +134,54 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == (("", 0L, 16L)))
   }
 
+  test("removeDuplicateSpans: keep-one canonical, full copies collapse, uniques untouched") {
+    // doc 1 and doc 2 share an 8-token boilerplate tile; doc 3 is a
+    // verbatim copy of doc 1; doc 4 is all-unique text.
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    val d1 = boiler + " " + (1 to 8).map(i => s"one$i").mkString(" ")
+    val d4 = (1 to 16).map(i => s"four$i").mkString(" ")
+    val in = Seq(
+      (1L, d1),
+      (2L, boiler + " " + (1 to 8).map(i => s"two$i").mkString(" ")),
+      (3L, d1),
+      (4L, d4)).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(in, k = 8)
+      .orderBy("doc_id").collect()
+    // doc 1 is canonical everywhere it collides → untouched
+    assert(out(0).getAs[String]("clean_text") == d1)
+    assert(out(0).getAs[Long]("n_kept") == 2)
+    // doc 2 loses the boilerplate tile, keeps its own content
+    assert(out(1).getAs[String]("clean_text") ==
+      (1 to 8).map(i => s"two$i").mkString(" "))
+    // doc 3 duplicates doc 1 tile-for-tile → collapses to empty
+    assert(out(2).getAs[String]("clean_text") == "")
+    assert(out(2).getAs[Long]("n_kept") == 0)
+    assert(out(2).getAs[Long]("n_tiles") == 2)
+    // doc 4 shares nothing → byte-identical
+    assert(out(3).getAs[String]("clean_text") == d4)
+  }
+
+  test("removeDuplicateSpans: within-doc repetition keeps first occurrence") {
+    val tile = (1 to 8).map(i => s"r$i").mkString(" ")
+    val in = Seq((7L, tile + " " + tile + " " + tile)).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(in, k = 8).collect().head
+    assert(out.getAs[Long]("n_tiles") == 3)
+    assert(out.getAs[Long]("n_kept") == 1)
+    assert(out.getAs[String]("clean_text") == tile)
+  }
+
+  test("removeDuplicateSpans: trailing partial tile participates in dedup") {
+    // 12 tokens → tiles of 8 and 4; the 4-token tail of doc 1 is doc
+    // 2's whole (short) text, so doc 2 collapses.
+    val head = (1 to 8).map(i => s"h$i").mkString(" ")
+    val tail = (1 to 4).map(i => s"t$i").mkString(" ")
+    val in = Seq((1L, head + " " + tail), (2L, tail)).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(in, k = 8)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("clean_text") == head + " " + tail)
+    assert(out(1).getAs[String]("clean_text") == "")
+  }
+
   test("minhash LSH finds the same pairs as exact Jaccard here") {
     val exact = Dedup.ngramJaccardPairs(docs)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
