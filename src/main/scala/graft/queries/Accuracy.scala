@@ -157,6 +157,57 @@ object Accuracy {
           SELECT 'gk_p95_rank_error', CAST(0.01 AS DOUBLE), true)
         ORDER BY metric NULLS FIRST""")),
 
+    // ---- q34: Count-Min sketch token frequencies ---------------------
+    // The frequency-estimate sketch next to q31's Misra–Gries: a 4×1024
+    // CMS over every token occurrence of `documents`, probed at the
+    // exact top-20 tokens. Unlike the other sketches this row is fully
+    // HASH-EXACT, not a contract: the md5 hash rows are bit-identical
+    // in DuckDB, so the oracle replays the sketch itself — estimates,
+    // collisions and all. over_n ≥ 0 for every key is the CMS
+    // guarantee made visible in the output (CountMinSpec asserts it;
+    // the hash compare pins the exact values).
+    Q("q34_cms_frequency",
+      (s, dir) => {
+        import graft.functions.TextFunctions
+        import graft.operators.CountMin
+        val (d, w) = (4, 1024)
+        val toks = Tables(s, dir, "documents")
+          .select(explode(TextFunctions.tokens(col("text"))).as("k"))
+        val sk = CountMin.sketch(toks, "k", d, w)
+        // top is consumed twice (probe keys + final join) — pin the
+        // 20-row frontier so the exact groupBy runs once
+        val top = graft.operators.Frontier.pin(
+          toks.groupBy("k").agg(count(lit(1)).as("exact_n"))
+            .orderBy(desc("exact_n"), asc("k")).limit(20))
+        CountMin.estimate(sk, top.select("k"), "k", d, w)
+          .join(top, "k")
+          .select(col("k").as("token"), col("exact_n"), col("cms_est"),
+            (col("cms_est") - col("exact_n")).as("over_n"))
+          .orderBy("token")
+      },
+      Some({
+        import graft.functions.TextFunctions
+        import graft.operators.CountMin
+        val (d, w) = (4, 1024)
+        s"""WITH tk AS (SELECT unnest(${TextFunctions.sqlTokens("text")}) AS k
+            FROM documents),
+          rs AS (SELECT unnest(range(0, $d)) AS ri),
+          sk AS (SELECT ri, ${CountMin.sqlBucket("k", "ri", w)} AS b,
+              count(*) AS c
+            FROM tk CROSS JOIN rs GROUP BY ri, b),
+          ex AS (SELECT k, count(*) AS exact_n FROM tk GROUP BY k
+            ORDER BY exact_n DESC, k LIMIT 20),
+          pb AS (SELECT ex.k, rs.ri,
+              ${CountMin.sqlBucket("ex.k", "rs.ri", w)} AS b
+            FROM ex CROSS JOIN rs),
+          est AS (SELECT pb.k, min(COALESCE(sk.c, 0)) AS cms_est
+            FROM pb LEFT JOIN sk ON sk.ri = pb.ri AND sk.b = pb.b
+            GROUP BY pb.k)
+          SELECT ex.k AS token, ex.exact_n, est.cms_est,
+            est.cms_est - ex.exact_n AS over_n
+          FROM ex JOIN est ON ex.k = est.k ORDER BY token NULLS FIRST"""
+      })),
+
     // ---- MMR re-rank contract (s12's driver gate) --------------------
     // The three partitioning-invariant guarantees of the greedy MMR
     // selection, measured fully distributed (pairwise sims are
