@@ -306,5 +306,42 @@ object SimilarityQueries {
           UNION ALL
           SELECT 'sidx_scope_containment', CAST(0.0 AS DOUBLE), true)
         ORDER BY metric NULLS FIRST""")),
+
+    // ---- s15: RADIUS search (all neighbors within a cosine bound) ----
+    // The range-query sibling of s01's top-k: every corpus vector with
+    // cos ≥ τ of each probe, result size data-dependent instead of k.
+    // Same scale shape as s01 — probes broadcast, norms precomputed
+    // per side, only the dot product runs in pair space, and the τ
+    // filter is a narrow post-scan predicate (no top-k state needed at
+    // all, so unlike s01 nothing accumulates per partition). The IVF
+    // cell route (s04) bounds the scanned fraction when τ is tight;
+    // this exact form is the correctness baseline and hash-checks via
+    // the f32 chain.
+    Q("s15_radius_search",
+      (s, dir) => {
+        val Tau = 0.25
+        val emb = Tables(s, dir, "embeddings")
+          .withColumn("nrm", expr(chainNorm("embedding", Dim, 0)))
+        val q = emb.filter(expr(QueryPred))
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("nrm").as("qn"))
+        emb.select(col("vec_id"), col("embedding").as("e"), col("nrm").as("en"))
+          .join(broadcast(q), col("vec_id") =!= col("qid"))
+          .withColumn("cos",
+            expr(s"CAST(${chainDot("qe", "e", Dim, 0)} AS DOUBLE)") /
+              (col("qn") * col("en")))
+          .filter(col("cos") >= Tau)
+          .select(col("qid"), col("vec_id"), col("cos"))
+          .orderBy("qid", "vec_id")
+      },
+      Some(s"""WITH n AS (SELECT vec_id, embedding,
+            ${chainNorm("embedding", Dim, 1)} AS nrm FROM embeddings),
+        q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn
+          FROM n WHERE $QueryPred)
+        SELECT qid, vec_id,
+          CAST(${chainDot("qe", "embedding", Dim, 1)} AS DOUBLE) / (qn * nrm) AS cos
+        FROM n, q WHERE vec_id <> qid
+          AND CAST(${chainDot("qe", "embedding", Dim, 1)} AS DOUBLE) / (qn * nrm) >= 0.25
+        ORDER BY qid NULLS FIRST, vec_id NULLS FIRST""")),
   )
 }
