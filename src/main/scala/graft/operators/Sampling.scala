@@ -303,4 +303,44 @@ object Sampling {
        WHERE thr = 65536 OR
          substr(md5(CAST($keyExpr AS VARCHAR) || ':$salt'), 1, 4) <
            lower(lpad(hex(thr), 4, '0'))"""
+
+  /** Epoch-weighted OVERsampling: stratum s with weight w_s emits
+    * ⌊w_s⌋ full copies of every row plus one extra copy kept at rate
+    * w_s − ⌊w_s⌋ by the md5 gate — the "2.4 epochs of Wikipedia"
+    * mixture spec trainers actually write down. The rest of the
+    * sampling family only goes DOWN (q22/q27 rates ≤ 1, q28 quotas,
+    * q30 budgets); this is the up direction, with the same purity
+    * contract: copy multiset is a pure function of (key, stratum,
+    * weights, salt), so retries, repartitions and reruns ship
+    * identical epochs, and the fractional copy is consistent with
+    * [[keep]]'s sampled subsets. Strata absent from `weights` drop
+    * (weight 0). Plan: one narrow CASE + bounded explode — fan-out
+    * = weight, no shuffle, no state; compose [[deterministicShuffle]]
+    * on (key, copy_idx) downstream to interleave the copies. */
+  def epochMix(df: DataFrame, key: Column, stratum: Column,
+      weights: Seq[(String, Double)], salt: String): DataFrame = {
+    require(weights.forall(_._2 >= 0), s"negative epoch weight: $weights")
+    val copies = weights.foldLeft(when(lit(false), lit(0))) {
+      case (acc, (s, w)) =>
+        val nf = math.floor(w).toInt
+        acc.when(stratum === lit(s),
+          lit(nf) + when(keep(key, w - nf, salt), 1).otherwise(0))
+    }.otherwise(lit(0))
+    df.withColumn("copies", copies)
+      .filter(col("copies") > 0)
+      .withColumn("copy_idx", explode(expr("sequence(0, copies - 1)")))
+      .drop("copies")
+  }
+
+  /** SQL twin of [[epochMix]]: the copies CASE over `stratumExpr`.
+    * Wrap in `unnest(range(0, copies))` for the copy index. */
+  def sqlEpochMixCopies(keyExpr: String, stratumExpr: String,
+      weights: Seq[(String, Double)], salt: String): String = {
+    val whens = weights.map { case (s, w) =>
+      val nf = math.floor(w).toInt
+      s"WHEN $stratumExpr = '$s' THEN $nf + " +
+        s"(CASE WHEN ${sqlKeep(keyExpr, w - nf, salt)} THEN 1 ELSE 0 END)"
+    }.mkString(" ")
+    s"CASE $whens ELSE 0 END"
+  }
 }

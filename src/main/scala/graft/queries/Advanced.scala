@@ -244,6 +244,33 @@ object Advanced {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "split1") +
         " AS split FROM documents ORDER BY doc_id NULLS FIRST")),
 
+    // ---- q35: epoch-weighted OVERsampling ----------------------------
+    // The up direction the sampling family lacked: "2.25 epochs of zh,
+    // 2 of de, 1 of es, 0.4 of fr, half of en" — ⌊w⌋ full copies per
+    // doc plus an md5-gated fractional copy, the mixture spec trainers
+    // write as epochs-per-source. Weights exercise every branch:
+    // fraction-only (en 0.5, fr 0.4), pure integer (de 2, es 1),
+    // integer+fraction (zh 2.25), and absent strata drop. A narrow
+    // CASE + bounded explode — no shuffle; copy_idx makes the
+    // replication itself hash-checkable.
+    Q("q35_epoch_mix",
+      (s, dir) =>
+        Sampling.epochMix(
+            Tables(s, dir, "documents").select("doc_id", "lang"),
+            col("doc_id"), col("lang"),
+            Seq("en" -> 0.5, "de" -> 2.0, "es" -> 1.0,
+              "fr" -> 0.4, "zh" -> 2.25), salt = "epoch1")
+          .orderBy("doc_id", "copy_idx"),
+      Some {
+        val copies = Sampling.sqlEpochMixCopies("doc_id", "lang",
+          Seq("en" -> 0.5, "de" -> 2.0, "es" -> 1.0,
+            "fr" -> 0.4, "zh" -> 2.25), "epoch1")
+        s"""WITH c AS (SELECT doc_id, lang, $copies AS copies FROM documents)
+          SELECT doc_id, lang, CAST(unnest(range(0, copies)) AS INT) AS copy_idx
+          FROM c WHERE copies > 0
+          ORDER BY doc_id NULLS FIRST, copy_idx NULLS FIRST"""
+      }),
+
     // ---- multiple COUNT(DISTINCT) in one aggregate -------------------
     // Catalyst plans N distinct aggregates over one input as a single
     // Expand (N+1 projections of each row) + two-phase aggregation —

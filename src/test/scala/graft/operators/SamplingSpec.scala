@@ -81,6 +81,38 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("epochMix: per-row copy counts, gate consistency, partitioning invariance") {
+    val df = spark.range(1000)
+      .select(col("id"), (col("id") % 3).cast("string").as("st"))
+    val w = Seq("0" -> 2.0, "1" -> 1.4, "2" -> 0.3)
+    val out = Sampling.epochMix(df, col("id"), col("st"), w, "es1")
+    val per = out.groupBy("id", "st").agg(count(lit(1)).as("c"),
+      max("copy_idx").as("mx"), min("copy_idx").as("mn"))
+    // copy_idx is a dense 0..c-1 range per row
+    assert(per.filter(col("mn") =!= 0 || col("mx") =!= col("c") - 1)
+      .count() == 0)
+    // stratum 0: every row exactly twice; 1: 1 or 2; 2: only gated rows
+    assert(per.filter(col("st") === "0" && col("c") =!= 2).count() == 0)
+    assert(per.filter(col("st") === "1" && (col("c") < 1 || col("c") > 2))
+      .count() == 0)
+    assert(per.filter(col("st") === "2" && col("c") =!= 1).count() == 0)
+    // fractional copies agree with keep()'s subset (same salt)
+    val extra = per.filter(col("st") === "1" && col("c") === 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val gated = df.filter(col("st") === "1" &&
+        Sampling.keep(col("id"), 0.4, "es1"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(extra == gated)
+    // realized fractional rates are in a plausible band
+    val n2 = per.filter(col("st") === "2").count().toDouble / (1000 / 3)
+    assert(n2 > 0.2 && n2 < 0.4, s"st2 rate $n2")
+    // pure function of content: identical multiset under repartition
+    val b = Sampling.epochMix(df.repartition(17), col("id"), col("st"),
+      w, "es1")
+    assert(out.unionAll(b).groupBy("id", "st", "copy_idx")
+      .agg(count(lit(1)).as("c")).filter(col("c") =!= 2).count() == 0)
+  }
+
   test("temperature rebalance: rarest stratum kept whole, rates ≈ √(c_min/c_s)") {
     // skewed strata: 16000 'big', 3000 'mid', 1000 'rare'
     val df = spark.range(n).select(col("id"),
