@@ -311,5 +311,69 @@ object CorpusPrep {
           CAST(min(shuffle_pos) AS BIGINT) AS min_pos,
           CAST(max(shuffle_pos) AS BIGINT) AS max_pos
         FROM ov GROUP BY shard ORDER BY shard NULLS FIRST""")),
+
+    // ---- p06: the MULTI-EPOCH pipeline — replicate, then shuffle -----
+    // p02 packs one pass over the corpus; a real mixture oversamples
+    // high-weight sources ("2.25 epochs of zh") and the copies must
+    // NOT sit adjacent — each replica needs an independent position in
+    // the global order. q35's epochMix emits (doc, copy_idx) replicas,
+    // the deterministic shuffle keys on the synthesized unique
+    // doc_id#copy_idx (the non-unique-key caveat in its scaladoc,
+    // resolved exactly as prescribed), and the t11 scan packs the
+    // replicated stream. Copies of one doc land at unrelated
+    // positions because md5 mixes copy_idx into the hash — the
+    // 8-stage chain stays hash-exact end to end.
+    Q("p06_epoch_pack",
+      (s, dir) => {
+        val w = Seq("en" -> 0.5, "de" -> 2.0, "es" -> 1.0,
+          "fr" -> 0.4, "zh" -> 2.25)
+        val mixed = Sampling.epochMix(
+          cleanDocs(s, dir).select(col("doc_id"), col("lang"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+          col("doc_id"), col("lang"), w, salt = "ep2")
+          .withColumn("ckey", concat_ws("#", col("doc_id"), col("copy_idx")))
+        val shuffled = Sampling.deterministicShuffle(mixed, col("ckey"),
+          salt = "esh1")
+        Packing.packPlan(
+            shuffled.select(col("shuffle_pos"), col("n_tokens")),
+            "shuffle_pos", "n_tokens", budget = 256)
+          .join(shuffled.select(col("doc_id"), col("copy_idx"),
+            col("lang"), col("shuffle_pos")), "shuffle_pos")
+          .select(col("doc_id"), col("copy_idx"), col("lang"),
+            col("shuffle_pos"), col("n_tokens"), col("start_tok"),
+            col("seq_first"), col("seq_last"), col("seq_offset"))
+          .orderBy("doc_id", "copy_idx")
+      },
+      Some {
+        val copies = Sampling.sqlEpochMixCopies("doc_id", "lang",
+          Seq("en" -> 0.5, "de" -> 2.0, "es" -> 1.0,
+            "fr" -> 0.4, "zh" -> 2.25), "ep2")
+        s"""$sqlThroughClean,
+          tw AS (SELECT doc_id, lang,
+              CAST(${TextFunctions.sqlTokenCount("text")} AS BIGINT)
+                AS n_tokens,
+              $copies AS copies FROM clean),
+          em AS (SELECT doc_id, lang, n_tokens,
+              CAST(unnest(range(0, copies)) AS INT) AS copy_idx
+            FROM tw WHERE copies > 0),
+          ck AS (SELECT *, CAST(doc_id AS VARCHAR) || '#' ||
+              CAST(copy_idx AS VARCHAR) AS ckey FROM em),
+          sh4 AS (SELECT doc_id, lang, copy_idx, n_tokens,
+              CAST(row_number() OVER (ORDER BY
+                  substr(md5(ckey || ':esh1'), 1, 13), ckey) - 1 AS BIGINT)
+                AS shuffle_pos
+            FROM ck),
+          c AS (SELECT doc_id, lang, copy_idx, shuffle_pos, n_tokens,
+              CAST(COALESCE(sum(n_tokens) OVER (ORDER BY shuffle_pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS start_tok
+            FROM sh4)
+          SELECT doc_id, copy_idx, lang, shuffle_pos, n_tokens, start_tok,
+            start_tok // 256 AS seq_first,
+            greatest(start_tok // 256,
+              (start_tok + n_tokens - 1) // 256) AS seq_last,
+            CAST(start_tok % 256 AS INT) AS seq_offset
+          FROM c ORDER BY doc_id NULLS FIRST, copy_idx NULLS FIRST"""
+      }),
   )
 }
