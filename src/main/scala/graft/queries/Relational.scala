@@ -371,5 +371,75 @@ object Relational {
             count(lit(1)).as("n_rows"))
       },
       None),
+
+    // ---- q36: CDC apply (MERGE INTO semantics) -----------------------
+    // Snapshot maintenance for mutable upstreams: a synthetic change
+    // log over `customer` exercises every MERGE branch — plain update
+    // (%10=1, half of those updated TWICE so latest-wins is visible),
+    // delete (%10=2), insert at +1e6 (%10=3), and insert-then-delete
+    // in one batch (%10=4, must vanish). The log collapses via
+    // max_by(payload, seq) — one partial-agg'd shuffle, no window —
+    // and the snapshot never shuffles (broadcast anti-join gate).
+    Q("q36_cdc_apply",
+      (s, dir) => {
+        import graft.operators.Cdc
+        val cust = Tables(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            col("c_acctbal"))
+        def ch(pred: Column, op: String, seq: Int, key: Column,
+            name: Column, nat: Column, bal: Column) =
+          cust.filter(pred).select(lit(op).as("op"),
+            lit(seq).as("seq"), key.as("c_custkey"), name.as("c_name"),
+            nat.as("c_nationkey"), bal.as("c_acctbal"))
+        val k = col("c_custkey")
+        val changes =
+          ch(k % 10 === 1, "U", 1, k, col("c_name"), col("c_nationkey"),
+              col("c_acctbal") + 100.0)
+            .unionByName(ch(k % 20 === 1, "U", 2, k,
+              concat(col("c_name"), lit("#v2")), col("c_nationkey"),
+              col("c_acctbal") + 200.0))
+            .unionByName(ch(k % 10 === 2, "D", 1, k,
+              lit(null).cast("string"), lit(null).cast("int"),
+              lit(null).cast("double")))
+            .unionByName(ch(k % 10 === 3, "I", 1, k + 1000000L,
+              concat(lit("new_"), col("c_name")), col("c_nationkey"),
+              lit(0.0)))
+            .unionByName(ch(k % 10 === 4, "I", 1, k + 2000000L,
+              col("c_name"), col("c_nationkey"), col("c_acctbal")))
+            .unionByName(ch(k % 10 === 4, "D", 2, k + 2000000L,
+              lit(null).cast("string"), lit(null).cast("int"),
+              lit(null).cast("double")))
+        Cdc.applyChanges(cust, changes, Seq("c_custkey"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH cust AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal
+          FROM customer),
+        ch AS (
+          SELECT 'U' AS op, 1 AS seq, c_custkey, c_name, c_nationkey,
+            c_acctbal + 100.0 AS c_acctbal FROM cust WHERE c_custkey % 10 = 1
+          UNION ALL
+          SELECT 'U', 2, c_custkey, c_name || '#v2', c_nationkey,
+            c_acctbal + 200.0 FROM cust WHERE c_custkey % 20 = 1
+          UNION ALL
+          SELECT 'D', 1, c_custkey, NULL, NULL, NULL
+          FROM cust WHERE c_custkey % 10 = 2
+          UNION ALL
+          SELECT 'I', 1, c_custkey + 1000000, 'new_' || c_name,
+            c_nationkey, 0.0 FROM cust WHERE c_custkey % 10 = 3
+          UNION ALL
+          SELECT 'I', 1, c_custkey + 2000000, c_name, c_nationkey,
+            c_acctbal FROM cust WHERE c_custkey % 10 = 4
+          UNION ALL
+          SELECT 'D', 2, c_custkey + 2000000, NULL, NULL, NULL
+          FROM cust WHERE c_custkey % 10 = 4),
+        lt AS (SELECT * FROM (SELECT ch.*, row_number() OVER (
+              PARTITION BY c_custkey ORDER BY seq DESC) AS rn FROM ch)
+          WHERE rn = 1)
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM cust
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM lt)
+        UNION ALL
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM lt
+        WHERE op <> 'D'
+        ORDER BY c_custkey NULLS FIRST""")),
   )
 }
