@@ -273,4 +273,41 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("span removal (d19) is pure shuffle-on-key: no cartesian, no window") {
+    val plan = formatted(SparkEntry.queries("d19_span_removal")(spark, sf))
+    // canonical pick (count + min-struct) partial-aggregates on tile
+    assert(plan.contains("partial_count"), plan)
+    assert(plan.contains("partial_min"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("CMS (q34) partial-aggregates the sketch; estimates ride a broadcast") {
+    val plan = formatted(SparkEntry.queries("q34_cms_frequency")(spark, sf))
+    assert(plan.contains("partial_count"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("CDC apply (q36) collapses the log without a window; snapshot side un-exchanged") {
+    val plan = formatted(SparkEntry.queries("q36_cdc_apply")(spark, sf))
+    // latest-per-key via max_by partial-aggregates; the snapshot is
+    // gated by a broadcast anti-join (no snapshot shuffle)
+    assert(plan.contains("partial_max_by"), plan)
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("epoch mix (q35) is narrow: explode + gate, no exchange before the sort") {
+    val df = SparkEntry.queries("q35_epoch_mix")(spark, sf)
+    val plan = formatted(df)
+    // the only exchange is the presentation orderBy's range partition
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
 }
