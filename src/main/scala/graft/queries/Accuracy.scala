@@ -208,6 +208,52 @@ object Accuracy {
           FROM ex JOIN est ON ex.k = est.k ORDER BY token NULLS FIRST"""
       })),
 
+    // ---- q37: sketch-based corpus OVERLAP estimation -----------------
+    // "How much does crawl B overlap crawl A" WITHOUT a join: HLL
+    // sketches of A's, B's, and A∪B's fingerprint sets in ONE
+    // partial-aggregated pass (conditional inputs — nulls don't
+    // register), inclusion-exclusion gives |A∩B|. At 100 TB this is
+    // the join-free planning number run BEFORE committing to a d01
+    // dedup of the union; HLL sketches are mergeable, so per-shard
+    // sketches combine without re-reading either corpus. Fixture:
+    // A = doc_id%10 < 7, B = doc_id%10 ≥ 3 → overlap is 40% of the
+    // corpus at ANY SF (proportions, not absolute ids), which keeps
+    // the non-vacuity row (true overlap ≫ the error envelope)
+    // SF-independent. The envelope is the compounded 3·rSD of the
+    // three estimates, ≤ 3·rsd·(|A|+|B|) + slack.
+    Q("q37_overlap_estimate",
+      (s, dir) => {
+        val fp = graft.functions.TextFunctions.fingerprint(col("text"))
+        val inA = col("doc_id") % 10 < 7
+        val inB = col("doc_id") % 10 >= 3
+        val agg = Tables(s, dir, "documents").agg(
+          approx_count_distinct(when(inA, fp)).as("est_a"),
+          approx_count_distinct(when(inB, fp)).as("est_b"),
+          approx_count_distinct(when(inA || inB, fp)).as("est_u"),
+          countDistinct(when(inA, fp)).as("ex_a"),
+          countDistinct(when(inB, fp)).as("ex_b"),
+          countDistinct(when(inA && inB, fp)).as("ex_i"))
+          .withColumn("est_i", col("est_a") + col("est_b") - col("est_u"))
+          .withColumn("env",
+            lit(3 * 0.05) * (col("ex_a") + col("ex_b")) + lit(3))
+        def row(metric: String, ok: org.apache.spark.sql.Column) =
+          agg.select(lit(metric).as("metric"), lit(0.15).as("bound"),
+            ok.as("ok"))
+        row("hll_overlap_within_envelope",
+            abs(col("est_i") - col("ex_i")) <= col("env"))
+          .unionByName(row("hll_overlap_nonvacuous",
+            col("ex_i").cast("double") > col("env")))
+          .unionByName(row("hll_overlap_positive", col("est_i") > 0))
+          .orderBy("metric")
+      },
+      Some("""SELECT * FROM (
+          SELECT 'hll_overlap_nonvacuous' AS metric, CAST(0.15 AS DOUBLE) AS bound, true AS ok
+          UNION ALL
+          SELECT 'hll_overlap_positive', CAST(0.15 AS DOUBLE), true
+          UNION ALL
+          SELECT 'hll_overlap_within_envelope', CAST(0.15 AS DOUBLE), true)
+        ORDER BY metric NULLS FIRST""")),
+
     // ---- MMR re-rank contract (s12's driver gate) --------------------
     // The three partitioning-invariant guarantees of the greedy MMR
     // selection, measured fully distributed (pairwise sims are
