@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet fixture loaders (TESTDATA.md). One parquet file per table.
   *
@@ -17,11 +17,17 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS): Spark reads it as a long only
-    // under spark.sql.legacy.parquet.nanosAsLong (set by our sessions).
-    // Truncate to micros — same floor DuckDB applies when loading nanos.
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Normalize events.ts to session-tz TIMESTAMP whatever the fixture
+    // generation wrote. Earlier rounds shipped TIMESTAMP(NANOS) (read
+    // as long under spark.sql.legacy.parquet.nanosAsLong, truncated to
+    // micros — the floor DuckDB applies); current fixtures are naive
+    // micros, which Spark 4 reads as TIMESTAMP_NTZ — cast under the
+    // UTC session so values match DuckDB's naive read bit-for-bit.
+    if (name == "events") df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
     else df
   }
 
