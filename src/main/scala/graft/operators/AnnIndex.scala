@@ -60,23 +60,49 @@ object AnnIndex {
     * columns, and a probe reads the stamp to know which equi-keys to
     * add to the cell join. Empty = unscoped (legacy indexes). */
   val ScopeProp = "graft.ann.scope"
+  /** Mean distance-to-centroid of the corpus the model was TRAINED on
+    * — the drift baseline: [[driftRatio]] divides the current corpus's
+    * mean by this, and a ratio well above 1 says vectors now land far
+    * from the frozen centroids (codes round harder, recall decays) —
+    * the when-to-[[retrainAnnIndex]] trigger. */
+  val BaseDistProp = "graft.ann.basedist"
 
-  private def dropTableAndLocation(spark: SparkSession, t: String): Unit = {
-    val catalog = spark.sessionState.catalog
-    val ident = spark.sessionState.sqlParser.parseTableIdentifier(t)
-    val locUri =
-      if (catalog.tableExists(ident)) catalog.getTableMetadata(ident).location
-      else catalog.defaultTablePath(ident)
-    spark.sql(s"DROP TABLE IF EXISTS $t")
-    val loc = new org.apache.hadoop.fs.Path(locUri)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+  /** The ANN index family's members under [[Generations]]: codes and
+    * model swap as ONE unit (codes scored against another generation's
+    * model would silently mis-rank). */
+  private val IndexMembers = Seq("cells", "model")
+
+  private def cellsTable(spark: SparkSession, name: String): String =
+    Generations.resolve(spark, name, "cells")
+  private def modelTable(spark: SparkSession, name: String): String =
+    Generations.resolve(spark, name, "model")
+
+  /** Mean distance-to-centroid over `emb` under `cents` — stamped at
+    * build time as the drift baseline [[driftRatio]] compares against
+    * (one narrow partial-aggregated pass; only the scalar reaches the
+    * driver). */
+  private def meanCentroidDist(emb: DataFrame,
+      cents: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]]): Double = {
+    val distOf = udf { (v: Seq[Float]) =>
+      val a = v.toArray
+      val ct = cents.value(Similarity.nearestCell(a, cents.value))
+      var d2 = 0.0
+      var d = 0
+      while (d < math.min(a.length, ct.length)) {
+        val diff = a(d) - ct(d); d2 += diff * diff; d += 1
+      }
+      math.sqrt(d2)
+    }
+    emb.select(avg(distOf(col("embedding")))).head().getDouble(0)
   }
 
   /** Build the index: train the coarse quantizer + PQ codebooks on the
     * bounded driver sample (identical to [[Similarity.ivfPqTopK]]'s
     * training), encode the corpus once, persist codes partitioned by
-    * cell and the model as its own table. */
+    * cell and the model as its own table. Written as the next
+    * GENERATION and published by one atomic pointer flip
+    * ([[Generations]]), so a rebuild over a live index is reader-safe:
+    * probes resolve the complete old generation until the flip. */
   def writeAnnIndex(emb: DataFrame, name: String, nCells: Int = 16,
       m: Int = 8, ksub: Int = 32, residual: Boolean = false,
       scope: Seq[String] = Nil): Unit = {
@@ -91,24 +117,28 @@ object AnnIndex {
       else Similarity.trainPqCodebooks(emb, m, ksub)
     val cents = spark.sparkContext.broadcast(trained)
     val bb = spark.sparkContext.broadcast(books)
-    Seq(s"${name}_cells", s"${name}_model")
-      .foreach(dropTableAndLocation(spark, _))
+    val gen = Generations.begin(spark, name, IndexMembers)
+    val ct = Generations.physical(name, "cells", gen)
+    val mt = Generations.physical(name, "model", gen)
     encoded(emb, cents, bb, dim, m, residual, scope)
       .write.format("parquet").partitionBy("cell")
-      .saveAsTable(s"${name}_cells")
+      .saveAsTable(ct)
     val centRows = trained.zipWithIndex.map { case (v, i) =>
       ("cent", i, 0, v.toSeq) }
     val bookRows = for {
       (book, j) <- books.zipWithIndex; (v, c) <- book.zipWithIndex
     } yield ("book", j, c, v.toSeq)
     (centRows ++ bookRows).toSeq.toDF("kind", "i", "j", "vec")
-      .coalesce(1).write.format("parquet").saveAsTable(s"${name}_model")
-    Seq(s"${name}_cells", s"${name}_model").foreach { t =>
+      .coalesce(1).write.format("parquet").saveAsTable(mt)
+    val baseDist = meanCentroidDist(emb, cents)
+    Seq(ct, mt).foreach { t =>
       spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('$DimProp' = '$dim', " +
         s"'$MProp' = '$m', '$KsubProp' = '$ksub', " +
         s"'$NCellsProp' = '$nCells', '$ResidualProp' = '$residual', " +
-        s"'$ScopeProp' = '${scope.mkString(",")}')")
+        s"'$ScopeProp' = '${scope.mkString(",")}', " +
+        s"'$BaseDistProp' = '$baseDist')")
     }
+    Generations.commit(spark, name, gen, IndexMembers)
   }
 
   /** (vec_id, codes, cell) for `emb` under the given frozen model —
@@ -139,9 +169,9 @@ object AnnIndex {
 
   private def geometry(spark: SparkSession,
       name: String): (Int, Int, Int, Boolean) = {
-    val p = props(spark, s"${name}_cells")
+    val p = props(spark, cellsTable(spark, name))
     def g(k: String) = p.getOrElse(k,
-      sys.error(s"${name}_cells has no $k property — not a graft ANN index"))
+      sys.error(s"$name cells table has no $k property — not a graft ANN index"))
       .toInt
     // pre-residual indexes carry no flag: raw encoding
     (g(DimProp), g(MProp), g(KsubProp),
@@ -150,13 +180,13 @@ object AnnIndex {
 
   /** Scope columns stamped at build time (empty for legacy indexes). */
   private def scopeOf(spark: SparkSession, name: String): Seq[String] =
-    props(spark, s"${name}_cells").get(ScopeProp)
+    props(spark, cellsTable(spark, name)).get(ScopeProp)
       .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
 
   /** The frozen model, loaded (tiny: nCells + m·ksub vectors). */
   private def loadModel(spark: SparkSession, name: String,
       m: Int): (Array[Array[Float]], Array[Array[Array[Float]]]) = {
-    val rows = spark.table(s"${name}_model").collect()
+    val rows = spark.table(modelTable(spark, name)).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getInt(2),
         r.getSeq[Float](3).toArray))
     val cents = rows.filter(_._1 == "cent").sortBy(_._2).map(_._4)
@@ -181,10 +211,11 @@ object AnnIndex {
     val (cents0, books0) = loadModel(spark, name, m)
     val cents = spark.sparkContext.broadcast(cents0)
     val bb = spark.sparkContext.broadcast(books0)
+    val ct = cellsTable(spark, name)
     encoded(batch, cents, bb, dim, m, residual, scope)
       .write.format("parquet").mode("append").partitionBy("cell")
-      .saveAsTable(s"${name}_cells")
-    spark.catalog.refreshTable(s"${name}_cells")
+      .saveAsTable(ct)
+    spark.catalog.refreshTable(ct)
   }
 
   /** Probe the persisted index: ADC scoring against the codes of the
@@ -251,7 +282,7 @@ object AnnIndex {
       .withColumn("qc",
         if (residual) qcellDot(col("qe"), col("cell")) else lit(0.0))
       .drop("qe")
-    val scored = spark.table(s"${name}_cells")
+    val scored = spark.table(cellsTable(spark, name))
       .join(broadcast(q), "cell" +: scope)
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", col("qc") + expr(
@@ -310,29 +341,91 @@ object AnnIndex {
     * ~32× compressed artifact, so the shuffle moves ~3% of one corpus
     * scan. After `repartition(cell)` every cell's rows live in exactly
     * one task, and `partitionBy` splits a task's output one file per
-    * cell — so each cell directory collapses to ONE file. The same
-    * drop-and-rename swap as d14 preserves the geometry stamps; the
-    * model table is a single frozen file and never needs compacting. */
+    * cell — so each cell directory collapses to ONE file. The swap is
+    * a [[Generations]] pointer flip (new generation written complete,
+    * then published atomically — the old drop-and-rename had a
+    * no-table window and needed a post-rename RECOVER PARTITIONS,
+    * both gone). The model is frozen and tiny; its copy into the new
+    * generation keeps the family's one-pointer atomicity. */
   def compactAnnIndex(spark: SparkSession, name: String): Unit = {
-    val t = s"${name}_cells"
+    val t = cellsTable(spark, name)
+    val mt0 = modelTable(spark, name)
     val (dim, m, ksub, residual) = geometry(spark, name)
-    val nCells = props(spark, t).getOrElse(NCellsProp,
+    val p = props(spark, t)
+    val nCells = p.getOrElse(NCellsProp,
       sys.error(s"$t has no $NCellsProp property")).toInt
-    val tmp = s"${t}_compacting"
-    dropTableAndLocation(spark, tmp)
+    val baseDist = p.getOrElse(BaseDistProp, "")
     val scope = scopeOf(spark, name) // carried: a lost stamp would
-    spark.table(t).repartition(col("cell")) // silently unscope probes
-      .write.format("parquet").partitionBy("cell").saveAsTable(tmp)
-    spark.sql(s"ALTER TABLE $tmp SET TBLPROPERTIES ('$DimProp' = '$dim', " +
-      s"'$MProp' = '$m', '$KsubProp' = '$ksub', " +
-      s"'$NCellsProp' = '$nCells', '$ResidualProp' = '$residual', " +
-      s"'$ScopeProp' = '${scope.mkString(",")}')")
-    dropTableAndLocation(spark, t)
-    spark.sql(s"ALTER TABLE $tmp RENAME TO $t")
-    // the rename moves the managed table's directory but the catalog's
-    // partition entries still hold ABSOLUTE pre-rename locations —
-    // re-discover them from the new root or the next probe scans air
-    spark.sql(s"ALTER TABLE $t RECOVER PARTITIONS")
-    spark.catalog.refreshTable(t)
+    val gen = Generations.begin(spark, name, IndexMembers) // silently
+    val ct = Generations.physical(name, "cells", gen) // unscope probes
+    val mt = Generations.physical(name, "model", gen)
+    spark.table(t).repartition(col("cell"))
+      .write.format("parquet").partitionBy("cell").saveAsTable(ct)
+    spark.table(mt0).coalesce(1).write.format("parquet").saveAsTable(mt)
+    Seq(ct, mt).foreach { nt =>
+      spark.sql(s"ALTER TABLE $nt SET TBLPROPERTIES ('$DimProp' = '$dim', " +
+        s"'$MProp' = '$m', '$KsubProp' = '$ksub', " +
+        s"'$NCellsProp' = '$nCells', '$ResidualProp' = '$residual', " +
+        s"'$ScopeProp' = '${scope.mkString(",")}', " +
+        s"'$BaseDistProp' = '$baseDist')")
+    }
+    Generations.commit(spark, name, gen, IndexMembers)
+  }
+
+  /** Drift of the CURRENT corpus against the index's frozen model:
+    * mean distance-to-centroid now, divided by the build-time baseline
+    * stamped in [[BaseDistProp]]. ~1.0 = the corpus still looks like
+    * the training distribution; well above 1 = appended vectors land
+    * far from every frozen centroid, coarse residuals have grown, the
+    * PQ codes round harder and shortlist recall is decaying. One
+    * narrow partial-aggregated pass (same broadcast-centroid map as
+    * [[cellStats]]); only the scalar reaches the driver. */
+  def driftRatio(spark: SparkSession, name: String,
+      emb: DataFrame): Double = {
+    val (_, m, _, _) = geometry(spark, name)
+    val base = props(spark, cellsTable(spark, name)).get(BaseDistProp)
+      .filter(_.nonEmpty).map(_.toDouble)
+      .getOrElse(sys.error(s"index $name predates the $BaseDistProp " +
+        "stamp — rebuild it with writeAnnIndex to enable drift tracking"))
+    val (cents0, _) = loadModel(spark, name, m)
+    val cents = spark.sparkContext.broadcast(cents0)
+    meanCentroidDist(emb, cents) / base
+  }
+
+  /** RETRAIN: the actuator for [[cellStats]]/[[driftRatio]]'s signal.
+    * Rebuilds centroids and PQ codebooks from the CURRENT corpus and
+    * re-encodes it, preserving every stamped parameter — geometry,
+    * residual mode, and crucially the scope columns (a retrain that
+    * dropped the scope stamp would silently leak cross-tenant results
+    * on the next probe). The new cells AND model land as one new
+    * [[Generations]] generation behind one atomic pointer flip, so a
+    * probe racing the retrain sees old codes with the old model or new
+    * codes with the new model — never a mix, which is the failure mode
+    * that makes frozen-model indexes scary to retrain in place.
+    *
+    * `emb` is the current raw-vector corpus (the index stores codes,
+    * not vectors — same contract as [[cellStats]] and the probe's
+    * re-rank). */
+  def retrainAnnIndex(spark: SparkSession, name: String,
+      emb: DataFrame): Unit = {
+    val (_, m, ksub, residual) = geometry(spark, name)
+    val nCells = props(spark, cellsTable(spark, name)).getOrElse(NCellsProp,
+      sys.error(s"$name cells table has no $NCellsProp property")).toInt
+    val scope = scopeOf(spark, name)
+    // writeAnnIndex IS an atomic rebuild under Generations: it writes
+    // the next generation while the current one keeps serving probes
+    writeAnnIndex(emb, name, nCells, m, ksub, residual, scope)
+  }
+
+  /** The closed drift loop: measure [[driftRatio]], retrain when it
+    * exceeds `maxDrift`. Returns the measured ratio and whether a
+    * retrain ran — callers alarm on the former and audit the latter.
+    * A nightly pipeline calls this after its appends; the threshold
+    * trades retrain cost (a full re-encode) against recall decay. */
+  def retrainAnnIndexIfDrifted(spark: SparkSession, name: String,
+      emb: DataFrame, maxDrift: Double = 1.25): (Double, Boolean) = {
+    val ratio = driftRatio(spark, name, emb)
+    if (ratio > maxDrift) { retrainAnnIndex(spark, name, emb); (ratio, true) }
+    else (ratio, false)
   }
 }

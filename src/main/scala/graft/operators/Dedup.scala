@@ -572,46 +572,41 @@ object Dedup {
   def writeNearDupIndex(hist: DataFrame, name: String, numBuckets: Int = 8,
       k: Int = 5): Unit = {
     val spark = hist.sparkSession
-    // a managed-table LOCATION can outlive the (in-memory) catalog
-    // entry across sessions — clear both, or a fresh session fails
-    // with LOCATION_ALREADY_EXISTS on its first write. The location is
-    // resolved through the catalog (metadata when the table exists,
-    // defaultTablePath otherwise), never hand-assembled: the layout
-    // <warehouse>/<table> only holds in the default database — under
-    // any other current database it is <warehouse>/<db>.db/<table>,
-    // and a hand-built path would delete the wrong directory.
-    Seq(s"${name}_buckets", s"${name}_sigs").foreach(dropTableAndLocation(spark, _))
+    // generation-pointer discipline (Generations): the new generation
+    // is written completely while any current one stays live; ONE
+    // pointer flip publishes it. A rebuild over an existing index is
+    // therefore reader-safe and crash-atomic — the old generation
+    // serves probes until the instant the new one is complete.
+    val gen = Generations.begin(spark, name, IndexMembers)
+    val bt = Generations.physical(name, "buckets", gen)
+    val st = Generations.physical(name, "sigs", gen)
     val hs = Frontier.pin(signatures(hist, k))
     bandBuckets(hs).write.format("parquet")
       .bucketBy(numBuckets, "band", "bh")
-      .saveAsTable(s"${name}_buckets")
+      .saveAsTable(bt)
     hs.select(col("doc_id"), col("shs")).write.format("parquet")
       .bucketBy(numBuckets, "doc_id")
-      .saveAsTable(s"${name}_sigs")
+      .saveAsTable(st)
     // stamp the shingle width on both tables: signatures built with a
     // different k are INCOMPARABLE (different shingle universe →
     // different minhashes and Jaccard denominators), so probe/append
     // must be able to verify they speak the index's k
-    Seq(s"${name}_buckets", s"${name}_sigs").foreach { t =>
+    Seq(bt, st).foreach { t =>
       spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('$ShingleKProp' = '$k')")
     }
+    Generations.commit(spark, name, gen, IndexMembers)
   }
 
-  /** Drop `t` AND its on-disk location (resolved through the catalog —
-    * see the location note in [[writeNearDupIndex]]): a managed-table
-    * LOCATION can outlive the in-memory catalog entry across sessions,
-    * and a fresh write would then fail with LOCATION_ALREADY_EXISTS. */
-  private def dropTableAndLocation(spark: SparkSession, t: String): Unit = {
-    val catalog = spark.sessionState.catalog
-    val ident = spark.sessionState.sqlParser.parseTableIdentifier(t)
-    val locUri =
-      if (catalog.tableExists(ident)) catalog.getTableMetadata(ident).location
-      else catalog.defaultTablePath(ident)
-    spark.sql(s"DROP TABLE IF EXISTS $t")
-    val loc = new org.apache.hadoop.fs.Path(locUri)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
-  }
+  /** The near-dup index family's members under [[Generations]]. */
+  private val IndexMembers = Seq("buckets", "sigs")
+
+  /** Current physical tables of index `name` — every probe, append,
+    * stats, and compaction path resolves through the generation
+    * pointer, so a mid-swap reader still sees a complete index. */
+  private def bucketsTable(spark: SparkSession, name: String): String =
+    Generations.resolve(spark, name, "buckets")
+  private def sigsTable(spark: SparkSession, name: String): String =
+    Generations.resolve(spark, name, "sigs")
 
   /** Table property recording the shingle width an index was built
     * with — see [[writeNearDupIndex]]. */
@@ -634,7 +629,7 @@ object Dedup {
     * shingle universes, so probes under-detect duplicates and appends
     * poison the index with incomparable signatures. */
   private def requireShingleK(spark: SparkSession, name: String, k: Int): Unit =
-    Seq(s"${name}_buckets", s"${name}_sigs").foreach { t =>
+    Seq(bucketsTable(spark, name), sigsTable(spark, name)).foreach { t =>
       val stored = storedShingleK(spark, t)
       require(stored == k,
         s"index $name was built with shingle k=$stored but k=$k was " +
@@ -665,18 +660,18 @@ object Dedup {
       .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(t))
       .bucketSpec.getOrElse(sys.error(s"$t is not a bucketed index table"))
     requireShingleK(spark, name, k)
+    val (bt, st) = (bucketsTable(spark, name), sigsTable(spark, name))
     val bs = Frontier.pin(signatures(batch, k))
     bandBuckets(bs).write.format("parquet").mode("append")
-      .bucketBy(spec(s"${name}_buckets").numBuckets, "band", "bh")
-      .saveAsTable(s"${name}_buckets")
+      .bucketBy(spec(bt).numBuckets, "band", "bh")
+      .saveAsTable(bt)
     bs.select(col("doc_id"), col("shs")).write.format("parquet").mode("append")
-      .bucketBy(spec(s"${name}_sigs").numBuckets, "doc_id")
-      .saveAsTable(s"${name}_sigs")
+      .bucketBy(spec(st).numBuckets, "doc_id")
+      .saveAsTable(st)
     // make the append visible to THIS session's next probe even if the
     // insert path left a cached file listing behind (other sessions
     // must refresh on their side — caches are per-session)
-    Seq(s"${name}_buckets", s"${name}_sigs")
-      .foreach(spark.catalog.refreshTable)
+    Seq(bt, st).foreach(spark.catalog.refreshTable)
   }
 
   /** Index COMPACTION: rewrite both index tables in place, collapsing
@@ -695,15 +690,14 @@ object Dedup {
     * partitioning, and tasks would then hold mixed buckets), so each
     * task owns exactly one bucket's file set and the bucketed write
     * merges it into exactly one file — a narrow per-bucket file merge,
-    * the cheapest possible compaction at any scale. The fresh table is
-    * written under a temp name, then drop-and-renamed over the
-    * original; the bucket spec and shingle-k stamp carry over, so the
-    * probe's exchange-free contract holds unchanged afterwards
-    * (LayoutSpec re-walks the plan post-compaction). Readers in THIS
-    * session see the swap via refreshTable; concurrent cross-session
-    * readers of a production deployment would coordinate the swap
-    * through their metastore's atomic rename, same as any
-    * rewrite-based compaction. */
+    * the cheapest possible compaction at any scale. The fresh tables
+    * are written as the NEXT GENERATION and published by one atomic
+    * pointer flip ([[Generations]]); the bucket spec and shingle-k
+    * stamp carry over, so the probe's exchange-free contract holds
+    * unchanged afterwards (LayoutSpec re-walks the plan
+    * post-compaction), and a crash at any point leaves a complete
+    * index live (GenerationsSpec injects crashes in both swap
+    * windows and re-probes). */
   /** Probe-health telemetry for the persisted index — the near-dup
     * twin of [[AnnIndex.cellStats]]. Hot (band, bh) keys ARE the probe
     * join's skew: a boilerplate cohort lands f docs on one bucket key
@@ -714,7 +708,7 @@ object Dedup {
     * partial-aggregated pass over the buckets table; only the one-row
     * summary reaches the caller. */
   def indexStats(spark: SparkSession, name: String): DataFrame = {
-    val perKey = spark.table(s"${name}_buckets")
+    val perKey = spark.table(bucketsTable(spark, name))
       .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("n"))
     perKey.agg(
       sum(col("n")).as("n_entries"),
@@ -728,9 +722,17 @@ object Dedup {
     val catalog = spark.sessionState.catalog
     val AutoScan = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val auto0 = spark.conf.get(AutoScan)
+    // generation swap (Generations): BOTH compacted tables are written
+    // to the next generation, then one pointer flip publishes them
+    // together — a probe racing the compaction reads either the old
+    // pair or the new pair, never a mix, and a crash at any point
+    // leaves a complete index live (the old drop-and-rename had a
+    // no-table window between the drop and the rename).
+    val gen = Generations.begin(spark, name, IndexMembers)
     try {
       spark.conf.set(AutoScan, "false")
-      Seq(s"${name}_buckets", s"${name}_sigs").foreach { t =>
+      IndexMembers.foreach { member =>
+        val t = Generations.resolve(spark, name, member)
         val meta = catalog
           .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(t))
         val spec = meta.bucketSpec
@@ -738,17 +740,14 @@ object Dedup {
         val k = meta.properties.getOrElse(ShingleKProp,
           sys.error(s"$t has no $ShingleKProp property"))
         val bcols = spec.bucketColumnNames
-        val tmp = s"${t}_compacting"
-        dropTableAndLocation(spark, tmp)
+        val nt = Generations.physical(name, member, gen)
         spark.table(t).write.format("parquet")
           .bucketBy(spec.numBuckets, bcols.head, bcols.tail: _*)
-          .saveAsTable(tmp)
-        spark.sql(s"ALTER TABLE $tmp SET TBLPROPERTIES ('$ShingleKProp' = '$k')")
-        dropTableAndLocation(spark, t)
-        spark.sql(s"ALTER TABLE $tmp RENAME TO $t")
-        spark.catalog.refreshTable(t)
+          .saveAsTable(nt)
+        spark.sql(s"ALTER TABLE $nt SET TBLPROPERTIES ('$ShingleKProp' = '$k')")
       }
     } finally spark.conf.set(AutoScan, auto0)
+    Generations.commit(spark, name, gen, IndexMembers)
   }
 
   /** [[incrementalNearDupSurvivors]] probing a PERSISTED index written
@@ -758,8 +757,8 @@ object Dedup {
   def incrementalNearDupSurvivorsIndexed(spark: SparkSession, name: String,
       batch: DataFrame, k: Int = 5, minJ: Double = 0.5): DataFrame = {
     requireShingleK(spark, name, k)
-    val hb = spark.table(s"${name}_buckets")
-    val hsig = spark.table(s"${name}_sigs")
+    val hb = spark.table(bucketsTable(spark, name))
+    val hsig = spark.table(sigsTable(spark, name))
     val bs = signatures(batch, k)
     val cand = bandBuckets(bs).as("b").join(hb.as("h"),
         col("b.band") === col("h.band") && col("b.bh") === col("h.bh"))

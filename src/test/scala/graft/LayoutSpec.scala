@@ -163,7 +163,8 @@ class LayoutSpec extends SparkSpec {
   test("compaction collapses per-append files; probe contract unchanged") {
     import graft.operators.Dedup
     def indexFiles(name: String): Int =
-      Seq(s"${name}_buckets", s"${name}_sigs").map { t =>
+      Seq(graft.operators.Generations.resolve(spark, name, "buckets"),
+          graft.operators.Generations.resolve(spark, name, "sigs")).map { t =>
         val loc = spark.sessionState.catalog.getTableMetadata(
           spark.sessionState.sqlParser.parseTableIdentifier(t)).location
         val dir = new java.io.File(new java.net.URI(loc.getPath).getPath)
@@ -208,7 +209,8 @@ class LayoutSpec extends SparkSpec {
     // the bucket layout still carries the join partitioning (the
     // exchange-free contract) and the k stamp survived the rewrite
     assertProbeLayoutEngaged("graft_test_ndidx_cp", probe)
-    Seq("graft_test_ndidx_cp_buckets", "graft_test_ndidx_cp_sigs").foreach { t =>
+    Seq(graft.operators.Generations.resolve(spark, "graft_test_ndidx_cp", "buckets"),
+        graft.operators.Generations.resolve(spark, "graft_test_ndidx_cp", "sigs")).foreach { t =>
       val ident = spark.sessionState.sqlParser.parseTableIdentifier(t)
       assert(spark.sessionState.catalog.getTableMetadata(ident)
         .properties.get(Dedup.ShingleKProp).contains("5"))
@@ -230,7 +232,8 @@ class LayoutSpec extends SparkSpec {
     // the k the index was built with is recorded on both tables —
     // signatures under a different k live in a different shingle
     // universe, so a silent mismatch would simply stop detecting dups
-    Seq("graft_test_ndidx_k_buckets", "graft_test_ndidx_k_sigs").foreach { t =>
+    Seq(graft.operators.Generations.resolve(spark, "graft_test_ndidx_k", "buckets"),
+        graft.operators.Generations.resolve(spark, "graft_test_ndidx_k", "sigs")).foreach { t =>
       val ident = spark.sessionState.sqlParser.parseTableIdentifier(t)
       assert(spark.sessionState.catalog.getTableMetadata(ident)
         .properties.get(Dedup.ShingleKProp).contains("5"))

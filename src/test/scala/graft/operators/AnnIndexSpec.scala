@@ -28,9 +28,10 @@ class AnnIndexSpec extends SparkSpec {
     // filter on cell — unprobed cell directories are never listed
     val plan = probe.queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruning"), plan)
-    // geometry stamps recorded
+    // geometry stamps recorded (resolved through the generation pointer)
     val props = spark.sessionState.catalog.getTableMetadata(
-      spark.sessionState.sqlParser.parseTableIdentifier("graft_test_ann_cells"))
+      spark.sessionState.sqlParser.parseTableIdentifier(
+        Generations.resolve(spark, "graft_test_ann", "cells")))
       .properties
     assert(props.get(AnnIndex.MProp).contains("8"))
     assert(props.get(AnnIndex.KsubProp).contains("32"))
@@ -102,8 +103,8 @@ class AnnIndexSpec extends SparkSpec {
 
     def perCellFiles: Seq[Int] = {
       val loc = spark.sessionState.catalog.getTableMetadata(
-        spark.sessionState.sqlParser
-          .parseTableIdentifier("graft_test_ann_cmp_cells")).location
+        spark.sessionState.sqlParser.parseTableIdentifier(
+          Generations.resolve(spark, "graft_test_ann_cmp", "cells"))).location
       Option(new java.io.File(new java.net.URI(loc.getPath).getPath)
         .listFiles()).toSeq.flatten
         .filter(f => f.isDirectory && f.getName.startsWith("cell="))
@@ -121,8 +122,8 @@ class AnnIndexSpec extends SparkSpec {
     val plan = compacted.queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruning"), plan)
     val props = spark.sessionState.catalog.getTableMetadata(
-      spark.sessionState.sqlParser
-        .parseTableIdentifier("graft_test_ann_cmp_cells")).properties
+      spark.sessionState.sqlParser.parseTableIdentifier(
+        Generations.resolve(spark, "graft_test_ann_cmp", "cells"))).properties
     assert(props.get(AnnIndex.MProp).contains("8"))
   }
 

@@ -105,7 +105,8 @@ class StreamingAnnIngestSpec extends SparkSpec {
     // 1 build + 3 appends would leave ≥2 files in every appended cell
     // dir; compact-after-each-batch leaves exactly one per cell
     val loc = spark.sessionState.catalog.getTableMetadata(
-      spark.sessionState.sqlParser.parseTableIdentifier(s"${cIndex}_cells"))
+      spark.sessionState.sqlParser.parseTableIdentifier(
+        graft.operators.Generations.resolve(spark, cIndex, "cells")))
       .location
     val root = new java.io.File(new java.net.URI(loc.getPath).getPath)
     val perCell = Option(root.listFiles()).toSeq.flatten

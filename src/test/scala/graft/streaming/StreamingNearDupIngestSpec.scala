@@ -82,7 +82,8 @@ class StreamingNearDupIngestSpec extends SparkSpec {
     // compaction mid-stream must be behavior-invisible (same survivors
     // per night) while holding the file count flat in stream age
     def indexFiles(name: String): Int =
-      Seq(s"${name}_buckets", s"${name}_sigs").map { t =>
+      Seq(graft.operators.Generations.resolve(spark, name, "buckets"),
+          graft.operators.Generations.resolve(spark, name, "sigs")).map { t =>
         val loc = spark.sessionState.catalog.getTableMetadata(
           spark.sessionState.sqlParser.parseTableIdentifier(t)).location
         Option(new java.io.File(new java.net.URI(loc.getPath).getPath)
