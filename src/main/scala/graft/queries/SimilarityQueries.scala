@@ -317,6 +317,78 @@ object SimilarityQueries {
     // cell route (s04) bounds the scanned fraction when τ is tight;
     // this exact form is the correctness baseline and hash-checks via
     // the f32 chain.
+    // ---- s16: the retrain lifecycle closing the drift loop -----------
+    // The s09/s14 index's missing actuator: a frozen-model index
+    // silently decays under distribution drift (appended vectors land
+    // far from the build-time centroids, residual PQ codes round
+    // harder, shortlist recall drops) — cellStats/driftRatio MEASURE
+    // it, retrainAnnIndexIfDrifted ACTS on it, atomically swapping
+    // cells+model as one generation. The fixture appends a shifted
+    // copy of the corpus (off-distribution but angularly diverse);
+    // the contract pins the whole loop: the drift signal trips the
+    // threshold, the retrained index clears the family's 0.6 recall
+    // floor (the frozen one measurably does not at sf0.1), retrain
+    // never worsens recall, and the signal resets to ~1 afterwards.
+    // Engine-specific training → the registered query IS the contract
+    // (the s14/d18 pattern).
+    Q("s16_ann_retrain",
+      (s, dir) => {
+        import graft.operators.Frontier
+        val idx = "graft_s16_idx"
+        val emb = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        AnnIndex.writeAnnIndex(emb, idx, residual = true)
+        val drifted = emb.select((col("vec_id") + 1000000000L).as("vec_id"),
+          expr("transform(embedding, x -> CAST(x + CAST(0.2 AS FLOAT) AS FLOAT))")
+            .as("embedding"))
+        AnnIndex.appendToAnnIndex(drifted, idx)
+        val all = Frontier.pin(emb.unionByName(drifted))
+        val pred = col("vec_id") >= 1000000000L && col("vec_id") < 1000000008L
+        val exact = Frontier.pin(Similarity.bruteForceTopK(s, all, pred, K))
+        def recallOf(probe: org.apache.spark.sql.DataFrame) =
+          Frontier.pin(exact.select(col("qid"), col("vec_id"))
+            .join(probe.select(col("qid"), col("vec_id"), lit(1L).as("hit")),
+              Seq("qid", "vec_id"), "left")
+            .agg((sum(coalesce(col("hit"), lit(0L))) /
+              count(lit(1)).cast("double")).as("recall"),
+              count(lit(1)).as("n")))
+        def probe() = AnnIndex.probeAnnIndex(s, idx, all, pred, K,
+          nprobe = 8, shortlist = 250)
+        val before = recallOf(probe())
+        val (ratio, retrained) =
+          AnnIndex.retrainAnnIndexIfDrifted(s, idx, all, maxDrift = 1.25)
+        val after = recallOf(probe())
+        val reset = AnnIndex.driftRatio(s, idx, all)
+        def row(metric: String, bound: Double,
+            src: org.apache.spark.sql.DataFrame,
+            ok: org.apache.spark.sql.Column) =
+          src.select(lit(metric).as("metric"), lit(bound).as("bound"),
+            ok.as("ok"))
+        row("retrain_non_vacuous", 0.0, after, col("n") > 0)
+          .unionByName(row("retrain_recall_at_10", 0.6, after,
+            col("recall") >= 0.6))
+          .unionByName(row("retrain_recall_improves", 0.0,
+            after.select(col("recall").as("ra"))
+              .crossJoin(broadcast(before.select(col("recall").as("rb")))),
+            col("ra") >= col("rb")))
+          .unionByName(row("retrain_signal_reset", 1.05, after,
+            lit(reset <= 1.05)))
+          .unionByName(row("retrain_triggered", 1.25, after,
+            lit(ratio > 1.25 && retrained)))
+          .orderBy("metric")
+      },
+      Some("""SELECT * FROM (
+          SELECT 'retrain_non_vacuous' AS metric, CAST(0.0 AS DOUBLE) AS bound, true AS ok
+          UNION ALL
+          SELECT 'retrain_recall_at_10', CAST(0.6 AS DOUBLE), true
+          UNION ALL
+          SELECT 'retrain_recall_improves', CAST(0.0 AS DOUBLE), true
+          UNION ALL
+          SELECT 'retrain_signal_reset', CAST(1.05 AS DOUBLE), true
+          UNION ALL
+          SELECT 'retrain_triggered', CAST(1.25 AS DOUBLE), true)
+        ORDER BY metric NULLS FIRST""")),
+
     Q("s15_radius_search",
       (s, dir) => {
         val Tau = 0.25

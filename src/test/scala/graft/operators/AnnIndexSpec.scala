@@ -149,6 +149,40 @@ class AnnIndexSpec extends SparkSpec {
     assert(moved, s"drift did not move any cell's mean: $baseline vs $shifted")
   }
 
+  test("retrain lifecycle: drift trips the signal, retrain == fresh rebuild, signal resets") {
+    val base = emb.select("vec_id", "embedding")
+    AnnIndex.writeAnnIndex(base, "graft_test_ann_rt", residual = true)
+    // the corpus the model was trained on measures ratio 1 by definition
+    assert(math.abs(AnnIndex.driftRatio(spark, "graft_test_ann_rt", base) - 1.0) < 1e-9)
+    // off-distribution batch: shifted copies (far from every build-time
+    // centroid, angular diversity preserved)
+    val drifted = base.select((col("vec_id") + 1000000000L).as("vec_id"),
+      expr("transform(embedding, x -> CAST(x + CAST(0.2 AS FLOAT) AS FLOAT))")
+        .as("embedding"))
+    AnnIndex.appendToAnnIndex(drifted, "graft_test_ann_rt")
+    val all = base.unionByName(drifted).localCheckpoint()
+    val (ratio, retrained) = AnnIndex.retrainAnnIndexIfDrifted(
+      spark, "graft_test_ann_rt", all, maxDrift = 1.25)
+    assert(ratio > 1.25, s"drifted append did not trip the signal: $ratio")
+    assert(retrained, "threshold exceeded but no retrain ran")
+    // the signal resets: the retrained model fits the current corpus
+    val reset = AnnIndex.driftRatio(spark, "graft_test_ann_rt", all)
+    assert(math.abs(reset - 1.0) < 1e-9, s"signal did not reset: $reset")
+    // retrain ≡ fresh rebuild: same deterministic training over the
+    // same corpus → same model → bit-identical probes
+    AnnIndex.writeAnnIndex(all, "graft_test_ann_rt2", residual = true)
+    def probeSet(name: String) =
+      AnnIndex.probeAnnIndex(spark, name, all, col("vec_id") < 4, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getDouble(3))).toSet
+    assert(probeSet("graft_test_ann_rt") == probeSet("graft_test_ann_rt2"),
+      "retrained index diverged from a fresh build on the same corpus")
+    // an un-drifted corpus does not trigger a retrain
+    val (r2, did2) = AnnIndex.retrainAnnIndexIfDrifted(
+      spark, "graft_test_ann_rt", all, maxDrift = 1.25)
+    assert(!did2 && r2 < 1.05, s"spurious retrain at ratio $r2")
+  }
+
   test("probing a non-index table fails fast") {
     intercept[Exception] {
       AnnIndex.probeAnnIndex(spark, "graft_no_such_index", emb,
@@ -191,5 +225,9 @@ class AnnIndexSpec extends SparkSpec {
     // unscopes every later probe (the bug this test pins out)
     AnnIndex.compactAnnIndex(spark, "graft_test_ann_scope")
     assertScoped("after compaction")
+    // and so must a retrain (new model, new codes — same tenancy)
+    AnnIndex.retrainAnnIndex(spark, "graft_test_ann_scope",
+      base.unionByName(extra))
+    assertScoped("after retrain")
   }
 }
