@@ -391,6 +391,115 @@ object Dedup {
          COALESCE(r.clean_text, '') AS clean_text
        FROM nt n LEFT JOIN rb r USING (doc_id)"""
 
+  /** MAXIMAL-SPAN duplicate removal: [[removeDuplicateSpans]] with the
+    * ExactSubstr merge (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" — the canonical unit is the maximal
+    * duplicated PASSAGE, not each k-token fragment of it). The tile
+    * variant picks every duplicated tile's survivor independently, so
+    * a long passage shared by two docs can shred: tile 1 canonical in
+    * doc A, tile 2 in doc B — each doc keeps alternating fragments and
+    * neither retains the contiguous passage a trainer expects. Here
+    * ADJACENT duplicated tiles first coalesce into maximal per-doc
+    * RUNS; the keep-one choice then happens at run granularity (min
+    * (doc_id, start) occurrence of the run's full text), so exactly
+    * one site keeps the passage contiguous and every other site drops
+    * it whole.
+    *
+    * Scale shape: everything stays keyed — tile-frequency shuffle on
+    * tile text, a PARTITIONED window on doc_id for the run grouping
+    * (never a global window), span aggregation co-partitioned with it,
+    * keep-one shuffle on span text, rebuild shuffle on doc_id. The
+    * pair space never materializes; runs are bounded by doc length.
+    * The tile variant remains the cheap mode (no window pass). */
+  def removeDuplicateSpansMerged(docs: DataFrame, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.withColumn("toks", TextFunctions.tokens(col("text")))
+      .withColumn("n_tiles",
+        expr(s"CAST(greatest((size(toks) + ${k - 1}) div $k, 1) AS BIGINT)"))
+    val tiles = toks.select(col("doc_id"), posexplode(
+      expr(s"transform(sequence(0, CAST(n_tiles AS INT) - 1), " +
+        s"i -> array_join(slice(toks, i * $k + 1, $k), ' '))")))
+      .toDF("doc_id", "i", "tile")
+    val occ = tiles.groupBy("tile").agg(count(lit(1)).as("occ"))
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    // a run starts at every dup tile whose predecessor is not a dup;
+    // the running sum of starts numbers each doc's runs (non-dup tiles
+    // inherit a run_id but are filtered out where it matters)
+    val runs = tiles.join(occ, "tile")
+      .withColumn("dup", col("occ") > 1)
+      .withColumn("run_id", sum(
+        when(col("dup") &&
+          !coalesce(lag(col("dup"), 1).over(w), lit(false)), 1L)
+          .otherwise(0L)).over(w))
+    val spans = runs.filter(col("dup"))
+      .groupBy(col("doc_id"), col("run_id"))
+      .agg(min(col("i")).as("start_i"),
+        array_join(expr(
+          "transform(sort_array(collect_list(struct(i, tile))), x -> x.tile)"),
+          " ").as("span"))
+    val spanKeep = spans.groupBy("span")
+      .agg(min(struct(col("doc_id"), col("start_i"))).as("keep"))
+    val keptSpans = spans.join(spanKeep, "span")
+      .filter(col("doc_id") === col("keep.doc_id") &&
+        col("start_i") === col("keep.start_i"))
+      .select(col("doc_id"), col("run_id"), lit(true).as("span_kept"))
+    val kept = runs.join(keptSpans, Seq("doc_id", "run_id"), "left")
+      .filter(!col("dup") || coalesce(col("span_kept"), lit(false)))
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(expr(
+        "transform(sort_array(collect_list(struct(i, tile))), x -> x.tile)"),
+        " ").as("clean_text"))
+    toks.select(col("doc_id"), col("n_tiles"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tiles"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** DuckDB twin of [[removeDuplicateSpansMerged]]. The min-struct
+    * span survivor is replayed as two-level min, as in
+    * [[sqlRemoveDuplicateSpans]]; the run numbering is the identical
+    * running-sum-of-starts window. */
+  def sqlRemoveDuplicateSpansMerged(table: String, k: Int = 8): String =
+    s"""WITH toks AS (SELECT doc_id,
+         ${TextFunctions.sqlTokens("text")} AS tk FROM $table),
+       nt AS (SELECT doc_id, tk,
+           CAST(greatest((len(tk) + ${k - 1}) // $k, 1) AS BIGINT) AS n_tiles
+         FROM toks),
+       ti AS (SELECT doc_id, tk, unnest(range(0, n_tiles)) AS i FROM nt),
+       tl AS (SELECT doc_id, i,
+           array_to_string(tk[i * $k + 1:i * $k + $k], ' ') AS tile FROM ti),
+       oc AS (SELECT tile, count(*) AS occ FROM tl GROUP BY tile),
+       mk AS (SELECT t.doc_id, t.i, t.tile, (oc.occ > 1) AS dup,
+           coalesce(lag(oc.occ > 1)
+             OVER (PARTITION BY t.doc_id ORDER BY t.i), false) AS pdup
+         FROM tl t JOIN oc ON t.tile = oc.tile),
+       rn AS (SELECT doc_id, i, tile, dup,
+           sum(CASE WHEN dup AND NOT pdup THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY i) AS run_id
+         FROM mk),
+       sp AS (SELECT doc_id, run_id, min(i) AS start_i,
+           string_agg(tile, ' ' ORDER BY i) AS span
+         FROM rn WHERE dup GROUP BY doc_id, run_id),
+       sc AS (SELECT span, min(doc_id) AS kd FROM sp GROUP BY span),
+       sk AS (SELECT s.span, min(s.start_i) AS ki
+         FROM sp s JOIN sc c ON s.span = c.span AND s.doc_id = c.kd
+         GROUP BY s.span),
+       ks AS (SELECT s.doc_id, s.run_id FROM sp s
+         JOIN sc c ON s.span = c.span JOIN sk ON s.span = sk.span
+         WHERE s.doc_id = c.kd AND s.start_i = sk.ki),
+       kp AS (SELECT r.doc_id, r.i, r.tile FROM rn r
+         LEFT JOIN ks ON r.doc_id = ks.doc_id AND r.run_id = ks.run_id
+         WHERE NOT r.dup OR ks.doc_id IS NOT NULL),
+       rb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+           string_agg(tile, ' ' ORDER BY i) AS clean_text
+         FROM kp GROUP BY doc_id)
+       SELECT n.doc_id, n.n_tiles,
+         COALESCE(r.n_kept, 0) AS n_kept,
+         COALESCE(r.clean_text, '') AS clean_text
+       FROM nt n LEFT JOIN rb r USING (doc_id)"""
+
   /** DuckDB twin of [[decontaminate]] where the eval set is the subset
     * of `table` satisfying `evalPred` (the fixture's shape). */
   def sqlDecontaminate(table: String, evalPred: String, k: Int = 8): String =

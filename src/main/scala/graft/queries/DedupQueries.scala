@@ -13,6 +13,18 @@ import graft.operators.Dedup
   * portable md5-derived token hash. */
 object DedupQueries {
 
+  /** d20's synthetic long-passage fixture: six docs sharing an
+    * identical 32-token (4-tile) passage behind unique 8-token
+    * (1-tile) prefixes — tile-ALIGNED so the tiling detects it — to
+    * exercise the maximal-span merge cross-engine. Inlined as literals
+    * in both the Spark frame and the DuckDB VALUES list so the two
+    * sides cannot drift. */
+  private val SynthPassageDocs: Seq[(Long, String)] = {
+    val passage = (0 until 32).map(t => s"psg$t").mkString(" ")
+    (0 until 6).map(i => (2000000000L + i,
+      (0 until 8).map(j => s"pre${i}x$j").mkString(" ") + " " + passage))
+  }
+
   /** documents ∪ (documents with shifted ids) — yields real duplicate
     * groups so survivor selection is exercised. */
   private def doubled(s: org.apache.spark.sql.SparkSession, dir: String) = {
@@ -551,6 +563,35 @@ object DedupQueries {
           UNION ALL SELECT doc_id + 1000000000, text FROM documents
           WHERE doc_id < 250),
         x AS (${Dedup.sqlRemoveDuplicateSpans("d2", 8)})
+        SELECT * FROM x ORDER BY doc_id NULLS FIRST""")),
+
+    // ---- d20: MAXIMAL-span duplicate removal (ExactSubstr merge) -----
+    // d19 with adjacent duplicated tiles coalesced into maximal
+    // per-doc runs before the keep-one choice, so a long shared
+    // passage survives contiguously at exactly ONE site instead of
+    // shredding tile-by-tile across canonical docs. Fixture adds six
+    // synthetic docs sharing an aligned 4-tile passage behind unique
+    // 1-tile prefixes: the lowest-id synthetic doc keeps the passage
+    // whole, the other five keep only their prefixes — the contiguity
+    // the tile policy cannot promise (DedupSpec pins the shredding
+    // counter-example).
+    Q("d20_maximal_spans",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+        val planted = docs
+          .unionByName(docs.filter(col("doc_id") < 250)
+            .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+          .unionByName(SynthPassageDocs.toDF("doc_id", "text"))
+        Dedup.removeDuplicateSpansMerged(planted, k = 8).orderBy("doc_id")
+      },
+      Some(s"""WITH d2 AS (SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 1000000000, text FROM documents
+          WHERE doc_id < 250
+          UNION ALL SELECT * FROM (VALUES
+            ${SynthPassageDocs.map { case (id, t) => s"($id, '$t')" }
+              .mkString(",\n            ")}) v(doc_id, text)),
+        x AS (${Dedup.sqlRemoveDuplicateSpansMerged("d2", 8)})
         SELECT * FROM x ORDER BY doc_id NULLS FIRST""")),
   )
 }

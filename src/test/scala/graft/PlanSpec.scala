@@ -284,6 +284,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("maximal-span removal (d20) keys every edge: partitioned window, no cartesian") {
+    val plan = formatted(SparkEntry.queries("d20_maximal_spans")(spark, sf))
+    // tile frequency and the span keep-one pick partial-aggregate
+    assert(plan.contains("partial_count"), plan)
+    assert(plan.contains("partial_min"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+    // the run grouping is the only window shape, and every printed
+    // instance (the runs subtree feeds two consumers, so it appears in
+    // several branches over a reused exchange) is doc_id-PARTITIONED —
+    // bounded by doc length, never a global single-reducer sort
+    val specs = "windowspecdefinition\\(([a-z_]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(specs == Set("doc_id"),
+      s"unexpected window partitioning $specs:\n$plan")
+  }
+
   test("CMS (q34) partial-aggregates the sketch; estimates ride a broadcast") {
     val plan = formatted(SparkEntry.queries("q34_cms_frequency")(spark, sf))
     assert(plan.contains("partial_count"), plan)

@@ -182,6 +182,59 @@ class DedupSpec extends SparkSpec {
     assert(out(1).getAs[String]("clean_text") == "")
   }
 
+  test("removeDuplicateSpansMerged: planted long passage survives contiguously at exactly one site") {
+    // three docs share an aligned 3-tile passage behind unique 1-tile
+    // prefixes; merged semantics keep the passage WHOLE in the lowest
+    // doc and drop it whole elsewhere
+    val passage = (1 to 24).map(i => s"p$i").mkString(" ")
+    def pre(d: Int) = (1 to 8).map(i => s"pre${d}x$i").mkString(" ")
+    val in = Seq(
+      (10L, pre(10) + " " + passage),
+      (20L, pre(20) + " " + passage),
+      (30L, pre(30) + " " + passage)).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpansMerged(in, k = 8)
+      .orderBy("doc_id").collect()
+    // canonical site: prefix + the full contiguous passage
+    assert(out(0).getAs[String]("clean_text") == pre(10) + " " + passage)
+    assert(out(0).getAs[Long]("n_kept") == 4)
+    // every other site drops the run whole — prefixes only, no fragment
+    Seq(1, 2).foreach { r =>
+      val t = out(r).getAs[String]("clean_text")
+      assert(t == pre((r + 1) * 10), s"site $r kept a fragment: $t")
+      assert(!t.contains("p1"), t)
+    }
+  }
+
+  test("removeDuplicateSpansMerged: tile policy shreds a shared run, merged keeps it whole") {
+    // X and Y are dup tiles whose TILE canonicals live in different
+    // docs (X's in doc 0, Y's in doc 1), so the tile policy leaves the
+    // contiguous X-Y passage of docs 5/6 surviving NOWHERE; the merged
+    // policy keeps it contiguous in doc 5 (runs are the canonical
+    // unit). This is exactly the ExactSubstr-semantics gap d20 closes.
+    val x = (1 to 8).map(i => s"x$i").mkString(" ")
+    val y = (1 to 8).map(i => s"y$i").mkString(" ")
+    def f(tag: String) = (1 to 8).map(i => s"$tag$i").mkString(" ")
+    val in = Seq(
+      (0L, x + " " + f("fa")),
+      (1L, y + " " + f("fb")),
+      (5L, f("fe") + " " + x + " " + y),
+      (6L, f("fg") + " " + x + " " + y)).toDF("doc_id", "text")
+    val xy = x + " " + y
+    val tiled = Dedup.removeDuplicateSpans(in, k = 8)
+      .orderBy("doc_id").collect().map(_.getAs[String]("clean_text"))
+    assert(!tiled.exists(_.contains(xy)),
+      s"tile policy unexpectedly kept X Y contiguous: ${tiled.mkString("|")}")
+    val merged = Dedup.removeDuplicateSpansMerged(in, k = 8)
+      .orderBy("doc_id").collect().map(_.getAs[String]("clean_text"))
+    assert(merged.count(_.contains(xy)) == 1,
+      s"merged policy should keep X Y contiguous exactly once: ${merged.mkString("|")}")
+    assert(merged(2).contains(xy), s"doc 5 (lowest run site) should keep it: ${merged.mkString("|")}")
+    // runs that differ as WHOLE spans are distinct canonical units: doc
+    // 0's lone X and doc 1's lone Y keep their own (different) spans
+    assert(merged(0) == x + " " + f("fa"))
+    assert(merged(1) == y + " " + f("fb"))
+  }
+
   test("minhash LSH finds the same pairs as exact Jaccard here") {
     val exact = Dedup.ngramJaccardPairs(docs)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
