@@ -287,9 +287,14 @@ object Accuracy {
           .join(mmr.filter(col("rank") === 1)
             .select(col("qid"), col("vec_id").as("mv")), "qid")
           .agg(sum(when(col("ev") === col("mv"), 0).otherwise(1)).as("bad"))
+        // broadcast the 1-row sides explicitly: AQE happens to pick a
+        // broadcast NLJ today, but a 1-row cross join must never be
+        // left to plan as a shuffled cartesian (PlanSpec gates this
+        // across every registered query)
         val rel = exact.agg(sum(col("cos")).as("se"))
-          .crossJoin(mmr.agg(sum(col("cos")).as("sm")))
-        val div = meanPairSim(exact, "de").crossJoin(meanPairSim(mmr, "dm"))
+          .crossJoin(broadcast(mmr.agg(sum(col("cos")).as("sm"))))
+        val div = meanPairSim(exact, "de")
+          .crossJoin(broadcast(meanPairSim(mmr, "dm")))
         def row(metric: String, bound: Double, src: DataFrame,
             ok: org.apache.spark.sql.Column) =
           src.select(lit(metric).as("metric"), lit(bound).as("bound"),
