@@ -147,7 +147,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val passTotalsJson = passTotals.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"pass_totals":$passTotalsJson,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"pass_totals":$passTotalsJson,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}"""
+    println(line)
+    // the driver's log capture has truncated this line to a tail before
+    // (BENCH_r08 parsed:null — early-alphabet queries invisible); the
+    // file copy keeps the full per-query history round over round
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }
