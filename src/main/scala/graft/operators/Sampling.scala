@@ -230,10 +230,16 @@ object Sampling {
     * hash order — deterministic, partitioning-invariant, and the same
     * set DuckDB's windowed twin selects). `key` must be unique per row
     * (see [[deterministicShuffle]]'s precondition — same tie-break
-    * contract). Output: (doc_id, stratum, n_tokens, cum_tokens). */
+    * contract). Output: (doc_id, stratum, n_tokens, cum_tokens).
+    *
+    * `carryover` seeds each stratum's running total — the nightly-
+    * ingest continuation (StreamingNightlyIngest): night N+1's scan
+    * resumes exactly where night N's left off, so the concatenated
+    * nightly keeps equal ONE scan over the concatenated batches in
+    * arrival order. Bounded driver state (one entry per stratum). */
   def tokenBudgetSample(df: DataFrame, key: Column, stratum: Column,
       tokens: Column, budget: Long, salt: String,
-      numParts: Int = 0): DataFrame = {
+      numParts: Int = 0, carryover: Map[String, Long] = Map.empty): DataFrame = {
     require(budget >= 0, s"budget must be non-negative, got $budget")
     val spark = df.sparkSession
     import spark.implicits._
@@ -254,7 +260,7 @@ object Sampling {
     // exclusive per-stratum scan over the (partition, stratum)
     // subtotals in partition order — driver work is O(entries), and
     // contiguity keeps entries ≈ P + strata, not P × strata
-    val running = scala.collection.mutable.Map.empty[String, Long]
+    val running = scala.collection.mutable.Map.empty[String, Long] ++= carryover
     val bases = subtotals.sortBy(_._1._1).map { case ((pid, s), t) =>
       val b = running.getOrElse(s, 0L)
       running(s) = b + t

@@ -127,6 +127,132 @@ object CorpusPrep {
               AS start_tok
           FROM sh2)"""
 
+  // ---- p07 fixtures: d13's two-night ingest, with lang/n_chars ------
+  // carried so the quality and budget stages have their inputs. Night
+  // A (+1e9): 250 lightly-edited corpus replays (near-dups, drop) + 50
+  // fresh docs (survive). Night B (+2e9): 50 exact copies of A's fresh
+  // (drop iff A's append landed) + 100 replays of corpus docs 300-399
+  // (drop iff the originals survived maintenance) + 50 novel docs
+  // (survive).
+  private val P07Budget = 150L
+
+  private def nightA7(docs: DataFrame): DataFrame = {
+    val near = docs.filter(col("doc_id") < 250)
+      .select((col("doc_id") + 1000000000L).as("doc_id"),
+        concat(col("text"), lit(" zz edit marker token pad")).as("text"),
+        col("lang"), col("n_chars"))
+    val fresh = docs.filter(col("doc_id") >= 250 && col("doc_id") < 300)
+      .select((col("doc_id") + 1000000000L).as("doc_id"),
+        concat(lit("brand new document number "), col("doc_id").cast("string"),
+          lit(" with totally unseen vocabulary alpha beta gamma delta" +
+            " epsilon zeta eta theta")).as("text"),
+        col("lang"), col("n_chars"))
+    near.unionByName(fresh)
+  }
+
+  private def nightB7(docs: DataFrame): DataFrame = {
+    val copies = docs.filter(col("doc_id") >= 250 && col("doc_id") < 300)
+      .select((col("doc_id") + 2000000000L).as("doc_id"),
+        concat(lit("brand new document number "), col("doc_id").cast("string"),
+          lit(" with totally unseen vocabulary alpha beta gamma delta" +
+            " epsilon zeta eta theta")).as("text"),
+        col("lang"), col("n_chars"))
+    val replays = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+      .select((col("doc_id") + 2000000000L).as("doc_id"),
+        concat(col("text"), lit(" zz edit marker token pad")).as("text"),
+        col("lang"), col("n_chars"))
+    val fresh = docs.filter(col("doc_id") >= 400 && col("doc_id") < 450)
+      .select((col("doc_id") + 2000000000L).as("doc_id"),
+        concat(lit("second night novel document "), col("doc_id").cast("string"),
+          lit(" with different unseen vocabulary nu xi omicron pi rho" +
+            " sigma tau upsilon phi chi")).as("text"),
+        col("lang"), col("n_chars"))
+    copies.unionByName(replays).unionByName(fresh)
+  }
+
+  /** p07's chained oracle: quality → two-night exact-Jaccard survivors
+    * → resumed per-lang budget scan → global pack prefix → shard
+    * manifest. Night-B doc ids all exceed night-A's, so the pack order
+    * (night, doc_id) collapses to doc_id. */
+  private val sqlP07Manifest: String =
+    s"""WITH ba AS (
+        SELECT doc_id + 1000000000 AS doc_id,
+            text || ' zz edit marker token pad' AS text, lang, n_chars
+          FROM documents WHERE doc_id < 250
+        UNION ALL SELECT doc_id + 1000000000,
+            'brand new document number ' || CAST(doc_id AS VARCHAR) ||
+            ' with totally unseen vocabulary alpha beta gamma delta' ||
+            ' epsilon zeta eta theta', lang, n_chars
+          FROM documents WHERE doc_id >= 250 AND doc_id < 300),
+      bb AS (
+        SELECT doc_id + 2000000000 AS doc_id,
+            'brand new document number ' || CAST(doc_id AS VARCHAR) ||
+            ' with totally unseen vocabulary alpha beta gamma delta' ||
+            ' epsilon zeta eta theta' AS text, lang, n_chars
+          FROM documents WHERE doc_id >= 250 AND doc_id < 300
+        UNION ALL SELECT doc_id + 2000000000,
+            text || ' zz edit marker token pad', lang, n_chars
+          FROM documents WHERE doc_id >= 300 AND doc_id < 400
+        UNION ALL SELECT doc_id + 2000000000,
+            'second night novel document ' || CAST(doc_id AS VARCHAR) ||
+            ' with different unseen vocabulary nu xi omicron pi rho' ||
+            ' sigma tau upsilon phi chi', lang, n_chars
+          FROM documents WHERE doc_id >= 400 AND doc_id < 450),
+      qa AS (SELECT * FROM ba WHERE length(trim(text)) > 0
+        AND ${TextFunctions.sqlQuality("text", "n_chars")} >= 0.5),
+      qb AS (SELECT * FROM bb WHERE length(trim(text)) > 0
+        AND ${TextFunctions.sqlQuality("text", "n_chars")} >= 0.5),
+      d3 AS (SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM qa
+        UNION ALL SELECT doc_id, text FROM qb),
+      ${Dedup.sqlJaccardCtes("d3")},
+      dupa AS (SELECT DISTINCT id_b AS doc_id FROM jp
+        WHERE id_a < 1000000000
+          AND id_b >= 1000000000 AND id_b < 2000000000),
+      sva AS (SELECT doc_id FROM qa
+        WHERE doc_id NOT IN (SELECT doc_id FROM dupa)),
+      dupb AS (SELECT DISTINCT id_b AS doc_id FROM jp
+        WHERE id_b >= 2000000000
+          AND (id_a < 1000000000 OR id_a IN (SELECT doc_id FROM sva))),
+      svb AS (SELECT doc_id FROM qb
+        WHERE doc_id NOT IN (SELECT doc_id FROM dupb)),
+      sv AS (
+        SELECT 1 AS night, q.doc_id, q.lang,
+            CAST(${TextFunctions.sqlTokenCount("q.text")} AS BIGINT)
+              AS n_tokens,
+            substr(md5(CAST(q.doc_id AS VARCHAR) || ':p07b'), 1, 13) AS h
+          FROM qa q JOIN sva USING (doc_id)
+        UNION ALL SELECT 2, q.doc_id, q.lang,
+            CAST(${TextFunctions.sqlTokenCount("q.text")} AS BIGINT),
+            substr(md5(CAST(q.doc_id AS VARCHAR) || ':p07b'), 1, 13)
+          FROM qb q JOIN svb USING (doc_id)),
+      cm AS (SELECT night, doc_id, n_tokens,
+          CAST(sum(n_tokens) OVER (PARTITION BY lang
+            ORDER BY night, h, doc_id) AS BIGINT) AS cum
+        FROM sv),
+      kept AS (SELECT night, doc_id, n_tokens FROM cm
+        WHERE cum <= $P07Budget),
+      pk AS (SELECT doc_id, n_tokens,
+          CAST(COALESCE(sum(n_tokens) OVER (ORDER BY night, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS start_tok
+        FROM kept),
+      sp AS (SELECT doc_id, n_tokens, start_tok,
+          start_tok // 256 AS shard_first,
+          greatest(start_tok // 256,
+            (start_tok + n_tokens - 1) // 256) AS shard_last
+        FROM pk),
+      ex AS (SELECT doc_id, n_tokens, start_tok,
+          unnest(range(shard_first, shard_last + 1)) AS shard FROM sp),
+      ov AS (SELECT shard, doc_id,
+          least((shard + 1) * 256, start_tok + n_tokens) -
+            greatest(shard * 256, start_tok) AS tok_in_shard FROM ex)
+      SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+        CAST(sum(tok_in_shard) AS BIGINT) AS n_tokens,
+        CAST(min(doc_id) AS BIGINT) AS min_pos,
+        CAST(max(doc_id) AS BIGINT) AS max_pos
+      FROM ov GROUP BY shard ORDER BY shard NULLS FIRST"""
+
   val all: Seq[Q] = Seq(
 
     Q("p01_corpus_prep",
@@ -323,6 +449,57 @@ object CorpusPrep {
     // replicated stream. Copies of one doc land at unrelated
     // positions because md5 mixes copy_idx into the hash — the
     // 8-stage chain stays hash-exact end to end.
+    // ---- p07: the COMPOSED nightly-ingest loop -----------------------
+    // Every maintained artifact advanced against the same two nightly
+    // batches in dependency order (StreamingNightlyIngest.nightStep):
+    // quality gate → near-dup probe/append against the persisted index
+    // (d13's two-night fixture, quality-gated) → token-budget gate
+    // whose per-lang scan RESUMES across nights via the persisted
+    // totals table → ANN append of admitted docs' vectors → pack with
+    // offsets continuing from the layout end → shard append. Output =
+    // the final trainer-facing shard manifest, hash-checked against a
+    // DuckDB chain of the same stages (quality CTEs → exact-Jaccard
+    // two-night survivors → one monotone per-lang budget scan ordered
+    // (night, hash, id) → global pack prefix → shard tiling). The ANN
+    // leg has no SQL twin (engine-specific codes); its maintenance is
+    // gated by StreamingNightlyIngestSpec's parity + layout walks.
+    Q("p07_nightly_ingest",
+      (s, dir) => {
+        import graft.streaming.StreamingNightlyIngest
+        val docs = Tables(s, dir, "documents")
+        val arts = StreamingNightlyIngest.Artifacts("graft_p07_nd",
+          "graft_p07_ann", "graft_p07_anncorpus", "graft_p07_budget",
+          new java.io.File(sys.props("java.io.tmpdir"),
+            "graft_p07_shards").getAbsolutePath)
+        // fresh two-night replay per run: clear the non-generation
+        // artifacts (the indexes rebuild through their pointers)
+        Seq(arts.annCorpusTable, arts.budgetTable)
+          .foreach(graft.operators.Generations.dropTableAndLocation(s, _))
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+        }
+        rm(new java.io.File(arts.shardPath))
+        Dedup.writeNearDupIndex(
+          docs.select(col("doc_id"), col("text")), arts.ndIndex)
+        val corpusVecs = docs.select(col("doc_id"))
+          .withColumn("embedding", StreamingNightlyIngest.synthEmbedding)
+          .select(col("doc_id").as("vec_id"), col("embedding"))
+        graft.operators.AnnIndex.writeAnnIndex(corpusVecs, arts.annIndex,
+          nCells = 8, m = 8, ksub = 16)
+        corpusVecs.write.format("parquet").mode("overwrite")
+          .saveAsTable(arts.annCorpusTable)
+        Seq(nightA7(docs), nightB7(docs)).foreach { b =>
+          StreamingNightlyIngest.nightStep(arts,
+            b.withColumn("embedding", StreamingNightlyIngest.synthEmbedding),
+            budget = P07Budget, salt = "p07b", tokensPerShard = 256L)
+          ()
+        }
+        val back = s.read.parquet(arts.shardPath)
+          .withColumn("shard", col("shard").cast("long"))
+        Sharding.manifest(back, "doc_id").orderBy("shard")
+      },
+      Some(sqlP07Manifest)),
+
     Q("p06_epoch_pack",
       (s, dir) => {
         val w = Seq("en" -> 0.5, "de" -> 2.0, "es" -> 1.0,

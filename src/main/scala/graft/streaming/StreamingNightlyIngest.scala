@@ -1,0 +1,151 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.functions.TextFunctions
+import graft.operators.{AnnIndex, Dedup, Frontier, Packing, Sampling, Sharding}
+
+/** The COMPOSED nightly-ingest loop: every maintained artifact this
+  * engine keeps — the near-dup index, the ANN index + raw-vector
+  * corpus, the per-stratum token-budget state, and the trainer shard
+  * layout — advanced against the SAME batch in one `foreachBatch`
+  * step. [[StreamingNearDupIngest]], [[StreamingAnnIngest]] and
+  * [[StreamingShardIngest]] each prove their loop alone; a production
+  * pipeline runs them together, in dependency order, per batch:
+  *
+  *   quality gate → near-dup probe (survivors appended to the index)
+  *     → token-budget gate (persisted per-stratum totals, so night
+  *       N+1's scan RESUMES night N's — not a fresh budget per batch)
+  *     → ANN append of the admitted docs' vectors
+  *     → pack (offsets continuing from the layout's current end)
+  *     → shard append (sealed shards untouched).
+  *
+  * Ordering rationale: dedup sees every quality-passing doc (a doc
+  * over budget tonight must still be in the index, or its copy
+  * re-enters tomorrow); the budget gate sees only dedup survivors (a
+  * duplicate must not consume budget); the trainer-facing artifacts
+  * (ANN index, shards) see only ADMITTED docs — what a retrieval user
+  * or a trainer mounts is exactly the kept corpus.
+  *
+  * Per batch the work is batch-sized end to end: the corpus-sized
+  * index sides never re-shuffle (the d12/s09 layout contracts, held by
+  * the same probe/append paths the standalone loops use), the budget
+  * state is one row per stratum, and the shard append rewrites one
+  * boundary shard. `compactEvery` folds BOTH index compactions in —
+  * each is a [[graft.operators.Generations]] pointer swap, safe
+  * mid-stream because foreachBatch sequences batches strictly.
+  *
+  * Replaying N micro-batches ≡ N sequential [[nightStep]] calls
+  * (StreamingNightlyIngestSpec replays both paths and compares every
+  * artifact), which is what makes the composition oracle-checkable:
+  * p07 registers the two-night batch replay and hash-checks the final
+  * shard manifest against a DuckDB chain of the same stages.
+  */
+object StreamingNightlyIngest {
+
+  /** Artifact names for one composed pipeline instance. `budgetTable`
+    * is the persisted per-stratum running-total state (one row per
+    * stratum — the q30 scan's resume point); `annCorpusTable` holds
+    * raw vectors for ANN re-rank (codes live in the index). */
+  final case class Artifacts(ndIndex: String, annIndex: String,
+    annCorpusTable: String, budgetTable: String, shardPath: String)
+
+  /** Deterministic synthetic 16-dim embedding keyed on `doc_id` — the
+    * vector column doc-keyed fixtures attach so the composed loop can
+    * exercise the ANN leg (documents and embeddings are separate
+    * fixture tables; a real pipeline's embedder sits here). */
+  def synthEmbedding: org.apache.spark.sql.Column =
+    expr("transform(sequence(0, 15), j -> " +
+      "CAST(CAST(pmod(hash(doc_id, j), 997) AS FLOAT) / CAST(499.0 AS FLOAT)" +
+      " - CAST(1.0 AS FLOAT) AS FLOAT))")
+
+  /** Read the persisted per-stratum totals (empty on first night). */
+  def usedBudget(spark: SparkSession, budgetTable: String): Map[String, Long] =
+    if (!spark.catalog.tableExists(budgetTable)) Map.empty
+    else spark.table(budgetTable).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** One night as a plain function — shared by the streaming loop and
+    * any batch scheduler (p07 calls it directly). `batch` carries
+    * (doc_id, text, lang, n_chars, embedding); returns the ADMITTED
+    * set (doc_id, lang, n_tokens) after all artifacts advanced. */
+  def nightStep(arts: Artifacts, batch: DataFrame, budget: Long,
+      salt: String, seqBudget: Int = 256,
+      tokensPerShard: Long = 2048L): DataFrame = {
+    val spark = batch.sparkSession
+    // 1. quality gate — p01's stage-1 predicate, narrow
+    val quality = Frontier.pin(batch
+      .filter(length(trim(col("text"))) > 0)
+      .filter(TextFunctions.quality(col("text"), col("n_chars")) >= 0.5))
+    // 2. near-dup probe + append (the d12/d13 loop): survivors of the
+    //    batch vs everything previously ingested; ALL survivors are
+    //    appended so tomorrow's copies of tonight's over-budget docs
+    //    still dedup
+    val survivors = StreamingNearDupIngest.probeAndAppend(
+      arts.ndIndex, quality.select(col("doc_id"), col("text")))
+      .select("doc_id").join(quality, Seq("doc_id"))
+    val withTokens = Frontier.pin(survivors.select(col("doc_id"),
+      col("lang"), col("embedding"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")))
+    // 3. token-budget gate, RESUMING the persisted per-stratum scan
+    val used = usedBudget(spark, arts.budgetTable)
+    val kept = Frontier.pin(Sampling.tokenBudgetSample(withTokens,
+        col("doc_id"), col("lang"), col("n_tokens"), budget, salt,
+        carryover = used)
+      .select(col("doc_id"), col("stratum").as("lang"), col("n_tokens")))
+    // every survivor consumes budget (the scan is one monotone prefix
+    // over nights); persist the advanced totals — one row per stratum
+    val advanced = withTokens.groupBy(col("lang"))
+      .agg(sum(col("n_tokens")).as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merged = (used.keySet ++ advanced.keySet).toSeq.sorted
+      .map(s => (s, used.getOrElse(s, 0L) + advanced.getOrElse(s, 0L)))
+    import spark.implicits._
+    merged.toDF("lang", "used").coalesce(1)
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(arts.budgetTable)
+    // 4. ANN index + raw-vector corpus gain the ADMITTED docs
+    val admittedVecs = withTokens.join(kept.select("doc_id"), "doc_id")
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    AnnIndex.appendToAnnIndex(admittedVecs, arts.annIndex)
+    admittedVecs.write.format("parquet").mode("append")
+      .saveAsTable(arts.annCorpusTable)
+    spark.catalog.refreshTable(arts.annCorpusTable)
+    // 5. pack the admitted set in doc_id order, offsets continuing
+    //    from the layout's current end; 6. append to the shard layout
+    val base = StreamingShardIngest.layoutEnd(spark, arts.shardPath)
+    val packed = Packing.packPlan(kept.select(col("doc_id"),
+        col("n_tokens")), "doc_id", "n_tokens", seqBudget)
+      .select(col("doc_id"), col("n_tokens"),
+        (col("start_tok") + base).as("start_tok"))
+    val assign = Sharding.shardAssignments(packed, tokensPerShard)
+    if (base == 0L) Sharding.writeShards(assign, arts.shardPath)
+    else Sharding.appendShards(assign, arts.shardPath)
+    kept
+  }
+
+  /** Drive the composed loop from a streaming (doc_id, text, lang,
+    * n_chars, embedding) frame. `sink(kept, batchId)` receives each
+    * night's admitted set. `compactEvery = n` compacts BOTH maintained
+    * indexes after every n-th batch (generation swaps — reader-safe
+    * mid-stream). */
+  def start(spark: SparkSession, docs: DataFrame, arts: Artifacts,
+      budget: Long, salt: String, seqBudget: Int = 256,
+      tokensPerShard: Long = 2048L, compactEvery: Int = 0)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val step: (Dataset[Row], Long) => Unit = (batch, batchId) => {
+      val b = batch.persist()
+      try {
+        sink(nightStep(arts, b.toDF(), budget, salt, seqBudget,
+          tokensPerShard), batchId)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          Dedup.compactNearDupIndex(b.sparkSession, arts.ndIndex)
+          AnnIndex.compactAnnIndex(b.sparkSession, arts.annIndex)
+        }
+      } finally b.unpersist()
+    }
+    docs.writeStream.outputMode("append").foreachBatch(step).start()
+  }
+}

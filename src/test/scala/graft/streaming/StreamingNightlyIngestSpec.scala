@@ -1,0 +1,153 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.{IndexLayoutChecks, SparkSpec, Tables}
+import graft.operators.{AnnIndex, Dedup, Generations, Sharding}
+
+/** The composed nightly-ingest loop's two contracts:
+  *
+  *  1. PARITY — N micro-batches through [[StreamingNightlyIngest.start]]
+  *     (with compactEvery=1, so BOTH index compactions fold in) produce
+  *     the same admitted sets, the same budget state, and the same
+  *     shard layout as N sequential [[StreamingNightlyIngest.nightStep]]
+  *     calls on a twin set of artifacts.
+  *  2. LAYOUT — after the composed run (build + appends + compactions),
+  *     both maintained indexes still honor their scan contracts: the
+  *     near-dup probe reads its bucketed tables without an exchange,
+  *     and the ANN probe's cell scan carries dynamic partition pruning.
+  */
+case class NightDoc(doc_id: Long, text: String, lang: String, n_chars: Long)
+
+class StreamingNightlyIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkArts(tag: String) = StreamingNightlyIngest.Artifacts(
+    s"graft_sni_${tag}_nd", s"graft_sni_${tag}_ann",
+    s"graft_sni_${tag}_anncorpus", s"graft_sni_${tag}_budget",
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_sni_${tag}_shards").getAbsolutePath)
+
+  private def reset(arts: StreamingNightlyIngest.Artifacts,
+      corpus: DataFrame): Unit = {
+    Seq(arts.annCorpusTable, arts.budgetTable)
+      .foreach(Generations.dropTableAndLocation(spark, _))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(arts.shardPath))
+    Dedup.writeNearDupIndex(
+      corpus.select(col("doc_id"), col("text")), arts.ndIndex, numBuckets = 4)
+    val vecs = corpus.select(col("doc_id"))
+      .withColumn("embedding", StreamingNightlyIngest.synthEmbedding)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    AnnIndex.writeAnnIndex(vecs, arts.annIndex, nCells = 4, m = 8, ksub = 16)
+    vecs.write.format("parquet").mode("overwrite")
+      .saveAsTable(arts.annCorpusTable)
+  }
+
+  test("stream == sequential nights on every artifact; layouts hold after the run") {
+    val corpus = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .filter(col("doc_id") < 120).localCheckpoint()
+
+    // three nights: replays of corpus docs (near-dups of the index —
+    // drop) + fresh docs (survive); night n+1 replays night n's fresh
+    // docs too (drop iff the append landed)
+    def fresh(night: Int, n: Int): Seq[NightDoc] =
+      (0 until n).map { i =>
+        NightDoc(night * 1000000000L + 500 + i,
+          s"night $night novel document $i with distinct vocabulary " +
+            s"alpha$night$i beta gamma delta epsilon zeta eta theta iota " +
+            "kappa lambda mu nu xi omicron",
+          if (i % 2 == 0) "en" else "de", 90L)
+      }
+    val replayRows = corpus.filter(col("doc_id") < 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    def replays(night: Int): Seq[NightDoc] = replayRows.map { case (id, t, l, c) =>
+      NightDoc(night * 1000000000L + id, t + " zz edit pad", l, c)
+    }.toSeq
+    val batches: Seq[Seq[NightDoc]] = Seq(
+      replays(1) ++ fresh(1, 6),
+      replays(2) ++ fresh(1, 6).map(d => d.copy(doc_id = d.doc_id + 1000000000L))
+        ++ fresh(2, 5),
+      fresh(3, 4))
+
+    val budget = 120L
+    def embed(df: DataFrame): DataFrame =
+      df.withColumn("embedding", StreamingNightlyIngest.synthEmbedding)
+
+    // ---- path 1: sequential nightStep calls -------------------------
+    val artsSeq = mkArts("seq")
+    reset(artsSeq, corpus)
+    val seqKept = batches.map { b =>
+      StreamingNightlyIngest.nightStep(artsSeq, embed(b.toDF()), budget,
+          salt = "snit")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    }
+
+    // ---- path 2: the streaming loop, compacting every batch ---------
+    val artsStr = mkArts("str")
+    reset(artsStr, corpus)
+    val got = scala.collection.mutable.Map[Long, Set[(Long, String, Long)]]()
+    val mem = MemoryStream[NightDoc](spark)
+    val q = StreamingNightlyIngest.start(spark, embed(mem.toDF()), artsStr,
+        budget, salt = "snit", compactEvery = 1) { (kept, id) =>
+      got(id) = kept.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    }
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    // parity: admitted sets night by night
+    assert(got.size == batches.size)
+    got.toSeq.sortBy(_._1).map(_._2).zip(seqKept).zipWithIndex.foreach {
+      case ((g, e), i) => assert(g == e, s"night ${i + 1}: stream=$g seq=$e")
+    }
+    // the fixture exercised the gates: replays dropped (night 2's copy
+    // of night 1's fresh docs too), budget bound somewhere
+    assert(seqKept.head.nonEmpty)
+    assert(!seqKept(1).exists(_._1 < 3000000000L + 500),
+      s"night-2 replays should have dropped: ${seqKept(1)}")
+    val admittedTokens = seqKept.flatten.groupBy(_._2)
+      .map { case (l, ds) => l -> ds.map(_._3).sum }
+    assert(admittedTokens.values.forall(_ <= budget))
+
+    // parity: budget state tables identical
+    def budgetState(t: String) = spark.table(t).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(budgetState(artsSeq.budgetTable) == budgetState(artsStr.budgetTable))
+
+    // parity: shard layouts identical (manifest row sets)
+    def manifestOf(path: String) = Sharding.manifest(
+        spark.read.parquet(path).withColumn("shard", col("shard").cast("long")),
+        "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val mSeq = manifestOf(artsSeq.shardPath)
+    assert(mSeq == manifestOf(artsStr.shardPath))
+    assert(mSeq.nonEmpty)
+
+    // parity: ANN indexes answer identically after the composed run
+    val rerank = spark.table(artsStr.annCorpusTable)
+    def annProbe(arts: StreamingNightlyIngest.Artifacts) =
+      AnnIndex.probeQueries(spark, arts.annIndex,
+          rerank.filter(col("vec_id") < 4), rerank, k = 5, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(annProbe(artsStr) == annProbe(artsSeq))
+
+    // layout contracts still hold on the compacted, appended indexes
+    val probeBatch = corpus.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 9000000000L).as("doc_id"), col("text"))
+      .localCheckpoint()
+    IndexLayoutChecks.assertNearDupProbeLayout(spark, artsStr.ndIndex,
+      probeBatch)
+    IndexLayoutChecks.assertAnnProbePruned(
+      AnnIndex.probeQueries(spark, artsStr.annIndex,
+        rerank.filter(col("vec_id") < 4), rerank, k = 5, nprobe = 2))
+  }
+}
