@@ -113,6 +113,17 @@ object Generations {
     members.foreach(m => spark.catalog.refreshTable(physical(name, m, gen)))
   }
 
+  /** Remove the whole family: every generation of every member plus
+    * the manifest — the reset path for fixtures/tests (a production
+    * deployment rebuilds THROUGH the pointer instead and never needs
+    * this). */
+  def destroy(spark: SparkSession, name: String,
+      members: Seq[String]): Unit = {
+    gcExcept(spark, name, members, None)
+    sweepStrayDirs(spark, name, members)
+    dropTableAndLocation(spark, manifest(name))
+  }
+
   /** Drop every cataloged generation of the family except `keep` —
     * always safe: anything that is not the pointer's target is either
     * pre-flip debris or a post-flip leftover. Member names are matched

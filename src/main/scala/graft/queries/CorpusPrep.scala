@@ -471,10 +471,11 @@ object CorpusPrep {
           "graft_p07_ann", "graft_p07_anncorpus", "graft_p07_budget",
           new java.io.File(sys.props("java.io.tmpdir"),
             "graft_p07_shards").getAbsolutePath)
-        // fresh two-night replay per run: clear the non-generation
-        // artifacts (the indexes rebuild through their pointers)
-        Seq(arts.annCorpusTable, arts.budgetTable)
-          .foreach(graft.operators.Generations.dropTableAndLocation(s, _))
+        // fresh two-night replay per run: clear the corpus table, the
+        // budget-state family, and the shard dir (the indexes rebuild
+        // through their generation pointers)
+        graft.operators.Generations.dropTableAndLocation(s, arts.annCorpusTable)
+        graft.operators.Generations.destroy(s, arts.budgetTable, Seq("state"))
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
         }

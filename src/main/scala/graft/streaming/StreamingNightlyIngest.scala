@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.functions.TextFunctions
-import graft.operators.{AnnIndex, Dedup, Frontier, Packing, Sampling, Sharding}
+import graft.operators.{AnnIndex, Dedup, Frontier, Generations, Packing, Sampling, Sharding}
 
 /** The COMPOSED nightly-ingest loop: every maintained artifact this
   * engine keeps — the near-dup index, the ANN index + raw-vector
@@ -61,11 +61,21 @@ object StreamingNightlyIngest {
       "CAST(CAST(pmod(hash(doc_id, j), 997) AS FLOAT) / CAST(499.0 AS FLOAT)" +
       " - CAST(1.0 AS FLOAT) AS FLOAT))")
 
+  /** The budget-state family's member under [[Generations]] — the
+    * totals swap behind the same atomic pointer the indexes use (a
+    * plain overwrite would have a no-table window; a crash there
+    * would reset every stratum's budget to zero and silently
+    * over-admit on the next night). */
+  private val BudgetMembers = Seq("state")
+
   /** Read the persisted per-stratum totals (empty on first night). */
   def usedBudget(spark: SparkSession, budgetTable: String): Map[String, Long] =
-    if (!spark.catalog.tableExists(budgetTable)) Map.empty
-    else spark.table(budgetTable).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Generations.currentGen(spark, budgetTable) match {
+      case None => Map.empty
+      case Some(_) =>
+        spark.table(Generations.resolve(spark, budgetTable, "state"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
 
   /** One night as a plain function — shared by the streaming loop and
     * any batch scheduler (p07 calls it directly). `batch` carries
@@ -103,9 +113,11 @@ object StreamingNightlyIngest {
     val merged = (used.keySet ++ advanced.keySet).toSeq.sorted
       .map(s => (s, used.getOrElse(s, 0L) + advanced.getOrElse(s, 0L)))
     import spark.implicits._
+    val bgen = Generations.begin(spark, arts.budgetTable, BudgetMembers)
     merged.toDF("lang", "used").coalesce(1)
-      .write.mode("overwrite").format("parquet")
-      .saveAsTable(arts.budgetTable)
+      .write.format("parquet")
+      .saveAsTable(Generations.physical(arts.budgetTable, "state", bgen))
+    Generations.commit(spark, arts.budgetTable, bgen, BudgetMembers)
     // 4. ANN index + raw-vector corpus gain the ADMITTED docs
     val admittedVecs = withTokens.join(kept.select("doc_id"), "doc_id")
       .select(col("doc_id").as("vec_id"), col("embedding"))

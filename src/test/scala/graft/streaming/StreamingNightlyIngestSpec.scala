@@ -32,8 +32,8 @@ class StreamingNightlyIngestSpec extends SparkSpec {
 
   private def reset(arts: StreamingNightlyIngest.Artifacts,
       corpus: DataFrame): Unit = {
-    Seq(arts.annCorpusTable, arts.budgetTable)
-      .foreach(Generations.dropTableAndLocation(spark, _))
+    Generations.dropTableAndLocation(spark, arts.annCorpusTable)
+    Generations.destroy(spark, arts.budgetTable, Seq("state"))
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
     }
@@ -117,8 +117,10 @@ class StreamingNightlyIngestSpec extends SparkSpec {
       .map { case (l, ds) => l -> ds.map(_._3).sum }
     assert(admittedTokens.values.forall(_ <= budget))
 
-    // parity: budget state tables identical
-    def budgetState(t: String) = spark.table(t).collect()
+    // parity: budget state tables identical (resolved through their
+    // generation pointers — the state swaps atomically per night)
+    def budgetState(t: String) = spark.table(
+        Generations.resolve(spark, t, "state")).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSet
     assert(budgetState(artsSeq.budgetTable) == budgetState(artsStr.budgetTable))
 
