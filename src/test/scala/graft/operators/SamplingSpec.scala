@@ -209,6 +209,42 @@ class SamplingSpec extends SparkSpec {
       df.agg(sum("ntok")).head().getLong(0))
   }
 
+  test("token budget carryover: night N+1 resumes night N's scan exactly") {
+    val df = spark.range(0, 4000).select(col("id"),
+      (col("id") % 3).cast("string").as("dom"),
+      (col("id") % 11 + 1).as("ntok"))
+    val night1 = df.filter(col("id") < 300)
+    val night2 = df.filter(col("id") >= 300)
+    val budget = 1500L
+    def keep(d: org.apache.spark.sql.DataFrame,
+        base: Map[String, Long] = Map.empty) =
+      Sampling.tokenBudgetSample(d, col("id"), col("dom"), col("ntok"),
+          budget, "tb-co", carryover = base)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val k1 = keep(night1)
+    // every night-1 row consumes budget, kept or not — the scan is one
+    // monotone prefix over nights
+    val used1 = night1.groupBy("dom").agg(sum("ntok").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k2 = keep(night2, used1)
+    // reference: ONE windowed scan over both nights in arrival order
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("dom")
+      .orderBy(col("night"),
+        substring(md5(concat(col("id").cast("string"), lit(":tb-co"))), 1, 13),
+        col("id"))
+    val ref = night1.withColumn("night", lit(1))
+      .unionByName(night2.withColumn("night", lit(2)))
+      .withColumn("cum", sum(col("ntok")).over(w))
+      .filter(col("cum") <= budget)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert((k1 ++ k2) == ref,
+      s"carryover diverged: ${(k1 ++ k2).size} vs ${ref.size}")
+    // the fixture is non-degenerate: night 1 leaves headroom in some
+    // stratum (night 2 admits someone) but not unlimited (someone drops)
+    assert(k2.nonEmpty)
+    assert(k2.size < night2.count())
+  }
+
   test("stratified quota: exactly min(k, |stratum|) rows, window-equivalent, retry-stable") {
     val df = spark.range(n).select(col("id"),
       when(col("id") % 100 === 0, "rare").otherwise("common").as("strat"))
