@@ -202,17 +202,29 @@ object AnnIndex {
     * [[Dedup.compactNearDupIndex]]'s rewrite pattern applies if the
     * per-append files ever matter, but cells are directories here, so
     * probes prune rather than list them all). */
-  def appendToAnnIndex(batch: DataFrame, name: String): Unit = {
+  /** `ifAbsent = true` makes the append IDEMPOTENT by vec_id: already-
+    * indexed ids are skipped via an anti-join against the cells
+    * table's one id column (a column-pruned scan of the ~32×
+    * compressed codes — the d09 anti-join class of cost) — the
+    * at-least-once contract a replayed micro-batch needs: a blind
+    * re-append would land duplicate code rows and the probe would
+    * return duplicate candidates. */
+  def appendToAnnIndex(batch: DataFrame, name: String,
+      ifAbsent: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val (dim, m, _, residual) = geometry(spark, name)
     val scope = scopeOf(spark, name)
     require(scope.forall(batch.columns.contains),
       s"index $name is scoped on ${scope.mkString(",")}; batch must carry those columns")
+    val ct = cellsTable(spark, name)
+    val toAdd =
+      if (ifAbsent) batch.join(spark.table(ct).select("vec_id"),
+        Seq("vec_id"), "left_anti")
+      else batch
     val (cents0, books0) = loadModel(spark, name, m)
     val cents = spark.sparkContext.broadcast(cents0)
     val bb = spark.sparkContext.broadcast(books0)
-    val ct = cellsTable(spark, name)
-    encoded(batch, cents, bb, dim, m, residual, scope)
+    encoded(toAdd, cents, bb, dim, m, residual, scope)
       .write.format("parquet").mode("append").partitionBy("cell")
       .saveAsTable(ct)
     spark.catalog.refreshTable(ct)

@@ -762,7 +762,15 @@ object Dedup {
     * (LayoutSpec re-asserts the no-exchange walk AFTER an append).
     * Cost per ingest: one signature scan of the batch + a batch-sized
     * bucketed write; the corpus-sized index is never rewritten. */
-  def appendToNearDupIndex(batch: DataFrame, name: String, k: Int = 5): Unit = {
+  /** `ifAbsent = true` makes the append IDEMPOTENT by doc_id: ids
+    * already in the index are skipped via an anti-join against the
+    * sigs table — bucketed on doc_id, so the index side joins in
+    * place and only the batch-sized side shuffles. This is the
+    * at-least-once contract a replayed micro-batch needs (foreachBatch
+    * re-delivers the last batch after a crash; a blind re-append would
+    * land duplicate signature rows and grow the index forever). */
+  def appendToNearDupIndex(batch: DataFrame, name: String, k: Int = 5,
+      ifAbsent: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val catalog = spark.sessionState.catalog
     def spec(t: String) = catalog
@@ -770,7 +778,11 @@ object Dedup {
       .bucketSpec.getOrElse(sys.error(s"$t is not a bucketed index table"))
     requireShingleK(spark, name, k)
     val (bt, st) = (bucketsTable(spark, name), sigsTable(spark, name))
-    val bs = Frontier.pin(signatures(batch, k))
+    val toAdd =
+      if (ifAbsent) batch.join(spark.table(st).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      else batch
+    val bs = Frontier.pin(signatures(toAdd, k))
     bandBuckets(bs).write.format("parquet").mode("append")
       .bucketBy(spec(bt).numBuckets, "band", "bh")
       .saveAsTable(bt)
@@ -863,16 +875,35 @@ object Dedup {
     * by [[writeNearDupIndex]] instead of re-deriving the history's
     * signatures — identical output (d12 hash-checks against d11's
     * oracle), different read path: only the batch is scanned fresh. */
+  /** `excludeIds`: history entries whose doc_id is in this (bounded,
+    * broadcast) frame are ignored by the probe — the replay contract
+    * for a crashed-then-redelivered micro-batch: attempt 1 may have
+    * appended the batch to the index before dying, and attempt 2 must
+    * see exactly the index attempt 1 saw (including keeping BOTH
+    * members of a within-batch duplicate pair, which a bare self-
+    * exclusion would still collapse). Batch-sized candidate anti-join;
+    * a no-op when the ids are absent (the normal path). */
   def incrementalNearDupSurvivorsIndexed(spark: SparkSession, name: String,
-      batch: DataFrame, k: Int = 5, minJ: Double = 0.5): DataFrame = {
+      batch: DataFrame, k: Int = 5, minJ: Double = 0.5,
+      excludeIds: Option[DataFrame] = None): DataFrame = {
     requireShingleK(spark, name, k)
     val hb = spark.table(bucketsTable(spark, name))
     val hsig = spark.table(sigsTable(spark, name))
     val bs = signatures(batch, k)
-    val cand = bandBuckets(bs).as("b").join(hb.as("h"),
-        col("b.band") === col("h.band") && col("b.bh") === col("h.bh"))
+    val cand0 = bandBuckets(bs).as("b").join(hb.as("h"),
+        col("b.band") === col("h.band") && col("b.bh") === col("h.bh") &&
+          // self-stability under replay: a batch whose docs already
+          // landed in the index (a crashed attempt's append) must not
+          // self-disqualify — the probe answers "duplicates of OTHERS"
+          col("b.doc_id") =!= col("h.doc_id"))
       .select(col("b.doc_id").as("bid"), col("h.doc_id").as("hid"))
       .distinct()
+    val cand = excludeIds match {
+      case Some(ex) => cand0.join(
+        broadcast(ex.select(col(ex.columns.head).as("hid"))),
+        Seq("hid"), "left_anti")
+      case None => cand0
+    }
     val dupIds = cand
       .join(bs.select(col("doc_id").as("bid"), col("shs").as("shb")), "bid")
       .join(hsig.select(col("doc_id").as("hid"), col("shs").as("shh")), "hid")

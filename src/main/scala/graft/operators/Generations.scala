@@ -96,9 +96,11 @@ object Generations {
   /** Close a swap: flip the pointer atomically, then GC the previous
     * generation. The flip is ONE catalog property update — before it
     * readers see the complete old generation, after it the complete
-    * new one. */
+    * new one. `props` ride the SAME update, so any metadata that must
+    * move atomically with the pointer (e.g. the nightly loop's
+    * applied-batch fence) can never be observed out of sync with it. */
   def commit(spark: SparkSession, name: String, gen: Long,
-      members: Seq[String]): Unit = {
+      members: Seq[String], props: Map[String, String] = Map.empty): Unit = {
     crashPoint("before-flip")
     val mt = manifest(name)
     if (!spark.sessionState.catalog.tableExists(parse(spark, mt))) {
@@ -107,10 +109,22 @@ object Generations {
       dropTableAndLocation(spark, mt)
       spark.sql(s"CREATE TABLE $mt (gen INT) USING parquet")
     }
-    spark.sql(s"ALTER TABLE $mt SET TBLPROPERTIES ('$GenProp' = '$gen')")
+    val kv = (props + (GenProp -> gen.toString))
+      .map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")
+    spark.sql(s"ALTER TABLE $mt SET TBLPROPERTIES ($kv)")
     crashPoint("after-flip")
     gcExcept(spark, name, members, Some(gen))
     members.foreach(m => spark.catalog.refreshTable(physical(name, m, gen)))
+  }
+
+  /** A property from the manifest's atomic property set (None when the
+    * family or the property doesn't exist). */
+  def manifestProp(spark: SparkSession, name: String,
+      key: String): Option[String] = {
+    val c = spark.sessionState.catalog
+    val mt = parse(spark, manifest(name))
+    if (!c.tableExists(mt)) None
+    else c.getTableMetadata(mt).properties.get(key)
   }
 
   /** Remove the whole family: every generation of every member plus

@@ -86,7 +86,17 @@ object Sharding {
     *
     * The one driver-side value is the batch's min shard (an O(1) agg,
     * same class as Packing's P subtotals). */
-  def appendShards(newAssign: DataFrame, path: String): DataFrame = {
+  /** `idempotentOn = Some(keyCol)`: skip rows whose key already exists
+    * anywhere in the layout — the at-least-once contract for a
+    * replayed ingest (foreachBatch re-delivers the last batch after a
+    * crash; parquet job commits are all-or-nothing, so a landed
+    * attempt either left every row or none, and a replay's recomputed
+    * offsets differ — the KEYS are what fence: same docs → all drop →
+    * no-op append). The check is a column-pruned scan of the one key
+    * column across the layout (the d09 anti-join class of cost), paid
+    * only when requested. */
+  def appendShards(newAssign: DataFrame, path: String,
+      idempotentOn: Option[String] = None): DataFrame = {
     val spark = newAssign.sparkSession
     // appending to a layout that was never written (empty first build)
     // degenerates to the initial write — same result, no failed read;
@@ -94,7 +104,13 @@ object Sharding {
     val hp = new org.apache.hadoop.fs.Path(path)
     if (!hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp))
       return writeShards(newAssign, path)
-    val pinned = Frontier.pin(newAssign) // consumed by boundary agg + write
+    val pre = idempotentOn match {
+      case Some(key) =>
+        val existing = spark.read.parquet(path).select(key).distinct()
+        newAssign.join(existing, Seq(key), "left_anti")
+      case None => newAssign
+    }
+    val pinned = Frontier.pin(pre) // consumed by boundary agg + write
     val bRow = pinned.agg(min(col("shard"))).collect()(0)
     if (bRow.isNullAt(0)) return spark.read.parquet(path) // empty batch
     val boundary = bRow.getLong(0)

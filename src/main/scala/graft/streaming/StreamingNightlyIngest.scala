@@ -68,65 +68,125 @@ object StreamingNightlyIngest {
     * over-admit on the next night). */
   private val BudgetMembers = Seq("state")
 
-  /** Read the persisted per-stratum totals (empty on first night). */
-  def usedBudget(spark: SparkSession, budgetTable: String): Map[String, Long] =
+  /** Per-stratum (current, previous) totals — previous is what a
+    * fenced replay resumes from (empty before the first night). */
+  def budgetState(spark: SparkSession,
+      budgetTable: String): Map[String, (Long, Long)] =
     Generations.currentGen(spark, budgetTable) match {
       case None => Map.empty
       case Some(_) =>
         spark.table(Generations.resolve(spark, budgetTable, "state"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          .collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     }
+
+  /** The persisted per-stratum totals (empty on first night). */
+  def usedBudget(spark: SparkSession, budgetTable: String): Map[String, Long] =
+    budgetState(spark, budgetTable).map { case (l, (u, _)) => l -> u }
+
+  /** The applied-batch fence, riding the budget manifest's atomic
+    * property set (it flips in the SAME catalog update as the state
+    * pointer, so "totals advanced" and "batch recorded" can never be
+    * observed apart). */
+  val LastBatchProp = "graft.nightly.lastbatch"
 
   /** One night as a plain function — shared by the streaming loop and
     * any batch scheduler (p07 calls it directly). `batch` carries
     * (doc_id, text, lang, n_chars, embedding); returns the ADMITTED
-    * set (doc_id, lang, n_tokens) after all artifacts advanced. */
+    * set (doc_id, lang, n_tokens) after all artifacts advanced.
+    *
+    * REPLAY CONVERGENCE (`batchId ≥ 0`): foreachBatch re-delivers the
+    * last batch after a crash, so a night may run again after any
+    * prefix of its effects landed. Every effect is made per-batch
+    * idempotent, so a replay converges to exactly the state a single
+    * clean run produces:
+    *
+    *  - the near-dup probe EXCLUDES the batch's own ids from the
+    *    history side (a crashed attempt's append must not change the
+    *    survivor set — including within-batch duplicate pairs) and the
+    *    append is `ifAbsent` by doc_id (bucketed anti-join, index side
+    *    in place);
+    *  - the budget gate is fenced by [[LastBatchProp]]: if this batch
+    *    already advanced the totals, the kept set is recomputed from
+    *    the stored PREVIOUS totals (the state carries both) and the
+    *    commit is skipped;
+    *  - the ANN cells append is `ifAbsent` by vec_id against the codes
+    *    table, the raw-vector append anti-joins the corpus table —
+    *    each side fenced by its own target, so a crash between them
+    *    still converges;
+    *  - the shard append is keyed-idempotent on doc_id (a replay's
+    *    recomputed offsets differ, but its keys all drop → no-op).
+    */
   def nightStep(arts: Artifacts, batch: DataFrame, budget: Long,
       salt: String, seqBudget: Int = 256,
-      tokensPerShard: Long = 2048L): DataFrame = {
+      tokensPerShard: Long = 2048L, batchId: Long = -1L): DataFrame = {
     val spark = batch.sparkSession
     // 1. quality gate — p01's stage-1 predicate, narrow
     val quality = Frontier.pin(batch
       .filter(length(trim(col("text"))) > 0)
       .filter(TextFunctions.quality(col("text"), col("n_chars")) >= 0.5))
+    val batchIds = quality.select("doc_id")
     // 2. near-dup probe + append (the d12/d13 loop): survivors of the
     //    batch vs everything previously ingested; ALL survivors are
     //    appended so tomorrow's copies of tonight's over-budget docs
-    //    still dedup
-    val survivors = StreamingNearDupIngest.probeAndAppend(
-      arts.ndIndex, quality.select(col("doc_id"), col("text")))
-      .select("doc_id").join(quality, Seq("doc_id"))
+    //    still dedup. Probe and append run in THIS session so the
+    //    append's cache refresh reaches the next probe.
+    val survIds = Dedup.incrementalNearDupSurvivorsIndexed(
+      spark, arts.ndIndex, quality.select(col("doc_id"), col("text")),
+      excludeIds = Some(batchIds))
+    val survivors = Frontier.pin(
+      quality.join(survIds.select("doc_id"), Seq("doc_id")))
+    Dedup.appendToNearDupIndex(
+      survivors.select(col("doc_id"), col("text")), arts.ndIndex,
+      ifAbsent = true)
     val withTokens = Frontier.pin(survivors.select(col("doc_id"),
       col("lang"), col("embedding"),
       TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")))
-    // 3. token-budget gate, RESUMING the persisted per-stratum scan
-    val used = usedBudget(spark, arts.budgetTable)
+    // 3. token-budget gate, RESUMING the persisted per-stratum scan;
+    //    under a fenced replay the carryover is the PREVIOUS totals,
+    //    so the kept set recomputes identically
+    val replayed = batchId >= 0 &&
+      Generations.manifestProp(spark, arts.budgetTable, LastBatchProp)
+        .map(_.toLong).contains(batchId)
+    val state = budgetState(spark, arts.budgetTable)
+    val carry = state.map { case (l, (used, prev)) =>
+      l -> (if (replayed) prev else used) }
     val kept = Frontier.pin(Sampling.tokenBudgetSample(withTokens,
         col("doc_id"), col("lang"), col("n_tokens"), budget, salt,
-        carryover = used)
+        carryover = carry)
       .select(col("doc_id"), col("stratum").as("lang"), col("n_tokens")))
-    // every survivor consumes budget (the scan is one monotone prefix
-    // over nights); persist the advanced totals — one row per stratum
-    val advanced = withTokens.groupBy(col("lang"))
-      .agg(sum(col("n_tokens")).as("t")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val merged = (used.keySet ++ advanced.keySet).toSeq.sorted
-      .map(s => (s, used.getOrElse(s, 0L) + advanced.getOrElse(s, 0L)))
-    import spark.implicits._
-    val bgen = Generations.begin(spark, arts.budgetTable, BudgetMembers)
-    merged.toDF("lang", "used").coalesce(1)
-      .write.format("parquet")
-      .saveAsTable(Generations.physical(arts.budgetTable, "state", bgen))
-    Generations.commit(spark, arts.budgetTable, bgen, BudgetMembers)
-    // 4. ANN index + raw-vector corpus gain the ADMITTED docs
+    if (!replayed) {
+      // every survivor consumes budget (the scan is one monotone
+      // prefix over nights); persist the advanced totals — one row per
+      // stratum, previous totals alongside for replay recompute
+      val advanced = withTokens.groupBy(col("lang"))
+        .agg(sum(col("n_tokens")).as("t")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val merged = (carry.keySet ++ advanced.keySet).toSeq.sorted.map(s =>
+        (s, carry.getOrElse(s, 0L) + advanced.getOrElse(s, 0L),
+          carry.getOrElse(s, 0L)))
+      import spark.implicits._
+      val bgen = Generations.begin(spark, arts.budgetTable, BudgetMembers)
+      merged.toDF("lang", "used", "prev_used").coalesce(1)
+        .write.format("parquet")
+        .saveAsTable(Generations.physical(arts.budgetTable, "state", bgen))
+      Generations.commit(spark, arts.budgetTable, bgen, BudgetMembers,
+        props = if (batchId >= 0) Map(LastBatchProp -> batchId.toString)
+          else Map.empty)
+    }
+    // 4. ANN index + raw-vector corpus gain the ADMITTED docs; each
+    //    append fenced by its own target table
     val admittedVecs = withTokens.join(kept.select("doc_id"), "doc_id")
       .select(col("doc_id").as("vec_id"), col("embedding"))
-    AnnIndex.appendToAnnIndex(admittedVecs, arts.annIndex)
-    admittedVecs.write.format("parquet").mode("append")
+    AnnIndex.appendToAnnIndex(admittedVecs, arts.annIndex, ifAbsent = true)
+    admittedVecs.join(spark.table(arts.annCorpusTable).select("vec_id"),
+        Seq("vec_id"), "left_anti")
+      .write.format("parquet").mode("append")
       .saveAsTable(arts.annCorpusTable)
     spark.catalog.refreshTable(arts.annCorpusTable)
     // 5. pack the admitted set in doc_id order, offsets continuing
     //    from the layout's current end; 6. append to the shard layout
+    //    (keyed-idempotent — see above)
     val base = StreamingShardIngest.layoutEnd(spark, arts.shardPath)
     val packed = Packing.packPlan(kept.select(col("doc_id"),
         col("n_tokens")), "doc_id", "n_tokens", seqBudget)
@@ -134,7 +194,8 @@ object StreamingNightlyIngest {
         (col("start_tok") + base).as("start_tok"))
     val assign = Sharding.shardAssignments(packed, tokensPerShard)
     if (base == 0L) Sharding.writeShards(assign, arts.shardPath)
-    else Sharding.appendShards(assign, arts.shardPath)
+    else Sharding.appendShards(assign, arts.shardPath,
+      idempotentOn = Some("doc_id"))
     kept
   }
 
@@ -151,7 +212,7 @@ object StreamingNightlyIngest {
       val b = batch.persist()
       try {
         sink(nightStep(arts, b.toDF(), budget, salt, seqBudget,
-          tokensPerShard), batchId)
+          tokensPerShard, batchId), batchId)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           Dedup.compactNearDupIndex(b.sparkSession, arts.ndIndex)
           AnnIndex.compactAnnIndex(b.sparkSession, arts.annIndex)

@@ -152,10 +152,12 @@ class LayoutSpec extends SparkSpec {
       Dedup.appendToNearDupIndex(batch, "graft_test_ndidx_cp")
     }
     val before = indexFiles("graft_test_ndidx_cp")
-    // probe batch: an exact copy of one appended doc (must drop) + one
-    // novel doc (must survive) — drawn BEFORE compaction
+    // probe batch: a content copy of one appended doc under a NEW id
+    // (must drop — a same-id probe is the replay case, which the probe
+    // deliberately self-excludes) + one novel doc (must survive) —
+    // drawn BEFORE compaction
     val probe = spark.range(1)
-      .select((col("id") + 1000000500L).as("doc_id"),
+      .select((col("id") + 4000000500L).as("doc_id"),
         concat(lit("night 1 novel content item "), col("id").cast("string"),
           lit(" uniquely worded filler alpha7 beta13 gamma17" +
             " delta epsilon zeta eta theta iota")).as("text"))

@@ -152,4 +152,87 @@ class StreamingNightlyIngestSpec extends SparkSpec {
       AnnIndex.probeQueries(spark, artsStr.annIndex,
         rerank.filter(col("vec_id") < 4), rerank, k = 5, nprobe = 2))
   }
+
+  test("replayed nights converge: crashed and re-delivered batches leave every artifact as one clean run") {
+    val corpus = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .filter(col("doc_id") < 80).localCheckpoint()
+    def embed(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("embedding", StreamingNightlyIngest.synthEmbedding)
+    def keptSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val budget = 200L
+
+    // night 1 + night 2 fixtures; night 2 carries a WITHIN-BATCH
+    // duplicate pair (same text, two ids) — the case a bare
+    // self-exclusion replay would collapse
+    def doc(id: Long, t: String, lang: String) = NightDoc(id, t, lang, 90L)
+    val b1 = (0 until 5).map(i => doc(1000000500L + i,
+      s"first night novel document $i alpha beta gamma delta epsilon " +
+        s"zeta$i eta theta iota kappa", if (i % 2 == 0) "en" else "de"))
+    val dupText = "second night twin text nu xi omicron pi rho sigma tau " +
+      "upsilon phi chi psi omega"
+    val b2 = Seq(
+      doc(2000000500L, dupText, "en"), doc(2000000501L, dupText, "en")) ++
+      (0 until 4).map(i => doc(2000000600L + i,
+        s"second night fresh doc $i with lambda$i mu nu xi omicron pi " +
+          "rho sigma tau upsilon", "de"))
+
+    // ---- twin that never crashes ------------------------------------
+    val clean = mkArts("rpclean")
+    reset(clean, corpus)
+    val ck1 = keptSet(StreamingNightlyIngest.nightStep(clean,
+      embed(b1.toDF()), budget, "rp", batchId = 0))
+    val ck2 = keptSet(StreamingNightlyIngest.nightStep(clean,
+      embed(b2.toDF()), budget, "rp", batchId = 1))
+    assert(ck2.count(_._1 < 2000000502L) == 2,
+      s"fixture must keep the within-batch twin pair: $ck2")
+
+    // ---- crashing pipeline ------------------------------------------
+    val arts = mkArts("rp")
+    reset(arts, corpus)
+    val k1 = keptSet(StreamingNightlyIngest.nightStep(arts,
+      embed(b1.toDF()), budget, "rp", batchId = 0))
+    // post-commit replay of night 1 (foreachBatch re-delivery after a
+    // crash that happened AFTER everything landed)
+    val k1r = keptSet(StreamingNightlyIngest.nightStep(arts,
+      embed(b1.toDF()), budget, "rp", batchId = 0))
+    assert(k1r == k1, "post-commit replay changed the admitted set")
+    // night 2 crashes mid-step: the near-dup append lands, the budget
+    // commit does not (the injected point is the budget manifest flip)
+    Generations.failpoint = Some("before-flip")
+    try intercept[IllegalStateException] {
+      StreamingNightlyIngest.nightStep(arts, embed(b2.toDF()), budget,
+        "rp", batchId = 1)
+    } finally Generations.failpoint = None
+    // re-delivery converges
+    val k2 = keptSet(StreamingNightlyIngest.nightStep(arts,
+      embed(b2.toDF()), budget, "rp", batchId = 1))
+    assert(k2 == ck2, s"crashed-then-replayed night diverged: $k2 vs $ck2")
+    assert(k1 == ck1)
+
+    // every artifact equals the clean twin's
+    def budgetOf(a: StreamingNightlyIngest.Artifacts) =
+      StreamingNightlyIngest.budgetState(spark, a.budgetTable)
+    assert(budgetOf(arts) == budgetOf(clean))
+    def ndRows(a: StreamingNightlyIngest.Artifacts) =
+      spark.table(Generations.resolve(spark, a.ndIndex, "sigs"))
+        .groupBy("doc_id").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ndRows(arts) == ndRows(clean),
+      "near-dup index contents diverged (duplicate signature rows?)")
+    def annRows(a: StreamingNightlyIngest.Artifacts) =
+      spark.table(Generations.resolve(spark, a.annIndex, "cells"))
+        .groupBy("vec_id").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(annRows(arts) == annRows(clean),
+      "ANN index contents diverged (duplicate code rows?)")
+    def manifestOf(a: StreamingNightlyIngest.Artifacts) = Sharding.manifest(
+        spark.read.parquet(a.shardPath)
+          .withColumn("shard", col("shard").cast("long")), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(manifestOf(arts) == manifestOf(clean),
+      "shard layout diverged (duplicate assignment rows?)")
+  }
 }
