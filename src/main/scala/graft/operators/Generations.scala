@@ -40,6 +40,16 @@ import org.apache.spark.sql.catalyst.TableIdentifier
   * rebuild (`/root/reference/src/nats_client.py:246-260`), which is
   * in-process state and can simply be replaced; a persisted 100 TB
   * artifact needs the pointer discipline above.
+  *
+  * Concurrency contract: ONE maintenance writer per family at a time
+  * (foreachBatch's strict sequencing provides this for the streaming
+  * loops; a batch scheduler serializes compaction/retrain the same
+  * way). Readers are unrestricted — they resolve the pointer at
+  * operation start and read a complete generation; the one caveat is
+  * that a reader holding a generation across a LONG pause may see its
+  * files GC'd after a subsequent swap, the standard snapshot-isolation
+  * limit of any pointer-plus-GC scheme (widen by deferring GC if that
+  * ever matters).
   */
 object Generations {
 
