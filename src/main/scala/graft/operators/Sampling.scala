@@ -349,4 +349,60 @@ object Sampling {
     }.mkString(" ")
     s"CASE $whens ELSE 0 END"
   }
+
+  // ---- WEIGHTED sampling without replacement (A-ES) -----------------
+  /** Per-stratum weighted top-k sample — Efraimidis–Spirakis A-ES made
+    * deterministic: each row draws u = md5-uniform(key:salt) ∈ [0,1)
+    * and ranks by u^(1/w); the k largest keys per stratum are the
+    * sample, which is EXACTLY k draws without replacement with
+    * inclusion odds ∝ w (the A-ES theorem). The training-data use is
+    * quality-WEIGHTED corpus selection (q38): "sample 40 docs per
+    * language, preferring high quality" — a gradient, where
+    * [[mixtureSample]]'s keep/drop gate is a cliff.
+    *
+    * Determinism pieces, all chosen for cross-engine hash-exactness:
+    * the 13-hex md5 prefix is 52 bits, so `u = intval / 2^52` is an
+    * EXACT double in both engines; the A-ES key is integer-scaled
+    * (`floor(u^(1/w)·10^6)`) so a last-ulp `pow` divergence between
+    * libm implementations cannot flip an ordering (quantization ties
+    * break by id, identically everywhere).
+    *
+    * Scale shape: the per-stratum top-k runs as the bounded
+    * [[Similarity.TopKAgg]] Aggregator — map-side combined, ≤ k rows
+    * per (partition, stratum) reach the exchange — NEVER a
+    * `row_number` window sorting each huge stratum through one
+    * reducer (the same trap [[tokenBudgetSample]] documents).
+    * Output: (stratum, doc_id, rank, skey). */
+  def weightedSample(df: DataFrame, key: Column, stratum: Column,
+      weight: Column, k: Int, salt: String): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = conv(substring(
+        md5(concat(key.cast("string"), lit(":" + salt))), 1, 13), 16, 10)
+      .cast("double") / lit(4503599627370496.0) // 2^52: division is exact
+    val skey = floor(pow(u, lit(1.0) / weight) * lit(1000000.0))
+    val scored = df.select(stratum.cast("string").as("qid"),
+      key.cast("long").as("vec_id"), skey.cast("double").as("cos"))
+    val topk = udaf(new Similarity.TopKAgg(k))
+    scored.groupBy("qid").agg(topk(col("vec_id"), col("cos")).as("t"))
+      .select(col("qid").as("stratum"), explode(col("t")).as("x"))
+      .select(col("stratum"), col("x.vec_id").as("doc_id"),
+        col("x.rank").as("rank"), col("x.cos").cast("long").as("skey"))
+  }
+
+  /** DuckDB twin of [[weightedSample]] as a full query over `table`:
+    * same exact md5-uniform, same integer-scaled A-ES key, rank via a
+    * window (fine in the oracle — DuckDB runs single-node anyway). */
+  def sqlWeightedSample(table: String, keyExpr: String, stratumExpr: String,
+      weightExpr: String, k: Int, salt: String): String =
+    s"""WITH wsrc AS (SELECT $keyExpr AS doc_id, $stratumExpr AS stratum,
+          $weightExpr AS wt FROM $table),
+       wu AS (SELECT doc_id, stratum, wt,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':$salt'), 1, 13))::BIGINT
+            / 4503599627370496.0 AS u FROM wsrc),
+       wsk AS (SELECT doc_id, stratum,
+          CAST(floor(pow(u, 1.0 / wt) * 1000000.0) AS BIGINT) AS skey FROM wu),
+       wr AS (SELECT stratum, doc_id, skey, CAST(row_number() OVER (
+           PARTITION BY stratum ORDER BY skey DESC, doc_id) AS INT) AS rank
+         FROM wsk)
+       SELECT stratum, doc_id, rank, skey FROM wr WHERE rank <= $k"""
 }

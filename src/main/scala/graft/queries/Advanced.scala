@@ -224,6 +224,29 @@ object Advanced {
           TextFunctions.sqlTokenCount("text"), 2500L, "tb1") +
         " ORDER BY doc_id NULLS FIRST")),
 
+    // ---- q38: quality-WEIGHTED sampling (A-ES without replacement) ---
+    // The gradient the keep/drop gates lack: 40 docs per language
+    // drawn with inclusion odds ∝ the t04 quality score — the
+    // "prefer good documents, don't hard-cut" corpus-selection spec.
+    // Deterministic A-ES (u = exact 52-bit md5-uniform, key =
+    // floor(u^(1/w)·10^6) so a last-ulp pow divergence can't flip the
+    // order) → hash-exact vs the windowed DuckDB twin; the engine side
+    // runs the bounded TopKAgg per stratum (map-side combined, ≤ k
+    // rows per partition-stratum to the exchange), never a per-stratum
+    // row_number sort.
+    Q("q38_weighted_sample",
+      (s, dir) =>
+        Sampling.weightedSample(Tables(s, dir, "documents"),
+            col("doc_id"), col("lang"),
+            greatest(TextFunctions.quality(col("text"), col("n_chars")),
+              lit(0.05)),
+            k = 40, salt = "ws1")
+          .orderBy("stratum", "rank"),
+      Some(Sampling.sqlWeightedSample("documents", "doc_id", "lang",
+          s"greatest(${TextFunctions.sqlQuality("text", "n_chars")}, 0.05)",
+          40, "ws1") +
+        " ORDER BY stratum NULLS FIRST, rank NULLS FIRST")),
+
     // ---- q32: deterministic train/val/test split ---------------------
     // A TOTAL partition (vs sampling's keep-or-drop): every doc lands
     // in exactly one split by which band of its md5 prefix it falls

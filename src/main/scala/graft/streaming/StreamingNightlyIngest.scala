@@ -203,10 +203,16 @@ object StreamingNightlyIngest {
     * n_chars, embedding) frame. `sink(kept, batchId)` receives each
     * night's admitted set. `compactEvery = n` compacts BOTH maintained
     * indexes after every n-th batch (generation swaps — reader-safe
-    * mid-stream). */
+    * mid-stream). `driftCheckEvery = n` closes the ANN drift loop
+    * in-stream: after every n-th batch, [[AnnIndex.driftRatio]] is
+    * measured over the maintained raw-vector corpus and a retrain runs
+    * iff it exceeds `maxDrift` — the full signal→actuator cycle s16
+    * proves in batch, folded into the nightly cadence (the retrain is
+    * itself a generation swap, so probes racing it stay consistent). */
   def start(spark: SparkSession, docs: DataFrame, arts: Artifacts,
       budget: Long, salt: String, seqBudget: Int = 256,
-      tokensPerShard: Long = 2048L, compactEvery: Int = 0)(
+      tokensPerShard: Long = 2048L, compactEvery: Int = 0,
+      driftCheckEvery: Int = 0, maxDrift: Double = 1.25)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val step: (Dataset[Row], Long) => Unit = (batch, batchId) => {
       val b = batch.persist()
@@ -216,6 +222,11 @@ object StreamingNightlyIngest {
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           Dedup.compactNearDupIndex(b.sparkSession, arts.ndIndex)
           AnnIndex.compactAnnIndex(b.sparkSession, arts.annIndex)
+        }
+        if (driftCheckEvery > 0 && (batchId + 1) % driftCheckEvery == 0) {
+          AnnIndex.retrainAnnIndexIfDrifted(b.sparkSession, arts.annIndex,
+            b.sparkSession.table(arts.annCorpusTable), maxDrift)
+          ()
         }
       } finally b.unpersist()
     }

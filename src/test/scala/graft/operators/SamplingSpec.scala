@@ -245,6 +245,35 @@ class SamplingSpec extends SparkSpec {
     assert(k2.size < night2.count())
   }
 
+  test("weighted sample (A-ES): inclusion tracks weight, exact k, partitioning-invariant") {
+    // two weight classes per stratum: w=6 vs w=0.5 — the heavy class
+    // must dominate the sample far beyond its population share
+    val df = spark.range(0, 4000).select(col("id"),
+      (col("id") % 2).cast("string").as("st"),
+      when(col("id") % 8 < 2, 6.0).otherwise(0.5).as("w"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedSample(d, col("id"), col("st"), col("w"),
+          k = 200, salt = "wsx")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val got = run(df)
+    // exactly k per stratum, ranks dense 1..k
+    got.groupBy(_._1).foreach { case (st, rows) =>
+      assert(rows.length == 200, s"$st: ${rows.length}")
+      assert(rows.map(_._3).sorted.toSeq == (1 to 200), s"$st ranks")
+    }
+    // heavy class = 25% of rows but must take well over half the
+    // sample (w ratio 12:1); and the light class still appears (a
+    // gradient, not a cliff)
+    val heavy = got.count(_._2 % 8 < 2).toDouble / got.length
+    assert(heavy > 0.6 && heavy < 1.0, s"heavy share $heavy")
+    // deterministic pure function of the input set
+    assert(run(df.repartition(13)).toSet == got.toSet)
+    // no Window in the engine plan (bounded aggregator top-k)
+    val plan = Sampling.weightedSample(df, col("id"), col("st"), col("w"),
+      200, "wsx").queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("stratified quota: exactly min(k, |stratum|) rows, window-equivalent, retry-stable") {
     val df = spark.range(n).select(col("id"),
       when(col("id") % 100 === 0, "rare").otherwise("common").as("strat"))

@@ -153,6 +153,46 @@ class StreamingNightlyIngestSpec extends SparkSpec {
         rerank.filter(col("vec_id") < 4), rerank, k = 5, nprobe = 2))
   }
 
+  test("in-stream drift check: drifted nights trigger a retrain that restores the signal") {
+    val corpus = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .filter(col("doc_id") < 40).localCheckpoint()
+    val arts = mkArts("drift")
+    reset(arts, corpus)
+    val gen0 = Generations.currentGen(spark, arts.annIndex).get
+    // off-distribution vectors: the synthetic embedding shifted a full
+    // unit per dim — far from every build-time centroid
+    def embShifted(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("embedding", transform(
+        StreamingNightlyIngest.synthEmbedding,
+        x => (x + lit(1.0f)).cast("float")))
+    def fresh(night: Int): Seq[NightDoc] = (0 until 15).map { i =>
+      NightDoc(night * 1000000000L + 700 + i,
+        s"drift night $night doc $i with vocabulary chi$night$i psi omega " +
+          "alpha beta gamma delta epsilon zeta eta theta", "en", 90L)
+    }
+    val mem = MemoryStream[NightDoc](spark)
+    // generous budget: every drifted doc must be ADMITTED so the
+    // maintained corpus actually drifts
+    val q = StreamingNightlyIngest.start(spark, embShifted(mem.toDF()),
+        arts, budget = 100000L, salt = "drift",
+        driftCheckEvery = 2, maxDrift = 1.2) { (_, _) => () }
+    try {
+      Seq(fresh(1), fresh(2)).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the check after batch 2 must have retrained: appends never bump
+    // the generation (and compactEvery is off), so a bumped pointer IS
+    // the retrain...
+    assert(Generations.currentGen(spark, arts.annIndex).exists(_ > gen0),
+      "drifted ingest did not trigger a retrain")
+    // ...and the retrained model fits the drifted corpus again
+    val ratio = AnnIndex.driftRatio(spark, arts.annIndex,
+      spark.table(arts.annCorpusTable))
+    assert(ratio < 1.2, s"signal not restored after retrain: $ratio")
+  }
+
   test("replayed nights converge: crashed and re-delivered batches leave every artifact as one clean run") {
     val corpus = Tables(spark, sf, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
