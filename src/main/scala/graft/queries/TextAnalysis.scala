@@ -335,5 +335,62 @@ object TextAnalysis {
           CAST(lm_num AS DOUBLE) /
             (CAST(n_bigrams AS DOUBLE) * 1e6) AS lm_score
         FROM d ORDER BY doc_id NULLS FIRST""")),
+
+    // ---- t13: LM-score corpus PARTITION (the CCNet head/middle/tail) -
+    // t12's model, acted on: every doc gets an integer micro-score
+    // (mean in-corpus bigram probability, micro-scaled) and the corpus
+    // splits into head (score > 1.03× the corpus mean), tail (< 0.97×)
+    // and middle — the standard perplexity-bucketed curation step
+    // (CCNet trains wiki-LM perplexity buckets; the in-corpus bigram
+    // LM is the offline-constraint stand-in with identical plumbing —
+    // its in-corpus scores cluster tightly around the mean, hence the
+    // ±3%% bounds; a real wiki-LM spreads decades of perplexity).
+    // The mean comparison is cross-multiplied into PURE INTEGER
+    // arithmetic (score·2·n vs Σ and score·2·n vs 3·Σ) so the bucket
+    // boundaries carry zero float-order risk cross-engine. Plan: t12's
+    // two aggs + one scalar agg riding a broadcast + a narrow CASE —
+    // no window, corpus read once.
+    Q("t13_lm_partition",
+      (s, dir) => {
+        val bg = Tables(s, dir, "documents")
+          .filter(tokenCount(col("text")) >= 2)
+          .select(col("doc_id"), explode(bigrams(col("text"))).as("bg"))
+        val cb = bg.groupBy("bg").agg(count(lit(1)).as("cb"))
+        val model = cb
+          .withColumn("w1", substring_index(col("bg"), " ", 1))
+        val cu = model.groupBy("w1").agg(sum(col("cb")).as("cu"))
+        val probs = model.join(cu, "w1")
+          .select(col("bg"), expr("cb * 1000000L DIV cu").as("micro_p"))
+        val scored = graft.operators.Frontier.pin(bg.join(probs, "bg")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("nb"), sum(col("micro_p")).as("num"))
+          .select(col("doc_id"), expr("num DIV nb").as("micro_score")))
+        val tot = scored.agg(sum(col("micro_score")).as("tot"),
+          count(lit(1)).as("n"))
+        scored.crossJoin(broadcast(tot))
+          .select(col("doc_id"), col("micro_score"),
+            when(col("micro_score") * col("n") * 100 < col("tot") * 97, "tail")
+              .when(col("micro_score") * col("n") * 100 > col("tot") * 103, "head")
+              .otherwise("middle").as("bucket"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH bg AS (SELECT doc_id, unnest(${sqlBigrams("text")}) AS bg
+          FROM documents WHERE ${sqlTokenCount("text")} >= 2),
+        cb AS (SELECT bg, count(*) AS cb FROM bg GROUP BY bg),
+        m AS (SELECT bg, cb, split_part(bg, ' ', 1) AS w1 FROM cb),
+        cu AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM m GROUP BY w1),
+        p AS (SELECT bg, cb * 1000000 // cu AS micro_p
+          FROM m JOIN cu USING (w1)),
+        d AS (SELECT doc_id,
+            CAST(CAST(sum(micro_p) AS BIGINT) // count(*) AS BIGINT)
+              AS micro_score
+          FROM bg JOIN p USING (bg) GROUP BY doc_id),
+        t AS (SELECT CAST(sum(micro_score) AS BIGINT) AS tot,
+            CAST(count(*) AS BIGINT) AS n FROM d)
+        SELECT doc_id, micro_score,
+          CASE WHEN micro_score * n * 100 < tot * 97 THEN 'tail'
+               WHEN micro_score * n * 100 > tot * 103 THEN 'head'
+               ELSE 'middle' END AS bucket
+        FROM d, t ORDER BY doc_id NULLS FIRST""")),
   )
 }
