@@ -301,6 +301,18 @@ class PlanSpec extends SparkSpec {
       s"unexpected window partitioning $specs:\n$plan")
   }
 
+  test("LM partition (t13) partial-aggregates both model passes; the scalar rides a broadcast") {
+    val plan = formatted(SparkEntry.queries("t13_lm_partition")(spark, sf))
+    assert(plan.contains("partial_count"), plan)
+    assert(plan.contains("partial_sum"), plan)
+    // the corpus-mean scalar joins back as a broadcast 1-row NLJ — the
+    // intended plan for a scalar cross join; a shuffled cartesian or a
+    // window would be the scale killers here
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("CMS (q34) partial-aggregates the sketch; estimates ride a broadcast") {
     val plan = formatted(SparkEntry.queries("q34_cms_frequency")(spark, sf))
     assert(plan.contains("partial_count"), plan)
