@@ -147,8 +147,21 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val passTotalsJson = passTotals.mkString("[", ",", "]")
+    // Provenance: which fixture generation and host this run measured.
+    // The round-9 r8-vs-r9 comparison was ambiguous precisely because
+    // the fixtures had been regenerated between benches and nothing
+    // recorded it (VERDICT r9 ask #8).
+    val fixturesMtime = try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(sfDir)).iterator
+        .asScala.filter(_.toString.endsWith(".parquet"))
+        .map(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .foldLeft(0L)(math.max)
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+    val host = try java.net.InetAddress.getLocalHost.getHostName
+      catch { case scala.util.control.NonFatal(_) => "unknown" }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"pass_totals":$passTotalsJson,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"pass_totals":$passTotalsJson,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir","fixtures_mtime":$fixturesMtime,"host":"$host"}"""
     println(line)
     // the driver's log capture has truncated this line to a tail before
     // (BENCH_r08 parsed:null — early-alphabet queries invisible); the
@@ -156,7 +169,13 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    catch {
+      // NonFatal only: swallowing OOM/interrupts here would hide the
+      // exact failure the file copy exists to survive (stdout
+      // truncation) — fatal errors must propagate
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] WARNING: failed to write $out: $e")
+    }
     spark.stop()
   }
 }
