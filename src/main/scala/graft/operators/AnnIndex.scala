@@ -117,9 +117,9 @@ object AnnIndex {
       else Similarity.trainPqCodebooks(emb, m, ksub)
     val cents = spark.sparkContext.broadcast(trained)
     val bb = spark.sparkContext.broadcast(books)
-    val gen = Generations.begin(spark, name, IndexMembers)
-    val ct = Generations.physical(name, "cells", gen)
-    val mt = Generations.physical(name, "model", gen)
+    val lease = Generations.begin(spark, name, IndexMembers)
+    val ct = Generations.physical(name, "cells", lease.gen)
+    val mt = Generations.physical(name, "model", lease.gen)
     encoded(emb, cents, bb, dim, m, residual, scope)
       .write.format("parquet").partitionBy("cell")
       .saveAsTable(ct)
@@ -138,7 +138,7 @@ object AnnIndex {
         s"'$ScopeProp' = '${scope.mkString(",")}', " +
         s"'$BaseDistProp' = '$baseDist')")
     }
-    Generations.commit(spark, name, gen, IndexMembers)
+    Generations.commit(spark, lease, IndexMembers)
   }
 
   /** (vec_id, codes, cell) for `emb` under the given frozen model —
@@ -368,9 +368,9 @@ object AnnIndex {
       sys.error(s"$t has no $NCellsProp property")).toInt
     val baseDist = p.getOrElse(BaseDistProp, "")
     val scope = scopeOf(spark, name) // carried: a lost stamp would
-    val gen = Generations.begin(spark, name, IndexMembers) // silently
-    val ct = Generations.physical(name, "cells", gen) // unscope probes
-    val mt = Generations.physical(name, "model", gen)
+    val lease = Generations.begin(spark, name, IndexMembers) // silently
+    val ct = Generations.physical(name, "cells", lease.gen) // unscope probes
+    val mt = Generations.physical(name, "model", lease.gen)
     spark.table(t).repartition(col("cell"))
       .write.format("parquet").partitionBy("cell").saveAsTable(ct)
     spark.table(mt0).coalesce(1).write.format("parquet").saveAsTable(mt)
@@ -381,7 +381,7 @@ object AnnIndex {
         s"'$ScopeProp' = '${scope.mkString(",")}', " +
         s"'$BaseDistProp' = '$baseDist')")
     }
-    Generations.commit(spark, name, gen, IndexMembers)
+    Generations.commit(spark, lease, IndexMembers)
   }
 
   /** Drift of the CURRENT corpus against the index's frozen model:
@@ -401,7 +401,12 @@ object AnnIndex {
         "stamp — rebuild it with writeAnnIndex to enable drift tracking"))
     val (cents0, _) = loadModel(spark, name, m)
     val cents = spark.sparkContext.broadcast(cents0)
-    meanCentroidDist(emb, cents) / base
+    // A degenerate corpus (every vector exactly on a centroid) stamps
+    // base = 0; the ratio would be Inf/NaN and `NaN > maxDrift` is
+    // false, so retrainAnnIndexIfDrifted would silently never fire.
+    // Treat a zero baseline as always-drifted instead.
+    if (!(base > 0.0)) Double.PositiveInfinity
+    else meanCentroidDist(emb, cents) / base
   }
 
   /** RETRAIN: the actuator for [[cellStats]]/[[driftRatio]]'s signal.

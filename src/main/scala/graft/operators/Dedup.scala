@@ -686,9 +686,9 @@ object Dedup {
     // pointer flip publishes it. A rebuild over an existing index is
     // therefore reader-safe and crash-atomic — the old generation
     // serves probes until the instant the new one is complete.
-    val gen = Generations.begin(spark, name, IndexMembers)
-    val bt = Generations.physical(name, "buckets", gen)
-    val st = Generations.physical(name, "sigs", gen)
+    val lease = Generations.begin(spark, name, IndexMembers)
+    val bt = Generations.physical(name, "buckets", lease.gen)
+    val st = Generations.physical(name, "sigs", lease.gen)
     val hs = Frontier.pin(signatures(hist, k))
     bandBuckets(hs).write.format("parquet")
       .bucketBy(numBuckets, "band", "bh")
@@ -703,7 +703,7 @@ object Dedup {
     Seq(bt, st).foreach { t =>
       spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('$ShingleKProp' = '$k')")
     }
-    Generations.commit(spark, name, gen, IndexMembers)
+    Generations.commit(spark, lease, IndexMembers)
   }
 
   /** The near-dup index family's members under [[Generations]]. */
@@ -849,7 +849,7 @@ object Dedup {
     // pair or the new pair, never a mix, and a crash at any point
     // leaves a complete index live (the old drop-and-rename had a
     // no-table window between the drop and the rename).
-    val gen = Generations.begin(spark, name, IndexMembers)
+    val lease = Generations.begin(spark, name, IndexMembers)
     try {
       spark.conf.set(AutoScan, "false")
       IndexMembers.foreach { member =>
@@ -861,14 +861,14 @@ object Dedup {
         val k = meta.properties.getOrElse(ShingleKProp,
           sys.error(s"$t has no $ShingleKProp property"))
         val bcols = spec.bucketColumnNames
-        val nt = Generations.physical(name, member, gen)
+        val nt = Generations.physical(name, member, lease.gen)
         spark.table(t).write.format("parquet")
           .bucketBy(spec.numBuckets, bcols.head, bcols.tail: _*)
           .saveAsTable(nt)
         spark.sql(s"ALTER TABLE $nt SET TBLPROPERTIES ('$ShingleKProp' = '$k')")
       }
     } finally spark.conf.set(AutoScan, auto0)
-    Generations.commit(spark, name, gen, IndexMembers)
+    Generations.commit(spark, lease, IndexMembers)
   }
 
   /** [[incrementalNearDupSurvivors]] probing a PERSISTED index written

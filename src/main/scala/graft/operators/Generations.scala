@@ -12,23 +12,24 @@ import org.apache.spark.sql.catalyst.TableIdentifier
   *
   * Layout: an index `name` with members `m ∈ {buckets, sigs}` (or
   * `{cells, model}`) is a family of physical tables `<name>_<m>_g<N>`
-  * plus a zero-row manifest table `<name>_manifest` whose SINGLE table
+  * plus a zero-row manifest table `<name>_manifest` whose table
   * property `graft.gen = N` is the pointer. Every lifecycle step:
   *
-  *  1. [[begin]]: GC any orphaned generation (a crashed previous swap
-  *     left either a half-written next gen — pointer never moved — or
-  *     an unreclaimed old gen — pointer moved, GC didn't run; both are
-  *     "any gen ≠ current" and deleting them is always safe), then
-  *     hand out the next generation number.
+  *  1. [[begin]]: acquire the WRITER LEASE (below), GC any orphaned
+  *     generation (a crashed previous swap left either a half-written
+  *     next gen — pointer never moved — or an unreclaimed old gen —
+  *     pointer moved, GC didn't run; both are "any gen outside the
+  *     keep window" and deleting them is always safe), then hand out
+  *     the next generation number as a [[Lease]].
   *  2. The caller writes the new generation's tables COMPLETELY —
   *     data, bucket/partition spec, property stamps — while readers
   *     keep resolving the current generation untouched.
   *  3. [[commit]]: ONE `ALTER TABLE … SET TBLPROPERTIES` moves the
-  *     pointer (a single metastore call — the atom), then old
-  *     generations are GC'd. A crash before the flip leaves the old
-  *     index live and complete; after it, the new one. At no point is
-  *     the index absent or partially visible, which drop-and-rename
-  *     cannot promise.
+  *     pointer AND releases the lease (a single metastore call — the
+  *     atom), then generations older than the keep window are GC'd. A
+  *     crash before the flip leaves the old index live and complete;
+  *     after it, the new one. At no point is the index absent or
+  *     partially visible, which drop-and-rename cannot promise.
   *
   * One generation number covers ALL members of a family, so a swap
   * that must replace several tables together (near-dup buckets+sigs;
@@ -41,20 +42,69 @@ import org.apache.spark.sql.catalyst.TableIdentifier
   * in-process state and can simply be replaced; a persisted 100 TB
   * artifact needs the pointer discipline above.
   *
-  * Concurrency contract: ONE maintenance writer per family at a time
-  * (foreachBatch's strict sequencing provides this for the streaming
-  * loops; a batch scheduler serializes compaction/retrain the same
-  * way). Readers are unrestricted — they resolve the pointer at
-  * operation start and read a complete generation; the one caveat is
-  * that a reader holding a generation across a LONG pause may see its
-  * files GC'd after a subsequent swap, the standard snapshot-isolation
-  * limit of any pointer-plus-GC scheme (widen by deferring GC if that
-  * ever matters).
+  * ==Writer lease (single-writer contract, self-enforcing)==
+  *
+  * ONE maintenance writer per family at a time. foreachBatch's strict
+  * sequencing provides this for the streaming loops, but the contract
+  * is now FENCED rather than assumed: [[begin]] stakes a lease
+  * (`graft.gen.writer` token + expiry on the manifest) and a second
+  * concurrent [[begin]] on the same family fails fast with a clean
+  * error instead of GC'ing the first writer's half-written generation.
+  * [[commit]] re-verifies the token before flipping, so a writer whose
+  * lease was stolen (after expiry) cannot clobber the thief's swap.
+  * Recovery: a writer that DIED releases its lease implicitly — an
+  * in-process death is detected via the JVM-local liveness table; a
+  * cross-process death waits out `leaseTtlMs` (default 15 min). The
+  * read-check-acquire is serialized through a JVM lock, which is
+  * exact for `local[*]` (this engine's deployment unit); a multi-JVM
+  * metastore deployment additionally relies on the TTL, the same
+  * compromise every non-CAS catalog lock makes.
+  *
+  * ==Readers and deferred GC==
+  *
+  * Readers are unrestricted — they resolve the pointer at operation
+  * start and read a complete generation. A reader holding a
+  * generation across a swap keeps its files only while the generation
+  * stays inside the keep window: [[commit]]`(gcKeep = n)` retains the
+  * newest `n` generations (stamped on the manifest so subsequent
+  * [[begin]] debris-GC honors it too). `gcKeep = 1` is the compact
+  * default — exactly one live generation, today's storage footprint;
+  * `gcKeep ≥ 2` gives long-pause readers a full swap cycle of grace,
+  * the standard snapshot-isolation widening.
   */
 object Generations {
 
   /** The pointer property on the manifest table. */
   val GenProp = "graft.gen"
+
+  /** Writer-lease token property (empty = unheld). */
+  val WriterProp = "graft.gen.writer"
+
+  /** Writer-lease expiry, epoch millis. */
+  val WriterExpProp = "graft.gen.writer.exp"
+
+  /** How many newest generations GC retains (stamped by [[commit]]). */
+  val KeepProp = "graft.gen.keep"
+
+  /** Default cross-process lease TTL. */
+  val DefaultLeaseTtlMs: Long = 15 * 60 * 1000L
+
+  /** A staked writer lease: the only capability that can [[commit]]
+    * generation `gen` of family `name`. */
+  final case class Lease(name: String, gen: Long, token: String)
+
+  /** Leases issued by THIS JVM that are still live (writer between
+    * begin and commit/abort). Liveness here is exact: an in-process
+    * writer death (exception) removes its entry, so recovery never
+    * waits out the TTL in the single-JVM deployment. */
+  private val liveLeases =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Last token this JVM issued per family — distinguishes "our
+    * crashed writer's stale lease" (steal immediately) from a foreign
+    * JVM's lease (respect the TTL). */
+  private val issuedByThisJvm =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val acquireLock = new Object
 
   /** Test-only crash injection for the swap protocol: set to
     * `Some("before-flip")` / `Some("after-flip")` and the next
@@ -62,6 +112,13 @@ object Generations {
     * assert the index is never absent and probes stay hash-identical
     * across both crash windows. */
   @volatile private[graft] var failpoint: Option[String] = None
+  /** Test-only: forget a family's JVM-local lease bookkeeping, as if
+    * the process holding it had died — the persisted manifest lease
+    * remains, exercising the cross-process TTL/steal paths. */
+  private[graft] def simulateProcessDeath(name: String): Unit = {
+    liveLeases.remove(name)
+    issuedByThisJvm.remove(name)
+  }
   private def crashPoint(p: String): Unit =
     if (failpoint.contains(p))
       throw new IllegalStateException(s"injected crash at $p")
@@ -91,27 +148,7 @@ object Generations {
         s"(no ${manifest(name)} generation pointer — build it first)")
     }
 
-  /** Open a swap: reclaim debris of any crashed previous swap, then
-    * return the generation number to build into. The current
-    * generation (if any) is untouched — readers resolve it throughout
-    * the write that follows. */
-  def begin(spark: SparkSession, name: String,
-      members: Seq[String]): Long = {
-    val cur = currentGen(spark, name)
-    gcExcept(spark, name, members, cur)
-    sweepStrayDirs(spark, name, members)
-    cur.map(_ + 1).getOrElse(0L)
-  }
-
-  /** Close a swap: flip the pointer atomically, then GC the previous
-    * generation. The flip is ONE catalog property update — before it
-    * readers see the complete old generation, after it the complete
-    * new one. `props` ride the SAME update, so any metadata that must
-    * move atomically with the pointer (e.g. the nightly loop's
-    * applied-batch fence) can never be observed out of sync with it. */
-  def commit(spark: SparkSession, name: String, gen: Long,
-      members: Seq[String], props: Map[String, String] = Map.empty): Unit = {
-    crashPoint("before-flip")
+  private def ensureManifest(spark: SparkSession, name: String): Unit = {
     val mt = manifest(name)
     if (!spark.sessionState.catalog.tableExists(parse(spark, mt))) {
       // first build: the manifest's DIRECTORY may survive a previous
@@ -119,23 +156,148 @@ object Generations {
       dropTableAndLocation(spark, mt)
       spark.sql(s"CREATE TABLE $mt (gen INT) USING parquet")
     }
-    val kv = (props + (GenProp -> gen.toString))
-      .map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")
-    spark.sql(s"ALTER TABLE $mt SET TBLPROPERTIES ($kv)")
-    crashPoint("after-flip")
-    gcExcept(spark, name, members, Some(gen))
-    members.foreach(m => spark.catalog.refreshTable(physical(name, m, gen)))
+  }
+
+  private def manifestProps(spark: SparkSession,
+      name: String): Map[String, String] = {
+    val c = spark.sessionState.catalog
+    val mt = parse(spark, manifest(name))
+    if (!c.tableExists(mt)) Map.empty
+    else c.getTableMetadata(mt).properties
+  }
+
+  /** One `'k' = 'v'` clause of a SET TBLPROPERTIES statement. Keys are
+    * charset-restricted and values quote-escaped: the flip is the ONE
+    * catalog call that is the atomicity point, and an unescaped quote
+    * in a future property must not be able to break it. */
+  private def sqlPropKV(k: String, v: String): String = {
+    require(k.matches("[A-Za-z0-9._-]+"), s"illegal property key: '$k' " +
+      "(allowed: [A-Za-z0-9._-]+)")
+    s"'$k' = '${v.replace("\\", "\\\\").replace("'", "\\'")}'"
+  }
+
+  private def setProps(spark: SparkSession, table: String,
+      props: Map[String, String]): Unit = {
+    val kv = props.map { case (k, v) => sqlPropKV(k, v) }.mkString(", ")
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ($kv)")
+  }
+
+  /** The generations GC retains when `cur` is current: the newest
+    * `keep` (missing ones are simply absent — retention never
+    * resurrects). */
+  private def keepSet(cur: Option[Long], keep: Int): Set[Long] =
+    cur.map(c => (math.max(0L, c - keep + 1) to c).toSet).getOrElse(Set.empty)
+
+  /** Open a swap: acquire the writer lease, reclaim debris of any
+    * crashed previous swap, then return the [[Lease]] carrying the
+    * generation number to build into. The kept generations (current,
+    * plus any deferred-GC window stamped by the last commit) are
+    * untouched — readers resolve them throughout the write that
+    * follows.
+    *
+    * Throws `IllegalStateException` when another live writer holds the
+    * family's lease: the second writer of an accidental concurrent
+    * pair fails fast instead of GC'ing the first one's half-written
+    * generation out from under it. */
+  def begin(spark: SparkSession, name: String, members: Seq[String],
+      leaseTtlMs: Long = DefaultLeaseTtlMs): Lease = acquireLock.synchronized {
+    ensureManifest(spark, name)
+    val props = manifestProps(spark, name)
+    val held = props.get(WriterProp).filter(_.nonEmpty)
+    held.foreach { tok =>
+      val live = Option(liveLeases.get(name)).contains(tok)
+      val ours = Option(issuedByThisJvm.get(name)).contains(tok)
+      val exp = props.get(WriterExpProp).flatMap(_.toLongOption).getOrElse(0L)
+      if (live)
+        throw new IllegalStateException(s"concurrent maintenance writer on " +
+          s"index family '$name': lease $tok is live in this process " +
+          "(one writer per family — serialize compaction/retrain/append)")
+      if (!ours && System.currentTimeMillis() < exp)
+        throw new IllegalStateException(s"concurrent maintenance writer on " +
+          s"index family '$name': lease $tok held by another process until " +
+          s"epoch-ms $exp (steal after expiry, or widen leaseTtlMs)")
+      // else: our crashed writer, or a foreign writer past its TTL —
+      // the stale lease is debris, steal it
+    }
+    val cur = currentGen(spark, name)
+    val keep = manifestProps(spark, name).get(KeepProp)
+      .flatMap(_.toIntOption).getOrElse(1)
+    gcExcept(spark, name, members, keepSet(cur, keep))
+    sweepStrayDirs(spark, name, members)
+    val token = java.util.UUID.randomUUID().toString
+    setProps(spark, manifest(name), Map(
+      WriterProp -> token,
+      WriterExpProp -> (System.currentTimeMillis() + leaseTtlMs).toString))
+    liveLeases.put(name, token)
+    issuedByThisJvm.put(name, token)
+    Lease(name, cur.map(_ + 1).getOrElse(0L), token)
+  }
+
+  /** Close a swap: flip the pointer atomically, then GC generations
+    * older than the keep window. The flip is ONE catalog property
+    * update — before it readers see the complete old generation, after
+    * it the complete new one. `props` AND the lease release ride the
+    * SAME update, so any metadata that must move atomically with the
+    * pointer (e.g. the nightly loop's applied-batch fence) can never
+    * be observed out of sync with it.
+    *
+    * `gcKeep` (≥ 1) retains the newest `gcKeep` generations: 1 (the
+    * default) reclaims the old generation immediately — one
+    * generation of storage, today's behavior; ≥ 2 defers reclamation
+    * so a reader that resolved the old generation just before the
+    * flip keeps its files for a full further swap cycle. The value is
+    * stamped (`graft.gen.keep`) so the NEXT begin's debris-GC honors
+    * the same window.
+    *
+    * Throws `IllegalStateException` when the lease was stolen (this
+    * writer outlived its TTL and another process took over): the
+    * flip is refused so the late writer cannot clobber the thief's
+    * generation. */
+  def commit(spark: SparkSession, lease: Lease, members: Seq[String],
+      props: Map[String, String] = Map.empty, gcKeep: Int = 1): Unit = {
+    require(gcKeep >= 1, s"gcKeep must be >= 1, got $gcKeep")
+    val name = lease.name
+    try {
+      crashPoint("before-flip")
+      ensureManifest(spark, name)
+      val holder = manifestProps(spark, name).get(WriterProp).filter(_.nonEmpty)
+      if (!holder.contains(lease.token))
+        throw new IllegalStateException(s"lease ${lease.token} on index " +
+          s"family '$name' was ${holder.fold("released")(t => s"stolen by $t")}" +
+          " — this writer held it past its TTL; its generation is debris")
+      setProps(spark, manifest(name), props ++ Map(
+        GenProp -> lease.gen.toString,
+        KeepProp -> gcKeep.toString,
+        WriterProp -> "", WriterExpProp -> "0"))
+      crashPoint("after-flip")
+      gcExcept(spark, name, members, keepSet(Some(lease.gen), gcKeep))
+      members.foreach(m =>
+        spark.catalog.refreshTable(physical(name, m, lease.gen)))
+    } finally {
+      // in-process writer end (success, crash, or refusal): drop the
+      // JVM liveness so recovery/begin never waits out the TTL
+      liveLeases.remove(name, lease.token)
+    }
+  }
+
+  /** Abandon a swap without flipping: releases the lease (persisted
+    * and in-process) and leaves debris reclamation to the next
+    * [[begin]]. For writers that decide not to commit. */
+  def abort(spark: SparkSession, lease: Lease): Unit = {
+    try {
+      val holder =
+        manifestProps(spark, lease.name).get(WriterProp).filter(_.nonEmpty)
+      if (holder.contains(lease.token))
+        setProps(spark, manifest(lease.name),
+          Map(WriterProp -> "", WriterExpProp -> "0"))
+    } finally liveLeases.remove(lease.name, lease.token)
   }
 
   /** A property from the manifest's atomic property set (None when the
     * family or the property doesn't exist). */
   def manifestProp(spark: SparkSession, name: String,
-      key: String): Option[String] = {
-    val c = spark.sessionState.catalog
-    val mt = parse(spark, manifest(name))
-    if (!c.tableExists(mt)) None
-    else c.getTableMetadata(mt).properties.get(key)
-  }
+      key: String): Option[String] =
+    manifestProps(spark, name).get(key)
 
   /** Remove the whole family: every generation of every member plus
     * the manifest — the reset path for fixtures/tests (a production
@@ -143,18 +305,20 @@ object Generations {
     * this). */
   def destroy(spark: SparkSession, name: String,
       members: Seq[String]): Unit = {
-    gcExcept(spark, name, members, None)
+    gcExcept(spark, name, members, Set.empty)
     sweepStrayDirs(spark, name, members)
     dropTableAndLocation(spark, manifest(name))
+    liveLeases.remove(name)
+    issuedByThisJvm.remove(name)
   }
 
-  /** Drop every cataloged generation of the family except `keep` —
-    * always safe: anything that is not the pointer's target is either
-    * pre-flip debris or a post-flip leftover. Member names are matched
+  /** Drop every cataloged generation of the family outside `keep` —
+    * always safe: anything outside the keep window is either pre-flip
+    * debris or a post-window leftover. Member names are matched
     * exactly (`<name>_<m>_g<digits>`), so one index being a name-prefix
     * of another (`ann` vs `ann_app`) can never cross-delete. */
   private def gcExcept(spark: SparkSession, name: String,
-      members: Seq[String], keep: Option[Long]): Unit = {
+      members: Seq[String], keep: Set[Long]): Unit = {
     val c = spark.sessionState.catalog
     val db = c.getCurrentDatabase
     members.foreach { m =>

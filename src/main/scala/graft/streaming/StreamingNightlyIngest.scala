@@ -166,11 +166,11 @@ object StreamingNightlyIngest {
         (s, carry.getOrElse(s, 0L) + advanced.getOrElse(s, 0L),
           carry.getOrElse(s, 0L)))
       import spark.implicits._
-      val bgen = Generations.begin(spark, arts.budgetTable, BudgetMembers)
+      val blease = Generations.begin(spark, arts.budgetTable, BudgetMembers)
       merged.toDF("lang", "used", "prev_used").coalesce(1)
         .write.format("parquet")
-        .saveAsTable(Generations.physical(arts.budgetTable, "state", bgen))
-      Generations.commit(spark, arts.budgetTable, bgen, BudgetMembers,
+        .saveAsTable(Generations.physical(arts.budgetTable, "state", blease.gen))
+      Generations.commit(spark, blease, BudgetMembers,
         props = if (batchId >= 0) Map(LastBatchProp -> batchId.toString)
           else Map.empty)
     }
