@@ -376,10 +376,16 @@ object Sampling {
   def weightedSample(df: DataFrame, key: Column, stratum: Column,
       weight: Column, k: Int, salt: String): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    // Runtime guard mirroring the k > 0 check: w = 0 would give
+    // 1/w = Inf and a negative w inverts the A-ES ordering — both
+    // silently degenerate samples, so fail loudly per row instead.
+    val w = when(weight > lit(0.0), weight).otherwise(raise_error(concat(
+      lit("weightedSample: weight must be > 0, got "),
+      coalesce(weight.cast("string"), lit("null")))))
     val u = conv(substring(
         md5(concat(key.cast("string"), lit(":" + salt))), 1, 13), 16, 10)
       .cast("double") / lit(4503599627370496.0) // 2^52: division is exact
-    val skey = floor(pow(u, lit(1.0) / weight) * lit(1000000.0))
+    val skey = floor(pow(u, lit(1.0) / w) * lit(1000000.0))
     val scored = df.select(stratum.cast("string").as("qid"),
       key.cast("long").as("vec_id"), skey.cast("double").as("cos"))
     val topk = udaf(new Similarity.TopKAgg(k))
