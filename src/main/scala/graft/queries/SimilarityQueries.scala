@@ -18,6 +18,50 @@ object SimilarityQueries {
   private val K = 10
   private val QueryPred = "vec_id < 8"
 
+  /** s01's oracle — the exact top-k ground truth. Shared by s17: IVF
+    * with every cell probed must degenerate to exactly this. */
+  private val ExactKnnOracle =
+    s"""WITH n AS (SELECT vec_id, embedding,
+          ${chainNorm("embedding", Dim, 1)} AS nrm FROM embeddings),
+      q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn
+        FROM n WHERE $QueryPred),
+      c AS (SELECT qid, vec_id,
+          CAST(${chainDot("qe", "embedding", Dim, 1)} AS DOUBLE) / (qn * nrm) AS cos
+        FROM n, q WHERE vec_id <> qid),
+      r AS (SELECT qid, vec_id, cos, CAST(row_number() OVER (
+          PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank FROM c)
+      SELECT qid, vec_id, rank, cos FROM r WHERE rank <= $K
+      ORDER BY qid NULLS FIRST, rank NULLS FIRST"""
+
+  /** s06's oracle — SQ8 codes + exact re-rank. Shared by s18: IVF-SQ8
+    * with every cell probed scans the same full code set, so it must
+    * produce exactly s06's result. */
+  private val Sq8Oracle =
+    s"""WITH ma AS (SELECT max(list_max(list_transform(embedding,
+          x -> abs(x)))) AS m FROM embeddings),
+      z AS (SELECT vec_id, embedding, list_transform(embedding,
+          x -> CAST(floor((CAST(x AS DOUBLE) * 127.0) / CAST(m AS DOUBLE))
+            AS INT)) AS qv
+        FROM embeddings, ma),
+      q AS (SELECT vec_id AS qid, qv AS qq FROM z WHERE $QueryPred),
+      sc AS (SELECT qid, z.vec_id,
+          CAST(${chainDot("qq", "qv", Dim, 1)} AS DOUBLE) AS cos
+        FROM z, q WHERE z.vec_id <> qid),
+      sl AS (SELECT qid, vec_id, row_number() OVER (
+          PARTITION BY qid ORDER BY cos DESC, vec_id) AS r FROM sc),
+      cand AS (SELECT qid, vec_id FROM sl WHERE r <= 30),
+      n AS (SELECT vec_id, embedding,
+          ${chainNorm("embedding", Dim, 1)} AS nrm FROM embeddings),
+      x AS (SELECT c.qid, c.vec_id,
+          CAST(${chainDot("qe.embedding", "e.embedding", Dim, 1)} AS DOUBLE)
+            / (qe.nrm * e.nrm) AS cos
+        FROM cand c JOIN n qe ON qe.vec_id = c.qid
+          JOIN n e ON e.vec_id = c.vec_id),
+      r AS (SELECT qid, vec_id, cos, CAST(row_number() OVER (
+          PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank FROM x)
+      SELECT qid, vec_id, rank, cos FROM r WHERE rank <= $K
+      ORDER BY qid NULLS FIRST, rank NULLS FIRST"""
+
   val all: Seq[Q] = Seq(
 
     Q("s01_knn_bruteforce",
@@ -38,17 +82,7 @@ object SimilarityQueries {
         // (partition, qid) reach the exchange, never the full pair set
         Similarity.topKPerQuery(scored, K).orderBy("qid", "rank")
       },
-      Some(s"""WITH n AS (SELECT vec_id, embedding,
-            ${chainNorm("embedding", Dim, 1)} AS nrm FROM embeddings),
-        q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn
-          FROM n WHERE $QueryPred),
-        c AS (SELECT qid, vec_id,
-            CAST(${chainDot("qe", "embedding", Dim, 1)} AS DOUBLE) / (qn * nrm) AS cos
-          FROM n, q WHERE vec_id <> qid),
-        r AS (SELECT qid, vec_id, cos, CAST(row_number() OVER (
-            PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank FROM c)
-        SELECT qid, vec_id, rank, cos FROM r WHERE rank <= $K
-        ORDER BY qid NULLS FIRST, rank NULLS FIRST""")),
+      Some(ExactKnnOracle)),
 
     Q("s02_embedding_neardup",
       (s, dir) => {
@@ -161,30 +195,7 @@ object SimilarityQueries {
         Similarity.quantizedTopK(s, Tables(s, dir, "embeddings"),
             expr(QueryPred), K, shortlist = 30)
           .orderBy("qid", "rank"),
-      Some(s"""WITH ma AS (SELECT max(list_max(list_transform(embedding,
-            x -> abs(x)))) AS m FROM embeddings),
-        z AS (SELECT vec_id, embedding, list_transform(embedding,
-            x -> CAST(floor((CAST(x AS DOUBLE) * 127.0) / CAST(m AS DOUBLE))
-              AS INT)) AS qv
-          FROM embeddings, ma),
-        q AS (SELECT vec_id AS qid, qv AS qq FROM z WHERE $QueryPred),
-        sc AS (SELECT qid, z.vec_id,
-            CAST(${chainDot("qq", "qv", Dim, 1)} AS DOUBLE) AS cos
-          FROM z, q WHERE z.vec_id <> qid),
-        sl AS (SELECT qid, vec_id, row_number() OVER (
-            PARTITION BY qid ORDER BY cos DESC, vec_id) AS r FROM sc),
-        cand AS (SELECT qid, vec_id FROM sl WHERE r <= 30),
-        n AS (SELECT vec_id, embedding,
-            ${chainNorm("embedding", Dim, 1)} AS nrm FROM embeddings),
-        x AS (SELECT c.qid, c.vec_id,
-            CAST(${chainDot("qe.embedding", "e.embedding", Dim, 1)} AS DOUBLE)
-              / (qe.nrm * e.nrm) AS cos
-          FROM cand c JOIN n qe ON qe.vec_id = c.qid
-            JOIN n e ON e.vec_id = c.vec_id),
-        r AS (SELECT qid, vec_id, cos, CAST(row_number() OVER (
-            PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank FROM x)
-        SELECT qid, vec_id, rank, cos FROM r WHERE rank <= $K
-        ORDER BY qid NULLS FIRST, rank NULLS FIRST""")),
+      Some(Sq8Oracle)),
 
     // ---- s10: filtered (scoped) exact search -------------------------
     // Metadata-filtered vector search — the shape every production
@@ -415,5 +426,49 @@ object SimilarityQueries {
         FROM n, q WHERE vec_id <> qid
           AND CAST(${chainDot("qe", "embedding", Dim, 1)} AS DOUBLE) / (qn * nrm) >= 0.25
         ORDER BY qid NULLS FIRST, vec_id NULLS FIRST""")),
+
+    // ---- s17/s18: degeneration twins for the rows-only ANN family ----
+    // Round-9 verdict ask #4: s04/s07 carry recall CONTRACTS (s05) but
+    // no hash oracle — their k-means cells don't replay in DuckDB. At
+    // nprobe = nCells, though, the cell partition is exhaustive and
+    // the SAME code path must reproduce the exact search: s17 (IVF)
+    // hash-checks against s01's oracle, s18 (IVF-SQ8) against s06's.
+    // These registered degenerations pin the candidate-generation and
+    // re-rank machinery hash-exactly, leaving only the cell-SELECTION
+    // quality to the recall contracts — no_oracle drops from 8 to 8-2
+    // worth of uncovered machinery.
+    Q("s17_ivf_exhaustive",
+      (s, dir) =>
+        Similarity.ivfExhaustiveTopK(s, Tables(s, dir, "embeddings"),
+            expr(QueryPred), K)
+          .orderBy("qid", "rank"),
+      Some(ExactKnnOracle)),
+
+    Q("s18_ivfsq8_exhaustive",
+      (s, dir) =>
+        // every cell probed: the SQ8 candidate scan covers the whole
+        // corpus, exactly s06's computation through s07's cell join
+        Similarity.ivfSq8TopK(s, Tables(s, dir, "embeddings"),
+            expr(QueryPred), K, nCells = 16, nprobe = 16, shortlist = 30)
+          .orderBy("qid", "rank"),
+      Some(Sq8Oracle)),
+
+    // s19: the PERSISTED index probe's degeneration — every cell of
+    // the s09-style index probed, a wide ADC shortlist, the same f32
+    // exact re-rank: the whole persisted path (cell partition, PQ
+    // codes, LUT scoring, re-rank join) must land exactly on s01's
+    // ground truth. The 40×k shortlist absorbs PQ's scoring error on
+    // the full corpus; s09 itself stays the production point
+    // (nprobe=4, shortlist=60) with its recall contract.
+    Q("s19_ann_index_exhaustive",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        AnnIndex.writeAnnIndex(
+          emb.select(col("vec_id"), col("embedding")), "graft_s19_idx")
+        AnnIndex.probeAnnIndex(s, "graft_s19_idx", emb, expr(QueryPred), K,
+            nprobe = 16, shortlist = 400)
+          .orderBy("qid", "rank")
+      },
+      Some(ExactKnnOracle)),
   )
 }
