@@ -51,14 +51,35 @@ object Sharding {
   def writeShards(assignments: DataFrame, path: String): DataFrame = {
     // empty-corpus guard: a zero-row partitioned write leaves a layout
     // with no files, and the read-back (schema inference over nothing)
-    // throws — an empty layout IS the empty frame, nothing to write
+    // throws — an empty layout IS the empty frame, nothing to write.
+    // (isEmpty is a limit-1 probe — measured CHEAPER than pinning the
+    // assignments to share one materialization with the write: a
+    // localCheckpoint of the full assignment set costs more than the
+    // probe saves, see the r10 p04/p05 A/B.)
     if (assignments.isEmpty) return assignments
     assignments.repartition(col("shard"))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", 1000000)
       .partitionBy("shard")
       .parquet(path)
-    assignments.sparkSession.read.parquet(path)
+    readLayout(assignments.sparkSession, path, Some(assignments.schema))
+  }
+
+  /** Open a shard layout the way every consumer here does: the
+    * partition column (`shard`) comes back LAST and, when the writer's
+    * schema is known, EXPLICITLY — supplying it skips both parquet
+    * footer-based schema inference across thousands of shard files
+    * and the partition-column type narrowing to INT (readers otherwise
+    * re-widen by hand). */
+  private def readLayout(spark: org.apache.spark.sql.SparkSession,
+      path: String, schema: Option[org.apache.spark.sql.types.StructType])
+      : DataFrame = schema match {
+    case Some(sc) =>
+      val parts = sc.fields.partition(_.name != "shard")
+      spark.read
+        .schema(org.apache.spark.sql.types.StructType(parts._1 ++ parts._2))
+        .parquet(path)
+    case None => spark.read.parquet(path)
   }
 
   /** Per-shard manifest: doc count, exact token count (overlaps tile
@@ -104,21 +125,22 @@ object Sharding {
     val hp = new org.apache.hadoop.fs.Path(path)
     if (!hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp))
       return writeShards(newAssign, path)
+    // all layout reads below supply the writer's schema: no parquet
+    // footer inference over the (thousands of) shard files, and the
+    // partition column arrives as the operator's LONG directly
+    def layout() = readLayout(spark, path, Some(newAssign.schema))
     val pre = idempotentOn match {
       case Some(key) =>
-        val existing = spark.read.parquet(path).select(key).distinct()
+        val existing = layout().select(key).distinct()
         newAssign.join(existing, Seq(key), "left_anti")
       case None => newAssign
     }
     val pinned = Frontier.pin(pre) // consumed by boundary agg + write
     val bRow = pinned.agg(min(col("shard"))).collect()(0)
-    if (bRow.isNullAt(0)) return spark.read.parquet(path) // empty batch
+    if (bRow.isNullAt(0)) return layout() // empty batch
     val boundary = bRow.getLong(0)
-    // carry forward the boundary shard's existing rows (partition-type
-    // inference narrows shard to INT on read-back — restore LONG)
-    val carry = spark.read.parquet(path)
-      .withColumn("shard", col("shard").cast("long"))
-      .filter(col("shard") >= boundary)
+    // carry forward the boundary shard's existing rows
+    val carry = layout().filter(col("shard") >= boundary)
     carry.unionByName(pinned.select(carry.columns.map(col): _*))
       .repartition(col("shard"))
       .write.mode("overwrite")
@@ -126,6 +148,6 @@ object Sharding {
       .option("maxRecordsPerFile", 1000000)
       .partitionBy("shard")
       .parquet(path)
-    spark.read.parquet(path)
+    layout()
   }
 }
