@@ -370,12 +370,33 @@ object Similarity {
     * same machinery is rows-only + recall-gated (s04/s05). */
   def ivfExhaustiveTopK(spark: SparkSession, emb: DataFrame,
       queryPred: org.apache.spark.sql.Column, k: Int = 10,
-      nCells: Int = 16, buffer: Int = 30): DataFrame = {
+      nCells: Int = 16, buffer: Int = 30,
+      scope: Seq[String] = Nil): DataFrame = {
     val firstVec = emb.select(size(col("embedding"))).take(1)
     if (firstVec.isEmpty) return emptyTopK(emb)
     val dim = firstVec(0).getInt(0)
     val cands = ivfTopK(spark, emb, queryPred, buffer, nCells,
-      nprobe = nCells)
+      nprobe = nCells, scope = scope)
+    // scope already constrained candidate generation; the re-rank only
+    // rescores those (qid, vec_id) pairs with the oracle-exact chain
+    exactReRank(emb, cands, dim, k)
+  }
+
+  /** [[lshTopK]]'s degeneration twin (the s17 pattern for the LSH
+    * family): with ZERO hyperplanes every vector hashes to the one
+    * bucket, so the bucket equi-join covers all pairs and the result —
+    * widened to `buffer` and exact-re-ranked — must equal
+    * [[bruteForceTopK]] hash-exactly. Pins the signature/bucket-join/
+    * dedup machinery; production keeps planes > 0 with the recall
+    * contract. */
+  def lshExhaustiveTopK(spark: SparkSession, emb: DataFrame,
+      queryPred: org.apache.spark.sql.Column, k: Int = 10,
+      buffer: Int = 30): DataFrame = {
+    val firstVec = emb.select(size(col("embedding"))).take(1)
+    if (firstVec.isEmpty) return emptyTopK(emb)
+    val dim = firstVec(0).getInt(0)
+    val cands = lshTopK(spark, emb, queryPred, buffer,
+      planes = 0, tables = 1, multiprobe = false)
     exactReRank(emb, cands, dim, k)
   }
 

@@ -33,6 +33,22 @@ object SimilarityQueries {
       SELECT qid, vec_id, rank, cos FROM r WHERE rank <= $K
       ORDER BY qid NULLS FIRST, rank NULLS FIRST"""
 
+  /** s10's oracle — label-scoped exact top-k. Shared by s22: filtered
+    * IVF with every cell probed must degenerate to exactly this. */
+  private val FilteredKnnOracle =
+    s"""WITH n AS (SELECT vec_id, label, embedding,
+          ${chainNorm("embedding", Dim, 1)} AS nrm FROM embeddings),
+      q AS (SELECT vec_id AS qid, label, embedding AS qe, nrm AS qn
+        FROM n WHERE $QueryPred),
+      c AS (SELECT qid, n.vec_id,
+          CAST(${chainDot("qe", "n.embedding", Dim, 1)} AS DOUBLE)
+            / (qn * n.nrm) AS cos
+        FROM n JOIN q ON n.label = q.label AND n.vec_id <> q.qid),
+      r AS (SELECT qid, vec_id, cos, CAST(row_number() OVER (
+          PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank FROM c)
+      SELECT qid, vec_id, rank, cos FROM r WHERE rank <= $K
+      ORDER BY qid NULLS FIRST, rank NULLS FIRST"""
+
   /** s06's oracle — SQ8 codes + exact re-rank. Shared by s18: IVF-SQ8
     * with every cell probed scans the same full code set, so it must
     * produce exactly s06's result. */
@@ -221,18 +237,7 @@ object SimilarityQueries {
             expr(s"CAST(${chainDot("qe", "e", Dim, 0)} AS DOUBLE)") / (col("qn") * col("en")))
         Similarity.topKPerQuery(scored, K).orderBy("qid", "rank")
       },
-      Some(s"""WITH n AS (SELECT vec_id, label, embedding,
-            ${chainNorm("embedding", Dim, 1)} AS nrm FROM embeddings),
-        q AS (SELECT vec_id AS qid, label, embedding AS qe, nrm AS qn
-          FROM n WHERE $QueryPred),
-        c AS (SELECT qid, n.vec_id,
-            CAST(${chainDot("qe", "n.embedding", Dim, 1)} AS DOUBLE)
-              / (qn * n.nrm) AS cos
-          FROM n JOIN q ON n.label = q.label AND n.vec_id <> q.qid),
-        r AS (SELECT qid, vec_id, cos, CAST(row_number() OVER (
-            PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank FROM c)
-        SELECT qid, vec_id, rank, cos FROM r WHERE rank <= $K
-        ORDER BY qid NULLS FIRST, rank NULLS FIRST""")),
+      Some(FilteredKnnOracle)),
 
     // ---- s11: filtered ANN (scope keys inside the IVF probe) ---------
     // s10's scale path: the label scope joins WITH the cell key, so
@@ -470,5 +475,57 @@ object SimilarityQueries {
           .orderBy("qid", "rank")
       },
       Some(ExactKnnOracle)),
+
+    // s20: the LSH family's degeneration — zero hyperplanes put every
+    // vector in one bucket, so the bucket join is exhaustive and the
+    // buffered exact re-rank must land on s01's ground truth. Pins the
+    // signature/bucket-join/collision-dedup machinery hash-exactly;
+    // s03 stays the production point with s05's lsh recall row.
+    Q("s20_lsh_exhaustive",
+      (s, dir) =>
+        Similarity.lshExhaustiveTopK(s, Tables(s, dir, "embeddings"),
+            expr(QueryPred), K)
+          .orderBy("qid", "rank"),
+      Some(ExactKnnOracle)),
+
+    // s21: MMR's λ=1 reduction as a REGISTERED hash row (SimilaritySpec
+    // already pins it in-engine): with λ=1 the greedy marginal score is
+    // pure relevance and ties break by the pool's (cos DESC, vec_id)
+    // order, so selecting from an exact-chain-scored pool reproduces
+    // s01's top-k — rank by selection order, cos carried from the pool.
+    // Pins the greedy flatMapGroups machinery; s12 stays the diversity
+    // point gated by s13's contract rows.
+    Q("s21_mmr_lambda1",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+          .withColumn("nrm", expr(chainNorm("embedding", Dim, 0)))
+        val q = emb.filter(expr(QueryPred))
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("nrm").as("qn"))
+        val pool = Similarity.topKPerQuery(
+          emb.select(col("vec_id"), col("embedding").as("e"),
+              col("nrm").as("en"))
+            .join(broadcast(q), col("vec_id") =!= col("qid"))
+            .withColumn("cos",
+              expr(s"CAST(${chainDot("qe", "e", Dim, 0)} AS DOUBLE)") /
+                (col("qn") * col("en"))), 30)
+        Similarity.mmrRerank(pool.select("qid", "vec_id", "cos"),
+            Tables(s, dir, "embeddings"), K, lambda = 1.0)
+          .select("qid", "vec_id", "rank", "cos")
+          .orderBy("qid", "rank")
+      },
+      Some(ExactKnnOracle)),
+
+    // s22: filtered IVF's degeneration — every cell probed with the
+    // label scope riding the join, buffered exact re-rank: must equal
+    // the filtered exact search (s10's oracle). Pins the scoped
+    // candidate generation; s11 stays the production point gated by
+    // s05's filtered_ivf recall row.
+    Q("s22_filtered_ivf_exhaustive",
+      (s, dir) =>
+        Similarity.ivfExhaustiveTopK(s, Tables(s, dir, "embeddings"),
+            expr(QueryPred), K, scope = Seq("label"))
+          .orderBy("qid", "rank"),
+      Some(FilteredKnnOracle)),
   )
 }
