@@ -105,7 +105,7 @@ object AnnIndex {
     * probes resolve the complete old generation until the flip. */
   def writeAnnIndex(emb: DataFrame, name: String, nCells: Int = 16,
       m: Int = 8, ksub: Int = 32, residual: Boolean = false,
-      scope: Seq[String] = Nil): Unit = {
+      scope: Seq[String] = Nil, gcKeep: Int = 1): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     val firstVec = emb.select(size(col("embedding"))).take(1)
@@ -138,7 +138,7 @@ object AnnIndex {
         s"'$ScopeProp' = '${scope.mkString(",")}', " +
         s"'$BaseDistProp' = '$baseDist')")
     }
-    Generations.commit(spark, lease, IndexMembers)
+    Generations.commit(spark, lease, IndexMembers, gcKeep = gcKeep)
   }
 
   /** (vec_id, codes, cell) for `emb` under the given frozen model —
@@ -359,7 +359,8 @@ object AnnIndex {
     * no-table window and needed a post-rename RECOVER PARTITIONS,
     * both gone). The model is frozen and tiny; its copy into the new
     * generation keeps the family's one-pointer atomicity. */
-  def compactAnnIndex(spark: SparkSession, name: String): Unit = {
+  def compactAnnIndex(spark: SparkSession, name: String,
+      gcKeep: Int = 1): Unit = {
     val t = cellsTable(spark, name)
     val mt0 = modelTable(spark, name)
     val (dim, m, ksub, residual) = geometry(spark, name)
@@ -381,7 +382,7 @@ object AnnIndex {
         s"'$ScopeProp' = '${scope.mkString(",")}', " +
         s"'$BaseDistProp' = '$baseDist')")
     }
-    Generations.commit(spark, lease, IndexMembers)
+    Generations.commit(spark, lease, IndexMembers, gcKeep = gcKeep)
   }
 
   /** Drift of the CURRENT corpus against the index's frozen model:

@@ -679,7 +679,7 @@ object Dedup {
     * shuffle of the batch-sized probe frame. The corpus-sized index is
     * written once and never re-shuffled (LayoutSpec pins this). */
   def writeNearDupIndex(hist: DataFrame, name: String, numBuckets: Int = 8,
-      k: Int = 5): Unit = {
+      k: Int = 5, gcKeep: Int = 1): Unit = {
     val spark = hist.sparkSession
     // generation-pointer discipline (Generations): the new generation
     // is written completely while any current one stays live; ONE
@@ -703,7 +703,7 @@ object Dedup {
     Seq(bt, st).foreach { t =>
       spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('$ShingleKProp' = '$k')")
     }
-    Generations.commit(spark, lease, IndexMembers)
+    Generations.commit(spark, lease, IndexMembers, gcKeep = gcKeep)
   }
 
   /** The near-dup index family's members under [[Generations]]. */
@@ -839,7 +839,8 @@ object Dedup {
       .withColumn("skew", col("max_key") / col("mean_key"))
   }
 
-  def compactNearDupIndex(spark: SparkSession, name: String): Unit = {
+  def compactNearDupIndex(spark: SparkSession, name: String,
+      gcKeep: Int = 1): Unit = {
     val catalog = spark.sessionState.catalog
     val AutoScan = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val auto0 = spark.conf.get(AutoScan)
@@ -868,7 +869,7 @@ object Dedup {
         spark.sql(s"ALTER TABLE $nt SET TBLPROPERTIES ('$ShingleKProp' = '$k')")
       }
     } finally spark.conf.set(AutoScan, auto0)
-    Generations.commit(spark, lease, IndexMembers)
+    Generations.commit(spark, lease, IndexMembers, gcKeep = gcKeep)
   }
 
   /** [[incrementalNearDupSurvivors]] probing a PERSISTED index written
