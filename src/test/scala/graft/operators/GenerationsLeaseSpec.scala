@@ -158,6 +158,58 @@ class GenerationsLeaseSpec extends SparkSpec {
     Generations.destroy(spark, name, Members)
   }
 
+  test("racing writer threads: every swap wins or fails cleanly, the index never corrupts") {
+    val name = "graft_lease_threads"
+    Generations.destroy(spark, name, Members)
+    val w0 = Generations.begin(spark, name, Members)
+    writeGen(name, w0.gen, 0L)
+    Generations.commit(spark, w0, Members)
+    // two writers race begin/write/commit loops on ONE family; the
+    // fence must serialize them — each iteration either completes a
+    // full swap or dies with the concurrent-writer error BEFORE
+    // touching the live generation
+    val wins = new java.util.concurrent.atomic.AtomicInteger
+    val fenced = new java.util.concurrent.atomic.AtomicInteger
+    val unexpected =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (1 to 2).map { t =>
+      new Thread(() => {
+        (1 to 6).foreach { i =>
+          try {
+            val w = Generations.begin(spark, name, Members)
+            writeGen(name, w.gen, t * 100L + i)
+            Generations.commit(spark, w, Members)
+            wins.incrementAndGet()
+          } catch {
+            case e: IllegalStateException
+                if e.getMessage.contains("concurrent maintenance writer") =>
+              fenced.incrementAndGet()
+            case e: Throwable => unexpected.add(e)
+          }
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(unexpected.isEmpty,
+      s"non-fence failure under race: ${unexpected.peek()}")
+    assert(wins.get() >= 1, "no writer ever won")
+    assert(fenced.get() + wins.get() == 12)
+    // the family is intact: one live generation, resolvable, readable,
+    // holding the value of SOME completed swap
+    assert(genTables(name).size == 1, genTables(name).mkString(","))
+    val v = spark.table(Generations.resolve(spark, name, "state"))
+      .head().getLong(0)
+    assert(v == 0L || (v >= 101L && v <= 106L) || (v >= 201L && v <= 206L), s"v=$v")
+    // and the lease is free afterwards: a fresh writer proceeds
+    val w = Generations.begin(spark, name, Members)
+    writeGen(name, w.gen, 999L)
+    Generations.commit(spark, w, Members)
+    assert(spark.table(Generations.resolve(spark, name, "state"))
+      .head().getLong(0) == 999L)
+    Generations.destroy(spark, name, Members)
+  }
+
   test("begin honors the stamped keep window when reclaiming debris") {
     val name = "graft_lease_begin_keep"
     Generations.destroy(spark, name, Members)
