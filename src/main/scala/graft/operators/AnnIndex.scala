@@ -212,22 +212,33 @@ object AnnIndex {
   def appendToAnnIndex(batch: DataFrame, name: String,
       ifAbsent: Boolean = false): Unit = {
     val spark = batch.sparkSession
-    val (dim, m, _, residual) = geometry(spark, name)
-    val scope = scopeOf(spark, name)
-    require(scope.forall(batch.columns.contains),
-      s"index $name is scoped on ${scope.mkString(",")}; batch must carry those columns")
-    val ct = cellsTable(spark, name)
-    val toAdd =
-      if (ifAbsent) batch.join(spark.table(ct).select("vec_id"),
-        Seq("vec_id"), "left_anti")
-      else batch
-    val (cents0, books0) = loadModel(spark, name, m)
-    val cents = spark.sparkContext.broadcast(cents0)
-    val bb = spark.sparkContext.broadcast(books0)
-    encoded(toAdd, cents, bb, dim, m, residual, scope)
-      .write.format("parquet").mode("append").partitionBy("cell")
-      .saveAsTable(ct)
-    spark.catalog.refreshTable(ct)
+    // writer lease held across the mutation (acquire/release, no
+    // pointer flip — an append mutates the current generation in
+    // place): fences the lost-update race where a concurrent
+    // compaction/retrain publishes a generation built from a scan that
+    // predates this batch, silently dropping it. The cells table
+    // resolves UNDER the lease so the insert can't land in a
+    // just-retired generation. The insert itself is ONE parquet job
+    // (atomic), and ifAbsent's anti-join makes replays idempotent.
+    val lease = Generations.begin(spark, name, IndexMembers)
+    try {
+      val (dim, m, _, residual) = geometry(spark, name)
+      val scope = scopeOf(spark, name)
+      require(scope.forall(batch.columns.contains),
+        s"index $name is scoped on ${scope.mkString(",")}; batch must carry those columns")
+      val ct = cellsTable(spark, name)
+      val toAdd =
+        if (ifAbsent) batch.join(spark.table(ct).select("vec_id"),
+          Seq("vec_id"), "left_anti")
+        else batch
+      val (cents0, books0) = loadModel(spark, name, m)
+      val cents = spark.sparkContext.broadcast(cents0)
+      val bb = spark.sparkContext.broadcast(books0)
+      encoded(toAdd, cents, bb, dim, m, residual, scope)
+        .write.format("parquet").mode("append").partitionBy("cell")
+        .saveAsTable(ct)
+      spark.catalog.refreshTable(ct)
+    } finally Generations.abort(spark, lease)
   }
 
   /** Probe the persisted index: ADC scoring against the codes of the

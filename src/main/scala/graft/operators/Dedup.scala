@@ -762,13 +762,27 @@ object Dedup {
     * (LayoutSpec re-asserts the no-exchange walk AFTER an append).
     * Cost per ingest: one signature scan of the batch + a batch-sized
     * bucketed write; the corpus-sized index is never rewritten. */
-  /** `ifAbsent = true` makes the append IDEMPOTENT by doc_id: ids
-    * already in the index are skipped via an anti-join against the
-    * sigs table — bucketed on doc_id, so the index side joins in
-    * place and only the batch-sized side shuffles. This is the
+  /** `ifAbsent = true` makes the append IDEMPOTENT by doc_id — the
     * at-least-once contract a replayed micro-batch needs (foreachBatch
     * re-delivers the last batch after a crash; a blind re-append would
-    * land duplicate signature rows and grow the index forever). */
+    * land duplicate signature rows and grow the index forever). The
+    * idempotency is PER TABLE: the append is two parquet jobs (buckets,
+    * then sigs — each job atomic, the pair not), so a crash between
+    * them leaves docs bucketed but sig-less; on replay the upfront
+    * skip (vs sigs — written LAST, so presence there means fully
+    * applied) readmits those docs, the bucket-side anti-join skips
+    * their already-landed bucket rows, and the sigs append completes
+    * them — the replay CONVERGES across the partial-crash window
+    * instead of duplicating bucket entries.
+    *
+    * The whole mutation holds the family's writer lease
+    * ([[Generations.begin]]/[[Generations.abort]] — acquire/release
+    * without a pointer flip: an append mutates the CURRENT generation
+    * in place). This fences the lost-update race with a concurrent
+    * compaction/rebuild: unfenced, the append's rows could land in the
+    * old generation an instant before the compacted one (built from a
+    * scan that predates them) is published — silently dropping the
+    * batch. Table names resolve UNDER the lease for the same reason. */
   def appendToNearDupIndex(batch: DataFrame, name: String, k: Int = 5,
       ifAbsent: Boolean = false): Unit = {
     val spark = batch.sparkSession
@@ -776,23 +790,32 @@ object Dedup {
     def spec(t: String) = catalog
       .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(t))
       .bucketSpec.getOrElse(sys.error(s"$t is not a bucketed index table"))
-    requireShingleK(spark, name, k)
-    val (bt, st) = (bucketsTable(spark, name), sigsTable(spark, name))
-    val toAdd =
-      if (ifAbsent) batch.join(spark.table(st).select("doc_id"),
-        Seq("doc_id"), "left_anti")
-      else batch
-    val bs = Frontier.pin(signatures(toAdd, k))
-    bandBuckets(bs).write.format("parquet").mode("append")
-      .bucketBy(spec(bt).numBuckets, "band", "bh")
-      .saveAsTable(bt)
-    bs.select(col("doc_id"), col("shs")).write.format("parquet").mode("append")
-      .bucketBy(spec(st).numBuckets, "doc_id")
-      .saveAsTable(st)
-    // make the append visible to THIS session's next probe even if the
-    // insert path left a cached file listing behind (other sessions
-    // must refresh on their side — caches are per-session)
-    Seq(bt, st).foreach(spark.catalog.refreshTable)
+    val lease = Generations.begin(spark, name, IndexMembers)
+    try {
+      requireShingleK(spark, name, k)
+      val (bt, st) = (bucketsTable(spark, name), sigsTable(spark, name))
+      val toAdd =
+        if (ifAbsent) batch.join(spark.table(st).select("doc_id"),
+          Seq("doc_id"), "left_anti")
+        else batch
+      val bs = Frontier.pin(signatures(toAdd, k))
+      val bands = bandBuckets(bs)
+      val bandsToAdd =
+        if (ifAbsent) bands.join(
+          spark.table(bt).select("doc_id").distinct(),
+          Seq("doc_id"), "left_anti")
+        else bands
+      bandsToAdd.write.format("parquet").mode("append")
+        .bucketBy(spec(bt).numBuckets, "band", "bh")
+        .saveAsTable(bt)
+      bs.select(col("doc_id"), col("shs")).write.format("parquet").mode("append")
+        .bucketBy(spec(st).numBuckets, "doc_id")
+        .saveAsTable(st)
+      // make the append visible to THIS session's next probe even if
+      // the insert path left a cached file listing behind (other
+      // sessions must refresh on their side — caches are per-session)
+      Seq(bt, st).foreach(spark.catalog.refreshTable)
+    } finally Generations.abort(spark, lease)
   }
 
   /** Index COMPACTION: rewrite both index tables in place, collapsing

@@ -126,6 +126,49 @@ class LayoutSpec extends SparkSpec {
     assert(viaIndex.sameElements(recomputed))
   }
 
+  test("append replay converges across the buckets/sigs partial-crash window") {
+    import graft.operators.{Dedup, Generations}
+    val docs = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 200)
+    val name = "graft_test_ndidx_crashwin"
+    Dedup.writeNearDupIndex(docs, name, numBuckets = 4)
+    val batch = spark.range(4).select((col("id") + 3000000300L).as("doc_id"),
+      concat(lit("partial crash window doc "), col("id").cast("string"),
+        lit(" aleph bet gimel dalet he vav zayin het tet yod kaf lamed"))
+        .as("text")).localCheckpoint()
+    // simulate the exact torn state a crash between the two append jobs
+    // leaves: bucket rows landed, signature rows did not. (Each job is
+    // atomic; the PAIR is not — this is the window.)
+    val bt = Generations.resolve(spark, name, "buckets")
+    import graft.operators.Dedup.{bandBuckets, signatures}
+    val sigs = signatures(batch, 5).localCheckpoint()
+    bandBuckets(sigs).write.format("parquet").mode("append")
+      .bucketBy(4, "band", "bh").saveAsTable(bt)
+    spark.catalog.refreshTable(bt)
+    val bucketRowsTorn = spark.table(bt)
+      .filter(col("doc_id") >= 3000000300L).count()
+    assert(bucketRowsTorn > 0, "torn state failed to land bucket rows")
+    // at-least-once replay of the SAME batch with ifAbsent: the docs
+    // are absent from sigs (written last → not fully applied), so they
+    // readmit; the bucket-side anti-join must skip their landed rows
+    Dedup.appendToNearDupIndex(batch, name, ifAbsent = true)
+    val bucketRows = spark.table(bt)
+      .filter(col("doc_id") >= 3000000300L).count()
+    assert(bucketRows == bucketRowsTorn,
+      s"replay duplicated bucket rows: $bucketRowsTorn -> $bucketRows")
+    val sigRows = spark.table(Generations.resolve(spark, name, "sigs"))
+      .filter(col("doc_id") >= 3000000300L).count()
+    assert(sigRows == 4L, s"replay left sigs incomplete: $sigRows")
+    // converged index behaves: exact copies of the batch all drop
+    val copies = batch.select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+    assert(Dedup.incrementalNearDupSurvivorsIndexed(spark, name, copies)
+      .isEmpty, "appended docs not deduplicating after replay")
+    // and a FULL replay (both tables applied) is a no-op
+    Dedup.appendToNearDupIndex(batch, name, ifAbsent = true)
+    assert(spark.table(bt).filter(col("doc_id") >= 3000000300L).count()
+      == bucketRows)
+  }
+
   test("compaction collapses per-append files; probe contract unchanged") {
     import graft.operators.Dedup
     def indexFiles(name: String): Int =
