@@ -139,6 +139,10 @@ object AnnIndex {
         s"'$BaseDistProp' = '$baseDist')")
     }
     Generations.commit(spark, lease, IndexMembers, gcKeep = gcKeep)
+    // a rebuild (or retrain) defines the index's contents from the
+    // corpus it was handed — tombstones against the replaced
+    // generation are stale
+    clearAnnTombstones(spark, name)
   }
 
   /** (vec_id, codes, cell) for `emb` under the given frozen model —
@@ -305,7 +309,15 @@ object AnnIndex {
       .withColumn("qc",
         if (residual) qcellDot(col("qe"), col("cell")) else lit(0.0))
       .drop("qe")
-    val scored = spark.table(cellsTable(spark, name))
+    // deletions apply logically at probe time: tombstoned vectors are
+    // invisible the instant [[tombstoneAnn]] lands; the next
+    // compaction/retrain reclaims their codes physically
+    val base = annTombstones(spark, name).fold(
+      spark.table(cellsTable(spark, name)))(tt =>
+      spark.table(cellsTable(spark, name)).join(
+        broadcast(tt.select(col("vec_id")).distinct()),
+        Seq("vec_id"), "left_anti"))
+    val scored = base
       .join(broadcast(q), "cell" +: scope)
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", col("qc") + expr(
@@ -383,7 +395,12 @@ object AnnIndex {
     val lease = Generations.begin(spark, name, IndexMembers) // silently
     val ct = Generations.physical(name, "cells", lease.gen) // unscope probes
     val mt = Generations.physical(name, "model", lease.gen)
-    spark.table(t).repartition(col("cell"))
+    // tombstoned deletions become physical here; read under the lease
+    // (no new tombstones can land mid-rewrite), cleared after the flip
+    val src = annTombstones(spark, name).fold(spark.table(t))(tt =>
+      spark.table(t).join(broadcast(tt.select(col("vec_id")).distinct()),
+        Seq("vec_id"), "left_anti"))
+    src.repartition(col("cell"))
       .write.format("parquet").partitionBy("cell").saveAsTable(ct)
     spark.table(mt0).coalesce(1).write.format("parquet").saveAsTable(mt)
     Seq(ct, mt).foreach { nt =>
@@ -394,7 +411,49 @@ object AnnIndex {
         s"'$BaseDistProp' = '$baseDist')")
     }
     Generations.commit(spark, lease, IndexMembers, gcKeep = gcKeep)
+    clearAnnTombstones(spark, name)
   }
+
+  /** The persisted deletion set of index `name` (None when empty) —
+    * the ANN twin of [[Dedup.nearDupTombstones]]: probes anti-join it,
+    * the next compaction/rebuild reclaims rows and clears it. */
+  def annTombstones(spark: SparkSession,
+      name: String): Option[DataFrame] = {
+    val t = tombstonesTable(name)
+    if (spark.sessionState.catalog.tableExists(
+        spark.sessionState.sqlParser.parseTableIdentifier(t)))
+      Some(spark.table(t))
+    else None
+  }
+
+  private def tombstonesTable(name: String): String = s"${name}_tombstones"
+
+  /** DELETE vectors from the maintained ANN index (takedown lifecycle,
+    * [[Dedup.tombstoneNearDup]]'s twin): immediate logical effect at
+    * every probe, physical reclamation at the next compaction or
+    * retrain. Held under the writer lease so a tombstone cannot land
+    * mid-compaction and be cleared unapplied. Idempotent. */
+  def tombstoneAnn(spark: SparkSession, name: String,
+      ids: DataFrame): Unit = {
+    val lease = Generations.begin(spark, name, IndexMembers)
+    try {
+      val t = tombstonesTable(name)
+      val add = ids.select(col(ids.columns.head).cast("long").as("vec_id"))
+      annTombstones(spark, name) match {
+        case Some(cur) =>
+          val merged = graft.operators.Frontier.pin(
+            cur.unionByName(add).distinct())
+          merged.write.format("parquet").mode("overwrite").saveAsTable(t)
+        case None =>
+          add.distinct().write.format("parquet").saveAsTable(t)
+      }
+      spark.catalog.refreshTable(t)
+    } finally Generations.abort(spark, lease)
+  }
+
+  private def clearAnnTombstones(spark: SparkSession, name: String): Unit =
+    if (annTombstones(spark, name).isDefined)
+      Generations.dropTableAndLocation(spark, tombstonesTable(name))
 
   /** Drift of the CURRENT corpus against the index's frozen model:
     * mean distance-to-centroid now, divided by the build-time baseline

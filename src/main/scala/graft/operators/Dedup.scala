@@ -704,6 +704,10 @@ object Dedup {
       spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('$ShingleKProp' = '$k')")
     }
     Generations.commit(spark, lease, IndexMembers, gcKeep = gcKeep)
+    // a rebuild defines the index's contents from scratch: tombstones
+    // against the REPLACED generation are stale and would wrongly
+    // suppress matches against the fresh entries
+    clearNearDupTombstones(spark, name)
   }
 
   /** The near-dup index family's members under [[Generations]]. */
@@ -876,6 +880,12 @@ object Dedup {
     val lease = Generations.begin(spark, name, IndexMembers)
     try {
       spark.conf.set(AutoScan, "false")
+      // compaction is where tombstoned deletions become PHYSICAL: the
+      // rewrite drops their rows from both tables. Read under the
+      // lease — no new tombstones can land mid-rewrite, so clearing
+      // the set afterwards cannot lose a deletion.
+      val tombs = nearDupTombstones(spark, name)
+        .map(t => broadcast(t.select(col("doc_id")).distinct()))
       IndexMembers.foreach { member =>
         val t = Generations.resolve(spark, name, member)
         val meta = catalog
@@ -886,14 +896,69 @@ object Dedup {
           sys.error(s"$t has no $ShingleKProp property"))
         val bcols = spec.bucketColumnNames
         val nt = Generations.physical(name, member, lease.gen)
-        spark.table(t).write.format("parquet")
+        val src = tombs.fold(spark.table(t))(tt =>
+          spark.table(t).join(tt, Seq("doc_id"), "left_anti"))
+        src.write.format("parquet")
           .bucketBy(spec.numBuckets, bcols.head, bcols.tail: _*)
           .saveAsTable(nt)
         spark.sql(s"ALTER TABLE $nt SET TBLPROPERTIES ('$ShingleKProp' = '$k')")
       }
     } finally spark.conf.set(AutoScan, auto0)
     Generations.commit(spark, lease, IndexMembers, gcKeep = gcKeep)
+    // after the flip the new generation no longer holds the rows, so
+    // the applied tombstones are inert — clear them. A crash between
+    // flip and clear just leaves no-op tombstones for the next
+    // compaction (probe anti-joins of absent ids), so the pair of
+    // steps needs no atomicity.
+    clearNearDupTombstones(spark, name)
   }
+
+  /** The persisted deletion set of index `name` — applied LOGICALLY by
+    * every probe (tombstoned entries stop being duplicate evidence
+    * immediately) and PHYSICALLY by the next compaction (rows dropped,
+    * set cleared). None when nothing is tombstoned. */
+  def nearDupTombstones(spark: SparkSession,
+      name: String): Option[DataFrame] = {
+    val t = tombstonesTable(name)
+    if (spark.sessionState.catalog.tableExists(
+        spark.sessionState.sqlParser.parseTableIdentifier(t)))
+      Some(spark.table(t))
+    else None
+  }
+
+  private def tombstonesTable(name: String): String = s"${name}_tombstones"
+
+  /** DELETE from the maintained index (takedown/right-to-erasure — the
+    * lifecycle step appends and compactions don't cover): record the
+    * doc ids as tombstones. Effect is immediate at every probe (the
+    * entries stop suppressing matches) without touching the
+    * corpus-sized tables; the next [[compactNearDupIndex]] reclaims
+    * the rows and clears the set. Held under the family's writer
+    * lease: a tombstone landing mid-compaction could otherwise be
+    * cleared without ever being applied (the rewrite's scan predates
+    * it — a lost deletion). Idempotent: ids are distinct-merged. */
+  def tombstoneNearDup(spark: SparkSession, name: String,
+      ids: DataFrame): Unit = {
+    val lease = Generations.begin(spark, name, IndexMembers)
+    try {
+      val t = tombstonesTable(name)
+      val add = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
+      nearDupTombstones(spark, name) match {
+        case Some(cur) =>
+          val merged = Frontier.pin(cur.unionByName(add).distinct())
+          merged.write.format("parquet").mode("overwrite")
+            .saveAsTable(t) // pin: overwriting what we read needs a break
+        case None =>
+          add.distinct().write.format("parquet").saveAsTable(t)
+      }
+      spark.catalog.refreshTable(t)
+    } finally Generations.abort(spark, lease)
+  }
+
+  private def clearNearDupTombstones(spark: SparkSession,
+      name: String): Unit =
+    if (nearDupTombstones(spark, name).isDefined)
+      Generations.dropTableAndLocation(spark, tombstonesTable(name))
 
   /** [[incrementalNearDupSurvivors]] probing a PERSISTED index written
     * by [[writeNearDupIndex]] instead of re-deriving the history's
@@ -922,10 +987,18 @@ object Dedup {
           col("b.doc_id") =!= col("h.doc_id"))
       .select(col("b.doc_id").as("bid"), col("h.doc_id").as("hid"))
       .distinct()
-    val cand = excludeIds match {
-      case Some(ex) => cand0.join(
-        broadcast(ex.select(col(ex.columns.head).as("hid"))),
-        Seq("hid"), "left_anti")
+    // deletions are applied logically at probe time: tombstoned index
+    // entries stop counting as duplicate evidence the instant
+    // [[tombstoneNearDup]] lands, long before compaction physically
+    // reclaims their rows. Merged with the caller's excludeIds.
+    val exCaller = excludeIds.map(ex =>
+      ex.select(col(ex.columns.head).as("hid")))
+    val exTombs = nearDupTombstones(spark, name)
+      .map(_.select(col("doc_id").as("hid")))
+    val excl = (exCaller.toSeq ++ exTombs.toSeq).reduceOption(_ unionByName _)
+    val cand = excl match {
+      case Some(ex) => cand0.join(broadcast(ex.distinct()), Seq("hid"),
+        "left_anti")
       case None => cand0
     }
     val dupIds = cand

@@ -593,5 +593,42 @@ object DedupQueries {
               .mkString(",\n            ")}) v(doc_id, text)),
         x AS (${Dedup.sqlRemoveDuplicateSpansMerged("d2", 8)})
         SELECT * FROM x ORDER BY doc_id NULLS FIRST""")),
+
+    // ---- d21: DELETION from the maintained index (tombstones) --------
+    // The lifecycle step appends/compactions don't cover: a takedown
+    // (right-to-erasure, licensing revocation) must stop a deleted
+    // doc's index entries from suppressing future matches IMMEDIATELY,
+    // without a corpus-sized rewrite. tombstoneNearDup records the ids
+    // (under the writer lease); every probe anti-joins them; the next
+    // compaction reclaims the rows physically and clears the set
+    // (TombstoneSpec pins reclamation + idempotent clearing). Here:
+    // docs 0-49 are deleted from a full-corpus index, then a batch of
+    // lightly-edited copies of docs 0-99 probes it — copies of deleted
+    // docs survive (their evidence is gone) unless a RETAINED near-dup
+    // still matches them; copies of retained docs drop. Oracle = exact
+    // Jaccard over (corpus minus deleted) + batch.
+    Q("d21_tombstone_probe",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        Dedup.writeNearDupIndex(
+          docs.select(col("doc_id"), col("text")), "graft_d21_idx")
+        Dedup.tombstoneNearDup(s, "graft_d21_idx",
+          docs.filter(col("doc_id") < 50).select("doc_id"))
+        val batch = docs.filter(col("doc_id") < 100)
+          .select((col("doc_id") + 1000000000L).as("doc_id"),
+            concat(col("text"), lit(" zz edit marker token pad")).as("text"))
+        Dedup.incrementalNearDupSurvivorsIndexed(s, "graft_d21_idx", batch)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d2 AS (
+          SELECT doc_id, text FROM documents WHERE doc_id >= 50
+          UNION ALL SELECT doc_id + 1000000000, text || ' zz edit marker token pad'
+            FROM documents WHERE doc_id < 100),
+        ${Dedup.sqlJaccardCtes("d2")},
+        dup AS (SELECT DISTINCT id_b AS doc_id FROM jp
+          WHERE id_a < 1000000000 AND id_b >= 1000000000)
+        SELECT doc_id FROM d2
+        WHERE doc_id >= 1000000000 AND doc_id NOT IN (SELECT doc_id FROM dup)
+        ORDER BY doc_id NULLS FIRST""")),
   )
 }

@@ -527,5 +527,41 @@ object SimilarityQueries {
             expr(QueryPred), K, scope = Seq("label"))
           .orderBy("qid", "rank"),
       Some(FilteredKnnOracle)),
+
+    // ---- s23: DELETION from the persisted ANN index (tombstones) -----
+    // d21's similarity twin: tombstoneAnn records deleted vec_ids
+    // (under the writer lease), every probe anti-joins them, the next
+    // compaction/retrain reclaims the codes and clears the set. The
+    // registered check runs the EXHAUSTIVE probe (s19's degeneration)
+    // after deleting vecs 100-119 from a full-corpus index: with every
+    // cell probed and a wide shortlist, the result must equal the
+    // exact search over the corpus WITHOUT the deleted vectors —
+    // hash-exact, so a tombstone that leaked into (or over-filtered)
+    // the candidate set flips rows here.
+    Q("s23_tombstone_knn",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        AnnIndex.writeAnnIndex(
+          emb.select(col("vec_id"), col("embedding")), "graft_s23_idx")
+        AnnIndex.tombstoneAnn(s, "graft_s23_idx",
+          emb.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+            .select("vec_id"))
+        AnnIndex.probeAnnIndex(s, "graft_s23_idx", emb, expr(QueryPred), K,
+            nprobe = 16, shortlist = 400)
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH n AS (SELECT vec_id, embedding,
+            ${chainNorm("embedding", Dim, 1)} AS nrm FROM embeddings),
+        q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn
+          FROM n WHERE $QueryPred),
+        c AS (SELECT qid, n.vec_id,
+            CAST(${chainDot("qe", "n.embedding", Dim, 1)} AS DOUBLE)
+              / (qn * n.nrm) AS cos
+          FROM n, q WHERE n.vec_id <> qid
+            AND n.vec_id NOT BETWEEN 100 AND 119),
+        r AS (SELECT qid, vec_id, cos, CAST(row_number() OVER (
+            PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank FROM c)
+        SELECT qid, vec_id, rank, cos FROM r WHERE rank <= $K
+        ORDER BY qid NULLS FIRST, rank NULLS FIRST""")),
   )
 }

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Deletion lifecycle of the maintained indexes (d21/s23's in-engine
+  * contract): a tombstone's effect is IMMEDIATE and LOGICAL at every
+  * probe, PHYSICAL at the next compaction (rows reclaimed, set
+  * cleared, probes unchanged across the transition), and a rebuild
+  * clears stale tombstones rather than letting them suppress the
+  * fresh generation's entries. */
+class TombstoneSpec extends SparkSpec {
+
+  test("near-dup: tombstone hides immediately; compaction reclaims and clears; probes stable") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 200)
+    val name = "graft_tomb_nd"
+    Dedup.writeNearDupIndex(docs, name, numBuckets = 4)
+    val copies = docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
+      .localCheckpoint()
+    // before deletion: exact copies all drop
+    assert(Dedup.incrementalNearDupSurvivorsIndexed(spark, name, copies)
+      .isEmpty)
+    import spark.implicits._
+    Dedup.tombstoneNearDup(spark, name, Seq.range(0L, 10L).toDF("doc_id"))
+    def survivors() =
+      Dedup.incrementalNearDupSurvivorsIndexed(spark, name, copies)
+        .collect().map(_.getLong(0)).toSet
+    val logical = survivors()
+    // copies of deleted docs may still match a retained near-dup, so
+    // assert the two-sided CONTRACT, not a fixed set: nothing beyond
+    // the deleted range survives, and at least the genuinely unique
+    // deleted docs do
+    assert(logical.nonEmpty, "deleting the originals freed no copies")
+    assert(logical.forall(id => id - 1000000000L < 10L),
+      s"a copy of a RETAINED doc survived: $logical")
+    // physical reclamation: compaction drops the rows and clears the set
+    Dedup.compactNearDupIndex(spark, name)
+    assert(Dedup.nearDupTombstones(spark, name).isEmpty,
+      "compaction did not clear the tombstone set")
+    val bt = Generations.resolve(spark, name, "buckets")
+    val st = Generations.resolve(spark, name, "sigs")
+    assert(spark.table(bt).filter(col("doc_id") < 10).count() == 0L)
+    assert(spark.table(st).filter(col("doc_id") < 10).count() == 0L)
+    // the transition is probe-invisible
+    assert(survivors() == logical,
+      "probe changed across logical->physical deletion")
+    // tombstoning is idempotent and mergeable
+    Dedup.tombstoneNearDup(spark, name, Seq(10L, 11L).toDF("doc_id"))
+    Dedup.tombstoneNearDup(spark, name, Seq(11L, 12L).toDF("doc_id"))
+    assert(Dedup.nearDupTombstones(spark, name).get.count() == 3L)
+    // a rebuild clears stale tombstones: the fresh index's entries
+    // must not be suppressed by deletions against the old one
+    Dedup.writeNearDupIndex(docs, name, numBuckets = 4)
+    assert(Dedup.nearDupTombstones(spark, name).isEmpty)
+    assert(Dedup.incrementalNearDupSurvivorsIndexed(spark, name, copies)
+      .isEmpty, "stale tombstones suppressed a rebuilt index")
+  }
+
+  test("ANN: tombstone hides immediately; compaction reclaims and clears; probes stable") {
+    val emb = Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+    val name = "graft_tomb_ann"
+    AnnIndex.writeAnnIndex(emb, name)
+    val pred = col("vec_id") < 4
+    def probe() = AnnIndex.probeAnnIndex(spark, name, emb, pred, k = 10,
+        nprobe = 16, shortlist = 400)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val before = probe()
+    assert(before.nonEmpty)
+    // delete the CURRENT top-1 neighbors of every query — maximal
+    // visibility: every query's result must change
+    import spark.implicits._
+    val top1 = before.filter(_._3 == 1).map(_._2).toSeq
+    AnnIndex.tombstoneAnn(spark, name, top1.toDF("vec_id"))
+    val logical = probe()
+    assert(logical.forall(r => !top1.contains(r._2)),
+      "a deleted vector still appears in probe results")
+    assert(logical != before)
+    // physical reclamation via compaction; probe unchanged across it
+    AnnIndex.compactAnnIndex(spark, name)
+    assert(AnnIndex.annTombstones(spark, name).isEmpty)
+    val ct = Generations.resolve(spark, name, "cells")
+    assert(spark.table(ct)
+      .filter(col("vec_id").isin(top1: _*)).count() == 0L)
+    assert(probe() == logical,
+      "probe changed across logical->physical deletion")
+    // retrain (a rebuild) also clears stale tombstones
+    AnnIndex.tombstoneAnn(spark, name, Seq(500L).toDF("vec_id"))
+    AnnIndex.retrainAnnIndex(spark, name,
+      emb.join(top1.toDF("vec_id"), Seq("vec_id"), "left_anti"))
+    assert(AnnIndex.annTombstones(spark, name).isEmpty,
+      "retrain did not clear stale tombstones")
+  }
+}
