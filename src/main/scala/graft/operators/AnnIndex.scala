@@ -445,6 +445,9 @@ object AnnIndex {
             cur.unionByName(add).distinct())
           merged.write.format("parquet").mode("overwrite").saveAsTable(t)
         case None =>
+          // a previous JVM's tombstones DIRECTORY can outlive the
+          // in-memory catalog entry (same hazard as generation tables)
+          Generations.dropTableAndLocation(spark, t)
           add.distinct().write.format("parquet").saveAsTable(t)
       }
       spark.catalog.refreshTable(t)

@@ -949,6 +949,9 @@ object Dedup {
           merged.write.format("parquet").mode("overwrite")
             .saveAsTable(t) // pin: overwriting what we read needs a break
         case None =>
+          // a previous JVM's tombstones DIRECTORY can outlive the
+          // in-memory catalog entry (same hazard as generation tables)
+          Generations.dropTableAndLocation(spark, t)
           add.distinct().write.format("parquet").saveAsTable(t)
       }
       spark.catalog.refreshTable(t)

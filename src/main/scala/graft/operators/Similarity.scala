@@ -382,6 +382,53 @@ object Similarity {
     exactReRank(emb, cands, dim, k)
   }
 
+  /** k-NN GRAPH construction: EVERY vector is a query — the substrate
+    * for semantic clustering, graph-based dedup (connect → d05
+    * components), and diversity analysis over a whole corpus. The
+    * all-queries shape changes the plan fundamentally vs the topK
+    * family: the query side is corpus-sized, so nothing broadcasts —
+    * candidate generation is a corpus-corpus SHUFFLE equi-join on the
+    * IVF cell key (each vector probes its nprobe nearest cells; each
+    * indexed vector lives in exactly one cell). Work is
+    * Σ_cells |cell|·|probes into cell| ≈ nprobe·n²/nCells — the
+    * nCells knob trades recall for the quadratic factor, and at
+    * 100 TB nCells scales with corpus size to hold |cell| bounded
+    * (cell skew is visible via [[AnnIndex.cellStats]]'s shape).
+    * Per-query state never exceeds the bounded [[TopKAgg]]; the
+    * exchange carries ≤ k rows per (partition, qid).
+    *
+    * `buffer`+exact re-rank give the same oracle-exactness story as
+    * [[ivfExhaustiveTopK]]: at nprobe = nCells the graph degenerates
+    * to the EXACT k-NN graph (s24 hash-checks a subset); production
+    * runs nprobe ≪ nCells with a recall contract (s25). */
+  def knnGraph(spark: SparkSession, emb: DataFrame, k: Int = 10,
+      nCells: Int = 16, nprobe: Int = 2, buffer: Int = 0): DataFrame = {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val firstVec = emb.select(size(col("embedding"))).take(1)
+    if (firstVec.isEmpty) return emptyTopK(emb)
+    val dim = firstVec(0).getInt(0)
+    val trained = trainCentroids(emb, nCells)
+    if (trained.isEmpty) return emptyTopK(emb)
+    val cents = spark.sparkContext.broadcast(trained)
+    val cellOf = udf((v: Seq[Float]) => nearestCell(v.toArray, cents.value))
+    val probesOf =
+      udf((v: Seq[Float]) => nearestCells(v.toArray, cents.value, nprobe))
+    val indexed = emb.select(col("vec_id"), col("embedding").as("e"),
+      cellOf(col("embedding")).as("cell"))
+    val queries = emb.select(col("vec_id").as("qid"),
+        col("embedding").as("qe"))
+      .withColumn("cell", explode(probesOf(col("qe"))))
+    // corpus-corpus join: shuffle on the cell key, NO broadcast — the
+    // defining difference from the one-sided topK family
+    val cands = indexed.join(queries, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", expr("cosine_sim(qe, e)"))
+      .select("qid", "vec_id", "cos").distinct()
+    val wide = topKPerQuery(cands, if (buffer > 0) buffer else k)
+    if (buffer > 0) exactReRank(emb, wide, dim, k) else wide
+  }
+
   /** [[lshTopK]]'s degeneration twin (the s17 pattern for the LSH
     * family): with ZERO hyperplanes every vector hashes to the one
     * bucket, so the bucket equi-join covers all pairs and the result —

@@ -563,5 +563,67 @@ object SimilarityQueries {
             PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank FROM c)
         SELECT qid, vec_id, rank, cos FROM r WHERE rank <= $K
         ORDER BY qid NULLS FIRST, rank NULLS FIRST""")),
+
+    // ---- s24/s25: k-NN GRAPH (every vector a query) ------------------
+    // Corpus-scale graph construction — the substrate for semantic
+    // clustering and graph-based dedup (feed the edges to d05's
+    // components). The plan is the key difference from s01-s22:
+    // queries are corpus-sized, so NOTHING broadcasts — candidates
+    // come from a corpus-corpus shuffle equi-join on the IVF cell key,
+    // work ≈ nprobe·n²/nCells with nCells scaling against |cell| at
+    // 100 TB. s24 is the degeneration gate: at nprobe = nCells over a
+    // 300-vector slice, the graph (buffered + exact-re-ranked) must
+    // equal the exact k-NN graph — hash-checked in full. s25 is the
+    // production point (nprobe = 4): same slice, recall@5 vs the s24
+    // ground truth as driver-checkable contract rows (the s05 pattern).
+    Q("s24_knn_graph",
+      (s, dir) => {
+        val sub = Tables(s, dir, "embeddings")
+          .filter(col("vec_id") < 300).select("vec_id", "embedding")
+        Similarity.knnGraph(s, sub, k = 5, nCells = 16, nprobe = 16,
+            buffer = 15)
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH n AS (SELECT vec_id, embedding,
+            ${chainNorm("embedding", Dim, 1)} AS nrm FROM embeddings
+          WHERE vec_id < 300),
+        c AS (SELECT q.vec_id AS qid, n.vec_id,
+            CAST(${chainDot("q.embedding", "n.embedding", Dim, 1)} AS DOUBLE)
+              / (q.nrm * n.nrm) AS cos
+          FROM n q JOIN n ON n.vec_id <> q.vec_id),
+        r AS (SELECT qid, vec_id, cos, CAST(row_number() OVER (
+            PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank FROM c)
+        SELECT qid, vec_id, rank, cos FROM r WHERE rank <= 5
+        ORDER BY qid NULLS FIRST, rank NULLS FIRST""")),
+
+    Q("s25_knn_graph_recall",
+      (s, dir) => {
+        import graft.operators.Frontier
+        val sub = Tables(s, dir, "embeddings")
+          .filter(col("vec_id") < 300).select("vec_id", "embedding")
+          .localCheckpoint()
+        val exact = Frontier.pin(Similarity.knnGraph(s, sub, k = 5,
+          nCells = 16, nprobe = 16, buffer = 15))
+        val approx = Frontier.pin(Similarity.knnGraph(s, sub, k = 5,
+          nCells = 16, nprobe = 4))
+        val rec = Frontier.pin(exact.select(col("qid"), col("vec_id"))
+          .join(approx.select(col("qid"), col("vec_id"), lit(1L).as("hit")),
+            Seq("qid", "vec_id"), "left")
+          .agg((sum(coalesce(col("hit"), lit(0L))) /
+            count(lit(1)).cast("double")).as("recall"),
+            count(lit(1)).as("n")))
+        def row(metric: String, bound: Double,
+            ok: org.apache.spark.sql.Column) =
+          rec.select(lit(metric).as("metric"), lit(bound).as("bound"),
+            ok.as("ok"))
+        row("graph_non_vacuous", 0.0, col("n") > 0)
+          .unionByName(row("graph_recall_at_5", 0.5, col("recall") >= 0.5))
+          .orderBy("metric")
+      },
+      Some("""SELECT * FROM (
+          SELECT 'graph_non_vacuous' AS metric, CAST(0.0 AS DOUBLE) AS bound, true AS ok
+          UNION ALL
+          SELECT 'graph_recall_at_5', CAST(0.5 AS DOUBLE), true)
+        ORDER BY metric NULLS FIRST""")),
   )
 }
