@@ -116,6 +116,53 @@ object Sharding {
     * no-op append). The check is a column-pruned scan of the one key
     * column across the layout (the d09 anti-join class of cost), paid
     * only when requested. */
+  /** Right-to-erasure for the trainer layout (the d21/s23 story for
+    * shards): physically remove every assignment row of `ids` from an
+    * existing layout, rewriting ONLY the shard directories that
+    * contain them. Cost ∝ affected shards (≈ deleted docs × their
+    * shard span), never the corpus: untouched shard files stay
+    * byte-identical (ShardingSpec asserts). Token positions keep
+    * their holes — the surviving rows' offsets are unchanged, so the
+    * layout remains consistent with every manifest/oracle computed
+    * over "the original assignment minus the deleted docs".
+    *
+    * A shard whose every doc is deleted is DROPPED (dynamic overwrite
+    * only replaces directories present in the written frame, so the
+    * emptied ones are removed explicitly — the affected-shard list is
+    * bounded by the deletion batch, the one driver-side value here,
+    * same class as appendShards' boundary agg). A replay of the same
+    * deletion converges: the anti-join finds nothing left to remove
+    * and the rewrite is a no-op overwrite of already-clean shards. */
+  def deleteFromShards(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame, idCol: String = "doc_id",
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) return readLayout(spark, path, schema)
+    val layout = readLayout(spark, path, schema)
+    val del = ids.select(col(ids.columns.head).as(idCol)).distinct()
+    // affected shards: every directory holding at least one deleted row
+    val affected = layout.join(del, Seq(idCol), "left_semi")
+      .select(col("shard").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (affected.isEmpty) return layout
+    val touched = layout.filter(col("shard").isin(affected: _*))
+    val remaining = Frontier.pin(touched.join(del, Seq(idCol), "left_anti"))
+    remaining.repartition(col("shard"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile", 1000000)
+      .partitionBy("shard")
+      .parquet(path)
+    val still = remaining.select(col("shard").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    affected.filterNot(still).foreach { sh =>
+      fs.delete(new org.apache.hadoop.fs.Path(hp, s"shard=$sh"), true)
+    }
+    readLayout(spark, path, schema)
+  }
+
   def appendShards(newAssign: DataFrame, path: String,
       idempotentOn: Option[String] = None): DataFrame = {
     val spark = newAssign.sparkSession

@@ -438,6 +438,48 @@ object CorpusPrep {
           CAST(max(shuffle_pos) AS BIGINT) AS max_pos
         FROM ov GROUP BY shard ORDER BY shard NULLS FIRST""")),
 
+    // ---- p08: DELETION from the trainer layout — right-to-erasure ----
+    // The d21/s23 story for shards: a takedown batch is physically
+    // removed from an existing layout by rewriting ONLY the affected
+    // shard directories (partition-pruned scan + dynamic overwrite;
+    // fully-emptied shards dropped). Surviving rows keep their token
+    // offsets — the holes are the proof the rest of the layout was
+    // untouched — so the manifest hash-checks against p04's chain with
+    // the deleted docs filtered out of the assignment rows.
+    Q("p08_shard_deletion",
+      (s, dir) => {
+        val packed = shuffledPack(s, dir)
+          .select(col("doc_id"), col("shuffle_pos"), col("n_tokens"),
+            col("start_tok"))
+        val assign = Sharding.shardAssignments(packed, tokensPerShard = 2048L)
+        val path = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_p08_shards").getAbsolutePath
+        Sharding.writeShards(assign, path)
+        val del = Tables(s, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 7 === 3)
+        val back = Sharding.deleteFromShards(s, path, del,
+          schema = Some(assign.schema))
+        Sharding.manifest(back, "shuffle_pos")
+          .withColumn("shard", col("shard").cast("long"))
+          .orderBy("shard")
+      },
+      Some(s"""$sqlThroughShuffledPack,
+        sp AS (SELECT doc_id, shuffle_pos, n_tokens, start_tok,
+            start_tok // 2048 AS shard_first,
+            greatest(start_tok // 2048,
+              (start_tok + n_tokens - 1) // 2048) AS shard_last
+          FROM c WHERE doc_id % 7 <> 3),
+        ex AS (SELECT doc_id, shuffle_pos, n_tokens, start_tok,
+            unnest(range(shard_first, shard_last + 1)) AS shard FROM sp),
+        ov AS (SELECT shard, shuffle_pos,
+            least((shard + 1) * 2048, start_tok + n_tokens) -
+              greatest(shard * 2048, start_tok) AS tok_in_shard FROM ex)
+        SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+          CAST(sum(tok_in_shard) AS BIGINT) AS n_tokens,
+          CAST(min(shuffle_pos) AS BIGINT) AS min_pos,
+          CAST(max(shuffle_pos) AS BIGINT) AS max_pos
+        FROM ov GROUP BY shard ORDER BY shard NULLS FIRST""")),
+
     // ---- p06: the MULTI-EPOCH pipeline — replicate, then shuffle -----
     // p02 packs one pass over the corpus; a real mixture oversamples
     // high-weight sources ("2.25 epochs of zh") and the copies must

@@ -90,6 +90,71 @@ object StreamingNightlyIngest {
     * observed apart). */
   val LastBatchProp = "graft.nightly.lastbatch"
 
+  /** The pipeline's durable takedown registry — an append-only log of
+    * deleted doc_ids, derived from the corpus-table name so [[Artifacts]]
+    * stays source-compatible. Three consumers: the quality gate bars
+    * logged ids from re-entering (a taken-down doc must not come back
+    * via re-crawl — erasure is durable, not until-next-compaction),
+    * [[retrainCorpus]] filters them out of every drift measurement and
+    * retrain input (so a retrain can never resurrect a deleted vector
+    * after the index's own tombstones were cleared by a rebuild), and
+    * the corpus compaction rewrites the raw-vector table without them.
+    * Size ∝ total takedowns ever — rare events; at 100 TB the log is a
+    * small broadcast side. */
+  def deletedTable(arts: Artifacts): String = s"${arts.annCorpusTable}_deleted"
+
+  private def deletedLog(spark: SparkSession,
+      arts: Artifacts): Option[DataFrame] = {
+    val t = deletedTable(arts)
+    if (spark.sessionState.catalog.tableExists(
+        spark.sessionState.sqlParser.parseTableIdentifier(t)))
+      Some(spark.table(t))
+    else None
+  }
+
+  /** The ANN corpus as every drift/retrain consumer must see it:
+    * minus the takedown registry. */
+  def retrainCorpus(spark: SparkSession, arts: Artifacts): DataFrame = {
+    val corpus = spark.table(arts.annCorpusTable)
+    deletedLog(spark, arts).fold(corpus)(d =>
+      corpus.join(d.select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_anti"))
+  }
+
+  /** Apply one night's takedown set to EVERY maintained artifact:
+    * tombstone both indexes (logical effect at the next probe,
+    * physical at their next compaction), append the ids to the durable
+    * registry, and physically remove their rows from the trainer shard
+    * layout (bounded rewrite of affected shard directories only —
+    * surviving offsets keep their holes). Budget already consumed by a
+    * deleted doc is NOT refunded: the per-stratum scan is a monotone
+    * prefix over history, and un-spending it would re-admit docs that
+    * were rejected because the deleted one was cheaper — history is
+    * append-only. Every effect here is idempotent, so a crashed
+    * night's replay converges. */
+  def applyDeletions(arts: Artifacts, ids: DataFrame,
+      assignSchema: org.apache.spark.sql.types.StructType): Unit = {
+    val spark = ids.sparkSession
+    val del = Frontier.pin(
+      ids.select(col(ids.columns.head).cast("long").as("doc_id")).distinct())
+    if (del.isEmpty) return
+    Dedup.tombstoneNearDup(spark, arts.ndIndex, del)
+    AnnIndex.tombstoneAnn(spark, arts.annIndex,
+      del.select(col("doc_id").as("vec_id")))
+    val t = deletedTable(arts)
+    deletedLog(spark, arts) match {
+      case Some(cur) =>
+        del.join(cur, Seq("doc_id"), "left_anti")
+          .write.format("parquet").mode("append").saveAsTable(t)
+        spark.catalog.refreshTable(t)
+      case None =>
+        del.write.format("parquet").saveAsTable(t)
+    }
+    Sharding.deleteFromShards(spark, arts.shardPath, del,
+      schema = Some(assignSchema))
+    ()
+  }
+
   /** One night as a plain function — shared by the streaming loop and
     * any batch scheduler (p07 calls it directly). `batch` carries
     * (doc_id, text, lang, n_chars, embedding); returns the ADMITTED
@@ -119,10 +184,26 @@ object StreamingNightlyIngest {
     */
   def nightStep(arts: Artifacts, batch: DataFrame, budget: Long,
       salt: String, seqBudget: Int = 256,
-      tokensPerShard: Long = 2048L, batchId: Long = -1L): DataFrame = {
+      tokensPerShard: Long = 2048L, batchId: Long = -1L,
+      deletes: Option[DataFrame] = None): DataFrame = {
     val spark = batch.sparkSession
-    // 1. quality gate — p01's stage-1 predicate, narrow
-    val quality = Frontier.pin(batch
+    val delIds = deletes.map(d => Frontier.pin(
+      d.select(col(d.columns.head).cast("long").as("doc_id")).distinct()))
+    // 1. quality gate — p01's stage-1 predicate, narrow — plus the
+    //    takedown bar: ids in the durable registry must not re-enter.
+    //    The bar excludes TONIGHT's own takedown set: a same-night
+    //    add+delete must ingest-then-delete on every attempt — if a
+    //    crashed attempt already logged tonight's ids, a replay that
+    //    barred them would shift the budget scan and diverge from the
+    //    clean run (subtracting `delIds` makes the gate a pure
+    //    function of the batch + PREVIOUS nights' registry).
+    val barred = (deletedLog(spark, arts), delIds) match {
+      case (Some(log), Some(d)) =>
+        Some(log.select("doc_id").join(d, Seq("doc_id"), "left_anti"))
+      case (log, _) => log.map(_.select("doc_id"))
+    }
+    val quality = Frontier.pin(barred.fold(batch)(d =>
+        batch.join(d, Seq("doc_id"), "left_anti"))
       .filter(length(trim(col("text"))) > 0)
       .filter(TextFunctions.quality(col("text"), col("n_chars")) >= 0.5))
     val batchIds = quality.select("doc_id")
@@ -196,6 +277,9 @@ object StreamingNightlyIngest {
     if (base == 0L) Sharding.writeShards(assign, arts.shardPath)
     else Sharding.appendShards(assign, arts.shardPath,
       idempotentOn = Some("doc_id"))
+    // 7. the night's takedown set, applied LAST (ingest-then-delete:
+    //    a doc both added and deleted tonight ends deleted)
+    delIds.foreach(d => applyDeletions(arts, d, assign.schema))
     kept
   }
 
@@ -209,23 +293,38 @@ object StreamingNightlyIngest {
     * iff it exceeds `maxDrift` — the full signal→actuator cycle s16
     * proves in batch, folded into the nightly cadence (the retrain is
     * itself a generation swap, so probes racing it stay consistent). */
+  /** If the streaming frame carries an `op` column (the q36 CDC feed
+    * shape), each batch splits into the night's ingest (`op` null or
+    * "add") and its takedown set (`op` = "delete", doc_id only) —
+    * deletions ride the same ordered stream as the data, so a
+    * takedown can never be applied before the night that ingested the
+    * doc. Without an `op` column every row ingests (unchanged). */
   def start(spark: SparkSession, docs: DataFrame, arts: Artifacts,
       budget: Long, salt: String, seqBudget: Int = 256,
       tokensPerShard: Long = 2048L, compactEvery: Int = 0,
       driftCheckEvery: Int = 0, maxDrift: Double = 1.25)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val hasOp = docs.columns.contains("op")
     val step: (Dataset[Row], Long) => Unit = (batch, batchId) => {
       val b = batch.persist()
       try {
-        sink(nightStep(arts, b.toDF(), budget, salt, seqBudget,
-          tokensPerShard, batchId), batchId)
+        val (adds, dels) =
+          if (hasOp)
+            (b.toDF().filter(col("op").isNull || col("op") =!= "delete")
+               .drop("op"),
+             Some(b.toDF().filter(col("op") === "delete").select("doc_id")))
+          else (b.toDF(), None)
+        sink(nightStep(arts, adds, budget, salt, seqBudget,
+          tokensPerShard, batchId, deletes = dels), batchId)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           Dedup.compactNearDupIndex(b.sparkSession, arts.ndIndex)
           AnnIndex.compactAnnIndex(b.sparkSession, arts.annIndex)
         }
         if (driftCheckEvery > 0 && (batchId + 1) % driftCheckEvery == 0) {
+          // drift and retrain see the corpus MINUS the takedown
+          // registry — a retrain must never resurrect a deleted vector
           AnnIndex.retrainAnnIndexIfDrifted(b.sparkSession, arts.annIndex,
-            b.sparkSession.table(arts.annCorpusTable), maxDrift)
+            retrainCorpus(b.sparkSession, arts), maxDrift)
           ()
         }
       } finally b.unpersist()

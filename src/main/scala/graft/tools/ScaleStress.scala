@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{AnnIndex, Dedup, Packing, Sampling, SkewJoin}
+import graft.operators.{AnnIndex, Dedup, Packing, Sampling, Similarity, SkewJoin}
 
 /** Dev-only: the 10× scale-stress harness behind SCALE.md §"10×
   * stress". No sf1 fixture exists, so one is generated in-engine from
@@ -132,6 +132,12 @@ object ScaleStress {
       timeSideEffect("s09_build", () => AnnIndex.writeAnnIndex(emb, annName))
       time("s09_probe", () =>
         AnnIndex.probeAnnIndex(spark, annName, emb, col("vec_id") < 8, 10))
+      // knnGraph's scale knob is nCells ∝ corpus size (holds |cell| and
+      // therefore the corpus-corpus join's per-cell pair count bounded);
+      // nprobe stays at the production point. Claim: ~linear, since
+      // work ≈ nprobe·n²/nCells and nCells scales with n.
+      time("s25_graph", () =>
+        Similarity.knnGraph(spark, emb, k = 10, nCells = 16 * m, nprobe = 2))
       time("p03", () => p03Like(docs))
       time("q18", () => SkewJoin.hotKeySaltedJoin(
           t("lineitem").withColumnRenamed("l_orderkey", "okey"),

@@ -88,6 +88,71 @@ class ShardingSpec extends SparkSpec {
     assert(merged.except(oneShot).isEmpty && oneShot.except(merged).isEmpty)
   }
 
+  test("deleteFromShards rewrites only affected shards, drops emptied ones") {
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_sharding_delete_spec").getAbsolutePath
+    val all = Sharding.shardAssignments(packed, tokensPerShard = 10L)
+    Sharding.writeShards(all, path)
+    def listing() = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("shard="))
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    val before = listing()
+    // token spans: pos4=[15,25) (shards 1,2), pos5=[25,26) (shard 2) —
+    // deleting both empties shard 2 and touches shard 1; shard 0
+    // (pos 0,1,2) is unaffected
+    val back = Sharding.deleteFromShards(spark, path,
+      Seq(4L, 5L).toDF("pos"), idCol = "pos", schema = Some(all.schema))
+    val after = listing()
+    // survivors = the original assignment minus the deleted docs,
+    // offsets untouched (holes remain)
+    val expect = all.filter(!col("pos").isin(4L, 5L))
+    assert(back.select("pos", "shard", "tok_in_shard", "start_tok").except(
+      expect.select("pos", "shard", "tok_in_shard", "start_tok")).isEmpty)
+    assert(back.count() == expect.count())
+    // shard 2 held only deleted docs → the directory is gone
+    assert(!after.keys.exists(_.contains("shard=2")),
+      "fully-emptied shard directory not dropped")
+    // the unaffected shard 0 is byte-identical (same file/bytes/mtime)
+    val sealedFiles = before.keys.filter(_.contains("shard=0"))
+    assert(sealedFiles.nonEmpty)
+    sealedFiles.foreach(p =>
+      assert(after(p) == before(p), s"unaffected $p rewritten"))
+    // replay of the same deletion converges to the same layout
+    val again = Sharding.deleteFromShards(spark, path,
+      Seq(4L, 5L).toDF("pos"), idCol = "pos", schema = Some(all.schema))
+    assert(again.count() == expect.count())
+  }
+
+  test("deleteFromShards leaves untouched shard files byte-identical") {
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_sharding_delete_seal_spec").getAbsolutePath
+    // 12 one-token docs over 3-token shards → shards 0..3, doc→shard
+    // is pos/3; deleting pos 7 touches only shard 2
+    val wide = Sharding.shardAssignments(
+      Packing.packPlan((0L to 11L).map((_, 1L)).toDF("pos", "n_tokens"),
+        "pos", "n_tokens", budget = 3), tokensPerShard = 3L)
+    Sharding.writeShards(wide, path)
+    def listing() = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("shard="))
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    val before = listing()
+    val back = Sharding.deleteFromShards(spark, path, Seq(7L).toDF("pos"),
+      idCol = "pos", schema = Some(wide.schema))
+    val after = listing()
+    val untouched = before.keys.filterNot(_.contains("shard=2"))
+    assert(untouched.nonEmpty)
+    untouched.foreach(p =>
+      assert(after(p) == before(p), s"unaffected $p rewritten"))
+    assert(back.filter(col("pos") === 7L).isEmpty)
+    assert(back.count() == 11L)
+    // deleting ids absent from the layout is a no-op
+    val noop = Sharding.deleteFromShards(spark, path, Seq(99L).toDF("pos"),
+      idCol = "pos", schema = Some(wide.schema))
+    assert(noop.count() == 11L)
+  }
+
   test("empty corpus and never-written layouts degrade cleanly") {
     val path = new java.io.File(sys.props("java.io.tmpdir"),
       "graft_sharding_empty_spec").getAbsolutePath

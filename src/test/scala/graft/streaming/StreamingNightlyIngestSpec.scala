@@ -21,6 +21,11 @@ import graft.operators.{AnnIndex, Dedup, Generations, Sharding}
   */
 case class NightDoc(doc_id: Long, text: String, lang: String, n_chars: Long)
 
+/** The CDC-shaped feed for the takedown leg: `op` = null/"add" ingests,
+  * "delete" is the night's takedown set (doc_id only). */
+case class OpNightDoc(doc_id: Long, text: String, lang: String,
+  n_chars: Long, op: String)
+
 class StreamingNightlyIngestSpec extends SparkSpec {
   import spark.implicits._
 
@@ -33,6 +38,8 @@ class StreamingNightlyIngestSpec extends SparkSpec {
   private def reset(arts: StreamingNightlyIngest.Artifacts,
       corpus: DataFrame): Unit = {
     Generations.dropTableAndLocation(spark, arts.annCorpusTable)
+    Generations.dropTableAndLocation(spark,
+      StreamingNightlyIngest.deletedTable(arts))
     Generations.destroy(spark, arts.budgetTable, Seq("state"))
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
@@ -191,6 +198,114 @@ class StreamingNightlyIngestSpec extends SparkSpec {
     val ratio = AnnIndex.driftRatio(spark, arts.annIndex,
       spark.table(arts.annCorpusTable))
     assert(ratio < 1.2, s"signal not restored after retrain: $ratio")
+  }
+
+  test("takedown feed: deletions reach every artifact; erasure is durable across re-ingest, compaction and retrain") {
+    val corpus = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .filter(col("doc_id") < 60).localCheckpoint()
+    val arts = mkArts("del")
+    reset(arts, corpus)
+    def embed(df: DataFrame): DataFrame =
+      df.withColumn("embedding", StreamingNightlyIngest.synthEmbedding)
+    def add(id: Long, t: String, lang: String) =
+      OpNightDoc(id, t, lang, 90L, "add")
+    def del(id: Long) = OpNightDoc(id, "", "xx", 0L, "delete")
+    def freshText(tag: String) =
+      s"takedown fixture $tag with vocabulary alpha$tag beta gamma delta " +
+        "epsilon zeta eta theta iota kappa lambda mu"
+    val b1 = (0 until 5).map(i => add(1000000500L + i, freshText(s"a$i"), "en"))
+    // night 2: fresh adds + takedown of two night-1 docs + one
+    // same-night add-then-delete (must end deleted everywhere)
+    val b2 = (0 until 3).map(i => add(2000000600L + i, freshText(s"b$i"), "de")) ++
+      Seq(add(2000000700L, freshText("c0"), "en"),
+        del(1000000500L), del(1000000501L), del(2000000700L))
+    val deleted = Set(1000000500L, 1000000501L, 2000000700L)
+
+    val keptByNight = scala.collection.mutable.Map[Long, Set[Long]]()
+    val mem = MemoryStream[OpNightDoc](spark)
+    val q = StreamingNightlyIngest.start(spark, embed(mem.toDF()), arts,
+        budget = 100000L, salt = "delt") { (kept, id) =>
+      keptByNight(id) = kept.collect().map(_.getLong(0)).toSet
+    }
+    try {
+      Seq(b1, b2).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+
+      // every night-1 doc admitted; night 2 admitted its adds
+      // (including the later-deleted 2000000700 — ingest-then-delete)
+      assert(keptByNight(0L) == b1.map(_.doc_id).toSet)
+      assert(keptByNight(1L) ==
+        b2.filter(_.op == "add").map(_.doc_id).toSet)
+
+      // the durable registry holds exactly the takedown set
+      val log = spark.table(StreamingNightlyIngest.deletedTable(arts))
+        .collect().map(_.getLong(0)).toSet
+      assert(log == deleted)
+
+      // trainer layout: no assignment row of a deleted doc remains;
+      // the surviving night-1/2 docs are all still there
+      val layout = spark.read.parquet(arts.shardPath)
+      assert(layout.filter(col("doc_id").isin(deleted.toSeq: _*)).isEmpty)
+      val surviving = (b1.map(_.doc_id).toSet ++
+        b2.filter(_.op == "add").map(_.doc_id).toSet) -- deleted
+      assert(layout.select("doc_id").distinct()
+        .collect().map(_.getLong(0)).toSet.intersect(surviving) == surviving)
+
+      // near-dup index: a COPY of a deleted doc's text now survives a
+      // probe (the original is invisible) — d21 in-stream
+      import spark.implicits._
+      val copy = Seq((9000000001L, freshText("a0")))
+        .toDF("doc_id", "text").localCheckpoint()
+      val surv = Dedup.incrementalNearDupSurvivorsIndexed(
+        spark, arts.ndIndex, copy).collect().map(_.getLong(0)).toSet
+      assert(surv == Set(9000000001L),
+        s"copy of a deleted doc did not survive the nd probe: $surv")
+
+      // ANN index: querying a deleted doc's own vector must not return
+      // it (exhaustive probe, re-rank against the filtered corpus)
+      val rerank = StreamingNightlyIngest.retrainCorpus(spark, arts)
+      assert(rerank.filter(col("vec_id").isin(deleted.toSeq: _*)).isEmpty,
+        "retrainCorpus still exposes deleted vectors")
+      val queries = Seq(1000000500L).toDF("doc_id")
+        .withColumn("embedding", StreamingNightlyIngest.synthEmbedding)
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+      // rerank = corpus ∪ queries (the probe contract) — the deleted
+      // query's own vector comes from the query frame, not the corpus
+      val hits = AnnIndex.probeQueries(spark, arts.annIndex, queries,
+          rerank.unionByName(queries), k = 5, nprobe = 64, shortlist = 400)
+        .collect().map(_.getLong(1)).toSet
+      assert(hits.nonEmpty && hits.intersect(deleted).isEmpty,
+        s"ANN probe returned a deleted vector: $hits")
+
+      // night 3: re-crawl of a taken-down doc is barred by the registry
+      val b3 = Seq(add(1000000500L, freshText("a0"), "en"),
+        add(3000000800L, freshText("d0"), "en"))
+      mem.addData(b3: _*); q.processAllAvailable()
+      assert(keptByNight(2L) == Set(3000000800L),
+        s"a taken-down doc re-entered on re-crawl: ${keptByNight(2L)}")
+      assert(spark.read.parquet(arts.shardPath)
+        .filter(col("doc_id") === 1000000500L).isEmpty)
+    } finally q.stop()
+
+    // physical reclamation: both compactions drop the rows and clear
+    // the tombstone sets; the shard layout already reclaimed
+    Dedup.compactNearDupIndex(spark, arts.ndIndex)
+    AnnIndex.compactAnnIndex(spark, arts.annIndex)
+    assert(Dedup.nearDupTombstones(spark, arts.ndIndex).isEmpty)
+    assert(AnnIndex.annTombstones(spark, arts.annIndex).isEmpty)
+    assert(spark.table(Generations.resolve(spark, arts.ndIndex, "sigs"))
+      .filter(col("doc_id").isin(deleted.toSeq: _*)).isEmpty)
+    assert(spark.table(Generations.resolve(spark, arts.annIndex, "cells"))
+      .filter(col("vec_id").isin(deleted.toSeq: _*)).isEmpty)
+
+    // a retrain AFTER tombstones were cleared must not resurrect the
+    // deleted vectors — the registry, not the tombstone set, is what
+    // guards the retrain corpus
+    AnnIndex.retrainAnnIndex(spark, arts.annIndex,
+      StreamingNightlyIngest.retrainCorpus(spark, arts))
+    assert(spark.table(Generations.resolve(spark, arts.annIndex, "cells"))
+      .filter(col("vec_id").isin(deleted.toSeq: _*)).isEmpty,
+      "retrain resurrected a deleted vector")
   }
 
   test("replayed nights converge: crashed and re-delivered batches leave every artifact as one clean run") {
