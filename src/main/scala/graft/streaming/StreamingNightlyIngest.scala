@@ -121,6 +121,23 @@ object StreamingNightlyIngest {
         Seq("vec_id"), "left_anti"))
   }
 
+  /** PHYSICAL erasure for the raw-vector corpus table — the one
+    * artifact [[applyDeletions]] touches only logically (the registry
+    * filters it at every read). Indexes reclaim at their compactions
+    * and the shard layout at deletion time; this rewrite completes
+    * true erasure: after it, no deleted doc's embedding exists on
+    * disk anywhere in the pipeline. The registry itself is KEPT — it
+    * is the durable re-entry bar, and ids are all it stores. Cost is
+    * one corpus rewrite, which is why it rides the compaction cadence
+    * instead of the per-night path. */
+  def compactCorpus(spark: SparkSession, arts: Artifacts): Unit = {
+    if (deletedLog(spark, arts).isEmpty) return
+    val clean = Frontier.pin(retrainCorpus(spark, arts))
+    clean.write.format("parquet").mode("overwrite")
+      .saveAsTable(arts.annCorpusTable)
+    spark.catalog.refreshTable(arts.annCorpusTable)
+  }
+
   /** Apply one night's takedown set to EVERY maintained artifact:
     * tombstone both indexes (logical effect at the next probe,
     * physical at their next compaction), append the ids to the durable
@@ -319,6 +336,7 @@ object StreamingNightlyIngest {
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           Dedup.compactNearDupIndex(b.sparkSession, arts.ndIndex)
           AnnIndex.compactAnnIndex(b.sparkSession, arts.annIndex)
+          compactCorpus(b.sparkSession, arts)
         }
         if (driftCheckEvery > 0 && (batchId + 1) % driftCheckEvery == 0) {
           // drift and retrain see the corpus MINUS the takedown

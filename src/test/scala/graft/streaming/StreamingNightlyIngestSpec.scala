@@ -288,9 +288,18 @@ class StreamingNightlyIngestSpec extends SparkSpec {
     } finally q.stop()
 
     // physical reclamation: both compactions drop the rows and clear
-    // the tombstone sets; the shard layout already reclaimed
+    // the tombstone sets; the shard layout already reclaimed; the
+    // corpus compaction completes TRUE erasure (no deleted embedding
+    // left on disk) while keeping the registry as the re-entry bar
     Dedup.compactNearDupIndex(spark, arts.ndIndex)
     AnnIndex.compactAnnIndex(spark, arts.annIndex)
+    StreamingNightlyIngest.compactCorpus(spark, arts)
+    assert(spark.table(arts.annCorpusTable)
+      .filter(col("vec_id").isin(deleted.toSeq: _*)).isEmpty,
+      "corpus compaction left a deleted embedding on disk")
+    assert(spark.table(StreamingNightlyIngest.deletedTable(arts))
+      .collect().map(_.getLong(0)).toSet == deleted,
+      "corpus compaction must keep the registry (the re-entry bar)")
     assert(Dedup.nearDupTombstones(spark, arts.ndIndex).isEmpty)
     assert(AnnIndex.annTombstones(spark, arts.annIndex).isEmpty)
     assert(spark.table(Generations.resolve(spark, arts.ndIndex, "sigs"))
