@@ -76,6 +76,65 @@ object Dedup {
       .filter(col("jaccard") >= minJ)
       .select("id_a", "id_b", "jaccard")
 
+  /** EXACT Jaccard pairs via PREFIX FILTERING (the SSJoin/PPJoin
+    * family) — the point between d02 and d08 neither occupies: d02's
+    * uncapped equi-join is exact but its fan-out is quadratic in a hot
+    * shingle's df; d08's df-cap bounds the fan-out but changes the
+    * measure (Jaccard over the pruned universe). Prefix filtering
+    * bounds the CANDIDATE space while provably losing nothing, so the
+    * output is identical to [[ngramJaccardPairs]] uncapped — d22
+    * hash-checks against d02's own oracle.
+    *
+    * Why it is complete (the prefix-filtering principle of
+    * Chaudhuri/Ganti/Kaushik 2006; Bayardo et al. 2007 "all-pairs"):
+    * order the shingle universe globally (rare-first: by df, then
+    * hash). J(A,B) ≥ t implies |A∩B| ≥ t·|A∪B| ≥ α with
+    * α = ⌈t·max(|A|,|B|)⌉, and any two sets with overlap ≥ α must
+    * share a token within their (|x| − α + 1)-prefixes; the per-set
+    * prefix |x| − ⌈t·|x|⌉ + 1 used here is ≥ that for both sides. So
+    * every qualifying pair collides prefix-on-prefix, and the
+    * candidate join runs prefix×prefix instead of doc×doc.
+    *
+    * Scale shape: one df pass (partial-aggregated), one doc-keyed
+    * window over each doc's own shingles (small uniform groups), and
+    * an equi-join whose per-key fan-out is prefix-only — rare-first
+    * ordering pushes boilerplate-hot shingles OUT of prefixes, which
+    * is exactly where d02 melts. The length filter
+    * (t·max(|A|,|B|) ≤ min) kills cross-size candidates before the
+    * verify. Verification = array_intersect on carried shingle-hash
+    * arrays, candidates only (the d03 verify). */
+  def prefixJaccardPairs(docs: DataFrame, k: Int = 5,
+      minJ: Double = 0.5): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val withToks = docs.withColumn("toks", TextFunctions.tokens(col("text")))
+    val sh = withToks.select(col("doc_id"),
+      explode(transform(shingleExpr(k), s => xxhash64(s))).as("sh"))
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val ordered = sh.join(df, "sh")
+      .withColumn("rn",
+        row_number().over(byDoc.orderBy(col("df"), col("sh"))))
+      .withColumn("n", count(lit(1)).over(byDoc))
+    val prefix = ordered
+      .filter(col("rn") <= col("n") - ceil(lit(minJ) * col("n")) + 1)
+      .select(col("doc_id"), col("sh"), col("n"))
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          greatest(col("a.n"), col("b.n")) * minJ <=
+            least(col("a.n"), col("b.n")))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val arrs = withToks.select(col("doc_id"),
+      transform(shingleExpr(k), s => xxhash64(s)).as("shs"))
+    cands
+      .join(arrs.select(col("doc_id").as("id_a"), col("shs").as("sha")), "id_a")
+      .join(arrs.select(col("doc_id").as("id_b"), col("shs").as("shb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("inter") /
+        (size(col("sha")) + size(col("shb")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJ)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** All pairs (a<b) with shingle CONTAINMENT ≥ minC, where
     * containment = |∩| / min(|A|, |B|): the asymmetric-duplicate
     * detector — a short doc quoted verbatim inside a long one has

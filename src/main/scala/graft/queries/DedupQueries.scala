@@ -155,6 +155,18 @@ object DedupQueries {
       Some(Dedup.sqlNgramJaccard("documents") +
         " ORDER BY id_a NULLS FIRST, id_b NULLS FIRST")),
 
+    // Exact set-similarity join via prefix filtering (SSJoin): the
+    // scalable EXACT path — provably-complete candidate pruning, so
+    // the result is identical to d02's uncapped all-pairs Jaccard and
+    // hash-checks against the SAME oracle (the s17 pattern: one
+    // algorithm pinned by another's ground truth).
+    Q("d22_prefix_jaccard",
+      (s, dir) =>
+        Dedup.prefixJaccardPairs(Tables(s, dir, "documents"))
+          .orderBy("id_a", "id_b"),
+      Some(Dedup.sqlNgramJaccard("documents") +
+        " ORDER BY id_a NULLS FIRST, id_b NULLS FIRST")),
+
     // Bench-facing skew-guarded variant of d02: shingles with document
     // frequency > 8 are pruned from the universe before the self-join
     // (bounds the per-key fan-out at 8² instead of corpus²; see

@@ -65,6 +65,37 @@ class DedupSpec extends SparkSpec {
     assert(surv(3L) == ((3L, 1L))) // singleton survives as itself
   }
 
+  test("prefix filtering reproduces the exact Jaccard join at every threshold") {
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the fixture corpus, two thresholds (the registered 0.5 and a
+    // loose 0.2 where candidate pruning has to work much harder)
+    for (t <- Seq(0.5, 0.2)) {
+      val exact = pairSet(Dedup.ngramJaccardPairs(docs, minJ = t))
+      val viaPrefix = pairSet(Dedup.prefixJaccardPairs(docs, minJ = t))
+      assert(viaPrefix == exact, s"minJ=$t: prefix filter lost/added pairs")
+      assert(exact.nonEmpty || t > 0.4) // the loose threshold must bite
+    }
+    // a boilerplate-heavy corpus — the shape that melts the plain
+    // equi-join: 20 docs sharing one hot disclaimer + distinct bodies.
+    // Rare-first ordering must keep the hot shingles out of prefixes
+    // AND the result must still match the exact join.
+    val boiler = (1 to 20).map { i =>
+      (i.toLong, "standard legal disclaimer repeated verbatim on every " +
+        "page of the site " + (1 to 12).map(j => s"body$i$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    assert(pairSet(Dedup.prefixJaccardPairs(boiler, minJ = 0.5)) ==
+      pairSet(Dedup.ngramJaccardPairs(boiler, minJ = 0.5)))
+    // degenerate thresholds: t=1.0 → prefix length 1, exact-duplicate
+    // pairs only; identical docs must still pair
+    val twins = Seq((1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta"),
+      (3L, "totally different words here in this one document"))
+      .toDF("doc_id", "text")
+    val tw = pairSet(Dedup.prefixJaccardPairs(twins, minJ = 1.0))
+    assert(tw.map(p => (p._1, p._2)) == Set((1L, 2L)))
+  }
+
   test("containment catches the subset duplicate Jaccard is blind to") {
     // a 16-token doc quoted verbatim inside a 60-token doc: every short
     // shingle appears in the long one → containment 1.0 exactly, while
