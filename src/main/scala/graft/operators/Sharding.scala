@@ -147,7 +147,19 @@ object Sharding {
       .select(col("shard").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
     if (affected.isEmpty) return layout
-    val touched = layout.filter(col("shard").isin(affected: _*))
+    // partition pruning via an In-list on the partition column when the
+    // affected set is small (the takedown norm); a massive deletion
+    // would blow the plan up as literals, so past the threshold scope
+    // via a broadcast semi-join instead (no static pruning, still one
+    // column-pruned pass — at that size the rewrite dominates anyway)
+    val touched =
+      if (affected.length <= 10000)
+        layout.filter(col("shard").isin(affected: _*))
+      else {
+        import spark.implicits._
+        layout.join(broadcast(affected.toSeq.toDF("aff_shard")),
+          col("shard").cast("long") === col("aff_shard"), "left_semi")
+      }
     val remaining = Frontier.pin(touched.join(del, Seq(idCol), "left_anti"))
     remaining.repartition(col("shard"))
       .write.mode("overwrite")

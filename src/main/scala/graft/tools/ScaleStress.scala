@@ -124,6 +124,9 @@ object ScaleStress {
       }
 
       time("d08", () => Dedup.ngramJaccardPairs(docs, dfCap = 8))
+      // the EXACT path at scale: prefix filtering must track d08's
+      // linearity while keeping the uncapped all-pairs result
+      time("d22", () => Dedup.prefixJaccardPairs(docs))
       timeSideEffect("d12_build", () =>
         Dedup.writeNearDupIndex(docs.select(col("doc_id"), col("text")), ndName))
       val batch = probeBatch(docs)
