@@ -173,8 +173,18 @@ object CorpusPrep {
   /** p07's chained oracle: quality → two-night exact-Jaccard survivors
     * → resumed per-lang budget scan → global pack prefix → shard
     * manifest. Night-B doc ids all exceed night-A's, so the pack order
-    * (night, doc_id) collapses to doc_id. */
-  private val sqlP07Manifest: String =
+    * (night, doc_id) collapses to doc_id.
+    *
+    * Parameterized for p09's takedown variant: `budget` is the
+    * per-lang token budget, `delWhere` (a doc_id predicate) drops the
+    * deleted docs' assignment rows AFTER the whole chain — exactly
+    * what a takedown does: budget stays consumed (no refund; history
+    * is append-only), offsets keep their holes, only the shard rows
+    * vanish. */
+  private def sqlP07ManifestWith(budget: Long,
+      delWhere: Option[String]): String = {
+    val ovSrc = delWhere.fold("ov")(w =>
+      s"(SELECT * FROM ov WHERE NOT ($w))")
     s"""WITH ba AS (
         SELECT doc_id + 1000000000 AS doc_id,
             text || ' zz edit marker token pad' AS text, lang, n_chars
@@ -231,7 +241,7 @@ object CorpusPrep {
             ORDER BY night, h, doc_id) AS BIGINT) AS cum
         FROM sv),
       kept AS (SELECT night, doc_id, n_tokens FROM cm
-        WHERE cum <= $P07Budget),
+        WHERE cum <= $budget),
       pk AS (SELECT doc_id, n_tokens,
           CAST(COALESCE(sum(n_tokens) OVER (ORDER BY night, doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -251,7 +261,16 @@ object CorpusPrep {
         CAST(sum(tok_in_shard) AS BIGINT) AS n_tokens,
         CAST(min(doc_id) AS BIGINT) AS min_pos,
         CAST(max(doc_id) AS BIGINT) AS max_pos
-      FROM ov GROUP BY shard ORDER BY shard NULLS FIRST"""
+      FROM $ovSrc GROUP BY shard ORDER BY shard NULLS FIRST"""
+  }
+
+  private val sqlP07Manifest: String =
+    sqlP07ManifestWith(P07Budget, None)
+
+  /** p09: the same two nights at an everything-admits budget, with a
+    * night-B takedown of two night-A docs and one night-B doc. */
+  private val P09Budget = 100000L
+  private val P09Deleted = Seq(1000000251L, 1000000257L, 2000000401L)
 
   val all: Seq[Q] = Seq(
 
@@ -542,6 +561,59 @@ object CorpusPrep {
         Sharding.manifest(back, "doc_id").orderBy("shard")
       },
       Some(sqlP07Manifest)),
+
+    // ---- p09: the composed loop WITH a takedown night ----------------
+    // p07's two nights at an everything-admits budget, with night B
+    // also delivering a takedown set: two night-A docs and one doc
+    // added-and-deleted within night B. The driver-checked contract:
+    // the final manifest equals the p07 chain with the deleted docs'
+    // assignment rows filtered out — budget stays consumed (history is
+    // append-only, no refund), surviving offsets keep their holes, and
+    // the same-night add+delete ends deleted (ingest-then-delete).
+    // The index-side effects of the same takedown (tombstones, the
+    // durable registry, retrain immunity) are gated by the
+    // StreamingNightlyIngestSpec takedown test.
+    Q("p09_takedown_ingest",
+      (s, dir) => {
+        import graft.streaming.StreamingNightlyIngest
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val arts = StreamingNightlyIngest.Artifacts("graft_p09_nd",
+          "graft_p09_ann", "graft_p09_anncorpus", "graft_p09_budget",
+          new java.io.File(sys.props("java.io.tmpdir"),
+            "graft_p09_shards").getAbsolutePath)
+        graft.operators.Generations.dropTableAndLocation(s, arts.annCorpusTable)
+        graft.operators.Generations.dropTableAndLocation(s,
+          StreamingNightlyIngest.deletedTable(arts))
+        graft.operators.Generations.destroy(s, arts.budgetTable, Seq("state"))
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+        }
+        rm(new java.io.File(arts.shardPath))
+        Dedup.writeNearDupIndex(
+          docs.select(col("doc_id"), col("text")), arts.ndIndex)
+        val corpusVecs = docs.select(col("doc_id"))
+          .withColumn("embedding", StreamingNightlyIngest.synthEmbedding)
+          .select(col("doc_id").as("vec_id"), col("embedding"))
+        graft.operators.AnnIndex.writeAnnIndex(corpusVecs, arts.annIndex,
+          nCells = 8, m = 8, ksub = 16)
+        corpusVecs.write.format("parquet").mode("overwrite")
+          .saveAsTable(arts.annCorpusTable)
+        StreamingNightlyIngest.nightStep(arts,
+          nightA7(docs).withColumn("embedding",
+            StreamingNightlyIngest.synthEmbedding),
+          budget = P09Budget, salt = "p07b", tokensPerShard = 256L)
+        StreamingNightlyIngest.nightStep(arts,
+          nightB7(docs).withColumn("embedding",
+            StreamingNightlyIngest.synthEmbedding),
+          budget = P09Budget, salt = "p07b", tokensPerShard = 256L,
+          deletes = Some(P09Deleted.toDF("doc_id")))
+        val back = s.read.parquet(arts.shardPath)
+          .withColumn("shard", col("shard").cast("long"))
+        Sharding.manifest(back, "doc_id").orderBy("shard")
+      },
+      Some(sqlP07ManifestWith(P09Budget,
+        Some(s"doc_id IN (${P09Deleted.mkString(", ")})")))),
 
     Q("p06_epoch_pack",
       (s, dir) => {
