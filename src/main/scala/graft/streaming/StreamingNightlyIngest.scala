@@ -121,6 +121,37 @@ object StreamingNightlyIngest {
         Seq("vec_id"), "left_anti"))
   }
 
+  /** Reverse a mistaken takedown: remove `ids` from the durable
+    * registry so the next crawl of those docs ingests normally. This
+    * un-BARS only — it does not resurrect anything (the content is
+    * already gone from every artifact; it must re-arrive through the
+    * feed). REQUIRES the indexes' physical reclamation first (run the
+    * compactions): while an id is merely tombstoned, its old index
+    * rows still exist physically, so a re-ingested copy would be
+    * skipped by the `ifAbsent` appends and the doc would stay
+    * invisible to probes forever — the require below makes the safe
+    * sequence (takedown → compact → allowReingest) the only sequence.
+    * Rewrite cost ∝ registry size (small — ids only). */
+  def allowReingest(spark: SparkSession, arts: Artifacts,
+      ids: DataFrame): Unit =
+    deletedLog(spark, arts).foreach { cur =>
+      val del = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
+      val stillTombstoned =
+        Dedup.nearDupTombstones(spark, arts.ndIndex).exists(t =>
+          !t.join(del, Seq("doc_id"), "left_semi").isEmpty) ||
+        AnnIndex.annTombstones(spark, arts.annIndex).exists(t =>
+          !t.join(del.select(col("doc_id").as("vec_id")),
+            Seq("vec_id"), "left_semi").isEmpty)
+      require(!stillTombstoned,
+        "allowReingest before physical reclamation: compact both " +
+          "indexes first, or a re-ingested copy would be skipped by " +
+          "the ifAbsent appends and stay invisible to probes")
+      val keep = Frontier.pin(cur.join(del, Seq("doc_id"), "left_anti"))
+      keep.write.format("parquet").mode("overwrite")
+        .saveAsTable(deletedTable(arts))
+      spark.catalog.refreshTable(deletedTable(arts))
+    }
+
   /** PHYSICAL erasure for the raw-vector corpus table — the one
     * artifact [[applyDeletions]] touches only logically (the registry
     * filters it at every read). Indexes reclaim at their compactions

@@ -315,6 +315,57 @@ class StreamingNightlyIngestSpec extends SparkSpec {
     assert(spark.table(Generations.resolve(spark, arts.annIndex, "cells"))
       .filter(col("vec_id").isin(deleted.toSeq: _*)).isEmpty,
       "retrain resurrected a deleted vector")
+
+    // un-bar a mistaken takedown: the registry row goes, and a fresh
+    // crawl of the doc ingests normally — content re-enters every
+    // artifact (index physically reclaimed above, so the ifAbsent
+    // appends see it as genuinely new)
+    import spark.implicits._
+    StreamingNightlyIngest.allowReingest(spark, arts,
+      Seq(1000000500L).toDF("doc_id"))
+    assert(spark.table(StreamingNightlyIngest.deletedTable(arts))
+      .collect().map(_.getLong(0)).toSet == deleted - 1000000500L)
+    def embed2(df: DataFrame): DataFrame =
+      df.withColumn("embedding", StreamingNightlyIngest.synthEmbedding)
+    val k4 = StreamingNightlyIngest.nightStep(arts,
+        embed2(Seq(NightDoc(1000000500L, freshText("a0"), "en", 90L)).toDF()),
+        budget = 100000L, salt = "delt")
+      .collect().map(_.getLong(0)).toSet
+    assert(k4 == Set(1000000500L), s"un-barred doc did not re-enter: $k4")
+    assert(!spark.read.parquet(arts.shardPath)
+      .filter(col("doc_id") === 1000000500L).isEmpty)
+    assert(spark.table(Generations.resolve(spark, arts.ndIndex, "sigs"))
+      .filter(col("doc_id") === 1000000500L).count() > 0,
+      "re-ingested doc missing from the near-dup index")
+  }
+
+  test("allowReingest refuses while an index is only tombstoned (pre-compaction)") {
+    val corpus = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .filter(col("doc_id") < 30).localCheckpoint()
+    val arts = mkArts("unbar")
+    reset(arts, corpus)
+    import spark.implicits._
+    val doc = Seq(NightDoc(5000000001L,
+      "unbar fixture doc with vocabulary rho sigma tau upsilon phi chi " +
+        "psi omega alpha beta gamma", "en", 90L)).toDF()
+      .withColumn("embedding", StreamingNightlyIngest.synthEmbedding)
+    StreamingNightlyIngest.nightStep(arts, doc, budget = 100000L,
+      salt = "unb")
+    StreamingNightlyIngest.nightStep(arts,
+      doc.limit(0), budget = 100000L, salt = "unb",
+      deletes = Some(Seq(5000000001L).toDF("doc_id")))
+    // tombstones still pending physical reclamation → refuse
+    intercept[IllegalArgumentException] {
+      StreamingNightlyIngest.allowReingest(spark, arts,
+        Seq(5000000001L).toDF("doc_id"))
+    }
+    // after both compactions the same call succeeds
+    Dedup.compactNearDupIndex(spark, arts.ndIndex)
+    AnnIndex.compactAnnIndex(spark, arts.annIndex)
+    StreamingNightlyIngest.allowReingest(spark, arts,
+      Seq(5000000001L).toDF("doc_id"))
+    assert(spark.table(StreamingNightlyIngest.deletedTable(arts)).isEmpty)
   }
 
   test("replayed nights converge: crashed and re-delivered batches leave every artifact as one clean run") {
