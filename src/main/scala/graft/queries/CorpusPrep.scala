@@ -583,8 +583,8 @@ object CorpusPrep {
           new java.io.File(sys.props("java.io.tmpdir"),
             "graft_p09_shards").getAbsolutePath)
         graft.operators.Generations.dropTableAndLocation(s, arts.annCorpusTable)
-        graft.operators.Generations.dropTableAndLocation(s,
-          StreamingNightlyIngest.deletedTable(arts))
+        graft.operators.Generations.destroy(s,
+          StreamingNightlyIngest.deletedTable(arts), Seq("ids"))
         graft.operators.Generations.destroy(s, arts.budgetTable, Seq("state"))
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()

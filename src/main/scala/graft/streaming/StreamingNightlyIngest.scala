@@ -103,13 +103,33 @@ object StreamingNightlyIngest {
     * small broadcast side. */
   def deletedTable(arts: Artifacts): String = s"${arts.annCorpusTable}_deleted"
 
+  /** The registry is a [[Generations]] family (one member, `ids`):
+    * every mutation writes a NEW generation table and swaps the
+    * pointer in one catalog call. A plain overwrite would have a
+    * drop-create window in which a crash deletes the WHOLE registry —
+    * lifting every re-entry bar at once, the exact no-table failure
+    * the budget state was moved behind the pointer for. */
+  private val RegistryMembers = Seq("ids")
+
   private def deletedLog(spark: SparkSession,
-      arts: Artifacts): Option[DataFrame] = {
+      arts: Artifacts): Option[DataFrame] =
+    Generations.currentGen(spark, deletedTable(arts)).map(_ =>
+      spark.table(Generations.resolve(spark, deletedTable(arts), "ids")))
+
+  /** The registry's contents (empty frame when no takedown ever ran) —
+    * the read surface specs and operators share. */
+  def deletedIds(spark: SparkSession, arts: Artifacts): DataFrame =
+    deletedLog(spark, arts).getOrElse(
+      spark.range(0).select(col("id").as("doc_id")))
+
+  private def writeRegistry(spark: SparkSession, arts: Artifacts,
+      contents: DataFrame): Unit = {
     val t = deletedTable(arts)
-    if (spark.sessionState.catalog.tableExists(
-        spark.sessionState.sqlParser.parseTableIdentifier(t)))
-      Some(spark.table(t))
-    else None
+    val pinned = Frontier.pin(contents)
+    val lease = Generations.begin(spark, t, RegistryMembers)
+    pinned.coalesce(1).write.format("parquet")
+      .saveAsTable(Generations.physical(t, "ids", lease.gen))
+    Generations.commit(spark, lease, RegistryMembers)
   }
 
   /** The ANN corpus as every drift/retrain consumer must see it:
@@ -146,10 +166,7 @@ object StreamingNightlyIngest {
         "allowReingest before physical reclamation: compact both " +
           "indexes first, or a re-ingested copy would be skipped by " +
           "the ifAbsent appends and stay invisible to probes")
-      val keep = Frontier.pin(cur.join(del, Seq("doc_id"), "left_anti"))
-      keep.write.format("parquet").mode("overwrite")
-        .saveAsTable(deletedTable(arts))
-      spark.catalog.refreshTable(deletedTable(arts))
+      writeRegistry(spark, arts, cur.join(del, Seq("doc_id"), "left_anti"))
     }
 
   /** PHYSICAL erasure for the raw-vector corpus table — the one
@@ -189,15 +206,8 @@ object StreamingNightlyIngest {
     Dedup.tombstoneNearDup(spark, arts.ndIndex, del)
     AnnIndex.tombstoneAnn(spark, arts.annIndex,
       del.select(col("doc_id").as("vec_id")))
-    val t = deletedTable(arts)
-    deletedLog(spark, arts) match {
-      case Some(cur) =>
-        del.join(cur, Seq("doc_id"), "left_anti")
-          .write.format("parquet").mode("append").saveAsTable(t)
-        spark.catalog.refreshTable(t)
-      case None =>
-        del.write.format("parquet").saveAsTable(t)
-    }
+    writeRegistry(spark, arts, deletedLog(spark, arts)
+      .fold(del.toDF())(cur => cur.unionByName(del).distinct()))
     Sharding.deleteFromShards(spark, arts.shardPath, del,
       schema = Some(assignSchema))
     ()

@@ -38,8 +38,8 @@ class StreamingNightlyIngestSpec extends SparkSpec {
   private def reset(arts: StreamingNightlyIngest.Artifacts,
       corpus: DataFrame): Unit = {
     Generations.dropTableAndLocation(spark, arts.annCorpusTable)
-    Generations.dropTableAndLocation(spark,
-      StreamingNightlyIngest.deletedTable(arts))
+    Generations.destroy(spark,
+      StreamingNightlyIngest.deletedTable(arts), Seq("ids"))
     Generations.destroy(spark, arts.budgetTable, Seq("state"))
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
@@ -238,7 +238,7 @@ class StreamingNightlyIngestSpec extends SparkSpec {
         b2.filter(_.op == "add").map(_.doc_id).toSet)
 
       // the durable registry holds exactly the takedown set
-      val log = spark.table(StreamingNightlyIngest.deletedTable(arts))
+      val log = StreamingNightlyIngest.deletedIds(spark, arts)
         .collect().map(_.getLong(0)).toSet
       assert(log == deleted)
 
@@ -297,7 +297,7 @@ class StreamingNightlyIngestSpec extends SparkSpec {
     assert(spark.table(arts.annCorpusTable)
       .filter(col("vec_id").isin(deleted.toSeq: _*)).isEmpty,
       "corpus compaction left a deleted embedding on disk")
-    assert(spark.table(StreamingNightlyIngest.deletedTable(arts))
+    assert(StreamingNightlyIngest.deletedIds(spark, arts)
       .collect().map(_.getLong(0)).toSet == deleted,
       "corpus compaction must keep the registry (the re-entry bar)")
     assert(Dedup.nearDupTombstones(spark, arts.ndIndex).isEmpty)
@@ -323,7 +323,7 @@ class StreamingNightlyIngestSpec extends SparkSpec {
     import spark.implicits._
     StreamingNightlyIngest.allowReingest(spark, arts,
       Seq(1000000500L).toDF("doc_id"))
-    assert(spark.table(StreamingNightlyIngest.deletedTable(arts))
+    assert(StreamingNightlyIngest.deletedIds(spark, arts)
       .collect().map(_.getLong(0)).toSet == deleted - 1000000500L)
     def embed2(df: DataFrame): DataFrame =
       df.withColumn("embedding", StreamingNightlyIngest.synthEmbedding)
@@ -365,7 +365,7 @@ class StreamingNightlyIngestSpec extends SparkSpec {
     AnnIndex.compactAnnIndex(spark, arts.annIndex)
     StreamingNightlyIngest.allowReingest(spark, arts,
       Seq(5000000001L).toDF("doc_id"))
-    assert(spark.table(StreamingNightlyIngest.deletedTable(arts)).isEmpty)
+    assert(StreamingNightlyIngest.deletedIds(spark, arts).isEmpty)
   }
 
   test("replayed nights converge: crashed and re-delivered batches leave every artifact as one clean run") {
