@@ -535,7 +535,8 @@ object CorpusPrep {
         // fresh two-night replay per run: clear the corpus table, the
         // budget-state family, and the shard dir (the indexes rebuild
         // through their generation pointers)
-        graft.operators.Generations.dropTableAndLocation(s, arts.annCorpusTable)
+        graft.operators.Generations.destroy(s, arts.annCorpusTable,
+          Seq("vecs"))
         graft.operators.Generations.destroy(s, arts.budgetTable, Seq("state"))
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
@@ -548,8 +549,7 @@ object CorpusPrep {
           .select(col("doc_id").as("vec_id"), col("embedding"))
         graft.operators.AnnIndex.writeAnnIndex(corpusVecs, arts.annIndex,
           nCells = 8, m = 8, ksub = 16)
-        corpusVecs.write.format("parquet").mode("overwrite")
-          .saveAsTable(arts.annCorpusTable)
+        StreamingNightlyIngest.writeCorpus(s, arts, corpusVecs)
         Seq(nightA7(docs), nightB7(docs)).foreach { b =>
           StreamingNightlyIngest.nightStep(arts,
             b.withColumn("embedding", StreamingNightlyIngest.synthEmbedding),
@@ -582,7 +582,8 @@ object CorpusPrep {
           "graft_p09_ann", "graft_p09_anncorpus", "graft_p09_budget",
           new java.io.File(sys.props("java.io.tmpdir"),
             "graft_p09_shards").getAbsolutePath)
-        graft.operators.Generations.dropTableAndLocation(s, arts.annCorpusTable)
+        graft.operators.Generations.destroy(s, arts.annCorpusTable,
+          Seq("vecs"))
         graft.operators.Generations.destroy(s,
           StreamingNightlyIngest.deletedTable(arts), Seq("ids"))
         graft.operators.Generations.destroy(s, arts.budgetTable, Seq("state"))
@@ -597,8 +598,7 @@ object CorpusPrep {
           .select(col("doc_id").as("vec_id"), col("embedding"))
         graft.operators.AnnIndex.writeAnnIndex(corpusVecs, arts.annIndex,
           nCells = 8, m = 8, ksub = 16)
-        corpusVecs.write.format("parquet").mode("overwrite")
-          .saveAsTable(arts.annCorpusTable)
+        StreamingNightlyIngest.writeCorpus(s, arts, corpusVecs)
         StreamingNightlyIngest.nightStep(arts,
           nightA7(docs).withColumn("embedding",
             StreamingNightlyIngest.synthEmbedding),

@@ -132,12 +132,38 @@ object StreamingNightlyIngest {
     Generations.commit(spark, lease, RegistryMembers)
   }
 
+  /** The raw-vector corpus is ALSO a [[Generations]] family (member
+    * `vecs`): it is the only place raw vectors live (the index holds
+    * codes), so losing it is unrecoverable — a plain-overwrite
+    * [[compactCorpus]] would risk exactly that in its drop-create
+    * window. Nightly appends write INTO the current generation's
+    * physical table in place (parquet job commits are all-or-nothing,
+    * and the anti-join fences replays), the compaction swaps a new
+    * generation — the same write discipline as the indexes. */
+  private val CorpusMembers = Seq("vecs")
+
+  /** Create or replace the raw-vector corpus (a generation swap). */
+  def writeCorpus(spark: SparkSession, arts: Artifacts,
+      vecs: DataFrame): Unit = {
+    val pinned = Frontier.pin(vecs)
+    val lease = Generations.begin(spark, arts.annCorpusTable, CorpusMembers)
+    pinned.write.format("parquet")
+      .saveAsTable(Generations.physical(arts.annCorpusTable, "vecs", lease.gen))
+    Generations.commit(spark, lease, CorpusMembers)
+  }
+
+  /** The corpus as it currently resolves (still-registered deletions
+    * INCLUDED until [[compactCorpus]] — drift/retrain must go through
+    * [[retrainCorpus]] instead). */
+  def corpus(spark: SparkSession, arts: Artifacts): DataFrame =
+    spark.table(Generations.resolve(spark, arts.annCorpusTable, "vecs"))
+
   /** The ANN corpus as every drift/retrain consumer must see it:
     * minus the takedown registry. */
   def retrainCorpus(spark: SparkSession, arts: Artifacts): DataFrame = {
-    val corpus = spark.table(arts.annCorpusTable)
-    deletedLog(spark, arts).fold(corpus)(d =>
-      corpus.join(d.select(col("doc_id").as("vec_id")),
+    val cur = corpus(spark, arts)
+    deletedLog(spark, arts).fold(cur)(d =>
+      cur.join(d.select(col("doc_id").as("vec_id")),
         Seq("vec_id"), "left_anti"))
   }
 
@@ -180,10 +206,7 @@ object StreamingNightlyIngest {
     * instead of the per-night path. */
   def compactCorpus(spark: SparkSession, arts: Artifacts): Unit = {
     if (deletedLog(spark, arts).isEmpty) return
-    val clean = Frontier.pin(retrainCorpus(spark, arts))
-    clean.write.format("parquet").mode("overwrite")
-      .saveAsTable(arts.annCorpusTable)
-    spark.catalog.refreshTable(arts.annCorpusTable)
+    writeCorpus(spark, arts, retrainCorpus(spark, arts))
   }
 
   /** Apply one night's takedown set to EVERY maintained artifact:
@@ -318,11 +341,12 @@ object StreamingNightlyIngest {
     val admittedVecs = withTokens.join(kept.select("doc_id"), "doc_id")
       .select(col("doc_id").as("vec_id"), col("embedding"))
     AnnIndex.appendToAnnIndex(admittedVecs, arts.annIndex, ifAbsent = true)
-    admittedVecs.join(spark.table(arts.annCorpusTable).select("vec_id"),
+    val corpusT = Generations.resolve(spark, arts.annCorpusTable, "vecs")
+    admittedVecs.join(spark.table(corpusT).select("vec_id"),
         Seq("vec_id"), "left_anti")
       .write.format("parquet").mode("append")
-      .saveAsTable(arts.annCorpusTable)
-    spark.catalog.refreshTable(arts.annCorpusTable)
+      .saveAsTable(corpusT)
+    spark.catalog.refreshTable(corpusT)
     // 5. pack the admitted set in doc_id order, offsets continuing
     //    from the layout's current end; 6. append to the shard layout
     //    (keyed-idempotent — see above)

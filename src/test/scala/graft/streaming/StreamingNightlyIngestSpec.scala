@@ -37,7 +37,7 @@ class StreamingNightlyIngestSpec extends SparkSpec {
 
   private def reset(arts: StreamingNightlyIngest.Artifacts,
       corpus: DataFrame): Unit = {
-    Generations.dropTableAndLocation(spark, arts.annCorpusTable)
+    Generations.destroy(spark, arts.annCorpusTable, Seq("vecs"))
     Generations.destroy(spark,
       StreamingNightlyIngest.deletedTable(arts), Seq("ids"))
     Generations.destroy(spark, arts.budgetTable, Seq("state"))
@@ -51,8 +51,7 @@ class StreamingNightlyIngestSpec extends SparkSpec {
       .withColumn("embedding", StreamingNightlyIngest.synthEmbedding)
       .select(col("doc_id").as("vec_id"), col("embedding"))
     AnnIndex.writeAnnIndex(vecs, arts.annIndex, nCells = 4, m = 8, ksub = 16)
-    vecs.write.format("parquet").mode("overwrite")
-      .saveAsTable(arts.annCorpusTable)
+    StreamingNightlyIngest.writeCorpus(spark, arts, vecs)
   }
 
   test("stream == sequential nights on every artifact; layouts hold after the run") {
@@ -142,7 +141,7 @@ class StreamingNightlyIngestSpec extends SparkSpec {
     assert(mSeq.nonEmpty)
 
     // parity: ANN indexes answer identically after the composed run
-    val rerank = spark.table(artsStr.annCorpusTable)
+    val rerank = StreamingNightlyIngest.corpus(spark, artsStr)
     def annProbe(arts: StreamingNightlyIngest.Artifacts) =
       AnnIndex.probeQueries(spark, arts.annIndex,
           rerank.filter(col("vec_id") < 4), rerank, k = 5, nprobe = 2)
@@ -196,7 +195,7 @@ class StreamingNightlyIngestSpec extends SparkSpec {
       "drifted ingest did not trigger a retrain")
     // ...and the retrained model fits the drifted corpus again
     val ratio = AnnIndex.driftRatio(spark, arts.annIndex,
-      spark.table(arts.annCorpusTable))
+      StreamingNightlyIngest.corpus(spark, arts))
     assert(ratio < 1.2, s"signal not restored after retrain: $ratio")
   }
 
@@ -294,7 +293,7 @@ class StreamingNightlyIngestSpec extends SparkSpec {
     Dedup.compactNearDupIndex(spark, arts.ndIndex)
     AnnIndex.compactAnnIndex(spark, arts.annIndex)
     StreamingNightlyIngest.compactCorpus(spark, arts)
-    assert(spark.table(arts.annCorpusTable)
+    assert(StreamingNightlyIngest.corpus(spark, arts)
       .filter(col("vec_id").isin(deleted.toSeq: _*)).isEmpty,
       "corpus compaction left a deleted embedding on disk")
     assert(StreamingNightlyIngest.deletedIds(spark, arts)
