@@ -1,0 +1,282 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** The k-NN GRAPH as a MAINTAINED artifact — completing the lifecycle
+  * matrix: the near-dup index, the ANN index, the shard layout and the
+  * takedown registry all have build/probe/append/compact/delete;
+  * [[Similarity.knnGraph]] only had build. A corpus-scale graph is
+  * exactly the artifact you cannot afford to rebuild nightly (work ≈
+  * nprobe·n²/nCells), so maintenance is the difference between a
+  * usable substrate and a batch job.
+  *
+  * Four [[Generations]] members, swapped as one generation:
+  *  - `model` (cell, centroid): the frozen IVF coarse quantizer —
+  *    appends assign against build-time centroids, the same
+  *    drift-then-retrain story as [[AnnIndex]];
+  *  - `vecs` (vec_id, embedding, cell): raw vectors + cell — written
+  *    LAST on append, so presence here means "batch fully applied"
+  *    (the near-dup index's sigs discipline);
+  *  - `probes` (vec_id, cell): each vector's nprobe nearest cells,
+  *    exploded — the REVERSE-direction candidate source on append
+  *    (who would have probed the new vector's cell?);
+  *  - `edges` (qid, vec_id, cos): ≥ k exact-cosine edges per qid.
+  *    Appends only ADD rows (old vectors gain edges toward new
+  *    arrivals); the probe takes top-k per qid at read time, and
+  *    compaction re-tightens the table back to k + edgeBuffer rows
+  *    per qid (the deletion-tolerance margin — see [[writeKnnGraph]]).
+  *
+  * Append cost is batch-sized: forward candidates = batch-probes ⋈
+  * (vecs ∪ batch) on cell; reverse candidates = stored probes ⋈
+  * batch cells — both equi-joins bounded by nprobe·|batch|·|cell|,
+  * never a corpus rebuild. Every append effect is fenced for replay
+  * (edges/probes anti-join their targets, vecs is the applied marker)
+  * and the writer lease is held across the mutation, as in
+  * [[AnnIndex.appendToAnnIndex]].
+  *
+  * Correctness gates: at nprobe = nCells the maintained graph is
+  * EXACT — s26 hash-checks build+append against the exact k-NN graph
+  * over the union, s27 the post-deletion probe against the exact
+  * graph over the remaining vectors. Production points carry the
+  * recall contract (s25's pattern).
+  */
+object KnnGraphIndex {
+
+  private val Members = Seq("model", "vecs", "probes", "edges")
+  private val KProp = "graft.graph.k"
+  private val NProbeProp = "graft.graph.nprobe"
+  private val DimProp = "graft.graph.dim"
+  private val BufProp = "graft.graph.edgebuffer"
+
+  private def t(spark: SparkSession, name: String, member: String): String =
+    Generations.resolve(spark, name, member)
+
+  private def loadCentroids(spark: SparkSession,
+      name: String): Array[Array[Float]] =
+    spark.table(t(spark, name, "model")).orderBy("cell").collect()
+      .map(_.getSeq[Float](1).toArray)
+
+  private def geometry(spark: SparkSession,
+      name: String): (Int, Int, Int, Int) = {
+    def p(key: String) = Generations.manifestProp(spark, name, key)
+      .getOrElse(sys.error(s"graph index $name missing $key")).toInt
+    (p(KProp), p(NProbeProp), p(DimProp), p(BufProp))
+  }
+
+  /** Exact chain-cosine edges for a (qid, vec_id) pair set, capped at
+    * `cap` per qid — [[Similarity.exactReRank]] over a universe
+    * carrying both endpoints' raw vectors. */
+  private def exactEdges(universe: DataFrame, pairs: DataFrame,
+      dim: Int, cap: Int): DataFrame =
+    Similarity.exactReRank(universe, pairs, dim, cap)
+      .select("qid", "vec_id", "cos")
+
+  /** Build the maintained graph (a generation swap). `edgeBuffer` is
+    * the DELETION-TOLERANCE margin: the edge table stores the best
+    * k + edgeBuffer edges per vertex (probes still answer top-k).
+    * Storing only k would make deletion depletive — a tombstoned
+    * neighbor leaves k−1 stored edges and the next-best vector can
+    * never be promoted without recomputation; with the buffer, the
+    * probe stays EXACTLY the top-k over surviving vectors for up to
+    * edgeBuffer deletions (any exact answer after D ≤ edgeBuffer
+    * deletions has overall rank ≤ k + D, hence is stored). s27 pins
+    * this bound in DuckDB; compaction re-tightens to k + edgeBuffer
+    * from what remains. */
+  def writeKnnGraph(emb: DataFrame, name: String, k: Int = 10,
+      nCells: Int = 16, nprobe: Int = 2, edgeBuffer: Int = 0): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val first = emb.select(size(col("embedding"))).take(1)
+    require(first.nonEmpty, "cannot build a graph over an empty corpus")
+    val dim = first(0).getInt(0)
+    val trained = Similarity.trainCentroids(emb, nCells)
+    require(trained.nonEmpty, "centroid training produced no cells")
+    val cents = spark.sparkContext.broadcast(trained)
+    val cellOf = udf((v: Seq[Float]) =>
+      Similarity.nearestCell(v.toArray, cents.value))
+    val probesOf = udf((v: Seq[Float]) =>
+      Similarity.nearestCells(v.toArray, cents.value, nprobe))
+    val vecs = Frontier.pin(emb.select(col("vec_id"), col("embedding"),
+      cellOf(col("embedding")).as("cell")))
+    val probes = Frontier.pin(emb.select(col("vec_id"),
+      explode(probesOf(col("embedding"))).as("cell")))
+    val pairs = probes.select(col("vec_id").as("qid"), col("cell"))
+      .join(vecs.select(col("vec_id"), col("cell")), Seq("cell"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select("qid", "vec_id").distinct()
+    val edges = exactEdges(emb.select(col("vec_id"), col("embedding")),
+      pairs, dim, k + edgeBuffer)
+    val lease = Generations.begin(spark, name, Members)
+    trained.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid").coalesce(1)
+      .write.format("parquet")
+      .saveAsTable(Generations.physical(name, "model", lease.gen))
+    vecs.write.format("parquet")
+      .saveAsTable(Generations.physical(name, "vecs", lease.gen))
+    probes.write.format("parquet")
+      .saveAsTable(Generations.physical(name, "probes", lease.gen))
+    edges.write.format("parquet")
+      .saveAsTable(Generations.physical(name, "edges", lease.gen))
+    Generations.commit(spark, lease, Members, props = Map(
+      KProp -> k.toString, NProbeProp -> nprobe.toString,
+      DimProp -> dim.toString, BufProp -> edgeBuffer.toString))
+    clearTombstones(spark, name)
+  }
+
+  /** Neighbors of the qids matching `pred` (all by default): top-k per
+    * qid over the stored edge rows, tombstoned endpoints invisible
+    * immediately ([[tombstoneGraph]]) — a deleted vector neither
+    * answers as a query nor appears as anyone's neighbor. */
+  def probeKnnGraph(spark: SparkSession, name: String,
+      pred: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+    val (k, _, _, _) = geometry(spark, name)
+    val base = spark.table(t(spark, name, "edges")).filter(pred)
+    val live = graphTombstones(spark, name).fold(base) { tt =>
+      val ids = broadcast(tt.select(col("vec_id")).distinct())
+      base.join(ids.withColumnRenamed("vec_id", "qid"), Seq("qid"),
+          "left_anti")
+        .join(ids, Seq("vec_id"), "left_anti")
+    }
+    Similarity.topKPerQuery(live.select("qid", "vec_id", "cos"), k)
+  }
+
+  /** Append a batch of new vectors: the batch gains forward edges
+    * (its nprobe cells' occupants, including batch-mates), existing
+    * vectors gain reverse edges toward batch members landing in a cell
+    * they probe. Rows only — no stored row is rewritten; compaction
+    * re-tightens. `ifAbsent` (the replay fence) skips vec_ids already
+    * in `vecs`. */
+  def appendToKnnGraph(batch: DataFrame, name: String,
+      ifAbsent: Boolean = true): Unit = {
+    val spark = batch.sparkSession
+    VectorFunctions.register(spark)
+    val lease = Generations.begin(spark, name, Members)
+    try {
+      val (k, nprobe, dim, buf) = geometry(spark, name)
+      val vt = t(spark, name, "vecs")
+      val pt = t(spark, name, "probes")
+      val et = t(spark, name, "edges")
+      val toAdd = Frontier.pin(
+        if (ifAbsent) batch.join(spark.table(vt).select("vec_id"),
+          Seq("vec_id"), "left_anti")
+        else batch)
+      if (toAdd.isEmpty) return
+      val cents = spark.sparkContext.broadcast(loadCentroids(spark, name))
+      val cellOf = udf((v: Seq[Float]) =>
+        Similarity.nearestCell(v.toArray, cents.value))
+      val probesOf = udf((v: Seq[Float]) =>
+        Similarity.nearestCells(v.toArray, cents.value, nprobe))
+      val newVecs = Frontier.pin(toAdd.select(col("vec_id"),
+        col("embedding"), cellOf(col("embedding")).as("cell")))
+      val newProbes = Frontier.pin(toAdd.select(col("vec_id"),
+        explode(probesOf(col("embedding"))).as("cell")))
+      val oldVecs = spark.table(vt)
+      // forward: each new vector probes its cells over old ∪ new
+      val fwd = newProbes.select(col("vec_id").as("qid"), col("cell"))
+        .join(oldVecs.select(col("vec_id"), col("cell"))
+          .unionByName(newVecs.select(col("vec_id"), col("cell"))),
+          Seq("cell"))
+      // reverse: stored vectors whose probe set covers a new cell
+      val rev = spark.table(pt).select(col("vec_id").as("qid"), col("cell"))
+        .join(newVecs.select(col("vec_id"), col("cell")), Seq("cell"))
+      val pairs = fwd.unionByName(rev)
+        .filter(col("qid") =!= col("vec_id"))
+        .select("qid", "vec_id").distinct()
+      val universe = oldVecs.select(col("vec_id"), col("embedding"))
+        .unionByName(toAdd.select(col("vec_id"), col("embedding")))
+      val newEdges = exactEdges(universe, pairs, dim, k + buf)
+      // each append effect idempotent for at-least-once replays: edges
+      // and probes anti-join their targets; vecs (the applied marker)
+      // goes LAST so a torn append heals on the next delivery
+      newEdges.join(spark.table(et).select("qid", "vec_id"),
+          Seq("qid", "vec_id"), "left_anti")
+        .write.format("parquet").mode("append").saveAsTable(et)
+      spark.catalog.refreshTable(et)
+      newProbes.join(spark.table(pt).select("vec_id"),
+          Seq("vec_id"), "left_anti")
+        .write.format("parquet").mode("append").saveAsTable(pt)
+      spark.catalog.refreshTable(pt)
+      newVecs.write.format("parquet").mode("append").saveAsTable(vt)
+      spark.catalog.refreshTable(vt)
+    } finally Generations.abort(spark, lease)
+  }
+
+  /** Re-tighten the edge table to k rows per qid and make deletions
+    * physical (tombstoned endpoints' rows reclaimed, vectors dropped
+    * from vecs/probes, set cleared) — one generation swap; probes are
+    * hash-identical across the transition. */
+  def compactKnnGraph(spark: SparkSession, name: String,
+      gcKeep: Int = 1): Unit = {
+    val lease = Generations.begin(spark, name, Members)
+    val (k, nprobe, dim, buf) = geometry(spark, name)
+    val tombs = graphTombstones(spark, name)
+      .map(tt => broadcast(tt.select(col("vec_id")).distinct()))
+    def minus(df: DataFrame) = tombs.fold(df)(ids =>
+      df.join(ids, Seq("vec_id"), "left_anti"))
+    val edges0 = spark.table(t(spark, name, "edges"))
+    val liveEdges = tombs.fold(edges0)(ids =>
+      edges0.join(ids.withColumnRenamed("vec_id", "qid"), Seq("qid"),
+          "left_anti")
+        .join(ids, Seq("vec_id"), "left_anti"))
+    val tight = Frontier.pin(Similarity
+      .topKPerQuery(liveEdges.select("qid", "vec_id", "cos"), k + buf)
+      .select("qid", "vec_id", "cos"))
+    val vecs = Frontier.pin(minus(spark.table(t(spark, name, "vecs"))))
+    val probes = Frontier.pin(minus(spark.table(t(spark, name, "probes"))))
+    val model = Frontier.pin(spark.table(t(spark, name, "model")))
+    model.write.format("parquet")
+      .saveAsTable(Generations.physical(name, "model", lease.gen))
+    vecs.write.format("parquet")
+      .saveAsTable(Generations.physical(name, "vecs", lease.gen))
+    probes.write.format("parquet")
+      .saveAsTable(Generations.physical(name, "probes", lease.gen))
+    tight.write.format("parquet")
+      .saveAsTable(Generations.physical(name, "edges", lease.gen))
+    Generations.commit(spark, lease, Members, props = Map(
+      KProp -> k.toString, NProbeProp -> nprobe.toString,
+      DimProp -> dim.toString, BufProp -> buf.toString), gcKeep = gcKeep)
+    clearTombstones(spark, name)
+  }
+
+  private def tombstonesTable(name: String): String = s"${name}_tombstones"
+
+  /** Current tombstone set, if any deletions are pending reclamation. */
+  def graphTombstones(spark: SparkSession,
+      name: String): Option[DataFrame] = {
+    val tt = tombstonesTable(name)
+    if (spark.sessionState.catalog.tableExists(
+        spark.sessionState.sqlParser.parseTableIdentifier(tt)))
+      Some(spark.table(tt))
+    else None
+  }
+
+  /** Record deletions (immediate logical effect at every probe via
+    * both-endpoint anti-joins; physical at the next compaction).
+    * Held under the writer lease like its [[AnnIndex.tombstoneAnn]] /
+    * [[Dedup.tombstoneNearDup]] twins. */
+  def tombstoneGraph(spark: SparkSession, name: String,
+      ids: DataFrame): Unit = {
+    val lease = Generations.begin(spark, name, Members)
+    try {
+      val tt = tombstonesTable(name)
+      val add = ids.select(col(ids.columns.head).cast("long").as("vec_id"))
+      graphTombstones(spark, name) match {
+        case Some(cur) =>
+          val merged = Frontier.pin(cur.unionByName(add).distinct())
+          merged.write.format("parquet").mode("overwrite").saveAsTable(tt)
+          spark.catalog.refreshTable(tt)
+        case None =>
+          Generations.dropTableAndLocation(spark, tt)
+          add.distinct().write.format("parquet").saveAsTable(tt)
+      }
+    } finally Generations.abort(spark, lease)
+  }
+
+  private def clearTombstones(spark: SparkSession, name: String): Unit =
+    if (graphTombstones(spark, name).isDefined)
+      Generations.dropTableAndLocation(spark, tombstonesTable(name))
+}

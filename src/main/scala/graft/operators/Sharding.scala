@@ -19,6 +19,11 @@ import org.apache.spark.sql.functions._
   * tokens / S — bounded, known up front, independent of executor
   * count. The manifest is a shard-keyed partial agg over the
   * assignment rows; nothing touches the driver.
+  *
+  * Writer contract: like the maintained indexes, a layout assumes ONE
+  * maintenance writer at a time — append and delete are not fenced
+  * against each other (the composed nightly loop provides the
+  * sequencing; two independent pipelines mutating one layout race).
   */
 object Sharding {
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.VectorFunctions._
-import graft.operators.{AnnIndex, Similarity}
+import graft.operators.{AnnIndex, KnnGraphIndex, Similarity}
 
 /** Similarity-search queries over `embeddings` (64-dim float).
   *
@@ -625,5 +625,68 @@ object SimilarityQueries {
           UNION ALL
           SELECT 'graph_recall_at_5', CAST(0.5 AS DOUBLE), true)
         ORDER BY metric NULLS FIRST""")),
+
+    // ---- s26/s27: the MAINTAINED k-NN graph (build/append/delete) ----
+    // s24's graph as a persisted, incrementally-maintained artifact
+    // (KnnGraphIndex): build over vec_id<300, APPEND [300,400) — the
+    // batch gains forward edges, stored vectors gain reverse edges —
+    // then probe. At nprobe = nCells the maintained graph is EXACT, so
+    // s26 hash-checks build+append against the exact k-NN graph over
+    // the UNION — candidate generation in both directions, the edge
+    // append fencing, and the probe-time top-k merge are all pinned by
+    // DuckDB ground truth. s27: build with edgeBuffer=16 (the stored
+    // top-21 per vertex), tombstone the 13 ids vec_id%31==5, probe —
+    // the result must equal the exact graph over the REMAINING
+    // vectors: any exact answer after D deletions has overall rank
+    // ≤ k+D ≤ 18, hence is stored, so the deletion-tolerance bound is
+    // pinned in DuckDB (the d21/s23 pattern for the graph, PLUS the
+    // buffer guarantee — without it deletion would only deplete lists,
+    // never promote the next-best neighbor).
+    Q("s26_graph_index_append",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+          .filter(col("vec_id") < 400).select("vec_id", "embedding")
+        KnnGraphIndex.writeKnnGraph(emb.filter(col("vec_id") < 300),
+          "graft_s26_graph", k = 5, nCells = 16, nprobe = 16)
+        KnnGraphIndex.appendToKnnGraph(emb.filter(col("vec_id") >= 300),
+          "graft_s26_graph")
+        KnnGraphIndex.probeKnnGraph(s, "graft_s26_graph")
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH n AS (SELECT vec_id, embedding,
+            ${chainNorm("embedding", Dim, 1)} AS nrm FROM embeddings
+          WHERE vec_id < 400),
+        c AS (SELECT q.vec_id AS qid, n.vec_id,
+            CAST(${chainDot("q.embedding", "n.embedding", Dim, 1)} AS DOUBLE)
+              / (q.nrm * n.nrm) AS cos
+          FROM n q JOIN n ON n.vec_id <> q.vec_id),
+        r AS (SELECT qid, vec_id, cos, CAST(row_number() OVER (
+            PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank FROM c)
+        SELECT qid, vec_id, rank, cos FROM r WHERE rank <= 5
+        ORDER BY qid NULLS FIRST, rank NULLS FIRST""")),
+
+    Q("s27_graph_index_delete",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables(s, dir, "embeddings")
+          .filter(col("vec_id") < 400).select("vec_id", "embedding")
+        KnnGraphIndex.writeKnnGraph(emb, "graft_s27_graph",
+          k = 5, nCells = 16, nprobe = 16, edgeBuffer = 16)
+        KnnGraphIndex.tombstoneGraph(s, "graft_s27_graph",
+          emb.filter(col("vec_id") % 31 === 5).select("vec_id"))
+        KnnGraphIndex.probeKnnGraph(s, "graft_s27_graph")
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH n AS (SELECT vec_id, embedding,
+            ${chainNorm("embedding", Dim, 1)} AS nrm FROM embeddings
+          WHERE vec_id < 400 AND vec_id % 31 <> 5),
+        c AS (SELECT q.vec_id AS qid, n.vec_id,
+            CAST(${chainDot("q.embedding", "n.embedding", Dim, 1)} AS DOUBLE)
+              / (q.nrm * n.nrm) AS cos
+          FROM n q JOIN n ON n.vec_id <> q.vec_id),
+        r AS (SELECT qid, vec_id, cos, CAST(row_number() OVER (
+            PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank FROM c)
+        SELECT qid, vec_id, rank, cos FROM r WHERE rank <= 5
+        ORDER BY qid NULLS FIRST, rank NULLS FIRST""")),
   )
 }

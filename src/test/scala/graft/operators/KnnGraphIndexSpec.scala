@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** The maintained k-NN graph's lifecycle contracts: replay-idempotent
+  * appends, probe-invisible compaction, the edgeBuffer deletion bound,
+  * and physical reclamation. (The hash-exact build+append and
+  * post-deletion gates live in the registered s26/s27 queries.) */
+class KnnGraphIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def probeSet(name: String) =
+    KnnGraphIndex.probeKnnGraph(spark, name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("append replays converge; compaction is probe-invisible and re-tightens") {
+    val emb = Tables(spark, sf, "embeddings")
+      .filter(col("vec_id") < 200).select("vec_id", "embedding")
+      .localCheckpoint()
+    val name = "graft_kgi_spec"
+    KnnGraphIndex.writeKnnGraph(emb.filter(col("vec_id") < 150), name,
+      k = 5, nCells = 8, nprobe = 8, edgeBuffer = 8)
+    val batch = emb.filter(col("vec_id") >= 150)
+    KnnGraphIndex.appendToKnnGraph(batch, name)
+    val before = probeSet(name)
+    assert(before.map(_._1).size == 200, "every vector answers as a query")
+    def edgeRows() = spark.table(
+      Generations.resolve(spark, name, "edges")).count()
+    val rows = edgeRows()
+    // at-least-once replay of the SAME batch: the vecs marker makes it
+    // a no-op — no duplicate edges, identical probe
+    KnnGraphIndex.appendToKnnGraph(batch, name)
+    assert(edgeRows() == rows, "replayed append duplicated edge rows")
+    assert(probeSet(name) == before)
+    // compaction: per-qid rows re-tighten to k + edgeBuffer, probe
+    // hash-identical across the swap
+    KnnGraphIndex.compactKnnGraph(spark, name)
+    assert(probeSet(name) == before,
+      "probe changed across the compaction swap")
+    val maxPerQid = spark.table(Generations.resolve(spark, name, "edges"))
+      .groupBy("qid").count().agg(max("count")).as[Long].head()
+    assert(maxPerQid <= 13, s"compaction left $maxPerQid rows on a qid")
+  }
+
+  test("edgeBuffer bound: deletions within the margin stay exact; compaction reclaims") {
+    val emb = Tables(spark, sf, "embeddings")
+      .filter(col("vec_id") < 200).select("vec_id", "embedding")
+      .localCheckpoint()
+    val name = "graft_kgi_del_spec"
+    KnnGraphIndex.writeKnnGraph(emb, name,
+      k = 5, nCells = 8, nprobe = 8, edgeBuffer = 8)
+    val delIds = (0 until 8).map(i => i * 25L) // 8 = the full margin
+    KnnGraphIndex.tombstoneGraph(spark, name, delIds.toDF("vec_id"))
+    val got = probeSet(name)
+    assert(got.forall(r => !delIds.contains(r._1) && !delIds.contains(r._2)),
+      "a deleted endpoint is still visible")
+    // ground truth: the exact graph over the remaining vectors
+    // (nprobe = nCells degenerates knnGraph to exact)
+    val remaining = emb.filter(!col("vec_id").isin(delIds: _*))
+    val exact = Similarity.knnGraph(spark, remaining, k = 5,
+        nCells = 8, nprobe = 8, buffer = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == exact,
+      "within-margin deletion did not stay exact (buffer bound broken)")
+    // physical reclamation: rows gone, set cleared, probe unchanged
+    KnnGraphIndex.compactKnnGraph(spark, name)
+    assert(KnnGraphIndex.graphTombstones(spark, name).isEmpty)
+    assert(spark.table(Generations.resolve(spark, name, "vecs"))
+      .filter(col("vec_id").isin(delIds: _*)).isEmpty)
+    assert(probeSet(name) == got,
+      "probe changed across logical->physical deletion")
+  }
+}
