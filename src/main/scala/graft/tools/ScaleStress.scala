@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{AnnIndex, Dedup, Packing, Sampling, Similarity, SkewJoin}
+import graft.operators.{AnnIndex, Dedup, KnnGraphIndex, Packing, Sampling, Similarity, SkewJoin}
 
 /** Dev-only: the 10× scale-stress harness behind SCALE.md §"10×
   * stress". No sf1 fixture exists, so one is generated in-engine from
@@ -141,6 +141,22 @@ object ScaleStress {
       // work ≈ nprobe·n²/nCells and nCells scales with n.
       time("s25_graph", () =>
         Similarity.knnGraph(spark, emb, k = 10, nCells = 16 * m, nprobe = 2))
+      // maintained-graph lifecycle: the build is the one-time cost;
+      // the claim under test is the APPEND (fixed 300-vector batch)
+      // staying batch-sized against a 10× corpus — forward/reverse
+      // candidates are cell-joins bounded by nprobe·|batch|·|cell|
+      val gName = s"graft_scale_graph_m$m"
+      timeSideEffect("s26_build", () => KnnGraphIndex.writeKnnGraph(
+        emb, gName, k = 10, nCells = 16 * m, nprobe = 2, edgeBuffer = 10))
+      val gBatch = emb.filter(col("vec_id") < 300)
+        .select((col("vec_id") + 88000000000L).as("vec_id"),
+          col("embedding"))
+        .localCheckpoint()
+      timeSideEffect("s26_append", () =>
+        KnnGraphIndex.appendToKnnGraph(gBatch, gName))
+      time("s26_probe", () =>
+        KnnGraphIndex.probeKnnGraph(spark, gName,
+          col("qid") >= 88000000000L))
       time("p03", () => p03Like(docs))
       time("q18", () => SkewJoin.hotKeySaltedJoin(
           t("lineitem").withColumnRenamed("l_orderkey", "okey"),
