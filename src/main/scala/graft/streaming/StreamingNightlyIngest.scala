@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.functions.TextFunctions
-import graft.operators.{AnnIndex, Dedup, Frontier, Generations, Packing, Sampling, Sharding}
+import graft.operators.{AnnIndex, Dedup, Frontier, Generations, KnnGraphIndex, Packing, Sampling, Sharding}
 
 /** The COMPOSED nightly-ingest loop: every maintained artifact this
   * engine keeps — the near-dup index, the ANN index + raw-vector
@@ -187,7 +187,11 @@ object StreamingNightlyIngest {
           !t.join(del, Seq("doc_id"), "left_semi").isEmpty) ||
         AnnIndex.annTombstones(spark, arts.annIndex).exists(t =>
           !t.join(del.select(col("doc_id").as("vec_id")),
-            Seq("vec_id"), "left_semi").isEmpty)
+            Seq("vec_id"), "left_semi").isEmpty) ||
+        (graphExists(spark, arts) &&
+          KnnGraphIndex.graphTombstones(spark, graphName(arts)).exists(t =>
+            !t.join(del.select(col("doc_id").as("vec_id")),
+              Seq("vec_id"), "left_semi").isEmpty))
       require(!stillTombstoned,
         "allowReingest before physical reclamation: compact both " +
           "indexes first, or a re-ingested copy would be skipped by " +
@@ -209,6 +213,18 @@ object StreamingNightlyIngest {
     writeCorpus(spark, arts, retrainCorpus(spark, arts))
   }
 
+  /** The pipeline's OPTIONAL maintained k-NN graph: if a
+    * [[graft.operators.KnnGraphIndex]] family with this derived name
+    * exists, the nightly loop advances it too — admitted vectors
+    * appended per night, takedowns tombstoned, compactions folded in —
+    * with no [[Artifacts]] change (existence IS the opt-in; build it
+    * with `KnnGraphIndex.writeKnnGraph(corpusVecs, graphName(arts))`
+    * before starting the loop). */
+  def graphName(arts: Artifacts): String = s"${arts.annIndex}_graph"
+
+  private def graphExists(spark: SparkSession, arts: Artifacts): Boolean =
+    Generations.currentGen(spark, graphName(arts)).isDefined
+
   /** Apply one night's takedown set to EVERY maintained artifact:
     * tombstone both indexes (logical effect at the next probe,
     * physical at their next compaction), append the ids to the durable
@@ -229,6 +245,9 @@ object StreamingNightlyIngest {
     Dedup.tombstoneNearDup(spark, arts.ndIndex, del)
     AnnIndex.tombstoneAnn(spark, arts.annIndex,
       del.select(col("doc_id").as("vec_id")))
+    if (graphExists(spark, arts))
+      KnnGraphIndex.tombstoneGraph(spark, graphName(arts),
+        del.select(col("doc_id").as("vec_id")))
     writeRegistry(spark, arts, deletedLog(spark, arts)
       .fold(del.toDF())(cur => cur.unionByName(del).distinct()))
     Sharding.deleteFromShards(spark, arts.shardPath, del,
@@ -341,6 +360,11 @@ object StreamingNightlyIngest {
     val admittedVecs = withTokens.join(kept.select("doc_id"), "doc_id")
       .select(col("doc_id").as("vec_id"), col("embedding"))
     AnnIndex.appendToAnnIndex(admittedVecs, arts.annIndex, ifAbsent = true)
+    // the optional maintained graph advances with the same admitted
+    // vectors (ifAbsent — its vecs marker fences replays on its own)
+    if (graphExists(spark, arts))
+      KnnGraphIndex.appendToKnnGraph(Frontier.pin(admittedVecs),
+        graphName(arts))
     val corpusT = Generations.resolve(spark, arts.annCorpusTable, "vecs")
     admittedVecs.join(spark.table(corpusT).select("vec_id"),
         Seq("vec_id"), "left_anti")
@@ -401,6 +425,8 @@ object StreamingNightlyIngest {
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           Dedup.compactNearDupIndex(b.sparkSession, arts.ndIndex)
           AnnIndex.compactAnnIndex(b.sparkSession, arts.annIndex)
+          if (graphExists(b.sparkSession, arts))
+            KnnGraphIndex.compactKnnGraph(b.sparkSession, graphName(arts))
           compactCorpus(b.sparkSession, arts)
         }
         if (driftCheckEvery > 0 && (batchId + 1) % driftCheckEvery == 0) {

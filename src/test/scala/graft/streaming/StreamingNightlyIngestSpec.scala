@@ -338,6 +338,55 @@ class StreamingNightlyIngestSpec extends SparkSpec {
       "re-ingested doc missing from the near-dup index")
   }
 
+  test("optional graph artifact: the loop advances it per night, takedowns reach it") {
+    val corpus = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .filter(col("doc_id") < 40).localCheckpoint()
+    val arts = mkArts("graph")
+    reset(arts, corpus)
+    import graft.operators.KnnGraphIndex
+    val gName = StreamingNightlyIngest.graphName(arts)
+    // opt in: build the graph over the baseline corpus vectors
+    // (existence IS the opt-in — no Artifacts change)
+    val baseVecs = corpus.select(col("doc_id"))
+      .withColumn("embedding", StreamingNightlyIngest.synthEmbedding)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    KnnGraphIndex.writeKnnGraph(baseVecs, gName, k = 5, nCells = 4,
+      nprobe = 4, edgeBuffer = 8)
+    def embed(df: DataFrame): DataFrame =
+      df.withColumn("embedding", StreamingNightlyIngest.synthEmbedding)
+    def freshText(tag: String) =
+      s"graph night fixture $tag with vocabulary omega$tag psi chi phi " +
+        "upsilon tau sigma rho pi omicron xi nu"
+    def add(id: Long, t: String) = OpNightDoc(id, t, "en", 90L, "add")
+    val b1 = (0 until 4).map(i => add(1000000700L + i, freshText(s"g$i")))
+    val b2 = Seq(add(2000000800L, freshText("h0")),
+      OpNightDoc(1000000700L, "", "xx", 0L, "delete"))
+    val mem = MemoryStream[OpNightDoc](spark)
+    val q = StreamingNightlyIngest.start(spark, embed(mem.toDF()), arts,
+      budget = 100000L, salt = "gnight") { (_, _) => () }
+    try {
+      Seq(b1, b2).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // every admitted doc answers as a graph query; the deleted one is
+    // invisible on both endpoints
+    val probed = KnnGraphIndex.probeKnnGraph(spark, gName)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qids = probed.map(_._1)
+    assert(Set(1000000701L, 1000000702L, 1000000703L, 2000000800L)
+      .subsetOf(qids), s"admitted docs missing from the graph: $qids")
+    assert(!qids.contains(1000000700L) &&
+      !probed.map(_._2).contains(1000000700L),
+      "takedown did not reach the graph")
+    // compaction folds in: physical reclamation, probe unchanged
+    graft.operators.Dedup.compactNearDupIndex(spark, arts.ndIndex)
+    graft.operators.AnnIndex.compactAnnIndex(spark, arts.annIndex)
+    KnnGraphIndex.compactKnnGraph(spark, gName)
+    assert(KnnGraphIndex.graphTombstones(spark, gName).isEmpty)
+    assert(KnnGraphIndex.probeKnnGraph(spark, gName)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == probed)
+  }
+
   test("allowReingest refuses while an index is only tombstoned (pre-compaction)") {
     val corpus = Tables(spark, sf, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
