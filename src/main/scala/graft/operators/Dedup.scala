@@ -114,12 +114,21 @@ object Dedup {
       .withColumn("rn",
         row_number().over(byDoc.orderBy(col("df"), col("sh"))))
       .withColumn("n", count(lit(1)).over(byDoc))
+    // the 1e-9 inside the ceil guards the float boundary: for a
+    // threshold that is not an exact binary fraction, t·n can round
+    // UP across an integer (e.g. t·n = 3.0000000001 for a true 3),
+    // which would SHORTEN the prefix and silently drop qualifying
+    // pairs. Subtracting the epsilon only ever lengthens the prefix —
+    // completeness-leaning — and the verify stage below enforces the
+    // true threshold on exact integer counts.
     val prefix = ordered
-      .filter(col("rn") <= col("n") - ceil(lit(minJ) * col("n")) + 1)
+      .filter(col("rn") <=
+        col("n") - ceil(lit(minJ) * col("n") - lit(1e-9)) + 1)
       .select(col("doc_id"), col("sh"), col("n"))
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
-          greatest(col("a.n"), col("b.n")) * minJ <=
+          // same epsilon as the prefix cut: err on keeping the pair
+          greatest(col("a.n"), col("b.n")) * minJ - lit(1e-9) <=
             least(col("a.n"), col("b.n")))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()

@@ -87,6 +87,10 @@ object KnnGraphIndex {
     * from what remains. */
   def writeKnnGraph(emb: DataFrame, name: String, k: Int = 10,
       nCells: Int = 16, nprobe: Int = 2, edgeBuffer: Int = 0): Unit = {
+    require(k > 0, s"k must be positive, got $k")
+    require(nCells > 0, s"nCells must be positive, got $nCells")
+    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    require(edgeBuffer >= 0, s"edgeBuffer must be >= 0, got $edgeBuffer")
     val spark = emb.sparkSession
     import spark.implicits._
     VectorFunctions.register(spark)
