@@ -81,7 +81,7 @@ object AnnIndex {
     * build time as the drift baseline [[driftRatio]] compares against
     * (one narrow partial-aggregated pass; only the scalar reaches the
     * driver). */
-  private def meanCentroidDist(emb: DataFrame,
+  private[operators] def meanCentroidDist(emb: DataFrame,
       cents: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]]): Double = {
     val distOf = udf { (v: Seq[Float]) =>
       val a = v.toArray

@@ -50,6 +50,9 @@ object KnnGraphIndex {
   private val NProbeProp = "graft.graph.nprobe"
   private val DimProp = "graft.graph.dim"
   private val BufProp = "graft.graph.edgebuffer"
+  /** Mean distance-to-assigned-centroid at build time — the drift
+    * baseline, the graph twin of [[AnnIndex.BaseDistProp]]. */
+  val BaseDistProp = "graft.graph.basedist"
 
   private def t(spark: SparkSession, name: String, member: String): String =
     Generations.resolve(spark, name, member)
@@ -125,10 +128,49 @@ object KnnGraphIndex {
       .saveAsTable(Generations.physical(name, "probes", lease.gen))
     edges.write.format("parquet")
       .saveAsTable(Generations.physical(name, "edges", lease.gen))
+    val baseDist = AnnIndex.meanCentroidDist(
+      emb.select(col("vec_id"), col("embedding")), cents)
     Generations.commit(spark, lease, Members, props = Map(
       KProp -> k.toString, NProbeProp -> nprobe.toString,
-      DimProp -> dim.toString, BufProp -> edgeBuffer.toString))
+      DimProp -> dim.toString, BufProp -> edgeBuffer.toString,
+      BaseDistProp -> baseDist.toString))
     clearTombstones(spark, name)
+  }
+
+  /** The when-to-RETRAIN signal for the graph's frozen coarse
+    * quantizer — the [[AnnIndex.driftRatio]] twin: mean
+    * distance-to-assigned-centroid of `emb` over the build-time
+    * baseline. ~1.0 = the corpus still looks like the one the cells
+    * were trained on; a degenerate zero baseline reads as
+    * always-drifted rather than NaN-disabling the retrain. */
+  def graphDriftRatio(spark: SparkSession, name: String,
+      emb: DataFrame): Double = {
+    val base = Generations.manifestProp(spark, name, BaseDistProp)
+      .flatMap(_.toDoubleOption)
+      .getOrElse(sys.error(s"graph $name predates $BaseDistProp"))
+    val cents = spark.sparkContext.broadcast(loadCentroids(spark, name))
+    if (!(base > 0.0)) Double.PositiveInfinity
+    else AnnIndex.meanCentroidDist(
+      emb.select(col("vec_id"), col("embedding")), cents) / base
+  }
+
+  /** The closed drift loop for the graph (s16's pattern): measure,
+    * retrain past the threshold. The retrain is a full
+    * [[writeKnnGraph]] over `emb` with the stamped geometry — a
+    * generation swap, so probes racing it stay consistent, and stale
+    * tombstones clear with the rebuild (callers pass an
+    * already-filtered corpus, e.g. the nightly loop's
+    * registry-filtered retrainCorpus). Returns whether it retrained. */
+  def retrainKnnGraphIfDrifted(spark: SparkSession, name: String,
+      emb: DataFrame, maxDrift: Double = 1.25): Boolean = {
+    val ratio = graphDriftRatio(spark, name, emb)
+    if (ratio <= maxDrift) false
+    else {
+      val (k, nprobe, _, buf) = geometry(spark, name)
+      val nCells = loadCentroids(spark, name).length
+      writeKnnGraph(emb, name, k, nCells, nprobe, buf)
+      true
+    }
   }
 
   /** Neighbors of the qids matching `pred` (all by default): top-k per
@@ -240,9 +282,13 @@ object KnnGraphIndex {
       .saveAsTable(Generations.physical(name, "probes", lease.gen))
     tight.write.format("parquet")
       .saveAsTable(Generations.physical(name, "edges", lease.gen))
+    // carry the drift baseline across the swap — the quantizer is
+    // unchanged, so the stamped baseline must survive compaction
+    val baseDist = Generations.manifestProp(spark, name, BaseDistProp)
     Generations.commit(spark, lease, Members, props = Map(
       KProp -> k.toString, NProbeProp -> nprobe.toString,
-      DimProp -> dim.toString, BufProp -> buf.toString), gcKeep = gcKeep)
+      DimProp -> dim.toString, BufProp -> buf.toString) ++
+      baseDist.map(BaseDistProp -> _), gcKeep = gcKeep)
     clearTombstones(spark, name)
   }
 

@@ -434,6 +434,9 @@ object StreamingNightlyIngest {
           // registry — a retrain must never resurrect a deleted vector
           AnnIndex.retrainAnnIndexIfDrifted(b.sparkSession, arts.annIndex,
             retrainCorpus(b.sparkSession, arts), maxDrift)
+          if (graphExists(b.sparkSession, arts))
+            KnnGraphIndex.retrainKnnGraphIfDrifted(b.sparkSession,
+              graphName(arts), retrainCorpus(b.sparkSession, arts), maxDrift)
           ()
         }
       } finally b.unpersist()

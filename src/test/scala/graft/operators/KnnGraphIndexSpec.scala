@@ -44,6 +44,33 @@ class KnnGraphIndexSpec extends SparkSpec {
     assert(maxPerQid <= 13, s"compaction left $maxPerQid rows on a qid")
   }
 
+  test("drift loop: shifted corpus trips the signal, retrain restores it") {
+    val emb = Tables(spark, sf, "embeddings")
+      .filter(col("vec_id") < 150).select("vec_id", "embedding")
+      .localCheckpoint()
+    val name = "graft_kgi_drift_spec"
+    KnnGraphIndex.writeKnnGraph(emb, name, k = 5, nCells = 8, nprobe = 2)
+    assert(KnnGraphIndex.graphDriftRatio(spark, name, emb) < 1.2,
+      "fresh build should read ~1.0 against its own corpus")
+    // the signal survives a compaction (the baseline is re-stamped)
+    KnnGraphIndex.compactKnnGraph(spark, name)
+    assert(KnnGraphIndex.graphDriftRatio(spark, name, emb) < 1.2)
+    // off-distribution corpus: every vector shifted a unit per dim
+    val shifted = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x + CAST(1.0 AS FLOAT) AS FLOAT))")
+        .as("embedding")).localCheckpoint()
+    val drifted = KnnGraphIndex.graphDriftRatio(spark, name, shifted)
+    assert(drifted > 1.25, s"shifted corpus did not trip the signal: $drifted")
+    assert(KnnGraphIndex.retrainKnnGraphIfDrifted(spark, name, shifted),
+      "retrain did not fire past the threshold")
+    // the retrained quantizer fits the drifted corpus again, and the
+    // graph answers over the NEW corpus
+    assert(KnnGraphIndex.graphDriftRatio(spark, name, shifted) < 1.25)
+    assert(!KnnGraphIndex.retrainKnnGraphIfDrifted(spark, name, shifted),
+      "signal not reset after retrain")
+    assert(probeSet(name).nonEmpty)
+  }
+
   test("edgeBuffer bound: deletions within the margin stay exact; compaction reclaims") {
     val emb = Tables(spark, sf, "embeddings")
       .filter(col("vec_id") < 200).select("vec_id", "embedding")
