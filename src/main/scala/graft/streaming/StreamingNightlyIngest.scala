@@ -357,14 +357,17 @@ object StreamingNightlyIngest {
     }
     // 4. ANN index + raw-vector corpus gain the ADMITTED docs; each
     //    append fenced by its own target table
-    val admittedVecs = withTokens.join(kept.select("doc_id"), "doc_id")
-      .select(col("doc_id").as("vec_id"), col("embedding"))
+    // pinned once: three sinks consume it (ANN append, optional graph
+    // append, corpus append) — re-evaluating the join per sink would
+    // triple the upstream work
+    val admittedVecs = Frontier.pin(
+      withTokens.join(kept.select("doc_id"), "doc_id")
+        .select(col("doc_id").as("vec_id"), col("embedding")))
     AnnIndex.appendToAnnIndex(admittedVecs, arts.annIndex, ifAbsent = true)
     // the optional maintained graph advances with the same admitted
     // vectors (ifAbsent — its vecs marker fences replays on its own)
     if (graphExists(spark, arts))
-      KnnGraphIndex.appendToKnnGraph(Frontier.pin(admittedVecs),
-        graphName(arts))
+      KnnGraphIndex.appendToKnnGraph(admittedVecs, graphName(arts))
     val corpusT = Generations.resolve(spark, arts.annCorpusTable, "vecs")
     admittedVecs.join(spark.table(corpusT).select("vec_id"),
         Seq("vec_id"), "left_anti")
