@@ -418,45 +418,25 @@ object AnnIndex {
     * the ANN twin of [[Dedup.nearDupTombstones]]: probes anti-join it,
     * the next compaction/rebuild reclaims rows and clears it. */
   def annTombstones(spark: SparkSession,
-      name: String): Option[DataFrame] = {
-    val t = tombstonesTable(name)
-    if (spark.sessionState.catalog.tableExists(
-        spark.sessionState.sqlParser.parseTableIdentifier(t)))
-      Some(spark.table(t))
-    else None
-  }
-
-  private def tombstonesTable(name: String): String = s"${name}_tombstones"
+      name: String): Option[DataFrame] =
+    Tombstones.get(spark, name)
 
   /** DELETE vectors from the maintained ANN index (takedown lifecycle,
     * [[Dedup.tombstoneNearDup]]'s twin): immediate logical effect at
     * every probe, physical reclamation at the next compaction or
     * retrain. Held under the writer lease so a tombstone cannot land
-    * mid-compaction and be cleared unapplied. Idempotent. */
+    * mid-compaction and be cleared unapplied. Idempotent; the mutation
+    * is a crash-atomic [[Tombstones]] generation swap (a crash
+    * mid-write cannot lose the pending erasure set). */
   def tombstoneAnn(spark: SparkSession, name: String,
       ids: DataFrame): Unit = {
     val lease = Generations.begin(spark, name, IndexMembers)
-    try {
-      val t = tombstonesTable(name)
-      val add = ids.select(col(ids.columns.head).cast("long").as("vec_id"))
-      annTombstones(spark, name) match {
-        case Some(cur) =>
-          val merged = graft.operators.Frontier.pin(
-            cur.unionByName(add).distinct())
-          merged.write.format("parquet").mode("overwrite").saveAsTable(t)
-        case None =>
-          // a previous JVM's tombstones DIRECTORY can outlive the
-          // in-memory catalog entry (same hazard as generation tables)
-          Generations.dropTableAndLocation(spark, t)
-          add.distinct().write.format("parquet").saveAsTable(t)
-      }
-      spark.catalog.refreshTable(t)
-    } finally Generations.abort(spark, lease)
+    try Tombstones.add(spark, name, ids, "vec_id")
+    finally Generations.abort(spark, lease)
   }
 
   private def clearAnnTombstones(spark: SparkSession, name: String): Unit =
-    if (annTombstones(spark, name).isDefined)
-      Generations.dropTableAndLocation(spark, tombstonesTable(name))
+    Tombstones.clear(spark, name)
 
   /** Drift of the CURRENT corpus against the index's frozen model:
     * mean distance-to-centroid now, divided by the build-time baseline

@@ -986,15 +986,8 @@ object Dedup {
     * immediately) and PHYSICALLY by the next compaction (rows dropped,
     * set cleared). None when nothing is tombstoned. */
   def nearDupTombstones(spark: SparkSession,
-      name: String): Option[DataFrame] = {
-    val t = tombstonesTable(name)
-    if (spark.sessionState.catalog.tableExists(
-        spark.sessionState.sqlParser.parseTableIdentifier(t)))
-      Some(spark.table(t))
-    else None
-  }
-
-  private def tombstonesTable(name: String): String = s"${name}_tombstones"
+      name: String): Option[DataFrame] =
+    Tombstones.get(spark, name)
 
   /** DELETE from the maintained index (takedown/right-to-erasure — the
     * lifecycle step appends and compactions don't cover): record the
@@ -1004,32 +997,19 @@ object Dedup {
     * the rows and clears the set. Held under the family's writer
     * lease: a tombstone landing mid-compaction could otherwise be
     * cleared without ever being applied (the rewrite's scan predates
-    * it — a lost deletion). Idempotent: ids are distinct-merged. */
+    * it — a lost deletion). Idempotent: ids are distinct-merged. The
+    * mutation is a crash-atomic [[Tombstones]] generation swap — a
+    * crash mid-write cannot lose the pending erasure set. */
   def tombstoneNearDup(spark: SparkSession, name: String,
       ids: DataFrame): Unit = {
     val lease = Generations.begin(spark, name, IndexMembers)
-    try {
-      val t = tombstonesTable(name)
-      val add = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
-      nearDupTombstones(spark, name) match {
-        case Some(cur) =>
-          val merged = Frontier.pin(cur.unionByName(add).distinct())
-          merged.write.format("parquet").mode("overwrite")
-            .saveAsTable(t) // pin: overwriting what we read needs a break
-        case None =>
-          // a previous JVM's tombstones DIRECTORY can outlive the
-          // in-memory catalog entry (same hazard as generation tables)
-          Generations.dropTableAndLocation(spark, t)
-          add.distinct().write.format("parquet").saveAsTable(t)
-      }
-      spark.catalog.refreshTable(t)
-    } finally Generations.abort(spark, lease)
+    try Tombstones.add(spark, name, ids, "doc_id")
+    finally Generations.abort(spark, lease)
   }
 
   private def clearNearDupTombstones(spark: SparkSession,
       name: String): Unit =
-    if (nearDupTombstones(spark, name).isDefined)
-      Generations.dropTableAndLocation(spark, tombstonesTable(name))
+    Tombstones.clear(spark, name)
 
   /** [[incrementalNearDupSurvivors]] probing a PERSISTED index written
     * by [[writeNearDupIndex]] instead of re-deriving the history's

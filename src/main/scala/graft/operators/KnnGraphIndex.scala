@@ -292,41 +292,25 @@ object KnnGraphIndex {
     clearTombstones(spark, name)
   }
 
-  private def tombstonesTable(name: String): String = s"${name}_tombstones"
-
-  /** Current tombstone set, if any deletions are pending reclamation. */
+  /** Current tombstone set, if any deletions are pending reclamation
+    * (a crash-atomic [[Tombstones]] family — see its Scaladoc). */
   def graphTombstones(spark: SparkSession,
-      name: String): Option[DataFrame] = {
-    val tt = tombstonesTable(name)
-    if (spark.sessionState.catalog.tableExists(
-        spark.sessionState.sqlParser.parseTableIdentifier(tt)))
-      Some(spark.table(tt))
-    else None
-  }
+      name: String): Option[DataFrame] =
+    Tombstones.get(spark, name)
 
   /** Record deletions (immediate logical effect at every probe via
     * both-endpoint anti-joins; physical at the next compaction).
     * Held under the writer lease like its [[AnnIndex.tombstoneAnn]] /
-    * [[Dedup.tombstoneNearDup]] twins. */
+    * [[Dedup.tombstoneNearDup]] twins; the mutation itself is a
+    * [[Tombstones]] generation swap, so a crash mid-write cannot lose
+    * the pending erasure set. */
   def tombstoneGraph(spark: SparkSession, name: String,
       ids: DataFrame): Unit = {
     val lease = Generations.begin(spark, name, Members)
-    try {
-      val tt = tombstonesTable(name)
-      val add = ids.select(col(ids.columns.head).cast("long").as("vec_id"))
-      graphTombstones(spark, name) match {
-        case Some(cur) =>
-          val merged = Frontier.pin(cur.unionByName(add).distinct())
-          merged.write.format("parquet").mode("overwrite").saveAsTable(tt)
-          spark.catalog.refreshTable(tt)
-        case None =>
-          Generations.dropTableAndLocation(spark, tt)
-          add.distinct().write.format("parquet").saveAsTable(tt)
-      }
-    } finally Generations.abort(spark, lease)
+    try Tombstones.add(spark, name, ids, "vec_id")
+    finally Generations.abort(spark, lease)
   }
 
   private def clearTombstones(spark: SparkSession, name: String): Unit =
-    if (graphTombstones(spark, name).isDefined)
-      Generations.dropTableAndLocation(spark, tombstonesTable(name))
+    Tombstones.clear(spark, name)
 }

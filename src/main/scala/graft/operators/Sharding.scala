@@ -70,6 +70,20 @@ object Sharding {
     readLayout(assignments.sparkSession, path, Some(assignments.schema))
   }
 
+  /** The empty layout as a frame: column order matches [[readLayout]]
+    * (`shard` last) so downstream unions/manifests see one shape
+    * whether or not the layout was ever written. */
+  private def emptyLayout(spark: org.apache.spark.sql.SparkSession,
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    schema match {
+      case Some(sc) =>
+        val parts = sc.fields.partition(_.name != "shard")
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(parts._1 ++ parts._2))
+      case None => spark.emptyDataFrame
+    }
+
   /** Open a shard layout the way every consumer here does: the
     * partition column (`shard`) comes back LAST and, when the writer's
     * schema is known, EXPLICITLY — supplying it skips both parquet
@@ -144,7 +158,11 @@ object Sharding {
       : DataFrame = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(hp)) return readLayout(spark, path, schema)
+    // a never-written layout has nothing to delete from — mirror the
+    // empty-layout guards of writeShards/appendShards instead of
+    // reading the missing path (a first night whose CDC batch is
+    // delete-only reaches here before any shards exist)
+    if (!fs.exists(hp)) return emptyLayout(spark, schema)
     val layout = readLayout(spark, path, schema)
     val del = ids.select(col(ids.columns.head).as(idCol)).distinct()
     // affected shards: every directory holding at least one deleted row

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The shared crash-atomic PENDING-DELETION store behind the three
+  * maintained indexes ([[Dedup]] near-dup, [[AnnIndex]],
+  * [[KnnGraphIndex]]): a one-member [[Generations]] family
+  * `<index>_tombstones` whose `ids` table holds the ids deleted
+  * logically but not yet physically reclaimed.
+  *
+  * Why a family and not a plain table: tombstone mutation used to be
+  * merge-then-`mode("overwrite")`, and an overwrite-saveAsTable is
+  * DROP-AND-RECREATE — a crash mid-write loses the whole pending
+  * erasure set, and probes would resurrect taken-down ids until
+  * re-tombstoned. That is exactly the drop-create window the takedown
+  * registry and the raw-vector corpus were moved behind the generation
+  * pointer for ([[graft.streaming.StreamingNightlyIngest]]); the
+  * tombstone sets were the last mutable artifact still outside it.
+  * Here every mutation writes a NEW generation and flips the pointer
+  * in one catalog call: a crash before the flip leaves the prior set
+  * intact and visible, after it the merged set — at no point is the
+  * pending-deletion state absent (TombstoneSpec injects a crash in
+  * both windows and asserts exactly that).
+  *
+  * Emptiness rides the manifest's atomic property set
+  * ([[EmptyProp]], flipped in the SAME catalog call as the pointer),
+  * so [[get]] answers "no pending deletions" from catalog metadata
+  * alone — no per-probe data job.
+  *
+  * The reference has no persisted deletion state (its dedup window is
+  * in-process, `/root/reference/src/nats_client.py:246-260`); a
+  * persisted 100 TB artifact's erasure set must survive a crashed
+  * writer, hence the pointer discipline.
+  */
+private[graft] object Tombstones {
+
+  private val Members = Seq("ids")
+
+  /** "The current generation holds zero ids" — stamped atomically with
+    * the pointer so emptiness never needs a data read. */
+  val EmptyProp = "graft.tombstones.empty"
+
+  def family(index: String): String = s"${index}_tombstones"
+
+  /** The pending-deletion set of `index`, or None when empty/absent.
+    * Catalog-metadata-only when empty — probes pay no extra job. */
+  def get(spark: SparkSession, index: String): Option[DataFrame] = {
+    val fam = family(index)
+    Generations.currentGen(spark, fam) match {
+      case Some(_)
+        if Generations.manifestProp(spark, fam, EmptyProp).contains("true") =>
+        None
+      case Some(_) => Some(spark.table(Generations.resolve(spark, fam, "ids")))
+      case None => None
+    }
+  }
+
+  /** Merge `ids` (first column, cast to long, named `idCol`) into the
+    * set — one generation swap, idempotent (distinct-merged). Callers
+    * hold their index family's writer lease around this (serializing
+    * against compaction); the tombstone family's own lease guards the
+    * swap itself. */
+  def add(spark: SparkSession, index: String, ids: DataFrame,
+      idCol: String): Unit = {
+    val fam = family(index)
+    if (Generations.currentGen(spark, fam).isEmpty) {
+      // pre-family debris: a legacy plain `<index>_tombstones` table
+      // (or a previous JVM's directory for one) would collide with
+      // nothing, but is stale state — reclaim it on first use
+      Generations.dropTableAndLocation(spark, fam)
+    }
+    val add = ids.select(col(ids.columns.head).cast("long").as(idCol))
+      .distinct()
+    val merged = get(spark, index)
+      .fold(add)(cur => cur.unionByName(add).distinct())
+    val lease = Generations.begin(spark, fam, Members)
+    // the write reads the CURRENT generation (still live until the
+    // flip) and lands in the next one — never overwriting what it reads
+    merged.coalesce(1).write.format("parquet")
+      .saveAsTable(Generations.physical(fam, "ids", lease.gen))
+    Generations.commit(spark, lease, Members,
+      props = Map(EmptyProp -> "false"))
+  }
+
+  /** Reset to empty (after a compaction/rebuild applied the set) —
+    * itself a swap: a crash before the flip leaves the applied set in
+    * place, which is harmless (probes anti-join ids whose rows are
+    * already gone) and cleared by the next mutation. */
+  def clear(spark: SparkSession, index: String): Unit =
+    if (get(spark, index).isDefined) {
+      val fam = family(index)
+      val lease = Generations.begin(spark, fam, Members)
+      spark.range(0).select(lit(0L).as("id")).coalesce(1)
+        .write.format("parquet")
+        .saveAsTable(Generations.physical(fam, "ids", lease.gen))
+      Generations.commit(spark, lease, Members,
+        props = Map(EmptyProp -> "true"))
+    }
+
+  /** Remove the family entirely — fixture/test reset, the
+    * [[Generations.destroy]] twin. */
+  def destroy(spark: SparkSession, index: String): Unit =
+    Generations.destroy(spark, family(index), Members)
+}

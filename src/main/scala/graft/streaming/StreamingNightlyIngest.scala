@@ -152,11 +152,37 @@ object StreamingNightlyIngest {
     Generations.commit(spark, lease, CorpusMembers)
   }
 
+  /** Resolve the corpus family's current physical table, MIGRATING a
+    * legacy deployment on first touch: the corpus used to be a plain
+    * table named `annCorpusTable`; it is now a [[Generations]] family.
+    * A pre-existing plain table is wrapped as the family's first
+    * generation (pin → swap → drop the plain table), so old
+    * deployments resolve instead of erroring with "no such index".
+    * Crash-safe in both windows: before the pointer commit the plain
+    * table is untouched and the next call re-migrates; after it the
+    * family resolves and the plain leftover is dropped (re-dropped on
+    * the next call if the drop itself was the casualty). */
+  private def corpusPhysical(spark: SparkSession, arts: Artifacts): String = {
+    val t = arts.annCorpusTable
+    def legacyExists = spark.sessionState.catalog.tableExists(
+      spark.sessionState.sqlParser.parseTableIdentifier(t))
+    Generations.currentGen(spark, t) match {
+      case Some(_) =>
+        if (legacyExists) Generations.dropTableAndLocation(spark, t)
+        Generations.resolve(spark, t, "vecs")
+      case None if legacyExists =>
+        writeCorpus(spark, arts, Frontier.pin(spark.table(t)))
+        Generations.dropTableAndLocation(spark, t)
+        Generations.resolve(spark, t, "vecs")
+      case None => Generations.resolve(spark, t, "vecs") // canonical error
+    }
+  }
+
   /** The corpus as it currently resolves (still-registered deletions
     * INCLUDED until [[compactCorpus]] — drift/retrain must go through
     * [[retrainCorpus]] instead). */
   def corpus(spark: SparkSession, arts: Artifacts): DataFrame =
-    spark.table(Generations.resolve(spark, arts.annCorpusTable, "vecs"))
+    spark.table(corpusPhysical(spark, arts))
 
   /** The ANN corpus as every drift/retrain consumer must see it:
     * minus the takedown registry. */
@@ -196,6 +222,19 @@ object StreamingNightlyIngest {
         "allowReingest before physical reclamation: compact both " +
           "indexes first, or a re-ingested copy would be skipped by " +
           "the ifAbsent appends and stay invisible to probes")
+      // the raw-vector corpus reclaims at compactCorpus, not at the
+      // index compactions: if the embedding is still physically in the
+      // corpus table, un-barring the id would (a) re-expose the stale
+      // vector to retrainCorpus and (b) make the corpus append's
+      // vec_id anti-join drop the re-ingested doc's NEW embedding —
+      // corpus re-rank data permanently diverging from the ANN index
+      val stillInCorpus = !corpus(spark, arts)
+        .join(del.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+          "left_semi").isEmpty
+      require(!stillInCorpus,
+        "allowReingest before corpus reclamation: run compactCorpus " +
+          "first, or the stale embedding would shadow the re-ingested " +
+          "doc's new vector (corpus append anti-joins on vec_id)")
       writeRegistry(spark, arts, cur.join(del, Seq("doc_id"), "left_anti"))
     }
 
@@ -368,7 +407,7 @@ object StreamingNightlyIngest {
     // vectors (ifAbsent — its vecs marker fences replays on its own)
     if (graphExists(spark, arts))
       KnnGraphIndex.appendToKnnGraph(admittedVecs, graphName(arts))
-    val corpusT = Generations.resolve(spark, arts.annCorpusTable, "vecs")
+    val corpusT = corpusPhysical(spark, arts)
     admittedVecs.join(spark.table(corpusT).select("vec_id"),
         Seq("vec_id"), "left_anti")
       .write.format("parquet").mode("append")

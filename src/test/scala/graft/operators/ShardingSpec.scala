@@ -162,6 +162,15 @@ class ShardingSpec extends SparkSpec {
     rm(new java.io.File(path))
     val all = Sharding.shardAssignments(packed, tokensPerShard = 10L)
     val none = all.filter(col("pos") < 0L)
+    import spark.implicits._
+    // deletion from a never-written layout: clean empty no-op with the
+    // layout's column order, not a read of the missing path (a
+    // first-ever delete-only CDC night reaches here)
+    val missing = Sharding.deleteFromShards(spark, path,
+      Seq(1L).toDF("doc_id"), schema = Some(all.schema))
+    assert(missing.isEmpty)
+    assert(missing.columns.last == "shard",
+      "empty-layout frame must match readLayout's shard-last order")
     // empty write: no files, no failed read-back, empty frame out
     assert(Sharding.writeShards(none, path).isEmpty)
     // append to a never-written layout = the initial write

@@ -408,12 +408,62 @@ class StreamingNightlyIngestSpec extends SparkSpec {
       StreamingNightlyIngest.allowReingest(spark, arts,
         Seq(5000000001L).toDF("doc_id"))
     }
-    // after both compactions the same call succeeds
+    // index compactions alone are NOT enough: the raw-vector corpus
+    // still physically holds the embedding (the registry only filters
+    // reads), and un-barring now would let the stale vector shadow a
+    // re-ingested doc's new one (the corpus append anti-joins vec_id)
     Dedup.compactNearDupIndex(spark, arts.ndIndex)
     AnnIndex.compactAnnIndex(spark, arts.annIndex)
+    intercept[IllegalArgumentException] {
+      StreamingNightlyIngest.allowReingest(spark, arts,
+        Seq(5000000001L).toDF("doc_id"))
+    }
+    // after corpus reclamation the same call succeeds
+    StreamingNightlyIngest.compactCorpus(spark, arts)
     StreamingNightlyIngest.allowReingest(spark, arts,
       Seq(5000000001L).toDF("doc_id"))
     assert(StreamingNightlyIngest.deletedIds(spark, arts).isEmpty)
+  }
+
+  test("a legacy plain corpus table migrates into the Generations family on first touch") {
+    val corpus = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .filter(col("doc_id") < 20).localCheckpoint()
+    val arts = mkArts("legacy")
+    reset(arts, corpus)
+    // simulate a pre-family deployment: tear the family down and leave
+    // the corpus as the plain table the old code wrote
+    val vecs = StreamingNightlyIngest.corpus(spark, arts).localCheckpoint()
+    Generations.destroy(spark, arts.annCorpusTable, Seq("vecs"))
+    Generations.dropTableAndLocation(spark, arts.annCorpusTable)
+    vecs.write.format("parquet").saveAsTable(arts.annCorpusTable)
+    val n = vecs.count()
+    // first touch resolves (no sys.error), wraps the plain table as
+    // generation 0 and retires the legacy table
+    assert(StreamingNightlyIngest.corpus(spark, arts).count() == n)
+    assert(Generations.currentGen(spark, arts.annCorpusTable).isDefined,
+      "migration did not create the corpus family")
+    assert(!spark.catalog.tableExists(arts.annCorpusTable),
+      "migration left the legacy plain table behind")
+    // and the migrated corpus keeps working as a family
+    assert(StreamingNightlyIngest.retrainCorpus(spark, arts).count() == n)
+  }
+
+  test("a first-ever delete-only night (no shards yet) is a clean no-op, not a crash") {
+    val corpus = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .filter(col("doc_id") < 20).localCheckpoint()
+    val arts = mkArts("delonly")
+    reset(arts, corpus)
+    import spark.implicits._
+    val empty = corpus.withColumn("embedding",
+      StreamingNightlyIngest.synthEmbedding).limit(0)
+    // the CDC feed's first batch can be delete-only — applyDeletions
+    // hits the never-written shard layout before any shards exist
+    StreamingNightlyIngest.nightStep(arts, empty, budget = 1000L,
+      salt = "del", deletes = Some(Seq(7L).toDF("doc_id")))
+    assert(StreamingNightlyIngest.deletedIds(spark, arts)
+      .collect().map(_.getLong(0)).toSet == Set(7L))
   }
 
   test("replayed nights converge: crashed and re-delivered batches leave every artifact as one clean run") {
