@@ -17,25 +17,56 @@ import graft.functions.VectorFunctions
   *  - `model` (cell, centroid): the frozen IVF coarse quantizer —
   *    appends assign against build-time centroids, the same
   *    drift-then-retrain story as [[AnnIndex]];
-  *  - `vecs` (vec_id, embedding, cell): raw vectors + cell — written
-  *    LAST on append, so presence here means "batch fully applied"
-  *    (the near-dup index's sigs discipline);
-  *  - `probes` (vec_id, cell): each vector's nprobe nearest cells,
-  *    exploded — the REVERSE-direction candidate source on append
-  *    (who would have probed the new vector's cell?);
-  *  - `edges` (qid, vec_id, cos): ≥ k exact-cosine edges per qid.
-  *    Appends only ADD rows (old vectors gain edges toward new
-  *    arrivals); the probe takes top-k per qid at read time, and
-  *    compaction re-tightens the table back to k + edgeBuffer rows
-  *    per qid (the deletion-tolerance margin — see [[writeKnnGraph]]).
+  *  - `vecs` (vec_id, embedding, cell), bucketed+sorted on vec_id —
+  *    raw vectors + cell, written LAST on append, so presence here
+  *    means "batch fully applied" (the near-dup index's sigs
+  *    discipline);
+  *  - `probes` (vec_id, cell), bucketed+sorted on vec_id: each
+  *    vector's nprobe nearest cells, exploded — the REVERSE-direction
+  *    candidate source on append (who would have probed the new
+  *    vector's cell?);
+  *  - `edges` (qid, vec_id, cos), bucketed+sorted on qid: ≥ k
+  *    exact-cosine edges per qid. Appends only ADD rows (old vectors
+  *    gain edges toward new arrivals); the probe takes top-k per qid
+  *    at read time, and compaction re-tightens the table back to
+  *    k + edgeBuffer rows per qid (the deletion-tolerance margin —
+  *    see [[writeKnnGraph]]).
+  *
+  * ==Layout (the d12 discipline applied to the graph)==
+  *
+  * The edge table is `bucketBy(numBuckets, qid).sortBy(qid)` — three
+  * properties fall out, each load-bearing at 100 TB:
+  *
+  *  1. SLICE PROBES PRUNE. `probeKnnGraph(pred)` pushes the qid
+  *     predicate into the parquet scan; per-file sorting keeps
+  *     row-group qid min/max ranges tight, so a range/equality slice
+  *     reads only its row groups instead of the corpus-wide edge
+  *     table (previously 0.16 s → 4.7 s at 10× for a FIXED slice —
+  *     a full-table scan per lookup at scale).
+  *  2. PROBES ARE EXCHANGE-FREE. The bucketed scan IS hash-partitioned
+  *     on qid, which satisfies the probe-time top-k aggregation's
+  *     distribution — no shuffle between scan and answer.
+  *  3. THE APPEND FENCE STOPS SCALING WITH THE CORPUS' SHUFFLE. The
+  *     replay-fence anti-join scopes the stored side through a
+  *     broadcast semi-join on the batch's own qids first, so the edge
+  *     table is scanned in place (one narrow column-pruned pass) and
+  *     never shuffled; the anti-join runs batch-sized vs batch-sized.
+  *
+  * `probes`/`vecs` get the same treatment on vec_id (their fence key).
+  * KnnGraphIndexSpec walks the probe and fence plans and asserts zero
+  * ShuffleExchange above every graph-table scan.
   *
   * Append cost is batch-sized: forward candidates = batch-probes ⋈
   * (vecs ∪ batch) on cell; reverse candidates = stored probes ⋈
-  * batch cells — both equi-joins bounded by nprobe·|batch|·|cell|,
-  * never a corpus rebuild. Every append effect is fenced for replay
-  * (edges/probes anti-join their targets, vecs is the applied marker)
-  * and the writer lease is held across the mutation, as in
-  * [[AnnIndex.appendToAnnIndex]].
+  * batch cells — both BROADCAST the batch side, so the corpus-sized
+  * tables stream in place and candidates stay bounded by
+  * nprobe·|batch|·|cell|, never a corpus rebuild or corpus shuffle.
+  * The exact re-rank's embedding universe is scoped (broadcast
+  * semi-join) to the endpoints the pair set actually touches, so its
+  * joins are batch-sized on both sides. Every append effect is fenced
+  * for replay (edges/probes anti-join their targets, vecs is the
+  * applied marker) and the writer lease is held across the mutation,
+  * as in [[AnnIndex.appendToAnnIndex]].
   *
   * Correctness gates: at nprobe = nCells the maintained graph is
   * EXACT — s26 hash-checks build+append against the exact k-NN graph
@@ -45,7 +76,7 @@ import graft.functions.VectorFunctions
   */
 object KnnGraphIndex {
 
-  private val Members = Seq("model", "vecs", "probes", "edges")
+  private[operators] val Members = Seq("model", "vecs", "probes", "edges")
   private val KProp = "graft.graph.k"
   private val NProbeProp = "graft.graph.nprobe"
   private val DimProp = "graft.graph.dim"
@@ -69,6 +100,12 @@ object KnnGraphIndex {
     (p(KProp), p(NProbeProp), p(DimProp), p(BufProp))
   }
 
+  private def bucketSpecOf(spark: SparkSession, table: String) =
+    spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec
+      .getOrElse(sys.error(s"$table is not a bucketed graph table"))
+
   /** Exact chain-cosine edges for a (qid, vec_id) pair set, capped at
     * `cap` per qid — [[Similarity.exactReRank]] over a universe
     * carrying both endpoints' raw vectors. */
@@ -87,13 +124,18 @@ object KnnGraphIndex {
     * edgeBuffer deletions (any exact answer after D ≤ edgeBuffer
     * deletions has overall rank ≤ k + D, hence is stored). s27 pins
     * this bound in DuckDB; compaction re-tightens to k + edgeBuffer
-    * from what remains. */
+    * from what remains. `numBuckets` fixes the bucket layout above —
+    * appends and compactions reuse it from the catalog; the default
+    * suits test-scale corpora ([[Dedup.writeNearDupIndex]]'s
+    * convention), a cluster deployment sizes it to the corpus. */
   def writeKnnGraph(emb: DataFrame, name: String, k: Int = 10,
-      nCells: Int = 16, nprobe: Int = 2, edgeBuffer: Int = 0): Unit = {
+      nCells: Int = 16, nprobe: Int = 2, edgeBuffer: Int = 0,
+      numBuckets: Int = 8): Unit = {
     require(k > 0, s"k must be positive, got $k")
     require(nCells > 0, s"nCells must be positive, got $nCells")
     require(nprobe > 0, s"nprobe must be positive, got $nprobe")
     require(edgeBuffer >= 0, s"edgeBuffer must be >= 0, got $edgeBuffer")
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
     val spark = emb.sparkSession
     import spark.implicits._
     VectorFunctions.register(spark)
@@ -111,6 +153,8 @@ object KnnGraphIndex {
       cellOf(col("embedding")).as("cell")))
     val probes = Frontier.pin(emb.select(col("vec_id"),
       explode(probesOf(col("embedding"))).as("cell")))
+    // the ONE corpus-corpus shuffle in the engine: candidates via the
+    // cell equi-join, pair work ≈ nprobe·n²/nCells with nCells ∝ n
     val pairs = probes.select(col("vec_id").as("qid"), col("cell"))
       .join(vecs.select(col("vec_id"), col("cell")), Seq("cell"))
       .filter(col("qid") =!= col("vec_id"))
@@ -123,10 +167,13 @@ object KnnGraphIndex {
       .write.format("parquet")
       .saveAsTable(Generations.physical(name, "model", lease.gen))
     vecs.write.format("parquet")
+      .bucketBy(numBuckets, "vec_id").sortBy("vec_id")
       .saveAsTable(Generations.physical(name, "vecs", lease.gen))
     probes.write.format("parquet")
+      .bucketBy(numBuckets, "vec_id").sortBy("vec_id")
       .saveAsTable(Generations.physical(name, "probes", lease.gen))
     edges.write.format("parquet")
+      .bucketBy(numBuckets, "qid").sortBy("qid")
       .saveAsTable(Generations.physical(name, "edges", lease.gen))
     val baseDist = AnnIndex.meanCentroidDist(
       emb.select(col("vec_id"), col("embedding")), cents)
@@ -156,11 +203,12 @@ object KnnGraphIndex {
 
   /** The closed drift loop for the graph (s16's pattern): measure,
     * retrain past the threshold. The retrain is a full
-    * [[writeKnnGraph]] over `emb` with the stamped geometry — a
-    * generation swap, so probes racing it stay consistent, and stale
-    * tombstones clear with the rebuild (callers pass an
-    * already-filtered corpus, e.g. the nightly loop's
-    * registry-filtered retrainCorpus). Returns whether it retrained. */
+    * [[writeKnnGraph]] over `emb` with the stamped geometry AND the
+    * current bucket layout — a generation swap, so probes racing it
+    * stay consistent, and stale tombstones clear with the rebuild
+    * (callers pass an already-filtered corpus, e.g. the nightly
+    * loop's registry-filtered retrainCorpus). Returns whether it
+    * retrained. */
   def retrainKnnGraphIfDrifted(spark: SparkSession, name: String,
       emb: DataFrame, maxDrift: Double = 1.25): Boolean = {
     val ratio = graphDriftRatio(spark, name, emb)
@@ -168,7 +216,8 @@ object KnnGraphIndex {
     else {
       val (k, nprobe, _, buf) = geometry(spark, name)
       val nCells = loadCentroids(spark, name).length
-      writeKnnGraph(emb, name, k, nCells, nprobe, buf)
+      val nb = bucketSpecOf(spark, t(spark, name, "edges")).numBuckets
+      writeKnnGraph(emb, name, k, nCells, nprobe, buf, nb)
       true
     }
   }
@@ -176,7 +225,11 @@ object KnnGraphIndex {
   /** Neighbors of the qids matching `pred` (all by default): top-k per
     * qid over the stored edge rows, tombstoned endpoints invisible
     * immediately ([[tombstoneGraph]]) — a deleted vector neither
-    * answers as a query nor appears as anyone's neighbor. */
+    * answers as a query nor appears as anyone's neighbor. A qid
+    * predicate pushes into the sorted bucketed scan (row-group
+    * pruning), and the top-k aggregation consumes the bucketed
+    * partitioning directly — a slice probe does slice-sized work and
+    * the plan has no shuffle at all. */
   def probeKnnGraph(spark: SparkSession, name: String,
       pred: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     val (k, _, _, _) = geometry(spark, name)
@@ -190,6 +243,133 @@ object KnnGraphIndex {
     Similarity.topKPerQuery(live.select("qid", "vec_id", "cos"), k)
   }
 
+  /** The replay fence, shared by every append effect: drop rows of
+    * `fresh` already present in `stored`. The stored side is scoped
+    * FIRST through a broadcast semi-join on `scopeKey` (a batch-sized
+    * key set), so the corpus-sized table is scanned in place — one
+    * narrow column-pruned pass, zero Exchange — and the anti-join then
+    * runs batch-sized vs batch-sized. KnnGraphIndexSpec walks this
+    * plan and asserts it shuffle-free. */
+  private[operators] def fenced(fresh: DataFrame, stored: DataFrame,
+      scopeKey: String, fenceKeys: Seq[String]): DataFrame = {
+    val scope = broadcast(fresh.select(scopeKey).distinct())
+    val landed = stored.select(fenceKeys.map(col): _*)
+      .join(scope, Seq(scopeKey), "left_semi")
+    fresh.join(landed, fenceKeys, "left_anti")
+  }
+
+  /** A labelled stage timer for dev profiling — [[appendStages]] runs
+    * through it so GraphProfile times the PRODUCTION dataflow instead
+    * of a re-implementation that silently drifts. */
+  private[operators] trait StageTimer {
+    def apply[A](label: String)(f: => A): A
+  }
+  private[operators] object NoTimer extends StageTimer {
+    def apply[A](label: String)(f: => A): A = f
+  }
+
+  /** The append's pinned dataflow frontiers, in production order. */
+  private[operators] final case class GraphAppendStages(
+    toAdd: DataFrame, newVecs: DataFrame, newProbes: DataFrame,
+    pairs: DataFrame, newEdges: DataFrame)
+
+  /** Compute phase of [[appendToKnnGraph]] — shared verbatim with the
+    * GraphProfile dev tool. Returns None when the (fenced) batch is
+    * empty. Caller holds the family's writer lease. */
+  private[operators] def appendStages(spark: SparkSession, name: String,
+      batch: DataFrame, ifAbsent: Boolean,
+      tm: StageTimer = NoTimer): Option[GraphAppendStages] = {
+    val (k, nprobe, dim, buf) = geometry(spark, name)
+    val vt = t(spark, name, "vecs")
+    // replay fence, batch side: vec_ids already in the applied marker
+    // drop. The stored side is scoped through a broadcast semi-join on
+    // the batch's own ids FIRST, so the corpus-sized vecs table is
+    // scanned in place, never shuffled
+    val toAdd = tm("fence:batch+pin")(Frontier.pin(
+      if (ifAbsent) fenced(batch, spark.table(vt), "vec_id", Seq("vec_id"))
+      else batch))
+    if (tm("emptyCheck")(toAdd.isEmpty)) return None
+    val cents = tm("loadCentroids")(
+      spark.sparkContext.broadcast(loadCentroids(spark, name)))
+    val cellOf = udf((v: Seq[Float]) =>
+      Similarity.nearestCell(v.toArray, cents.value))
+    val probesOf = udf((v: Seq[Float]) =>
+      Similarity.nearestCells(v.toArray, cents.value, nprobe))
+    val newVecs = tm("newVecs pin")(Frontier.pin(toAdd.select(col("vec_id"),
+      col("embedding"), cellOf(col("embedding")).as("cell"))))
+    val newProbes = tm("newProbes pin")(Frontier.pin(toAdd.select(
+      col("vec_id"), explode(probesOf(col("embedding"))).as("cell"))))
+    val oldVecs = spark.table(vt)
+    // forward: each new vector probes its cells over old ∪ new — the
+    // BATCH side broadcasts, so the corpus-sized vecs scan streams in
+    // place (candidates bounded by nprobe·|batch|·|cell|, no shuffle)
+    val fwd = oldVecs.select(col("vec_id"), col("cell"))
+      .unionByName(newVecs.select(col("vec_id"), col("cell")))
+      .join(broadcast(newProbes
+        .select(col("vec_id").as("qid"), col("cell"))), Seq("cell"))
+    // reverse: stored vectors whose probe set covers a new cell —
+    // again the batch side broadcasts, the probes table streams
+    val rev = spark.table(t(spark, name, "probes"))
+      .select(col("vec_id").as("qid"), col("cell"))
+      .join(broadcast(newVecs.select(col("vec_id"), col("cell"))),
+        Seq("cell"))
+    val pairs = tm("pairs pin")(Frontier.pin(
+      fwd.select("qid", "vec_id").unionByName(rev.select("qid", "vec_id"))
+        .filter(col("qid") =!= col("vec_id"))
+        .select("qid", "vec_id").distinct()))
+    // the exact re-rank only needs embeddings of endpoints the pair
+    // set actually touches — scope the corpus side down to them
+    // (broadcast semi-join), so the re-rank joins are batch-sized on
+    // BOTH sides instead of shuffling every stored embedding
+    val touched = broadcast(pairs.select(col("qid").as("vec_id"))
+      .unionByName(pairs.select("vec_id")).distinct())
+    // pinned: the re-rank joins the universe once per endpoint side —
+    // without the pin each side would re-scan the corpus parquet
+    val universe = tm("universe pin")(Frontier.pin(
+      oldVecs.select(col("vec_id"), col("embedding"))
+        .unionByName(toAdd.select(col("vec_id"), col("embedding")))
+        .join(touched, Seq("vec_id"), "left_semi")))
+    val newEdges = tm("exactReRank pin")(Frontier.pin(
+      exactEdges(universe, pairs, dim, k + buf)))
+    Some(GraphAppendStages(toAdd, newVecs, newProbes, pairs, newEdges))
+  }
+
+  /** Write phase of [[appendToKnnGraph]]: each effect idempotent for
+    * at-least-once replays — edges and probes anti-join their targets
+    * (stored sides scoped by broadcast semi-joins: scanned in place,
+    * never shuffled); vecs (the applied marker) goes LAST so a torn
+    * append heals on the next delivery. Appends reuse each table's
+    * bucket/sort spec from the catalog, landing bucket-aligned sorted
+    * files next to the existing ones (the d13 discipline). */
+  private[operators] def applyAppend(spark: SparkSession, name: String,
+      st: GraphAppendStages, tm: StageTimer = NoTimer): Unit = {
+    val vt = t(spark, name, "vecs")
+    val pt = t(spark, name, "probes")
+    val et = t(spark, name, "edges")
+    tm("edges append") {
+      fenced(st.newEdges, spark.table(et), "qid", Seq("qid", "vec_id"))
+        .write.format("parquet").mode("append")
+        .bucketBy(bucketSpecOf(spark, et).numBuckets, "qid").sortBy("qid")
+        .saveAsTable(et)
+      spark.catalog.refreshTable(et)
+    }
+    tm("probes append") {
+      fenced(st.newProbes, spark.table(pt), "vec_id", Seq("vec_id"))
+        .write.format("parquet").mode("append")
+        .bucketBy(bucketSpecOf(spark, pt).numBuckets, "vec_id")
+        .sortBy("vec_id")
+        .saveAsTable(pt)
+      spark.catalog.refreshTable(pt)
+    }
+    tm("vecs append") {
+      st.newVecs.write.format("parquet").mode("append")
+        .bucketBy(bucketSpecOf(spark, vt).numBuckets, "vec_id")
+        .sortBy("vec_id")
+        .saveAsTable(vt)
+      spark.catalog.refreshTable(vt)
+    }
+  }
+
   /** Append a batch of new vectors: the batch gains forward edges
     * (its nprobe cells' occupants, including batch-mates), existing
     * vectors gain reverse edges toward batch members landing in a cell
@@ -201,64 +381,21 @@ object KnnGraphIndex {
     val spark = batch.sparkSession
     VectorFunctions.register(spark)
     val lease = Generations.begin(spark, name, Members)
-    try {
-      val (k, nprobe, dim, buf) = geometry(spark, name)
-      val vt = t(spark, name, "vecs")
-      val pt = t(spark, name, "probes")
-      val et = t(spark, name, "edges")
-      val toAdd = Frontier.pin(
-        if (ifAbsent) batch.join(spark.table(vt).select("vec_id"),
-          Seq("vec_id"), "left_anti")
-        else batch)
-      if (toAdd.isEmpty) return
-      val cents = spark.sparkContext.broadcast(loadCentroids(spark, name))
-      val cellOf = udf((v: Seq[Float]) =>
-        Similarity.nearestCell(v.toArray, cents.value))
-      val probesOf = udf((v: Seq[Float]) =>
-        Similarity.nearestCells(v.toArray, cents.value, nprobe))
-      val newVecs = Frontier.pin(toAdd.select(col("vec_id"),
-        col("embedding"), cellOf(col("embedding")).as("cell")))
-      val newProbes = Frontier.pin(toAdd.select(col("vec_id"),
-        explode(probesOf(col("embedding"))).as("cell")))
-      val oldVecs = spark.table(vt)
-      // forward: each new vector probes its cells over old ∪ new
-      val fwd = newProbes.select(col("vec_id").as("qid"), col("cell"))
-        .join(oldVecs.select(col("vec_id"), col("cell"))
-          .unionByName(newVecs.select(col("vec_id"), col("cell"))),
-          Seq("cell"))
-      // reverse: stored vectors whose probe set covers a new cell
-      val rev = spark.table(pt).select(col("vec_id").as("qid"), col("cell"))
-        .join(newVecs.select(col("vec_id"), col("cell")), Seq("cell"))
-      val pairs = fwd.unionByName(rev)
-        .filter(col("qid") =!= col("vec_id"))
-        .select("qid", "vec_id").distinct()
-      val universe = oldVecs.select(col("vec_id"), col("embedding"))
-        .unionByName(toAdd.select(col("vec_id"), col("embedding")))
-      val newEdges = exactEdges(universe, pairs, dim, k + buf)
-      // each append effect idempotent for at-least-once replays: edges
-      // and probes anti-join their targets; vecs (the applied marker)
-      // goes LAST so a torn append heals on the next delivery
-      newEdges.join(spark.table(et).select("qid", "vec_id"),
-          Seq("qid", "vec_id"), "left_anti")
-        .write.format("parquet").mode("append").saveAsTable(et)
-      spark.catalog.refreshTable(et)
-      newProbes.join(spark.table(pt).select("vec_id"),
-          Seq("vec_id"), "left_anti")
-        .write.format("parquet").mode("append").saveAsTable(pt)
-      spark.catalog.refreshTable(pt)
-      newVecs.write.format("parquet").mode("append").saveAsTable(vt)
-      spark.catalog.refreshTable(vt)
-    } finally Generations.abort(spark, lease)
+    try appendStages(spark, name, batch, ifAbsent)
+      .foreach(st => applyAppend(spark, name, st))
+    finally Generations.abort(spark, lease)
   }
 
-  /** Re-tighten the edge table to k rows per qid and make deletions
-    * physical (tombstoned endpoints' rows reclaimed, vectors dropped
-    * from vecs/probes, set cleared) — one generation swap; probes are
-    * hash-identical across the transition. */
+  /** Re-tighten the edge table to k + edgeBuffer rows per qid and make
+    * deletions physical (tombstoned endpoints' rows reclaimed, vectors
+    * dropped from vecs/probes, set cleared) — one generation swap
+    * preserving the bucket layout; probes are hash-identical across
+    * the transition. */
   def compactKnnGraph(spark: SparkSession, name: String,
       gcKeep: Int = 1): Unit = {
     val lease = Generations.begin(spark, name, Members)
     val (k, nprobe, dim, buf) = geometry(spark, name)
+    val nb = bucketSpecOf(spark, t(spark, name, "edges")).numBuckets
     val tombs = graphTombstones(spark, name)
       .map(tt => broadcast(tt.select(col("vec_id")).distinct()))
     def minus(df: DataFrame) = tombs.fold(df)(ids =>
@@ -277,10 +414,13 @@ object KnnGraphIndex {
     model.write.format("parquet")
       .saveAsTable(Generations.physical(name, "model", lease.gen))
     vecs.write.format("parquet")
+      .bucketBy(nb, "vec_id").sortBy("vec_id")
       .saveAsTable(Generations.physical(name, "vecs", lease.gen))
     probes.write.format("parquet")
+      .bucketBy(nb, "vec_id").sortBy("vec_id")
       .saveAsTable(Generations.physical(name, "probes", lease.gen))
     tight.write.format("parquet")
+      .bucketBy(nb, "qid").sortBy("qid")
       .saveAsTable(Generations.physical(name, "edges", lease.gen))
     // carry the drift baseline across the swap — the quantizer is
     // unchanged, so the stamped baseline must survive compaction

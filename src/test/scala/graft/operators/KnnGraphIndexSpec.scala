@@ -44,6 +44,73 @@ class KnnGraphIndexSpec extends SparkSpec {
     assert(maxPerQid <= 13, s"compaction left $maxPerQid rows on a qid")
   }
 
+  // The r10 verdict's scale finding #2: slice probes scanned (and the
+  // append fence shuffled) the corpus-wide edge table. The edge table
+  // is now bucketed+sorted on qid (probes/vecs on vec_id) and the
+  // fence scopes its stored side through a broadcast semi-join — this
+  // test is the no-exchange/pruning proof, plan-walked non-adaptively
+  // so exchanges are visible pre-execution (IndexLayoutChecks' idiom).
+  test("graph layout: slice probes push+prune on qid; probe and fence plans are shuffle-free") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val emb = Tables(spark, sf, "embeddings")
+      .filter(col("vec_id") < 200).select("vec_id", "embedding")
+      .localCheckpoint()
+    val name = "graft_kgi_layout"
+    KnnGraphIndex.writeKnnGraph(emb, name, k = 5, nCells = 8, nprobe = 2)
+    val conf = spark.conf
+    val aqe0 = conf.get("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      // 1. slice probe: the qid predicate reaches the parquet scan
+      //    (row-group pruning against the per-file qid sort), and the
+      //    whole plan — scan → filter → top-k agg — has NO exchange:
+      //    the bucketed scan IS the aggregation's partitioning
+      val slice = KnnGraphIndex.probeKnnGraph(spark, name,
+        col("qid") >= 100L)
+      val slicePlan = slice.queryExecution.executedPlan
+      val scans = slicePlan.collect { case f: FileSourceScanExec => f }
+      assert(scans.nonEmpty, s"no file scan in probe plan:\n$slicePlan")
+      assert(scans.exists(_.metadata.getOrElse("PushedFilters", "")
+          .contains("GreaterThanOrEqual(qid,100)")),
+        s"qid slice predicate not pushed to the edge scan:\n$slicePlan")
+      assert(slicePlan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"slice probe shuffles:\n$slicePlan")
+      // 2. full probe: same no-exchange property
+      val fullPlan = KnnGraphIndex.probeKnnGraph(spark, name)
+        .queryExecution.executedPlan
+      assert(fullPlan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"full probe shuffles:\n$fullPlan")
+      // 3. the append's replay fence: stored edge table scanned in
+      //    place through the broadcast-scoped semi, anti-join
+      //    batch-sized — zero exchange end to end
+      import spark.implicits._
+      val fresh = Seq((1L, 2L, 0.5), (100L, 3L, 0.4))
+        .toDF("qid", "vec_id", "cos").localCheckpoint()
+      val et = Generations.resolve(spark, name, "edges")
+      val fencePlan = KnnGraphIndex.fenced(fresh, spark.table(et),
+        "qid", Seq("qid", "vec_id")).queryExecution.executedPlan
+      // the batch side may shuffle its own (batch-sized) distinct; the
+      // contract is that the STORED edge scan is never re-partitioned —
+      // no exchange on any path from the scan up to the root
+      import org.apache.spark.sql.execution.SparkPlan
+      def pathTo(p: SparkPlan, tgt: SparkPlan): Option[List[SparkPlan]] =
+        if (p.eq(tgt)) Some(List(p))
+        else p.children.view.flatMap(c => pathTo(c, tgt)).headOption
+          .map(p :: _)
+      val storedScans = fencePlan.collect { case f: FileSourceScanExec => f }
+      assert(storedScans.nonEmpty, s"no stored scan in fence:\n$fencePlan")
+      storedScans.foreach { scan =>
+        val path = pathTo(fencePlan, scan).getOrElse(
+          sys.error(s"scan not in plan:\n$fencePlan"))
+        assert(!path.exists(_.isInstanceOf[ShuffleExchangeExec]),
+          s"append fence shuffles the stored edge table:\n$fencePlan")
+      }
+      // and the probe answers stay correct through the bucketed layout
+      assert(slice.collect().map(_.getLong(0)).forall(_ >= 100L))
+    } finally conf.set("spark.sql.adaptive.enabled", aqe0)
+  }
+
   test("drift loop: shifted corpus trips the signal, retrain restores it") {
     val emb = Tables(spark, sf, "embeddings")
       .filter(col("vec_id") < 150).select("vec_id", "embedding")
