@@ -62,13 +62,25 @@ object Sharding {
     // localCheckpoint of the full assignment set costs more than the
     // probe saves, see the r10 p04/p05 A/B.)
     if (assignments.isEmpty) return assignments
-    assignments.repartition(col("shard"))
+    assignments
+      .repartition(writeTasks(assignments.sparkSession), col("shard"))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", 1000000)
       .partitionBy("shard")
       .parquet(path)
     readLayout(assignments.sparkSession, path, Some(assignments.schema))
   }
+
+  /** Shard-write task count: the session's shuffle parallelism, made
+    * EXPLICIT. `repartition(col)` with no count leaves the shuffle
+    * AQE-coalescible, and at small volumes AQE folds it into ONE task
+    * that then opens every shard directory's parquet writer serially —
+    * measured 2.0 s vs 0.4 s for the identical write at sf0.1
+    * (ShardProfile). Pinning the count keeps the write parallel at
+    * every scale; at real volumes the partitions are large and the
+    * two forms plan identically. */
+  private def writeTasks(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.sessionState.conf.numShufflePartitions
 
   /** The empty layout as a frame: column order matches [[readLayout]]
     * (`shard` last) so downstream unions/manifests see one shape
@@ -184,7 +196,7 @@ object Sharding {
           col("shard").cast("long") === col("aff_shard"), "left_semi")
       }
     val remaining = Frontier.pin(touched.join(del, Seq(idCol), "left_anti"))
-    remaining.repartition(col("shard"))
+    remaining.repartition(writeTasks(spark), col("shard"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .option("maxRecordsPerFile", 1000000)
@@ -224,7 +236,7 @@ object Sharding {
     // carry forward the boundary shard's existing rows
     val carry = layout().filter(col("shard") >= boundary)
     carry.unionByName(pinned.select(carry.columns.map(col): _*))
-      .repartition(col("shard"))
+      .repartition(writeTasks(spark), col("shard"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .option("maxRecordsPerFile", 1000000)

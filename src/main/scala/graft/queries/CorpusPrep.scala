@@ -102,7 +102,8 @@ object CorpusPrep {
     * order, packed by the two-phase scan, doc_id joined back over the
     * 1:1 position — before presentation ordering; feeds p02 and the
     * p04 shard writer. */
-  private def shuffledPack(s: SparkSession, dir: String): DataFrame = {
+  /** private[graft]: ShardProfile times the REAL p04 upstream. */
+  private[graft] def shuffledPack(s: SparkSession, dir: String): DataFrame = {
     val shuffled = Sampling.deterministicShuffle(
       preppedTokens(s, dir), col("doc_id"), salt = "prep2")
     Packing.packPlan(
@@ -379,9 +380,13 @@ object CorpusPrep {
     // 7-stage composition end to end).
     Q("p04_training_shards",
       (s, dir) => {
-        val packed = shuffledPack(s, dir)
+        // pinned: writeShards consumes the assignments twice (empty
+        // probe + the write job), and the shuffle/pack windows cannot
+        // short-circuit under a limit — without the pin the chain's
+        // window stages run once per consumer (ShardProfile's A/B)
+        val packed = Frontier.pin(shuffledPack(s, dir)
           .select(col("doc_id"), col("shuffle_pos"), col("n_tokens"),
-            col("start_tok"))
+            col("start_tok")))
         val assign = Sharding.shardAssignments(packed, tokensPerShard = 2048L)
         val path = new java.io.File(
           sys.props("java.io.tmpdir"), "graft_p04_shards").getAbsolutePath
