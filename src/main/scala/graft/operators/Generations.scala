@@ -83,6 +83,13 @@ object Generations {
   /** Writer-lease expiry, epoch millis. */
   val WriterExpProp = "graft.gen.writer.exp"
 
+  /** Writer-lease acquisition time, epoch millis — observability only
+    * (how long has the current writer held the family?). */
+  val WriterSinceProp = "graft.gen.writer.since"
+
+  private val log =
+    org.slf4j.LoggerFactory.getLogger("graft.operators.Generations")
+
   /** How many newest generations GC retains (stamped by [[commit]]). */
   val KeepProp = "graft.gen.keep"
 
@@ -118,6 +125,12 @@ object Generations {
   private[graft] def simulateProcessDeath(name: String): Unit = {
     liveLeases.remove(name)
     issuedByThisJvm.remove(name)
+  }
+  /** Test-only: the holding WRITER dies (exception escaped without
+    * abort) but the process lives — liveness drops, issuance stays. */
+  private[graft] def simulateWriterCrash(name: String): Unit = {
+    liveLeases.remove(name)
+    ()
   }
   private def crashPoint(p: String): Unit =
     if (failpoint.contains(p))
@@ -217,7 +230,14 @@ object Generations {
           s"index family '$name': lease $tok held by another process until " +
           s"epoch-ms $exp (steal after expiry, or widen leaseTtlMs)")
       // else: our crashed writer, or a foreign writer past its TTL —
-      // the stale lease is debris, steal it
+      // the stale lease is debris, steal it. LOGGED: a steal means a
+      // writer died (or outlived its TTL), which an operator watching
+      // the family should know about rather than infer from silence.
+      val since = props.get(WriterSinceProp).flatMap(_.toLongOption)
+      log.warn(s"stealing stale writer lease $tok on index family " +
+        s"'$name' (${if (ours) "this JVM's crashed writer"
+          else s"foreign writer expired at epoch-ms $exp"}" +
+        s"${since.fold("")(t => s", held since epoch-ms $t")})")
     }
     val cur = currentGen(spark, name)
     val keep = manifestProps(spark, name).get(KeepProp)
@@ -225,9 +245,11 @@ object Generations {
     gcExcept(spark, name, members, keepSet(cur, keep))
     sweepStrayDirs(spark, name, members)
     val token = java.util.UUID.randomUUID().toString
+    val now = System.currentTimeMillis()
     setProps(spark, manifest(name), Map(
       WriterProp -> token,
-      WriterExpProp -> (System.currentTimeMillis() + leaseTtlMs).toString))
+      WriterExpProp -> (now + leaseTtlMs).toString,
+      WriterSinceProp -> now.toString))
     liveLeases.put(name, token)
     issuedByThisJvm.put(name, token)
     Lease(name, cur.map(_ + 1).getOrElse(0L), token)
@@ -298,6 +320,47 @@ object Generations {
   def manifestProp(spark: SparkSession, name: String,
       key: String): Option[String] =
     manifestProps(spark, name).get(key)
+
+  /** Observable writer-lease state of a family — the operator's answer
+    * to "is this family stuck behind a dead writer's TTL, or is a live
+    * writer working?" (the one thing the TTL-based cross-process lease
+    * cannot signal by itself: it fails silently-by-waiting).
+    *
+    *  - `holder = None`: unheld, a [[begin]] proceeds immediately.
+    *  - `liveInThisJvm`: the writer is alive in THIS process (exact —
+    *    in-process liveness is tracked, not inferred).
+    *  - `issuedByThisJvm && !liveInThisJvm`: our crashed writer — the
+    *    next [[begin]] steals without waiting.
+    *  - foreign + `expiresInMs > 0`: a live-or-dead writer in another
+    *    process; [[begin]] blocks until the TTL passes. If `heldForMs`
+    *    keeps growing well past the family's normal swap time, the
+    *    writer is likely dead and the operator can widen/steal
+    *    deliberately instead of guessing.
+    *  - foreign + `expiresInMs <= 0`: expired debris — the next
+    *    [[begin]] steals (and logs the steal). */
+  final case class LeaseStatus(holder: Option[String],
+      heldForMs: Option[Long], expiresInMs: Option[Long],
+      liveInThisJvm: Boolean, issuedByThisJvm: Boolean) {
+    /** A new [[begin]] would proceed without error right now. */
+    def acquirable: Boolean = holder.isEmpty ||
+      (!liveInThisJvm && (issuedByThisJvm || expiresInMs.forall(_ <= 0)))
+  }
+
+  def leaseStatus(spark: SparkSession, name: String): LeaseStatus = {
+    val props = manifestProps(spark, name)
+    val holder = props.get(WriterProp).filter(_.nonEmpty)
+    val now = System.currentTimeMillis()
+    LeaseStatus(
+      holder = holder,
+      heldForMs = holder.flatMap(_ =>
+        props.get(WriterSinceProp).flatMap(_.toLongOption).map(now - _)),
+      expiresInMs = holder.flatMap(_ =>
+        props.get(WriterExpProp).flatMap(_.toLongOption).map(_ - now)),
+      liveInThisJvm =
+        holder.exists(t => Option(liveLeases.get(name)).contains(t)),
+      issuedByThisJvm =
+        holder.exists(t => Option(issuedByThisJvm.get(name)).contains(t)))
+  }
 
   /** Remove the whole family: every generation of every member plus
     * the manifest — the reset path for fixtures/tests (a production

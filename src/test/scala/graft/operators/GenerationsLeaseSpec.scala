@@ -98,6 +98,61 @@ class GenerationsLeaseSpec extends SparkSpec {
     assert(w1.name == name)
   }
 
+  // r10 verdict ask #7: the TTL-based cross-process lease fails
+  // silently-by-waiting when a foreign JVM dies — leaseStatus is the
+  // observable surface that lets an operator tell "stuck behind a dead
+  // writer's TTL" from "live writer", across the whole race/steal/TTL
+  // matrix; begin additionally LOGS every steal.
+  test("leaseStatus distinguishes unheld / live / our-crashed / foreign-live / expired-debris") {
+    val name = "graft_lease_status"
+    Generations.destroy(spark, name, Members)
+    // ensure the manifest exists without leaving a lease behind
+    val w0 = Generations.begin(spark, name, Members)
+    writeGen(name, w0.gen, 1L)
+    Generations.commit(spark, w0, Members)
+    // unheld: acquirable, no holder
+    val s0 = Generations.leaseStatus(spark, name)
+    assert(s0.holder.isEmpty && s0.acquirable)
+    // live in this process: visible, NOT acquirable
+    val w1 = Generations.begin(spark, name, Members, leaseTtlMs = 60000L)
+    val s1 = Generations.leaseStatus(spark, name)
+    assert(s1.holder.contains(w1.token))
+    assert(s1.liveInThisJvm && s1.issuedByThisJvm && !s1.acquirable)
+    assert(s1.heldForMs.exists(_ >= 0L))
+    assert(s1.expiresInMs.exists(ms => ms > 0L && ms <= 60000L))
+    // our crashed writer (in-process death): dead but ours — the next
+    // begin steals without waiting out the TTL
+    Generations.simulateWriterCrash(name)
+    val s2 = Generations.leaseStatus(spark, name)
+    assert(!s2.liveInThisJvm && s2.issuedByThisJvm && s2.acquirable)
+    val w1b = Generations.begin(spark, name, Members) // the logged steal
+    assert(Generations.leaseStatus(spark, name).holder.contains(w1b.token))
+    Generations.abort(spark, w1b)
+    // foreign process, unexpired: held and NOT acquirable — the state
+    // an operator reads as "wait, or decide the writer is dead"
+    val w2 = Generations.begin(spark, name, Members, leaseTtlMs = 60000L)
+    Generations.simulateProcessDeath(name)
+    val s3 = Generations.leaseStatus(spark, name)
+    assert(s3.holder.contains(w2.token))
+    assert(!s3.liveInThisJvm && !s3.issuedByThisJvm && !s3.acquirable)
+    assert(s3.expiresInMs.exists(_ > 0L))
+    intercept[IllegalStateException](Generations.begin(spark, name, Members))
+    Generations.destroy(spark, name, Members)
+    // foreign process, EXPIRED: debris — acquirable, and begin steals
+    val w3 = Generations.begin(spark, name, Members, leaseTtlMs = 0L)
+    Generations.simulateProcessDeath(name)
+    val s4 = Generations.leaseStatus(spark, name)
+    assert(s4.holder.contains(w3.token))
+    assert(!s4.liveInThisJvm && !s4.issuedByThisJvm)
+    assert(s4.expiresInMs.exists(_ <= 0L) && s4.acquirable)
+    val w4 = Generations.begin(spark, name, Members) // the logged steal
+    writeGen(name, w4.gen, 9L)
+    Generations.commit(spark, w4, Members)
+    assert(spark.table(Generations.resolve(spark, name, "state"))
+      .head().getLong(0) == 9L)
+    Generations.destroy(spark, name, Members)
+  }
+
   test("abort releases the lease without flipping the pointer") {
     val name = "graft_lease_abort"
     Generations.destroy(spark, name, Members)
