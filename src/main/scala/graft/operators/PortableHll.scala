@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** An ENGINE-PORTABLE HyperLogLog: the classic Flajolet et al. HLL
+  * (32-bit hash, p = 12 → m = 4096 registers, 20-bit rank domain,
+  * small-range linear counting) computed from md5 — every step is
+  * plain SQL that evaluates BIT-IDENTICALLY in Spark and DuckDB, so
+  * the estimate itself earns a hash-exact oracle row (q16), unlike
+  * `approx_count_distinct`, whose engine-specific HLL++ can only carry
+  * an accuracy contract (q26 — which still covers the built-in).
+  *
+  * Portability choices, each deliberate:
+  *  - hash = first 8 hex chars of `md5(CAST(key AS STRING))` — md5 is
+  *    the one hash both engines share (the Sampling md5-gate
+  *    discipline); STRING casts of integers render identically.
+  *  - bucket/rank are decoded with string ops (`instr` nibble lookup,
+  *    `TRIM(LEADING '0' …)` zero-count) — NOT arithmetic on floats.
+  *    Spark's two-arg `ltrim` has swapped argument order vs DuckDB;
+  *    the ANSI TRIM form is the one spelling both parse identically.
+  *  - the register sum is RATIONAL: Σ 2^−M_b is summed as integer
+  *    numerators 2^(21−M_b) over the common denominator 2^21 — a
+  *    BIGINT sum, exact and order-independent under any partitioning
+  *    (the DECIMAL-sum discipline, taken to integers). Only the final
+  *    one-expression estimate touches doubles, computed from identical
+  *    integer inputs → identical IEEE-754 results.
+  *
+  * Accuracy: theoretical rSD = 1.04/√4096 ≈ 1.6%; measured ≤ 1.8%
+  * on every fixture key (sf0.001–sf0.1, exact at tiny cardinalities
+  * via linear counting). Scale: one narrow projection, a 4096-group
+  * partial-aggregated groupBy (map-side combine: max is mergeable),
+  * then a scalar agg — registers are mergeable summaries, the same
+  * distributed shape as the built-in sketch. */
+object PortableHll {
+
+  /** m = 2^p registers, p = 12. */
+  val M = 4096
+  private val Rank = 21 // 20-bit value domain → rho ∈ [1, 21]
+
+  private def h(c: String) = s"substring(md5(CAST($c AS STRING)), 1, 8)"
+  private def nib(c: String, i: Int) =
+    s"(instr('0123456789abcdef', substring(${h(c)}, $i, 1)) - 1)"
+
+  /** Register index: the hash's first 12 bits (3 nibbles). */
+  def bucketExpr(c: String): String =
+    s"(${nib(c, 1)} * 256 + ${nib(c, 2)} * 16 + ${nib(c, 3)})"
+
+  /** rho = leading-zero count of the 20-bit value + 1, decoded from
+    * hex: stripped-prefix length gives whole-nibble zeros, a 15-way
+    * CASE the first non-zero nibble's extra bits. */
+  def rhoExpr(c: String): String = {
+    val st = s"TRIM(LEADING '0' FROM substring(${h(c)}, 4, 5))"
+    s"""CASE WHEN $st = '' THEN $Rank
+       ELSE 4 * (5 - length($st))
+            + CASE substring($st, 1, 1)
+                WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                WHEN '7' THEN 1 ELSE 0 END + 1
+       END"""
+  }
+
+  /** The estimate from (znum, v) — Σ numerators and the zero-register
+    * count — as one expression: raw HLL with the common denominator
+    * folded in, linear counting below 2.5·m. Shared verbatim by both
+    * engines; floor → BIGINT is the hashed output. */
+  private def estExpr: String = {
+    val alpha = s"(0.7213 / (1.0 + 1.079 / $M.0))"
+    val denom = "(znum + v * 2097152)" // absent buckets: 2^-0 = 2^21/2^21
+    val raw = s"$alpha * $M.0 * $M.0 * 2097152.0 / $denom"
+    s"""CAST(floor(CASE
+        WHEN $raw <= ${M * 5 / 2}.0 AND v > 0 THEN $M.0 * ln($M.0 / v)
+        ELSE $raw END) AS BIGINT)"""
+  }
+
+  /** Spark side: estimate the distinct count of `df.c` as a one-row
+    * frame with column `alias`. */
+  def estimate(df: DataFrame, c: String, alias: String): DataFrame =
+    df.filter(col(c).isNotNull)
+      .select(expr(bucketExpr(c)).as("bucket"), expr(rhoExpr(c)).as("r"))
+      .groupBy("bucket").agg(max(col("r")).as("m"))
+      .agg(
+        expr("CAST(sum(CAST(power(2, 21 - m) AS BIGINT)) AS BIGINT)")
+          .as("znum"),
+        expr(s"CAST($M - count(1) AS BIGINT)").as("v"))
+      .select(expr(estExpr).as(alias))
+
+  /** DuckDB side: CTE chain ending at a one-row relation `est_<tag>`
+    * with column `alias` — textually the same expressions as above. */
+  def sqlCtes(table: String, c: String, tag: String, alias: String): String =
+    s"""rho_$tag AS (SELECT ${bucketExpr(c)} AS bucket, ${rhoExpr(c)} AS r
+          FROM $table WHERE $c IS NOT NULL),
+        regs_$tag AS (SELECT bucket, max(r) AS m FROM rho_$tag
+          GROUP BY bucket),
+        agg_$tag AS (SELECT
+            CAST(sum(CAST(power(2, 21 - m) AS BIGINT)) AS BIGINT) AS znum,
+            CAST($M - count(1) AS BIGINT) AS v FROM regs_$tag),
+        est_$tag AS (SELECT $estExpr AS $alias FROM agg_$tag)"""
+}

@@ -360,17 +360,27 @@ object Relational {
         WHERE o_totalprice > (SELECT ${sqlDsum("o_totalprice")} / count(*) FROM orders)
         ORDER BY o_orderkey NULLS FIRST""")),
 
-    // ---- approximate distinct (HLL) — engine-specific, rows-only ----
+    // ---- approximate distinct (HLL) — PORTABLE, hash-exact ---------
+    // The estimator is graft's own md5-based HLL (PortableHll): every
+    // step evaluates bit-identically in Spark and DuckDB, so the
+    // ESTIMATE itself is an oracle row — converting q16 from rows-only
+    // to hash-exact (r10 ask #5). The built-in approx_count_distinct
+    // remains covered by q26's driver-checked accuracy contract.
     Q("q16_approx_distinct",
       (s, dir) => {
-        import s.implicits._
-        Tables(s, dir, "lineitem")
-          .agg(
-            approx_count_distinct($"l_partkey").as("approx_parts"),
-            approx_count_distinct($"l_orderkey").as("approx_orders"),
-            count(lit(1)).as("n_rows"))
+        import graft.operators.PortableHll
+        val li = Tables(s, dir, "lineitem")
+        PortableHll.estimate(li, "l_partkey", "approx_parts")
+          .crossJoin(broadcast(
+            PortableHll.estimate(li, "l_orderkey", "approx_orders")))
+          .crossJoin(broadcast(li.agg(count(lit(1)).as("n_rows"))))
       },
-      None),
+      Some(s"""WITH ${graft.operators.PortableHll.sqlCtes(
+            "lineitem", "l_partkey", "p", "approx_parts")},
+          ${graft.operators.PortableHll.sqlCtes(
+            "lineitem", "l_orderkey", "o", "approx_orders")},
+          n AS (SELECT count(*) AS n_rows FROM lineitem)
+        SELECT approx_parts, approx_orders, n_rows FROM est_p, est_o, n""")),
 
     // ---- q36: CDC apply (MERGE INTO semantics) -----------------------
     // Snapshot maintenance for mutable upstreams: a synthetic change
