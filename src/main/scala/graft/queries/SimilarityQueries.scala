@@ -688,5 +688,45 @@ object SimilarityQueries {
             PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank FROM c)
         SELECT qid, vec_id, rank, cos FROM r WHERE rank <= 5
         ORDER BY qid NULLS FIRST, rank NULLS FIRST""")),
+
+    // ---- s28: SLICE probe of the maintained graph --------------------
+    // The r11 layout lever as its own oracle row: the edge table is
+    // bucketBy(qid).sortBy(qid), so a qid-scoped probe pushes its
+    // predicate into the sorted parquet scan (row-group pruning — the
+    // 100 TB path reads slice-sized bytes, measured FLAT at 10× in
+    // SCALE.md) and the top-k consumes the bucketed partitioning with
+    // ZERO exchanges (KnnGraphIndexSpec walks the plan). Built at
+    // nprobe = nCells the graph is exact, so the PRUNED read path —
+    // pushed filter, per-file sort, bucket-aligned append files,
+    // probe-time top-k over only the slice's rows — hash-checks
+    // against DuckDB's exact graph restricted to the slice. The
+    // append before the probe makes the slice span BOTH the build's
+    // sorted files and an append's bucket-aligned files, so the
+    // pruned multi-file union is what's pinned, not a single clean
+    // write.
+    Q("s28_graph_slice_probe",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+          .filter(col("vec_id") < 400).select("vec_id", "embedding")
+        KnnGraphIndex.writeKnnGraph(emb.filter(col("vec_id") < 300),
+          "graft_s28_graph", k = 5, nCells = 16, nprobe = 16)
+        KnnGraphIndex.appendToKnnGraph(emb.filter(col("vec_id") >= 300),
+          "graft_s28_graph")
+        KnnGraphIndex.probeKnnGraph(s, "graft_s28_graph",
+            col("qid") >= 150 && col("qid") < 350)
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH n AS (SELECT vec_id, embedding,
+            ${chainNorm("embedding", Dim, 1)} AS nrm FROM embeddings
+          WHERE vec_id < 400),
+        c AS (SELECT q.vec_id AS qid, n.vec_id,
+            CAST(${chainDot("q.embedding", "n.embedding", Dim, 1)} AS DOUBLE)
+              / (q.nrm * n.nrm) AS cos
+          FROM n q JOIN n ON n.vec_id <> q.vec_id
+          WHERE q.vec_id >= 150 AND q.vec_id < 350),
+        r AS (SELECT qid, vec_id, cos, CAST(row_number() OVER (
+            PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank FROM c)
+        SELECT qid, vec_id, rank, cos FROM r WHERE rank <= 5
+        ORDER BY qid NULLS FIRST, rank NULLS FIRST""")),
   )
 }

@@ -1,0 +1,112 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, KnnGraphIndex, Similarity}
+
+/** Dev-only: the 30–100× spot-stress (r10 verdict ask #6) for the TWO
+  * operators whose scale arguments are asymptotic claims that 10×
+  * measurements cannot pin down:
+  *
+  *  - d22's prefix-filtered exact Jaccard — the claim is that prefix
+  *    fan-out keeps candidate pairs near-linear in the corpus (not the
+  *    quadratic an exact all-pairs join degenerates to);
+  *  - the k-NN graph build under the nCells ∝ n knob — the claim is
+  *    pair work ≈ nprobe·n²/nCells stays ∝ n when nCells scales.
+  *
+  * Fixtures follow ScaleStress's recipe exactly (salted ids, per-copy
+  * token suffixes → disjoint shingle universes, perturbed embeddings)
+  * at M ∈ {10, 30, 100} over sf0.1, and the maintained graph's FIXED
+  * slice probe is re-measured at each M (the r11 bucketed-layout
+  * flatness claim). Output feeds the SCALE.md exponent table:
+  * exponent = log(t_M / t_10) / log(M / 10) — ~1.0 means linear.
+  *
+  * Usage: Scale100 <sfDir> [Ms…]  (default 10 30 100) */
+object Scale100 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sfDir = args(0)
+    val ms = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+      else Seq(10, 30, 100)
+    val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_scale")
+
+    def indicators(df: DataFrame): String = {
+      val p = df.queryExecution.executedPlan.toString
+      val ex = p.linesIterator.count(_.contains("Exchange"))
+      s"exchanges=$ex cartesian=${p.contains("CartesianProduct")} " +
+        s"bnlj=${p.contains("BroadcastNestedLoop")}"
+    }
+
+    def scaled(m: Int, name: String, build: Int => DataFrame): String = {
+      val path = new java.io.File(root, s"m$m/$name.parquet").getAbsolutePath
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        // fold in batches of 20 — a 100-way unionByName in one plan
+        // blows analysis time without changing the rows
+        (0 until m).grouped(20).map(ks =>
+            ks.map(build).reduce(_ unionByName _))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(path)
+      }
+      path
+    }
+
+    ms.foreach { m =>
+      val docs0 = Tables(spark, sfDir, "documents")
+      val emb0 = Tables(spark, sfDir, "embeddings")
+      val docs = spark.read.parquet(scaled(m, "documents", k =>
+        docs0.select((col("doc_id") + k * 10000000000L).as("doc_id"),
+          (if (k == 0) col("text")
+           else regexp_replace(col("text"), "(\\S+)", s"$$1z$k")).as("text"),
+          col("lang"), col("n_chars"))))
+      val emb = spark.read.parquet(scaled(m, "embeddings", k =>
+        emb0.select((col("vec_id") + k * 10000000000L).as("vec_id"),
+          expr(s"transform(embedding, x -> CAST(x + CAST($k AS FLOAT)" +
+            s" * CAST(0.0001 AS FLOAT) AS FLOAT))").as("embedding"),
+          col("label")))).select(col("vec_id"), col("embedding"))
+
+      def time(name: String, mk: () => DataFrame): Unit = {
+        var best = Double.MaxValue
+        var ind = ""
+        (1 to 2).foreach { _ =>
+          val df = mk()
+          ind = indicators(df)
+          val t0 = System.nanoTime()
+          df.count()
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        }
+        println(f"[s100] m=$m%-4d $name%-14s ${best}%8.2fs  $ind")
+      }
+
+      time("d22", () => Dedup.prefixJaccardPairs(
+        docs.select(col("doc_id"), col("text"))))
+      time("s25_graph", () =>
+        Similarity.knnGraph(spark, emb, k = 10, nCells = 16 * m, nprobe = 2))
+
+      // the maintained graph: build once, then the FIXED 300-vector
+      // slice probe that must stay flat under the bucketed layout
+      val gName = s"graft_s100_graph_m$m"
+      val t0 = System.nanoTime()
+      KnnGraphIndex.writeKnnGraph(emb, gName, k = 10, nCells = 16 * m,
+        nprobe = 2, edgeBuffer = 10)
+      println(f"[s100] m=$m%-4d s26_build      ${(System.nanoTime() - t0) / 1e9}%8.2fs  (build)")
+      val batch = emb.filter(col("vec_id") < 300)
+        .select((col("vec_id") + 88000000000L).as("vec_id"),
+          col("embedding")).localCheckpoint()
+      val t1 = System.nanoTime()
+      KnnGraphIndex.appendToKnnGraph(batch, gName)
+      println(f"[s100] m=$m%-4d s26_append     ${(System.nanoTime() - t1) / 1e9}%8.2fs  (build)")
+      time("slice_probe", () => KnnGraphIndex.probeKnnGraph(spark, gName,
+        col("qid") >= 88000000000L))
+    }
+    spark.stop()
+  }
+}
