@@ -85,6 +85,13 @@ object KnnGraphIndex {
     * baseline, the graph twin of [[AnnIndex.BaseDistProp]]. */
   val BaseDistProp = "graft.graph.basedist"
 
+  /** Margin between the float-scored (cosine_sim) candidate pool and
+    * the chain-exact re-rank that picks the stored edges: the true
+    * top-(k+edgeBuffer) must sit inside the float top-(… + margin).
+    * 15 is [[Similarity.knnGraph]]'s established s24-hash-green
+    * margin (float-vs-double cosine disagree only within ulp ties). */
+  private val SelectBuffer = 15
+
   private def t(spark: SparkSession, name: String, member: String): String =
     Generations.resolve(spark, name, member)
 
@@ -130,7 +137,7 @@ object KnnGraphIndex {
     * convention), a cluster deployment sizes it to the corpus. */
   def writeKnnGraph(emb: DataFrame, name: String, k: Int = 10,
       nCells: Int = 16, nprobe: Int = 2, edgeBuffer: Int = 0,
-      numBuckets: Int = 8): Unit = {
+      numBuckets: Int = 8, tm: StageTimer = NoTimer): Unit = {
     require(k > 0, s"k must be positive, got $k")
     require(nCells > 0, s"nCells must be positive, got $nCells")
     require(nprobe > 0, s"nprobe must be positive, got $nprobe")
@@ -142,41 +149,56 @@ object KnnGraphIndex {
     val first = emb.select(size(col("embedding"))).take(1)
     require(first.nonEmpty, "cannot build a graph over an empty corpus")
     val dim = first(0).getInt(0)
-    val trained = Similarity.trainCentroids(emb, nCells)
+    val trained = tm("trainCentroids")(Similarity.trainCentroids(emb, nCells))
     require(trained.nonEmpty, "centroid training produced no cells")
     val cents = spark.sparkContext.broadcast(trained)
     val cellOf = udf((v: Seq[Float]) =>
       Similarity.nearestCell(v.toArray, cents.value))
     val probesOf = udf((v: Seq[Float]) =>
       Similarity.nearestCells(v.toArray, cents.value, nprobe))
-    val vecs = Frontier.pin(emb.select(col("vec_id"), col("embedding"),
-      cellOf(col("embedding")).as("cell")))
-    val probes = Frontier.pin(emb.select(col("vec_id"),
-      explode(probesOf(col("embedding"))).as("cell")))
-    // the ONE corpus-corpus shuffle in the engine: candidates via the
-    // cell equi-join, pair work ≈ nprobe·n²/nCells with nCells ∝ n
-    val pairs = probes.select(col("vec_id").as("qid"), col("cell"))
-      .join(vecs.select(col("vec_id"), col("cell")), Seq("cell"))
-      .filter(col("qid") =!= col("vec_id"))
-      .select("qid", "vec_id").distinct()
+    val vecs = tm("vecs pin")(Frontier.pin(emb.select(col("vec_id"),
+      col("embedding"), cellOf(col("embedding")).as("cell"))))
+    val probes = tm("probes pin")(Frontier.pin(emb.select(col("vec_id"),
+      explode(probesOf(col("embedding"))).as("cell"))))
+    // the ONE corpus-corpus shuffle in the engine (work ≈
+    // nprobe·n²/nCells with nCells ∝ n), via the ONE-PASS candidate
+    // generator: cosine is scored inside the cell join and only the
+    // narrow (qid, vec_id, cos) triple reaches an exchange — routing
+    // the pair set through exactEdges instead re-shuffled every
+    // candidate WITH its embedding (107 s vs ~7 s at M=30, see
+    // Similarity.cellCandidates). The float-scored pool is widened by
+    // SelectBuffer before the chain-exact re-rank picks the stored
+    // k + edgeBuffer (the s24 selection-margin convention).
+    val cands = Similarity.cellCandidates(emb, cents, nprobe)
+    val pool = Similarity.topKPerQuery(cands,
+      k + edgeBuffer + SelectBuffer).select("qid", "vec_id")
     val edges = exactEdges(emb.select(col("vec_id"), col("embedding")),
-      pairs, dim, k + edgeBuffer)
+      pool, dim, k + edgeBuffer)
     val lease = Generations.begin(spark, name, Members)
     trained.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "centroid").coalesce(1)
       .write.format("parquet")
       .saveAsTable(Generations.physical(name, "model", lease.gen))
-    vecs.write.format("parquet")
+    // each write pins its task count to the bucket count: the
+    // bucketed write then lands exactly ONE sorted file per bucket
+    // (tightest row-group pruning), and AQE cannot coalesce the
+    // upstream exchange into a single serial writer task — the same
+    // trap ShardProfile caught on the shard writer, measured here as
+    // a 107 s edges write at M=30 (vs ~7 s pinned)
+    tm("vecs write")(vecs.repartition(numBuckets, col("vec_id"))
+      .write.format("parquet")
       .bucketBy(numBuckets, "vec_id").sortBy("vec_id")
-      .saveAsTable(Generations.physical(name, "vecs", lease.gen))
-    probes.write.format("parquet")
+      .saveAsTable(Generations.physical(name, "vecs", lease.gen)))
+    tm("probes write")(probes.repartition(numBuckets, col("vec_id"))
+      .write.format("parquet")
       .bucketBy(numBuckets, "vec_id").sortBy("vec_id")
-      .saveAsTable(Generations.physical(name, "probes", lease.gen))
-    edges.write.format("parquet")
+      .saveAsTable(Generations.physical(name, "probes", lease.gen)))
+    tm("edges write")(edges.repartition(numBuckets, col("qid"))
+      .write.format("parquet")
       .bucketBy(numBuckets, "qid").sortBy("qid")
-      .saveAsTable(Generations.physical(name, "edges", lease.gen))
-    val baseDist = AnnIndex.meanCentroidDist(
-      emb.select(col("vec_id"), col("embedding")), cents)
+      .saveAsTable(Generations.physical(name, "edges", lease.gen)))
+    val baseDist = tm("baseDist")(AnnIndex.meanCentroidDist(
+      emb.select(col("vec_id"), col("embedding")), cents))
     Generations.commit(spark, lease, Members, props = Map(
       KProp -> k.toString, NProbeProp -> nprobe.toString,
       DimProp -> dim.toString, BufProp -> edgeBuffer.toString,
@@ -413,13 +435,16 @@ object KnnGraphIndex {
     val model = Frontier.pin(spark.table(t(spark, name, "model")))
     model.write.format("parquet")
       .saveAsTable(Generations.physical(name, "model", lease.gen))
-    vecs.write.format("parquet")
+    // task count pinned to the bucket count — one sorted file per
+    // bucket, and no AQE coalescing into a serial writer (see
+    // writeKnnGraph's note)
+    vecs.repartition(nb, col("vec_id")).write.format("parquet")
       .bucketBy(nb, "vec_id").sortBy("vec_id")
       .saveAsTable(Generations.physical(name, "vecs", lease.gen))
-    probes.write.format("parquet")
+    probes.repartition(nb, col("vec_id")).write.format("parquet")
       .bucketBy(nb, "vec_id").sortBy("vec_id")
       .saveAsTable(Generations.physical(name, "probes", lease.gen))
-    tight.write.format("parquet")
+    tight.repartition(nb, col("qid")).write.format("parquet")
       .bucketBy(nb, "qid").sortBy("qid")
       .saveAsTable(Generations.physical(name, "edges", lease.gen))
     // carry the drift baseline across the swap — the quantizer is

@@ -411,6 +411,25 @@ object Similarity {
     val trained = trainCentroids(emb, nCells)
     if (trained.isEmpty) return emptyTopK(emb)
     val cents = spark.sparkContext.broadcast(trained)
+    val cands = cellCandidates(emb, cents, nprobe)
+    val wide = topKPerQuery(cands, if (buffer > 0) buffer else k)
+    if (buffer > 0) exactReRank(emb, wide, dim, k) else wide
+  }
+
+  /** The graph family's candidate generator given FROZEN centroids —
+    * shared by [[knnGraph]] and [[KnnGraphIndex.writeKnnGraph]] (which
+    * must assign against ITS stored model). One-pass scoring is the
+    * load-bearing property: the corpus-corpus cell join's array-
+    * carrying rows exist only INSIDE the join stage — cosine is
+    * computed right there (codegen'd cosine_sim) and only the narrow
+    * (qid, vec_id, cos) triple ever reaches an exchange. Routing the
+    * pair set through [[exactReRank]] instead (two more joins each
+    * re-shuffling every candidate WITH its 64-float embedding)
+    * measured 107 s vs ~7 s for the M=30 build's edge derivation —
+    * the arrays-never-shuffle rule is the difference. */
+  private[operators] def cellCandidates(emb: DataFrame,
+      cents: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]],
+      nprobe: Int): DataFrame = {
     val cellOf = udf((v: Seq[Float]) => nearestCell(v.toArray, cents.value))
     val probesOf =
       udf((v: Seq[Float]) => nearestCells(v.toArray, cents.value, nprobe))
@@ -421,12 +440,10 @@ object Similarity {
       .withColumn("cell", explode(probesOf(col("qe"))))
     // corpus-corpus join: shuffle on the cell key, NO broadcast — the
     // defining difference from the one-sided topK family
-    val cands = indexed.join(queries, Seq("cell"))
+    indexed.join(queries, Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", expr("cosine_sim(qe, e)"))
       .select("qid", "vec_id", "cos").distinct()
-    val wide = topKPerQuery(cands, if (buffer > 0) buffer else k)
-    if (buffer > 0) exactReRank(emb, wide, dim, k) else wide
   }
 
   /** [[lshTopK]]'s degeneration twin (the s17 pattern for the LSH

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.Dedup
+import graft.operators.{Dedup, KnnGraphIndex}
 
 /** Dedup operator queries over `documents`, all DuckDB-exact. d03's
   * oracle is the *exact* all-pairs Jaccard — the LSH+verify path must
@@ -642,5 +642,51 @@ object DedupQueries {
         SELECT doc_id FROM d2
         WHERE doc_id >= 1000000000 AND doc_id NOT IN (SELECT doc_id FROM dup)
         ORDER BY doc_id NULLS FIRST""")),
+
+    // ---- d23: SEMANTIC dedup over the maintained k-NN graph ----------
+    // The composition the graph exists for (s24's comment made real):
+    // thresholded graph edges ARE duplicate evidence — feed them to
+    // d05's large-star/small-star components and label every vector
+    // with its semantic-duplicate cluster. Built at nprobe = nCells
+    // the graph is exact, so the WHOLE chain — maintained-index build,
+    // bucketed probe, cos >= tau edge gate, O(log n) component rounds —
+    // hash-checks against DuckDB: exact top-k graph, same threshold,
+    // recursive-CTE reachability (d05's oracle pattern). At 100 TB the
+    // pair space never materializes beyond the graph's k rows per
+    // vertex, and components stay the keyed star algorithm.
+    Q("d23_graph_semantic_dedup",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+          .filter(col("vec_id") < 400).select("vec_id", "embedding")
+        KnnGraphIndex.writeKnnGraph(emb, "graft_d23_graph",
+          k = 5, nCells = 16, nprobe = 16)
+        val pairs = KnnGraphIndex.probeKnnGraph(s, "graft_d23_graph")
+          .filter(col("cos") >= 0.35)
+          .select(col("qid").as("id_a"), col("vec_id").as("id_b"))
+        Dedup.duplicateClusters(
+            emb.select(col("vec_id").as("doc_id")), pairs)
+          .select(col("doc_id").as("vec_id"), col("component"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH RECURSIVE n AS (SELECT vec_id, embedding,
+            ${graft.functions.VectorFunctions.chainNorm("embedding", 64, 1)} AS nrm
+          FROM embeddings WHERE vec_id < 400),
+        c AS (SELECT q.vec_id AS qid, n.vec_id,
+            CAST(${graft.functions.VectorFunctions.chainDot("q.embedding", "n.embedding", 64, 1)} AS DOUBLE)
+              / (q.nrm * n.nrm) AS cos
+          FROM n q JOIN n ON n.vec_id <> q.vec_id),
+        r AS (SELECT qid, vec_id, cos, row_number() OVER (
+            PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM c),
+        g AS (SELECT qid, vec_id FROM r WHERE rank <= 5 AND cos >= 0.35),
+        edges AS (SELECT qid AS src, vec_id AS dst FROM g
+          UNION ALL SELECT vec_id, qid FROM g),
+        reach AS (
+          SELECT vec_id AS id, vec_id AS label FROM embeddings
+          WHERE vec_id < 400
+          UNION
+          SELECT e.dst AS id, rr.label AS label
+          FROM reach rr JOIN edges e ON rr.id = e.src)
+        SELECT id AS vec_id, min(label) AS component FROM reach
+        GROUP BY id ORDER BY vec_id NULLS FIRST""")),
   )
 }

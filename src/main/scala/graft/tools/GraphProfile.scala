@@ -34,9 +34,13 @@ object GraphProfile {
         r
       }
     }
-    tm("build") {
-      KnnGraphIndex.writeKnnGraph(emb, name, k = 10, nCells = 160,
-        nprobe = 2, edgeBuffer = 10)
+    val m = sys.env.getOrElse("GP_M", "10")
+    val embM = if (m == "10") emb else spark.read.parquet(
+      new java.io.File(root, s"m$m/embeddings.parquet").getAbsolutePath)
+      .select(col("vec_id"), col("embedding"))
+    tm("build total") {
+      KnnGraphIndex.writeKnnGraph(embM, s"graft_scale_graph_m$m", k = 10,
+        nCells = 16 * m.toInt, nprobe = 2, edgeBuffer = 10, tm = tm)
     }
     val batch = emb.filter(col("vec_id") < 300)
       .select((col("vec_id") + 99000000000L).as("vec_id"), col("embedding"))
