@@ -400,7 +400,12 @@ object AnnIndex {
     val src = annTombstones(spark, name).fold(spark.table(t))(tt =>
       spark.table(t).join(broadcast(tt.select(col("vec_id")).distinct()),
         Seq("vec_id"), "left_anti"))
-    src.repartition(col("cell"))
+    // explicit task count: repartition(col) with no count is
+    // AQE-coalescible, and at small volumes AQE folds the rewrite into
+    // ONE task writing every cell directory serially (the ShardProfile
+    // finding, same class as Sharding.writeTasks)
+    src.repartition(spark.sessionState.conf.numShufflePartitions,
+        col("cell"))
       .write.format("parquet").partitionBy("cell").saveAsTable(ct)
     spark.table(mt0).coalesce(1).write.format("parquet").saveAsTable(mt)
     Seq(ct, mt).foreach { nt =>

@@ -35,8 +35,12 @@ object Scale100 {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sfDir = args(0)
-    val ms = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+    val ms = if (args.length > 1) args.drop(1).take(1).map(_.toInt).toSeq
       else Seq(10, 30, 100)
+    // one (M, op) per JVM: accumulated lineage-pin blocks and shared-box
+    // noise made multi-stage runs swing 7x run-to-run — a fresh JVM per
+    // measurement is the only credible protocol here
+    val op = if (args.length > 2) args(2) else "all"
     val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_scale")
 
     def indicators(df: DataFrame): String = {
@@ -86,26 +90,31 @@ object Scale100 {
         println(f"[s100] m=$m%-4d $name%-14s ${best}%8.2fs  $ind")
       }
 
-      time("d22", () => Dedup.prefixJaccardPairs(
-        docs.select(col("doc_id"), col("text"))))
-      time("s25_graph", () =>
-        Similarity.knnGraph(spark, emb, k = 10, nCells = 16 * m, nprobe = 2))
+      if (op == "all" || op == "d22")
+        time("d22", () => Dedup.prefixJaccardPairs(
+          docs.select(col("doc_id"), col("text"))))
+      if (op == "all" || op == "s25")
+        time("s25_graph", () =>
+          Similarity.knnGraph(spark, emb, k = 10, nCells = 16 * m,
+            nprobe = 2))
 
-      // the maintained graph: build once, then the FIXED 300-vector
-      // slice probe that must stay flat under the bucketed layout
-      val gName = s"graft_s100_graph_m$m"
-      val t0 = System.nanoTime()
-      KnnGraphIndex.writeKnnGraph(emb, gName, k = 10, nCells = 16 * m,
-        nprobe = 2, edgeBuffer = 10)
-      println(f"[s100] m=$m%-4d s26_build      ${(System.nanoTime() - t0) / 1e9}%8.2fs  (build)")
-      val batch = emb.filter(col("vec_id") < 300)
-        .select((col("vec_id") + 88000000000L).as("vec_id"),
-          col("embedding")).localCheckpoint()
-      val t1 = System.nanoTime()
-      KnnGraphIndex.appendToKnnGraph(batch, gName)
-      println(f"[s100] m=$m%-4d s26_append     ${(System.nanoTime() - t1) / 1e9}%8.2fs  (build)")
-      time("slice_probe", () => KnnGraphIndex.probeKnnGraph(spark, gName,
-        col("qid") >= 88000000000L))
+      if (op == "all" || op == "s26") {
+        // the maintained graph: build once, then the FIXED 300-vector
+        // slice probe that must stay flat under the bucketed layout
+        val gName = s"graft_s100_graph_m$m"
+        val t0 = System.nanoTime()
+        KnnGraphIndex.writeKnnGraph(emb, gName, k = 10, nCells = 16 * m,
+          nprobe = 2, edgeBuffer = 10)
+        println(f"[s100] m=$m%-4d s26_build      ${(System.nanoTime() - t0) / 1e9}%8.2fs  (build)")
+        val batch = emb.filter(col("vec_id") < 300)
+          .select((col("vec_id") + 88000000000L).as("vec_id"),
+            col("embedding")).localCheckpoint()
+        val t1 = System.nanoTime()
+        KnnGraphIndex.appendToKnnGraph(batch, gName)
+        println(f"[s100] m=$m%-4d s26_append     ${(System.nanoTime() - t1) / 1e9}%8.2fs  (build)")
+        time("slice_probe", () => KnnGraphIndex.probeKnnGraph(spark, gName,
+          col("qid") >= 88000000000L))
+      }
     }
     spark.stop()
   }
