@@ -292,6 +292,44 @@ object Dedup {
     * builds join keys. Flags are deterministic (fixed-seed Murmur3),
     * but engine-specific → the registered query is the d18 contract
     * (no-false-negatives / FP-rate / non-vacuous), not a hash row. */
+  /** SEMANTIC decontamination — the embedding-space twin of
+    * [[decontaminate]]: n-gram gates catch verbatim leakage, but a
+    * paraphrased benchmark item shares no 8-gram with its source; its
+    * EMBEDDING still sits next to the eval set's. Flag every corpus
+    * vector whose cosine to ANY eval vector reaches `minCos`.
+    *
+    * Plan (d06's two-stage discipline, with the eval side BROADCAST):
+    * stage 1 gates the pair loop with the codegen'd float
+    * `cosine_sim` at a guard-band below the threshold; stage 2 scores
+    * only the survivors with the oracle-exact f32 chain and applies
+    * the real cut — float-vs-chain disagreement lives inside the
+    * band, never at the decision boundary. At 100 TB the eval
+    * universe is bounded (benchmarks, not corpora) and broadcasts;
+    * the corpus side is one narrow scan — the same shape as the
+    * 8-gram gate, no corpus shuffle at all. */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+      minCos: Double = 0.35, dim: Int = 64): DataFrame = {
+    import graft.functions.VectorFunctions._
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    val ev = evalSet.select(col("vec_id").as("eid"),
+        col("embedding").as("ee"))
+      .withColumn("en", expr(chainNorm("ee", dim, 0)))
+    val cn = corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", expr(chainNorm("embedding", dim, 0)))
+    val hits = cn.join(broadcast(ev),
+        expr(s"cosine_sim(embedding, ee)") >= minCos - 0.001)
+      .localCheckpoint() // keep Catalyst from inlining the 192-term chain
+      .withColumn("cos",
+        expr(s"CAST(${chainDot("embedding", "ee", dim, 0)} AS DOUBLE)") /
+          (col("nrm") * col("en")))
+      .filter(col("cos") >= minCos)
+      .groupBy("vec_id").agg(count(lit(1)).as("n_hits"))
+    cn.select("vec_id").join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_eval_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   def decontaminateBloom(train: DataFrame, evalSet: DataFrame, k: Int = 8,
       fpp: Double = 1e-4): DataFrame = {
     val spark = train.sparkSession

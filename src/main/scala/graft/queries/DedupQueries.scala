@@ -688,5 +688,39 @@ object DedupQueries {
           FROM reach rr JOIN edges e ON rr.id = e.src)
         SELECT id AS vec_id, min(label) AS component FROM reach
         GROUP BY id ORDER BY vec_id NULLS FIRST""")),
+
+    // ---- d24: SEMANTIC decontamination (embedding space) -------------
+    // d10 catches verbatim benchmark leakage via shared 8-grams; a
+    // PARAPHRASED eval item shares no 8-gram but its embedding still
+    // sits next to the benchmark's. Same eval convention as d10
+    // (vec_id % 17 = 0 is the held-out set), the rest of the corpus is
+    // scored against it: any cosine >= 0.35 neighbor flags the vector.
+    // Eval side broadcast (benchmarks are bounded at any corpus
+    // scale), corpus side one narrow scan — the d06 two-stage gate
+    // (codegen float under a guard band, chain-exact at the cut) makes
+    // the decision boundary oracle-exact.
+    Q("d24_semantic_decontamination",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        Dedup.semanticDecontaminate(
+            emb.filter(col("vec_id") % 17 =!= 0),
+            emb.filter(col("vec_id") % 17 === 0))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH ev AS (SELECT vec_id AS eid, embedding AS ee,
+            ${graft.functions.VectorFunctions.chainNorm("ee", 64, 1)} AS en
+          FROM embeddings WHERE vec_id % 17 = 0),
+        c AS (SELECT vec_id, embedding,
+            ${graft.functions.VectorFunctions.chainNorm("embedding", 64, 1)} AS nrm
+          FROM embeddings WHERE vec_id % 17 <> 0),
+        h AS (SELECT c.vec_id, count(*) AS n_hits FROM c JOIN ev ON
+            CAST(${graft.functions.VectorFunctions.chainDot("c.embedding", "ev.ee", 64, 1)} AS DOUBLE)
+              / (c.nrm * ev.en) >= 0.35
+          GROUP BY c.vec_id)
+        SELECT c.vec_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_eval_hits,
+          COALESCE(h.n_hits, 0) > 0 AS contaminated
+        FROM c LEFT JOIN h ON c.vec_id = h.vec_id
+        ORDER BY c.vec_id NULLS FIRST""")),
   )
 }
