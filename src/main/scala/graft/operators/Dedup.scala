@@ -316,9 +316,10 @@ object Dedup {
       .withColumn("en", expr(chainNorm("ee", dim, 0)))
     val cn = corpus.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", expr(chainNorm("embedding", dim, 0)))
-    val hits = cn.join(broadcast(ev),
-        expr(s"cosine_sim(embedding, ee)") >= minCos - 0.001)
-      .localCheckpoint() // keep Catalyst from inlining the 192-term chain
+    val hits = Frontier.pin(cn.join(broadcast(ev),
+        expr(s"cosine_sim(embedding, ee)") >= minCos - 0.001))
+      // pinned: breaks Catalyst inlining of the 192-term chain AND
+      // rides the session's durability mode like every other frontier
       .withColumn("cos",
         expr(s"CAST(${chainDot("embedding", "ee", dim, 0)} AS DOUBLE)") /
           (col("nrm") * col("en")))

@@ -107,11 +107,15 @@ object KnnGraphIndex {
     (p(KProp), p(NProbeProp), p(DimProp), p(BufProp))
   }
 
-  private def bucketSpecOf(spark: SparkSession, table: String) =
+  /** The table's bucket count, or None for a graph family written
+    * before the bucketed layout (pre-r11) — appends then land plain
+    * files (correct, just unpruned) and the next compaction/retrain
+    * UPGRADES the family to the bucketed layout. */
+  private def bucketCountOf(spark: SparkSession,
+      table: String): Option[Int] =
     spark.sessionState.catalog.getTableMetadata(
         spark.sessionState.sqlParser.parseTableIdentifier(table))
-      .bucketSpec
-      .getOrElse(sys.error(s"$table is not a bucketed graph table"))
+      .bucketSpec.map(_.numBuckets)
 
   /** Exact chain-cosine edges for a (qid, vec_id) pair set, capped at
     * `cap` per qid — [[Similarity.exactReRank]] over a universe
@@ -175,6 +179,9 @@ object KnnGraphIndex {
     val edges = exactEdges(emb.select(col("vec_id"), col("embedding")),
       pool, dim, k + edgeBuffer)
     val lease = Generations.begin(spark, name, Members)
+    // a write failure between begin and commit must not wedge the
+    // family's in-process lease until JVM restart — release and rethrow
+    try {
     trained.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "centroid").coalesce(1)
       .write.format("parquet")
@@ -203,6 +210,9 @@ object KnnGraphIndex {
       KProp -> k.toString, NProbeProp -> nprobe.toString,
       DimProp -> dim.toString, BufProp -> edgeBuffer.toString,
       BaseDistProp -> baseDist.toString))
+    } catch {
+      case e: Throwable => Generations.abort(spark, lease); throw e
+    }
     clearTombstones(spark, name)
   }
 
@@ -238,7 +248,7 @@ object KnnGraphIndex {
     else {
       val (k, nprobe, _, buf) = geometry(spark, name)
       val nCells = loadCentroids(spark, name).length
-      val nb = bucketSpecOf(spark, t(spark, name, "edges")).numBuckets
+      val nb = bucketCountOf(spark, t(spark, name, "edges")).getOrElse(8)
       writeKnnGraph(emb, name, k, nCells, nprobe, buf, nb)
       true
     }
@@ -368,28 +378,23 @@ object KnnGraphIndex {
     val vt = t(spark, name, "vecs")
     val pt = t(spark, name, "probes")
     val et = t(spark, name, "edges")
-    tm("edges append") {
-      fenced(st.newEdges, spark.table(et), "qid", Seq("qid", "vec_id"))
-        .write.format("parquet").mode("append")
-        .bucketBy(bucketSpecOf(spark, et).numBuckets, "qid").sortBy("qid")
-        .saveAsTable(et)
-      spark.catalog.refreshTable(et)
+    // appends reuse each table's bucket/sort spec when one exists;
+    // a pre-bucketed-layout (legacy) family appends plain files —
+    // correct rows, pruning restored by the next compaction's upgrade
+    def appendTo(df: DataFrame, table: String, key: String): Unit = {
+      val w = df.write.format("parquet").mode("append")
+      bucketCountOf(spark, table)
+        .fold(w)(nb => w.bucketBy(nb, key).sortBy(key))
+        .saveAsTable(table)
+      spark.catalog.refreshTable(table)
     }
-    tm("probes append") {
-      fenced(st.newProbes, spark.table(pt), "vec_id", Seq("vec_id"))
-        .write.format("parquet").mode("append")
-        .bucketBy(bucketSpecOf(spark, pt).numBuckets, "vec_id")
-        .sortBy("vec_id")
-        .saveAsTable(pt)
-      spark.catalog.refreshTable(pt)
-    }
-    tm("vecs append") {
-      st.newVecs.write.format("parquet").mode("append")
-        .bucketBy(bucketSpecOf(spark, vt).numBuckets, "vec_id")
-        .sortBy("vec_id")
-        .saveAsTable(vt)
-      spark.catalog.refreshTable(vt)
-    }
+    tm("edges append")(appendTo(
+      fenced(st.newEdges, spark.table(et), "qid", Seq("qid", "vec_id")),
+      et, "qid"))
+    tm("probes append")(appendTo(
+      fenced(st.newProbes, spark.table(pt), "vec_id", Seq("vec_id")),
+      pt, "vec_id"))
+    tm("vecs append")(appendTo(st.newVecs, vt, "vec_id"))
   }
 
   /** Append a batch of new vectors: the batch gains forward edges
@@ -415,9 +420,12 @@ object KnnGraphIndex {
     * the transition. */
   def compactKnnGraph(spark: SparkSession, name: String,
       gcKeep: Int = 1): Unit = {
-    val lease = Generations.begin(spark, name, Members)
+    // resolved BEFORE the lease: a legacy (pre-bucketed) family reads
+    // None and the compaction upgrades it to the default layout
     val (k, nprobe, dim, buf) = geometry(spark, name)
-    val nb = bucketSpecOf(spark, t(spark, name, "edges")).numBuckets
+    val nb = bucketCountOf(spark, t(spark, name, "edges")).getOrElse(8)
+    val lease = Generations.begin(spark, name, Members)
+    try {
     val tombs = graphTombstones(spark, name)
       .map(tt => broadcast(tt.select(col("vec_id")).distinct()))
     def minus(df: DataFrame) = tombs.fold(df)(ids =>
@@ -454,6 +462,9 @@ object KnnGraphIndex {
       KProp -> k.toString, NProbeProp -> nprobe.toString,
       DimProp -> dim.toString, BufProp -> buf.toString) ++
       baseDist.map(BaseDistProp -> _), gcKeep = gcKeep)
+    } catch {
+      case e: Throwable => Generations.abort(spark, lease); throw e
+    }
     clearTombstones(spark, name)
   }
 

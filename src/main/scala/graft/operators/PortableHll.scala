@@ -80,8 +80,11 @@ object PortableHll {
       .select(expr(bucketExpr(c)).as("bucket"), expr(rhoExpr(c)).as("r"))
       .groupBy("bucket").agg(max(col("r")).as("m"))
       .agg(
-        expr("CAST(sum(CAST(power(2, 21 - m) AS BIGINT)) AS BIGINT)")
-          .as("znum"),
+        // COALESCE: an empty (or all-NULL-key) input has zero register
+        // rows — znum 0 + v = m routes the estimate through linear
+        // counting to exactly 0 instead of a NULL that skips the CASE
+        expr("CAST(COALESCE(sum(CAST(power(2, 21 - m) AS BIGINT)), 0)" +
+          " AS BIGINT)").as("znum"),
         expr(s"CAST($M - count(1) AS BIGINT)").as("v"))
       .select(expr(estExpr).as(alias))
 
@@ -93,7 +96,7 @@ object PortableHll {
         regs_$tag AS (SELECT bucket, max(r) AS m FROM rho_$tag
           GROUP BY bucket),
         agg_$tag AS (SELECT
-            CAST(sum(CAST(power(2, 21 - m) AS BIGINT)) AS BIGINT) AS znum,
+            CAST(COALESCE(sum(CAST(power(2, 21 - m) AS BIGINT)), 0) AS BIGINT) AS znum,
             CAST($M - count(1) AS BIGINT) AS v FROM regs_$tag),
         est_$tag AS (SELECT $estExpr AS $alias FROM agg_$tag)"""
 }

@@ -43,8 +43,25 @@ private[graft] object Tombstones {
 
   def family(index: String): String = s"${index}_tombstones"
 
+  /** A pre-r11 deployment's PLAIN `<index>_tombstones` table (the old
+    * overwrite-based store), if one exists and the family does not —
+    * its pending erasures must stay visible across the upgrade, the
+    * same contract [[graft.streaming.StreamingNightlyIngest]]'s
+    * corpusPhysical keeps for the legacy corpus table. */
+  private def legacyTable(spark: SparkSession,
+      index: String): Option[String] = {
+    val fam = family(index)
+    if (spark.sessionState.catalog.tableExists(
+        spark.sessionState.sqlParser.parseTableIdentifier(fam)))
+      Some(fam)
+    else None
+  }
+
   /** The pending-deletion set of `index`, or None when empty/absent.
-    * Catalog-metadata-only when empty — probes pay no extra job. */
+    * Catalog-metadata-only when empty — probes pay no extra job. A
+    * legacy plain table (pre-family deployments) reads as the current
+    * set; the next MUTATION migrates it into the family (reads stay
+    * pure — a read-path write would race the index's writer lease). */
   def get(spark: SparkSession, index: String): Option[DataFrame] = {
     val fam = family(index)
     Generations.currentGen(spark, fam) match {
@@ -52,7 +69,7 @@ private[graft] object Tombstones {
         if Generations.manifestProp(spark, fam, EmptyProp).contains("true") =>
         None
       case Some(_) => Some(spark.table(Generations.resolve(spark, fam, "ids")))
-      case None => None
+      case None => legacyTable(spark, index).map(spark.table)
     }
   }
 
@@ -64,23 +81,23 @@ private[graft] object Tombstones {
   def add(spark: SparkSession, index: String, ids: DataFrame,
       idCol: String): Unit = {
     val fam = family(index)
-    if (Generations.currentGen(spark, fam).isEmpty) {
-      // pre-family debris: a legacy plain `<index>_tombstones` table
-      // (or a previous JVM's directory for one) would collide with
-      // nothing, but is stale state — reclaim it on first use
-      Generations.dropTableAndLocation(spark, fam)
-    }
+    val legacy = legacyTable(spark, index)
+      .filter(_ => Generations.currentGen(spark, fam).isEmpty)
     val add = ids.select(col(ids.columns.head).cast("long").as(idCol))
       .distinct()
-    val merged = get(spark, index)
-      .fold(add)(cur => cur.unionByName(add).distinct())
+    // `get` folds a legacy plain table in as the current set, so the
+    // first post-upgrade mutation MIGRATES it: merged into generation
+    // 0 of the family, then the plain table is retired (pin breaks
+    // the read-what-we-then-drop dependency)
+    val merged = Frontier.pin(get(spark, index)
+      .fold(add)(cur => cur.unionByName(
+        add.select(col(add.columns.head).as(cur.columns.head))).distinct()))
     val lease = Generations.begin(spark, fam, Members)
-    // the write reads the CURRENT generation (still live until the
-    // flip) and lands in the next one — never overwriting what it reads
     merged.coalesce(1).write.format("parquet")
       .saveAsTable(Generations.physical(fam, "ids", lease.gen))
     Generations.commit(spark, lease, Members,
       props = Map(EmptyProp -> "false"))
+    legacy.foreach(Generations.dropTableAndLocation(spark, _))
   }
 
   /** Reset to empty (after a compaction/rebuild applied the set) —
@@ -90,12 +107,15 @@ private[graft] object Tombstones {
   def clear(spark: SparkSession, index: String): Unit =
     if (get(spark, index).isDefined) {
       val fam = family(index)
+      val legacy = legacyTable(spark, index)
+        .filter(_ => Generations.currentGen(spark, fam).isEmpty)
       val lease = Generations.begin(spark, fam, Members)
       spark.range(0).select(lit(0L).as("id")).coalesce(1)
         .write.format("parquet")
         .saveAsTable(Generations.physical(fam, "ids", lease.gen))
       Generations.commit(spark, lease, Members,
         props = Map(EmptyProp -> "true"))
+      legacy.foreach(Generations.dropTableAndLocation(spark, _))
     }
 
   /** Remove the family entirely — fixture/test reset, the

@@ -25,7 +25,6 @@ object GraphProfile {
     val emb = spark.read.parquet(
       new java.io.File(root, "m10/embeddings.parquet").getAbsolutePath)
       .select(col("vec_id"), col("embedding"))
-    val name = "graft_scale_graph_m10"
     object tm extends KnnGraphIndex.StageTimer {
       def apply[A](label: String)(f: => A): A = {
         val t0 = System.nanoTime()
@@ -38,31 +37,32 @@ object GraphProfile {
     val embM = if (m == "10") emb else spark.read.parquet(
       new java.io.File(root, s"m$m/embeddings.parquet").getAbsolutePath)
       .select(col("vec_id"), col("embedding"))
+    val gName = s"graft_scale_graph_m$m"
     tm("build total") {
-      KnnGraphIndex.writeKnnGraph(embM, s"graft_scale_graph_m$m", k = 10,
+      KnnGraphIndex.writeKnnGraph(embM, gName, k = 10,
         nCells = 16 * m.toInt, nprobe = 2, edgeBuffer = 10, tm = tm)
     }
-    val batch = emb.filter(col("vec_id") < 300)
+    val batch = embM.filter(col("vec_id") < 300)
       .select((col("vec_id") + 99000000000L).as("vec_id"), col("embedding"))
       .localCheckpoint()
     // the production append, stage-timed end to end (lease held as the
     // operator itself holds it)
-    val lease = Generations.begin(spark, name, KnnGraphIndex.Members)
+    val lease = Generations.begin(spark, gName, KnnGraphIndex.Members)
     try {
-      val st = KnnGraphIndex.appendStages(spark, name, batch,
+      val st = KnnGraphIndex.appendStages(spark, gName, batch,
         ifAbsent = true, tm).getOrElse(sys.error("empty batch?"))
       println(s"[gp] pairs = ${st.pairs.count()}")
       println(s"[gp] newEdges = ${st.newEdges.count()}")
-      KnnGraphIndex.applyAppend(spark, name, st, tm)
+      KnnGraphIndex.applyAppend(spark, gName, st, tm)
     } finally Generations.abort(spark, lease)
     // slice probe of the appended batch: must do slice-sized work
     // (pushed qid filter + row-group pruning on the sorted buckets)
     tm("slice probe") {
-      KnnGraphIndex.probeKnnGraph(spark, name,
+      KnnGraphIndex.probeKnnGraph(spark, gName,
         col("qid") >= 99000000000L).count()
     }
     tm("full probe") {
-      KnnGraphIndex.probeKnnGraph(spark, name).count()
+      KnnGraphIndex.probeKnnGraph(spark, gName).count()
     }
     spark.stop()
   }

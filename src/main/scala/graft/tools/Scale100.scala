@@ -35,12 +35,18 @@ object Scale100 {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sfDir = args(0)
-    val ms = if (args.length > 1) args.drop(1).take(1).map(_.toInt).toSeq
+    // one (M, op) per JVM is the credible protocol: accumulated
+    // lineage-pin blocks and shared-box noise made multi-stage runs
+    // swing 7x run-to-run. Usage: Scale100 <sfDir> [Ms...] [op]
+    // — a trailing non-numeric arg selects one op (d22|s25|s26|none).
+    val rest = args.drop(1)
+    val (mArgs, opArgs) = rest.partition(_.forall(_.isDigit))
+    val ms = if (mArgs.nonEmpty) mArgs.map(_.toInt).toSeq
       else Seq(10, 30, 100)
-    // one (M, op) per JVM: accumulated lineage-pin blocks and shared-box
-    // noise made multi-stage runs swing 7x run-to-run — a fresh JVM per
-    // measurement is the only credible protocol here
-    val op = if (args.length > 2) args(2) else "all"
+    require(opArgs.length <= 1, s"at most one op arg: ${opArgs.toSeq}")
+    val op = opArgs.headOption.getOrElse("all")
+    require(Set("all", "none", "d22", "s25", "s26").contains(op),
+      s"unknown op '$op' (all|none|d22|s25|s26)")
     val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_scale")
 
     def indicators(df: DataFrame): String = {

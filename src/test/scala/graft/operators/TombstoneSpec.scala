@@ -145,4 +145,40 @@ class TombstoneSpec extends SparkSpec {
     assert(spark.table(Generations.resolve(spark, name, "buckets"))
       .filter(col("doc_id").isin(1L, 2L, 3L, 4L)).count() == 0L)
   }
+
+  // Upgrade boundary: a pre-r11 deployment's PLAIN <index>_tombstones
+  // table (the old overwrite-based store) holds PENDING erasures. It
+  // must stay visible to every probe across the upgrade and fold into
+  // the crash-atomic family on the first mutation — losing it would
+  // resurrect taken-down ids, the exact failure the family exists to
+  // prevent, shifted to the upgrade boundary.
+  test("a legacy plain tombstones table stays visible and migrates on the first mutation") {
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 60)
+    val name = "graft_tomb_legacy"
+    Dedup.writeNearDupIndex(docs, name, numBuckets = 4)
+    Tombstones.destroy(spark, name)
+    // the pre-family store: a plain parquet table of pending ids
+    Seq(1L, 2L).toDF("doc_id").write.format("parquet")
+      .saveAsTable(s"${name}_tombstones")
+    def set() = Dedup.nearDupTombstones(spark, name)
+      .fold(Set.empty[Long])(_.collect().map(_.getLong(0)).toSet)
+    // visible BEFORE any mutation — probes keep hiding the ids
+    assert(set() == Set(1L, 2L),
+      "legacy pending erasures invisible after upgrade")
+    // the first mutation merges legacy + new into the family and
+    // retires the plain table
+    Dedup.tombstoneNearDup(spark, name, Seq(3L).toDF("doc_id"))
+    assert(set() == Set(1L, 2L, 3L))
+    assert(Generations.currentGen(spark, s"${name}_tombstones").isDefined,
+      "migration did not create the family")
+    assert(!spark.catalog.tableExists(s"${name}_tombstones"),
+      "migration left the legacy plain table behind")
+    // physical reclamation applies the migrated ids too
+    Dedup.compactNearDupIndex(spark, name)
+    assert(Dedup.nearDupTombstones(spark, name).isEmpty)
+    assert(spark.table(Generations.resolve(spark, name, "buckets"))
+      .filter(col("doc_id").isin(1L, 2L, 3L)).count() == 0L)
+  }
 }
