@@ -117,28 +117,29 @@ object AnnIndex {
       else Similarity.trainPqCodebooks(emb, m, ksub)
     val cents = spark.sparkContext.broadcast(trained)
     val bb = spark.sparkContext.broadcast(books)
-    val lease = Generations.begin(spark, name, IndexMembers)
-    val ct = Generations.physical(name, "cells", lease.gen)
-    val mt = Generations.physical(name, "model", lease.gen)
-    encoded(emb, cents, bb, dim, m, residual, scope)
-      .write.format("parquet").partitionBy("cell")
-      .saveAsTable(ct)
-    val centRows = trained.zipWithIndex.map { case (v, i) =>
-      ("cent", i, 0, v.toSeq) }
-    val bookRows = for {
-      (book, j) <- books.zipWithIndex; (v, c) <- book.zipWithIndex
-    } yield ("book", j, c, v.toSeq)
-    (centRows ++ bookRows).toSeq.toDF("kind", "i", "j", "vec")
-      .coalesce(1).write.format("parquet").saveAsTable(mt)
-    val baseDist = meanCentroidDist(emb, cents)
-    Seq(ct, mt).foreach { t =>
-      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('$DimProp' = '$dim', " +
-        s"'$MProp' = '$m', '$KsubProp' = '$ksub', " +
-        s"'$NCellsProp' = '$nCells', '$ResidualProp' = '$residual', " +
-        s"'$ScopeProp' = '${scope.mkString(",")}', " +
-        s"'$BaseDistProp' = '$baseDist')")
+    Generations.swap(spark, name, IndexMembers, gcKeep = gcKeep) { lease =>
+      val ct = Generations.physical(name, "cells", lease.gen)
+      val mt = Generations.physical(name, "model", lease.gen)
+      encoded(emb, cents, bb, dim, m, residual, scope)
+        .write.format("parquet").partitionBy("cell")
+        .saveAsTable(ct)
+      val centRows = trained.zipWithIndex.map { case (v, i) =>
+        ("cent", i, 0, v.toSeq) }
+      val bookRows = for {
+        (book, j) <- books.zipWithIndex; (v, c) <- book.zipWithIndex
+      } yield ("book", j, c, v.toSeq)
+      (centRows ++ bookRows).toSeq.toDF("kind", "i", "j", "vec")
+        .coalesce(1).write.format("parquet").saveAsTable(mt)
+      val baseDist = meanCentroidDist(emb, cents)
+      Seq(ct, mt).foreach { t =>
+        spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('$DimProp' = '$dim', " +
+          s"'$MProp' = '$m', '$KsubProp' = '$ksub', " +
+          s"'$NCellsProp' = '$nCells', '$ResidualProp' = '$residual', " +
+          s"'$ScopeProp' = '${scope.mkString(",")}', " +
+          s"'$BaseDistProp' = '$baseDist')")
+      }
+      Map.empty
     }
-    Generations.commit(spark, lease, IndexMembers, gcKeep = gcKeep)
     // a rebuild (or retrain) defines the index's contents from the
     // corpus it was handed — tombstones against the replaced
     // generation are stale
@@ -392,30 +393,31 @@ object AnnIndex {
       sys.error(s"$t has no $NCellsProp property")).toInt
     val baseDist = p.getOrElse(BaseDistProp, "")
     val scope = scopeOf(spark, name) // carried: a lost stamp would
-    val lease = Generations.begin(spark, name, IndexMembers) // silently
-    val ct = Generations.physical(name, "cells", lease.gen) // unscope probes
-    val mt = Generations.physical(name, "model", lease.gen)
-    // tombstoned deletions become physical here; read under the lease
-    // (no new tombstones can land mid-rewrite), cleared after the flip
-    val src = annTombstones(spark, name).fold(spark.table(t))(tt =>
-      spark.table(t).join(broadcast(tt.select(col("vec_id")).distinct()),
-        Seq("vec_id"), "left_anti"))
-    // explicit task count: repartition(col) with no count is
-    // AQE-coalescible, and at small volumes AQE folds the rewrite into
-    // ONE task writing every cell directory serially (the ShardProfile
-    // finding, same class as Sharding.writeTasks)
-    src.repartition(spark.sessionState.conf.numShufflePartitions,
-        col("cell"))
-      .write.format("parquet").partitionBy("cell").saveAsTable(ct)
-    spark.table(mt0).coalesce(1).write.format("parquet").saveAsTable(mt)
-    Seq(ct, mt).foreach { nt =>
-      spark.sql(s"ALTER TABLE $nt SET TBLPROPERTIES ('$DimProp' = '$dim', " +
-        s"'$MProp' = '$m', '$KsubProp' = '$ksub', " +
-        s"'$NCellsProp' = '$nCells', '$ResidualProp' = '$residual', " +
-        s"'$ScopeProp' = '${scope.mkString(",")}', " +
-        s"'$BaseDistProp' = '$baseDist')")
+    Generations.swap(spark, name, IndexMembers, gcKeep = gcKeep) { lease =>
+      val ct = Generations.physical(name, "cells", lease.gen)
+      val mt = Generations.physical(name, "model", lease.gen)
+      // tombstoned deletions become physical here; read under the lease
+      // (no new tombstones can land mid-rewrite), cleared after the flip
+      val src = annTombstones(spark, name).fold(spark.table(t))(tt =>
+        spark.table(t).join(broadcast(tt.select(col("vec_id")).distinct()),
+          Seq("vec_id"), "left_anti"))
+      // explicit task count: repartition(col) with no count is
+      // AQE-coalescible, and at small volumes AQE folds the rewrite into
+      // ONE task writing every cell directory serially (the ShardProfile
+      // finding, same class as Sharding.writeTasks)
+      src.repartition(spark.sessionState.conf.numShufflePartitions,
+          col("cell"))
+        .write.format("parquet").partitionBy("cell").saveAsTable(ct)
+      spark.table(mt0).coalesce(1).write.format("parquet").saveAsTable(mt)
+      Seq(ct, mt).foreach { nt =>
+        spark.sql(s"ALTER TABLE $nt SET TBLPROPERTIES ('$DimProp' = '$dim', " +
+          s"'$MProp' = '$m', '$KsubProp' = '$ksub', " +
+          s"'$NCellsProp' = '$nCells', '$ResidualProp' = '$residual', " +
+          s"'$ScopeProp' = '${scope.mkString(",")}', " +
+          s"'$BaseDistProp' = '$baseDist')")
+      }
+      Map.empty
     }
-    Generations.commit(spark, lease, IndexMembers, gcKeep = gcKeep)
     clearAnnTombstones(spark, name)
   }
 

@@ -793,24 +793,25 @@ object Dedup {
     // pointer flip publishes it. A rebuild over an existing index is
     // therefore reader-safe and crash-atomic — the old generation
     // serves probes until the instant the new one is complete.
-    val lease = Generations.begin(spark, name, IndexMembers)
-    val bt = Generations.physical(name, "buckets", lease.gen)
-    val st = Generations.physical(name, "sigs", lease.gen)
-    val hs = Frontier.pin(signatures(hist, k))
-    bandBuckets(hs).write.format("parquet")
-      .bucketBy(numBuckets, "band", "bh")
-      .saveAsTable(bt)
-    hs.select(col("doc_id"), col("shs")).write.format("parquet")
-      .bucketBy(numBuckets, "doc_id")
-      .saveAsTable(st)
-    // stamp the shingle width on both tables: signatures built with a
-    // different k are INCOMPARABLE (different shingle universe →
-    // different minhashes and Jaccard denominators), so probe/append
-    // must be able to verify they speak the index's k
-    Seq(bt, st).foreach { t =>
-      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('$ShingleKProp' = '$k')")
+    Generations.swap(spark, name, IndexMembers, gcKeep = gcKeep) { lease =>
+      val bt = Generations.physical(name, "buckets", lease.gen)
+      val st = Generations.physical(name, "sigs", lease.gen)
+      val hs = Frontier.pin(signatures(hist, k))
+      bandBuckets(hs).write.format("parquet")
+        .bucketBy(numBuckets, "band", "bh")
+        .saveAsTable(bt)
+      hs.select(col("doc_id"), col("shs")).write.format("parquet")
+        .bucketBy(numBuckets, "doc_id")
+        .saveAsTable(st)
+      // stamp the shingle width on both tables: signatures built with a
+      // different k are INCOMPARABLE (different shingle universe →
+      // different minhashes and Jaccard denominators), so probe/append
+      // must be able to verify they speak the index's k
+      Seq(bt, st).foreach { t =>
+        spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('$ShingleKProp' = '$k')")
+      }
+      Map.empty
     }
-    Generations.commit(spark, lease, IndexMembers, gcKeep = gcKeep)
     // a rebuild defines the index's contents from scratch: tombstones
     // against the REPLACED generation are stale and would wrongly
     // suppress matches against the fresh entries
@@ -984,7 +985,7 @@ object Dedup {
     // pair or the new pair, never a mix, and a crash at any point
     // leaves a complete index live (the old drop-and-rename had a
     // no-table window between the drop and the rename).
-    val lease = Generations.begin(spark, name, IndexMembers)
+    Generations.swap(spark, name, IndexMembers, gcKeep = gcKeep) { lease =>
     try {
       spark.conf.set(AutoScan, "false")
       // compaction is where tombstoned deletions become PHYSICAL: the
@@ -1010,8 +1011,9 @@ object Dedup {
           .saveAsTable(nt)
         spark.sql(s"ALTER TABLE $nt SET TBLPROPERTIES ('$ShingleKProp' = '$k')")
       }
+      Map.empty[String, String]
     } finally spark.conf.set(AutoScan, auto0)
-    Generations.commit(spark, lease, IndexMembers, gcKeep = gcKeep)
+    }
     // after the flip the new generation no longer holds the rows, so
     // the applied tombstones are inert — clear them. A crash between
     // flip and clear just leaves no-op tombstones for the next

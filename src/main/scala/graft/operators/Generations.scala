@@ -302,6 +302,24 @@ object Generations {
     }
   }
 
+  /** The whole-swap shape every writer should use: [[begin]], run
+    * `write` (which builds the new generation's tables and returns the
+    * props to stamp atomically with the flip), [[commit]]. If `write`
+    * THROWS, the lease is released ([[abort]]) before rethrowing — an
+    * in-process write failure must not wedge the family's lease until
+    * JVM restart (begin would refuse with "lease is live in this
+    * process" forever). A failure inside commit itself needs no
+    * release: its finally drops the JVM liveness, and the persisted
+    * token is ours, so the next begin steals it without waiting. */
+  def swap(spark: SparkSession, name: String, members: Seq[String],
+      gcKeep: Int = 1)(write: Lease => Map[String, String]): Unit = {
+    val lease = begin(spark, name, members)
+    val props = try write(lease) catch {
+      case e: Throwable => abort(spark, lease); throw e
+    }
+    commit(spark, lease, members, props, gcKeep)
+  }
+
   /** Abandon a swap without flipping: releases the lease (persisted
     * and in-process) and leaves debris reclamation to the next
     * [[begin]]. For writers that decide not to commit. */

@@ -178,10 +178,7 @@ object KnnGraphIndex {
       k + edgeBuffer + SelectBuffer).select("qid", "vec_id")
     val edges = exactEdges(emb.select(col("vec_id"), col("embedding")),
       pool, dim, k + edgeBuffer)
-    val lease = Generations.begin(spark, name, Members)
-    // a write failure between begin and commit must not wedge the
-    // family's in-process lease until JVM restart — release and rethrow
-    try {
+    Generations.swap(spark, name, Members) { lease =>
     trained.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "centroid").coalesce(1)
       .write.format("parquet")
@@ -206,12 +203,10 @@ object KnnGraphIndex {
       .saveAsTable(Generations.physical(name, "edges", lease.gen)))
     val baseDist = tm("baseDist")(AnnIndex.meanCentroidDist(
       emb.select(col("vec_id"), col("embedding")), cents))
-    Generations.commit(spark, lease, Members, props = Map(
+    Map(
       KProp -> k.toString, NProbeProp -> nprobe.toString,
       DimProp -> dim.toString, BufProp -> edgeBuffer.toString,
-      BaseDistProp -> baseDist.toString))
-    } catch {
-      case e: Throwable => Generations.abort(spark, lease); throw e
+      BaseDistProp -> baseDist.toString)
     }
     clearTombstones(spark, name)
   }
@@ -424,8 +419,7 @@ object KnnGraphIndex {
     // None and the compaction upgrades it to the default layout
     val (k, nprobe, dim, buf) = geometry(spark, name)
     val nb = bucketCountOf(spark, t(spark, name, "edges")).getOrElse(8)
-    val lease = Generations.begin(spark, name, Members)
-    try {
+    Generations.swap(spark, name, Members, gcKeep = gcKeep) { lease =>
     val tombs = graphTombstones(spark, name)
       .map(tt => broadcast(tt.select(col("vec_id")).distinct()))
     def minus(df: DataFrame) = tombs.fold(df)(ids =>
@@ -458,12 +452,10 @@ object KnnGraphIndex {
     // carry the drift baseline across the swap — the quantizer is
     // unchanged, so the stamped baseline must survive compaction
     val baseDist = Generations.manifestProp(spark, name, BaseDistProp)
-    Generations.commit(spark, lease, Members, props = Map(
+    Map(
       KProp -> k.toString, NProbeProp -> nprobe.toString,
       DimProp -> dim.toString, BufProp -> buf.toString) ++
-      baseDist.map(BaseDistProp -> _), gcKeep = gcKeep)
-    } catch {
-      case e: Throwable => Generations.abort(spark, lease); throw e
+      baseDist.map(BaseDistProp -> _)
     }
     clearTombstones(spark, name)
   }

@@ -92,11 +92,11 @@ private[graft] object Tombstones {
     val merged = Frontier.pin(get(spark, index)
       .fold(add)(cur => cur.unionByName(
         add.select(col(add.columns.head).as(cur.columns.head))).distinct()))
-    val lease = Generations.begin(spark, fam, Members)
-    merged.coalesce(1).write.format("parquet")
-      .saveAsTable(Generations.physical(fam, "ids", lease.gen))
-    Generations.commit(spark, lease, Members,
-      props = Map(EmptyProp -> "false"))
+    Generations.swap(spark, fam, Members) { lease =>
+      merged.coalesce(1).write.format("parquet")
+        .saveAsTable(Generations.physical(fam, "ids", lease.gen))
+      Map(EmptyProp -> "false")
+    }
     legacy.foreach(Generations.dropTableAndLocation(spark, _))
   }
 
@@ -109,12 +109,12 @@ private[graft] object Tombstones {
       val fam = family(index)
       val legacy = legacyTable(spark, index)
         .filter(_ => Generations.currentGen(spark, fam).isEmpty)
-      val lease = Generations.begin(spark, fam, Members)
-      spark.range(0).select(lit(0L).as("id")).coalesce(1)
-        .write.format("parquet")
-        .saveAsTable(Generations.physical(fam, "ids", lease.gen))
-      Generations.commit(spark, lease, Members,
-        props = Map(EmptyProp -> "true"))
+      Generations.swap(spark, fam, Members) { lease =>
+        spark.range(0).select(lit(0L).as("id")).coalesce(1)
+          .write.format("parquet")
+          .saveAsTable(Generations.physical(fam, "ids", lease.gen))
+        Map(EmptyProp -> "true")
+      }
       legacy.foreach(Generations.dropTableAndLocation(spark, _))
     }
 

@@ -126,10 +126,11 @@ object StreamingNightlyIngest {
       contents: DataFrame): Unit = {
     val t = deletedTable(arts)
     val pinned = Frontier.pin(contents)
-    val lease = Generations.begin(spark, t, RegistryMembers)
-    pinned.coalesce(1).write.format("parquet")
-      .saveAsTable(Generations.physical(t, "ids", lease.gen))
-    Generations.commit(spark, lease, RegistryMembers)
+    Generations.swap(spark, t, RegistryMembers) { lease =>
+      pinned.coalesce(1).write.format("parquet")
+        .saveAsTable(Generations.physical(t, "ids", lease.gen))
+      Map.empty
+    }
   }
 
   /** The raw-vector corpus is ALSO a [[Generations]] family (member
@@ -146,10 +147,12 @@ object StreamingNightlyIngest {
   def writeCorpus(spark: SparkSession, arts: Artifacts,
       vecs: DataFrame): Unit = {
     val pinned = Frontier.pin(vecs)
-    val lease = Generations.begin(spark, arts.annCorpusTable, CorpusMembers)
-    pinned.write.format("parquet")
-      .saveAsTable(Generations.physical(arts.annCorpusTable, "vecs", lease.gen))
-    Generations.commit(spark, lease, CorpusMembers)
+    Generations.swap(spark, arts.annCorpusTable, CorpusMembers) { lease =>
+      pinned.write.format("parquet")
+        .saveAsTable(
+          Generations.physical(arts.annCorpusTable, "vecs", lease.gen))
+      Map.empty
+    }
   }
 
   /** Resolve the corpus family's current physical table, MIGRATING a
@@ -386,13 +389,14 @@ object StreamingNightlyIngest {
         (s, carry.getOrElse(s, 0L) + advanced.getOrElse(s, 0L),
           carry.getOrElse(s, 0L)))
       import spark.implicits._
-      val blease = Generations.begin(spark, arts.budgetTable, BudgetMembers)
-      merged.toDF("lang", "used", "prev_used").coalesce(1)
-        .write.format("parquet")
-        .saveAsTable(Generations.physical(arts.budgetTable, "state", blease.gen))
-      Generations.commit(spark, blease, BudgetMembers,
-        props = if (batchId >= 0) Map(LastBatchProp -> batchId.toString)
-          else Map.empty)
+      Generations.swap(spark, arts.budgetTable, BudgetMembers) { blease =>
+        merged.toDF("lang", "used", "prev_used").coalesce(1)
+          .write.format("parquet")
+          .saveAsTable(
+            Generations.physical(arts.budgetTable, "state", blease.gen))
+        if (batchId >= 0) Map(LastBatchProp -> batchId.toString)
+        else Map.empty
+      }
     }
     // 4. ANN index + raw-vector corpus gain the ADMITTED docs; each
     //    append fenced by its own target table
