@@ -73,13 +73,21 @@ object PortableHll {
         ELSE $raw END) AS BIGINT)"""
   }
 
-  /** Spark side: estimate the distinct count of `df.c` as a one-row
-    * frame with column `alias`. */
-  def estimate(df: DataFrame, c: String, alias: String): DataFrame =
+  /** The register table of `df.c`: (bucket, m) with m = max rho —
+    * the sketch STATE, and the unit of merging: registers of any two
+    * slices merge by groupBy(bucket).max(m), which is associative,
+    * commutative AND idempotent (a replayed slice cannot move a max),
+    * so any batching — or re-delivery — of the stream yields
+    * BIT-IDENTICAL merged registers ([[graft.streaming.StreamingPortableHll]]
+    * banks these per micro-batch). */
+  def registers(df: DataFrame, c: String): DataFrame =
     df.filter(col(c).isNotNull)
       .select(expr(bucketExpr(c)).as("bucket"), expr(rhoExpr(c)).as("r"))
       .groupBy("bucket").agg(max(col("r")).as("m"))
-      .agg(
+
+  /** The estimate from a register table (one row, column `alias`). */
+  def estimateFromRegisters(regs: DataFrame, alias: String): DataFrame =
+    regs.agg(
         // COALESCE: an empty (or all-NULL-key) input has zero register
         // rows — znum 0 + v = m routes the estimate through linear
         // counting to exactly 0 instead of a NULL that skips the CASE
@@ -87,6 +95,11 @@ object PortableHll {
           " AS BIGINT)").as("znum"),
         expr(s"CAST($M - count(1) AS BIGINT)").as("v"))
       .select(expr(estExpr).as(alias))
+
+  /** Spark side: estimate the distinct count of `df.c` as a one-row
+    * frame with column `alias`. */
+  def estimate(df: DataFrame, c: String, alias: String): DataFrame =
+    estimateFromRegisters(registers(df, c), alias)
 
   /** DuckDB side: CTE chain ending at a one-row relation `est_<tag>`
     * with column `alias` — textually the same expressions as above. */
