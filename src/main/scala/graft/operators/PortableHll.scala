@@ -31,7 +31,34 @@ import org.apache.spark.sql.functions._
   * via linear counting). Scale: one narrow projection, a 4096-group
   * partial-aggregated groupBy (map-side combine: max is mergeable),
   * then a scalar agg — registers are mergeable summaries, the same
-  * distributed shape as the built-in sketch. */
+  * distributed shape as the built-in sketch.
+  *
+  * ==Cardinality ceiling (the 32-bit-hash limit)==
+  *
+  * The hash is 32 bits, so past ~2^32/30 ≈ 1.4e8 the raw estimate
+  * biases low as hash collisions saturate registers. [[estExpr]]
+  * carries the classic LARGE-RANGE branch — E' = −2^32·ln(1 − E/2^32)
+  * when E > 2^32/30 (Flajolet et al. §4) — which removes that
+  * collision bias up to cardinalities approaching 2^32 ≈ 4.3e9.
+  * Beyond that the sketch is SATURATED and no correction recovers it:
+  * the branch clamps its log argument (reporting at most
+  * 2^32·ln 2^32 ≈ 9.5e10) instead of going NaN, and deployments
+  * expecting > 10^9 distinct per key should shard the keyspace (the
+  * registers merge, so per-shard sketches compose) or use the
+  * engine-native `approx_count_distinct` (64-bit HLL++, q26's
+  * contract) where cross-engine bit-identity isn't needed. The
+  * correction is plain portable arithmetic — identical text, hence
+  * identical IEEE-754 doubles, in Spark and DuckDB.
+  *
+  * Bit-identity caveat (the one residual cross-engine assumption):
+  * `ln` must agree between the JVM and DuckDB's libm to the last ulp,
+  * which IEEE-754 recommends but does not mandate for transcendentals.
+  * A 1-ulp divergence only becomes VISIBLE if the estimate lands
+  * within an ulp of an integer boundary, where floor() would flip —
+  * so the final floor adds a 1e-9 epsilon on both engines, turning
+  * "within 1 ulp below an integer" into the same integer on both
+  * sides. (ApproxDistinctSpec pins the Spark-side values; the q16
+  * oracle row is the cross-engine check.) */
 object PortableHll {
 
   /** m = 2^p registers, p = 12. */
@@ -62,15 +89,22 @@ object PortableHll {
 
   /** The estimate from (znum, v) — Σ numerators and the zero-register
     * count — as one expression: raw HLL with the common denominator
-    * folded in, linear counting below 2.5·m. Shared verbatim by both
-    * engines; floor → BIGINT is the hashed output. */
+    * folded in, linear counting below 2.5·m, the classic large-range
+    * collision correction above 2^32/30 (clamped at saturation — see
+    * the ceiling note in the object Scaladoc). Shared verbatim by both
+    * engines; floor(·+1e-9) → BIGINT is the hashed output (the epsilon
+    * absorbs a potential 1-ulp ln() divergence between libms at
+    * integer boundaries). */
   private def estExpr: String = {
     val alpha = s"(0.7213 / (1.0 + 1.079 / $M.0))"
     val denom = "(znum + v * 2097152)" // absent buckets: 2^-0 = 2^21/2^21
     val raw = s"$alpha * $M.0 * $M.0 * 2097152.0 / $denom"
-    s"""CAST(floor(CASE
+    val two32 = "4294967296.0" // 2^32: the hash's value space
+    s"""CAST(floor((CASE
         WHEN $raw <= ${M * 5 / 2}.0 AND v > 0 THEN $M.0 * ln($M.0 / v)
-        ELSE $raw END) AS BIGINT)"""
+        WHEN $raw > $two32 / 30.0 THEN
+          -$two32 * ln(greatest(1.0 - $raw / $two32, 1.0 / $two32))
+        ELSE $raw END) + 1e-9) AS BIGINT)"""
   }
 
   /** The register table of `df.c`: (bucket, m) with m = max rho —

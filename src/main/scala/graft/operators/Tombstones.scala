@@ -41,6 +41,23 @@ private[graft] object Tombstones {
     * the pointer so emptiness never needs a data read. */
   val EmptyProp = "graft.tombstones.empty"
 
+  /** Pending-set SIZE, stamped atomically with the pointer — the
+    * erasure-debt gauge ([[pendingCount]]): between compactions of a
+    * long-lived deployment the set only grows, and an operator
+    * watching [[Generations.leaseStatus]] should see how much
+    * reclamation the next compaction owes without paying a data job. */
+  val PendingProp = "graft.tombstones.pending"
+
+  /** Mutations writing a merged set LARGER than this spread it across
+    * `spark.sql.shuffle.partitions` tasks instead of one file: the
+    * accumulated pending set is unbounded between compactions, and a
+    * `coalesce(1)` of it would serialize every mutation through a
+    * single task at exactly the deployment sizes where takedown
+    * batches are largest (the `Sharding` >10k-fallback discipline
+    * applied to the erasure store). Below it, one file keeps the
+    * common case — takedown-sized sets — listing-cheap to anti-join. */
+  private[graft] val SingleFileMax = 100000L
+
   def family(index: String): String = s"${index}_tombstones"
 
   /** A pre-r11 deployment's PLAIN `<index>_tombstones` table (the old
@@ -73,6 +90,31 @@ private[graft] object Tombstones {
     }
   }
 
+  /** A migration crash window's debris: if a previous add/clear died
+    * AFTER its family swap committed but BEFORE it dropped the plain
+    * legacy table, that table is orphaned — the family is the truth
+    * and [[get]] ignores the plain table, but a later [[destroy]]
+    * would resurrect the stale pre-migration set through the legacy
+    * fallback. Every MUTATION retires such debris up front (mirroring
+    * [[graft.streaming.StreamingNightlyIngest]]'s corpusPhysical);
+    * reads stay pure. */
+  private def dropOrphanLegacy(spark: SparkSession, index: String): Unit =
+    if (Generations.currentGen(spark, family(index)).isDefined)
+      legacyTable(spark, index)
+        .foreach(Generations.dropTableAndLocation(spark, _))
+
+  /** The merged set's write: one file at takedown sizes, a partitioned
+    * multi-task write past [[SingleFileMax]] (see its note). */
+  private def writeIds(merged: DataFrame, n: Long, table: String): Unit = {
+    val spark = merged.sparkSession
+    val shaped =
+      if (n > SingleFileMax)
+        merged.repartition(spark.sessionState.conf.numShufflePartitions,
+          col(merged.columns.head))
+      else merged.coalesce(1)
+    shaped.write.format("parquet").saveAsTable(table)
+  }
+
   /** Merge `ids` (first column, cast to long, named `idCol`) into the
     * set — one generation swap, idempotent (distinct-merged). Callers
     * hold their index family's writer lease around this (serializing
@@ -81,6 +123,7 @@ private[graft] object Tombstones {
   def add(spark: SparkSession, index: String, ids: DataFrame,
       idCol: String): Unit = {
     val fam = family(index)
+    dropOrphanLegacy(spark, index)
     val legacy = legacyTable(spark, index)
       .filter(_ => Generations.currentGen(spark, fam).isEmpty)
     val add = ids.select(col(ids.columns.head).cast("long").as(idCol))
@@ -92,10 +135,10 @@ private[graft] object Tombstones {
     val merged = Frontier.pin(get(spark, index)
       .fold(add)(cur => cur.unionByName(
         add.select(col(add.columns.head).as(cur.columns.head))).distinct()))
+    val n = merged.count() // pinned: the count re-reads the checkpoint
     Generations.swap(spark, fam, Members) { lease =>
-      merged.coalesce(1).write.format("parquet")
-        .saveAsTable(Generations.physical(fam, "ids", lease.gen))
-      Map(EmptyProp -> "false")
+      writeIds(merged, n, Generations.physical(fam, "ids", lease.gen))
+      Map(EmptyProp -> (n == 0L).toString, PendingProp -> n.toString)
     }
     legacy.foreach(Generations.dropTableAndLocation(spark, _))
   }
@@ -104,7 +147,8 @@ private[graft] object Tombstones {
     * itself a swap: a crash before the flip leaves the applied set in
     * place, which is harmless (probes anti-join ids whose rows are
     * already gone) and cleared by the next mutation. */
-  def clear(spark: SparkSession, index: String): Unit =
+  def clear(spark: SparkSession, index: String): Unit = {
+    dropOrphanLegacy(spark, index)
     if (get(spark, index).isDefined) {
       val fam = family(index)
       val legacy = legacyTable(spark, index)
@@ -113,13 +157,40 @@ private[graft] object Tombstones {
         spark.range(0).select(lit(0L).as("id")).coalesce(1)
           .write.format("parquet")
           .saveAsTable(Generations.physical(fam, "ids", lease.gen))
-        Map(EmptyProp -> "true")
+        Map(EmptyProp -> "true", PendingProp -> "0")
       }
       legacy.foreach(Generations.dropTableAndLocation(spark, _))
     }
+  }
+
+  /** The erasure-debt gauge: how many ids await physical reclamation.
+    * Catalog-metadata-only once a [[PendingProp]] stamp exists (every
+    * mutation since the stamp writes one); pre-stamp families and
+    * legacy plain tables pay one count. Surfaced so an operator
+    * watching a family ([[Generations.leaseStatus]]) also sees how
+    * much the next compaction owes. */
+  def pendingCount(spark: SparkSession, index: String): Long = {
+    val fam = family(index)
+    Generations.currentGen(spark, fam) match {
+      case Some(_)
+        if Generations.manifestProp(spark, fam, EmptyProp).contains("true") =>
+        0L
+      case Some(_) =>
+        Generations.manifestProp(spark, fam, PendingProp).map(_.toLong)
+          .getOrElse(
+            spark.table(Generations.resolve(spark, fam, "ids")).count())
+      case None =>
+        legacyTable(spark, index).map(spark.table(_).count()).getOrElse(0L)
+    }
+  }
 
   /** Remove the family entirely — fixture/test reset, the
-    * [[Generations.destroy]] twin. */
-  def destroy(spark: SparkSession, index: String): Unit =
+    * [[Generations.destroy]] twin. Any plain legacy table goes too:
+    * leaving it would resurrect the stale pre-migration erasure set
+    * through [[get]]'s legacy fallback. */
+  def destroy(spark: SparkSession, index: String): Unit = {
     Generations.destroy(spark, family(index), Members)
+    legacyTable(spark, index)
+      .foreach(Generations.dropTableAndLocation(spark, _))
+  }
 }

@@ -155,25 +155,37 @@ object StreamingNightlyIngest {
     }
   }
 
-  /** Resolve the corpus family's current physical table, MIGRATING a
-    * legacy deployment on first touch: the corpus used to be a plain
-    * table named `annCorpusTable`; it is now a [[Generations]] family.
-    * A pre-existing plain table is wrapped as the family's first
-    * generation (pin → swap → drop the plain table), so old
-    * deployments resolve instead of erroring with "no such index".
-    * Crash-safe in both windows: before the pointer commit the plain
-    * table is untouched and the next call re-migrates; after it the
-    * family resolves and the plain leftover is dropped (re-dropped on
-    * the next call if the drop itself was the casualty). */
+  private def legacyCorpusExists(spark: SparkSession,
+      arts: Artifacts): Boolean =
+    spark.sessionState.catalog.tableExists(
+      spark.sessionState.sqlParser.parseTableIdentifier(arts.annCorpusTable))
+
+  /** Resolve the corpus family's current physical table for a WRITE
+    * path, MIGRATING a legacy deployment on first mutation: the corpus
+    * used to be a plain table named `annCorpusTable`; it is now a
+    * [[Generations]] family. A pre-existing plain table is wrapped as
+    * the family's first generation (pin → swap → drop the plain
+    * table), so old deployments mutate through the pointer instead of
+    * erroring with "no such index". Crash-safe in both windows: before
+    * the pointer commit the plain table is untouched and the next call
+    * re-migrates; after it the family resolves and the plain leftover
+    * is dropped (re-dropped on the next call if the drop itself was
+    * the casualty).
+    *
+    * WRITE paths only ([[nightStep]]'s append, [[writeCorpus]]): the
+    * migration takes the corpus family's writer lease, and a read that
+    * migrated would both violate the read-purity discipline
+    * [[Tombstones.get]] documents and make two concurrent readers of a
+    * legacy deployment race that lease (the loser throwing instead of
+    * reading). [[corpus]] reads the plain table directly instead. */
   private def corpusPhysical(spark: SparkSession, arts: Artifacts): String = {
     val t = arts.annCorpusTable
-    def legacyExists = spark.sessionState.catalog.tableExists(
-      spark.sessionState.sqlParser.parseTableIdentifier(t))
     Generations.currentGen(spark, t) match {
       case Some(_) =>
-        if (legacyExists) Generations.dropTableAndLocation(spark, t)
+        if (legacyCorpusExists(spark, arts))
+          Generations.dropTableAndLocation(spark, t)
         Generations.resolve(spark, t, "vecs")
-      case None if legacyExists =>
+      case None if legacyCorpusExists(spark, arts) =>
         writeCorpus(spark, arts, Frontier.pin(spark.table(t)))
         Generations.dropTableAndLocation(spark, t)
         Generations.resolve(spark, t, "vecs")
@@ -183,9 +195,17 @@ object StreamingNightlyIngest {
 
   /** The corpus as it currently resolves (still-registered deletions
     * INCLUDED until [[compactCorpus]] — drift/retrain must go through
-    * [[retrainCorpus]] instead). */
-  def corpus(spark: SparkSession, arts: Artifacts): DataFrame =
-    spark.table(corpusPhysical(spark, arts))
+    * [[retrainCorpus]] instead). READ-PURE: a legacy plain table is
+    * read in place (no migration, no lease) — the wrap-as-generation-0
+    * upgrade happens on the first MUTATION, as [[Tombstones]] does. */
+  def corpus(spark: SparkSession, arts: Artifacts): DataFrame = {
+    val t = arts.annCorpusTable
+    Generations.currentGen(spark, t) match {
+      case Some(_) => spark.table(Generations.resolve(spark, t, "vecs"))
+      case None if legacyCorpusExists(spark, arts) => spark.table(t)
+      case None => spark.table(Generations.resolve(spark, t, "vecs"))
+    }
+  }
 
   /** The ANN corpus as every drift/retrain consumer must see it:
     * minus the takedown registry. */

@@ -30,15 +30,23 @@ import graft.operators.PortableHll
   *    (the d14 pattern in miniature). */
 object StreamingPortableHll {
 
-  /** Start banking per-batch HLL registers of `key` into `table`. */
+  /** Start banking per-batch HLL registers of `key` into `table`.
+    * `sink(batchId, rowCount)` is an OPTIONAL per-batch metrics hook;
+    * when absent, the batch is consumed exactly once (no row count is
+    * computed — on a real source a second action would re-read the
+    * whole micro-batch for a discarded metric), and when present the
+    * batch is cached across the two actions for the same reason. */
   def start(spark: SparkSession, events: DataFrame, key: Column,
-      table: String)(
-      sink: (Long, Long) => Unit = (_, _) => ()): StreamingQuery = {
+      table: String,
+      sink: Option[(Long, Long) => Unit] = None): StreamingQuery = {
     val step: (Dataset[Row], Long) => Unit = (batch, batchId) => {
-      PortableHll.registers(batch.select(key.as("k")), "k")
-        .withColumn("batch_id", lit(batchId))
-        .write.format("parquet").mode("append").saveAsTable(table)
-      sink(batchId, batch.count())
+      val b = if (sink.isDefined) batch.persist() else batch
+      try {
+        PortableHll.registers(b.select(key.as("k")), "k")
+          .withColumn("batch_id", lit(batchId))
+          .write.format("parquet").mode("append").saveAsTable(table)
+        sink.foreach(_(batchId, b.count()))
+      } finally if (sink.isDefined) { b.unpersist(); () }
     }
     events.writeStream.outputMode("append").foreachBatch(step).start()
   }

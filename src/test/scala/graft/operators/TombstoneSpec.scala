@@ -181,4 +181,72 @@ class TombstoneSpec extends SparkSpec {
     assert(spark.table(Generations.resolve(spark, name, "buckets"))
       .filter(col("doc_id").isin(1L, 2L, 3L)).count() == 0L)
   }
+
+  // The r11 verdict's finding #2: add/clear wrote the whole merged set
+  // through coalesce(1) — a single-task write of an UNBOUNDED artifact
+  // (between compactions the pending set only grows). Past
+  // SingleFileMax the write must spread across tasks, and the stamped
+  // pendingCount gauge must surface the erasure debt without a data
+  // job either way.
+  test("a large pending set writes multi-task; pendingCount gauges erasure debt") {
+    import spark.implicits._
+    val name = "graft_tomb_big"
+    Tombstones.destroy(spark, name)
+    // small set: one file, count stamped
+    Tombstones.add(spark, name, Seq(1L, 2L, 3L).toDF("doc_id"), "doc_id")
+    assert(Tombstones.pendingCount(spark, name) == 3L)
+    val fam = Tombstones.family(name)
+    def files() = spark.table(Generations.resolve(spark, fam, "ids"))
+      .select(input_file_name()).distinct().count()
+    assert(files() == 1L, "a takedown-sized set should stay one file")
+    // large set: the merged write must not serialize through one task
+    val big = spark.range(Tombstones.SingleFileMax + 50000L)
+      .select(col("id").as("doc_id"))
+    Tombstones.add(spark, name, big, "doc_id")
+    val n = Tombstones.SingleFileMax + 50000L // 1..3 are inside the range
+    assert(Tombstones.pendingCount(spark, name) == n)
+    assert(files() > 1L,
+      "an over-threshold pending set still wrote through a single task")
+    assert(Tombstones.get(spark, name).get.count() == n)
+    // the gauge is metadata-only and clears with the set
+    Tombstones.clear(spark, name)
+    assert(Tombstones.pendingCount(spark, name) == 0L)
+    assert(Tombstones.get(spark, name).isEmpty)
+    Tombstones.destroy(spark, name)
+  }
+
+  // ADVICE r11: a crash after the migration swap committed but before
+  // the plain table dropped used to orphan it forever — and a later
+  // destroy would RESURRECT the stale pre-migration erasure set
+  // through get's legacy fallback. Mutations now retire the orphan up
+  // front, and destroy removes the plain table too.
+  test("an orphaned legacy table can neither shadow nor resurrect the erasure set") {
+    import spark.implicits._
+    val name = "graft_tomb_orphan"
+    Tombstones.destroy(spark, name)
+    dropTestTable(s"${name}_tombstones") // a prior JVM's warehouse dir
+    Tombstones.add(spark, name, Seq(5L).toDF("doc_id"), "doc_id")
+    // simulate the crash window: family live, plain table left behind
+    Seq(1L, 2L).toDF("doc_id").write.format("parquet")
+      .saveAsTable(s"${name}_tombstones")
+    def set() = Tombstones.get(spark, name)
+      .fold(Set.empty[Long])(_.collect().map(_.getLong(0)).toSet)
+    // the family is the truth; the orphan never shadows it
+    assert(set() == Set(5L))
+    // destroy with the orphan still present must not resurrect {1,2}
+    Tombstones.destroy(spark, name)
+    assert(Tombstones.get(spark, name).isEmpty,
+      "destroy resurrected a stale pre-migration erasure set")
+    assert(Tombstones.pendingCount(spark, name) == 0L)
+    // and a mutation retires an orphan it finds (the self-healing path)
+    Tombstones.add(spark, name, Seq(7L).toDF("doc_id"), "doc_id")
+    Seq(1L, 2L).toDF("doc_id").write.format("parquet")
+      .saveAsTable(s"${name}_tombstones")
+    Tombstones.add(spark, name, Seq(8L).toDF("doc_id"), "doc_id")
+    assert(set() == Set(7L, 8L),
+      "a mutation let the orphaned legacy set leak into the merge")
+    assert(!spark.catalog.tableExists(s"${name}_tombstones"),
+      "the mutation did not retire the orphaned legacy table")
+    Tombstones.destroy(spark, name)
+  }
 }

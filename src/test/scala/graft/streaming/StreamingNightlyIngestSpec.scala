@@ -438,14 +438,29 @@ class StreamingNightlyIngestSpec extends SparkSpec {
     Generations.dropTableAndLocation(spark, arts.annCorpusTable)
     vecs.write.format("parquet").saveAsTable(arts.annCorpusTable)
     val n = vecs.count()
-    // first touch resolves (no sys.error), wraps the plain table as
-    // generation 0 and retires the legacy table
+    // READS ARE PURE: a legacy deployment's corpus resolves in place —
+    // no family is created, no writer lease is raced (two concurrent
+    // readers of a legacy deployment must both just read)
     assert(StreamingNightlyIngest.corpus(spark, arts).count() == n)
+    assert(StreamingNightlyIngest.retrainCorpus(spark, arts).count() == n)
+    assert(Generations.currentGen(spark, arts.annCorpusTable).isEmpty,
+      "a READ migrated the legacy corpus — reads must stay pure")
+    assert(spark.catalog.tableExists(arts.annCorpusTable),
+      "a READ dropped the legacy plain table")
+    // the first MUTATION migrates: wraps the plain table as generation
+    // 0 and retires it (an empty night still resolves the corpus for
+    // its append, which is the write path)
+    import spark.implicits._
+    val empty = corpus.withColumn("embedding",
+      StreamingNightlyIngest.synthEmbedding).limit(0)
+    StreamingNightlyIngest.nightStep(arts, empty, budget = 1000L,
+      salt = "mig")
     assert(Generations.currentGen(spark, arts.annCorpusTable).isDefined,
-      "migration did not create the corpus family")
+      "the first mutation did not create the corpus family")
     assert(!spark.catalog.tableExists(arts.annCorpusTable),
       "migration left the legacy plain table behind")
     // and the migrated corpus keeps working as a family
+    assert(StreamingNightlyIngest.corpus(spark, arts).count() == n)
     assert(StreamingNightlyIngest.retrainCorpus(spark, arts).count() == n)
   }
 

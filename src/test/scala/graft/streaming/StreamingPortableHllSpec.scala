@@ -26,7 +26,7 @@ class StreamingPortableHllSpec extends SparkSpec {
     val counts = scala.collection.mutable.Map[Long, Long]()
     val mem = MemoryStream[HllEvent](spark)
     val q = StreamingPortableHll.start(spark, mem.toDF(), col("key"),
-        "graft_shll_bank") { (id, n) => counts(id) = n }
+        "graft_shll_bank", Some((id, n) => counts(id) = n))
     try {
       batches.foreach { b =>
         mem.addData(b.map(HllEvent(_)): _*)
