@@ -73,18 +73,89 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native, ORACLE-PORTABLE f32 dot product — the fast evaluator for
+  * the [[VectorFunctions.chainDot]] SQL chain: a strictly
+  * LEFT-ASSOCIATED float multiply-add loop whose first term is
+  * `a[0]*b[0]` (no zero seed), so its result is bit-identical to the
+  * 64-term `a[0]*b[0] + a[1]*b[1] + …` expression text both engines
+  * replay — including the sign of a ±0.0 result, which a `0.0f`
+  * accumulator seed would flip (IEEE: (+0) + (−0) = +0). Unlike
+  * [[CosineSimilarity]] (double accumulator — fast but not
+  * chain-replayable), this IS the chain, evaluated as one fused
+  * primitive loop instead of a 64-node expression tree: the hot side
+  * of the portable-LSH bucketing (16 projections per corpus row)
+  * measured ~2.5× faster end to end. Multiplying by a ±1 weight is
+  * exact, so a ±sign chain (`a[0] - a[1] + …`) equals the dot against
+  * a ±1 vector — PortableLshSpec pins the bit-equality expression vs
+  * native on the fixture. */
+case class ChainDotF32(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"chain_dot_f32 expects array<float>, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    if (n == 0) 0.0f
+    else {
+      var acc = x.getFloat(0) * y.getFloat(0)
+      var i = 1
+      while (i < n) { acc += x.getFloat(i) * y.getFloat(i); i += 1 }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        float $acc = 0.0f;
+        if ($n > 0) {
+          $acc = $a.getFloat(0) * $b.getFloat(0);
+          for (int $i = 1; $i < $n; $i++) {
+            $acc += $a.getFloat($i) * $b.getFloat($i);
+          }
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
 
-  /** Register `cosine_sim` for SQL/expr use on a session. Truly
-    * idempotent: skips when GraftExtensions (or a prior call) already
-    * installed it, so re-registration never logs a "replaced a
-    * previously registered function" warning in Bench/Verify output. */
+  /** Register `cosine_sim` + `chain_dot_f32` for SQL/expr use on a
+    * session. Truly idempotent: skips when GraftExtensions (or a prior
+    * call) already installed them, so re-registration never logs a
+    * "replaced a previously registered function" warning in
+    * Bench/Verify output. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim")
-    if (!reg.functionExists(id))
+    val cs = org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim")
+    if (!reg.functionExists(cs))
       reg.createOrReplaceTempFunction(
         "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+    val cd = org.apache.spark.sql.catalyst.FunctionIdentifier("chain_dot_f32")
+    if (!reg.functionExists(cd))
+      reg.createOrReplaceTempFunction(
+        "chain_dot_f32", exprs => ChainDotF32(exprs(0), exprs(1)), "scala_udf")
   }
 
   /** Oracle-portable cosine: an explicit per-index f32 product/sum

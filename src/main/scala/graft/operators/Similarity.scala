@@ -190,25 +190,23 @@ object Similarity {
     exactReRank(emb, cands, dim, k)
   }
 
-  // ---- random-hyperplane LSH ---------------------------------------
-  /** Deterministic ±1 hyperplane weights from a seeded splitmix64. */
-  def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Array[Array[Float]] = {
-    def mix(z0: Long): Long = {
-      var z = z0 + 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
-    }
-    Array.tabulate(planes, dim) { (p, d) =>
-      if ((mix(seed + p * 10007L + d) & 1L) == 0L) 1.0f else -1.0f
-    }
-  }
-
+  // ---- random-hyperplane LSH (engine-portable, [[PortableLsh]]) ----
   /** Multi-table random-hyperplane LSH: `tables` independent
     * signatures of `planes` sign bits each; a vector is a candidate if
     * it shares a bucket with the query in ANY table. Candidate
-    * generation is an equi-join on (table, sig) — never a cross join —
-    * then exact cosine re-ranking on the candidates only.
+    * generation is an equi-join on the signature string — never a
+    * cross join — then exact chain-cosine re-ranking on the candidates
+    * only.
+    *
+    * PORTABLE end to end (the r11 ask): hyperplane signs come from
+    * [[PortableLsh.sign]] (md5 of (table, plane, dim) — no JVM RNG),
+    * each projection is a left-associated f32 ±chain baked into the
+    * expression text, and the candidate scoring is the oracle-exact
+    * f32 chain cosine — so the whole operator, bucketing included,
+    * replays bit-identically in DuckDB and s03 is HASH-EXACT at this
+    * production point (planes = 4, tables = 4, multiprobe), not
+    * rows-only. Everything is codegen'd Catalyst expressions: no UDF,
+    * no broadcast weight array.
     *
     * `multiprobe`: the QUERY side additionally probes every bucket at
     * Hamming distance 1 from its home signature (the classic
@@ -216,53 +214,66 @@ object Similarity {
     * hyperplane is the dominant miss mode). Costs ×(planes+1) rows on
     * the query side only — the small, broadcast side — while the
     * indexed corpus keeps exactly one row per (table, home bucket), so
-    * the scale shape is unchanged. Measured on the fixture: recall@10
-    * 0.43 → substantially higher (see s05's floor). */
+    * the scale shape is unchanged: corpus-side work is one projection
+    * pass + the bucket equi-join, at 100 TB the same broadcast-probe
+    * shape as s01 with the pair space cut to same-bucket candidates. */
   def lshTopK(spark: SparkSession, emb: DataFrame,
       queryPred: org.apache.spark.sql.Column, k: Int = 10,
-      planes: Int = 4, tables: Int = 4, multiprobe: Boolean = true): DataFrame = {
-    import spark.implicits._
+      planes: Int = PortableLsh.Planes, tables: Int = PortableLsh.Tables,
+      multiprobe: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.Column
     VectorFunctions.register(spark)
     // vector dimensionality comes from the data (round-1 ADVICE: no
     // hardcoded 64) — one cheap driver probe of the first row
     val firstVec = emb.select(size(col("embedding"))).take(1)
     if (firstVec.isEmpty) return emptyTopK(emb)
     val dim = firstVec(0).getInt(0)
-    val hp = spark.sparkContext.broadcast(
-      (0 until tables).map(t => hyperplanes(planes, dim, seed = 42L + t * 7919L)).toArray)
-    def homeSig(v: Seq[Float], t: Int): Int = {
-      var s = 0
-      var p = 0
-      while (p < planes) {
-        var acc = 0.0f
-        var d = 0
-        val w = hp.value(t)(p)
-        while (d < math.min(dim, v.length)) { acc += w(d) * v(d); d += 1 }
-        if (acc >= 0) s |= (1 << p)
-        p += 1
-      }
-      s
-    }
-    val sigs = udf { (v: Seq[Float]) =>
-      (0 until tables).map(t => t * 65536 + homeSig(v, t))
-    }
-    val probeSigs = udf { (v: Seq[Float]) =>
-      (0 until tables).flatMap { t =>
-        val home = homeSig(v, t)
-        val flips = if (multiprobe) (0 until planes).map(b => home ^ (1 << b))
-          else Seq.empty
-        (home +: flips).map(t * 65536 + _)
-      }.distinct
-    }
-    val withSig = emb.withColumn("sig", explode(sigs(col("embedding"))))
-    val q = emb.filter(queryPred)
+    // per-vector sign bits, computed ONCE per (table, plane) before the
+    // signature explode — the b_t_p columns feed home AND flip sigs.
+    // chain_dot_f32 against the ±1 sign vector IS the oracle's ±chain
+    // (bit-identical, PortableLshSpec), evaluated as one fused float
+    // loop instead of a 64-node expression tree per plane.
+    def chainDotF32(a: Column, b: Column): Column =
+      call_function("chain_dot_f32", a, b)
+    val bitCols = for { t <- 0 until tables; p <- 0 until planes }
+      yield when(chainDotF32(col("embedding"),
+          typedLit(PortableLsh.signVector(t, p, dim))) >= lit(0f),
+        lit("1")).otherwise(lit("0")).as(s"b_${t}_$p")
+    val bits = emb.select(col("vec_id") +: col("embedding") +:
+      sqrt(chainDotF32(col("embedding"), col("embedding")).cast("double"))
+        .as("nrm") +:
+      bitCols: _*)
+    def homeSig(t: Int): Column =
+      concat(lit(s"$t:") +: (0 until planes).map(p => col(s"b_${t}_$p")): _*)
+    def flipSig(t: Int, b: Int): Column =
+      concat(lit(s"$t:") +: (0 until planes).map(p =>
+        if (p == b)
+          when(col(s"b_${t}_$b") === "1", lit("0")).otherwise(lit("1"))
+        else col(s"b_${t}_$p")): _*)
+    val probeSigCols = for {
+      t <- 0 until tables
+      c <- homeSig(t) +:
+        (if (multiprobe) (0 until planes).map(flipSig(t, _)) else Nil)
+    } yield c
+    val withSig = bits.select(col("vec_id"), col("embedding").as("e"),
+      col("nrm").as("en"),
+      explode(array((0 until tables).map(homeSig): _*)).as("sig"))
+    val q = bits.filter(queryPred)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        explode(probeSigs(col("embedding"))).as("sig"))
-    val cands = withSig.select(col("vec_id"), col("embedding").as("e"), col("sig"))
-      .join(broadcast(q), Seq("sig"))
+        col("nrm").as("qn"), explode(array(probeSigCols: _*)).as("sig"))
+      .dropDuplicates("qid", "sig")
+    // score INSIDE the join stage (the arrays-never-shuffle rule, see
+    // cellCandidates): cos is computed while both embeddings are still
+    // co-located, so only the narrow (qid, vec_id, cos) triple reaches
+    // the duplicate-collapse exchange — a pair colliding in >1 bucket
+    // scores identically every time, so keeping any one row is exact
+    val cands = withSig.join(broadcast(q), Seq("sig"))
       .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        chainDotF32(col("qe"), col("e")).cast("double") /
+          (col("qn") * col("en")))
+      .select("qid", "vec_id", "cos")
       .dropDuplicates("qid", "vec_id") // same pair may collide in >1 bucket
-      .withColumn("cos", expr("cosine_sim(qe, e)"))
     topKPerQuery(cands, k)
   }
 

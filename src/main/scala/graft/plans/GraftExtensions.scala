@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.CosineSimilarity
+import graft.functions.{ChainDotF32, CosineSimilarity}
 
 /** Deployment-grade wiring (`--conf spark.sql.extensions=graft.plans.
   * GraftExtensions`): registers the engine's native Catalyst pieces on
@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("chain_dot_f32"),
+      new ExpressionInfo(classOf[ChainDotF32].getName, "chain_dot_f32"),
+      (exprs: Seq[Expression]) => ChainDotF32(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => BandJoinRewrite)
 
     // Text-analysis primitives as SQL functions, so `spark.sql` users

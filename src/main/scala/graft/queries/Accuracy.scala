@@ -73,10 +73,13 @@ object Accuracy {
     // ---- ANN recall@10 vs brute force (s03/s04's accuracy contract) -
     // Ground truth is the exact top-k (s01's operator); recall counts
     // recovered (qid, neighbor) pairs. Bounds sit safely below the
-    // measured values (deterministic: seeded hyperplanes,
-    // vec_id-ordered k-means sample; IVF 0.80 @sf0.01 / 0.99 @sf0.1,
-    // multiprobe LSH 0.95 / 0.96) but far above where a broken index
-    // (empty buckets, wrong probe set) lands.
+    // measured values (deterministic: md5-derived portable hyperplanes
+    // since r12, vec_id-ordered k-means sample; IVF 0.80 @sf0.01 /
+    // 0.99 @sf0.1, multiprobe LSH ≥ 0.9 at every SF) but far above
+    // where a broken index (empty buckets, wrong probe set) lands.
+    // s03 is also hash-exact now (PortableLsh); this row still gates
+    // its APPROXIMATION quality — the oracle replays the same buckets,
+    // so a recall collapse would hash-match yet ship bad neighbors.
     Q("s05_ann_recall",
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings")

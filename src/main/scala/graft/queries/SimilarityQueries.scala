@@ -9,9 +9,11 @@ import graft.operators.{AnnIndex, KnnGraphIndex, Similarity}
 /** Similarity-search queries over `embeddings` (64-dim float).
   *
   * s01 (exact top-k) and s02 (near-dup pairs) use the f32-chain cosine
-  * so DuckDB replays them bit-exactly. s03/s04 are the approximate
-  * scale paths (LSH / IVF) — deterministic but engine-specific, so
-  * rows-only; their recall vs s01 is asserted in ScalaTest. */
+  * so DuckDB replays them bit-exactly — and since r12 so does s03: the
+  * portable LSH's md5-derived sign chains make even the BUCKETING
+  * engine-portable. s04 (IVF) remains the deterministic-but-engine-
+  * specific scale path (float k-means doesn't replay in DuckDB), so it
+  * is rows-only; recall vs s01 is contract-gated (s05). */
 object SimilarityQueries {
 
   private val Dim = 64
@@ -144,11 +146,17 @@ object SimilarityQueries {
         SELECT id_a, id_b, cos FROM c WHERE cos >= 0.35
         ORDER BY id_a NULLS FIRST, id_b NULLS FIRST""")),
 
+    // ---- s03: multiprobe LSH — now HASH-EXACT at its production
+    // point (r12): hyperplane signs derive from md5 (PortableLsh, no
+    // JVM RNG), projections and cosines are f32 ±chains, so the
+    // buckets — and the full top-k — replay bit-identically in DuckDB.
+    // The q16 graduation applied to the LSH family; s05's lsh recall
+    // row still gates the approximation quality.
     Q("s03_knn_lsh",
       (s, dir) =>
         Similarity.lshTopK(s, Tables(s, dir, "embeddings"), expr(QueryPred), K)
           .orderBy("qid", "rank"),
-      None),
+      Some(graft.operators.PortableLsh.oracleSql(Dim, K, QueryPred))),
 
     Q("s04_knn_ivf",
       (s, dir) =>

@@ -36,6 +36,14 @@ object Probe {
         stats("analyzed ", df.queryExecution.analyzed.toString)
         stats("optimized", df.queryExecution.optimizedPlan.toString)
         stats("physical ", plan.toString)
+        // which operators made it into a WholeStageCodegen stage (the
+        // "*(n)" prefix) — a huge expression tree can silently bail to
+        // interpreted evaluation and 10x a scan-side projection
+        println("[probe] wscg-spans=" +
+          "\\*\\(\\d+\\)".r.findAllIn(plan.toString).toSet.size)
+        plan.toString.linesIterator
+          .filter(l => l.contains("Project") || l.contains("Generate"))
+          .take(8).foreach(l => println("[probe] op " + l.take(120)))
         df.queryExecution.optimizedPlan.foreach { n =>
           val s = n.expressions.map(_.toString).mkString(";")
           println(s"[probe] node ${n.nodeName} exprChars=${s.length} " +
@@ -45,6 +53,16 @@ object Probe {
       df.count()
       val t3 = System.nanoTime()
       println(f"[probe] $name rep$r build=${(t1 - t0) / 1e9}%.2fs plan=${(t2 - t1) / 1e9}%.2fs exec=${(t3 - t2) / 1e9}%.2fs")
+      if (r == 1) {
+        // AFTER execution the AQE plan is final: "*(n)" marks operators
+        // inside a WholeStageCodegen stage — a huge expression tree can
+        // silently bail to interpreted eval and 10x a projection
+        val fin = df.queryExecution.executedPlan.toString
+        println("[probe] wscg-final-spans=" +
+          "\\*\\(\\d+\\)".r.findAllIn(fin).toSet.size)
+        fin.linesIterator.filter(_.contains("Project"))
+          .take(6).foreach(l => println("[probe] fin " + l.take(100)))
+      }
     }
     spark.stop()
   }
