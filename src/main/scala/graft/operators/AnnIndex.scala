@@ -382,7 +382,12 @@ object AnnIndex {
     * then published atomically — the old drop-and-rename had a
     * no-table window and needed a post-rename RECOVER PARTITIONS,
     * both gone). The model is frozen and tiny; its copy into the new
-    * generation keeps the family's one-pointer atomicity. */
+    * generation keeps the family's one-pointer atomicity.
+    *
+    * Cell-count RESIZE deliberately does NOT live here: cells are the
+    * frozen model's Voronoi regions, so changing their count means
+    * retraining and re-encoding — [[retrainAnnIndex]]'s optional
+    * `nCells` is the ANN resize path (same one-swap atomicity). */
   def compactAnnIndex(spark: SparkSession, name: String,
       gcKeep: Int = 1): Unit = {
     val t = cellsTable(spark, name)
@@ -483,16 +488,29 @@ object AnnIndex {
     *
     * `emb` is the current raw-vector corpus (the index stores codes,
     * not vectors — same contract as [[cellStats]] and the probe's
-    * re-rank). */
+    * re-rank).
+    *
+    * `nCells = Some(n)` RESIZES the cell layout inside the same swap —
+    * the ANN twin of the near-dup/graph bucket resize (r11 ask). The
+    * cell count is SEMANTIC here (cells are the frozen quantizer's
+    * Voronoi regions, not just a file layout), so the resize rides the
+    * retrain, which re-trains and re-encodes anyway — a compaction
+    * alone cannot change it: codes are assignments against the stored
+    * model, and rewriting directories without re-encoding would serve
+    * old-model codes under a new-model cell map (the exact mixed state
+    * the one-pointer family swap exists to forbid). A corpus grown
+    * 100× raises n to keep |cell| ≈ corpus/nCells bounded (probe scan
+    * per query ∝ nprobe·|cell|). */
   def retrainAnnIndex(spark: SparkSession, name: String,
-      emb: DataFrame): Unit = {
+      emb: DataFrame, nCells: Option[Int] = None): Unit = {
+    nCells.foreach(n => require(n > 0, s"nCells must be positive, got $n"))
     val (_, m, ksub, residual) = geometry(spark, name)
-    val nCells = props(spark, cellsTable(spark, name)).getOrElse(NCellsProp,
+    val cur = props(spark, cellsTable(spark, name)).getOrElse(NCellsProp,
       sys.error(s"$name cells table has no $NCellsProp property")).toInt
     val scope = scopeOf(spark, name)
     // writeAnnIndex IS an atomic rebuild under Generations: it writes
     // the next generation while the current one keeps serving probes
-    writeAnnIndex(emb, name, nCells, m, ksub, residual, scope)
+    writeAnnIndex(emb, name, nCells.getOrElse(cur), m, ksub, residual, scope)
   }
 
   /** The closed drift loop: measure [[driftRatio]], retrain when it

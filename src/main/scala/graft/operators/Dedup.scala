@@ -974,8 +974,22 @@ object Dedup {
       .withColumn("skew", col("max_key") / col("mean_key"))
   }
 
+  /** `numBuckets = Some(n)` RESIZES the bucket layout inside the same
+    * generation swap (the r11 ask): a corpus grown 100× since the
+    * build keeps its build-time bucket count otherwise — per-bucket
+    * file sizes grow unbounded, row-group pruning coarsens, and the
+    * probe join's index-side parallelism stays capped at the stale
+    * count. Compaction is already the rewrite that touches every row,
+    * so it is the natural (and only) place to rebucket: the resized
+    * member pays ONE hash exchange to the new count (vs the default
+    * in-place merge, which is exchange-free), both tables move
+    * together under the one pointer flip, and every layout contract —
+    * exchange-free probe, one file per bucket — holds at the NEW
+    * count (LayoutSpec re-walks it). Size n to the corpus: the SCALE.md
+    * sizing note targets buckets that keep per-bucket files inside one
+    * executor's comfortable scan. */
   def compactNearDupIndex(spark: SparkSession, name: String,
-      gcKeep: Int = 1): Unit = {
+      gcKeep: Int = 1, numBuckets: Option[Int] = None): Unit = {
     val catalog = spark.sessionState.catalog
     val AutoScan = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val auto0 = spark.conf.get(AutoScan)
@@ -1003,11 +1017,22 @@ object Dedup {
         val k = meta.properties.getOrElse(ShingleKProp,
           sys.error(s"$t has no $ShingleKProp property"))
         val bcols = spec.bucketColumnNames
+        val nb = numBuckets.getOrElse(spec.numBuckets)
+        require(nb > 0, s"numBuckets must be positive, got $nb")
         val nt = Generations.physical(name, member, lease.gen)
         val src = tombs.fold(spark.table(t))(tt =>
           spark.table(t).join(tt, Seq("doc_id"), "left_anti"))
-        src.write.format("parquet")
-          .bucketBy(spec.numBuckets, bcols.head, bcols.tail: _*)
+        // same count: the forced-bucketed scan already owns one bucket
+        // per task — a narrow per-bucket file merge, no exchange. A
+        // RESIZE can't reuse the old partitioning: one explicit hash
+        // exchange to the new count (task count pinned — the AQE
+        // serial-writer trap), then the bucketed write lands one
+        // sorted file set per new bucket.
+        val shaped =
+          if (nb == spec.numBuckets) src
+          else src.repartition(nb, bcols.map(col): _*)
+        shaped.write.format("parquet")
+          .bucketBy(nb, bcols.head, bcols.tail: _*)
           .saveAsTable(nt)
         spark.sql(s"ALTER TABLE $nt SET TBLPROPERTIES ('$ShingleKProp' = '$k')")
       }

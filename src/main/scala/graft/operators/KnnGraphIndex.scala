@@ -412,13 +412,26 @@ object KnnGraphIndex {
     * deletions physical (tombstoned endpoints' rows reclaimed, vectors
     * dropped from vecs/probes, set cleared) — one generation swap
     * preserving the bucket layout; probes are hash-identical across
-    * the transition. */
+    * the transition.
+    *
+    * `numBuckets = Some(n)` RESIZES the layout inside the same swap
+    * (the r11 ask): without it a corpus grown 100× keeps its
+    * build-time bucket count — per-bucket files grow unbounded,
+    * row-group pruning coarsens, probe parallelism caps at the stale
+    * count. The compaction already rewrites every row through pinned
+    * repartitions, so the resize costs nothing extra; all four members
+    * move together under the one pointer flip and the slice-probe /
+    * zero-exchange contracts hold at the NEW count (LayoutSpec +
+    * KnnGraphIndexSpec re-walk them after a resize). */
   def compactKnnGraph(spark: SparkSession, name: String,
-      gcKeep: Int = 1): Unit = {
+      gcKeep: Int = 1, numBuckets: Option[Int] = None): Unit = {
+    numBuckets.foreach(n =>
+      require(n > 0, s"numBuckets must be positive, got $n"))
     // resolved BEFORE the lease: a legacy (pre-bucketed) family reads
     // None and the compaction upgrades it to the default layout
     val (k, nprobe, dim, buf) = geometry(spark, name)
-    val nb = bucketCountOf(spark, t(spark, name, "edges")).getOrElse(8)
+    val nb = numBuckets.getOrElse(
+      bucketCountOf(spark, t(spark, name, "edges")).getOrElse(8))
     Generations.swap(spark, name, Members, gcKeep = gcKeep) { lease =>
     val tombs = graphTombstones(spark, name)
       .map(tt => broadcast(tt.select(col("vec_id")).distinct()))

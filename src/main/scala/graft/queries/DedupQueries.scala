@@ -460,7 +460,11 @@ object DedupQueries {
     // two-ingest oracle as d13, hash-exact — while the physical layout
     // (one file per bucket, exchange-free probe) is pinned by
     // LayoutSpec. A compaction that dropped/duplicated signatures or
-    // broke the bucket alignment flips rows here.
+    // broke the bucket alignment flips rows here. Since r12 the
+    // compaction also RESIZES the bucket count (8 → 16, the grown-
+    // corpus path): night 2's probe runs against the rebucketed
+    // layout, so the resize's behavior-invisibility is driver-gated,
+    // not just spec-asserted.
     Q("d14_index_compaction",
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
@@ -470,7 +474,7 @@ object DedupQueries {
         val survA = Dedup.incrementalNearDupSurvivorsIndexed(
           s, "graft_d14_idx", batchA)
         Dedup.appendToNearDupIndex(batchA.join(survA, "doc_id"), "graft_d14_idx")
-        Dedup.compactNearDupIndex(s, "graft_d14_idx")
+        Dedup.compactNearDupIndex(s, "graft_d14_idx", numBuckets = Some(16))
         Dedup.incrementalNearDupSurvivorsIndexed(s, "graft_d14_idx",
             ingestBatchB(docs))
           .orderBy("doc_id")

@@ -650,6 +650,13 @@ object SimilarityQueries {
     // pinned in DuckDB (the d21/s23 pattern for the graph, PLUS the
     // buffer guarantee — without it deletion would only deplete lists,
     // never promote the next-best neighbor).
+    // (Since r12 the append is followed by a RESIZING compaction —
+    // 8 → 16 buckets, the grown-corpus path — so the probe that
+    // hash-checks against DuckDB runs on the rebucketed layout: the
+    // resize's behavior-invisibility is driver-gated here, its layout
+    // contracts re-walked at the new count in KnnGraphIndexSpec. s28
+    // keeps probing the UNCOMPACTED build+append state, so the pruned
+    // multi-file union stays pinned there.)
     Q("s26_graph_index_append",
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings")
@@ -658,6 +665,8 @@ object SimilarityQueries {
           "graft_s26_graph", k = 5, nCells = 16, nprobe = 16)
         KnnGraphIndex.appendToKnnGraph(emb.filter(col("vec_id") >= 300),
           "graft_s26_graph")
+        KnnGraphIndex.compactKnnGraph(s, "graft_s26_graph",
+          numBuckets = Some(16))
         KnnGraphIndex.probeKnnGraph(s, "graft_s26_graph")
           .orderBy("qid", "rank")
       },

@@ -233,6 +233,25 @@ class LayoutSpec extends SparkSpec {
         survAfter.mkString(","))
     // and the fixture really exercised both branches
     assert(survBefore.sameElements(Array(3000000000L)))
+
+    // RESIZE (r11 ask): a second compaction rebuckets 4 → 8 — the
+    // grown-corpus path. The bucket spec must actually move on BOTH
+    // tables, the exchange-free probe contract must hold at the NEW
+    // count, and the probe stays behavior-identical.
+    Dedup.compactNearDupIndex(spark, "graft_test_ndidx_cp",
+      numBuckets = Some(8))
+    Seq("buckets", "sigs").foreach { m =>
+      val t = graft.operators.Generations.resolve(
+        spark, "graft_test_ndidx_cp", m)
+      val bs = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(t)).bucketSpec
+      assert(bs.map(_.numBuckets).contains(8), s"$m not rebucketed to 8")
+    }
+    assertProbeLayoutEngaged("graft_test_ndidx_cp", probe)
+    val survResized = Dedup.incrementalNearDupSurvivorsIndexed(
+      spark, "graft_test_ndidx_cp", probe).collect().map(_.getLong(0)).sorted
+    assert(survResized.sameElements(survBefore),
+      "the bucket-count resize changed probe results")
   }
 
   test("index stamps its shingle k; mismatched probe/append fail fast") {

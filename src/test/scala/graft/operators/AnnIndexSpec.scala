@@ -183,6 +183,46 @@ class AnnIndexSpec extends SparkSpec {
     assert(!did2 && r2 < 1.05, s"spurious retrain at ratio $r2")
   }
 
+  // The ANN twin of the r11 bucket-resize ask: the cell count is
+  // SEMANTIC (the frozen quantizer's regions), so the resize rides the
+  // retrain — one generation swap, re-trained model + re-encoded codes
+  // published together. Exhaustive probes (nprobe = nCells, corpus
+  // shortlist) are model-independent exact search, so they must be
+  // identical across the resize; the stamped nCells and the physical
+  // cell directories must actually move.
+  test("retrain resize: cell count moves inside one swap; exhaustive probe invariant") {
+    val base = emb.select("vec_id", "embedding")
+      .filter(col("vec_id") < 400).localCheckpoint()
+    val name = "graft_test_ann_resize"
+    AnnIndex.writeAnnIndex(base, name, nCells = 4)
+    def exhaustive() = AnnIndex.probeAnnIndex(spark, name, base,
+        col("vec_id") < 4, k = 10, nprobe = 64, shortlist = 4000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSet
+    def stamped() = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(
+          Generations.resolve(spark, name, "cells")))
+      .properties(AnnIndex.NCellsProp).toInt
+    def cellDirs() = spark.table(Generations.resolve(spark, name, "cells"))
+      .select("cell").distinct().count()
+    val before = exhaustive()
+    assert(stamped() == 4 && cellDirs() <= 4)
+    AnnIndex.retrainAnnIndex(spark, name, base, nCells = Some(16))
+    assert(stamped() == 16, "nCells stamp did not move with the resize")
+    assert(cellDirs() > 4, "cell layout did not actually widen")
+    assert(exhaustive() == before,
+      "exhaustive probe changed across the cell-count resize")
+    // and the resized model is what future appends encode against
+    val more = Tables(spark, sf, "embeddings")
+      .filter(col("vec_id") >= 400 && col("vec_id") < 410)
+      .select("vec_id", "embedding")
+    AnnIndex.appendToAnnIndex(more, name)
+    val found = AnnIndex.probeAnnIndex(spark, name, base.unionByName(more),
+        col("vec_id") === 400, k = 5, nprobe = 64, shortlist = 4000)
+      .count()
+    assert(found == 5L, "post-resize append invisible to probes")
+  }
+
   test("probing a non-index table fails fast") {
     intercept[Exception] {
       AnnIndex.probeAnnIndex(spark, "graft_no_such_index", emb,
