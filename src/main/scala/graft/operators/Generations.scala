@@ -119,6 +119,17 @@ object Generations {
     * assert the index is never absent and probes stay hash-identical
     * across both crash windows. */
   @volatile private[graft] var failpoint: Option[String] = None
+  /** Test-only: a triggered failpoint HALTS the JVM (exit 137)
+    * instead of throwing — the CROSS-PROCESS crash injection
+    * [[graft.tools.DurableLab]] uses against a persistent metastore.
+    * An exception unwinds `finally` blocks (in-process liveness drops,
+    * abort paths run); a real crashed driver does not — halt is the
+    * honest simulation of that. */
+  @volatile private[graft] var failpointHalt: Boolean = false
+  /** Test-only: overrides every [[begin]]'s lease TTL so a
+    * cross-process recovery test can wait out a crashed foreign
+    * writer's lease in seconds instead of [[DefaultLeaseTtlMs]]. */
+  @volatile private[graft] var leaseTtlOverrideMs: Option[Long] = None
   /** Test-only: forget a family's JVM-local lease bookkeeping, as if
     * the process holding it had died — the persisted manifest lease
     * remains, exercising the cross-process TTL/steal paths. */
@@ -133,8 +144,10 @@ object Generations {
     ()
   }
   private def crashPoint(p: String): Unit =
-    if (failpoint.contains(p))
+    if (failpoint.contains(p)) {
+      if (failpointHalt) Runtime.getRuntime.halt(137)
       throw new IllegalStateException(s"injected crash at $p")
+    }
 
   def manifest(name: String): String = s"${name}_manifest"
 
@@ -246,9 +259,10 @@ object Generations {
     sweepStrayDirs(spark, name, members)
     val token = java.util.UUID.randomUUID().toString
     val now = System.currentTimeMillis()
+    val ttl = leaseTtlOverrideMs.getOrElse(leaseTtlMs)
     setProps(spark, manifest(name), Map(
       WriterProp -> token,
-      WriterExpProp -> (now + leaseTtlMs).toString,
+      WriterExpProp -> (now + ttl).toString,
       WriterSinceProp -> now.toString))
     liveLeases.put(name, token)
     issuedByThisJvm.put(name, token)

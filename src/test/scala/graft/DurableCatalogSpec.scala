@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Generations protocol proven on a catalog that OUTLIVES the
+  * writer (the r11 verdict's #1 structural finding: every
+  * crash-atomicity claim previously lived in the in-memory session
+  * catalog that dies with the JVM, and the crash specs simulated
+  * crashes within a surviving JVM). This spec forks REAL JVMs over one
+  * shared Derby-backed Hive metastore and kills them mid-swap with
+  * `Runtime.halt` — before-flip and after-flip — then reattaches a
+  * fresh JVM and asserts probe hash-integrity, lease recovery via the
+  * TTL path, debris GC, and the in-process crash matrix, all against
+  * the persistent catalog. The command semantics live in
+  * [[graft.tools.DurableLab]]; this spec drives the process sequence
+  * and asserts exit codes (137 = halted mid-swap, 0 = recovery
+  * assertions all passed in the forked JVM). */
+class DurableCatalogSpec extends AnyFunSuite {
+
+  private val AddOpens = Seq(
+    "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+    "java.net", "java.nio", "java.util", "java.util.concurrent",
+    "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+    "sun.security.action", "sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+
+  private def fork(workDir: String, cmd: String): (Int, String) = {
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java")
+      .toString
+    val args = Seq(javaBin) ++ AddOpens ++ Seq(
+      "-Xmx3g",
+      "-Dspark.ui.enabled=false",
+      "-Dspark.sql.session.timeZone=UTC",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.tools.DurableLab", cmd, workDir)
+    val log = Paths.get(workDir, s"$cmd.log").toFile
+    val pb = new ProcessBuilder(args: _*)
+      .redirectErrorStream(true)
+      .redirectOutput(log)
+    val p = pb.start()
+    val done = p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
+    if (!done) { p.destroyForcibly(); sys.error(s"$cmd timed out") }
+    val out = new String(Files.readAllBytes(log.toPath), "UTF-8")
+    (p.exitValue(), out)
+  }
+
+  private def tail(out: String): String =
+    out.linesIterator.toSeq.takeRight(25).mkString("\n")
+
+  test("kill-mid-swap on a persistent metastore: both windows recover with probe hash-integrity and TTL lease recovery") {
+    val workDir = Files.createTempDirectory("graft_durable").toString
+    def run(cmd: String, expectRc: Int): String = {
+      val (rc, out) = fork(workDir, cmd)
+      assert(rc == expectRc,
+        s"$cmd: expected exit $expectRc, got $rc\n${tail(out)}")
+      out
+    }
+    // 1. a fresh JVM builds the family on the durable catalog
+    val b = run("build", 0)
+    assert(b.contains("[lab] build ok"), tail(b))
+    // 2. a mutation is KILLED (halt, not exception) before its flip
+    run("kill-before-flip", 137)
+    // 3. a fresh JVM reattaches: old state fully visible, dead lease
+    //    stealable via TTL, retried mutation completes
+    val r1 = run("recover-before", 0)
+    assert(r1.contains("[lab] recover-before ok"), tail(r1))
+    // 4. a compaction is KILLED right after its atomic flip+release
+    run("kill-after-flip", 137)
+    // 5. fresh JVM: new generation live, lease already released,
+    //    debris GC'd by the next mutation, probe hash intact; then the
+    //    in-process crash matrix re-runs on the persistent catalog
+    val r2 = run("recover-after", 0)
+    assert(r2.contains("[lab] recover-after ok"), tail(r2))
+  }
+}
