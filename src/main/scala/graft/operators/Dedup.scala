@@ -785,6 +785,19 @@ object Dedup {
     * Nightly ingest then pays: signature-scan of the BATCH only + a
     * shuffle of the batch-sized probe frame. The corpus-sized index is
     * written once and never re-shuffled (LayoutSpec pins this). */
+  /** Layout (r12): both tables bucket on a SINGLE column — `bh` for
+    * buckets, `doc_id` for sigs — and sort by it. Single-column
+    * buckets are what makes the probe's bounded-batch fast path FLAT
+    * in corpus size: the batch's own key literals prune which bucket
+    * FILES are read (Spark bucket pruning needs a single bucket
+    * column), the per-file sort adds row-group pruning inside them,
+    * and with numBuckets sized ∝ corpus (the compaction resize knob)
+    * the probe reads batch-many constant-size buckets whatever the
+    * corpus. The probe join keys stay (band, bh) ⊇ {bh}, so hash
+    * partitioning on bh alone still satisfies the join's distribution
+    * — the exchange-free contract is unchanged (LayoutSpec). bh is
+    * xxhash64 OF the band's minhash rows, so same-bh-different-band
+    * rows are vanishingly rare — bucketing loses nothing. */
   def writeNearDupIndex(hist: DataFrame, name: String, numBuckets: Int = 8,
       k: Int = 5, gcKeep: Int = 1): Unit = {
     val spark = hist.sparkSession
@@ -797,11 +810,14 @@ object Dedup {
       val bt = Generations.physical(name, "buckets", lease.gen)
       val st = Generations.physical(name, "sigs", lease.gen)
       val hs = Frontier.pin(signatures(hist, k))
-      bandBuckets(hs).write.format("parquet")
-        .bucketBy(numBuckets, "band", "bh")
+      bandBuckets(hs).repartition(numBuckets, col("bh"))
+        .write.format("parquet")
+        .bucketBy(numBuckets, "bh").sortBy("bh")
         .saveAsTable(bt)
-      hs.select(col("doc_id"), col("shs")).write.format("parquet")
-        .bucketBy(numBuckets, "doc_id")
+      hs.select(col("doc_id"), col("shs"))
+        .repartition(numBuckets, col("doc_id"))
+        .write.format("parquet")
+        .bucketBy(numBuckets, "doc_id").sortBy("doc_id")
         .saveAsTable(st)
       // stamp the shingle width on both tables: signatures built with a
       // different k are INCOMPARABLE (different shingle universe →
@@ -917,12 +933,21 @@ object Dedup {
           spark.table(bt).select("doc_id").distinct(),
           Seq("doc_id"), "left_anti")
         else bands
-      bandsToAdd.write.format("parquet").mode("append")
-        .bucketBy(spec(bt).numBuckets, "band", "bh")
-        .saveAsTable(bt)
-      bs.select(col("doc_id"), col("shs")).write.format("parquet").mode("append")
-        .bucketBy(spec(st).numBuckets, "doc_id")
-        .saveAsTable(st)
+      // appends FOLLOW the catalog's bucket/sort spec (legacy
+      // (band,bh)-bucketed indexes keep their layout until the next
+      // compaction upgrades them to the canonical single-column one)
+      def appendWith(df: DataFrame, t: String): Unit = {
+        val sp = spec(t)
+        val bc = sp.bucketColumnNames
+        val w = df.write.format("parquet").mode("append")
+          .bucketBy(sp.numBuckets, bc.head, bc.tail: _*)
+        (sp.sortColumnNames match {
+          case Nil => w
+          case s => w.sortBy(s.head, s.tail: _*)
+        }).saveAsTable(t)
+      }
+      appendWith(bandsToAdd, bt)
+      appendWith(bs.select(col("doc_id"), col("shs")), st)
       // make the append visible to THIS session's next probe even if
       // the insert path left a cached file listing behind (other
       // sessions must refresh on their side — caches are per-session)
@@ -1016,23 +1041,29 @@ object Dedup {
           .getOrElse(sys.error(s"$t is not a bucketed index table"))
         val k = meta.properties.getOrElse(ShingleKProp,
           sys.error(s"$t has no $ShingleKProp property"))
-        val bcols = spec.bucketColumnNames
+        // the CANONICAL layout (see writeNearDupIndex): single bucket
+        // column + sort — a legacy (band,bh)-bucketed generation
+        // upgrades here, compaction being the rewrite that touches
+        // every row anyway
+        val bcol = if (member == "buckets") "bh" else "doc_id"
         val nb = numBuckets.getOrElse(spec.numBuckets)
         require(nb > 0, s"numBuckets must be positive, got $nb")
         val nt = Generations.physical(name, member, lease.gen)
         val src = tombs.fold(spark.table(t))(tt =>
           spark.table(t).join(tt, Seq("doc_id"), "left_anti"))
-        // same count: the forced-bucketed scan already owns one bucket
-        // per task — a narrow per-bucket file merge, no exchange. A
-        // RESIZE can't reuse the old partitioning: one explicit hash
-        // exchange to the new count (task count pinned — the AQE
-        // serial-writer trap), then the bucketed write lands one
-        // sorted file set per new bucket.
+        // same count + already-canonical columns: the forced-bucketed
+        // scan owns one bucket per task — a narrow per-bucket file
+        // merge, no exchange. A RESIZE (or a legacy-layout upgrade)
+        // can't reuse the old partitioning: one explicit hash exchange
+        // to the new layout (task count pinned — the AQE serial-writer
+        // trap), then the bucketed write lands one sorted file set per
+        // bucket.
         val shaped =
-          if (nb == spec.numBuckets) src
-          else src.repartition(nb, bcols.map(col): _*)
+          if (nb == spec.numBuckets &&
+              spec.bucketColumnNames == Seq(bcol)) src
+          else src.repartition(nb, col(bcol))
         shaped.write.format("parquet")
-          .bucketBy(nb, bcols.head, bcols.tail: _*)
+          .bucketBy(nb, bcol).sortBy(bcol)
           .saveAsTable(nt)
         spark.sql(s"ALTER TABLE $nt SET TBLPROPERTIES ('$ShingleKProp' = '$k')")
       }
@@ -1089,15 +1120,60 @@ object Dedup {
     * members of a within-batch duplicate pair, which a bare self-
     * exclusion would still collapse). Batch-sized candidate anti-join;
     * a no-op when the ids are absent (the normal path). */
+  /** Bounded-batch pushdown: when the batch's distinct bucket keys fit
+    * the `Sharding` ≤10k literal budget AND the index table is big
+    * enough for a full scan to matter, the keys are pushed onto the
+    * index scans as `IN` filters — on the canonical single-column
+    * sorted layout that prunes bucket files and row groups. The win is
+    * largest exactly where it matters: the SIGS side carries the fat
+    * shingle arrays, and without the filter the verify join reads
+    * every doc's array to serve a batch-sized candidate set; with it,
+    * only the candidates' row groups materialize. (The buckets side is
+    * 3 narrow columns — its filtered scan caps the top end; true
+    * bucket-level point lookup needs |batch|·bands ≪ numBuckets, the
+    * takedown-probe regime.) Below [[ProbePushdownMinBytes]] the extra
+    * key-collection jobs cost more than the full scans they'd save, so
+    * small indexes keep the plain co-partitioned path. The filters
+    * only RESTRICT rows the equi-join would keep anyway, so both paths
+    * are bit-identical (d12–d14 hash rows gate them; Scale100 measures
+    * the 10→100× exponent). */
+  private val ProbePushdownMax = 10000
+  private[graft] val ProbePushdownMinBytes = 64L << 20
+
+  /** File-listing size of a catalog table's scan — cheap (the relation
+    * already listed its files) and good enough for a threshold. */
+  private def scanBytes(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+
   def incrementalNearDupSurvivorsIndexed(spark: SparkSession, name: String,
       batch: DataFrame, k: Int = 5, minJ: Double = 0.5,
       excludeIds: Option[DataFrame] = None): DataFrame = {
     requireShingleK(spark, name, k)
-    val hb = spark.table(bucketsTable(spark, name))
+    val hb0 = spark.table(bucketsTable(spark, name))
     val hsig = spark.table(sigsTable(spark, name))
     val bs = signatures(batch, k)
+    // one extra batch-sized job collects the probe keys; over-budget
+    // batches detect via limit(max+1) without materializing the rest
+    val hb =
+      if (scanBytes(hb0) <= ProbePushdownMinBytes) hb0
+      else {
+        val bhKeys = bandBuckets(bs).select("bh").distinct()
+          .limit(ProbePushdownMax + 1).collect().map(_.getLong(0))
+        if (bhKeys.length <= ProbePushdownMax)
+          hb0.filter(col("bh").isin(bhKeys.map(Long.box): _*))
+        else hb0
+      }
+    // the equi-key is bh ALONE: it exactly matches the single-column
+    // bucket layout, so the index side's partitioning satisfies the
+    // join with no exchange (join co-partitioning requires the FULL
+    // key set to match the bucket columns — a (band, bh) key would
+    // re-shuffle the bh-bucketed index). band is not needed for
+    // correctness: bh is the xxhash64 OF the band's minhash rows, so
+    // a same-bh-different-band collision is a ~2^-64 accident that
+    // the exact-Jaccard verify stage filters like any other
+    // non-duplicate candidate — output identical (d12–d14 hash rows).
     val cand0 = bandBuckets(bs).as("b").join(hb.as("h"),
-        col("b.band") === col("h.band") && col("b.bh") === col("h.bh") &&
+        col("b.bh") === col("h.bh") &&
           // self-stability under replay: a batch whose docs already
           // landed in the index (a crashed attempt's append) must not
           // self-disqualify — the probe answers "duplicates of OTHERS"
@@ -1118,9 +1194,26 @@ object Dedup {
         "left_anti")
       case None => cand0
     }
+    // the verify side gets the same bounded pushdown: candidate hids
+    // (batch-bounded in the normal regime) prune the sigs scan —
+    // sorted on doc_id, so the fat shingle arrays materialize only
+    // for candidates' row groups. The extra candidate evaluation runs
+    // against the already-filtered buckets side; over budget, or on a
+    // small index, the filter is skipped.
+    val hsigScan =
+      if (scanBytes(hsig) <= ProbePushdownMinBytes) hsig
+      else {
+        val hidKeys = cand.select("hid").distinct()
+          .limit(ProbePushdownMax + 1).collect().map(_.getLong(0))
+        // an EMPTY key set is still a valid pushdown (no candidates →
+        // always-false filter → the fat scan never runs)
+        if (hidKeys.length <= ProbePushdownMax)
+          hsig.filter(col("doc_id").isin(hidKeys.map(Long.box): _*))
+        else hsig
+      }
     val dupIds = cand
       .join(bs.select(col("doc_id").as("bid"), col("shs").as("shb")), "bid")
-      .join(hsig.select(col("doc_id").as("hid"), col("shs").as("shh")), "hid")
+      .join(hsigScan.select(col("doc_id").as("hid"), col("shs").as("shh")), "hid")
       .withColumn("inter", size(array_intersect(col("shb"), col("shh"))))
       .filter(col("inter") /
         (size(col("shb")) + size(col("shh")) - col("inter")).cast("double") >= minJ)

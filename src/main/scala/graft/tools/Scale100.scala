@@ -45,8 +45,8 @@ object Scale100 {
       else Seq(10, 30, 100)
     require(opArgs.length <= 1, s"at most one op arg: ${opArgs.toSeq}")
     val op = opArgs.headOption.getOrElse("all")
-    require(Set("all", "none", "d22", "s25", "s26").contains(op),
-      s"unknown op '$op' (all|none|d22|s25|s26)")
+    require(Set("all", "none", "d22", "s25", "s26", "d12", "s09").contains(op),
+      s"unknown op '$op' (all|none|d22|s25|s26|d12|s09)")
     val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_scale")
 
     def indicators(df: DataFrame): String = {
@@ -120,6 +120,50 @@ object Scale100 {
         println(f"[s100] m=$m%-4d s26_append     ${(System.nanoTime() - t1) / 1e9}%8.2fs  (build)")
         time("slice_probe", () => KnnGraphIndex.probeKnnGraph(spark, gName,
           col("qid") >= 88000000000L))
+      }
+
+      // the two r11 probe-flatness claims still pinned only at 10×
+      // (r11 verdict ask #4): the bucketed near-dup probe (d12) and
+      // the DPP ANN probe (s09), each against an index over the M×
+      // corpus with the layout knob scaled ∝ M (numBuckets / nCells —
+      // the resize sizing rule), probed with a FIXED-size batch.
+      if (op == "d12") {
+        val iName = s"graft_s100_nd_m$m"
+        val t0 = System.nanoTime()
+        Dedup.writeNearDupIndex(docs.select(col("doc_id"), col("text")),
+          iName, numBuckets = 8 * m)
+        println(f"[s100] m=$m%-4d d12_build      ${(System.nanoTime() - t0) / 1e9}%8.2fs  (build)")
+        val batch = docs.filter(col("doc_id") < 25)
+          .select((col("doc_id") + 77000000000L).as("doc_id"),
+            concat(col("text"), lit(" zz probe pad")).as("text"))
+          .unionByName(spark.range(25)
+            .select((col("id") + 78000000000L).as("doc_id"),
+              concat(lit("scale100 fixed novel probe doc "),
+                col("id").cast("string"),
+                lit(" alpha beta gamma delta epsilon zeta eta theta"))
+                .as("text")))
+          .localCheckpoint()
+        time("d12_probe", () => Dedup.incrementalNearDupSurvivorsIndexed(
+          spark, iName, batch))
+        // the POINT-PROBE regime (takedown-scale): 2 docs → 128 bucket
+        // keys ≪ numBuckets = 8·M, so bucket pruning reads ~keys many
+        // constant-size buckets whatever the corpus — the flat regime
+        // of the pushdown (the 50-doc probe above measures the
+        // scan-bound regime where keys ≥ buckets)
+        val point = docs.filter(col("doc_id") < 2)
+          .select((col("doc_id") + 79000000000L).as("doc_id"),
+            concat(col("text"), lit(" zz point pad")).as("text"))
+          .localCheckpoint()
+        time("d12_point", () => Dedup.incrementalNearDupSurvivorsIndexed(
+          spark, iName, point))
+      }
+      if (op == "s09") {
+        val aName = s"graft_s100_ann_m$m"
+        val t0 = System.nanoTime()
+        graft.operators.AnnIndex.writeAnnIndex(emb, aName, nCells = 16 * m)
+        println(f"[s100] m=$m%-4d s09_build      ${(System.nanoTime() - t0) / 1e9}%8.2fs  (build)")
+        time("s09_probe", () => graft.operators.AnnIndex.probeAnnIndex(
+          spark, aName, emb, col("vec_id") < 8, k = 10))
       }
     }
     spark.stop()

@@ -143,7 +143,7 @@ class LayoutSpec extends SparkSpec {
     import graft.operators.Dedup.{bandBuckets, signatures}
     val sigs = signatures(batch, 5).localCheckpoint()
     bandBuckets(sigs).write.format("parquet").mode("append")
-      .bucketBy(4, "band", "bh").saveAsTable(bt)
+      .bucketBy(4, "bh").sortBy("bh").saveAsTable(bt)
     spark.catalog.refreshTable(bt)
     val bucketRowsTorn = spark.table(bt)
       .filter(col("doc_id") >= 3000000300L).count()
