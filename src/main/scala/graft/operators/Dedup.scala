@@ -1131,14 +1131,37 @@ object Dedup {
     * only the candidates' row groups materialize. (The buckets side is
     * 3 narrow columns — its filtered scan caps the top end; true
     * bucket-level point lookup needs |batch|·bands ≪ numBuckets, the
-    * takedown-probe regime.) Below [[ProbePushdownMinBytes]] the extra
+    * takedown-probe regime.) Below the size threshold the extra
     * key-collection jobs cost more than the full scans they'd save, so
     * small indexes keep the plain co-partitioned path. The filters
     * only RESTRICT rows the equi-join would keep anyway, so both paths
-    * are bit-identical (d12–d14 hash rows gate them; Scale100 measures
-    * the 10→100× exponent). */
+    * are bit-identical — and that is GATED, not argued: the threshold
+    * reads session conf [[PushdownMinBytesConf]], so
+    * NearDupIndexSpec forces the pushdown branch on a fixture-sized
+    * index and asserts its output row-for-row equal to the plain
+    * path's (fixture indexes never cross the 64 MB default, so the
+    * d12–d14 hash rows alone would leave the branch unexercised;
+    * Scale100 measures its 10→100× exponent).
+    *
+    * Key collection runs as SEPARATE driver jobs before the probe job.
+    * Whenever a pushdown is active, the frames those keys are
+    * collected from — the batch's signatures, and the candidate set —
+    * are pinned ([[Frontier.pin]]), so the collection job and the
+    * final probe job consume the same materialized rows: with an
+    * unpinned non-deterministic batch source the two evaluations could
+    * diverge and the `isin` filter would silently drop true duplicate
+    * candidates. The pin also collapses what used to be three
+    * evaluations of `signatures(batch)` (bh keys, candidate join,
+    * verify join) into one. */
   private val ProbePushdownMax = 10000
-  private[graft] val ProbePushdownMinBytes = 64L << 20
+
+  /** Session-conf override for the index-size floor (bytes) below
+    * which [[incrementalNearDupSurvivorsIndexed]] skips the bounded
+    * key pushdown. Default 64 MB; tests set it to 0 to force the
+    * pushdown branch on fixture-sized indexes. */
+  private[graft] val PushdownMinBytesConf = "graft.neardup.pushdownMinBytes"
+  private def probePushdownMinBytes(spark: SparkSession): Long =
+    spark.conf.get(PushdownMinBytesConf, (64L << 20).toString).toLong
 
   /** File-listing size of a catalog table's scan — cheap (the relation
     * already listed its files) and good enough for a threshold. */
@@ -1151,11 +1174,19 @@ object Dedup {
     requireShingleK(spark, name, k)
     val hb0 = spark.table(bucketsTable(spark, name))
     val hsig = spark.table(sigsTable(spark, name))
-    val bs = signatures(batch, k)
+    val minBytes = probePushdownMinBytes(spark)
+    val pushBuckets = scanBytes(hb0) > minBytes
+    val pushSigs = scanBytes(hsig) > minBytes
+    // any active pushdown pins the batch signatures: the key-collection
+    // job and the probe job must see the same rows (object doc above)
+    val bs = {
+      val bs0 = signatures(batch, k)
+      if (pushBuckets || pushSigs) Frontier.pin(bs0) else bs0
+    }
     // one extra batch-sized job collects the probe keys; over-budget
     // batches detect via limit(max+1) without materializing the rest
     val hb =
-      if (scanBytes(hb0) <= ProbePushdownMinBytes) hb0
+      if (!pushBuckets) hb0
       else {
         val bhKeys = bandBuckets(bs).select("bh").distinct()
           .limit(ProbePushdownMax + 1).collect().map(_.getLong(0))
@@ -1189,19 +1220,22 @@ object Dedup {
     val exTombs = nearDupTombstones(spark, name)
       .map(_.select(col("doc_id").as("hid")))
     val excl = (exCaller.toSeq ++ exTombs.toSeq).reduceOption(_ unionByName _)
-    val cand = excl match {
+    val cand1 = excl match {
       case Some(ex) => cand0.join(broadcast(ex.distinct()), Seq("hid"),
         "left_anti")
       case None => cand0
     }
+    // the sigs-side key collection and the verify join below consume
+    // the SAME pinned candidate set — one evaluation of the whole
+    // candidate pipeline, no divergence window (object doc above)
+    val cand = if (pushSigs) Frontier.pin(cand1) else cand1
     // the verify side gets the same bounded pushdown: candidate hids
     // (batch-bounded in the normal regime) prune the sigs scan —
     // sorted on doc_id, so the fat shingle arrays materialize only
-    // for candidates' row groups. The extra candidate evaluation runs
-    // against the already-filtered buckets side; over budget, or on a
-    // small index, the filter is skipped.
+    // for candidates' row groups. Over budget, or on a small index,
+    // the filter is skipped.
     val hsigScan =
-      if (scanBytes(hsig) <= ProbePushdownMinBytes) hsig
+      if (!pushSigs) hsig
       else {
         val hidKeys = cand.select("hid").distinct()
           .limit(ProbePushdownMax + 1).collect().map(_.getLong(0))

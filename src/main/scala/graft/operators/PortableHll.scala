@@ -53,12 +53,23 @@ import org.apache.spark.sql.functions._
   * Bit-identity caveat (the one residual cross-engine assumption):
   * `ln` must agree between the JVM and DuckDB's libm to the last ulp,
   * which IEEE-754 recommends but does not mandate for transcendentals.
-  * A 1-ulp divergence only becomes VISIBLE if the estimate lands
-  * within an ulp of an integer boundary, where floor() would flip —
-  * so the final floor adds a 1e-9 epsilon on both engines, turning
-  * "within 1 ulp below an integer" into the same integer on both
-  * sides. (ApproxDistinctSpec pins the Spark-side values; the q16
-  * oracle row is the cross-engine check.) */
+  * The guarantee is PER-BRANCH. The raw branch is ln-free (pure
+  * arithmetic — exact agreement). The linear-counting branch's
+  * m·ln(m/v) amplifies a 1-ulp divergence to at most ~4e-12 absolute,
+  * which the final floor's 1e-9 epsilon absorbs (turning "within an
+  * ulp below an integer" into the same integer on both sides) — so
+  * the two branches the oracle can actually reach are bit-guaranteed.
+  * The LARGE-RANGE branch's 2^32 multiplier amplifies the same ulp to
+  * ~1e-5..2e-5 absolute, beyond any epsilon that is still a no-op on
+  * the estimate — there the contract is estimate agreement to ±1
+  * count on a ≥1.4e8 estimate (≤1e-8 relative), not bit-identity, and
+  * a hash-exact comparison across engines flips with probability
+  * ~2e-5 per key. Unreachable in the oracle by construction (the
+  * branch needs >2^32/30 distinct per key; fixtures top out ~6e4),
+  * and deployments needing hash-stable output at that cardinality
+  * should shard the keyspace per the ceiling note above.
+  * (ApproxDistinctSpec pins the Spark-side values; the q16 oracle row
+  * is the cross-engine check.) */
 object PortableHll {
 
   /** m = 2^p registers, p = 12. */
@@ -94,7 +105,9 @@ object PortableHll {
     * the ceiling note in the object Scaladoc). Shared verbatim by both
     * engines; floor(·+1e-9) → BIGINT is the hashed output (the epsilon
     * absorbs a potential 1-ulp ln() divergence between libms at
-    * integer boundaries). */
+    * integer boundaries in the linear-counting branch — the large-range
+    * branch's amplified divergence is out of its reach and out of the
+    * oracle's, per the per-branch caveat in the object Scaladoc). */
   private def estExpr: String = {
     val alpha = s"(0.7213 / (1.0 + 1.079 / $M.0))"
     val denom = "(znum + v * 2097152)" // absent buckets: 2^-0 = 2^21/2^21

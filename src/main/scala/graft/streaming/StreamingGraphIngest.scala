@@ -53,7 +53,11 @@ object StreamingGraphIngest {
       ifAbsent: Boolean = true): DataFrame = {
     val spark = batch.sparkSession
     KnnGraphIndex.appendToKnnGraph(batch, graphName, ifAbsent)
-    val ids = batch.select("vec_id").distinct().collect().map(_.getLong(0))
+    // over-budget batches (a catch-up burst after downtime) detect via
+    // limit(max+1) without materializing every id on the driver — the
+    // same discipline as Dedup's probe-key collection
+    val ids = batch.select("vec_id").distinct()
+      .limit(InListMax + 1).collect().map(_.getLong(0))
     if (ids.length <= InListMax)
       KnnGraphIndex.probeKnnGraph(spark, graphName,
         col("qid").isin(ids.map(Long.box): _*))

@@ -143,7 +143,18 @@ object StreamingNightlyIngest {
     * generation — the same write discipline as the indexes. */
   private val CorpusMembers = Seq("vecs")
 
-  /** Create or replace the raw-vector corpus (a generation swap). */
+  /** Create or replace the raw-vector corpus (a generation swap).
+    * Like every corpus MUTATION, it retires a legacy plain-table
+    * leftover once the swap has committed: the pin materializes the
+    * input before the plain table is touched, so this is safe even
+    * when `vecs` was read FROM that table (the wrap-as-generation-0
+    * migration). Without the retirement, a takedown's
+    * [[compactCorpus]] on a pre-family deployment would swap the
+    * filtered corpus in as the family but leave every deleted doc's
+    * embedding physically on disk in the orphaned plain table —
+    * violating the true-erasure contract for deployments that never
+    * run [[nightStep]] (whose [[corpusPhysical]] is otherwise the
+    * only place the leftover was dropped). */
   def writeCorpus(spark: SparkSession, arts: Artifacts,
       vecs: DataFrame): Unit = {
     val pinned = Frontier.pin(vecs)
@@ -153,6 +164,8 @@ object StreamingNightlyIngest {
           Generations.physical(arts.annCorpusTable, "vecs", lease.gen))
       Map.empty
     }
+    if (legacyCorpusExists(spark, arts))
+      Generations.dropTableAndLocation(spark, arts.annCorpusTable)
   }
 
   private def legacyCorpusExists(spark: SparkSession,
@@ -186,8 +199,9 @@ object StreamingNightlyIngest {
           Generations.dropTableAndLocation(spark, t)
         Generations.resolve(spark, t, "vecs")
       case None if legacyCorpusExists(spark, arts) =>
-        writeCorpus(spark, arts, Frontier.pin(spark.table(t)))
-        Generations.dropTableAndLocation(spark, t)
+        // writeCorpus pins the plain table's contents, swaps them in
+        // as generation 0, and retires the plain table itself
+        writeCorpus(spark, arts, spark.table(t))
         Generations.resolve(spark, t, "vecs")
       case None => Generations.resolve(spark, t, "vecs") // canonical error
     }

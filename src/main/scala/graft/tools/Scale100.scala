@@ -38,7 +38,8 @@ object Scale100 {
     // one (M, op) per JVM is the credible protocol: accumulated
     // lineage-pin blocks and shared-box noise made multi-stage runs
     // swing 7x run-to-run. Usage: Scale100 <sfDir> [Ms...] [op]
-    // — a trailing non-numeric arg selects one op (d22|s25|s26|none).
+    // — a trailing non-numeric arg selects one op
+    // (d22|s25|s26|d12|s09|none); the default "all" runs every op.
     val rest = args.drop(1)
     val (mArgs, opArgs) = rest.partition(_.forall(_.isDigit))
     val ms = if (mArgs.nonEmpty) mArgs.map(_.toInt).toSeq
@@ -127,7 +128,7 @@ object Scale100 {
       // the DPP ANN probe (s09), each against an index over the M×
       // corpus with the layout knob scaled ∝ M (numBuckets / nCells —
       // the resize sizing rule), probed with a FIXED-size batch.
-      if (op == "d12") {
+      if (op == "all" || op == "d12") {
         val iName = s"graft_s100_nd_m$m"
         val t0 = System.nanoTime()
         Dedup.writeNearDupIndex(docs.select(col("doc_id"), col("text")),
@@ -157,7 +158,7 @@ object Scale100 {
         time("d12_point", () => Dedup.incrementalNearDupSurvivorsIndexed(
           spark, iName, point))
       }
-      if (op == "s09") {
+      if (op == "all" || op == "s09") {
         val aName = s"graft_s100_ann_m$m"
         val t0 = System.nanoTime()
         graft.operators.AnnIndex.writeAnnIndex(emb, aName, nCells = 16 * m)

@@ -283,6 +283,39 @@ class LayoutSpec extends SparkSpec {
       spark, "graft_test_ndidx_k", batch, k = 5).isEmpty)
   }
 
+  test("probe-key pushdown path is row-identical to the plain path") {
+    // fixture indexes never cross the 64 MB default floor, so the
+    // bounded-key pushdown would ship ungated without forcing it:
+    // the session-conf override drops the floor to 0 and the same
+    // probe must answer identically through both plans
+    import graft.operators.Dedup
+    val docs = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    Dedup.writeNearDupIndex(docs, "graft_test_ndidx_push", numBuckets = 4)
+    val batch = docs.filter(col("doc_id") < 30)
+      .select((col("doc_id") + 1000000000L).as("doc_id"),
+        concat(col("text"), lit(" zz pad")).as("text"))
+    val plain = Dedup.incrementalNearDupSurvivorsIndexed(
+      spark, "graft_test_ndidx_push", batch).collect().map(_.getLong(0)).sorted
+    try {
+      spark.conf.set(Dedup.PushdownMinBytesConf, "0")
+      val pushed = Dedup.incrementalNearDupSurvivorsIndexed(
+        spark, "graft_test_ndidx_push", batch).collect()
+        .map(_.getLong(0)).sorted
+      assert(pushed.sameElements(plain),
+        s"pushdown diverged: ${pushed.length} vs ${plain.length} survivors")
+      // a batch with NO candidates pushes an EMPTY key set — a valid
+      // always-false filter on the fat sigs scan — and every batch
+      // doc must survive
+      val fresh = spark.range(4)
+        .select((col("id") + 1000000500L).as("doc_id"),
+          concat(lit("pushdown wholly fresh doc "), col("id").cast("string"),
+            lit(" nu xi omicron pi rho sigma tau upsilon phi chi psi"))
+            .as("text"))
+      assert(Dedup.incrementalNearDupSurvivorsIndexed(
+        spark, "graft_test_ndidx_push", fresh).count() == 4)
+    } finally spark.conf.unset(Dedup.PushdownMinBytesConf)
+  }
+
   test("hive-partitioned layout prunes whole files at listing time") {
     val out = Files.createTempDirectory("layout_hive").toString
     Tables(spark, sf, "documents")

@@ -464,6 +464,38 @@ class StreamingNightlyIngestSpec extends SparkSpec {
     assert(StreamingNightlyIngest.retrainCorpus(spark, arts).count() == n)
   }
 
+  test("takedown-only legacy deployment: compactCorpus completes TRUE erasure") {
+    // a deployment that only ever runs the takedown path
+    // (applyDeletions + compactCorpus, never nightStep) on a
+    // pre-family corpus: the compaction's writeCorpus must retire the
+    // orphaned plain table, or every deleted doc's embedding stays
+    // physically on disk — violating compactCorpus's erasure contract
+    val corpus = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .filter(col("doc_id") < 20).localCheckpoint()
+    val arts = mkArts("legacyerase")
+    reset(arts, corpus)
+    val vecs = StreamingNightlyIngest.corpus(spark, arts).localCheckpoint()
+    Generations.destroy(spark, arts.annCorpusTable, Seq("vecs"))
+    Generations.dropTableAndLocation(spark, arts.annCorpusTable)
+    vecs.write.format("parquet").saveAsTable(arts.annCorpusTable)
+    val n = vecs.count()
+    import spark.implicits._
+    StreamingNightlyIngest.applyDeletions(arts,
+      Seq(3L).toDF("doc_id"), vecs.schema)
+    // logical effect is immediate; physical erasure rides compactCorpus
+    assert(StreamingNightlyIngest.retrainCorpus(spark, arts)
+      .filter(col("vec_id") === 3L).isEmpty)
+    StreamingNightlyIngest.compactCorpus(spark, arts)
+    assert(Generations.currentGen(spark, arts.annCorpusTable).isDefined)
+    assert(!spark.catalog.tableExists(arts.annCorpusTable),
+      "compactCorpus left the deleted embedding physically on disk " +
+        "in the orphaned legacy plain table")
+    assert(StreamingNightlyIngest.corpus(spark, arts).count() == n - 1)
+    assert(StreamingNightlyIngest.corpus(spark, arts)
+      .filter(col("vec_id") === 3L).isEmpty)
+  }
+
   test("a first-ever delete-only night (no shards yet) is a clean no-op, not a crash") {
     val corpus = Tables(spark, sf, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
