@@ -173,10 +173,17 @@ object AnnIndex {
       .properties
 
   private def geometry(spark: SparkSession,
-      name: String): (Int, Int, Int, Boolean) = {
-    val p = props(spark, cellsTable(spark, name))
+      name: String): (Int, Int, Int, Boolean) =
+    geometryOf(spark, cellsTable(spark, name))
+
+  /** Geometry read from an EXPLICIT cells table — the as-of probe
+    * resolves a past generation's table and must score its codes with
+    * that generation's own dims (a retrain changes them together). */
+  private def geometryOf(spark: SparkSession,
+      ct: String): (Int, Int, Int, Boolean) = {
+    val p = props(spark, ct)
     def g(k: String) = p.getOrElse(k,
-      sys.error(s"$name cells table has no $k property — not a graft ANN index"))
+      sys.error(s"$ct has no $k property — not a graft ANN index"))
       .toInt
     // pre-residual indexes carry no flag: raw encoding
     (g(DimProp), g(MProp), g(KsubProp),
@@ -185,13 +192,18 @@ object AnnIndex {
 
   /** Scope columns stamped at build time (empty for legacy indexes). */
   private def scopeOf(spark: SparkSession, name: String): Seq[String] =
-    props(spark, cellsTable(spark, name)).get(ScopeProp)
+    scopeOfTable(spark, cellsTable(spark, name))
+  private def scopeOfTable(spark: SparkSession, ct: String): Seq[String] =
+    props(spark, ct).get(ScopeProp)
       .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
 
   /** The frozen model, loaded (tiny: nCells + m·ksub vectors). */
   private def loadModel(spark: SparkSession, name: String,
+      m: Int): (Array[Array[Float]], Array[Array[Array[Float]]]) =
+    loadModelFrom(spark, modelTable(spark, name), m)
+  private def loadModelFrom(spark: SparkSession, mt: String,
       m: Int): (Array[Array[Float]], Array[Array[Array[Float]]]) = {
-    val rows = spark.table(modelTable(spark, name)).collect()
+    val rows = spark.table(mt).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getInt(2),
         r.getSeq[Float](3).toArray))
     val cents = rows.filter(_._1 == "cent").sortBy(_._2).map(_._4)
@@ -254,19 +266,29 @@ object AnnIndex {
     * `emb.filter(queryPred)`, as in the in-memory operators. */
   def probeAnnIndex(spark: SparkSession, name: String, emb: DataFrame,
       queryPred: org.apache.spark.sql.Column, k: Int = 10, nprobe: Int = 4,
-      shortlist: Int = 60): DataFrame =
-    probeQueries(spark, name, emb.filter(queryPred), emb, k, nprobe, shortlist)
+      shortlist: Int = 60, asOf: Option[Long] = None): DataFrame =
+    probeQueries(spark, name, emb.filter(queryPred), emb, k, nprobe,
+      shortlist, asOf)
 
   /** Probe with an EXPLICIT query frame — the shape streaming ingest
     * needs, where the queries (an arriving micro-batch) are not yet
     * rows of the corpus table. `rerank` must carry raw vectors for
     * both the query ids and every indexed candidate (typically
     * `corpus ∪ queries`); the index supplies only codes. */
+  /** `asOf = Some(g)`: probe generation `g`'s frozen snapshot
+    * ([[Generations.resolveAsOf]]) — codes, model, geometry and scope
+    * all resolve from the SAME past generation (they swap as one
+    * unit, and an as-of probe must keep that pairing), while the
+    * tombstone exclusion stays CURRENT: erasure overrides history. */
   def probeQueries(spark: SparkSession, name: String, queries: DataFrame,
       rerank: DataFrame, k: Int = 10, nprobe: Int = 4,
-      shortlist: Int = 60): DataFrame = {
-    val (dim, m, ksub, residual) = geometry(spark, name)
-    val (cents0, books0) = loadModel(spark, name, m)
+      shortlist: Int = 60, asOf: Option[Long] = None): DataFrame = {
+    val ct = asOf.fold(cellsTable(spark, name))(g =>
+      Generations.resolveAsOf(spark, name, "cells", g))
+    val mt = asOf.fold(modelTable(spark, name))(g =>
+      Generations.resolveAsOf(spark, name, "model", g))
+    val (dim, m, ksub, residual) = geometryOf(spark, ct)
+    val (cents0, books0) = loadModelFrom(spark, mt, m)
     val cents = spark.sparkContext.broadcast(cents0)
     val bb = spark.sparkContext.broadcast(books0)
     val dsub = dim / m
@@ -302,7 +324,7 @@ object AnnIndex {
     // scoped indexes: the stamped metadata columns join WITH the cell
     // key, so the scan never scores another scope's codes (the
     // persisted form of ivfTopK's pre-filtering scope)
-    val scope = scopeOf(spark, name)
+    val scope = scopeOfTable(spark, ct)
     val q = queries
       .select(col("vec_id").as("qid") +: lutOf(col("embedding")).as("lut") +:
         col("embedding").as("qe") +:
@@ -314,8 +336,8 @@ object AnnIndex {
     // invisible the instant [[tombstoneAnn]] lands; the next
     // compaction/retrain reclaims their codes physically
     val base = annTombstones(spark, name).fold(
-      spark.table(cellsTable(spark, name)))(tt =>
-      spark.table(cellsTable(spark, name)).join(
+      spark.table(ct))(tt =>
+      spark.table(ct).join(
         broadcast(tt.select(col("vec_id")).distinct()),
         Seq("vec_id"), "left_anti"))
     val scored = base
@@ -390,6 +412,7 @@ object AnnIndex {
     * `nCells` is the ANN resize path (same one-swap atomicity). */
   def compactAnnIndex(spark: SparkSession, name: String,
       gcKeep: Int = 1): Unit = {
+    Tombstones.requireErasurePurges(spark, name, gcKeep)
     val t = cellsTable(spark, name)
     val mt0 = modelTable(spark, name)
     val (dim, m, ksub, residual) = geometry(spark, name)

@@ -866,7 +866,11 @@ object Dedup {
     * shingle universes, so probes under-detect duplicates and appends
     * poison the index with incomparable signatures. */
   private def requireShingleK(spark: SparkSession, name: String, k: Int): Unit =
-    Seq(bucketsTable(spark, name), sigsTable(spark, name)).foreach { t =>
+    requireShingleKOn(spark, name,
+      Seq(bucketsTable(spark, name), sigsTable(spark, name)), k)
+  private def requireShingleKOn(spark: SparkSession, name: String,
+      tables: Seq[String], k: Int): Unit =
+    tables.foreach { t =>
       val stored = storedShingleK(spark, t)
       require(stored == k,
         s"index $name was built with shingle k=$stored but k=$k was " +
@@ -1015,6 +1019,7 @@ object Dedup {
     * executor's comfortable scan. */
   def compactNearDupIndex(spark: SparkSession, name: String,
       gcKeep: Int = 1, numBuckets: Option[Int] = None): Unit = {
+    Tombstones.requireErasurePurges(spark, name, gcKeep)
     val catalog = spark.sessionState.catalog
     val AutoScan = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val auto0 = spark.conf.get(AutoScan)
@@ -1168,12 +1173,30 @@ object Dedup {
   private def scanBytes(df: DataFrame): BigInt =
     df.queryExecution.optimizedPlan.stats.sizeInBytes
 
+  /** `asOf = Some(g)`: probe the index AS IT WAS when generation `g`
+    * was superseded — the reproducibility read
+    * ([[Generations.resolveAsOf]]; a past generation is frozen at the
+    * flip that replaced it, since in-place appends only target the
+    * current one): a training run records the generation it deduped
+    * against and a later audit replays the same decision against the
+    * same rows, provided the family's swaps retained the window
+    * (`gcKeep ≥ 2`). Deliberate asymmetry: the TOMBSTONE exclusion
+    * stays CURRENT, not historical — erasure overrides history, so a
+    * doc taken down after generation `g` stops counting as duplicate
+    * evidence even in as-of probes (and its rows never survive an
+    * erasure compaction at all:
+    * [[Tombstones.requireErasurePurges]]). */
   def incrementalNearDupSurvivorsIndexed(spark: SparkSession, name: String,
       batch: DataFrame, k: Int = 5, minJ: Double = 0.5,
-      excludeIds: Option[DataFrame] = None): DataFrame = {
-    requireShingleK(spark, name, k)
-    val hb0 = spark.table(bucketsTable(spark, name))
-    val hsig = spark.table(sigsTable(spark, name))
+      excludeIds: Option[DataFrame] = None,
+      asOf: Option[Long] = None): DataFrame = {
+    val bT = asOf.fold(bucketsTable(spark, name))(g =>
+      Generations.resolveAsOf(spark, name, "buckets", g))
+    val sT = asOf.fold(sigsTable(spark, name))(g =>
+      Generations.resolveAsOf(spark, name, "sigs", g))
+    requireShingleKOn(spark, name, Seq(bT, sT), k)
+    val hb0 = spark.table(bT)
+    val hsig = spark.table(sT)
     val minBytes = probePushdownMinBytes(spark)
     val pushBuckets = scanBytes(hb0) > minBytes
     val pushSigs = scanBytes(hsig) > minBytes

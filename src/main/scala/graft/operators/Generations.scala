@@ -174,6 +174,59 @@ object Generations {
         s"(no ${manifest(name)} generation pointer — build it first)")
     }
 
+  /** The generations of `member` still materialized in the catalog,
+    * ascending — the current one plus whatever the keep window has
+    * retained. The AS-OF read surface: a training run records the
+    * generation it resolved ([[currentGen]]) and later audits/replays
+    * against it via [[resolveAsOf]] while the retention window
+    * (`gcKeep ≥ 2` on the family's swaps) keeps it alive. */
+  def listGenerations(spark: SparkSession, name: String,
+      member: String): Seq[Long] = {
+    val c = spark.sessionState.catalog
+    val prefix = s"${name}_${member}_g"
+    val rx = ("^" + java.util.regex.Pattern.quote(prefix) + "(\\d+)$").r
+    c.listTables(c.getCurrentDatabase, s"$prefix*").flatMap(_.table match {
+      case rx(g) => Some(g.toLong)
+      case _ => None
+    }).sorted
+  }
+
+  /** Resolve a PAST generation of a member for an as-of read.
+    * Pinned-generation reads are REPRODUCIBILITY, not archival: the
+    * generation must still be inside the family's keep window, and the
+    * error for one that is not says which generations remain.
+    *
+    * What a past generation IS: in-place appends only ever target the
+    * CURRENT generation (they hold the lease but never flip), so the
+    * moment generation g+1 is published, generation g stops receiving
+    * writes — a retained past generation is a FROZEN snapshot of the
+    * family exactly as it was when it was superseded. `asOf` the
+    * current generation is simply the live tables. Swap cadence is
+    * therefore snapshot cadence: a nightly compaction with
+    * `gcKeep = K` keeps K nights of frozen history.
+    *
+    * Erasure overrides history — takedown compactions refuse to
+    * retain pre-erasure generations at all
+    * ([[Tombstones.requireErasurePurges]]), so an as-of read can
+    * never resurrect a deleted doc. */
+  def resolveAsOf(spark: SparkSession, name: String, member: String,
+      gen: Long): String = {
+    val cur = currentGen(spark, name).getOrElse(
+      sys.error(s"no such index: $name " +
+        s"(no ${manifest(name)} generation pointer — build it first)"))
+    if (gen == cur) return physical(name, member, gen)
+    require(gen >= 0 && gen < cur,
+      s"as-of generation $gen of family '$name' does not exist yet " +
+        s"(current: $cur)")
+    val t = physical(name, member, gen)
+    if (!spark.sessionState.catalog.tableExists(parse(spark, t)))
+      sys.error(s"generation $gen of family '$name' was reclaimed " +
+        "(outside the keep window — widen gcKeep on the family's swaps " +
+        "to retain history for as-of reads); retained: " +
+        listGenerations(spark, name, member).mkString("[", ", ", "]"))
+    t
+  }
+
   private def ensureManifest(spark: SparkSession, name: String): Unit = {
     val mt = manifest(name)
     if (!spark.sessionState.catalog.tableExists(parse(spark, mt))) {

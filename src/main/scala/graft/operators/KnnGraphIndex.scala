@@ -257,10 +257,18 @@ object KnnGraphIndex {
     * pruning), and the top-k aggregation consumes the bucketed
     * partitioning directly — a slice probe does slice-sized work and
     * the plan has no shuffle at all. */
+  /** `asOf = Some(g)`: answer from generation `g`'s frozen edge
+    * snapshot ([[Generations.resolveAsOf]] — in-place appends only
+    * touch the current generation, so a retained past one is the
+    * graph exactly as superseded). The tombstone exclusion below
+    * stays CURRENT even then: erasure overrides history. */
   def probeKnnGraph(spark: SparkSession, name: String,
-      pred: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+      pred: org.apache.spark.sql.Column = lit(true),
+      asOf: Option[Long] = None): DataFrame = {
     val (k, _, _, _) = geometry(spark, name)
-    val base = spark.table(t(spark, name, "edges")).filter(pred)
+    val et = asOf.fold(t(spark, name, "edges"))(g =>
+      Generations.resolveAsOf(spark, name, "edges", g))
+    val base = spark.table(et).filter(pred)
     val live = graphTombstones(spark, name).fold(base) { tt =>
       val ids = broadcast(tt.select(col("vec_id")).distinct())
       base.join(ids.withColumnRenamed("vec_id", "qid"), Seq("qid"),
@@ -427,6 +435,7 @@ object KnnGraphIndex {
       gcKeep: Int = 1, numBuckets: Option[Int] = None): Unit = {
     numBuckets.foreach(n =>
       require(n > 0, s"numBuckets must be positive, got $n"))
+    Tombstones.requireErasurePurges(spark, name, gcKeep)
     // resolved BEFORE the lease: a legacy (pre-bucketed) family reads
     // None and the compaction upgrades it to the default layout
     val (k, nprobe, dim, buf) = geometry(spark, name)

@@ -184,6 +184,30 @@ private[graft] object Tombstones {
     }
   }
 
+  /** ERASURE OVERRIDES HISTORY — the guard every tombstone-applying
+    * compaction calls before a swap that would RETAIN generations
+    * (`gcKeep ≥ 2`, the as-of read window): the compaction is the
+    * moment tombstoned deletions become physical, and a retained
+    * pre-erasure generation would keep the deleted rows on disk (and
+    * [[Generations.resolveAsOf]]-readable) for another swap cycle —
+    * the exact outcome a takedown exists to prevent. Refusing loudly
+    * makes the safe composition the only composition: run the erasure
+    * compaction with `gcKeep = 1` (purging retained history), then
+    * resume retention on later swaps. Free on the default path (the
+    * check runs only when `gcKeep > 1`), metadata-only when the
+    * pending stamp exists. */
+  def requireErasurePurges(spark: SparkSession, index: String,
+      gcKeep: Int): Unit =
+    if (gcKeep > 1) {
+      val pending = pendingCount(spark, index)
+      require(pending == 0L,
+        s"erasure compaction on '$index' cannot retain history: " +
+          s"gcKeep=$gcKeep with $pending pending tombstone(s) would " +
+          "keep deleted rows on disk (and as-of-readable) for another " +
+          "swap cycle — run the erasure with gcKeep=1, then resume " +
+          "retention on later swaps")
+    }
+
   /** Remove the family entirely — fixture/test reset, the
     * [[Generations.destroy]] twin. Any plain legacy table goes too:
     * leaving it would resurrect the stale pre-migration erasure set

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, KnnGraphIndex}
+import graft.operators.{Dedup, Generations, KnnGraphIndex}
 
 /** Dedup operator queries over `documents`, all DuckDB-exact. d03's
   * oracle is the *exact* all-pairs Jaccard — the LSH+verify path must
@@ -132,6 +132,31 @@ object DedupQueries {
       SELECT doc_id FROM d2
       WHERE doc_id >= 1000000000 AND doc_id NOT IN (SELECT doc_id FROM dup)
       ORDER BY doc_id NULLS FIRST"""
+  /** d25 oracle: the AS-OF probe replays ingest B against the ORIGINAL
+    * corpus only — batch A's appended survivors are invisible to the
+    * pinned pre-append generation, so A's copies SURVIVE here where
+    * d13's current-index probe drops them (same batch, different
+    * snapshot — the discriminating rows of the time-travel read). */
+  private val sqlAsOfSurvivors =
+    s"""WITH db AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 2000000000, 'brand new document number ' ||
+            CAST(doc_id AS VARCHAR) || ' with totally unseen vocabulary' ||
+            ' alpha beta gamma delta epsilon zeta eta theta'
+          FROM documents WHERE doc_id >= 250 AND doc_id < 300
+        UNION ALL SELECT doc_id + 2000000000, text || ' zz edit marker token pad'
+          FROM documents WHERE doc_id >= 300 AND doc_id < 400
+        UNION ALL SELECT doc_id + 2000000000, 'second night novel document ' ||
+            CAST(doc_id AS VARCHAR) || ' with different unseen vocabulary' ||
+            ' nu xi omicron pi rho sigma tau upsilon phi chi'
+          FROM documents WHERE doc_id >= 400 AND doc_id < 450),
+      ${Dedup.sqlJaccardCtes("db")},
+      dup AS (SELECT DISTINCT id_b AS doc_id FROM jp
+        WHERE id_a < 1000000000 AND id_b >= 2000000000)
+      SELECT doc_id FROM db
+      WHERE doc_id >= 2000000000 AND doc_id NOT IN (SELECT doc_id FROM dup)
+      ORDER BY doc_id NULLS FIRST"""
+
   private val sqlDoubled =
     """d2 AS (SELECT doc_id, text FROM documents
        UNION ALL SELECT doc_id + 10000, text FROM documents)"""
@@ -480,6 +505,35 @@ object DedupQueries {
           .orderBy("doc_id")
       },
       Some(sqlTwoIngestSurvivors)),
+
+    // ---- d25: AS-OF probe — time travel on the maintained index ------
+    // The reproducibility read: the compaction publishes generation
+    // g+1 and RETAINS generation g (gcKeep = 2); in-place appends then
+    // only touch the current generation, so g is a frozen snapshot of
+    // the pre-append index. Night 2's batch probes asOf = g and must
+    // see the ORIGINAL corpus only: batch A's appended survivors are
+    // invisible, so A's exact copies SURVIVE here — the same batch
+    // drops them in d13's current-index probe. One query pins the
+    // whole retention story: freeze-at-flip semantics, keep-window GC
+    // honoring the stamp across the append's begin, and the as-of
+    // resolution — hash-exact against the single-ingest oracle.
+    Q("d25_asof_probe",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        Dedup.writeNearDupIndex(
+          docs.select(col("doc_id"), col("text")), "graft_d25_idx")
+        Dedup.compactNearDupIndex(s, "graft_d25_idx", gcKeep = 2)
+        val g0 = Generations.currentGen(s, "graft_d25_idx").get - 1
+        val batchA = ingestBatch(docs)
+        val survA = Dedup.incrementalNearDupSurvivorsIndexed(
+          s, "graft_d25_idx", batchA)
+        Dedup.appendToNearDupIndex(batchA.join(survA, "doc_id"),
+          "graft_d25_idx")
+        Dedup.incrementalNearDupSurvivorsIndexed(s, "graft_d25_idx",
+            ingestBatchB(docs), asOf = Some(g0))
+          .orderBy("doc_id")
+      },
+      Some(sqlAsOfSurvivors)),
 
     // ---- d09: incremental dedup (daily ingest vs historical corpus) --
     // The production shape of exact dedup at 100 TB: a new batch is

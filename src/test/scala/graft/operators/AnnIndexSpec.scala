@@ -127,6 +127,35 @@ class AnnIndexSpec extends SparkSpec {
     assert(props.get(AnnIndex.MProp).contains("8"))
   }
 
+  test("as-of probe: a retained generation is the frozen pre-append index") {
+    val base = emb.select("vec_id", "embedding")
+    val name = "graft_test_ann_asof"
+    AnnIndex.writeAnnIndex(base, name)
+    // the compaction publishes the current generation and retains its
+    // predecessor — the frozen snapshot the as-of probe pins
+    AnnIndex.compactAnnIndex(spark, name, gcKeep = 2)
+    val g0 = Generations.currentGen(spark, name).get - 1
+    val batch = base.filter(col("vec_id") < 4)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val all = base.unionByName(batch)
+    def top1(asOf: Option[Long]) =
+      AnnIndex.probeAnnIndex(spark, name, all, col("vec_id") < 4, k = 10,
+          asOf = asOf)
+        .filter(col("rank") === 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val frozen = top1(Some(g0))
+    AnnIndex.appendToAnnIndex(batch, name)
+    // the live probe sees the appended clones as rank-1; the as-of
+    // probe answers from the snapshot — codes, model, geometry all
+    // from generation g0, appends invisible
+    (0L until 4L).foreach { q =>
+      assert(top1(None)(q) == q + 1000000L,
+        s"live probe: query $q should rank its appended clone first")
+    }
+    assert(top1(Some(g0)) == frozen,
+      "the as-of probe drifted from the frozen pre-append answer")
+  }
+
   test("cellStats: drifted vectors move the rebuild signal") {
     import spark.implicits._
     val base = emb.select("vec_id", "embedding")

@@ -135,4 +135,53 @@ class GenerationsSpec extends SparkSpec {
     // every batch doc is an exact replay of the intact index → all drop
     assert(probeNd(name, batch).isEmpty)
   }
+
+  test("retention + as-of: a retained generation is a frozen pre-append snapshot") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 200)
+    val name = "graft_gen_asof"
+    Dedup.writeNearDupIndex(docs, name, numBuckets = 4)
+    // the compaction publishes gen cur and RETAINS its predecessor
+    Dedup.compactNearDupIndex(spark, name, gcKeep = 2)
+    val cur = Generations.currentGen(spark, name).get
+    val g0 = cur - 1
+    assert(Generations.listGenerations(spark, name, "sigs") == Seq(g0, cur))
+    // an exact copy of an indexed doc drops against BOTH snapshots
+    val copy = docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
+      .localCheckpoint()
+    assert(Dedup.incrementalNearDupSurvivorsIndexed(spark, name, copy)
+      .isEmpty)
+    assert(Dedup.incrementalNearDupSurvivorsIndexed(spark, name, copy,
+      asOf = Some(g0)).isEmpty)
+    // an in-place append touches ONLY the current generation: its docs
+    // disqualify copies at the live probe but are invisible as-of g0 —
+    // the frozen pre-append snapshot (the reproducibility contract)
+    val fresh = spark.range(3)
+      .select((col("id") + 2000000000L).as("doc_id"),
+        concat(lit("asof wholly fresh doc "), col("id").cast("string"),
+          lit(" nu xi omicron pi rho sigma tau upsilon")).as("text"))
+      .localCheckpoint()
+    Dedup.appendToNearDupIndex(fresh, name)
+    val freshCopy = fresh
+      .select((col("doc_id") + 500L).as("doc_id"), col("text"))
+    assert(Dedup.incrementalNearDupSurvivorsIndexed(spark, name, freshCopy)
+      .isEmpty)
+    assert(Dedup.incrementalNearDupSurvivorsIndexed(spark, name, freshCopy,
+        asOf = Some(g0))
+      .collect().map(_.getLong(0)).toSet ==
+      Set(2000000500L, 2000000501L, 2000000502L))
+    // beyond-current generations don't exist yet
+    intercept[IllegalArgumentException] {
+      Generations.resolveAsOf(spark, name, "sigs", cur + 1)
+    }
+    // a default-gcKeep compaction narrows the window back to 1 and
+    // the reclaimed generation answers with its retained neighbors
+    Dedup.compactNearDupIndex(spark, name)
+    assert(Generations.listGenerations(spark, name, "sigs").size == 1)
+    val e = intercept[RuntimeException] {
+      Generations.resolveAsOf(spark, name, "sigs", g0)
+    }
+    assert(e.getMessage.contains("reclaimed"), e.getMessage)
+  }
 }

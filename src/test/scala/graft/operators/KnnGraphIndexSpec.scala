@@ -218,4 +218,27 @@ class KnnGraphIndexSpec extends SparkSpec {
     assert(probeSet(name) == got,
       "probe changed across logical->physical deletion")
   }
+
+  test("as-of probe: the retained pre-append graph is frozen") {
+    val emb = Tables(spark, sf, "embeddings")
+    val name = "graft_graph_asof"
+    KnnGraphIndex.writeKnnGraph(emb.filter(col("vec_id") < 150), name,
+      k = 5, nCells = 8, nprobe = 2)
+    KnnGraphIndex.compactKnnGraph(spark, name, gcKeep = 2)
+    val g0 = Generations.currentGen(spark, name).get - 1
+    def pairs(asOf: Option[Long]) =
+      KnnGraphIndex.probeKnnGraph(spark, name, asOf = asOf)
+        .select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val frozen = pairs(Some(g0))
+    assert(frozen == pairs(None))
+    KnnGraphIndex.appendToKnnGraph(emb.filter(col("vec_id") >= 150), name)
+    // the live graph gained the appended qids AND reverse edges into
+    // stored neighborhoods; the snapshot saw neither
+    val live = pairs(None)
+    assert(live.exists(_._1 >= 150), "append did not land")
+    assert(live != frozen, "append left the live graph unchanged")
+    assert(pairs(Some(g0)) == frozen,
+      "the as-of probe drifted from the frozen pre-append graph")
+  }
 }

@@ -249,4 +249,57 @@ class TombstoneSpec extends SparkSpec {
       "the mutation did not retire the orphaned legacy table")
     Tombstones.destroy(spark, name)
   }
+
+  test("erasure overrides history: pending tombstones refuse retention; as-of probes exclude deletions") {
+    // the tombstone targets are SYNTHETIC unique docs (the corpus has
+    // natural intra-corpus near-dups, so a copy of a corpus doc can
+    // match a second, un-tombstoned doc and legitimately drop)
+    val uniq = spark.range(10)
+      .select((col("id") + 500000L).as("doc_id"),
+        concat(lit("tomb asof unique doc "), col("id").cast("string"),
+          lit(" quux corge grault garply waldo fred plugh xyzzy thud"))
+          .as("text"))
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 200)
+      .unionByName(uniq)
+    val name = "graft_tomb_asof"
+    Dedup.writeNearDupIndex(docs, name, numBuckets = 4)
+    Dedup.compactNearDupIndex(spark, name, gcKeep = 2) // open a window
+    val g0 = Generations.currentGen(spark, name).get - 1
+    val copies = uniq
+      .select((col("doc_id") + 1000000000L - 500000L).as("doc_id"),
+        col("text"))
+      .localCheckpoint()
+    assert(Dedup.incrementalNearDupSurvivorsIndexed(spark, name, copies,
+      asOf = Some(g0)).isEmpty)
+    import spark.implicits._
+    Dedup.tombstoneNearDup(spark, name,
+      Seq.range(500000L, 500010L).toDF("doc_id"))
+    // the tombstone exclusion is CURRENT even for historical reads:
+    // a taken-down doc stops counting as duplicate evidence in as-of
+    // probes too — erasure beats reproducibility
+    assert(Dedup.incrementalNearDupSurvivorsIndexed(spark, name, copies,
+        asOf = Some(g0))
+      .collect().map(_.getLong(0)).toSet ==
+      Seq.range(0L, 10L).map(_ + 1000000000L).toSet)
+    // the erased evidence stays erased at the live probe too, and the
+    // compaction that makes the erasure PHYSICAL refuses to
+    // retain pre-erasure generations — gcKeep >= 2 would keep the
+    // deleted rows on disk (and as-of-readable) for another cycle
+    val e = intercept[IllegalArgumentException] {
+      Dedup.compactNearDupIndex(spark, name, gcKeep = 2)
+    }
+    assert(e.getMessage.contains("cannot retain history"), e.getMessage)
+    // the sanctioned sequence purges ALL retained history with the
+    // erasure; the pre-erasure snapshot is unreachable afterwards
+    Dedup.compactNearDupIndex(spark, name)
+    assert(Generations.listGenerations(spark, name, "sigs").size == 1)
+    intercept[RuntimeException] {
+      Generations.resolveAsOf(spark, name, "sigs", g0)
+    }
+    assert(Dedup.incrementalNearDupSurvivorsIndexed(spark, name, copies)
+      .collect().map(_.getLong(0)).toSet ==
+      Seq.range(0L, 10L).map(_ + 1000000000L).toSet,
+      "deleted docs resurfaced as duplicate evidence after the purge")
+  }
 }
