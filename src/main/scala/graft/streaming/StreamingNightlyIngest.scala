@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.functions.TextFunctions
-import graft.operators.{AnnIndex, Dedup, Frontier, Generations, KnnGraphIndex, Packing, Sampling, Sharding}
+import graft.operators.{AnnIndex, Dedup, Frontier, Generations, KnnGraphIndex, Packing, Sampling, Sharding, Tombstones}
 
 /** The COMPOSED nightly-ingest loop: every maintained artifact this
   * engine keeps — the near-dup index, the ANN index + raw-vector
@@ -485,11 +485,26 @@ object StreamingNightlyIngest {
     * deletions ride the same ordered stream as the data, so a
     * takedown can never be applied before the night that ingested the
     * doc. Without an `op` column every row ingests (unchanged). */
+  /** `retainGenerations = K ≥ 2` keeps an as-of window on the three
+    * index families at the compaction cadence ([[Generations
+    * .resolveAsOf]] — each retained generation is the index frozen as
+    * of a past compaction night). Erasure composes by CHOICE, not by
+    * error: a fold-in compaction that will apply pending tombstones
+    * purges (gcKeep = 1, satisfying [[Tombstones
+    * .requireErasurePurges]] instead of tripping it), so takedown
+    * nights collapse the retained history — a pinned snapshot lives
+    * at most until the next takedown's compaction — and clean nights
+    * resume the window. The raw-vector corpus never retains: its
+    * nightly appends are in-place (generations advance only at
+    * [[compactCorpus]], which exists solely to erase). */
   def start(spark: SparkSession, docs: DataFrame, arts: Artifacts,
       budget: Long, salt: String, seqBudget: Int = 256,
       tokensPerShard: Long = 2048L, compactEvery: Int = 0,
-      driftCheckEvery: Int = 0, maxDrift: Double = 1.25)(
+      driftCheckEvery: Int = 0, maxDrift: Double = 1.25,
+      retainGenerations: Int = 1)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    require(retainGenerations >= 1,
+      s"retainGenerations must be >= 1, got $retainGenerations")
     val hasOp = docs.columns.contains("op")
     val step: (Dataset[Row], Long) => Unit = (batch, batchId) => {
       val b = batch.persist()
@@ -503,10 +518,16 @@ object StreamingNightlyIngest {
         sink(nightStep(arts, adds, budget, salt, seqBudget,
           tokensPerShard, batchId, deletes = dels), batchId)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-          Dedup.compactNearDupIndex(b.sparkSession, arts.ndIndex)
-          AnnIndex.compactAnnIndex(b.sparkSession, arts.annIndex)
+          def keepFor(index: String) =
+            if (Tombstones.pendingCount(b.sparkSession, index) > 0) 1
+            else retainGenerations
+          Dedup.compactNearDupIndex(b.sparkSession, arts.ndIndex,
+            gcKeep = keepFor(arts.ndIndex))
+          AnnIndex.compactAnnIndex(b.sparkSession, arts.annIndex,
+            gcKeep = keepFor(arts.annIndex))
           if (graphExists(b.sparkSession, arts))
-            KnnGraphIndex.compactKnnGraph(b.sparkSession, graphName(arts))
+            KnnGraphIndex.compactKnnGraph(b.sparkSession, graphName(arts),
+              gcKeep = keepFor(graphName(arts)))
           compactCorpus(b.sparkSession, arts)
         }
         if (driftCheckEvery > 0 && (batchId + 1) % driftCheckEvery == 0) {

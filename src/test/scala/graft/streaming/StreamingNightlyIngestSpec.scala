@@ -464,6 +464,53 @@ class StreamingNightlyIngestSpec extends SparkSpec {
     assert(StreamingNightlyIngest.retrainCorpus(spark, arts).count() == n)
   }
 
+  test("loop retention: clean compaction nights keep an as-of window; a takedown night purges it") {
+    val corpus = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .filter(col("doc_id") < 60).localCheckpoint()
+    val arts = mkArts("retain")
+    reset(arts, corpus)
+    def embed(df: DataFrame): DataFrame =
+      df.withColumn("embedding", StreamingNightlyIngest.synthEmbedding)
+    def add(id: Long, t: String) = OpNightDoc(id, t, "en", 90L, "add")
+    // mutually DISSIMILAR night docs: the as-of assertion needs night
+    // 3's text to near-dup nothing from nights 1-2
+    val t1 = "first night document kappa lambda mu nu xi omicron pi rho sigma tau"
+    val t2 = "second night unique story quux corge grault garply waldo fred plugh xyzzy"
+    val t3 = "third night completely different saga zig zag zork blorb frotz gnusto rezrov"
+    val mem = MemoryStream[OpNightDoc](spark)
+    val q = StreamingNightlyIngest.start(spark, embed(mem.toDF()), arts,
+        budget = 100000L, salt = "ret", compactEvery = 2,
+        retainGenerations = 2) { (_, _) => () }
+    try {
+      import spark.implicits._
+      mem.addData(add(1000000800L, t1)); q.processAllAvailable() // night 1
+      mem.addData(add(2000000800L, t2)); q.processAllAvailable() // night 2 + compact
+      // the clean compaction retained its predecessor
+      assert(Generations.listGenerations(spark, arts.ndIndex, "sigs")
+        .size == 2)
+      mem.addData(add(3000000800L, t3)); q.processAllAvailable() // night 3
+      val g0 = Generations.currentGen(spark, arts.ndIndex).get - 1
+      // night 3's append touched only the CURRENT generation: its
+      // copy drops live but survives against the frozen snapshot
+      val copy = Seq((9000000800L, t3)).toDF("doc_id", "text")
+      assert(Dedup.incrementalNearDupSurvivorsIndexed(
+        spark, arts.ndIndex, copy).isEmpty)
+      assert(Dedup.incrementalNearDupSurvivorsIndexed(
+          spark, arts.ndIndex, copy, asOf = Some(g0))
+        .collect().map(_.getLong(0)).toSet == Set(9000000800L))
+      // night 4 carries a takedown: its fold-in compaction applies the
+      // pending tombstone, so it PURGES the window instead of erroring
+      mem.addData(OpNightDoc(1000000800L, "", "xx", 0L, "delete"))
+      q.processAllAvailable()
+      assert(Generations.listGenerations(spark, arts.ndIndex, "sigs")
+        .size == 1,
+        "a takedown night's compaction must collapse the as-of window")
+      assert(Dedup.nearDupTombstones(spark, arts.ndIndex).isEmpty,
+        "the purge compaction did not apply-and-clear the tombstone")
+    } finally q.stop()
+  }
+
   test("takedown-only legacy deployment: compactCorpus completes TRUE erasure") {
     // a deployment that only ever runs the takedown path
     // (applyDeletions + compactCorpus, never nightStep) on a
