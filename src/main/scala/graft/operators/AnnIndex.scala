@@ -37,9 +37,11 @@ import org.apache.spark.sql.functions._
   *
   * Probe result == [[Similarity.ivfPqTopK]] at equal parameters
   * (bit-identical: same deterministic sample → same model → same codes
-  * and ADC scores; AnnIndexSpec pins the equality), so s09 shares s08's
-  * correctness story: rows-only registration, recall driver-gated via
-  * the s05 contract on the in-memory twin.
+  * and ADC scores; AnnIndexSpec pins the equality), so s09 shares
+  * s08's correctness story — since r12 that means sharing its
+  * [[PortableIvf]] oracle TEXT: the driver hash row proves the
+  * build→persist→probe lifecycle changes nothing, and the s05
+  * contract on the in-memory twin keeps gating recall.
   */
 object AnnIndex {
 

@@ -378,7 +378,8 @@ object Similarity {
     * (a rank-boundary flip needs two cosines within that gap across a
     * 3× margin — not a property of non-degenerate data). This is a
     * VERIFICATION query: production uses nprobe ≪ nCells, where the
-    * same machinery is rows-only + recall-gated (s04/s05). */
+    * same machinery is hash-exact via [[PortableIvf]]'s training
+    * replay AND recall-gated (s04/s05). */
   def ivfExhaustiveTopK(spark: SparkSession, emb: DataFrame,
       queryPred: org.apache.spark.sql.Column, k: Int = 10,
       nCells: Int = 16, buffer: Int = 30,
@@ -496,10 +497,11 @@ object Similarity {
     * the UNION of the two mechanisms' losses (missed cells + code
     * rounding inside the shortlist) — s05's contract row bounds it.
     *
-    * Like the parts it composes: deterministic but engine-specific
-    * (the k-means sample and float cell assignment don't replay in
-    * DuckDB), so s07 is rows-only with the recall contract as its
-    * correctness gate. */
+    * Like the parts it composes, deterministic — and since r12
+    * hash-exact: [[PortableIvf.ivfSq8OracleSql]] replays the k-means
+    * cells, the global-scale codes, the integer code-dots and the
+    * chain re-rank as one DuckDB text; the s05 recall contract keeps
+    * gating the approximation quality. */
   // ---- IVF-PQ: product-quantized codes inside the IVF cells ----------
   /** Per-subspace codebooks for product quantization: the vector is
     * split into `m` contiguous subvectors and each subspace trains its
@@ -588,10 +590,11 @@ object Similarity {
     * cluster near the origin), measurably higher shortlist recall —
     * SimilaritySpec pins residual ≥ raw on the fixture.
     *
-    * Like s03/s04/s07: deterministic but engine-specific (k-means
-    * samples and float cell assignment don't replay in DuckDB), so
-    * s08 is rows-only with an s05 recall-contract row as its
-    * correctness gate. */
+    * Like s03/s04/s07: deterministic, and since r12 hash-exact at the
+    * raw-encoding production point ([[PortableIvf.ivfPqOracleSql]]
+    * replays coarse cells, per-subspace codebooks, codes, ADC tables
+    * and the j-ordered fold); the s05 recall-contract row keeps
+    * gating the approximation quality. */
   def ivfPqTopK(spark: SparkSession, emb: DataFrame,
       queryPred: org.apache.spark.sql.Column, k: Int = 10,
       nCells: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 32,
@@ -711,8 +714,11 @@ object Similarity {
     * across executors, nothing global. Vectors attach to the pool via
     * one broadcast-able equi-join (pool is |q|·pool rows — tiny next
     * to the corpus). Deterministic: ties break on (score, vec_id), so
-    * the selection is partitioning-invariant (spec-pinned); rows-only
-    * at the gate with the s13 contract rows as the driver check. */
+    * the selection is partitioning-invariant (spec-pinned) — and
+    * REPLAYABLE: max over the selected set is order-independent and
+    * each greedy step is an argmax, so [[PortableIvf.mmrOracleSql]]
+    * unrolls the selection and s12 is hash-exact, with the s13
+    * contract rows still gating the diversity semantics. */
   def mmrTopK(spark: SparkSession, emb: DataFrame,
       queryPred: org.apache.spark.sql.Column, k: Int = 10,
       pool: Int = 30, lambda: Double = 0.7): DataFrame =

@@ -4,21 +4,36 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.VectorFunctions._
-import graft.operators.{AnnIndex, KnnGraphIndex, Similarity}
+import graft.operators.{AnnIndex, KnnGraphIndex, PortableIvf, Similarity}
 
 /** Similarity-search queries over `embeddings` (64-dim float).
   *
   * s01 (exact top-k) and s02 (near-dup pairs) use the f32-chain cosine
-  * so DuckDB replays them bit-exactly — and since r12 so does s03: the
-  * portable LSH's md5-derived sign chains make even the BUCKETING
-  * engine-portable. s04 (IVF) remains the deterministic-but-engine-
-  * specific scale path (float k-means doesn't replay in DuckDB), so it
-  * is rows-only; recall vs s01 is contract-gated (s05). */
+  * so DuckDB replays them bit-exactly — and since r12 so does EVERY
+  * member of the family: s03 via [[PortableLsh]]'s md5-derived sign
+  * chains, and s04/s07/s08/s09/s11/s12 via [[PortableIvf]]'s
+  * iteration-by-iteration k-means replay (the trainer's arithmetic was
+  * order-pinned all along; the oracle text just says so in SQL).
+  * no_oracle: 0 — recall vs s01 additionally stays contract-gated
+  * (s05), because a hash row proves the engines AGREE, not that the
+  * approximation is any good. */
 object SimilarityQueries {
 
   private val Dim = 64
   private val K = 10
   private val QueryPred = "vec_id < 8"
+
+  /** [[QueryPred]] rendered against a table alias, for the
+    * [[PortableIvf]] oracle texts (the predicate appears in CTEs where
+    * `vec_id` alone would be ambiguous). */
+  private val PredOn: String => String = a => s"$a.vec_id < 8"
+
+  /** Shared by s08 and s09: the persisted-index probe is bit-identical
+    * to the in-memory IVF-PQ at equal parameters (same frozen model),
+    * so ONE oracle text hash-checks both — including, for s09, the
+    * build→persist→probe lifecycle. */
+  private val IvfPqOracle = PortableIvf.ivfPqOracleSql(Dim, K,
+    nCells = 16, nprobe = 4, m = 8, ksub = 32, shortlist = 60, PredOn)
 
   /** s01's oracle — the exact top-k ground truth. Shared by s17: IVF
     * with every cell probed must degenerate to exactly this. */
@@ -162,34 +177,37 @@ object SimilarityQueries {
       (s, dir) =>
         Similarity.ivfTopK(s, Tables(s, dir, "embeddings"), expr(QueryPred), K)
           .orderBy("qid", "rank"),
-      None),
+      Some(PortableIvf.ivfOracleSql(Dim, K, nCells = 16, nprobe = 3, PredOn))),
 
     // ---- s07: IVF-SQ8 — int8 codes inside the IVF cells --------------
     // The composed production index (both scale levers at once: nprobe
     // cells bound the rows scanned, int8 codes bound the bytes per
-    // row, exact re-rank restores precision). Rows-only like its s04
-    // parent (k-means cells don't replay in DuckDB); its recall@10 vs
-    // the exact s01 is driver-gated by s05's ivfsq8 contract row.
+    // row, exact re-rank restores precision). Hash-exact since r12:
+    // the [[PortableIvf]] centroid replay composes with the s06 code
+    // oracle, so the WHOLE composition is one DuckDB text; s05's
+    // ivfsq8 contract row still gates recall@10 vs the exact s01.
     Q("s07_knn_ivf_sq8",
       (s, dir) =>
         Similarity.ivfSq8TopK(s, Tables(s, dir, "embeddings"),
             expr(QueryPred), K)
           .orderBy("qid", "rank"),
-      None),
+      Some(PortableIvf.ivfSq8OracleSql(Dim, K, nCells = 16, nprobe = 3,
+        shortlist = 30, PredOn))),
 
     // ---- s08: IVF-PQ — product-quantized codes inside the IVF cells --
     // The heaviest-compression family member: 8 sub-byte PQ codes per
     // 64-dim vector (vs SQ8's 64 bytes), scored by per-query ADC
     // lookup tables riding the broadcast, exact re-rank on the
-    // shortlist. Rows-only like s03/s04/s07 (k-means samples don't
-    // replay in DuckDB); recall@10 vs exact s01 is driver-gated by
-    // s05's pq contract row.
+    // shortlist. Hash-exact since r12: coarse cells AND per-subspace
+    // codebooks replay through [[PortableIvf]] (the ADC fold is a
+    // j-ordered f64 list_reduce); s05's pq contract row still gates
+    // recall@10 vs exact s01.
     Q("s08_knn_ivf_pq",
       (s, dir) =>
         Similarity.ivfPqTopK(s, Tables(s, dir, "embeddings"),
             expr(QueryPred), K)
           .orderBy("qid", "rank"),
-      None),
+      Some(IvfPqOracle)),
 
     // ---- s09: probe of the PERSISTED ANN index -----------------------
     // The deployed shape of s08 (the d12 story for similarity search):
@@ -197,8 +215,10 @@ object SimilarityQueries {
     // reads only the nprobe cells per query (dynamic partition pruning
     // — AnnIndexSpec asserts the filter reaches the scan), re-rank
     // pulls raw vectors from the source. Output is bit-identical to
-    // s08 at equal parameters (same frozen model), so it shares s08's
-    // correctness story: rows-only, recall driver-gated via s05.
+    // s08 at equal parameters (same frozen model) — so since r12 it
+    // shares s08's [[PortableIvf]] oracle TEXT, and the driver's hash
+    // row now also proves the build→persist→probe lifecycle changes
+    // nothing (the strongest form of the "same frozen model" claim).
     Q("s09_ann_index_probe",
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings")
@@ -207,7 +227,7 @@ object SimilarityQueries {
         AnnIndex.probeAnnIndex(s, "graft_s09_idx", emb, expr(QueryPred), K)
           .orderBy("qid", "rank")
       },
-      None),
+      Some(IvfPqOracle)),
 
     // ---- s06: int8-quantized ANN with exact re-rank ------------------
     // Unlike s03/s04, quantized search IS oracle-exact: the codes,
@@ -250,33 +270,35 @@ object SimilarityQueries {
     // ---- s11: filtered ANN (scope keys inside the IVF probe) ---------
     // s10's scale path: the label scope joins WITH the cell key, so
     // the probe scans only same-label rows of the nprobe cells —
-    // pre-filtering, never score-and-discard. Rows-only like its s04
-    // parent (k-means cells don't replay in DuckDB); recall@10 vs the
-    // exact filtered s10 is driver-gated by s05's filtered contract
-    // row (nprobe raised to 8: the standard mitigation for scopes
-    // shrinking the per-cell candidate pool).
+    // pre-filtering, never score-and-discard. Hash-exact since r12
+    // (the [[PortableIvf]] replay carries the scope key through the
+    // candidate join); s05's filtered contract row still gates
+    // recall@10 vs the exact filtered s10 (nprobe raised to 8: the
+    // standard mitigation for scopes shrinking the per-cell pool).
     Q("s11_filtered_ivf",
       (s, dir) =>
         Similarity.ivfTopK(s, Tables(s, dir, "embeddings"),
             expr(QueryPred), K, nprobe = 8, scope = Seq("label"))
           .orderBy("qid", "rank"),
-      None),
+      Some(PortableIvf.ivfOracleSql(Dim, K, nCells = 16, nprobe = 8,
+        PredOn, scope = Some("label")))),
 
     // ---- s12: MMR diversity re-rank ----------------------------------
     // Maximal marginal relevance over each query's 30-candidate pool:
     // greedy λ·rel − (1−λ)·max-sim-to-selected, so near-duplicate
     // candidates can't crowd the context (RAG selection, few-shot
-    // retrieval). Greedy float comparisons don't replay in SQL →
-    // rows-only; the driver gate is s13's three contract rows (top-1
-    // preserved, relevance retention ≥ 0.8, diversity no worse), and
-    // SimilaritySpec pins the λ=1 ≡ top-k reduction and
-    // partitioning-invariance.
+    // retrieval). Hash-exact since r12: the greedy IS replayable —
+    // max over the selected set is order-independent, each step's
+    // strict-improvement argmax is a row_number, and [[PortableIvf]]
+    // unrolls the k steps as CTE pairs. s13's three contract rows and
+    // SimilaritySpec's λ=1 ≡ top-k / partitioning-invariance pins
+    // keep gating the semantics.
     Q("s12_mmr_rerank",
       (s, dir) =>
         Similarity.mmrTopK(s, Tables(s, dir, "embeddings"),
             expr(QueryPred), K)
           .orderBy("qid", "rank"),
-      None),
+      Some(PortableIvf.mmrOracleSql(Dim, K, pool = 30, PredOn))),
 
     // ---- s14: filtered probe of the PERSISTED ANN index --------------
     // s10/s11's scope applied to the deployed index: `label` is stored
