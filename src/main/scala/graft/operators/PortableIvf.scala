@@ -211,16 +211,19 @@ object PortableIvf {
   }
 
   /** Per-subspace PQ codebooks (the `trainBooksOn` replay): subspace j
-    * of the SAME training sample, trained exactly like the coarse
-    * quantizer but partitioned by (j, cell). Returns (CTE text, final
-    * CTE name) with rows (j, cell, cent LIST(FLOAT) of dim/m). */
-  def booksCte(dim: Int, m: Int, ksub: Int, iters: Int): (String, String) = {
+    * of the training frame `src` (the raw sample, or its coarse
+    * residuals for `residual = true`), trained exactly like the
+    * coarse quantizer but partitioned by (j, cell). Returns (CTE
+    * text, final CTE name) with rows (j, cell, cent LIST(FLOAT) of
+    * dim/m). */
+  def booksCte(dim: Int, m: Int, ksub: Int, iters: Int,
+      src: String = "samp"): (String, String) = {
     val dsub = dim / m
     val parts = scala.collection.mutable.ArrayBuffer(
       s"""ssub AS MATERIALIZED (
       SELECT s.rn, t.j, list_transform(range(t.j*$dsub+1, t.j*$dsub+${dsub + 1}),
           i -> s.embedding[i]) AS sub
-      FROM samp s CROSS JOIN (SELECT unnest(range($m)) AS j) t)""",
+      FROM $src s CROSS JOIN (SELECT unnest(range($m)) AS j) t)""",
       s"""b0 AS MATERIALIZED (SELECT j, rn - 1 AS cell, sub AS cent
       FROM ssub WHERE rn <= $ksub)""")
     for (it <- 1 to iters) {
@@ -246,37 +249,76 @@ object PortableIvf {
     (parts.mkString(",\n    "), s"b$iters")
   }
 
-  /** [[Similarity.ivfPqTopK]]'s oracle at `residual = false` (s08 —
-    * and s09, whose persisted-index probe is bit-identical at equal
-    * parameters): coarse cells, per-subspace codebooks, corpus codes,
-    * per-query ADC lookup tables (f32-product/f64-sum subspace dots),
-    * the j-ordered f64 ADC fold, shortlist cut, exact re-rank. */
+  /** [[Similarity.ivfPqTopK]]'s oracle (s08/s09 at `residual = false`;
+    * s29 at `residual = true`): coarse cells, per-subspace codebooks,
+    * corpus codes, per-query ADC lookup tables (f32-product/f64-sum
+    * subspace dots), the j-ordered f64 ADC fold, shortlist cut, exact
+    * re-rank. Residual mode trains the codebooks on (sample − its
+    * cell's centroid), encodes each corpus vector's residual against
+    * ITS OWN cell (per-dim f32 subs, like `residualOf`), and folds the
+    * per-(query, probed-cell) `dot(q, centroid)` term back into the
+    * ADC score — exactly `qcellDot`'s f64 accumulation. */
   def ivfPqOracleSql(dim: Int, k: Int, nCells: Int, nprobe: Int,
       m: Int, ksub: Int, shortlist: Int, predOn: String => String,
+      residual: Boolean = false,
       iters: Int = 3, sampleN: Int = 2048): String = {
     val dsub = dim / m
     val (cc, cfin) = centroidsCte(dim, nCells, iters, sampleN)
-    val (bc, bfin) = booksCte(dim, m, ksub, iters)
-    s"""WITH $cc,
+    val (bc, bfin) = booksCte(dim, m, ksub, iters,
+      src = if (residual) "rsamp" else "samp")
+    def residualList(v: String, c: String) =
+      s"list_transform(range(1, ${dim + 1}), i -> $v[i] - $c[i])"
+    // residual mode: the sample's residuals (vs the FINAL coarse
+    // centroids) feed codebook training; each corpus vector encodes
+    // its residual against its own cell
+    val rsampCte = if (!residual) "" else s""",
+    sasg AS MATERIALIZED (SELECT rn, cell FROM (
+      SELECT s.rn, c.cell, row_number() OVER (PARTITION BY s.rn
+          ORDER BY ${d2Chain("s.embedding", "c.cent", dim)}, c.cell) AS pr
+      FROM samp s CROSS JOIN $cfin c) WHERE pr = 1),
+    rsamp AS MATERIALIZED (SELECT s.rn,
+        ${residualList("s.embedding", "c.cent")} AS embedding
+      FROM samp s JOIN sasg a ON a.rn = s.rn JOIN $cfin c ON c.cell = a.cell)"""
+    val codeSrc = if (!residual) "embeddings e" else
+      s"""(SELECT e.vec_id, ${residualList("e.embedding", "c.cent")} AS embedding
+        FROM embeddings e JOIN asg a2 ON a2.vec_id = e.vec_id
+          JOIN $cfin c ON c.cell = a2.cell) e"""
+    // the ADC score's base: 0.0 for raw, dot(q, probed centroid) for
+    // residual (one term per (query, probed cell), qcellDot's text)
+    val qcCte = if (!residual) "" else s""",
+    qcv AS MATERIALIZED (SELECT p.qid, p.cell,
+        ${simDot("e.embedding", "c.cent", dim)} AS qc
+      FROM prb p JOIN embeddings e ON e.vec_id = p.qid
+        JOIN $cfin c ON c.cell = p.cell)"""
+    val (qcJoin, qcExpr) =
+      if (!residual) ("", "list_reduce(list(t.val ORDER BY t.j), (a, b) -> a + b)")
+      else (" JOIN qcv q ON q.qid = p.qid AND q.cell = p.cell",
+        "any_value(t.qc) + list_reduce(list(t.val ORDER BY t.j), (a, b) -> a + b)")
+    val qcSel = if (!residual) "" else ", q.qc"
+    s"""WITH $cc$rsampCte,
     $bc,
-    ${assignAndProbe(dim, nprobe, cfin, predOn)},
+    ${assignAndProbe(dim, nprobe, cfin, predOn)}$qcCte,
     esub AS MATERIALIZED (
       SELECT e.vec_id, t.j, list_transform(range(t.j*$dsub+1, t.j*$dsub+${dsub + 1}),
           i -> e.embedding[i]) AS sub
-      FROM embeddings e CROSS JOIN (SELECT unnest(range($m)) AS j) t),
+      FROM $codeSrc CROSS JOIN (SELECT unnest(range($m)) AS j) t),
     ecode AS MATERIALIZED (SELECT vec_id, j, cell AS code FROM (
       SELECT s.vec_id, s.j, c.cell,
         row_number() OVER (PARTITION BY s.vec_id, s.j
           ORDER BY ${d2Chain("s.sub", "c.cent", dsub)}, c.cell) AS pr
       FROM esub s JOIN $bfin c USING (j)) WHERE pr = 1),
+    qsub AS MATERIALIZED (
+      SELECT e.vec_id, t.j, list_transform(range(t.j*$dsub+1, t.j*$dsub+${dsub + 1}),
+          i -> e.embedding[i]) AS sub
+      FROM embeddings e CROSS JOIN (SELECT unnest(range($m)) AS j) t
+      WHERE ${predOn("e")}),
     qlut AS MATERIALIZED (SELECT s.vec_id AS qid, s.j, c.cell AS code,
         ${simDot("s.sub", "c.cent", dsub)} AS val
-      FROM esub s JOIN $bfin c USING (j)
-      WHERE ${predOn("s")}),
+      FROM qsub s JOIN $bfin c USING (j)),
     sc AS MATERIALIZED (SELECT t.qid, t.vec_id,
-        list_reduce(list(t.val ORDER BY t.j), (a, b) -> a + b) AS cos
-      FROM (SELECT p.qid, a.vec_id, l.j, l.val
-        FROM asg a JOIN prb p ON a.cell = p.cell
+        $qcExpr AS cos
+      FROM (SELECT p.qid, a.vec_id, l.j, l.val$qcSel
+        FROM asg a JOIN prb p ON a.cell = p.cell$qcJoin
           JOIN ecode ec ON ec.vec_id = a.vec_id
           JOIN qlut l ON l.qid = p.qid AND l.j = ec.j AND l.code = ec.code
         WHERE a.vec_id <> p.qid) t

@@ -209,6 +209,23 @@ object SimilarityQueries {
           .orderBy("qid", "rank"),
       Some(IvfPqOracle)),
 
+    // ---- s29: IVF-PQ with RESIDUAL codes (the FAISS default) ---------
+    // s08's accuracy upgrade at equal bytes: codebooks train on
+    // (v − its cell's centroid), codes encode each vector's residual
+    // against its OWN cell, and the ADC score folds the missing
+    // dot(q, centroid) back in per (query, probed cell). Previously
+    // exercised only inside s05's accuracy contract and s16's
+    // retrain body; hash-exact since r12 — the residual arithmetic
+    // (per-dim f32 subs, qcellDot's f64 accumulation) replays through
+    // the same [[PortableIvf]] text with the residual CTEs added.
+    Q("s29_ivfpq_residual",
+      (s, dir) =>
+        Similarity.ivfPqTopK(s, Tables(s, dir, "embeddings"),
+            expr(QueryPred), K, residual = true)
+          .orderBy("qid", "rank"),
+      Some(PortableIvf.ivfPqOracleSql(Dim, K, nCells = 16, nprobe = 4,
+        m = 8, ksub = 32, shortlist = 60, PredOn, residual = true))),
+
     // ---- s09: probe of the PERSISTED ANN index -----------------------
     // The deployed shape of s08 (the d12 story for similarity search):
     // codes live in a cell-partitioned table built once, the probe

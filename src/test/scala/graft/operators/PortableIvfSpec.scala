@@ -85,6 +85,22 @@ class PortableIvfSpec extends SparkSpec {
     }
   }
 
+  test("trainPqCodebooksResidual trains on (sample − its cell's centroid)") {
+    val emb = Tables(spark, sf, "embeddings")
+    val m = 8; val ksub = 32; val dsub = dim / m
+    val cents = Similarity.trainCentroids(emb, nCells = 16)
+    val books = Similarity.trainPqCodebooksResidual(emb, cents, m, ksub)
+    val res = sample().map { v =>
+      val c = cents(Similarity.nearestCell(v, cents))
+      Array.tabulate(v.length)(i => v(i) - c(i)) // per-dim f32 subs
+    }
+    for (j <- 0 until m) {
+      val sub = res.map(_.slice(j * dsub, (j + 1) * dsub))
+      assertBitEqual(books(j), replay(sub, ksub, iters = 3),
+        s"residual subspace $j")
+    }
+  }
+
   test("the probe selection (nearestCells) is the (d2, cell) ranking the oracle uses") {
     val s = sample(64)
     val cents = replay(s, 16, 3)
@@ -112,6 +128,8 @@ class PortableIvfSpec extends SparkSpec {
       PortableIvf.ivfOracleSql(dim, 10, 16, 8, predOn, scope = Some("label")),
       PortableIvf.ivfSq8OracleSql(dim, 10, 16, 3, 30, predOn),
       PortableIvf.ivfPqOracleSql(dim, 10, 16, 4, 8, 32, 60, predOn),
+      PortableIvf.ivfPqOracleSql(dim, 10, 16, 4, 8, 32, 60, predOn,
+        residual = true),
       PortableIvf.mmrOracleSql(dim, 10, 30, predOn))
     texts.foreach { t =>
       // every CTE materialized: un-materialized CTEs re-evaluate the
