@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.TextFunctions.{sqlTokens, tokens}
+
+/** Hybrid (lexical + vector) retrieval with reciprocal-rank fusion —
+  * the production RAG-retrieval shape: a BM25-family inverted-index
+  * scorer supplies exact-term evidence, the vector side supplies
+  * semantic evidence, and RRF fuses the two WITHOUT comparing their
+  * incommensurable scores (only ranks cross the boundary — the reason
+  * RRF is the robust default fusion in production search stacks).
+  *
+  * Lexical scoring is BM25's tf-saturation over the RATIONAL Robertson
+  * idf core (N − df + ½)/(df + ½) — log-free BY THE HOUSE RULE (the
+  * t10 discipline): `ln` is the one scalar whose last ulp IEEE-754
+  * does not pin across libm implementations (the q16/ADVICE lesson),
+  * and every other factor here is a ratio of exact integers, so the
+  * whole per-term weight is one pure f64 text BOTH engines evaluate
+  * bit-identically. Dropping the log keeps idf's ordering and its
+  * rare-term emphasis; the fusion consumes only per-list ranks
+  * anyway. Per-(query, doc) weights sum through DECIMAL(18,9)
+  * (exact, order-independent — the dsum rule), so the lexical score
+  * is hash-stable under any partitioning.
+  *
+  * Scale shape (the part that must survive 100 TB):
+  *  - tf/df/len are one-pass token aggregations (shuffle on token —
+  *    the inverted-index build);
+  *  - candidate generation is the (token) equi-join of the broadcast
+  *    query term set against tf, DF-CAPPED (df·10 ≤ N·9, t10's cap):
+  *    stop-word posting lists never enter the pair space — the df cap
+  *    is the lexical analog of the LSH band bound;
+  *  - both rank lists cut through the bounded [[Similarity.TopKAgg]]
+  *    (≤ kEach rows per partition per query reach the exchange), not
+  *    a window over the full scored set;
+  *  - fusion touches ≤ 2·kEach rows per query.
+  */
+object HybridRetrieval {
+
+  /** DOUBLE-cast literal (a bare `1.2` parses as DECIMAL in DuckDB —
+    * the PortableIvf trap). */
+  private def d(x: String) = s"CAST($x AS DOUBLE)"
+
+  /** The per-(query-term, doc) lexical weight as ONE scalar f64 text
+    * both engines evaluate verbatim: rational idf core × tf
+    * saturation with rational length normalization (len·N/T replaces
+    * len/avglen — same value, from exact integers). Expects columns
+    * tf, df, len, n_docs, total_tokens (BIGINT). */
+  def termWeightSql: String = {
+    val idf = s"((${d("n_docs")} - ${d("df")} + ${d("0.5")}) / " +
+      s"(${d("df")} + ${d("0.5")}))"
+    val sat = s"((${d("tf")} * (${d("1.2")} + ${d("1.0")})) / " +
+      s"(${d("tf")} + ${d("1.2")} * (${d("1.0")} - ${d("0.75")} + " +
+      s"${d("0.75")} * ${d("len")} * ${d("n_docs")} / ${d("total_tokens")})))"
+    s"($idf * $sat)"
+  }
+
+  /** One rank's RRF contribution (NULL rank → 0). The caller's text
+    * pins the lex-then-vec evaluation order. */
+  def rrfTermSql(rank: String, c: Int): String =
+    s"COALESCE(${d("1.0")} / (${d(c.toString)} + ${d(rank)}), ${d("0.0")})"
+
+  /** Lexical top-`kEach` per query doc as (qid, doc_id, lex_rank,
+    * lex_score), ties (score DESC, doc_id) via the bounded TopKAgg. */
+  def lexicalTopK(docs: DataFrame, queryPred: Column,
+      kEach: Int): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val len = tok.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = tok.agg(countDistinct(col("doc_id")).as("n_docs"),
+      count(lit(1)).as("total_tokens"))
+    // the query TERM SET (query-side tf deliberately ignored — the
+    // standard short-query BM25 simplification)
+    val qt = tf.filter(queryPred).select(col("doc_id").as("qid"), col("tok"))
+    val scored = tf.join(df, "tok")
+      .join(len, "doc_id")
+      .crossJoin(broadcast(n))
+      .filter(col("df") * 10 <= col("n_docs") * 9) // df cap: stop-words out
+      .join(broadcast(qt), "tok")
+      .filter(col("doc_id") =!= col("qid"))
+      .withColumn("w", expr(termWeightSql))
+    // the ×10⁹ integer-scaled exact decimal sum: ranking by a BIGINT
+    // sidesteps engine-specific DECIMAL→DOUBLE rounding entirely (the
+    // integer is < 2^53, so even its double image is exact)
+    val agg = scored.groupBy("qid", "doc_id")
+      .agg((sum(col("w").cast(DecimalType(18, 9))) * 1000000000L)
+        .cast("long").as("lex_scaled"))
+    Similarity.topKPerQuery(
+        agg.select(col("qid"), col("doc_id").as("vec_id"),
+          col("lex_scaled").cast("double").as("cos")), kEach)
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        col("rank").as("lex_rank"), col("cos").as("lex_score"))
+  }
+
+  /** Fuse a lexical and a vector rank list by RRF and keep the final
+    * top-k: rrf = 1/(c+lex_rank) + 1/(c+vec_rank), absent side = 0,
+    * ties (rrf DESC, doc_id). Inputs carry (qid, doc_id, lex_rank) /
+    * (qid, doc_id, vec_rank). */
+  def rrfFuse(lex: DataFrame, vec: DataFrame, k: Int,
+      c: Int = 60): DataFrame = {
+    val fused = lex.select("qid", "doc_id", "lex_rank")
+      .join(vec.select("qid", "doc_id", "vec_rank"),
+        Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        expr(s"${rrfTermSql("lex_rank", c)} + ${rrfTermSql("vec_rank", c)}"))
+    // the fused pool is ≤ 2·kEach rows per query — TopKAgg again
+    val ranked = Similarity.topKPerQuery(
+        fused.select(col("qid"), col("doc_id").as("vec_id"),
+          col("rrf").as("cos")), k)
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        col("rank"), col("cos").as("rrf"))
+    ranked.join(fused.select("qid", "doc_id", "lex_rank", "vec_rank"),
+        Seq("qid", "doc_id"))
+      .select("qid", "doc_id", "rank", "rrf", "lex_rank", "vec_rank")
+  }
+
+  /** The DuckDB oracle: the SAME term-weight and RRF texts over the
+    * same aggregations; the vector side is s01's chain-cosine replay.
+    * `predDoc`/`predVec` are the query predicate against the two id
+    * columns (`doc_id < 8` / `vec_id < 8`). */
+  def oracleSql(dim: Int, k: Int, kEach: Int, c: Int,
+      predDoc: String, predVec: String): String = {
+    import graft.functions.VectorFunctions.{chainDot, chainNorm}
+    s"""WITH tok AS MATERIALIZED (SELECT doc_id,
+          unnest(${sqlTokens("text")}) AS tok FROM documents),
+      tfq AS MATERIALIZED (SELECT doc_id, tok, count(*) AS tf
+        FROM tok GROUP BY doc_id, tok),
+      lenq AS MATERIALIZED (SELECT doc_id, count(*) AS len
+        FROM tok GROUP BY doc_id),
+      dfq AS MATERIALIZED (SELECT tok, count(*) AS df FROM tfq GROUP BY tok),
+      nq AS MATERIALIZED (SELECT count(DISTINCT doc_id) AS n_docs,
+          count(*) AS total_tokens FROM tok),
+      qt AS MATERIALIZED (SELECT doc_id AS qid, tok FROM tfq
+        WHERE $predDoc),
+      sc AS MATERIALIZED (SELECT q.qid, tfq.doc_id,
+          CAST($termWeightSql AS DECIMAL(18,9)) AS w
+        FROM tfq JOIN dfq USING (tok) JOIN lenq USING (doc_id)
+          JOIN qt q ON q.tok = tfq.tok CROSS JOIN nq
+        WHERE df * 10 <= n_docs * 9 AND tfq.doc_id <> q.qid),
+      lexs AS MATERIALIZED (SELECT qid, doc_id,
+          CAST(sum(w) * 1000000000 AS BIGINT) AS lex_scaled
+        FROM sc GROUP BY qid, doc_id),
+      lex AS MATERIALIZED (SELECT qid, doc_id, lex_rank FROM (
+        SELECT qid, doc_id, CAST(row_number() OVER (
+            PARTITION BY qid ORDER BY lex_scaled DESC, doc_id) AS INT) AS lex_rank
+        FROM lexs) WHERE lex_rank <= $kEach),
+      nv AS MATERIALIZED (SELECT vec_id, embedding,
+          ${chainNorm("embedding", dim, 1)} AS nrm FROM embeddings),
+      qv AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qe, nrm AS qn
+        FROM nv WHERE $predVec),
+      vc AS MATERIALIZED (SELECT qid, vec_id AS doc_id,
+          CAST(${chainDot("qe", "embedding", dim, 1)} AS DOUBLE)
+            / (qn * nrm) AS cos
+        FROM nv, qv WHERE vec_id <> qid),
+      vec AS MATERIALIZED (SELECT qid, doc_id, vec_rank FROM (
+        SELECT qid, doc_id, CAST(row_number() OVER (
+            PARTITION BY qid ORDER BY cos DESC, doc_id) AS INT) AS vec_rank
+        FROM vc) WHERE vec_rank <= $kEach),
+      fused AS MATERIALIZED (SELECT qid, doc_id, lex_rank, vec_rank,
+          ${rrfTermSql("lex_rank", c)} + ${rrfTermSql("vec_rank", c)} AS rrf
+        FROM lex FULL OUTER JOIN vec USING (qid, doc_id)),
+      r AS MATERIALIZED (SELECT qid, doc_id, CAST(row_number() OVER (
+          PARTITION BY qid ORDER BY rrf DESC, doc_id) AS INT) AS rank,
+          rrf, lex_rank, vec_rank
+        FROM fused)
+      SELECT qid, doc_id, rank, rrf, lex_rank, vec_rank FROM r
+      WHERE rank <= $k
+      ORDER BY qid NULLS FIRST, rank NULLS FIRST"""
+  }
+}

@@ -317,6 +317,41 @@ object SimilarityQueries {
           .orderBy("qid", "rank"),
       Some(PortableIvf.mmrOracleSql(Dim, K, pool = 30, PredOn))),
 
+    // ---- s30: hybrid (BM25-family + vector) retrieval, RRF-fused -----
+    // The production RAG-retrieval shape: the lexical side scores
+    // exact-term evidence over the inverted index (df-capped token
+    // equi-join, rational idf core × BM25 tf saturation — log-free by
+    // the t10 house rule, DECIMAL-summed per pair), the vector side is
+    // s01's chain-cosine top-k, and reciprocal-rank fusion combines
+    // the two lists on RANKS (1/(60+r) each side) — never comparing
+    // the incommensurable scores. Both sides cut through the bounded
+    // TopKAgg; the fused pool is ≤ 2·kEach rows per query. Hash-exact:
+    // every factor is either exact-integer arithmetic, one shared f64
+    // scalar text, or a DECIMAL sum.
+    Q("s30_hybrid_rrf",
+      (s, dir) => {
+        val lex = graft.operators.HybridRetrieval.lexicalTopK(
+          Tables(s, dir, "documents"), expr("doc_id < 8"), kEach = 20)
+        val emb = Tables(s, dir, "embeddings")
+          .withColumn("nrm", expr(chainNorm("embedding", Dim, 0)))
+        val q = emb.filter(expr(QueryPred))
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("nrm").as("qn"))
+        val scored = emb
+          .select(col("vec_id"), col("embedding").as("e"), col("nrm").as("en"))
+          .join(broadcast(q), col("vec_id") =!= col("qid"))
+          .withColumn("cos",
+            expr(s"CAST(${chainDot("qe", "e", Dim, 0)} AS DOUBLE)") /
+              (col("qn") * col("en")))
+        val vec = Similarity.topKPerQuery(scored, 20)
+          .select(col("qid"), col("vec_id").as("doc_id"),
+            col("rank").as("vec_rank"))
+        graft.operators.HybridRetrieval.rrfFuse(lex, vec, K)
+          .orderBy("qid", "rank")
+      },
+      Some(graft.operators.HybridRetrieval.oracleSql(Dim, K, kEach = 20,
+        c = 60, predDoc = "doc_id < 8", predVec = "vec_id < 8"))),
+
     // ---- s14: filtered probe of the PERSISTED ANN index --------------
     // s10/s11's scope applied to the deployed index: `label` is stored
     // WITH the codes and stamped in the table properties, the probe

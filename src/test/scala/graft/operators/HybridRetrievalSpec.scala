@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Semantics pins for the hybrid-retrieval operator (s30): the RRF
+  * arithmetic, the df cap's stop-word exclusion, self-exclusion, and
+  * partitioning invariance of the DECIMAL-summed lexical score. */
+class HybridRetrievalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("RRF: present-in-both beats present-in-one; absent side is exactly 0") {
+    // q0: doc 10 is rank-1 in BOTH lists; doc 11 rank-2 lex only;
+    // doc 12 rank-1 vec... doc 10 must fuse first.
+    val lex = Seq((0L, 10L, 1), (0L, 11L, 2))
+      .toDF("qid", "doc_id", "lex_rank")
+    val vec = Seq((0L, 10L, 2), (0L, 12L, 1))
+      .toDF("qid", "doc_id", "vec_rank")
+    val out = HybridRetrieval.rrfFuse(lex, vec, k = 10).collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getDouble(3))).sortBy(_._2)
+    assert(out.map(_._1).toSeq == Seq(10L, 12L, 11L),
+      s"fusion order: ${out.toSeq}")
+    // doc 12 appears only in vec at rank 1: rrf must be EXACTLY 1/61
+    val d12 = out.find(_._1 == 12L).get._3
+    assert(d12 == 1.0 / 61.0, s"absent-side contribution not zero: $d12")
+    // doc 10: 1/61 + 1/62 in that exact order
+    val d10 = out.find(_._1 == 10L).get._3
+    assert(d10 == 1.0 / 61.0 + 1.0 / 62.0)
+  }
+
+  test("the df cap drops universal tokens: a shared footer yields no candidates") {
+    val docs = Seq((0L, "alpha corpusfooter"), (1L, "beta corpusfooter"),
+      (2L, "gamma corpusfooter"), (3L, "delta corpusfooter"))
+      .toDF("doc_id", "text")
+    // every doc shares ONLY the footer token with every other; the
+    // footer's df = N trips the cap, so the candidate set is empty
+    val lex = HybridRetrieval.lexicalTopK(docs, col("doc_id") < 2, 10)
+    assert(lex.count() == 0, "universal token leaked through the df cap")
+  }
+
+  test("self-exclusion and lexical determinism under repartitioning") {
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    val a = HybridRetrieval.lexicalTopK(docs, col("doc_id") < 8, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    assert(a.nonEmpty, "vacuous fixture")
+    assert(!a.exists(t => t._1 == t._2), "query doc retrieved itself")
+    val b = HybridRetrieval.lexicalTopK(docs.repartition(7, col("doc_id")),
+        col("doc_id") < 8, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    assert(a == b, "lexical score/rank changed under repartitioning")
+  }
+}
