@@ -63,7 +63,8 @@ object HybridRetrieval {
     s"COALESCE(${d("1.0")} / (${d(c.toString)} + ${d(rank)}), ${d("0.0")})"
 
   /** Lexical top-`kEach` per query doc as (qid, doc_id, lex_rank,
-    * lex_score), ties (score DESC, doc_id) via the bounded TopKAgg. */
+    * lex_scaled), ties (score DESC, doc_id) via the bounded exact-long
+    * [[Similarity.TopKLongAgg]]. */
   def lexicalTopK(docs: DataFrame, queryPred: Column,
       kEach: Int): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
@@ -83,16 +84,20 @@ object HybridRetrieval {
       .filter(col("doc_id") =!= col("qid"))
       .withColumn("w", expr(termWeightSql))
     // the ×10⁹ integer-scaled exact decimal sum: ranking by a BIGINT
-    // sidesteps engine-specific DECIMAL→DOUBLE rounding entirely (the
-    // integer is < 2^53, so even its double image is exact)
+    // sidesteps engine-specific DECIMAL→DOUBLE rounding entirely —
+    // and the rank runs ON the BIGINT (TopKLongAgg), never its double
+    // image: DECIMAL(18,9)·10⁹ permits values past 2^53, where
+    // distinct longs collapse to equal doubles and the doc_id
+    // tie-break would diverge from the oracle's exact ordering at
+    // precisely the corpus sizes this operator targets
     val agg = scored.groupBy("qid", "doc_id")
       .agg((sum(col("w").cast(DecimalType(18, 9))) * 1000000000L)
         .cast("long").as("lex_scaled"))
-    Similarity.topKPerQuery(
+    Similarity.topKPerQueryLong(
         agg.select(col("qid"), col("doc_id").as("vec_id"),
-          col("lex_scaled").cast("double").as("cos")), kEach)
+          col("lex_scaled").as("score")), kEach)
       .select(col("qid"), col("vec_id").as("doc_id"),
-        col("rank").as("lex_rank"), col("cos").as("lex_score"))
+        col("rank").as("lex_rank"), col("score").as("lex_scaled"))
   }
 
   /** Fuse a lexical and a vector rank list by RRF and keep the final

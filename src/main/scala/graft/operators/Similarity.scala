@@ -73,6 +73,71 @@ object Similarity {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Neighbor]]()
   }
 
+  /** [[Neighbor]]'s exact-integer sibling for scores that are scaled
+    * BIGINTs (the hybrid lexical ranker's ×10⁹ DECIMAL sums). */
+  final case class NeighborL(vec_id: Long, rank: Int, score: Long)
+  /** Bounded buffer for [[TopKLongAgg]], sorted (score desc, id asc). */
+  final case class TopKLBuf(ids: Array[Long], scores: Array[Long])
+
+  /** [[TopKAgg]] over an exact LONG score — same bounded partial-agg
+    * shape, but the comparison runs on the integer itself. The double
+    * image of a BIGINT is exact only below 2^53; a score family whose
+    * magnitude can grow with the corpus (the hybrid ranker's rational
+    * idf sums at ~1e7+ docs) would silently collapse distinct scores
+    * to equal doubles above that and diverge from an oracle ordering
+    * the exact integer — so integer scores rank on the integer. */
+  final class TopKLongAgg(k: Int)
+      extends Aggregator[(Long, Long), TopKLBuf, Array[NeighborL]] {
+    private def better(c1: Long, i1: Long, c2: Long, i2: Long): Boolean =
+      c1 > c2 || (c1 == c2 && i1 < i2)
+    def zero: TopKLBuf = TopKLBuf(Array.empty, Array.empty)
+    def reduce(b: TopKLBuf, x: (Long, Long)): TopKLBuf = {
+      val (id, c) = x
+      val n = b.ids.length
+      if (n == k && !better(c, id, b.scores(n - 1), b.ids(n - 1))) b
+      else {
+        var p = 0
+        while (p < n && better(b.scores(p), b.ids(p), c, id)) p += 1
+        val m = math.min(n + 1, k)
+        val ids = new Array[Long](m); val scores = new Array[Long](m)
+        System.arraycopy(b.ids, 0, ids, 0, p)
+        System.arraycopy(b.scores, 0, scores, 0, p)
+        ids(p) = id; scores(p) = c
+        if (p < m - 1) {
+          System.arraycopy(b.ids, p, ids, p + 1, m - 1 - p)
+          System.arraycopy(b.scores, p, scores, p + 1, m - 1 - p)
+        }
+        TopKLBuf(ids, scores)
+      }
+    }
+    def merge(a: TopKLBuf, b: TopKLBuf): TopKLBuf = {
+      var out = a
+      var i = 0
+      while (i < b.ids.length) {
+        out = reduce(out, (b.ids(i), b.scores(i))); i += 1
+      }
+      out
+    }
+    def finish(b: TopKLBuf): Array[NeighborL] =
+      Array.tabulate(b.ids.length)(i => NeighborL(b.ids(i), i + 1, b.scores(i)))
+    def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[TopKLBuf]()
+    def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[NeighborL]]()
+  }
+
+  /** (qid, vec_id, score: LONG) → (qid, vec_id, rank, score), k best
+    * per qid, ties (score desc, vec_id asc) — the exact-integer twin
+    * of [[topKPerQuery]]. */
+  def topKPerQueryLong(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKLongAgg(k))
+    scored.groupBy("qid")
+      .agg(topk(col("vec_id"), col("score")).as("topk"))
+      .select(col("qid"), explode(col("topk")).as("t"))
+      .select(col("qid"), col("t.vec_id").as("vec_id"),
+        col("t.rank").as("rank"), col("t.score").as("score"))
+  }
+
   /** Zero-row frame with the (qid, vec_id, rank, cos) result shape. */
   private def emptyTopK(emb: DataFrame): DataFrame =
     emb.select(col("vec_id").as("qid"), col("vec_id"),
