@@ -20,7 +20,8 @@ object SparkEntry {
     val all =
       Relational.all ++ Advanced.all ++ Enrichment.all ++ TextAnalysis.all ++
         DedupQueries.all ++ SimilarityQueries.all ++ Events.all ++
-        MultimodalQueries.all ++ Accuracy.all ++ CorpusPrep.all
+        MultimodalQueries.all ++ Accuracy.all ++ CorpusPrep.all ++
+        HybridQueries.all
     val dupes = all.groupBy(_.name).filter(_._2.size > 1).keys
     require(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(", ")}")
     all

@@ -1,0 +1,450 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.TextFunctions
+
+/** The MAINTAINED inverted index behind hybrid retrieval — the serve
+  * shape of [[HybridRetrieval.lexicalTopK]] (which rebuilds tf/df/len
+  * per invocation: two corpus-sized shuffles, the build shape). At
+  * 100 TB the postings must persist, and a probe's cost must be
+  * bounded by the QUERY's term posting lists, never the corpus.
+  *
+  * This is the d12/s09 discipline applied to text: a [[Generations]]
+  * family (crash-atomic swaps, writer lease, keep-window as-of reads)
+  * with [[Tombstones]] takedowns, the same lifecycle the reference's
+  * only persisted "index" — the subject-routed output stream
+  * (`/root/reference/src/nats_client.py:81-102`) — needs once the
+  * artifact outgrows one process.
+  *
+  * ==Members==
+  *
+  *  - `postings` (tok, doc_id, tf, len): one row per (term, doc),
+  *    bucketed AND sorted on `tok` — the probe's equi-join key, so the
+  *    corpus-sized side joins exchange-free and a bounded `tok IN (…)`
+  *    pushdown prunes row groups (sorted buckets). `len` is
+  *    DENORMALIZED into the row: a doc's length never changes, and
+  *    carrying it here saves the probe a corpus-sized join against
+  *    `doclen`.
+  *  - `doclen` (doc_id, len, batch_id): one row per doc, bucketed and
+  *    sorted on doc_id — the append bookkeeping spine ("fully
+  *    applied" marker, replay classification, stats recount source).
+  *    Probes never read it.
+  *  - `dfcap` (tok, df): the document-frequency summary AS OF the last
+  *    build/compaction, bucketed+sorted on tok. Probe-side it is ONLY
+  *    a stop-word prune, and a provably SAFE one: df grows
+  *    monotonically between compactions (appends add docs, deletions
+  *    become physical only at compaction), so `df_stale·10 > N_now·9`
+  *    already implies the exact cap fails — those posting lists are
+  *    never read at all. Terms that pass the prune get their EXACT df
+  *    counted from the posting rows the probe reads anyway, so the
+  *    stale summary can never change a result, only skip dead work.
+  *  - `stats` (batch_id, n_docs, total_tokens): per-mutation-epoch
+  *    delta rows; the probe sums them (a few rows — one per append
+  *    since the last compaction). batch_id keys the exactly-once
+  *    fence for replayed appends.
+  *
+  * ==Probe cost at scale==
+  *
+  * Query terms are collected (bounded, [[ProbePushdownMax]]) and pushed
+  * as literals into the `dfcap` scan and then — minus the provably
+  * capped terms — into the `postings` scan: sorted single-column
+  * buckets turn the IN-filter into row-group pruning (the d12 bounded
+  * probe pattern). Everything after the scan is bounded by the
+  * surviving terms' posting lists: df recount and per-term scoring ride
+  * the bucketed (tok) distribution exchange-free, the per-(query, doc)
+  * DECIMAL sum shuffles only scored candidates, and the final cut is
+  * the bounded exact-long [[Similarity.TopKLongAgg]].
+  *
+  * ==Append idempotency (at-least-once replays)==
+  *
+  * An append is three parquet jobs — postings, doclen, stats — each
+  * atomic, the triple not. `ifAbsent = true` (the streaming path)
+  * makes the whole mutation CONVERGENT under replay: `doclen` rows
+  * carry the batch id, so "admitted" is decidable post-crash (a doc
+  * absent from doclen, or present under THIS batch id, is ours to
+  * finish; present under another id means an earlier batch owns it),
+  * per-doc anti-joins skip already-landed postings/doclen rows, and
+  * the stats delta — counted over the deterministic admitted set —
+  * lands once, keyed by batch id, written LAST as the fence.
+  *
+  * ==Deletions==
+  *
+  * [[tombstoneLex]] records doc ids; every probe excludes them from
+  * CANDIDACY immediately (a taken-down doc can never be retrieved),
+  * while df/stats keep the pre-delete values until
+  * [[compactLexIndex]] makes the erasure physical and rebuilds both
+  * exactly — so post-compaction the family is bit-identical to a fresh
+  * build without the deleted docs (the s33 hash row), and
+  * [[Tombstones.requireErasurePurges]] refuses a retaining compaction
+  * that would keep deleted rows as-of-readable.
+  */
+object LexIndex {
+
+  private val Members = Seq("postings", "doclen", "dfcap", "stats")
+
+  /** Tokenizer contract stamp: an index probed/appended with a
+    * different tokenization is silently incomparable (term universes
+    * diverge), so every mutation and probe verifies the stamp — the
+    * near-dup family's shingle-k discipline. */
+  val TokenizerProp = "graft.lex.tokenizer"
+  val TokenizerId = "ws-v1" // whitespace split of trimmed text
+
+  /** Bounded literal-pushdown budget (the d12 probe's limit). */
+  private val ProbePushdownMax = 10000
+
+  /** Session-conf override for the index-size floor (bytes) below
+    * which [[probeLexIndex]] skips the bounded key pushdown; tests set
+    * 0 to force the pushdown branch on fixture-sized indexes. */
+  private[graft] val PushdownMinBytesConf = "graft.lex.pushdownMinBytes"
+  private def pushdownMinBytes(spark: SparkSession): Long =
+    spark.conf.get(PushdownMinBytesConf, (64L << 20).toString).toLong
+  private def scanBytes(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+
+  private def parse(spark: SparkSession, t: String) =
+    spark.sessionState.sqlParser.parseTableIdentifier(t)
+
+  private def member(spark: SparkSession, name: String, m: String,
+      asOf: Option[Long] = None): String =
+    asOf.fold(Generations.resolve(spark, name, m))(g =>
+      Generations.resolveAsOf(spark, name, m, g))
+
+  private def requireTokenizer(spark: SparkSession,
+      tables: Seq[String]): Unit =
+    tables.foreach { t =>
+      val stored = spark.sessionState.catalog.getTableMetadata(parse(spark, t))
+        .properties.getOrElse(TokenizerProp,
+          sys.error(s"$t has no $TokenizerProp property — not a graft " +
+            "lexical index (or built before stamping); rebuild it with " +
+            "writeLexIndex"))
+      require(stored == TokenizerId,
+        s"index table $t was built with tokenizer '$stored' but this " +
+          s"engine speaks '$TokenizerId': term universes would be " +
+          "incomparable (probes silently under-retrieve). Rebuild the " +
+          "index.")
+    }
+
+  /** (doc_id, tok, tf) + (doc_id, len) for a doc frame — the shared
+    * tokenize-aggregate of build and append. Docs with zero tokens
+    * contribute no rows (and therefore never count toward n_docs /
+    * total_tokens — matching the one-shot's countDistinct over the
+    * exploded token table). */
+  private def termFrames(docs: DataFrame): (DataFrame, DataFrame) = {
+    val tok = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("tok"))
+    val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val len = tf.groupBy("doc_id").agg(sum(col("tf")).as("len"))
+    (tf, len)
+  }
+
+  /** Build (or rebuild from scratch) the index over `docs` — one
+    * crash-atomic generation swap; readers of any existing generation
+    * are undisturbed until the single pointer flip. Tombstones against
+    * the replaced generation are cleared: a rebuild defines the
+    * contents from scratch. */
+  def writeLexIndex(docs: DataFrame, name: String, numBuckets: Int = 8,
+      gcKeep: Int = 1): Unit = {
+    val spark = docs.sparkSession
+    Generations.swap(spark, name, Members, gcKeep = gcKeep) { lease =>
+      val epoch = s"g${lease.gen}"
+      val (tf0, len0) = termFrames(docs)
+      val tf = Frontier.pin(tf0)
+      val len = Frontier.pin(len0)
+      val pt = Generations.physical(name, "postings", lease.gen)
+      val lt = Generations.physical(name, "doclen", lease.gen)
+      val dt = Generations.physical(name, "dfcap", lease.gen)
+      val st = Generations.physical(name, "stats", lease.gen)
+      tf.join(len, "doc_id")
+        .select(col("tok"), col("doc_id"), col("tf"), col("len"))
+        .repartition(numBuckets, col("tok"))
+        .write.format("parquet")
+        .bucketBy(numBuckets, "tok").sortBy("tok").saveAsTable(pt)
+      len.select(col("doc_id"), col("len"), lit(epoch).as("batch_id"))
+        .repartition(numBuckets, col("doc_id"))
+        .write.format("parquet")
+        .bucketBy(numBuckets, "doc_id").sortBy("doc_id").saveAsTable(lt)
+      tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        .repartition(numBuckets, col("tok"))
+        .write.format("parquet")
+        .bucketBy(numBuckets, "tok").sortBy("tok").saveAsTable(dt)
+      len.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("total_tokens"))
+        .select(lit(epoch).as("batch_id"), col("n_docs"),
+          coalesce(col("total_tokens"), lit(0L)).as("total_tokens"))
+        .coalesce(1)
+        .write.format("parquet").saveAsTable(st)
+      Seq(pt, lt, dt, st).foreach { t =>
+        spark.sql(
+          s"ALTER TABLE $t SET TBLPROPERTIES ('$TokenizerProp' = '$TokenizerId')")
+      }
+      Map.empty
+    }
+    Tombstones.clear(spark, name)
+  }
+
+  /** Append `batch` (doc_id, text) to the CURRENT generation in place,
+    * under the family's writer lease (fencing the lost-update race
+    * with a concurrent compaction — the near-dup append's contract).
+    * `batchId` keys the stats delta's exactly-once fence; pass the
+    * micro-batch id from streaming. `ifAbsent = true` buys replay
+    * convergence (see object doc) at the price of per-doc anti-joins
+    * against the index; the plain path is one tokenize of the batch +
+    * three batch-sized bucketed appends — the corpus is never
+    * rewritten.
+    *
+    * `dfcap` is deliberately NOT maintained here: it is a safe
+    * stop-word prune precisely because it is a lower bound of the
+    * exact df between compactions (see object doc), and the next
+    * compaction rebuilds it exactly. */
+  def appendToLexIndex(batch: DataFrame, name: String, batchId: String,
+      ifAbsent: Boolean = false): Unit = {
+    val spark = batch.sparkSession
+    val catalog = spark.sessionState.catalog
+    def spec(t: String) = catalog.getTableMetadata(parse(spark, t))
+      .bucketSpec.getOrElse(sys.error(s"$t is not a bucketed index table"))
+    def appendWith(df: DataFrame, t: String): Unit = {
+      val sp = spec(t)
+      val bc = sp.bucketColumnNames
+      val w = df.write.format("parquet").mode("append")
+        .bucketBy(sp.numBuckets, bc.head, bc.tail: _*)
+      (sp.sortColumnNames match {
+        case Nil => w
+        case s => w.sortBy(s.head, s.tail: _*)
+      }).saveAsTable(t)
+    }
+    val lease = Generations.begin(spark, name, Members)
+    try {
+      val (pt, lt, st) = (member(spark, name, "postings"),
+        member(spark, name, "doclen"), member(spark, name, "stats"))
+      requireTokenizer(spark, Seq(pt, lt, st))
+      val applied = ifAbsent && !spark.table(st)
+        .filter(col("batch_id") === batchId).isEmpty
+      if (!applied) {
+        // admitted = this batch's docs the index does not already own:
+        // absent from doclen, or present UNDER THIS BATCH ID (a crashed
+        // attempt's partial landing — ours to finish). Deterministic
+        // across replays, which makes the stats delta deterministic.
+        val admitted =
+          if (!ifAbsent) batch
+          else batch.join(
+              spark.table(lt).select(col("doc_id"),
+                col("batch_id").as("owner")),
+              Seq("doc_id"), "left_outer")
+            .filter(col("owner").isNull || col("owner") === batchId)
+            .select(batch.columns.map(col): _*)
+        val (tf0, len0) = termFrames(admitted)
+        val tf = Frontier.pin(tf0)
+        val len = Frontier.pin(len0)
+        val post = tf.join(len, "doc_id")
+          .select(col("tok"), col("doc_id"), col("tf"), col("len"))
+        val postToAdd =
+          if (ifAbsent) post.join(spark.table(pt).select("doc_id").distinct(),
+            Seq("doc_id"), "left_anti")
+          else post
+        appendWith(postToAdd, pt)
+        val lenRows = len.select(col("doc_id"), col("len"),
+          lit(batchId).as("batch_id"))
+        val lenToAdd =
+          if (ifAbsent) lenRows.join(spark.table(lt).select("doc_id"),
+            Seq("doc_id"), "left_anti")
+          else lenRows
+        appendWith(lenToAdd, lt)
+        // the fence, written LAST: delta over the admitted set (docs a
+        // crashed attempt already landed are IN the admitted set, so
+        // the count is the same whichever attempt finishes)
+        len.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("total_tokens"))
+          .select(lit(batchId).as("batch_id"), col("n_docs"),
+            coalesce(col("total_tokens"), lit(0L)).as("total_tokens"))
+          .coalesce(1)
+          .write.format("parquet").mode("append").saveAsTable(st)
+        Seq(pt, lt, st).foreach(spark.catalog.refreshTable)
+      }
+    } finally Generations.abort(spark, lease)
+  }
+
+  /** DELETE (takedown / right-to-erasure): record doc ids as
+    * tombstones under the writer lease. Immediate at every probe
+    * (tombstoned docs stop being retrievable); physical at the next
+    * [[compactLexIndex]]. Idempotent (distinct-merged). */
+  def tombstoneLex(spark: SparkSession, name: String,
+      ids: DataFrame): Unit = {
+    val lease = Generations.begin(spark, name, Members)
+    try Tombstones.add(spark, name, ids, "doc_id")
+    finally Generations.abort(spark, lease)
+  }
+
+  /** Pending deletions, or None. */
+  def lexTombstones(spark: SparkSession, name: String): Option[DataFrame] =
+    Tombstones.get(spark, name)
+
+  /** COMPACTION: rewrite the family as the next generation — per-append
+    * file accumulation collapses (forced bucketed scan → one task per
+    * bucket → one file per bucket, no exchange unless resizing),
+    * tombstoned docs' rows are physically dropped from postings and
+    * doclen, and `dfcap`/`stats` are REBUILT exactly from the retained
+    * rows (df from the compacted postings riding the (tok) bucketing
+    * exchange-free; stats from the compacted doclen) — so the
+    * compacted family is bit-identical to a fresh build over the
+    * retained docs. doclen batch ids reset to the compaction epoch:
+    * the stats table now carries one consolidated row, and a stale
+    * batch replayed AFTER the compaction must classify those docs as
+    * another epoch's (its re-run lands an empty delta, not a double
+    * count).
+    *
+    * `numBuckets = Some(n)` resizes the layout inside the same swap
+    * (one explicit hash exchange per resized member — the d14
+    * grown-corpus path). */
+  def compactLexIndex(spark: SparkSession, name: String, gcKeep: Int = 1,
+      numBuckets: Option[Int] = None): Unit = {
+    Tombstones.requireErasurePurges(spark, name, gcKeep)
+    val catalog = spark.sessionState.catalog
+    val AutoScan = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val auto0 = spark.conf.get(AutoScan)
+    Generations.swap(spark, name, Members, gcKeep = gcKeep) { lease =>
+      try {
+        spark.conf.set(AutoScan, "false")
+        val epoch = s"g${lease.gen}"
+        // read under the lease: no tombstone can land mid-rewrite, so
+        // clearing the set afterwards cannot lose a deletion
+        val tombs = lexTombstones(spark, name)
+          .map(t => broadcast(t.select(col("doc_id")).distinct()))
+        def purged(t: String): DataFrame =
+          tombs.fold(spark.table(t))(tt =>
+            spark.table(t).join(tt, Seq("doc_id"), "left_anti"))
+        def rewrite(m: String, bcol: String, df: DataFrame): String = {
+          val old = member(spark, name, m)
+          val sp = catalog.getTableMetadata(parse(spark, old)).bucketSpec
+            .getOrElse(sys.error(s"$old is not a bucketed index table"))
+          val nb = numBuckets.getOrElse(sp.numBuckets)
+          require(nb > 0, s"numBuckets must be positive, got $nb")
+          val nt = Generations.physical(name, m, lease.gen)
+          val shaped =
+            if (nb == sp.numBuckets && sp.bucketColumnNames == Seq(bcol)) df
+            else df.repartition(nb, col(bcol))
+          shaped.write.format("parquet")
+            .bucketBy(nb, bcol).sortBy(bcol).saveAsTable(nt)
+          nt
+        }
+        val oldP = member(spark, name, "postings")
+        requireTokenizer(spark, Seq(oldP))
+        val pt = rewrite("postings", "tok", purged(oldP))
+        val lt = rewrite("doclen", "doc_id",
+          purged(member(spark, name, "doclen"))
+            .select(col("doc_id"), col("len"), lit(epoch).as("batch_id")))
+        // df/stats rebuilt EXACTLY from the rows that survived — the
+        // moment logical deletions become statistical deletions
+        val dt = {
+          val nb = numBuckets.getOrElse(
+            catalog.getTableMetadata(parse(spark, pt)).bucketSpec.get.numBuckets)
+          val nt = Generations.physical(name, "dfcap", lease.gen)
+          spark.table(pt).groupBy("tok").agg(count(lit(1)).as("df"))
+            .write.format("parquet")
+            .bucketBy(nb, "tok").sortBy("tok").saveAsTable(nt)
+          nt
+        }
+        val st = {
+          val nt = Generations.physical(name, "stats", lease.gen)
+          spark.table(lt)
+            .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("total_tokens"))
+            .select(lit(epoch).as("batch_id"), col("n_docs"),
+              coalesce(col("total_tokens"), lit(0L)).as("total_tokens"))
+            .coalesce(1)
+            .write.format("parquet").saveAsTable(nt)
+          nt
+        }
+        Seq(pt, lt, dt, st).foreach { t =>
+          spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+            s"('$TokenizerProp' = '$TokenizerId')")
+        }
+        Map.empty[String, String]
+      } finally spark.conf.set(AutoScan, auto0)
+    }
+    Tombstones.clear(spark, name)
+  }
+
+  /** PROBE: lexical top-`kEach` per query against the maintained index
+    * — output identical to [[HybridRetrieval.lexicalTopK]] over the
+    * same logical corpus (the s31–s34 hash rows), cost bounded by the
+    * query's surviving term posting lists (object doc). `queries` is
+    * (qid, text); a query doc sharing an id with an index doc never
+    * retrieves itself. `asOf = Some(g)` probes a retained past
+    * generation (frozen at the flip that superseded it) — with the
+    * house asymmetry that TOMBSTONE exclusion stays current: erasure
+    * overrides history. */
+  def probeLexIndex(spark: SparkSession, name: String, queries: DataFrame,
+      kEach: Int, asOf: Option[Long] = None): DataFrame = {
+    val pt = member(spark, name, "postings", asOf)
+    val dt = member(spark, name, "dfcap", asOf)
+    val st = member(spark, name, "stats", asOf)
+    requireTokenizer(spark, Seq(pt, dt, st))
+    val postings0 = spark.table(pt)
+    val push = scanBytes(postings0) > pushdownMinBytes(spark)
+    // the query TERM SET (query-side tf ignored — the short-query BM25
+    // simplification the one-shot makes too); pinned when the pushdown
+    // collects keys from it, so the key job and the probe job see the
+    // same rows
+    val qt0 = queries.select(col("doc_id").as("qid"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .distinct()
+    val qt = if (push) Frontier.pin(qt0) else qt0
+    val nAgg = broadcast(spark.table(st)
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_tokens")).as("total_tokens")))
+    val postings =
+      if (!push) postings0
+      else {
+        val qtoks = qt.select("tok").distinct()
+          .limit(ProbePushdownMax + 1).collect().map(_.getString(0))
+        if (qtoks.length > ProbePushdownMax) postings0
+        else {
+          // the SAFE stale-df prune: df only grows between compactions,
+          // so a term already capped by the dfcap summary is certainly
+          // capped by the exact df — its posting list is never read
+          val capped = spark.table(dt)
+            .filter(col("tok").isin(qtoks.map(x => x: Any): _*))
+            .crossJoin(nAgg)
+            .filter(col("df") * 10 > col("n_docs") * 9)
+            .select("tok").collect().map(_.getString(0)).toSet
+          val surviving = qtoks.filterNot(capped)
+          postings0.filter(col("tok").isin(surviving.map(x => x: Any): _*))
+        }
+      }
+    // one scan of the surviving posting lists feeds BOTH the exact df
+    // recount and the scoring rows — co-partitioned on the bucketed
+    // (tok) layout, so neither aggregation nor the self-join exchanges
+    val rows = postings.join(
+      broadcast(qt.select("tok").distinct()), "tok")
+    val dfAgg = rows.groupBy("tok").agg(count(lit(1)).as("df"))
+    // logical deletion: tombstoned docs lose CANDIDACY immediately —
+    // applied AFTER the df recount, so df (like n_docs/total_tokens)
+    // keeps the pre-delete value until compaction makes the erasure
+    // physical and statistical at once (a candidacy-only exclusion is
+    // internally consistent; a df that shrank while n_docs did not
+    // would score with statistics no corpus ever had)
+    val cand = lexTombstones(spark, name).fold(rows)(t =>
+      rows.join(broadcast(t.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_anti"))
+    val scored = cand.join(dfAgg, "tok")
+      .crossJoin(nAgg)
+      .filter(col("df") * 10 <= col("n_docs") * 9)
+      .join(broadcast(qt), "tok")
+      .filter(col("doc_id") =!= col("qid"))
+      .withColumn("w", expr(HybridRetrieval.termWeightSql))
+    val agg = scored.groupBy("qid", "doc_id")
+      .agg((sum(col("w").cast(DecimalType(18, 9))) * 1000000000L)
+        .cast("long").as("lex_scaled"))
+    Similarity.topKPerQueryLong(
+        agg.select(col("qid"), col("doc_id").as("vec_id"),
+          col("lex_scaled").as("score")), kEach)
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        col("rank").as("lex_rank"), col("score").as("lex_scaled"))
+  }
+
+  /** Remove the whole family + tombstones — fixture/test reset. */
+  def destroy(spark: SparkSession, name: String): Unit = {
+    Generations.destroy(spark, name, Members)
+    Tombstones.destroy(spark, name)
+  }
+}
