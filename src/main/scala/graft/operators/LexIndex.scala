@@ -95,6 +95,16 @@ object LexIndex {
   /** Bounded literal-pushdown budget (the d12 probe's limit). */
   private val ProbePushdownMax = 10000
 
+  /** Test-only crash injection for the append's three-job window
+    * (the [[Generations.failpoint]] pattern): `Some("after-postings")`
+    * / `Some("after-doclen")` makes the next [[appendToLexIndex]] die
+    * at that point, as a crashed writer would — specs then replay the
+    * batch and assert convergence across both partial windows. */
+  @volatile private[graft] var appendFailpoint: Option[String] = None
+  private def crashPoint(p: String): Unit =
+    if (appendFailpoint.contains(p))
+      throw new IllegalStateException(s"injected crash at $p")
+
   /** Session-conf override for the index-size floor (bytes) below
     * which [[probeLexIndex]] skips the bounded key pushdown; tests set
     * 0 to force the pushdown branch on fixture-sized indexes. */
@@ -244,6 +254,7 @@ object LexIndex {
             Seq("doc_id"), "left_anti")
           else post
         appendWith(postToAdd, pt)
+        crashPoint("after-postings")
         val lenRows = len.select(col("doc_id"), col("len"),
           lit(batchId).as("batch_id"))
         val lenToAdd =
@@ -251,6 +262,7 @@ object LexIndex {
             Seq("doc_id"), "left_anti")
           else lenRows
         appendWith(lenToAdd, lt)
+        crashPoint("after-doclen")
         // the fence, written LAST: delta over the admitted set (docs a
         // crashed attempt already landed are IN the admitted set, so
         // the count is the same whichever attempt finishes)

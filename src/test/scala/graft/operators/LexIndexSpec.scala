@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** The maintained lexical index's contracts beyond the s31–s34 hash
+  * rows: forced-pushdown equivalence, append replay convergence across
+  * both partial-crash windows, immediate tombstone candidacy
+  * exclusion with untouched statistics, and the tokenizer fail-fast. */
+class LexIndexSpec extends SparkSpec {
+
+  private def docs = Tables(spark, sf, "documents")
+    .select(col("doc_id"), col("text"))
+
+  private def queries = docs.filter(col("doc_id") < 4)
+
+  private def oneShot: Array[(Long, Long, Int, Long)] =
+    HybridRetrieval.lexicalTopK(docs, col("doc_id") < 4, kEach = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._3))
+
+  private def probe(name: String): Array[(Long, Long, Int, Long)] =
+    LexIndex.probeLexIndex(spark, name, queries, kEach = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._3))
+
+  test("forced-pushdown probe == one-shot lexicalTopK (and the IN " +
+      "filter reaches the postings scan)") {
+    LexIndex.destroy(spark, "graft_t_lex1")
+    LexIndex.writeLexIndex(docs, "graft_t_lex1", numBuckets = 4)
+    val min0 = spark.conf.get(LexIndex.PushdownMinBytesConf, null)
+    try {
+      spark.conf.set(LexIndex.PushdownMinBytesConf, "0")
+      assert(probe("graft_t_lex1").sameElements(oneShot))
+      // the bounded term set must reach the postings scan as a pushed
+      // In-filter — that is what turns sorted buckets into row-group
+      // pruning at 100 TB
+      val plan = LexIndex.probeLexIndex(spark, "graft_t_lex1", queries, 10)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("graft_t_lex1_postings"), plan)
+      assert(plan.contains("PushedFilters: [In(tok"), plan)
+    } finally {
+      if (min0 == null) spark.conf.unset(LexIndex.PushdownMinBytesConf)
+      else spark.conf.set(LexIndex.PushdownMinBytesConf, min0)
+    }
+  }
+
+  test("postings side of the probe joins without an exchange below it") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    LexIndex.destroy(spark, "graft_t_lex2")
+    LexIndex.writeLexIndex(docs, "graft_t_lex2", numBuckets = 4)
+    val conf = spark.conf
+    val (aqe0, bjt0) = (conf.get("spark.sql.adaptive.enabled"),
+      conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    val plan = try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      LexIndex.probeLexIndex(spark, "graft_t_lex2", queries, 10)
+        .queryExecution.executedPlan
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqe0)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", bjt0)
+    }
+    def isPostingsScan(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec => f.relation.location.rootPaths
+        .exists(_.toString.contains("graft_t_lex2_postings"))
+      case _ => false
+    }
+    val scans = plan.collect {
+      case f: FileSourceScanExec if isPostingsScan(f) => f
+    }
+    assert(scans.nonEmpty, s"no postings scan:\n$plan")
+    def pathTo(p: SparkPlan, t: SparkPlan): Option[List[SparkPlan]] =
+      if (p.eq(t)) Some(List(p))
+      else p.children.view.flatMap(c => pathTo(c, t)).headOption.map(p :: _)
+    scans.foreach { scan =>
+      val path = pathTo(plan, scan).getOrElse(sys.error("scan not in plan"))
+      val belowJoin = path.drop(path.lastIndexWhere(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]))
+      assert(!belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"postings re-shuffled before its join:\n$plan")
+    }
+  }
+
+  private def batch(idOffset: Long): DataFrame =
+    docs.filter(col("doc_id") >= 4 && col("doc_id") < 24)
+      .select((col("doc_id") + idOffset).as("doc_id"),
+        concat(lit("replayable batch "), col("text")).as("text"))
+
+  private def statsSums(name: String): (Long, Long) = {
+    val r = spark.table(Generations.resolve(spark, name, "stats"))
+      .agg(sum("n_docs"), sum("total_tokens")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  test("append replay converges across both partial-crash windows") {
+    for (fp <- Seq("after-postings", "after-doclen")) {
+      LexIndex.destroy(spark, "graft_t_lexc")
+      LexIndex.destroy(spark, "graft_t_lexr")
+      val base = docs.filter(col("doc_id") < 200)
+      LexIndex.writeLexIndex(base, "graft_t_lexc", numBuckets = 4)
+      LexIndex.writeLexIndex(base, "graft_t_lexr", numBuckets = 4)
+      val b = batch(1000000L)
+      LexIndex.appendToLexIndex(b, "graft_t_lexc", "b1", ifAbsent = true)
+      LexIndex.appendFailpoint = Some(fp)
+      try intercept[IllegalStateException] {
+        LexIndex.appendToLexIndex(b, "graft_t_lexr", "b1", ifAbsent = true)
+      } finally LexIndex.appendFailpoint = None
+      // the at-least-once redelivery: same batch id, same rows
+      LexIndex.appendToLexIndex(b, "graft_t_lexr", "b1", ifAbsent = true)
+      // and a spurious third delivery must be a no-op
+      LexIndex.appendToLexIndex(b, "graft_t_lexr", "b1", ifAbsent = true)
+      assert(statsSums("graft_t_lexr") == statsSums("graft_t_lexc"),
+        s"stats diverged after crash at $fp")
+      val clean = LexIndex.probeLexIndex(spark, "graft_t_lexc", queries, 10)
+        .collect().map(_.toString).sorted
+      val replayed = LexIndex.probeLexIndex(spark, "graft_t_lexr", queries, 10)
+        .collect().map(_.toString).sorted
+      assert(replayed.sameElements(clean), s"probe diverged after $fp")
+      // postings row counts equal — no duplicate rows slipped in
+      val pc = spark.table(Generations.resolve(spark, "graft_t_lexc",
+        "postings")).count()
+      val pr = spark.table(Generations.resolve(spark, "graft_t_lexr",
+        "postings")).count()
+      assert(pc == pr, s"postings count diverged after $fp: $pc vs $pr")
+    }
+  }
+
+  test("tombstone: immediate candidacy exclusion, untouched statistics") {
+    LexIndex.destroy(spark, "graft_t_lexd")
+    LexIndex.writeLexIndex(docs, "graft_t_lexd", numBuckets = 4)
+    val before = probe("graft_t_lexd")
+    val victim = before.head._2
+    LexIndex.tombstoneLex(spark, "graft_t_lexd",
+      spark.range(victim, victim + 1).toDF("doc_id"))
+    val after = probe("graft_t_lexd")
+    assert(!after.exists(_._2 == victim), "tombstoned doc still retrieved")
+    // every surviving (qid, doc) keeps its EXACT pre-delete score:
+    // candidacy-only exclusion leaves df/stats untouched until the
+    // compaction makes the erasure physical and statistical together
+    val beforeScores = before.map(t => (t._1, t._2) -> t._4).toMap
+    after.foreach { t =>
+      beforeScores.get((t._1, t._2)).foreach(s =>
+        assert(s == t._4, s"score of surviving doc ${t._2} moved"))
+    }
+    // and the erasure compaction refuses to retain history
+    val e = intercept[IllegalArgumentException] {
+      LexIndex.compactLexIndex(spark, "graft_t_lexd", gcKeep = 2)
+    }
+    assert(e.getMessage.contains("erasure compaction"))
+    LexIndex.compactLexIndex(spark, "graft_t_lexd")
+    assert(Tombstones.get(spark, "graft_t_lexd").isEmpty)
+  }
+
+  test("compaction resize keeps probe results and rebuilds df/stats") {
+    LexIndex.destroy(spark, "graft_t_lexz")
+    LexIndex.writeLexIndex(docs.filter(col("doc_id") % 3 =!= 0),
+      "graft_t_lexz", numBuckets = 4)
+    LexIndex.appendToLexIndex(docs.filter(col("doc_id") % 3 === 0),
+      "graft_t_lexz", "n1")
+    val pre = probe("graft_t_lexz")
+    LexIndex.compactLexIndex(spark, "graft_t_lexz", numBuckets = Some(8))
+    assert(probe("graft_t_lexz").sameElements(pre))
+    assert(probe("graft_t_lexz").sameElements(oneShot))
+    val sp = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(
+        Generations.resolve(spark, "graft_t_lexz", "postings"))).bucketSpec.get
+    assert(sp.numBuckets == 8 && sp.bucketColumnNames == Seq("tok"))
+    // dfcap rebuilt == exact df of the compacted postings
+    val dfc = spark.table(Generations.resolve(spark, "graft_t_lexz", "dfcap"))
+    val exact = spark.table(Generations.resolve(spark, "graft_t_lexz",
+        "postings")).groupBy("tok").agg(count(lit(1)).as("df"))
+    assert(dfc.join(exact, Seq("tok"))
+      .filter(dfc("df") =!= exact("df")).isEmpty)
+    assert(dfc.count() == exact.count())
+  }
+
+  test("tokenizer stamp fail-fast") {
+    LexIndex.destroy(spark, "graft_t_lexs")
+    LexIndex.writeLexIndex(docs.filter(col("doc_id") < 50), "graft_t_lexs",
+      numBuckets = 2)
+    val pt = Generations.resolve(spark, "graft_t_lexs", "postings")
+    spark.sql(s"ALTER TABLE $pt SET TBLPROPERTIES " +
+      s"('${LexIndex.TokenizerProp}' = 'bpe-v9')")
+    val e = intercept[IllegalArgumentException] {
+      LexIndex.probeLexIndex(spark, "graft_t_lexs", queries, 5)
+    }
+    assert(e.getMessage.contains("tokenizer"))
+  }
+}
