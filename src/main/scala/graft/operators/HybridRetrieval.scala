@@ -13,17 +13,22 @@ import graft.functions.TextFunctions.{sqlTokens, tokens}
   * incommensurable scores (only ranks cross the boundary — the reason
   * RRF is the robust default fusion in production search stacks).
   *
-  * Lexical scoring is BM25's tf-saturation over the RATIONAL Robertson
-  * idf core (N − df + ½)/(df + ½) — log-free BY THE HOUSE RULE (the
-  * t10 discipline): `ln` is the one scalar whose last ulp IEEE-754
-  * does not pin across libm implementations (the q16/ADVICE lesson),
-  * and every other factor here is a ratio of exact integers, so the
-  * whole per-term weight is one pure f64 text BOTH engines evaluate
-  * bit-identically. Dropping the log keeps idf's ordering and its
-  * rare-term emphasis; the fusion consumes only per-list ranks
-  * anyway. Per-(query, doc) weights sum through DECIMAL(18,9)
-  * (exact, order-independent — the dsum rule), so the lexical score
-  * is hash-stable under any partitioning.
+  * Lexical scoring is TRUE log-BM25: tf saturation × ln of the
+  * Robertson idf core (N − df + ½)/(df + ½) — with `ln` computed by
+  * [[lnChainSql]]'s sqrt chain, because libm's `ln` is the one scalar
+  * IEEE-754 does not pin to the last ulp across engines (the
+  * q16/ADVICE lesson) while sqrt is REQUIRED-correctly-rounded and
+  * therefore bit-portable. (The first cut of this operator dropped
+  * the log instead; measurement — the s35 contract — showed summed
+  * rational idf over-weights rare terms so badly that top-10 overlap
+  * with real BM25 was ~0 on the synthetic corpus: a monotone
+  * transform of each term is not a monotone transform of the sum.
+  * The sqrt-chain ln keeps the portability AND the semantics, and
+  * caps the score scale, so the ×10⁹ DECIMAL sums stay far below
+  * 2^53 at any corpus size.) Per-(query, doc) weights sum through
+  * DECIMAL(18,9) (exact, order-independent — the dsum rule), so the
+  * lexical score is hash-stable under any partitioning, and ranking
+  * runs on the scaled BIGINT itself ([[Similarity.TopKLongAgg]]).
   *
   * Scale shape (the part that must survive 100 TB):
   *  - tf/df/len are one-pass token aggregations (shuffle on token —
@@ -43,19 +48,39 @@ object HybridRetrieval {
     * the PortableIvf trap). */
   private def d(x: String) = s"CAST($x AS DOUBLE)"
 
-  /** The per-(query-term, doc) lexical weight as ONE scalar f64 text
-    * both engines evaluate verbatim: rational idf core × tf
-    * saturation with rational length normalization (len·N/T replaces
-    * len/avglen — same value, from exact integers). Expects columns
-    * tf, df, len, n_docs, total_tokens (BIGINT). */
-  def termWeightSql: String = {
-    val idf = s"((${d("n_docs")} - ${d("df")} + ${d("0.5")}) / " +
+  /** The rational Robertson idf core (N − df + ½)/(df + ½). */
+  def idfCoreSql: String =
+    s"((${d("n_docs")} - ${d("df")} + ${d("0.5")}) / " +
       s"(${d("df")} + ${d("0.5")}))"
-    val sat = s"((${d("tf")} * (${d("1.2")} + ${d("1.0")})) / " +
+
+  /** PORTABLE natural log: ln(x) ≈ 2³⁰ · (x^(2⁻³⁰) − 1), the
+    * exponent taken by THIRTY nested square roots. `ln` itself is the
+    * one scalar libm does not pin to the last ulp across engines (the
+    * q16 lesson), but IEEE 754 REQUIRES sqrt to be correctly rounded,
+    * exactly like +,−,×,÷ — so this fixed chain of required-exact ops
+    * evaluates BIT-IDENTICALLY in Spark and DuckDB (the chainDot
+    * discipline applied to a transcendental). Accuracy: the series
+    * bias is +ln²x/2³¹ (≤ 1.3e-8 relative on this domain) and the 30
+    * accumulated sqrt roundings add ~3e-7 relative — and the map
+    * L ↦ L + L²/2³¹ is strictly increasing, so within an engine the
+    * approximation is order-preserving on its own scale too. */
+  def lnChainSql(x: String): String = {
+    val root = (1 to 30).foldLeft(s"($x)")((acc, _) => s"sqrt($acc)")
+    s"(${d("1073741824.0")} * ($root - ${d("1.0")}))"
+  }
+
+  /** BM25 tf saturation with rational length normalization
+    * (len·N/T ≡ len/avglen, from exact integers). */
+  /** The per-(query-term, doc) lexical weight
+    * ([[termWeightSql]] = portable-ln(idf core) × tf saturation) is
+    * ONE scalar f64 text both engines evaluate verbatim. Expects
+    * columns tf, df, len, n_docs, total_tokens (BIGINT). */
+  def tfSatSql: String =
+    s"((${d("tf")} * (${d("1.2")} + ${d("1.0")})) / " +
       s"(${d("tf")} + ${d("1.2")} * (${d("1.0")} - ${d("0.75")} + " +
       s"${d("0.75")} * ${d("len")} * ${d("n_docs")} / ${d("total_tokens")})))"
-    s"($idf * $sat)"
-  }
+
+  def termWeightSql: String = s"(${lnChainSql(idfCoreSql)} * $tfSatSql)"
 
   /** One rank's RRF contribution (NULL rank → 0). The caller's text
     * pins the lex-then-vec evaluation order. */
@@ -65,8 +90,12 @@ object HybridRetrieval {
   /** Lexical top-`kEach` per query doc as (qid, doc_id, lex_rank,
     * lex_scaled), ties (score DESC, doc_id) via the bounded exact-long
     * [[Similarity.TopKLongAgg]]. */
-  def lexicalTopK(docs: DataFrame, queryPred: Column,
-      kEach: Int): DataFrame = {
+  /** The shared candidate frame of both lexical scorers: per
+    * (query, doc, term) rows carrying (tf, df, len, n_docs,
+    * total_tokens), df-capped, self-pairs excluded — everything up to
+    * the per-term weight, which is where the rational and the
+    * log-BM25 variants diverge. */
+  private def candidateRows(docs: DataFrame, queryPred: Column): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val len = tok.groupBy("doc_id").agg(count(lit(1)).as("len"))
@@ -76,12 +105,17 @@ object HybridRetrieval {
     // the query TERM SET (query-side tf deliberately ignored — the
     // standard short-query BM25 simplification)
     val qt = tf.filter(queryPred).select(col("doc_id").as("qid"), col("tok"))
-    val scored = tf.join(df, "tok")
+    tf.join(df, "tok")
       .join(len, "doc_id")
       .crossJoin(broadcast(n))
       .filter(col("df") * 10 <= col("n_docs") * 9) // df cap: stop-words out
       .join(broadcast(qt), "tok")
       .filter(col("doc_id") =!= col("qid"))
+  }
+
+  def lexicalTopK(docs: DataFrame, queryPred: Column,
+      kEach: Int): DataFrame = {
+    val scored = candidateRows(docs, queryPred)
       .withColumn("w", expr(termWeightSql))
     // the ×10⁹ integer-scaled exact decimal sum: ranking by a BIGINT
     // sidesteps engine-specific DECIMAL→DOUBLE rounding entirely —
@@ -98,6 +132,28 @@ object HybridRetrieval {
           col("lex_scaled").as("score")), kEach)
       .select(col("qid"), col("vec_id").as("doc_id"),
         col("rank").as("lex_rank"), col("score").as("lex_scaled"))
+  }
+
+  /** TRUE log-BM25 over the same candidate frame — the in-engine
+    * fidelity REFERENCE for the production rational-idf scorer (which
+    * drops `ln` for cross-engine hash portability; per-term ordering
+    * is preserved but a summed monotone transform is not a monotone
+    * transform of the sum, so the distance is measured, not assumed:
+    * the s35 contract rows gate overlap@k and rank drift between this
+    * list and [[lexicalTopK]]'s). Not oracle-portable by construction
+    * (`ln` ulps differ across libms — the q16 lesson), which is fine:
+    * both sides of the contract run in-engine. */
+  def lexicalTopKLog(docs: DataFrame, queryPred: Column,
+      kEach: Int): DataFrame = {
+    val scored = candidateRows(docs, queryPred)
+      .withColumn("w", log(expr(idfCoreSql)) * expr(tfSatSql))
+    val agg = scored.groupBy("qid", "doc_id")
+      .agg(sum(col("w")).as("s"))
+    Similarity.topKPerQuery(
+        agg.select(col("qid"), col("doc_id").as("vec_id"),
+          col("s").as("cos")), kEach)
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        col("rank").as("lex_rank"))
   }
 
   /** Fuse a lexical and a vector rank list by RRF and keep the final

@@ -148,5 +148,61 @@ object HybridQueries {
           queriesOf(Tables(s, dir, "documents")), KEach, asOf = Some(g0))
         HybridRetrieval.rrfFuse(lex, vecTopK(s, dir), K).orderBy("qid", "rank")
       },
-      Some(OneShotOracle)))
+      Some(OneShotOracle)),
+
+    // ---- s35: rank-fidelity contract of the portable-ln scorer -------
+    // The production scorer computes ln by lnChainSql's sqrt chain
+    // (bit-portable; libm ln is not). This contract MEASURES its
+    // distance from true libm log-BM25 in-engine (portability never
+    // constrains the contract side): overlap@10 and mean rank drift
+    // of the lexical lists, and overlap@10 of the RRF-fused lists —
+    // the s05 pattern, with non-vacuity. It exists because the first
+    // cut of this operator dropped ln entirely and ASSUMED rank
+    // fidelity; measuring showed top-10 overlap ~0 (summed rational
+    // idf over-weights rare terms), which forced the sqrt-chain fix.
+    // Measured since: overlap 1.0, drift 0.0, fused 1.0 at BOTH
+    // sf0.01 and sf0.1 (the ~3e-7-relative ln error sits far below
+    // the DECIMAL(18,9) score granularity) — floors set with margin
+    // for tie-adjacent corpora, documented in SURVEY §6.
+    Q("s35_hybrid_rank_fidelity",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val pred = col("doc_id") < 8
+        val rat = graft.operators.Frontier.pin(
+          HybridRetrieval.lexicalTopK(docs, pred, KEach))
+        val lg = graft.operators.Frontier.pin(
+          HybridRetrieval.lexicalTopKLog(docs, pred, KEach))
+        val vec = graft.operators.Frontier.pin(vecTopK(s, dir))
+        def top10(df: DataFrame) =
+          df.filter(col("lex_rank") <= 10).select("qid", "doc_id", "lex_rank")
+        val shared = top10(rat).withColumnRenamed("lex_rank", "r_rat")
+          .join(top10(lg).withColumnRenamed("lex_rank", "r_log"),
+            Seq("qid", "doc_id"))
+        val nQ = rat.select("qid").distinct().count()
+        val lexOverlap = shared.count() / (nQ * 10.0)
+        val drift = shared
+          .agg(coalesce(avg(abs(col("r_rat") - col("r_log"))), lit(0.0)))
+          .head().getDouble(0)
+        val fusedRat = HybridRetrieval.rrfFuse(rat, vec, K)
+          .select("qid", "doc_id")
+        val fusedLog = HybridRetrieval.rrfFuse(
+            lg.select("qid", "doc_id", "lex_rank"), vec, K)
+          .select("qid", "doc_id")
+        val fusedOverlap =
+          fusedRat.join(fusedLog, Seq("qid", "doc_id")).count() / (nQ * 10.0)
+        import s.implicits._
+        Seq(
+          ("hyb_fused_overlap_at_10", 0.9, fusedOverlap >= 0.9),
+          ("hyb_lex_overlap_at_10", 0.9, lexOverlap >= 0.9),
+          ("hyb_lex_rank_drift", 0.5, drift <= 0.5),
+          ("hyb_non_vacuous", 0.0, nQ == 8))
+          .toDF("metric", "bound", "ok")
+          .orderBy("metric")
+      },
+      Some("""SELECT * FROM (
+          SELECT 'hyb_fused_overlap_at_10' AS metric, CAST(0.9 AS DOUBLE) AS bound, true AS ok
+          UNION ALL SELECT 'hyb_lex_overlap_at_10', CAST(0.9 AS DOUBLE), true
+          UNION ALL SELECT 'hyb_lex_rank_drift', CAST(0.5 AS DOUBLE), true
+          UNION ALL SELECT 'hyb_non_vacuous', CAST(0.0 AS DOUBLE), true)
+        ORDER BY metric NULLS FIRST""")))
 }

@@ -45,13 +45,13 @@ class HybridRetrievalSpec extends SparkSpec {
     val docs = Tables(spark, sf, "documents").select("doc_id", "text")
     val a = HybridRetrieval.lexicalTopK(docs, col("doc_id") < 8, 20)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
-        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+        r.getLong(3))).toSet
     assert(a.nonEmpty, "vacuous fixture")
     assert(!a.exists(t => t._1 == t._2), "query doc retrieved itself")
     val b = HybridRetrieval.lexicalTopK(docs.repartition(7, col("doc_id")),
         col("doc_id") < 8, 20)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
-        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+        r.getLong(3))).toSet
     assert(a == b, "lexical score/rank changed under repartitioning")
   }
 }
