@@ -85,8 +85,17 @@ object StreamingGraphIngest {
       // probe slice — pin it so the source offsets are read once
       val b = batch.persist()
       try {
-        sink(appendAndProbe(graphName, b.toDF()), batchId)
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+        val willCompact =
+          compactEvery > 0 && (batchId + 1) % compactEvery == 0
+        // when THIS callback will also compact, the sink's frame is
+        // PINNED first: the lazy neighborhoods resolve the pre-swap
+        // generation, and with gcKeep = 1 the compaction reclaims it
+        // in the same callback — a sink that defers evaluation (an
+        // async writer) would otherwise read dropped tables
+        val nb = appendAndProbe(graphName, b.toDF())
+        sink(if (willCompact) graft.operators.Frontier.pin(nb) else nb,
+          batchId)
+        if (willCompact)
           KnnGraphIndex.compactKnnGraph(b.sparkSession, graphName)
       } finally b.unpersist()
     }
