@@ -819,5 +819,68 @@ object SimilarityQueries {
             PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank FROM c)
         SELECT qid, vec_id, rank, cos FROM r WHERE rank <= 5
         ORDER BY qid NULLS FIRST, rank NULLS FIRST""")),
+
+    // ---- s36: AS-OF probe of the persisted ANN index -----------------
+    // d25's time-travel story on the vector side, now driver-gated
+    // instead of spec-only: compaction publishes gen g+1 retaining g
+    // (gcKeep = 2); the append — EXACT COPIES of the query vectors at
+    // +1e9 ids, which would take rank 1 with cos = 1 if visible —
+    // mutates only the current generation's cells. Probing asOf = g
+    // resolves gen-g cells AND gen-g model together (the one-unit
+    // member consistency claim), so the result is bit-identical to
+    // s08/s09's PortableIvf oracle over the pre-append corpus. The
+    // probe's re-rank side carries the appended vectors, so a leaked
+    // snapshot surfaces as a hash flip, not a silent drop.
+    Q("s36_ann_asof_probe",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        AnnIndex.writeAnnIndex(
+          emb.select(col("vec_id"), col("embedding")), "graft_s36_idx")
+        AnnIndex.compactAnnIndex(s, "graft_s36_idx", gcKeep = 2)
+        val g0 = graft.operators.Generations
+          .currentGen(s, "graft_s36_idx").get - 1
+        val extras = emb.filter(expr(QueryPred))
+          .select((col("vec_id") + 1000000000L).as("vec_id"),
+            col("embedding"))
+        AnnIndex.appendToAnnIndex(extras, "graft_s36_idx")
+        val embAll = emb.select(col("vec_id"), col("embedding"))
+          .unionByName(extras)
+        AnnIndex.probeAnnIndex(s, "graft_s36_idx", embAll, expr(QueryPred),
+            K, asOf = Some(g0))
+          .orderBy("qid", "rank")
+      },
+      Some(IvfPqOracle)),
+
+    // ---- s37: AS-OF probe of the maintained k-NN graph ---------------
+    // The same retention story on the graph: the append gives every
+    // stored vertex reverse edges into [300, 400) — leaked into the
+    // as-of answer they'd displace true neighbors — so probing the
+    // retained pre-append generation must reproduce s24's exact graph
+    // over vec_id < 300, hash-checked against the same DuckDB text.
+    Q("s37_graph_asof_probe",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+          .filter(col("vec_id") < 400).select("vec_id", "embedding")
+        KnnGraphIndex.writeKnnGraph(emb.filter(col("vec_id") < 300),
+          "graft_s37_graph", k = 5, nCells = 16, nprobe = 16)
+        KnnGraphIndex.compactKnnGraph(s, "graft_s37_graph", gcKeep = 2)
+        val g0 = graft.operators.Generations
+          .currentGen(s, "graft_s37_graph").get - 1
+        KnnGraphIndex.appendToKnnGraph(emb.filter(col("vec_id") >= 300),
+          "graft_s37_graph")
+        KnnGraphIndex.probeKnnGraph(s, "graft_s37_graph", asOf = Some(g0))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH n AS (SELECT vec_id, embedding,
+            ${chainNorm("embedding", Dim, 1)} AS nrm FROM embeddings
+          WHERE vec_id < 300),
+        c AS (SELECT q.vec_id AS qid, n.vec_id,
+            CAST(${chainDot("q.embedding", "n.embedding", Dim, 1)} AS DOUBLE)
+              / (q.nrm * n.nrm) AS cos
+          FROM n q JOIN n ON n.vec_id <> q.vec_id),
+        r AS (SELECT qid, vec_id, cos, CAST(row_number() OVER (
+            PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank FROM c)
+        SELECT qid, vec_id, rank, cos FROM r WHERE rank <= 5
+        ORDER BY qid NULLS FIRST, rank NULLS FIRST""")),
   )
 }
