@@ -88,10 +88,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * exact, so a ±sign chain (`a[0] - a[1] + …`) equals the dot against
   * a ±1 vector — PortableLshSpec pins the bit-equality expression vs
   * native on the fixture. */
+/** Ragged inputs are a TYPED CONTRACT violation, not a truncation:
+  * the oracle's fixed-dim chain text indexes every element and DuckDB
+  * yields NULL on an out-of-range list index, so a silently truncated
+  * Spark score would be a finite number where the oracle goes NULL —
+  * a cross-engine divergence masquerading as data. Unequal lengths
+  * therefore evaluate to NULL here too (fail-visible on both engines
+  * the same way); equal-length arrays shorter than the caller's chain
+  * dim remain the caller's fixed-dim contract. */
 case class ChainDotF32(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = FloatType
+
+  // null even for non-null inputs (the length-mismatch contract)
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
@@ -106,8 +117,9 @@ case class ChainDotF32(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    if (n == 0) 0.0f
+    val n = x.numElements()
+    if (n != y.numElements()) null // ragged = contract violation
+    else if (n == 0) 0.0f
     else {
       var acc = x.getFloat(0) * y.getFloat(0)
       var i = 1
@@ -122,15 +134,19 @@ case class ChainDotF32(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        float $acc = 0.0f;
-        if ($n > 0) {
-          $acc = $a.getFloat(0) * $b.getFloat(0);
-          for (int $i = 1; $i < $n; $i++) {
-            $acc += $a.getFloat($i) * $b.getFloat($i);
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          float $acc = 0.0f;
+          if ($n > 0) {
+            $acc = $a.getFloat(0) * $b.getFloat(0);
+            for (int $i = 1; $i < $n; $i++) {
+              $acc += $a.getFloat($i) * $b.getFloat($i);
+            }
           }
+          ${ev.value} = $acc;
         }
-        ${ev.value} = $acc;
       """
     })
 

@@ -113,10 +113,19 @@ object PortableHll {
     val denom = "(znum + v * 2097152)" // absent buckets: 2^-0 = 2^21/2^21
     val raw = s"$alpha * $M.0 * $M.0 * 2097152.0 / $denom"
     val two32 = "4294967296.0" // 2^32: the hash's value space
+    // the large-range branch runs in EXPLICIT DOUBLE: bare fractional
+    // literals parse as DECIMAL (in both engines — the PortableIvf
+    // trap), and decimal division truncates 1/2^32 to ZERO, turning
+    // the anti-NaN clamp into ln(0) = NULL the moment the branch is
+    // actually taken. Unreachable in the oracle fixture either way;
+    // the casts make the runtime branch compute what the Scaladoc
+    // promises.
+    val two32d = s"CAST($two32 AS DOUBLE)"
     s"""CAST(floor((CASE
         WHEN $raw <= ${M * 5 / 2}.0 AND v > 0 THEN $M.0 * ln($M.0 / v)
         WHEN $raw > $two32 / 30.0 THEN
-          -$two32 * ln(greatest(1.0 - $raw / $two32, 1.0 / $two32))
+          -$two32d * ln(greatest(CAST(1.0 AS DOUBLE) -
+            CAST($raw AS DOUBLE) / $two32d, CAST(1.0 AS DOUBLE) / $two32d))
         ELSE $raw END) + 1e-9) AS BIGINT)"""
   }
 
@@ -147,6 +156,36 @@ object PortableHll {
     * frame with column `alias`. */
   def estimate(df: DataFrame, c: String, alias: String): DataFrame =
     estimateFromRegisters(registers(df, c), alias)
+
+  /** TRUE iff the estimate routed through the LARGE-RANGE branch —
+    * the runtime marker the per-branch bit-identity caveat calls for
+    * (r12 ADVICE): that branch agrees cross-engine only to ±1 count
+    * (its 2^32 multiplier amplifies a 1-ulp libm ln divergence to
+    * ~2e-5 absolute), so a deployment exceeding ~1.4e8 distinct per
+    * key silently steps outside the q16 hash-exact contract. The flag
+    * makes the step DETECTABLE: a hash-gated pipeline checks it and
+    * either shards the keyspace (registers merge, so per-shard
+    * sketches compose) or downgrades that key's gate from hash-exact
+    * to the ±1-count contract — rather than debugging a 2e-5-probable
+    * flaky hash. Same (znum, v) inputs and branch predicate as
+    * [[estimateFromRegisters]], so flag and estimate can never
+    * disagree about which branch ran. */
+  def largeRangeFlagExpr: String = {
+    val alpha = s"(0.7213 / (1.0 + 1.079 / $M.0))"
+    val denom = "(znum + v * 2097152)"
+    val raw = s"$alpha * $M.0 * $M.0 * 2097152.0 / $denom"
+    s"(NOT ($raw <= ${M * 5 / 2}.0 AND v > 0) AND $raw > 4294967296.0 / 30.0)"
+  }
+
+  /** [[estimateFromRegisters]] plus the saturation marker: one row,
+    * columns (`alias`, `alias`_large_range). */
+  def estimateWithFlag(regs: DataFrame, alias: String): DataFrame =
+    regs.agg(
+        expr("CAST(COALESCE(sum(CAST(power(2, 21 - m) AS BIGINT)), 0)" +
+          " AS BIGINT)").as("znum"),
+        expr(s"CAST($M - count(1) AS BIGINT)").as("v"))
+      .select(expr(estExpr).as(alias),
+        expr(largeRangeFlagExpr).as(s"${alias}_large_range"))
 
   /** DuckDB side: CTE chain ending at a one-row relation `est_<tag>`
     * with column `alias` — textually the same expressions as above. */

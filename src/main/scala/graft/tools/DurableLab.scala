@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Generations, Tombstones}
+import graft.operators.{AnnIndex, Dedup, Generations, Tombstones}
 
 /** CROSS-PROCESS durability lab for the [[Generations]] protocol (the
   * r11 verdict's structural finding): every crash-atomicity claim —
@@ -215,9 +215,146 @@ object DurableLab {
         check(probeHash(spark) == stored, "probe hash after recovery compaction")
         inProcessMatrix(spark, stored)
 
+      // ---- ANN multi-member family (cells + model swap as ONE unit) --
+      // The near-dup matrix above kills swaps of a two-table family
+      // whose members are independent row sets; the ANN family's
+      // members are MUTUALLY INTERPRETING — codes are meaningless
+      // under another generation's centroids, and a probe that mixed
+      // gen-g cells with gen-g+1 model would silently mis-rank. The
+      // kill windows below bracket a RETRAIN (nCells 16 → 8 → 16, so
+      // the two generations' models are structurally different and
+      // any member mix flips the probe hash, never a silent tie).
+      case "ann-build" =>
+        AnnIndex.writeAnnIndex(vecs(spark), AnnName, nCells = 16)
+        java.nio.file.Files.write(annHashFile(workDir, 16),
+          annProbeHash(spark, AnnName).getBytes("UTF-8"))
+        // the retrain target's expected state, computed on a twin
+        // family: retrain-to-8 must land EXACTLY a fresh nCells=8
+        // build (the trainer is order-pinned — the PortableIvf proof)
+        AnnIndex.writeAnnIndex(vecs(spark), s"${AnnName}_twin", nCells = 8)
+        java.nio.file.Files.write(annHashFile(workDir, 8),
+          annProbeHash(spark, s"${AnnName}_twin").getBytes("UTF-8"))
+
+      case "ann-kill-before-flip" =>
+        Generations.leaseTtlOverrideMs = Some(ShortTtlMs)
+        Generations.failpointHalt = true
+        Generations.failpoint = Some("before-flip")
+        AnnIndex.retrainAnnIndex(spark, AnnName, vecs(spark),
+          nCells = Some(8))
+        sys.error("unreachable: the retrain should have halted the JVM")
+
+      case "ann-recover-before" =>
+        val h16 = annStored(workDir, 16)
+        // pointer never moved: the probe resolves gen-g cells WITH
+        // gen-g model — the half-written nCells=8 generation's tables
+        // exist as debris but are invisible to the resolve, so the
+        // hash is bit-identical to the build's (a cells/model mix
+        // could not hash to either fingerprint)
+        check(annProbeHash(spark, AnnName) == h16,
+          "ANN probe hash after before-flip kill")
+        val st = Generations.leaseStatus(spark, AnnName)
+        check(st.holder.isDefined && !st.issuedByThisJvm &&
+          st.expiresInMs.exists(_ <= 0) && st.acquirable,
+          s"ANN lease not expired-foreign-acquirable: $st")
+        // the retried retrain steals the lease and lands the SAME
+        // state a clean nCells=8 build lands
+        AnnIndex.retrainAnnIndex(spark, AnnName, vecs(spark),
+          nCells = Some(8))
+        check(annProbeHash(spark, AnnName) == annStored(workDir, 8),
+          "retried retrain != clean nCells=8 build")
+
+      case "ann-kill-after-flip" =>
+        Generations.leaseTtlOverrideMs = Some(ShortTtlMs)
+        Generations.failpointHalt = true
+        Generations.failpoint = Some("after-flip")
+        AnnIndex.retrainAnnIndex(spark, AnnName, vecs(spark),
+          nCells = Some(16))
+        sys.error("unreachable: the retrain should have halted the JVM")
+
+      case "ann-recover-after" =>
+        // the flip landed: BOTH members moved in the one catalog call,
+        // so the probe already scores the new generation's codes under
+        // the new generation's centroids — == the original nCells=16
+        // build (deterministic trainer), with the old gen as debris
+        check(annProbeHash(spark, AnnName) == annStored(workDir, 16),
+          "ANN probe hash after after-flip kill")
+        check(Generations.leaseStatus(spark, AnnName).holder.isEmpty,
+          "ANN lease survived the atomic flip+release")
+        // one-unit member consistency, stated on the artifacts: the
+        // live cells' nCells stamp equals the live model's centroid
+        // count (a gen mix would read 8 vs 16 here)
+        val ct = Generations.resolve(spark, AnnName, "cells")
+        val mt = Generations.resolve(spark, AnnName, "model")
+        val stamped = spark.sessionState.catalog
+          .getTableMetadata(spark.sessionState.sqlParser
+            .parseTableIdentifier(ct))
+          .properties(AnnIndex.NCellsProp).toInt
+        val modelCells = spark.table(mt)
+          .filter(col("kind") === "cent").count().toInt
+        check(stamped == 16 && modelCells == 16,
+          s"member mix visible: cells stamp $stamped vs model $modelCells")
+        def annGens() = {
+          val c = spark.sessionState.catalog
+          c.listTables(c.getCurrentDatabase, s"${AnnName}_cells_g*").size
+        }
+        check(annGens() == 2, s"expected old-gen debris, got ${annGens()}")
+        // next mutation's begin GCs the debris down to the keep window
+        AnnIndex.compactAnnIndex(spark, AnnName)
+        check(annGens() == 1, s"ANN debris not GC'd: ${annGens()}")
+        check(annProbeHash(spark, AnnName) == annStored(workDir, 16),
+          "ANN probe hash after recovery compaction")
+        // in-process matrix (failpoint THROWS) on the persistent
+        // catalog: before-flip leaves the old pair serving, after-flip
+        // the new pair — never a mix
+        Generations.failpoint = Some("before-flip")
+        try {
+          AnnIndex.retrainAnnIndex(spark, AnnName, vecs(spark),
+            nCells = Some(8))
+          check(cond = false, "no crash")
+        } catch { case _: IllegalStateException => () }
+        Generations.failpoint = None
+        check(annProbeHash(spark, AnnName) == annStored(workDir, 16),
+          "in-process before-flip: old pair not intact")
+        Generations.failpoint = Some("after-flip")
+        try {
+          AnnIndex.retrainAnnIndex(spark, AnnName, vecs(spark),
+            nCells = Some(8))
+          check(cond = false, "no crash")
+        } catch { case _: IllegalStateException => () }
+        Generations.failpoint = None
+        check(annProbeHash(spark, AnnName) == annStored(workDir, 8),
+          "in-process after-flip: new pair not live as one unit")
+
       case other => sys.error(s"unknown lab command: $other")
     }
   }
+
+  // ---- ANN lab pieces ------------------------------------------------
+  val AnnName = "lab_ann"
+
+  private def vecs(spark: SparkSession) =
+    Tables(spark, Fixtures, "embeddings").select(col("vec_id"), col("embedding"))
+
+  /** Deterministic ANN fingerprint: the full probe result (ranks AND
+    * exact cos bits) of queries vec_id < 8 — any member mix, lost
+    * code row, or stale centroid moves it. */
+  private def annProbeHash(spark: SparkSession, name: String): String = {
+    val rows = AnnIndex.probeAnnIndex(spark, name, vecs(spark),
+        col("vec_id") < 8, k = 10)
+      .collect()
+      .map(r => s"${r.getLong(0)}:${r.getLong(1)}:${r.getInt(2)}:" +
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+      .sorted.mkString(",")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(rows.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  private def annHashFile(workDir: String, nCells: Int) =
+    java.nio.file.Paths.get(workDir, s"ann_hash$nCells.txt")
+
+  private def annStored(workDir: String, nCells: Int): String =
+    new String(java.nio.file.Files.readAllBytes(
+      annHashFile(workDir, nCells)), "UTF-8")
 
   /** The in-process crash matrix (failpoint THROWS — the
     * GenerationsSpec/TombstoneSpec windows) re-run against the

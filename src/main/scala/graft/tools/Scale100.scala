@@ -46,8 +46,9 @@ object Scale100 {
       else Seq(10, 30, 100)
     require(opArgs.length <= 1, s"at most one op arg: ${opArgs.toSeq}")
     val op = opArgs.headOption.getOrElse("all")
-    require(Set("all", "none", "d22", "s25", "s26", "d12", "s09").contains(op),
-      s"unknown op '$op' (all|none|d22|s25|s26|d12|s09)")
+    require(Set("all", "none", "d22", "s25", "s26", "d12", "s09", "s30",
+      "s31").contains(op),
+      s"unknown op '$op' (all|none|d22|s25|s26|d12|s09|s30|s31)")
     val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_scale")
 
     def indicators(df: DataFrame): String = {
@@ -157,6 +158,28 @@ object Scale100 {
           .localCheckpoint()
         time("d12_point", () => Dedup.incrementalNearDupSurvivorsIndexed(
           spark, iName, point))
+      }
+      // hybrid retrieval (r12 verdict ask #7): the one-shot lexical
+      // build shape should be ~linear in the corpus; the MAINTAINED
+      // index probe should be FLAT — the scaled fixture suffixes every
+      // copy's tokens (z$k), so the fixed base-copy query terms' posting
+      // lists do not grow with M and the bounded tok-pushdown reads
+      // fixed bytes from an M×-sized postings table (numBuckets ∝ M,
+      // the resize sizing rule).
+      if (op == "all" || op == "s30")
+        time("s30_oneshot", () => graft.operators.HybridRetrieval
+          .lexicalTopK(docs.select(col("doc_id"), col("text")),
+            col("doc_id") < 8, 20))
+      if (op == "all" || op == "s31") {
+        val lName = s"graft_s100_lex_m$m"
+        val t0 = System.nanoTime()
+        graft.operators.LexIndex.writeLexIndex(
+          docs.select(col("doc_id"), col("text")), lName, numBuckets = 8 * m)
+        println(f"[s100] m=$m%-4d s31_build      ${(System.nanoTime() - t0) / 1e9}%8.2fs  (build)")
+        val queries = docs.filter(col("doc_id") < 8)
+          .select(col("doc_id"), col("text")).localCheckpoint()
+        time("s31_probe", () => graft.operators.LexIndex.probeLexIndex(
+          spark, lName, queries, kEach = 20))
       }
       if (op == "all" || op == "s09") {
         val aName = s"graft_s100_ann_m$m"

@@ -74,4 +74,36 @@ class DurableCatalogSpec extends AnyFunSuite {
     val r2 = run("recover-after", 0)
     assert(r2.contains("[lab] recover-after ok"), tail(r2))
   }
+
+  test("ANN cells+model family: kill-mid-retrain both windows — members move as one unit cross-process") {
+    val workDir = Files.createTempDirectory("graft_durable_ann").toString
+    def run(cmd: String, expectRc: Int): String = {
+      val (rc, out) = fork(workDir, cmd)
+      assert(rc == expectRc,
+        s"$cmd: expected exit $expectRc, got $rc\n${tail(out)}")
+      out
+    }
+    // 1. build the nCells=16 family + the retrain target's expected
+    //    fingerprint (a twin nCells=8 build — the trainer is
+    //    deterministic, so retrain must land exactly this)
+    val b = run("ann-build", 0)
+    assert(b.contains("[lab] ann-build ok"), tail(b))
+    // 2. a retrain (16 → 8: structurally different model, so any
+    //    cells/model generation mix flips the probe fingerprint) is
+    //    KILLED before its flip
+    run("ann-kill-before-flip", 137)
+    // 3. fresh JVM: old cells still score under old centroids
+    //    (fingerprint bit-identical), dead lease stealable via TTL,
+    //    retried retrain lands the clean nCells=8 state
+    val r1 = run("ann-recover-before", 0)
+    assert(r1.contains("[lab] ann-recover-before ok"), tail(r1))
+    // 4. the retrain back to 16 is KILLED right after its atomic flip
+    run("ann-kill-after-flip", 137)
+    // 5. fresh JVM: new cells AND new model live together (stamp vs
+    //    centroid count agree), lease released by the same call,
+    //    debris GC'd, then the in-process throw matrix re-proves both
+    //    windows on the persistent catalog
+    val r2 = run("ann-recover-after", 0)
+    assert(r2.contains("[lab] ann-recover-after ok"), tail(r2))
+  }
 }

@@ -57,4 +57,27 @@ class ApproxDistinctSpec extends SparkSpec {
     assert(math.abs(tinyEst - tinyExact) <= math.max(1L, tinyExact / 50),
       s"tiny: est=$tinyEst exact=$tinyExact")
   }
+
+  // The large-range saturation MARKER (r12 ADVICE): the flag must be
+  // false on every branch the hash-exact contract covers, true exactly
+  // when the collision-correction branch runs — synthesized register
+  // states drive all three branches without needing 1.4e8 rows.
+  test("PortableHll large-range flag fires iff the collision branch runs") {
+    import spark.implicits._
+    // fixture-scale keys: linear-counting / raw branches → flag false
+    val li = Tables(spark, sf, "lineitem")
+    val real = PortableHll.estimateWithFlag(
+      PortableHll.registers(li, "l_orderkey"), "e").head()
+    assert(!real.getBoolean(1), "flag fired on a fixture-scale estimate")
+    assert(real.getLong(0) ==
+      PortableHll.estimate(li, "l_orderkey", "e").head().getLong(0),
+      "estimateWithFlag diverged from estimate")
+    // a saturated sketch: every register at the rank ceiling — the raw
+    // estimate blows past 2^32/30, the branch runs, the flag says so
+    val sat = (0 until PortableHll.M).map(b => (b, 21)).toDF("bucket", "m")
+    val r = PortableHll.estimateWithFlag(sat, "e").head()
+    assert(r.getBoolean(1), "flag silent on a saturated sketch")
+    assert(r.getLong(0) > (1L << 32) / 30,
+      s"saturated estimate not in the large range: ${r.getLong(0)}")
+  }
 }

@@ -82,4 +82,29 @@ class PortableLshSpec extends SparkSpec {
     val recall = (bf & lsh).size.toDouble / bf.size
     assert(recall >= 0.6, s"portable-hyperplane recall=$recall")
   }
+
+  // r12 ADVICE: a ragged embedding must surface as NULL on BOTH
+  // engines (DuckDB's fixed-dim chain indexes out of range → NULL),
+  // never as a silently truncated finite Spark score — malformed data
+  // fails fast instead of becoming a cross-engine divergence.
+  test("chain_dot_f32 is NULL on length mismatch, exact on equal lengths") {
+    VectorFunctions.register(spark)
+    val rows = spark.sql("""SELECT
+        chain_dot_f32(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),
+                      CAST(array(3.0) AS ARRAY<FLOAT>)) AS ragged,
+        chain_dot_f32(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),
+                      CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS ok,
+        chain_dot_f32(CAST(array() AS ARRAY<FLOAT>),
+                      CAST(array() AS ARRAY<FLOAT>)) AS empty""").head()
+    assert(rows.isNullAt(0), "ragged arrays must score NULL")
+    assert(rows.getFloat(1) == 11.0f)
+    assert(rows.getFloat(2) == 0.0f)
+    // and the interpreted (non-codegen) path agrees
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val lit2 = Literal.create(Array(1.0f, 2.0f), ArrayType(FloatType))
+    val lit1 = Literal.create(Array(3.0f), ArrayType(FloatType))
+    assert(graft.functions.ChainDotF32(lit2, lit1).eval(null) == null)
+    assert(graft.functions.ChainDotF32(lit2, lit2).eval(null) == 5.0f)
+  }
 }
