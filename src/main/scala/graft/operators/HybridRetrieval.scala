@@ -178,15 +178,15 @@ object HybridRetrieval {
       .select("qid", "doc_id", "rank", "rrf", "lex_rank", "vec_rank")
   }
 
-  /** The DuckDB oracle: the SAME term-weight and RRF texts over the
-    * same aggregations; the vector side is s01's chain-cosine replay.
-    * `predDoc`/`predVec` are the query predicate against the two id
-    * columns (`doc_id < 8` / `vec_id < 8`). */
-  def oracleSql(dim: Int, k: Int, kEach: Int, c: Int,
-      predDoc: String, predVec: String): String = {
-    import graft.functions.VectorFunctions.{chainDot, chainNorm}
-    s"""WITH tok AS MATERIALIZED (SELECT doc_id,
-          unnest(${sqlTokens("text")}) AS tok FROM documents),
+  /** The lexical-side CTE chain (tok → … → lex), parameterized on the
+    * docs relation so the nightly fold-in's oracle (p10) can score a
+    * CHAINED admitted-corpus CTE with the SAME text the s30-family
+    * rows prove portable. `lex` carries lex_scaled alongside the rank
+    * for lexical-only consumers; [[oracleSql]] simply ignores it. */
+  def lexicalOracleCtes(docsRel: String, predDoc: String,
+      kEach: Int): String =
+    s"""tok AS MATERIALIZED (SELECT doc_id,
+          unnest(${sqlTokens("text")}) AS tok FROM $docsRel),
       tfq AS MATERIALIZED (SELECT doc_id, tok, count(*) AS tf
         FROM tok GROUP BY doc_id, tok),
       lenq AS MATERIALIZED (SELECT doc_id, count(*) AS len
@@ -204,10 +204,19 @@ object HybridRetrieval {
       lexs AS MATERIALIZED (SELECT qid, doc_id,
           CAST(sum(w) * 1000000000 AS BIGINT) AS lex_scaled
         FROM sc GROUP BY qid, doc_id),
-      lex AS MATERIALIZED (SELECT qid, doc_id, lex_rank FROM (
-        SELECT qid, doc_id, CAST(row_number() OVER (
+      lex AS MATERIALIZED (SELECT qid, doc_id, lex_rank, lex_scaled FROM (
+        SELECT qid, doc_id, lex_scaled, CAST(row_number() OVER (
             PARTITION BY qid ORDER BY lex_scaled DESC, doc_id) AS INT) AS lex_rank
-        FROM lexs) WHERE lex_rank <= $kEach),
+        FROM lexs) WHERE lex_rank <= $kEach)"""
+
+  /** The DuckDB oracle: the SAME term-weight and RRF texts over the
+    * same aggregations; the vector side is s01's chain-cosine replay.
+    * `predDoc`/`predVec` are the query predicate against the two id
+    * columns (`doc_id < 8` / `vec_id < 8`). */
+  def oracleSql(dim: Int, k: Int, kEach: Int, c: Int,
+      predDoc: String, predVec: String): String = {
+    import graft.functions.VectorFunctions.{chainDot, chainNorm}
+    s"""WITH ${lexicalOracleCtes("documents", predDoc, kEach)},
       nv AS MATERIALIZED (SELECT vec_id, embedding,
           ${chainNorm("embedding", dim, 1)} AS nrm FROM embeddings),
       qv AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qe, nrm AS qn

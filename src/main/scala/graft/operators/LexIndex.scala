@@ -101,9 +101,19 @@ object LexIndex {
     * at that point, as a crashed writer would — specs then replay the
     * batch and assert convergence across both partial windows. */
   @volatile private[graft] var appendFailpoint: Option[String] = None
+
+  /** Test-only: a triggered append failpoint HALTS the JVM (exit 137)
+    * instead of throwing — the [[Generations.failpointHalt]] pattern.
+    * A thrown exception still unwinds this JVM (the lease abort path
+    * runs); a real crashed appender does not — halt is the honest
+    * cross-process simulation DurableLab's kill matrix needs. */
+  @volatile private[graft] var appendFailpointHalt: Boolean = false
+
   private def crashPoint(p: String): Unit =
-    if (appendFailpoint.contains(p))
+    if (appendFailpoint.contains(p)) {
+      if (appendFailpointHalt) Runtime.getRuntime.halt(137)
       throw new IllegalStateException(s"injected crash at $p")
+    }
 
   /** Session-conf override for the index-size floor (bytes) below
     * which [[probeLexIndex]] skips the bounded key pushdown; tests set

@@ -182,11 +182,13 @@ object CorpusPrep {
     * what a takedown does: budget stays consumed (no refund; history
     * is append-only), offsets keep their holes, only the shard rows
     * vanish. */
-  private def sqlP07ManifestWith(budget: Long,
-      delWhere: Option[String]): String = {
-    val ovSrc = delWhere.fold("ov")(w =>
-      s"(SELECT * FROM ov WHERE NOT ($w))")
-    s"""WITH ba AS (
+  /** The chain through the ADMITTED set — `kept` (night, doc_id,
+    * n_tokens) — shared by the manifest oracles (p07/p08/p09) and the
+    * nightly-lex oracle (p10, which joins kept back to the night
+    * texts instead of packing it). No WITH prefix; the caller
+    * composes. */
+  private def sqlP07KeptCtes(budget: Long): String =
+    s"""ba AS (
         SELECT doc_id + 1000000000 AS doc_id,
             text || ' zz edit marker token pad' AS text, lang, n_chars
           FROM documents WHERE doc_id < 250
@@ -242,7 +244,13 @@ object CorpusPrep {
             ORDER BY night, h, doc_id) AS BIGINT) AS cum
         FROM sv),
       kept AS (SELECT night, doc_id, n_tokens FROM cm
-        WHERE cum <= $budget),
+        WHERE cum <= $budget)"""
+
+  private def sqlP07ManifestWith(budget: Long,
+      delWhere: Option[String]): String = {
+    val ovSrc = delWhere.fold("ov")(w =>
+      s"(SELECT * FROM ov WHERE NOT ($w))")
+    s"""WITH ${sqlP07KeptCtes(budget)},
       pk AS (SELECT doc_id, n_tokens,
           CAST(COALESCE(sum(n_tokens) OVER (ORDER BY night, doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -272,6 +280,27 @@ object CorpusPrep {
     * night-B takedown of two night-A docs and one night-B doc. */
   private val P09Budget = 100000L
   private val P09Deleted = Seq(1000000251L, 1000000257L, 2000000401L)
+
+  /** p10's oracle: the retrieval-facing view of the composed loop —
+    * the maintained LEXICAL index after two nights + the p09 takedown
+    * + the fold-in erasure compaction must probe exactly like s30's
+    * one-shot lexical scorer over (base corpus ∪ admitted nights)
+    * minus the deleted docs. Reuses the p07/p09 `kept` chain for the
+    * admitted set and the s30-family lexical CTEs (the proven-portable
+    * sqrt-chain-ln BM25 text) over the chained corpus. */
+  private val sqlP10NightlyLex: String =
+    s"""WITH ${sqlP07KeptCtes(P09Budget)},
+      nightdocs AS (SELECT doc_id, text FROM qa
+        UNION ALL SELECT doc_id, text FROM qb),
+      lexsrc AS MATERIALIZED (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT k.doc_id, q.text
+          FROM kept k JOIN nightdocs q USING (doc_id)
+          WHERE k.doc_id NOT IN (${P09Deleted.mkString(", ")})),
+      ${graft.operators.HybridRetrieval.lexicalOracleCtes(
+        "lexsrc", "doc_id < 8", 20)}
+      SELECT qid, doc_id, lex_rank, lex_scaled FROM lex
+      ORDER BY qid NULLS FIRST, lex_rank NULLS FIRST"""
 
   val all: Seq[Q] = Seq(
 
@@ -619,6 +648,66 @@ object CorpusPrep {
       },
       Some(sqlP07ManifestWith(P09Budget,
         Some(s"doc_id IN (${P09Deleted.mkString(", ")})")))),
+
+    // ---- p10: the composed loop's MAINTAINED LEXICAL INDEX -----------
+    // The r12 fold-in: the hybrid-retrieval serve-shape artifact
+    // (LexIndex, s31–s34) advanced BY THE NIGHTLY LOOP ITSELF — built
+    // over the base corpus (existence is the opt-in, like the graph),
+    // appended per night with exactly the ADMITTED docs, tombstoned by
+    // the night-B takedown through applyDeletions, and purged by the
+    // fold-in compaction (compactAll — the same body start()'s
+    // compactEvery runs). The probe afterwards must be hash-identical
+    // to s30's one-shot lexical scorer over (documents ∪ keptA ∪
+    // keptB) minus the deleted docs: a night the loop dropped, a
+    // non-admitted doc that leaked into the postings, a takedown that
+    // missed the lexical leg, or a compaction that left stale
+    // df/stats all flip the hash.
+    Q("p10_nightly_lex",
+      (s, dir) => {
+        import graft.streaming.StreamingNightlyIngest
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val arts = StreamingNightlyIngest.Artifacts("graft_p10_nd",
+          "graft_p10_ann", "graft_p10_anncorpus", "graft_p10_budget",
+          new java.io.File(sys.props("java.io.tmpdir"),
+            "graft_p10_shards").getAbsolutePath)
+        graft.operators.Generations.destroy(s, arts.annCorpusTable,
+          Seq("vecs"))
+        graft.operators.Generations.destroy(s,
+          StreamingNightlyIngest.deletedTable(arts), Seq("ids"))
+        graft.operators.Generations.destroy(s, arts.budgetTable, Seq("state"))
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+        }
+        rm(new java.io.File(arts.shardPath))
+        Dedup.writeNearDupIndex(
+          docs.select(col("doc_id"), col("text")), arts.ndIndex)
+        val corpusVecs = docs.select(col("doc_id"))
+          .withColumn("embedding", StreamingNightlyIngest.synthEmbedding)
+          .select(col("doc_id").as("vec_id"), col("embedding"))
+        graft.operators.AnnIndex.writeAnnIndex(corpusVecs, arts.annIndex,
+          nCells = 8, m = 8, ksub = 16)
+        StreamingNightlyIngest.writeCorpus(s, arts, corpusVecs)
+        graft.operators.LexIndex.writeLexIndex(
+          docs.select(col("doc_id"), col("text")),
+          StreamingNightlyIngest.lexName(arts))
+        StreamingNightlyIngest.nightStep(arts,
+          nightA7(docs).withColumn("embedding",
+            StreamingNightlyIngest.synthEmbedding),
+          budget = P09Budget, salt = "p07b", tokensPerShard = 256L)
+        StreamingNightlyIngest.nightStep(arts,
+          nightB7(docs).withColumn("embedding",
+            StreamingNightlyIngest.synthEmbedding),
+          budget = P09Budget, salt = "p07b", tokensPerShard = 256L,
+          deletes = Some(P09Deleted.toDF("doc_id")))
+        StreamingNightlyIngest.compactAll(s, arts)
+        graft.operators.LexIndex.probeLexIndex(s,
+            StreamingNightlyIngest.lexName(arts),
+            docs.filter(col("doc_id") < 8).select(col("doc_id"), col("text")),
+            kEach = 20)
+          .orderBy("qid", "lex_rank")
+      },
+      Some(sqlP10NightlyLex)),
 
     Q("p06_epoch_pack",
       (s, dir) => {

@@ -5,13 +5,14 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.functions.TextFunctions
-import graft.operators.{AnnIndex, Dedup, Frontier, Generations, KnnGraphIndex, Packing, Sampling, Sharding, Tombstones}
+import graft.operators.{AnnIndex, Dedup, Frontier, Generations, KnnGraphIndex, LexIndex, Packing, Sampling, Sharding, Tombstones}
 
 /** The COMPOSED nightly-ingest loop: every maintained artifact this
   * engine keeps — the near-dup index, the ANN index + raw-vector
-  * corpus, the per-stratum token-budget state, and the trainer shard
-  * layout — advanced against the SAME batch in one `foreachBatch`
-  * step. [[StreamingNearDupIngest]], [[StreamingAnnIngest]] and
+  * corpus, the optional maintained k-NN graph and lexical inverted
+  * index (existence is the opt-in for both), the per-stratum
+  * token-budget state, and the trainer shard layout — advanced
+  * against the SAME batch in one `foreachBatch` step. [[StreamingNearDupIngest]], [[StreamingAnnIngest]] and
   * [[StreamingShardIngest]] each prove their loop alone; a production
   * pipeline runs them together, in dependency order, per batch:
   *
@@ -301,6 +302,16 @@ object StreamingNightlyIngest {
   private def graphExists(spark: SparkSession, arts: Artifacts): Boolean =
     Generations.currentGen(spark, graphName(arts)).isDefined
 
+  /** The optional maintained LEXICAL index ([[LexIndex]], the hybrid-
+    * retrieval serve shape) — existence IS the opt-in, exactly like the
+    * graph: build the family before the loop (typically over the base
+    * corpus) and every night advances it with the ADMITTED docs' text,
+    * takedowns tombstone it, and the fold-in compaction purges it. */
+  def lexName(arts: Artifacts): String = s"${arts.ndIndex}_lex"
+
+  private def lexExists(spark: SparkSession, arts: Artifacts): Boolean =
+    Generations.currentGen(spark, lexName(arts)).isDefined
+
   /** Apply one night's takedown set to EVERY maintained artifact:
     * tombstone both indexes (logical effect at the next probe,
     * physical at their next compaction), append the ids to the durable
@@ -324,6 +335,8 @@ object StreamingNightlyIngest {
     if (graphExists(spark, arts))
       KnnGraphIndex.tombstoneGraph(spark, graphName(arts),
         del.select(col("doc_id").as("vec_id")))
+    if (lexExists(spark, arts))
+      LexIndex.tombstoneLex(spark, lexName(arts), del.select("doc_id"))
     writeRegistry(spark, arts, deletedLog(spark, arts)
       .fold(del.toDF())(cur => cur.unionByName(del).distinct()))
     Sharding.deleteFromShards(spark, arts.shardPath, del,
@@ -445,6 +458,17 @@ object StreamingNightlyIngest {
     // vectors (ifAbsent — its vecs marker fences replays on its own)
     if (graphExists(spark, arts))
       KnnGraphIndex.appendToKnnGraph(admittedVecs, graphName(arts))
+    // the optional maintained lexical index advances with the same
+    // admitted set — retrieval-facing like the ANN leg, so it serves
+    // exactly the kept corpus. Streaming nights (batchId >= 0) append
+    // ifAbsent keyed by the night id (replay convergence through the
+    // LexIndex batch fence); the direct batch path appends plain.
+    if (lexExists(spark, arts))
+      LexIndex.appendToLexIndex(
+        survivors.join(kept.select("doc_id"), "doc_id")
+          .select(col("doc_id"), col("text")),
+        lexName(arts), batchId = s"night-$batchId",
+        ifAbsent = batchId >= 0)
     val corpusT = corpusPhysical(spark, arts)
     admittedVecs.join(spark.table(corpusT).select("vec_id"),
         Seq("vec_id"), "left_anti")
@@ -467,6 +491,30 @@ object StreamingNightlyIngest {
     //    a doc both added and deleted tonight ends deleted)
     delIds.foreach(d => applyDeletions(arts, d, assign.schema))
     kept
+  }
+
+  /** Fold-in compaction of EVERY maintained artifact — the body of the
+    * loop's `compactEvery` step, callable by batch schedulers too
+    * (p10 runs it after its takedown night). A family with pending
+    * tombstones purges (gcKeep = 1 — the erasure-vs-retention guard's
+    * choice, see [[start]]'s retention scaladoc); clean families keep
+    * `retainGenerations` as an as-of window. */
+  def compactAll(spark: SparkSession, arts: Artifacts,
+      retainGenerations: Int = 1): Unit = {
+    def keepFor(index: String) =
+      if (Tombstones.pendingCount(spark, index) > 0) 1
+      else retainGenerations
+    Dedup.compactNearDupIndex(spark, arts.ndIndex,
+      gcKeep = keepFor(arts.ndIndex))
+    AnnIndex.compactAnnIndex(spark, arts.annIndex,
+      gcKeep = keepFor(arts.annIndex))
+    if (graphExists(spark, arts))
+      KnnGraphIndex.compactKnnGraph(spark, graphName(arts),
+        gcKeep = keepFor(graphName(arts)))
+    if (lexExists(spark, arts))
+      LexIndex.compactLexIndex(spark, lexName(arts),
+        gcKeep = keepFor(lexName(arts)))
+    compactCorpus(spark, arts)
   }
 
   /** Drive the composed loop from a streaming (doc_id, text, lang,
@@ -517,19 +565,8 @@ object StreamingNightlyIngest {
           else (b.toDF(), None)
         sink(nightStep(arts, adds, budget, salt, seqBudget,
           tokensPerShard, batchId, deletes = dels), batchId)
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-          def keepFor(index: String) =
-            if (Tombstones.pendingCount(b.sparkSession, index) > 0) 1
-            else retainGenerations
-          Dedup.compactNearDupIndex(b.sparkSession, arts.ndIndex,
-            gcKeep = keepFor(arts.ndIndex))
-          AnnIndex.compactAnnIndex(b.sparkSession, arts.annIndex,
-            gcKeep = keepFor(arts.annIndex))
-          if (graphExists(b.sparkSession, arts))
-            KnnGraphIndex.compactKnnGraph(b.sparkSession, graphName(arts),
-              gcKeep = keepFor(graphName(arts)))
-          compactCorpus(b.sparkSession, arts)
-        }
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compactAll(b.sparkSession, arts, retainGenerations)
         if (driftCheckEvery > 0 && (batchId + 1) % driftCheckEvery == 0) {
           // drift and retrain see the corpus MINUS the takedown
           // registry — a retrain must never resurrect a deleted vector

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AnnIndex, Dedup, Generations, Tombstones}
+import graft.operators.{AnnIndex, Dedup, Generations, LexIndex, Tombstones}
 
 /** CROSS-PROCESS durability lab for the [[Generations]] protocol (the
   * r11 verdict's structural finding): every crash-atomicity claim —
@@ -325,8 +325,212 @@ object DurableLab {
         check(annProbeHash(spark, AnnName) == annStored(workDir, 8),
           "in-process after-flip: new pair not live as one unit")
 
+      // ---- LEX four-member family: the APPEND's fence windows --------
+      // The near-dup and ANN matrices kill GENERATION SWAPS (one
+      // atomic pointer flip). The lexical index's append is the one
+      // mutation in this engine that is NOT a swap: three in-place
+      // parquet jobs (postings → doclen → stats) whose atomicity story
+      // is replay CONVERGENCE through the batch-id fence, proven
+      // in-process by LexIndexSpec's thrown failpoints. Here the same
+      // two windows get REAL process death on the persistent catalog:
+      // a halted appender leaves half a mutation and a held lease; a
+      // fresh JVM must observe exactly the specified wreckage, steal
+      // the lease via TTL, and replay the same batch id to a state
+      // bit-identical to a clean one-shot build over base ∪ batch.
+      case "lex-build" =>
+        LexIndex.writeLexIndex(docs(spark), LexName, numBuckets = 4)
+        java.nio.file.Files.write(lexHashFile(workDir, "base"),
+          lexProbeHash(spark, LexName).getBytes("UTF-8"))
+        // the replay target, computed on a twin: a clean ONE-SHOT
+        // build over base ∪ batch (appends are behavior-invisible —
+        // the s32 contract — so the replayed append must land exactly
+        // this), plus its row counts for the exactly-once assertions
+        LexIndex.writeLexIndex(
+          docs(spark).unionByName(lexAppendBatch(spark)),
+          s"${LexName}_twin", numBuckets = 4)
+        java.nio.file.Files.write(lexHashFile(workDir, "appended"),
+          lexProbeHash(spark, s"${LexName}_twin").getBytes("UTF-8"))
+        val twinP = spark.table(Generations.resolve(spark,
+          s"${LexName}_twin", "postings")).count()
+        val twinL = spark.table(Generations.resolve(spark,
+          s"${LexName}_twin", "doclen")).count()
+        java.nio.file.Files.write(lexCountsFile(workDir),
+          s"$twinP,$twinL".getBytes("UTF-8"))
+
+      case "lex-kill-after-postings" =>
+        Generations.leaseTtlOverrideMs = Some(ShortTtlMs)
+        LexIndex.appendFailpointHalt = true
+        LexIndex.appendFailpoint = Some("after-postings")
+        LexIndex.appendToLexIndex(lexAppendBatch(spark), LexName,
+          batchId = LexBatchId, ifAbsent = true)
+        sys.error("unreachable: the append should have halted the JVM")
+
+      case "lex-recover-postings" =>
+        // window-1 wreckage is exactly as specified: postings landed,
+        // doclen and the stats fence did not
+        check(spark.table(lexMember(spark, "postings"))
+          .filter(col("doc_id") >= 2100000000L).count() > 0,
+          "postings did not land before the kill")
+        check(spark.table(lexMember(spark, "doclen"))
+          .filter(col("doc_id") >= 2100000000L).count() == 0,
+          "doclen landed before its window")
+        lexCheckFenceAbsentAndReplay(spark, workDir)
+
+      case "lex-kill-after-doclen" =>
+        // reset to base (a rebuild defines contents from scratch),
+        // then kill the same append in its SECOND window
+        LexIndex.writeLexIndex(docs(spark), LexName, numBuckets = 4)
+        Generations.leaseTtlOverrideMs = Some(ShortTtlMs)
+        LexIndex.appendFailpointHalt = true
+        LexIndex.appendFailpoint = Some("after-doclen")
+        LexIndex.appendToLexIndex(lexAppendBatch(spark), LexName,
+          batchId = LexBatchId, ifAbsent = true)
+        sys.error("unreachable: the append should have halted the JVM")
+
+      case "lex-recover-doclen" =>
+        // window-2 wreckage: postings AND doclen landed (owner = this
+        // batch id — the classification a replay relies on), the
+        // stats fence did not
+        check(spark.table(lexMember(spark, "postings"))
+          .filter(col("doc_id") >= 2100000000L).count() > 0,
+          "postings did not land before the kill")
+        check(spark.table(lexMember(spark, "doclen"))
+          .filter(col("doc_id") >= 2100000000L &&
+            col("batch_id") === LexBatchId).count() == 5,
+          "doclen rows missing or mis-owned after the second window")
+        lexCheckFenceAbsentAndReplay(spark, workDir)
+
+      case "lex-kill-compact-flip" =>
+        // takedown of the appended docs, then the ERASURE COMPACTION —
+        // a four-member swap (postings purged, doclen purged, dfcap
+        // and stats REBUILT) — killed right after its atomic flip
+        Generations.leaseTtlOverrideMs = Some(ShortTtlMs)
+        LexIndex.tombstoneLex(spark, LexName,
+          lexAppendBatch(spark).select("doc_id"))
+        Generations.failpointHalt = true
+        Generations.failpoint = Some("after-flip")
+        LexIndex.compactLexIndex(spark, LexName)
+        sys.error("unreachable: the compaction should have halted the JVM")
+
+      case "lex-recover-compact" =>
+        // the flip landed: all FOUR members moved as one unit, so the
+        // probe is already the base build's bit-identical fingerprint
+        // (physical AND statistical erasure together — a stale dfcap
+        // or stats member would flip it)
+        check(lexProbeHash(spark, LexName) == lexStored(workDir, "base"),
+          "lex probe hash after after-flip kill")
+        check(Generations.leaseStatus(spark, LexName).holder.isEmpty,
+          "lex lease survived the atomic flip+release")
+        // member mutual consistency, stated on the live artifacts
+        check(spark.table(lexMember(spark, "postings"))
+          .select("tok").distinct().count() ==
+          spark.table(lexMember(spark, "dfcap")).count(),
+          "dfcap inconsistent with live postings")
+        check(spark.table(lexMember(spark, "doclen")).count() ==
+          spark.table(lexMember(spark, "stats"))
+            .agg(sum(col("n_docs"))).head().getLong(0),
+          "stats inconsistent with live doclen")
+        // clear() never ran: applied-but-uncleared tombstones are
+        // harmless no-ops (the purged rows are gone)
+        check(LexIndex.lexTombstones(spark, LexName).isDefined,
+          "pending set vanished with the crash")
+        def lexGens() = {
+          val c = spark.sessionState.catalog
+          c.listTables(c.getCurrentDatabase, s"${LexName}_postings_g*").size
+        }
+        check(lexGens() == 2, s"expected old-gen debris, got ${lexGens()}")
+        LexIndex.compactLexIndex(spark, LexName)
+        check(lexGens() == 1, s"lex debris not GC'd: ${lexGens()}")
+        check(LexIndex.lexTombstones(spark, LexName).isEmpty,
+          "completed compaction did not clear the applied set")
+        check(lexProbeHash(spark, LexName) == lexStored(workDir, "base"),
+          "lex probe hash after recovery compaction")
+
       case other => sys.error(s"unknown lab command: $other")
     }
+  }
+
+  // ---- LEX lab pieces ------------------------------------------------
+  val LexName = "lab_lex"
+  private val LexBatchId = "lab-append"
+
+  /** Five novel docs with a distinctive rare-term vocabulary: present
+    * in the index they DOMINATE the vocab query's lexical list, so a
+    * lost append, a double-counted stats delta, or a leaked purge all
+    * move the fingerprint — never a silent tie. */
+  private def lexAppendBatch(spark: SparkSession) =
+    spark.range(5).select((col("id") + 2100000000L).as("doc_id"),
+      concat(lit("lab lexical append document "), col("id").cast("string"),
+        lit(" with vocabulary quixotic zephyr jabberwock vorpal" +
+          " frumious bandersnatch")).as("text"))
+
+  /** Deterministic probe queries: three indexed docs' full texts (hit
+    * the base corpus) + one query carrying the append batch's rare
+    * vocabulary (hits exactly the appended docs when present). */
+  private def lexQueries(spark: SparkSession) = {
+    val fromCorpus = docs(spark)
+      .filter(col("doc_id").isin(50L, 51L, 52L))
+      .select((col("doc_id") + 9000000000L).as("doc_id"), col("text"))
+    val vocab = spark.range(1)
+      .select(lit(9100000000L).as("doc_id"),
+        lit("quixotic jabberwock vorpal frumious bandersnatch").as("text"))
+    fromCorpus.unionByName(vocab)
+  }
+
+  /** Full-result fingerprint (qid:doc_id:rank:exact scaled-BIGINT
+    * score) — any candidacy, df, or stats drift moves it. */
+  private def lexProbeHash(spark: SparkSession, name: String): String = {
+    val rows = LexIndex.probeLexIndex(spark, name, lexQueries(spark),
+        kEach = 10)
+      .collect()
+      .map(r => s"${r.getLong(0)}:${r.getLong(1)}:${r.getInt(2)}:" +
+        r.getLong(3))
+      .sorted.mkString(",")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(rows.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  private def lexMember(spark: SparkSession, m: String): String =
+    Generations.resolve(spark, LexName, m)
+
+  private def lexHashFile(workDir: String, tag: String) =
+    java.nio.file.Paths.get(workDir, s"lex_hash_$tag.txt")
+
+  private def lexStored(workDir: String, tag: String): String =
+    new String(java.nio.file.Files.readAllBytes(
+      lexHashFile(workDir, tag)), "UTF-8")
+
+  private def lexCountsFile(workDir: String) =
+    java.nio.file.Paths.get(workDir, "lex_counts.txt")
+
+  /** Shared tail of both append-window recoveries: the stats FENCE
+    * must not have landed (the replay's applied-check must say no),
+    * the dead appender's lease must be foreign-expired-stealable, and
+    * the replayed batch must converge to the clean one-shot twin —
+    * fingerprint equal, row counts equal (no duplicates), the stats
+    * delta exactly once. */
+  private def lexCheckFenceAbsentAndReplay(spark: SparkSession,
+      workDir: String): Unit = {
+    check(spark.table(lexMember(spark, "stats"))
+      .filter(col("batch_id") === LexBatchId).count() == 0,
+      "stats fence landed before its window")
+    val st = Generations.leaseStatus(spark, LexName)
+    check(st.holder.isDefined && !st.issuedByThisJvm &&
+      st.expiresInMs.exists(_ <= 0) && st.acquirable,
+      s"lex lease not expired-foreign-acquirable: $st")
+    LexIndex.appendToLexIndex(lexAppendBatch(spark), LexName,
+      batchId = LexBatchId, ifAbsent = true)
+    check(lexProbeHash(spark, LexName) == lexStored(workDir, "appended"),
+      "replayed append != clean one-shot build over base ∪ batch")
+    val Array(twinP, twinL) = new String(java.nio.file.Files.readAllBytes(
+      lexCountsFile(workDir)), "UTF-8").split(",").map(_.toLong)
+    check(spark.table(lexMember(spark, "postings")).count() == twinP,
+      "duplicate postings rows after replay")
+    check(spark.table(lexMember(spark, "doclen")).count() == twinL,
+      "duplicate doclen rows after replay")
+    check(spark.table(lexMember(spark, "stats"))
+      .filter(col("batch_id") === LexBatchId).count() == 1,
+      "stats delta not exactly-once")
   }
 
   // ---- ANN lab pieces ------------------------------------------------

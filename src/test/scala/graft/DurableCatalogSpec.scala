@@ -106,4 +106,41 @@ class DurableCatalogSpec extends AnyFunSuite {
     val r2 = run("ann-recover-after", 0)
     assert(r2.contains("[lab] ann-recover-after ok"), tail(r2))
   }
+
+  test("LEX append fence windows + erasure-compaction flip: killed appenders replay to convergence cross-process") {
+    val workDir = Files.createTempDirectory("graft_durable_lex").toString
+    def run(cmd: String, expectRc: Int): String = {
+      val (rc, out) = fork(workDir, cmd)
+      assert(rc == expectRc,
+        s"$cmd: expected exit $expectRc, got $rc\n${tail(out)}")
+      out
+    }
+    // 1. build the four-member family + the replay target (a twin
+    //    one-shot build over base ∪ batch — appends must be
+    //    behavior-invisible, so a converged replay lands exactly this)
+    val b = run("lex-build", 0)
+    assert(b.contains("[lab] lex-build ok"), tail(b))
+    // 2./3. the append — the one mutation that is NOT a generation
+    //    swap: three in-place jobs behind a batch-id fence — is KILLED
+    //    after its first job; a fresh JVM asserts the exact wreckage
+    //    (postings landed, doclen/fence did not), steals the dead
+    //    appender's lease via TTL, and replays the same batch id to
+    //    the twin's fingerprint with no duplicate rows and the stats
+    //    delta exactly once
+    run("lex-kill-after-postings", 137)
+    val r1 = run("lex-recover-postings", 0)
+    assert(r1.contains("[lab] lex-recover-postings ok"), tail(r1))
+    // 4./5. same, killed after the SECOND job (doclen rows owned by
+    //    the crashed batch id — the classification a replay relies on)
+    run("lex-kill-after-doclen", 137)
+    val r2 = run("lex-recover-doclen", 0)
+    assert(r2.contains("[lab] lex-recover-doclen ok"), tail(r2))
+    // 6./7. the ERASURE COMPACTION (all four members rebuilt in one
+    //    swap) killed right after its atomic flip: probe fingerprint
+    //    already the base build's (physical + statistical erasure
+    //    moved together), members mutually consistent, debris GC'd
+    run("lex-kill-compact-flip", 137)
+    val r3 = run("lex-recover-compact", 0)
+    assert(r3.contains("[lab] lex-recover-compact ok"), tail(r3))
+  }
 }

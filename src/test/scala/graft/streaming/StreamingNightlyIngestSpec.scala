@@ -387,6 +387,65 @@ class StreamingNightlyIngestSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == probed)
   }
 
+  test("optional lexical artifact: the loop advances it per night, takedowns reach it, compaction equals a fresh build") {
+    import graft.operators.LexIndex
+    val corpus = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .filter(col("doc_id") < 40).localCheckpoint()
+    val arts = mkArts("lex")
+    reset(arts, corpus)
+    val lexN = StreamingNightlyIngest.lexName(arts)
+    // opt in: the family exists over the base corpus (existence IS the
+    // opt-in — no Artifacts change, the graph leg's contract)
+    LexIndex.writeLexIndex(corpus.select(col("doc_id"), col("text")),
+      lexN, numBuckets = 4)
+    def embed(df: DataFrame): DataFrame =
+      df.withColumn("embedding", StreamingNightlyIngest.synthEmbedding)
+    def freshText(tag: String) =
+      s"lex night fixture $tag with vocabulary omega$tag psi chi phi " +
+        "upsilon tau sigma rho pi omicron xi nu"
+    def add(id: Long, t: String) = OpNightDoc(id, t, "en", 90L, "add")
+    val b1 = (0 until 4).map(i => add(1000000700L + i, freshText(s"g$i")))
+    val b2 = Seq(add(2000000800L, freshText("h0")),
+      OpNightDoc(1000000700L, "", "xx", 0L, "delete"))
+    val mem = MemoryStream[OpNightDoc](spark)
+    val q = StreamingNightlyIngest.start(spark, embed(mem.toDF()), arts,
+      budget = 100000L, salt = "lnight") { (_, _) => () }
+    try {
+      Seq(b1, b2).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // the admitted night docs are retrievable through the maintained
+    // index; the taken-down one lost candidacy (tombstone pending)
+    val queries = Seq((9000000001L, freshText("g1")),
+      (9000000002L, freshText("h0"))).toDF("doc_id", "text")
+    def probe() = LexIndex.probeLexIndex(spark, lexN, queries, kEach = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pre = probe()
+    val hits = pre.map(_._2)
+    assert(Set(1000000701L, 2000000800L).subsetOf(hits),
+      s"admitted docs missing from the lexical index: $hits")
+    assert(!hits.contains(1000000700L), "takedown did not reach the lex index")
+    // the fold-in compaction (the loop ran compactEvery = 0 here, so
+    // drive compactAll directly) purges, and the compacted family is
+    // behavior-identical to a FRESH build over the surviving corpus —
+    // the s33 contract through the composed loop
+    StreamingNightlyIngest.compactAll(spark, arts)
+    assert(LexIndex.lexTombstones(spark, lexN).isEmpty)
+    val survivors = corpus.select(col("doc_id"), col("text"))
+      .unionByName((b1.filter(_.doc_id != 1000000700L) ++ b2.take(1))
+        .map(d => (d.doc_id, d.text)).toDF("doc_id", "text"))
+    LexIndex.writeLexIndex(survivors, "graft_sni_lex_control", numBuckets = 4)
+    val control = LexIndex.probeLexIndex(spark, "graft_sni_lex_control",
+        queries, kEach = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3))).toSet
+    val post = LexIndex.probeLexIndex(spark, lexN, queries, kEach = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3))).toSet
+    assert(post == control,
+      s"composed-loop lex index diverged from fresh build: $post vs $control")
+  }
+
   test("allowReingest refuses while an index is only tombstoned (pre-compaction)") {
     val corpus = Tables(spark, sf, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
