@@ -196,14 +196,14 @@ object HybridRetrieval {
           count(*) AS total_tokens FROM tok),
       qt AS MATERIALIZED (SELECT doc_id AS qid, tok FROM tfq
         WHERE $predDoc),
-      sc AS MATERIALIZED (SELECT q.qid, tfq.doc_id,
+      lw AS MATERIALIZED (SELECT q.qid, tfq.doc_id,
           CAST($termWeightSql AS DECIMAL(18,9)) AS w
         FROM tfq JOIN dfq USING (tok) JOIN lenq USING (doc_id)
           JOIN qt q ON q.tok = tfq.tok CROSS JOIN nq
         WHERE df * 10 <= n_docs * 9 AND tfq.doc_id <> q.qid),
       lexs AS MATERIALIZED (SELECT qid, doc_id,
           CAST(sum(w) * 1000000000 AS BIGINT) AS lex_scaled
-        FROM sc GROUP BY qid, doc_id),
+        FROM lw GROUP BY qid, doc_id),
       lex AS MATERIALIZED (SELECT qid, doc_id, lex_rank, lex_scaled FROM (
         SELECT qid, doc_id, lex_scaled, CAST(row_number() OVER (
             PARTITION BY qid ORDER BY lex_scaled DESC, doc_id) AS INT) AS lex_rank
@@ -229,15 +229,23 @@ object HybridRetrieval {
         SELECT qid, doc_id, CAST(row_number() OVER (
             PARTITION BY qid ORDER BY cos DESC, doc_id) AS INT) AS vec_rank
         FROM vc) WHERE vec_rank <= $kEach),
-      fused AS MATERIALIZED (SELECT qid, doc_id, lex_rank, vec_rank,
+      ${fusionTailSql(k, c)}"""
+  }
+
+  /** The RRF fusion tail over CTEs `lex` (qid, doc_id, lex_rank, …)
+    * and `vec` (qid, doc_id, vec_rank) — [[oracleSql]]'s closing text,
+    * shared with the serve-shape oracle (s38), whose `vec` list comes
+    * from the [[PortableIvf]] replay of the persisted ANN index
+    * instead of the exact chain-cosine scan. */
+  def fusionTailSql(k: Int, c: Int): String =
+    s"""fused AS MATERIALIZED (SELECT qid, doc_id, lex_rank, vec_rank,
           ${rrfTermSql("lex_rank", c)} + ${rrfTermSql("vec_rank", c)} AS rrf
         FROM lex FULL OUTER JOIN vec USING (qid, doc_id)),
-      r AS MATERIALIZED (SELECT qid, doc_id, CAST(row_number() OVER (
+      fr AS MATERIALIZED (SELECT qid, doc_id, CAST(row_number() OVER (
           PARTITION BY qid ORDER BY rrf DESC, doc_id) AS INT) AS rank,
           rrf, lex_rank, vec_rank
         FROM fused)
-      SELECT qid, doc_id, rank, rrf, lex_rank, vec_rank FROM r
+      SELECT qid, doc_id, rank, rrf, lex_rank, vec_rank FROM fr
       WHERE rank <= $k
       ORDER BY qid NULLS FIRST, rank NULLS FIRST"""
-  }
 }

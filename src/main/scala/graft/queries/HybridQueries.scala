@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.VectorFunctions._
-import graft.operators.{HybridRetrieval, LexIndex, Similarity}
+import graft.operators.{AnnIndex, HybridRetrieval, LexIndex, PortableIvf, Similarity}
 
 /** The MAINTAINED hybrid-retrieval lifecycle (s31–s34): s30's lexical
   * side graduated from the build shape (tf/df/len rebuilt per query)
@@ -31,6 +31,25 @@ object HybridQueries {
     * one-shot over the same logical corpus. */
   private val OneShotOracle = HybridRetrieval.oracleSql(Dim, K,
     kEach = KEach, c = 60, predDoc = "doc_id < 8", predVec = "vec_id < 8")
+
+  /** s38's oracle — the FULL serve path: the lexical list from the
+    * proven-portable scorer CTEs, the vector list from the
+    * [[PortableIvf]] IVF-PQ replay (s08/s09's exact text, nested as a
+    * derived table — its inner WITH shadows nothing the outer chain
+    * uses), fused by the SAME RRF tail as the one-shot. Approximate on
+    * the vector side by design: both engines replay the identical
+    * approximation, so the row stays hash-exact while proving the
+    * production probe-only path end to end. */
+  private val ServeShapeOracle = {
+    val ivf = PortableIvf.ivfPqOracleSql(Dim, KEach, nCells = 16,
+      nprobe = 4, m = 8, ksub = 32, shortlist = 60,
+      a => s"$a.vec_id < 8")
+    s"""WITH ${HybridRetrieval.lexicalOracleCtes(
+        "documents", "doc_id < 8", KEach)},
+      vec AS MATERIALIZED (SELECT qid, vec_id AS doc_id, rank AS vec_rank
+        FROM ($ivf)),
+      ${HybridRetrieval.fusionTailSql(K, c = 60)}"""
+  }
 
   /** s30's vector side: brute-force chain-cosine top-20, queries
     * broadcast (`vec_id < 8`). */
@@ -204,5 +223,35 @@ object HybridQueries {
           UNION ALL SELECT 'hyb_lex_overlap_at_10', CAST(0.9 AS DOUBLE), true
           UNION ALL SELECT 'hyb_lex_rank_drift', CAST(0.5 AS DOUBLE), true
           UNION ALL SELECT 'hyb_non_vacuous', CAST(0.0 AS DOUBLE), true)
-        ORDER BY metric NULLS FIRST""")))
+        ORDER BY metric NULLS FIRST""")),
+
+    // ---- s38: the FULL production serve path — both sides persisted --
+    // s31 proved the lexical side serves from a maintained artifact
+    // with the vector side still an exact corpus scan; s38 closes the
+    // loop: the query hits ONLY persisted indexes — term posting lists
+    // from the LexIndex family (bounded-key pushdown), candidate codes
+    // from the nprobe pruned cells of the AnnIndex family (DPP), exact
+    // re-rank on the shortlist, RRF fusion of the two rank lists. No
+    // corpus-sized build work happens at query time on either side —
+    // the 100 TB shape. Hash-exact: the vector list is approximate by
+    // design (IVF-PQ), but both engines replay the identical
+    // approximation (s08/s09's PortableIvf text nested as the `vec`
+    // derived table), and the fusion tail is the one-shot's own text.
+    Q("s38_hybrid_serve_path",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val emb = Tables(s, dir, "embeddings")
+        LexIndex.writeLexIndex(docs.select(col("doc_id"), col("text")),
+          "graft_s38_lex")
+        AnnIndex.writeAnnIndex(
+          emb.select(col("vec_id"), col("embedding")), "graft_s38_ann")
+        val lex = LexIndex.probeLexIndex(s, "graft_s38_lex",
+          queriesOf(docs), KEach)
+        val vec = AnnIndex.probeAnnIndex(s, "graft_s38_ann", emb,
+            expr("vec_id < 8"), k = KEach)
+          .select(col("qid"), col("vec_id").as("doc_id"),
+            col("rank").as("vec_rank"))
+        HybridRetrieval.rrfFuse(lex, vec, K).orderBy("qid", "rank")
+      },
+      Some(ServeShapeOracle)))
 }
