@@ -47,8 +47,8 @@ object Scale100 {
     require(opArgs.length <= 1, s"at most one op arg: ${opArgs.toSeq}")
     val op = opArgs.headOption.getOrElse("all")
     require(Set("all", "none", "d22", "s25", "s26", "d12", "s09", "s30",
-      "s31").contains(op),
-      s"unknown op '$op' (all|none|d22|s25|s26|d12|s09|s30|s31)")
+      "s31", "s38").contains(op),
+      s"unknown op '$op' (all|none|d22|s25|s26|d12|s09|s30|s31|s38)")
     val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_scale")
 
     def indicators(df: DataFrame): String = {
@@ -180,6 +180,31 @@ object Scale100 {
           .select(col("doc_id"), col("text")).localCheckpoint()
         time("s31_probe", () => graft.operators.LexIndex.probeLexIndex(
           spark, lName, queries, kEach = 20))
+      }
+      // the FULL serve path (s38): both indexes persisted at M× with
+      // their layout knobs ∝ M, the fused probe's cost = lex pushdown
+      // (fixed bytes — base-copy query terms' posting lists don't grow)
+      // + nprobe constant-size ANN cells + ≤2·kEach-row fusion — the
+      // whole query-time story should be flat like its two halves.
+      if (op == "all" || op == "s38") {
+        val lName = s"graft_s100_hyb_lex_m$m"
+        val aName = s"graft_s100_hyb_ann_m$m"
+        val t0 = System.nanoTime()
+        graft.operators.LexIndex.writeLexIndex(
+          docs.select(col("doc_id"), col("text")), lName, numBuckets = 8 * m)
+        graft.operators.AnnIndex.writeAnnIndex(emb, aName, nCells = 16 * m)
+        println(f"[s100] m=$m%-4d s38_build      ${(System.nanoTime() - t0) / 1e9}%8.2fs  (build)")
+        val queries = docs.filter(col("doc_id") < 8)
+          .select(col("doc_id"), col("text")).localCheckpoint()
+        time("s38_probe", () => {
+          val lex = graft.operators.LexIndex.probeLexIndex(
+            spark, lName, queries, kEach = 20)
+          val vec = graft.operators.AnnIndex.probeAnnIndex(
+              spark, aName, emb, col("vec_id") < 8, k = 20)
+            .select(col("qid"), col("vec_id").as("doc_id"),
+              col("rank").as("vec_rank"))
+          graft.operators.HybridRetrieval.rrfFuse(lex, vec, 10)
+        })
       }
       if (op == "all" || op == "s09") {
         val aName = s"graft_s100_ann_m$m"
