@@ -645,8 +645,15 @@ class StreamingNightlyIngestSpec extends SparkSpec {
           "rho sigma tau upsilon", "de"))
 
     // ---- twin that never crashes ------------------------------------
+    // BOTH pipelines opt into the lex leg: the composed loop's
+    // crash-replay convergence must hold for all four maintained
+    // artifacts, including the one whose append is not a generation
+    // swap (the lex batch fence does the converging there).
+    import graft.operators.LexIndex
     val clean = mkArts("rpclean")
     reset(clean, corpus)
+    LexIndex.writeLexIndex(corpus.select(col("doc_id"), col("text")),
+      StreamingNightlyIngest.lexName(clean), numBuckets = 4)
     val ck1 = keptSet(StreamingNightlyIngest.nightStep(clean,
       embed(b1.toDF()), budget, "rp", batchId = 0))
     val ck2 = keptSet(StreamingNightlyIngest.nightStep(clean,
@@ -657,6 +664,8 @@ class StreamingNightlyIngestSpec extends SparkSpec {
     // ---- crashing pipeline ------------------------------------------
     val arts = mkArts("rp")
     reset(arts, corpus)
+    LexIndex.writeLexIndex(corpus.select(col("doc_id"), col("text")),
+      StreamingNightlyIngest.lexName(arts), numBuckets = 4)
     val k1 = keptSet(StreamingNightlyIngest.nightStep(arts,
       embed(b1.toDF()), budget, "rp", batchId = 0))
     // post-commit replay of night 1 (foreachBatch re-delivery after a
@@ -700,5 +709,29 @@ class StreamingNightlyIngestSpec extends SparkSpec {
         r.getLong(3), r.getLong(4))).toSet
     assert(manifestOf(arts) == manifestOf(clean),
       "shard layout diverged (duplicate assignment rows?)")
+    // the lex leg converged too: postings row multiset equal (no
+    // duplicate postings from the re-delivered append), stats deltas
+    // exactly once, and the probe-visible behavior identical
+    def lexRows(a: StreamingNightlyIngest.Artifacts) =
+      spark.table(Generations.resolve(spark,
+          StreamingNightlyIngest.lexName(a), "postings"))
+        .groupBy("doc_id").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lexRows(arts) == lexRows(clean),
+      "lex postings diverged (duplicate rows from the replayed append?)")
+    def lexStats(a: StreamingNightlyIngest.Artifacts) =
+      spark.table(Generations.resolve(spark,
+          StreamingNightlyIngest.lexName(a), "stats"))
+        .agg(sum(col("n_docs")), sum(col("total_tokens"))).head()
+    assert(lexStats(arts) == lexStats(clean),
+      "lex stats diverged (replayed delta applied twice?)")
+    def lexProbe(a: StreamingNightlyIngest.Artifacts) =
+      LexIndex.probeLexIndex(spark, StreamingNightlyIngest.lexName(a),
+          corpus.filter(col("doc_id") < 4).select(col("doc_id"), col("text")),
+          kEach = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getLong(3))).toSet
+    assert(lexProbe(arts) == lexProbe(clean),
+      "lex probe diverged between crashed-replayed and clean pipelines")
   }
 }
