@@ -190,4 +190,44 @@ object VectorFunctions {
   def chainCosine(a: String, b: String, dim: Int, base: Int): String =
     s"(CAST(${chainDot(a, b, dim, base)} AS DOUBLE) / " +
       s"(${chainNorm(a, dim, base)} * ${chainNorm(b, dim, base)}))"
+
+  // ---- oracle-portable synthetic embedding ---------------------------
+  // A deterministic per-row vector BOTH engines derive identically
+  // from an id column, for lifecycle oracles whose corpus the loop
+  // manufactures (p11): dim j's value is md5("emb:<id>:<j>") → first 4
+  // hex chars as an integer v ∈ [0, 65535] → (v mod 997)/499 − 1 in
+  // f64, rounded once to f32. md5 of an ASCII string is the same
+  // lowercase hex in Spark and DuckDB; the hex→int fold, the mod, the
+  // f64 divide/subtract and the final f32 round are all
+  // required-correctly-rounded or exact integer ops — the PortableLsh
+  // discipline, per ROW instead of per constant. (The engine's own
+  // streaming fixtures use Spark's murmur `hash` — fine in-engine,
+  // invisible to DuckDB; THIS text is the cross-engine twin.)
+
+  /** Spark-side expression text: ARRAY<FLOAT> of `dim` values. */
+  def portableSynthEmbedding(idCol: String, dim: Int): String = {
+    val es = (0 until dim).map { j =>
+      s"CAST(CAST(conv(substring(md5(concat('emb:', " +
+        s"CAST($idCol AS STRING), ':', '$j')), 1, 4), 16, 10) AS BIGINT)" +
+        s" % 997 AS DOUBLE) / CAST(499.0 AS DOUBLE) - CAST(1.0 AS DOUBLE)"
+    }
+    s"array(${es.map(e => s"CAST($e AS FLOAT)").mkString(", ")})"
+  }
+
+  /** DuckDB-side text for the SAME vector: LIST of FLOAT. DuckDB has
+    * no base-16 `conv`, so the 4 hex chars fold through
+    * `strpos('0123456789abcdef', c) − 1` — exact integer arithmetic
+    * either way. */
+  def portableSynthEmbeddingSql(idCol: String, dim: Int): String = {
+    def hexDigit(h: String, p: Int) =
+      s"(strpos('0123456789abcdef', substr($h, $p, 1)) - 1)"
+    val es = (0 until dim).map { j =>
+      val h = s"md5('emb:' || CAST($idCol AS VARCHAR) || ':$j')"
+      val v = s"(((${hexDigit(h, 1)} * 16 + ${hexDigit(h, 2)}) * 16 + " +
+        s"${hexDigit(h, 3)}) * 16 + ${hexDigit(h, 4)})"
+      s"CAST(CAST($v % 997 AS DOUBLE) / CAST(499.0 AS DOUBLE) - " +
+        s"CAST(1.0 AS DOUBLE) AS FLOAT)"
+    }
+    s"[${es.mkString(", ")}]"
+  }
 }

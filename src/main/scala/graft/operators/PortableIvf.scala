@@ -79,11 +79,11 @@ object PortableIvf {
     * final CTE has rows (cell, cent LIST(FLOAT)) bit-identical to
     * [[Similarity.trainCentroids]]'s broadcast array. */
   def centroidsCte(dim: Int, nCells: Int, iters: Int,
-      sampleN: Int): (String, String) = {
+      sampleN: Int, trainRel: String = "embeddings"): (String, String) = {
     val parts = scala.collection.mutable.ArrayBuffer(
       s"""samp AS MATERIALIZED (
       SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS rn
-      FROM embeddings QUALIFY rn <= $sampleN)""",
+      FROM $trainRel QUALIFY rn <= $sampleN)""",
       s"""c0 AS MATERIALIZED (SELECT rn - 1 AS cell, embedding AS cent
       FROM samp WHERE rn <= $nCells)""")
     for (it <- 1 to iters) {
@@ -117,22 +117,24 @@ object PortableIvf {
     * `cents` — shared by all IVF oracles. `predOn(alias)` renders the
     * query predicate against that alias. */
   private def assignAndProbe(dim: Int, nprobe: Int, cents: String,
-      predOn: String => String): String =
+      predOn: String => String,
+      corpusRel: String = "embeddings"): String =
     s"""asg AS MATERIALIZED (SELECT vec_id, cell FROM (
       SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
           ORDER BY ${d2Chain("e.embedding", "c.cent", dim)}, c.cell) AS pr
-      FROM embeddings e CROSS JOIN $cents c) WHERE pr = 1),
+      FROM $corpusRel e CROSS JOIN $cents c) WHERE pr = 1),
     prb AS MATERIALIZED (SELECT qid, cell FROM (
       SELECT e.vec_id AS qid, c.cell, row_number() OVER (PARTITION BY e.vec_id
           ORDER BY ${d2Chain("e.embedding", "c.cent", dim)}, c.cell) AS pr
-      FROM embeddings e CROSS JOIN $cents c
+      FROM $corpusRel e CROSS JOIN $cents c
       WHERE ${predOn("e")}) WHERE pr <= $nprobe)"""
 
   /** The final exact-chain re-rank + rank/ordering tail shared by the
     * shortlist oracles (the s06/s17 `x`/`r` pattern verbatim). */
-  private def exactReRankTail(dim: Int, k: Int): String =
+  private def exactReRankTail(dim: Int, k: Int,
+      corpusRel: String = "embeddings"): String =
     s"""n AS MATERIALIZED (SELECT vec_id, embedding,
-        ${chainNorm("embedding", dim, 1)} AS nrm FROM embeddings),
+        ${chainNorm("embedding", dim, 1)} AS nrm FROM $corpusRel),
     x AS MATERIALIZED (SELECT c.qid, c.vec_id,
         CAST(${chainDot("qe.embedding", "e.embedding", dim, 1)} AS DOUBLE)
           / (qe.nrm * e.nrm) AS cos
@@ -258,12 +260,21 @@ object PortableIvf {
     * ITS OWN cell (per-dim f32 subs, like `residualOf`), and folds the
     * per-(query, probed-cell) `dot(q, centroid)` term back into the
     * ADC score — exactly `qcellDot`'s f64 accumulation. */
+  /** `trainRel`/`corpusRel` split the replay's two relation roles for
+    * maintained-index lifecycles (p11): the MODEL trains on the
+    * relation the index was BUILT over, while assignment, candidate
+    * codes, queries and the exact re-rank run over the SURVIVING
+    * corpus (base ∪ appended − deleted) — the frozen-model semantics
+    * of the persisted index. Defaults keep every existing oracle text
+    * byte-identical. */
   def ivfPqOracleSql(dim: Int, k: Int, nCells: Int, nprobe: Int,
       m: Int, ksub: Int, shortlist: Int, predOn: String => String,
       residual: Boolean = false,
-      iters: Int = 3, sampleN: Int = 2048): String = {
+      iters: Int = 3, sampleN: Int = 2048,
+      trainRel: String = "embeddings",
+      corpusRel: String = "embeddings"): String = {
     val dsub = dim / m
-    val (cc, cfin) = centroidsCte(dim, nCells, iters, sampleN)
+    val (cc, cfin) = centroidsCte(dim, nCells, iters, sampleN, trainRel)
     val (bc, bfin) = booksCte(dim, m, ksub, iters,
       src = if (residual) "rsamp" else "samp")
     def residualList(v: String, c: String) =
@@ -279,16 +290,16 @@ object PortableIvf {
     rsamp AS MATERIALIZED (SELECT s.rn,
         ${residualList("s.embedding", "c.cent")} AS embedding
       FROM samp s JOIN sasg a ON a.rn = s.rn JOIN $cfin c ON c.cell = a.cell)"""
-    val codeSrc = if (!residual) "embeddings e" else
+    val codeSrc = if (!residual) s"$corpusRel e" else
       s"""(SELECT e.vec_id, ${residualList("e.embedding", "c.cent")} AS embedding
-        FROM embeddings e JOIN asg a2 ON a2.vec_id = e.vec_id
+        FROM $corpusRel e JOIN asg a2 ON a2.vec_id = e.vec_id
           JOIN $cfin c ON c.cell = a2.cell) e"""
     // the ADC score's base: 0.0 for raw, dot(q, probed centroid) for
     // residual (one term per (query, probed cell), qcellDot's text)
     val qcCte = if (!residual) "" else s""",
     qcv AS MATERIALIZED (SELECT p.qid, p.cell,
         ${simDot("e.embedding", "c.cent", dim)} AS qc
-      FROM prb p JOIN embeddings e ON e.vec_id = p.qid
+      FROM prb p JOIN $corpusRel e ON e.vec_id = p.qid
         JOIN $cfin c ON c.cell = p.cell)"""
     val (qcJoin, qcExpr) =
       if (!residual) ("", "list_reduce(list(t.val ORDER BY t.j), (a, b) -> a + b)")
@@ -297,7 +308,7 @@ object PortableIvf {
     val qcSel = if (!residual) "" else ", q.qc"
     s"""WITH $cc$rsampCte,
     $bc,
-    ${assignAndProbe(dim, nprobe, cfin, predOn)}$qcCte,
+    ${assignAndProbe(dim, nprobe, cfin, predOn, corpusRel)}$qcCte,
     esub AS MATERIALIZED (
       SELECT e.vec_id, t.j, list_transform(range(t.j*$dsub+1, t.j*$dsub+${dsub + 1}),
           i -> e.embedding[i]) AS sub
@@ -310,7 +321,7 @@ object PortableIvf {
     qsub AS MATERIALIZED (
       SELECT e.vec_id, t.j, list_transform(range(t.j*$dsub+1, t.j*$dsub+${dsub + 1}),
           i -> e.embedding[i]) AS sub
-      FROM embeddings e CROSS JOIN (SELECT unnest(range($m)) AS j) t
+      FROM $corpusRel e CROSS JOIN (SELECT unnest(range($m)) AS j) t
       WHERE ${predOn("e")}),
     qlut AS MATERIALIZED (SELECT s.vec_id AS qid, s.j, c.cell AS code,
         ${simDot("s.sub", "c.cent", dsub)} AS val
@@ -326,7 +337,7 @@ object PortableIvf {
     sl AS MATERIALIZED (SELECT qid, vec_id, row_number() OVER (
         PARTITION BY qid ORDER BY cos DESC, vec_id) AS r FROM sc),
     cand AS MATERIALIZED (SELECT qid, vec_id FROM sl WHERE r <= $shortlist),
-    ${exactReRankTail(dim, k)}"""
+    ${exactReRankTail(dim, k, corpusRel)}"""
   }
 
   /** [[Similarity.mmrTopK]]'s oracle (s12): the `cosine_sim`-replay

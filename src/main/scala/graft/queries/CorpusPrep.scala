@@ -302,6 +302,46 @@ object CorpusPrep {
       SELECT qid, doc_id, lex_rank, lex_scaled FROM lex
       ORDER BY qid NULLS FIRST, lex_rank NULLS FIRST"""
 
+  /** p11's oracle: the composed loop's FULL production serve path —
+    * one query against BOTH maintained artifacts after two nights, the
+    * takedown and the fold-in compaction. The lexical side is p10's
+    * chained-corpus text; the vector side replays the loop's ANN index
+    * through [[graft.operators.PortableIvf]] with the two relation
+    * roles SPLIT the way the lifecycle split them: the model trains on
+    * the BASE corpus (`bvec` — the index was built before the nights,
+    * and the loop never retrains here), while assignment, codes,
+    * queries and the exact re-rank run over the SURVIVING corpus
+    * (`svec` = base ∪ admitted − deleted) — the frozen-model
+    * semantics of a maintained index. Embeddings are the md5-derived
+    * portable synth (bit-identical per row in both engines), so the
+    * whole serve answer — RRF fusion included — is one hash row. */
+  private val sqlP11NightlyHybrid: String = {
+    import graft.functions.VectorFunctions.portableSynthEmbeddingSql
+    val ivf = graft.operators.PortableIvf.ivfPqOracleSql(
+      dim = 16, k = 20, nCells = 8, nprobe = 4, m = 8, ksub = 16,
+      shortlist = 60, a => s"$a.vec_id < 8",
+      trainRel = "bvec", corpusRel = "svec")
+    s"""WITH ${sqlP07KeptCtes(P09Budget)},
+      nightdocs AS (SELECT doc_id, text FROM qa
+        UNION ALL SELECT doc_id, text FROM qb),
+      lexsrc AS MATERIALIZED (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT k.doc_id, q.text
+          FROM kept k JOIN nightdocs q USING (doc_id)
+          WHERE k.doc_id NOT IN (${P09Deleted.mkString(", ")})),
+      bvec AS MATERIALIZED (SELECT doc_id AS vec_id,
+          ${portableSynthEmbeddingSql("doc_id", 16)} AS embedding
+        FROM documents),
+      svec AS MATERIALIZED (SELECT doc_id AS vec_id,
+          ${portableSynthEmbeddingSql("doc_id", 16)} AS embedding
+        FROM lexsrc),
+      ${graft.operators.HybridRetrieval.lexicalOracleCtes(
+        "lexsrc", "doc_id < 8", 20)},
+      vec AS MATERIALIZED (SELECT qid, vec_id AS doc_id,
+          rank AS vec_rank FROM ($ivf)),
+      ${graft.operators.HybridRetrieval.fusionTailSql(10, c = 60)}"""
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("p01_corpus_prep",
@@ -708,6 +748,76 @@ object CorpusPrep {
           .orderBy("qid", "lex_rank")
       },
       Some(sqlP10NightlyLex)),
+
+    // ---- p11: the composed loop's FULL HYBRID SERVE, hash-exact ------
+    // s38 proved the two-sided serve path on one-shot-built indexes;
+    // p11 proves it on indexes the NIGHTLY LOOP ITSELF maintained:
+    // base builds of all four artifacts, two admission-gated nights,
+    // the night-B takedown, the fold-in erasure compaction — then ONE
+    // query hits the maintained lexical index (bounded tok pushdown)
+    // and the maintained ANN index (frozen base-trained model, nprobe
+    // pruned cells) and fuses the rank lists. The oracle splits the
+    // ANN replay's relation roles the way the lifecycle did (train on
+    // base, serve over survivors) over md5-derived portable
+    // embeddings, so the END-TO-END answer is one hash row: a night
+    // the loop dropped, a leaked non-admitted doc, a takedown that
+    // missed either index, a stale df/stats member, a code encoded
+    // under the wrong generation's model, or a deleted vector
+    // resurrected by compaction ALL flip it.
+    Q("p11_nightly_hybrid_serve",
+      (s, dir) => {
+        import graft.streaming.StreamingNightlyIngest
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val synth = expr(graft.functions.VectorFunctions
+          .portableSynthEmbedding("doc_id", 16))
+        val arts = StreamingNightlyIngest.Artifacts("graft_p11_nd",
+          "graft_p11_ann", "graft_p11_anncorpus", "graft_p11_budget",
+          new java.io.File(sys.props("java.io.tmpdir"),
+            "graft_p11_shards").getAbsolutePath)
+        graft.operators.Generations.destroy(s, arts.annCorpusTable,
+          Seq("vecs"))
+        graft.operators.Generations.destroy(s,
+          StreamingNightlyIngest.deletedTable(arts), Seq("ids"))
+        graft.operators.Generations.destroy(s, arts.budgetTable, Seq("state"))
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+        }
+        rm(new java.io.File(arts.shardPath))
+        Dedup.writeNearDupIndex(
+          docs.select(col("doc_id"), col("text")), arts.ndIndex)
+        val corpusVecs = docs.select(col("doc_id"))
+          .withColumn("embedding", synth)
+          .select(col("doc_id").as("vec_id"), col("embedding"))
+        graft.operators.AnnIndex.writeAnnIndex(corpusVecs, arts.annIndex,
+          nCells = 8, m = 8, ksub = 16)
+        StreamingNightlyIngest.writeCorpus(s, arts, corpusVecs)
+        graft.operators.LexIndex.writeLexIndex(
+          docs.select(col("doc_id"), col("text")),
+          StreamingNightlyIngest.lexName(arts))
+        StreamingNightlyIngest.nightStep(arts,
+          nightA7(docs).withColumn("embedding", synth),
+          budget = P09Budget, salt = "p07b", tokensPerShard = 256L)
+        StreamingNightlyIngest.nightStep(arts,
+          nightB7(docs).withColumn("embedding", synth),
+          budget = P09Budget, salt = "p07b", tokensPerShard = 256L,
+          deletes = Some(P09Deleted.toDF("doc_id")))
+        StreamingNightlyIngest.compactAll(s, arts)
+        val queries = docs.filter(col("doc_id") < 8)
+          .select(col("doc_id"), col("text"))
+        val lex = graft.operators.LexIndex.probeLexIndex(s,
+          StreamingNightlyIngest.lexName(arts), queries, kEach = 20)
+        val qv = docs.filter(col("doc_id") < 8).select(col("doc_id"))
+          .withColumn("embedding", synth)
+          .select(col("doc_id").as("vec_id"), col("embedding"))
+        val vec = graft.operators.AnnIndex.probeQueries(s, arts.annIndex,
+            qv, rerank = StreamingNightlyIngest.corpus(s, arts), k = 20)
+          .select(col("qid"), col("vec_id").as("doc_id"),
+            col("rank").as("vec_rank"))
+        graft.operators.HybridRetrieval.rrfFuse(lex, vec, 10)
+          .orderBy("qid", "rank")
+      },
+      Some(sqlP11NightlyHybrid)),
 
     Q("p06_epoch_pack",
       (s, dir) => {
