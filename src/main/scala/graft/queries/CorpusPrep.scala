@@ -315,12 +315,15 @@ object CorpusPrep {
     * semantics of a maintained index. Embeddings are the md5-derived
     * portable synth (bit-identical per row in both engines), so the
     * whole serve answer — RRF fusion included — is one hash row. */
-  private val sqlP11NightlyHybrid: String = {
+  private def sqlNightlyHybridOracle(trainRel: String,
+      nCells: Int = 8): String = {
     import graft.functions.VectorFunctions.portableSynthEmbeddingSql
     val ivf = graft.operators.PortableIvf.ivfPqOracleSql(
-      dim = 16, k = 20, nCells = 8, nprobe = 4, m = 8, ksub = 16,
+      dim = 16, k = 20, nCells = nCells, nprobe = 4, m = 8, ksub = 16,
       shortlist = 60, a => s"$a.vec_id < 8",
-      trainRel = "bvec", corpusRel = "svec")
+      trainRel = trainRel, corpusRel = "svec")
+    // rvec: the RETRAIN-TIME corpus (p12) — base ∪ night A's admitted
+    // set, before any takedown exists; harmless extra CTE for p11
     s"""WITH ${sqlP07KeptCtes(P09Budget)},
       nightdocs AS (SELECT doc_id, text FROM qa
         UNION ALL SELECT doc_id, text FROM qb),
@@ -332,6 +335,10 @@ object CorpusPrep {
       bvec AS MATERIALIZED (SELECT doc_id AS vec_id,
           ${portableSynthEmbeddingSql("doc_id", 16)} AS embedding
         FROM documents),
+      rvec AS MATERIALIZED (SELECT doc_id AS vec_id,
+          ${portableSynthEmbeddingSql("doc_id", 16)} AS embedding
+        FROM (SELECT doc_id FROM documents
+          UNION ALL SELECT doc_id FROM kept WHERE night = 1)),
       svec AS MATERIALIZED (SELECT doc_id AS vec_id,
           ${portableSynthEmbeddingSql("doc_id", 16)} AS embedding
         FROM lexsrc),
@@ -341,6 +348,78 @@ object CorpusPrep {
           rank AS vec_rank FROM ($ivf)),
       ${graft.operators.HybridRetrieval.fusionTailSql(10, c = 60)}"""
   }
+
+  private val sqlP11NightlyHybrid: String = sqlNightlyHybridOracle("bvec")
+
+  /** The shared p11/p12 body: the composed loop (base builds, night A,
+    * optional retrain, night B + takedown, fold-in compaction) then
+    * the two-sided serve — lex probe + ANN probe + RRF. */
+  private def nightlyHybridServe(s: SparkSession, dir: String,
+      tag: String, retrainAfterNightA: Boolean): DataFrame = {
+    import graft.streaming.StreamingNightlyIngest
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val synth = expr(graft.functions.VectorFunctions
+      .portableSynthEmbedding("doc_id", 16))
+    val arts = StreamingNightlyIngest.Artifacts(s"graft_${tag}_nd",
+      s"graft_${tag}_ann", s"graft_${tag}_anncorpus",
+      s"graft_${tag}_budget",
+      new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_${tag}_shards").getAbsolutePath)
+    graft.operators.Generations.destroy(s, arts.annCorpusTable, Seq("vecs"))
+    graft.operators.Generations.destroy(s,
+      StreamingNightlyIngest.deletedTable(arts), Seq("ids"))
+    graft.operators.Generations.destroy(s, arts.budgetTable, Seq("state"))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(arts.shardPath))
+    Dedup.writeNearDupIndex(
+      docs.select(col("doc_id"), col("text")), arts.ndIndex)
+    val corpusVecs = docs.select(col("doc_id"))
+      .withColumn("embedding", synth)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    graft.operators.AnnIndex.writeAnnIndex(corpusVecs, arts.annIndex,
+      nCells = 8, m = 8, ksub = 16)
+    StreamingNightlyIngest.writeCorpus(s, arts, corpusVecs)
+    graft.operators.LexIndex.writeLexIndex(
+      docs.select(col("doc_id"), col("text")),
+      StreamingNightlyIngest.lexName(arts))
+    StreamingNightlyIngest.nightStep(arts,
+      nightA7(docs).withColumn("embedding", synth),
+      budget = P09Budget, salt = "p07b", tokensPerShard = 256L)
+    if (retrainAfterNightA)
+      graft.operators.AnnIndex.retrainAnnIndex(s, arts.annIndex,
+        StreamingNightlyIngest.retrainCorpus(s, arts),
+        nCells = Some(16))
+    StreamingNightlyIngest.nightStep(arts,
+      nightB7(docs).withColumn("embedding", synth),
+      budget = P09Budget, salt = "p07b", tokensPerShard = 256L,
+      deletes = Some(P09Deleted.toDF("doc_id")))
+    StreamingNightlyIngest.compactAll(s, arts)
+    val queries = docs.filter(col("doc_id") < 8)
+      .select(col("doc_id"), col("text"))
+    val lex = graft.operators.LexIndex.probeLexIndex(s,
+      StreamingNightlyIngest.lexName(arts), queries, kEach = 20)
+    val qv = docs.filter(col("doc_id") < 8).select(col("doc_id"))
+      .withColumn("embedding", synth)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    val vec = graft.operators.AnnIndex.probeQueries(s, arts.annIndex,
+        qv, rerank = StreamingNightlyIngest.corpus(s, arts), k = 20)
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        col("rank").as("vec_rank"))
+    graft.operators.HybridRetrieval.rrfFuse(lex, vec, 10)
+      .orderBy("qid", "rank")
+  }
+
+  /** p12's oracle: p11 with the model re-anchored MID-LIFECYCLE — a
+    * RESIZE retrain (nCells 8 → 16, the r11 sizing rule's actuator:
+    * the corpus grew, so the cell layout grows with it) after night A,
+    * trained on `rvec` (base ∪ night A's admitted set), night B's
+    * appends encoding under the NEW model, and the serve replaying
+    * with trainRel = rvec at the new cell count. */
+  private val sqlP12RetrainServe: String =
+    sqlNightlyHybridOracle("rvec", nCells = 16)
 
   val all: Seq[Q] = Seq(
 
@@ -765,59 +844,29 @@ object CorpusPrep {
     // under the wrong generation's model, or a deleted vector
     // resurrected by compaction ALL flip it.
     Q("p11_nightly_hybrid_serve",
-      (s, dir) => {
-        import graft.streaming.StreamingNightlyIngest
-        import s.implicits._
-        val docs = Tables(s, dir, "documents")
-        val synth = expr(graft.functions.VectorFunctions
-          .portableSynthEmbedding("doc_id", 16))
-        val arts = StreamingNightlyIngest.Artifacts("graft_p11_nd",
-          "graft_p11_ann", "graft_p11_anncorpus", "graft_p11_budget",
-          new java.io.File(sys.props("java.io.tmpdir"),
-            "graft_p11_shards").getAbsolutePath)
-        graft.operators.Generations.destroy(s, arts.annCorpusTable,
-          Seq("vecs"))
-        graft.operators.Generations.destroy(s,
-          StreamingNightlyIngest.deletedTable(arts), Seq("ids"))
-        graft.operators.Generations.destroy(s, arts.budgetTable, Seq("state"))
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
-        }
-        rm(new java.io.File(arts.shardPath))
-        Dedup.writeNearDupIndex(
-          docs.select(col("doc_id"), col("text")), arts.ndIndex)
-        val corpusVecs = docs.select(col("doc_id"))
-          .withColumn("embedding", synth)
-          .select(col("doc_id").as("vec_id"), col("embedding"))
-        graft.operators.AnnIndex.writeAnnIndex(corpusVecs, arts.annIndex,
-          nCells = 8, m = 8, ksub = 16)
-        StreamingNightlyIngest.writeCorpus(s, arts, corpusVecs)
-        graft.operators.LexIndex.writeLexIndex(
-          docs.select(col("doc_id"), col("text")),
-          StreamingNightlyIngest.lexName(arts))
-        StreamingNightlyIngest.nightStep(arts,
-          nightA7(docs).withColumn("embedding", synth),
-          budget = P09Budget, salt = "p07b", tokensPerShard = 256L)
-        StreamingNightlyIngest.nightStep(arts,
-          nightB7(docs).withColumn("embedding", synth),
-          budget = P09Budget, salt = "p07b", tokensPerShard = 256L,
-          deletes = Some(P09Deleted.toDF("doc_id")))
-        StreamingNightlyIngest.compactAll(s, arts)
-        val queries = docs.filter(col("doc_id") < 8)
-          .select(col("doc_id"), col("text"))
-        val lex = graft.operators.LexIndex.probeLexIndex(s,
-          StreamingNightlyIngest.lexName(arts), queries, kEach = 20)
-        val qv = docs.filter(col("doc_id") < 8).select(col("doc_id"))
-          .withColumn("embedding", synth)
-          .select(col("doc_id").as("vec_id"), col("embedding"))
-        val vec = graft.operators.AnnIndex.probeQueries(s, arts.annIndex,
-            qv, rerank = StreamingNightlyIngest.corpus(s, arts), k = 20)
-          .select(col("qid"), col("vec_id").as("doc_id"),
-            col("rank").as("vec_rank"))
-        graft.operators.HybridRetrieval.rrfFuse(lex, vec, 10)
-          .orderBy("qid", "rank")
-      },
+      (s, dir) => nightlyHybridServe(s, dir, "p11",
+        retrainAfterNightA = false),
       Some(sqlP11NightlyHybrid)),
+
+    // ---- p12: RESIZE-RETRAIN mid-lifecycle under the same serve path -
+    // p11 serves under the frozen base-trained model; p12 re-anchors
+    // it where a production loop would — after a night grew the
+    // corpus: retrainAnnIndex over corpus-minus-registry with nCells
+    // 8 → 16 (the sizing-rule actuator) rebuilds centroids, codebooks
+    // and codes as ONE new generation, night B's appends encode under
+    // the NEW model, and the serve answer replays with the oracle
+    // trained on the retrain-time corpus at the new cell count (the
+    // trainRel/corpusRel split again — rvec vs svec). MEASURED
+    // discrimination, not assumed (the first cut retrained at the
+    // same nCells and the fused top-10 came out identical to p11's —
+    // a vacuous detector): with the resize, 20 of the 80 fused rows
+    // differ from the frozen-model answer, so a retrain that silently
+    // didn't happen, kept stale codes, or re-encoded under the wrong
+    // corpus flips the hash.
+    Q("p12_retrain_hybrid_serve",
+      (s, dir) => nightlyHybridServe(s, dir, "p12",
+        retrainAfterNightA = true),
+      Some(sqlP12RetrainServe)),
 
     Q("p06_epoch_pack",
       (s, dir) => {
