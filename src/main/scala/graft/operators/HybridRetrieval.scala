@@ -188,9 +188,21 @@ object HybridRetrieval {
     * docs relation so the nightly fold-in's oracle (p10) can score a
     * CHAINED admitted-corpus CTE with the SAME text the s30-family
     * rows prove portable. `lex` carries lex_scaled alongside the rank
-    * for lexical-only consumers; [[oracleSql]] simply ignores it. */
+    * for lexical-only consumers; [[oracleSql]] simply ignores it.
+    *
+    * `candDelIds` replays [[graft.operators.LexIndex.probeLexIndex]]'s
+    * CANDIDACY-ONLY tombstone semantics for as-of oracles (p13):
+    * tombstoned docs are excluded from the scoring rows, but df,
+    * n_docs and total_tokens keep the snapshot's pre-delete values —
+    * the engine applies the exclusion AFTER the df recount, because a
+    * df that shrank while n_docs did not would score with statistics
+    * no corpus ever had. Empty (the default) keeps the text
+    * byte-identical to every pre-p13 oracle. */
   def lexicalOracleCtes(docsRel: String, predDoc: String,
-      kEach: Int): String =
+      kEach: Int, candDelIds: Seq[Long] = Nil): String = {
+    val candFilter =
+      if (candDelIds.isEmpty) ""
+      else s" AND tfq.doc_id NOT IN (${candDelIds.mkString(", ")})"
     s"""tok AS MATERIALIZED (SELECT doc_id,
           unnest(${sqlTokens("text")}) AS tok FROM $docsRel),
       tfq AS MATERIALIZED (SELECT doc_id, tok, count(*) AS tf
@@ -206,7 +218,7 @@ object HybridRetrieval {
           CAST($termWeightSql AS DECIMAL(18,9)) AS w
         FROM tfq JOIN dfq USING (tok) JOIN lenq USING (doc_id)
           JOIN qt q ON q.tok = tfq.tok CROSS JOIN nq
-        WHERE df * 10 <= n_docs * 9 AND tfq.doc_id <> q.qid),
+        WHERE df * 10 <= n_docs * 9 AND tfq.doc_id <> q.qid$candFilter),
       lexs AS MATERIALIZED (SELECT qid, doc_id,
           CAST(sum(w) * 1000000000 AS BIGINT) AS lex_scaled
         FROM lw GROUP BY qid, doc_id),
@@ -214,6 +226,7 @@ object HybridRetrieval {
         SELECT qid, doc_id, lex_scaled, CAST(row_number() OVER (
             PARTITION BY qid ORDER BY lex_scaled DESC, doc_id) AS INT) AS lex_rank
         FROM lexs) WHERE lex_rank <= $kEach)"""
+  }
 
   /** The DuckDB oracle: the SAME term-weight and RRF texts over the
     * same aggregations; the vector side is s01's chain-cosine replay.

@@ -354,13 +354,16 @@ object CorpusPrep {
   /** The shared p11/p12 body: the composed loop (base builds, night A,
     * optional retrain, night B + takedown, fold-in compaction) then
     * the two-sided serve — lex probe + ANN probe + RRF. */
-  private def nightlyHybridServe(s: SparkSession, dir: String,
-      tag: String, retrainAfterNightA: Boolean): DataFrame = {
+  private val HybridSynthExpr =
+    graft.functions.VectorFunctions.portableSynthEmbedding("doc_id", 16)
+
+  /** Base builds of all four artifacts over the portable-synth vectors
+    * — the shared front of p11/p12/p13. */
+  private def nightlyLoopBase(s: SparkSession, dir: String,
+      tag: String): (graft.streaming.StreamingNightlyIngest.Artifacts,
+      DataFrame) = {
     import graft.streaming.StreamingNightlyIngest
-    import s.implicits._
     val docs = Tables(s, dir, "documents")
-    val synth = expr(graft.functions.VectorFunctions
-      .portableSynthEmbedding("doc_id", 16))
     val arts = StreamingNightlyIngest.Artifacts(s"graft_${tag}_nd",
       s"graft_${tag}_ann", s"graft_${tag}_anncorpus",
       s"graft_${tag}_budget",
@@ -377,7 +380,7 @@ object CorpusPrep {
     Dedup.writeNearDupIndex(
       docs.select(col("doc_id"), col("text")), arts.ndIndex)
     val corpusVecs = docs.select(col("doc_id"))
-      .withColumn("embedding", synth)
+      .withColumn("embedding", expr(HybridSynthExpr))
       .select(col("doc_id").as("vec_id"), col("embedding"))
     graft.operators.AnnIndex.writeAnnIndex(corpusVecs, arts.annIndex,
       nCells = 8, m = 8, ksub = 16)
@@ -385,31 +388,54 @@ object CorpusPrep {
     graft.operators.LexIndex.writeLexIndex(
       docs.select(col("doc_id"), col("text")),
       StreamingNightlyIngest.lexName(arts))
+    (arts, docs)
+  }
+
+  /** The two-sided serve over the loop's maintained indexes — the
+    * shared tail of p11/p12/p13 (`asOf` = the per-family snapshot
+    * generations for p13's time-travel variant). */
+  private def hybridServe(s: SparkSession,
+      arts: graft.streaming.StreamingNightlyIngest.Artifacts,
+      docs: DataFrame, asOfLex: Option[Long] = None,
+      asOfAnn: Option[Long] = None,
+      extraQueries: Option[DataFrame] = None): DataFrame = {
+    import graft.streaming.StreamingNightlyIngest
+    val queries0 = docs.filter(col("doc_id") < 8)
+      .select(col("doc_id"), col("text"))
+    val queries = extraQueries.fold(queries0)(queries0.unionByName(_))
+    val lex = graft.operators.LexIndex.probeLexIndex(s,
+      StreamingNightlyIngest.lexName(arts), queries, kEach = 20,
+      asOf = asOfLex)
+    val qv = queries.select(col("doc_id"))
+      .withColumn("embedding", expr(HybridSynthExpr))
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    val vec = graft.operators.AnnIndex.probeQueries(s, arts.annIndex,
+        qv, rerank = StreamingNightlyIngest.corpus(s, arts), k = 20,
+        asOf = asOfAnn)
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        col("rank").as("vec_rank"))
+    graft.operators.HybridRetrieval.rrfFuse(lex, vec, 10)
+      .orderBy("qid", "rank")
+  }
+
+  private def nightlyHybridServe(s: SparkSession, dir: String,
+      tag: String, retrainAfterNightA: Boolean): DataFrame = {
+    import graft.streaming.StreamingNightlyIngest
+    import s.implicits._
+    val (arts, docs) = nightlyLoopBase(s, dir, tag)
     StreamingNightlyIngest.nightStep(arts,
-      nightA7(docs).withColumn("embedding", synth),
+      nightA7(docs).withColumn("embedding", expr(HybridSynthExpr)),
       budget = P09Budget, salt = "p07b", tokensPerShard = 256L)
     if (retrainAfterNightA)
       graft.operators.AnnIndex.retrainAnnIndex(s, arts.annIndex,
         StreamingNightlyIngest.retrainCorpus(s, arts),
         nCells = Some(16))
     StreamingNightlyIngest.nightStep(arts,
-      nightB7(docs).withColumn("embedding", synth),
+      nightB7(docs).withColumn("embedding", expr(HybridSynthExpr)),
       budget = P09Budget, salt = "p07b", tokensPerShard = 256L,
       deletes = Some(P09Deleted.toDF("doc_id")))
     StreamingNightlyIngest.compactAll(s, arts)
-    val queries = docs.filter(col("doc_id") < 8)
-      .select(col("doc_id"), col("text"))
-    val lex = graft.operators.LexIndex.probeLexIndex(s,
-      StreamingNightlyIngest.lexName(arts), queries, kEach = 20)
-    val qv = docs.filter(col("doc_id") < 8).select(col("doc_id"))
-      .withColumn("embedding", synth)
-      .select(col("doc_id").as("vec_id"), col("embedding"))
-    val vec = graft.operators.AnnIndex.probeQueries(s, arts.annIndex,
-        qv, rerank = StreamingNightlyIngest.corpus(s, arts), k = 20)
-      .select(col("qid"), col("vec_id").as("doc_id"),
-        col("rank").as("vec_rank"))
-    graft.operators.HybridRetrieval.rrfFuse(lex, vec, 10)
-      .orderBy("qid", "rank")
+    hybridServe(s, arts, docs)
   }
 
   /** p12's oracle: p11 with the model re-anchored MID-LIFECYCLE — a
@@ -420,6 +446,43 @@ object CorpusPrep {
     * with trainRel = rvec at the new cell count. */
   private val sqlP12RetrainServe: String =
     sqlNightlyHybridOracle("rvec", nCells = 16)
+
+  /** p13's oracle: the composed AS-OF serve with erasure overriding
+    * history. The snapshot corpus is base ∪ night A's FULL admitted
+    * set (`asrc` — the later-deleted docs ARE in the snapshot); the
+    * lexical side scores with the SNAPSHOT's statistics but excludes
+    * the deleted ids from candidacy only (probeLexIndex's tombstone
+    * semantics — df/n_docs keep pre-delete values until a compaction
+    * makes erasure physical and statistical at once); the ANN side
+    * excludes them before scoring (probeQueries' anti-join), which is
+    * exactly a corpus relation without them (`asvec`) since per-row
+    * cell assignment and ADC scores don't depend on other rows. */
+  private val sqlP13AsofServe: String = {
+    import graft.functions.VectorFunctions.portableSynthEmbeddingSql
+    val ivf = graft.operators.PortableIvf.ivfPqOracleSql(
+      dim = 16, k = 20, nCells = 8, nprobe = 4, m = 8, ksub = 16,
+      shortlist = 60,
+      a => s"($a.vec_id < 8 OR $a.vec_id = 1000000250)",
+      trainRel = "bvec", corpusRel = "asvec")
+    s"""WITH ${sqlP07KeptCtes(P09Budget)},
+      asrc AS MATERIALIZED (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT k.doc_id, q.text
+          FROM kept k JOIN qa q USING (doc_id)
+          WHERE k.night = 1),
+      bvec AS MATERIALIZED (SELECT doc_id AS vec_id,
+          ${portableSynthEmbeddingSql("doc_id", 16)} AS embedding
+        FROM documents),
+      asvec AS MATERIALIZED (SELECT doc_id AS vec_id,
+          ${portableSynthEmbeddingSql("doc_id", 16)} AS embedding
+        FROM asrc WHERE doc_id NOT IN (${P09Deleted.mkString(", ")})),
+      ${graft.operators.HybridRetrieval.lexicalOracleCtes(
+        "asrc", "(doc_id < 8 OR doc_id = 1000000250)", 20,
+        candDelIds = P09Deleted)},
+      vec AS MATERIALIZED (SELECT qid, vec_id AS doc_id,
+          rank AS vec_rank FROM ($ivf)),
+      ${graft.operators.HybridRetrieval.fusionTailSql(10, c = 60)}"""
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -867,6 +930,55 @@ object CorpusPrep {
       (s, dir) => nightlyHybridServe(s, dir, "p12",
         retrainAfterNightA = true),
       Some(sqlP12RetrainServe)),
+
+    // ---- p13: the composed AS-OF serve, erasure overriding history ---
+    // Time travel on the WHOLE serve path: after night A a clean
+    // retaining compaction (retainGenerations = 2) freezes a snapshot
+    // of both indexes; night B then mutates the current generations
+    // AND delivers the takedown (tombstones pending, no compaction —
+    // a takedown compaction would purge the window, the erasure-vs-
+    // retention guard's designed behavior). Probing both indexes asOf
+    // the snapshot must (a) NOT see night B's docs and (b) STILL
+    // exclude the taken-down docs, two of which are IN the snapshot:
+    // erasure overrides history, per-index proven by s34/s36, here
+    // composed and fused. The lexical side must score with the
+    // snapshot's statistics while dropping only candidacy (the
+    // df-after-recount subtlety the oracle replays via candDelIds);
+    // the ANN side drops them before scoring. Both clauses MEASURED
+    // discriminating on this fixture (the s35/p12 rule): replaying
+    // the oracle with erasure ignored flips 5 of the 90 rows, with
+    // night B leaked into the snapshot 28 of 90.
+    Q("p13_asof_hybrid_serve",
+      (s, dir) => {
+        import graft.streaming.StreamingNightlyIngest
+        import s.implicits._
+        val (arts, docs) = nightlyLoopBase(s, dir, "p13")
+        StreamingNightlyIngest.nightStep(arts,
+          nightA7(docs).withColumn("embedding", expr(HybridSynthExpr)),
+          budget = P09Budget, salt = "p07b", tokensPerShard = 256L)
+        StreamingNightlyIngest.compactAll(s, arts, retainGenerations = 2)
+        val gLex = graft.operators.Generations
+          .currentGen(s, StreamingNightlyIngest.lexName(arts)).get - 1
+        val gAnn = graft.operators.Generations
+          .currentGen(s, arts.annIndex).get - 1
+        StreamingNightlyIngest.nightStep(arts,
+          nightB7(docs).withColumn("embedding", expr(HybridSynthExpr)),
+          budget = P09Budget, salt = "p07b", tokensPerShard = 256L,
+          deletes = Some(P09Deleted.toDF("doc_id")))
+        // the DISCRIMINATING ninth query (measured, not assumed — with
+        // base-doc queries alone, ignoring the erasure changed zero of
+        // the 80 rows): an admitted, NOT-deleted night-A fresh doc
+        // whose template the whole fresh cohort shares, so its lexical
+        // list is exactly where the two deleted snapshot members would
+        // rank (low ids under the tie-break) and where night-B's
+        // template copies would flood on an as-of violation.
+        hybridServe(s, arts, docs, asOfLex = Some(gLex),
+          asOfAnn = Some(gAnn),
+          extraQueries = Some(nightA7(docs)
+            .filter(col("doc_id") === 1000000250L)
+            .select(col("doc_id"), col("text"))))
+      },
+      Some(sqlP13AsofServe)),
 
     Q("p06_epoch_pack",
       (s, dir) => {
