@@ -119,6 +119,11 @@ object AnnIndex {
       else Similarity.trainPqCodebooks(emb, m, ksub)
     val cents = spark.sparkContext.broadcast(trained)
     val bb = spark.sparkContext.broadcast(books)
+    // pinned pre-rebuild pending set: only IT is stale after the flip
+    // (a takedown racing the flip targets the live index and survives
+    // the clearApplied below)
+    val stale0 = annTombstones(spark, name)
+      .map(t => Frontier.pin(t.select(col("vec_id")).distinct()))
     Generations.swap(spark, name, IndexMembers, gcKeep = gcKeep) { lease =>
       val ct = Generations.physical(name, "cells", lease.gen)
       val mt = Generations.physical(name, "model", lease.gen)
@@ -144,8 +149,9 @@ object AnnIndex {
     }
     // a rebuild (or retrain) defines the index's contents from the
     // corpus it was handed — tombstones against the replaced
-    // generation are stale
-    clearAnnTombstones(spark, name)
+    // generation are stale; subtract exactly those (clearApplied),
+    // never a takedown that raced the flip
+    stale0.foreach(Tombstones.clearApplied(spark, name, _))
   }
 
   /** (vec_id, codes, cell) for `emb` under the given frozen model —
@@ -423,13 +429,16 @@ object AnnIndex {
       sys.error(s"$t has no $NCellsProp property")).toInt
     val baseDist = p.getOrElse(BaseDistProp, "")
     val scope = scopeOf(spark, name) // carried: a lost stamp would
+    // tombstoned deletions become physical here; captured PINNED up
+    // front so the post-flip clear subtracts exactly this set — a
+    // takedown racing the flip stays pending instead of being wiped
+    val applied0 = annTombstones(spark, name)
+      .map(t => Frontier.pin(t.select(col("vec_id")).distinct()))
     Generations.swap(spark, name, IndexMembers, gcKeep = gcKeep) { lease =>
       val ct = Generations.physical(name, "cells", lease.gen)
       val mt = Generations.physical(name, "model", lease.gen)
-      // tombstoned deletions become physical here; read under the lease
-      // (no new tombstones can land mid-rewrite), cleared after the flip
-      val src = annTombstones(spark, name).fold(spark.table(t))(tt =>
-        spark.table(t).join(broadcast(tt.select(col("vec_id")).distinct()),
+      val src = applied0.fold(spark.table(t))(tt =>
+        spark.table(t).join(broadcast(tt),
           Seq("vec_id"), "left_anti"))
       // explicit task count: repartition(col) with no count is
       // AQE-coalescible, and at small volumes AQE folds the rewrite into
@@ -448,7 +457,7 @@ object AnnIndex {
       }
       Map.empty
     }
-    clearAnnTombstones(spark, name)
+    applied0.foreach(Tombstones.clearApplied(spark, name, _))
   }
 
   /** The persisted deletion set of index `name` (None when empty) —
@@ -471,9 +480,6 @@ object AnnIndex {
     try Tombstones.add(spark, name, ids, "vec_id")
     finally Generations.abort(spark, lease)
   }
-
-  private def clearAnnTombstones(spark: SparkSession, name: String): Unit =
-    Tombstones.clear(spark, name)
 
   /** Drift of the CURRENT corpus against the index's frozen model:
     * mean distance-to-centroid now, divided by the build-time baseline

@@ -801,6 +801,11 @@ object Dedup {
   def writeNearDupIndex(hist: DataFrame, name: String, numBuckets: Int = 8,
       k: Int = 5, gcKeep: Int = 1): Unit = {
     val spark = hist.sparkSession
+    // capture (pinned) the pending set that predates this rebuild —
+    // only IT is stale once the rebuild flips; a takedown landing
+    // after the flip targets the LIVE index and must survive the clear
+    val stale0 = nearDupTombstones(spark, name)
+      .map(t => Frontier.pin(t.select(col("doc_id")).distinct()))
     // generation-pointer discipline (Generations): the new generation
     // is written completely while any current one stays live; ONE
     // pointer flip publishes it. A rebuild over an existing index is
@@ -830,8 +835,9 @@ object Dedup {
     }
     // a rebuild defines the index's contents from scratch: tombstones
     // against the REPLACED generation are stale and would wrongly
-    // suppress matches against the fresh entries
-    clearNearDupTombstones(spark, name)
+    // suppress matches against the fresh entries — remove exactly
+    // those (clearApplied), never a takedown that raced the flip
+    stale0.foreach(Tombstones.clearApplied(spark, name, _))
   }
 
   /** The near-dup index family's members under [[Generations]]. */
@@ -1023,6 +1029,14 @@ object Dedup {
     val catalog = spark.sessionState.catalog
     val AutoScan = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val auto0 = spark.conf.get(AutoScan)
+    // compaction is where tombstoned deletions become PHYSICAL: the
+    // rewrite drops their rows from both tables. Captured PINNED up
+    // front: the clear afterwards subtracts exactly this set
+    // (Tombstones.clearApplied), so a takedown racing the capture or
+    // the flip stays pending for the next pass instead of being wiped
+    // unapplied.
+    val applied0 = nearDupTombstones(spark, name)
+      .map(t => Frontier.pin(t.select(col("doc_id")).distinct()))
     // generation swap (Generations): BOTH compacted tables are written
     // to the next generation, then one pointer flip publishes them
     // together — a probe racing the compaction reads either the old
@@ -1032,12 +1046,7 @@ object Dedup {
     Generations.swap(spark, name, IndexMembers, gcKeep = gcKeep) { lease =>
     try {
       spark.conf.set(AutoScan, "false")
-      // compaction is where tombstoned deletions become PHYSICAL: the
-      // rewrite drops their rows from both tables. Read under the
-      // lease — no new tombstones can land mid-rewrite, so clearing
-      // the set afterwards cannot lose a deletion.
-      val tombs = nearDupTombstones(spark, name)
-        .map(t => broadcast(t.select(col("doc_id")).distinct()))
+      val tombs = applied0.map(broadcast)
       IndexMembers.foreach { member =>
         val t = Generations.resolve(spark, name, member)
         val meta = catalog
@@ -1076,11 +1085,11 @@ object Dedup {
     } finally spark.conf.set(AutoScan, auto0)
     }
     // after the flip the new generation no longer holds the rows, so
-    // the applied tombstones are inert — clear them. A crash between
-    // flip and clear just leaves no-op tombstones for the next
-    // compaction (probe anti-joins of absent ids), so the pair of
-    // steps needs no atomicity.
-    clearNearDupTombstones(spark, name)
+    // the APPLIED tombstones are inert — subtract exactly them. A
+    // crash between flip and clear just leaves no-op tombstones for
+    // the next compaction (probe anti-joins of absent ids), so the
+    // pair of steps needs no atomicity.
+    applied0.foreach(Tombstones.clearApplied(spark, name, _))
   }
 
   /** The persisted deletion set of index `name` — applied LOGICALLY by
@@ -1108,10 +1117,6 @@ object Dedup {
     try Tombstones.add(spark, name, ids, "doc_id")
     finally Generations.abort(spark, lease)
   }
-
-  private def clearNearDupTombstones(spark: SparkSession,
-      name: String): Unit =
-    Tombstones.clear(spark, name)
 
   /** [[incrementalNearDupSurvivors]] probing a PERSISTED index written
     * by [[writeNearDupIndex]] instead of re-deriving the history's

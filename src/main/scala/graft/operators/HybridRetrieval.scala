@@ -13,8 +13,9 @@ import graft.functions.TextFunctions.{sqlTokens, tokens}
   * incommensurable scores (only ranks cross the boundary — the reason
   * RRF is the robust default fusion in production search stacks).
   *
-  * Lexical scoring is TRUE log-BM25: tf saturation × ln of the
-  * Robertson idf core (N − df + ½)/(df + ½) — with `ln` computed by
+  * Lexical scoring is TRUE log-BM25: tf saturation × ln(1 + core)
+  * over the Robertson idf core (N − df + ½)/(df + ½) (the +1 floors
+  * idf at 0 — see [[termWeightSql]]) — with `ln` computed by
   * [[lnChainSql]]'s sqrt chain, because libm's `ln` is the one scalar
   * IEEE-754 does not pin to the last ulp across engines (the
   * q16/ADVICE lesson) while sqrt is REQUIRED-correctly-rounded and
@@ -80,7 +81,16 @@ object HybridRetrieval {
       s"(${d("tf")} + ${d("1.2")} * (${d("1.0")} - ${d("0.75")} + " +
       s"${d("0.75")} * ${d("len")} * ${d("n_docs")} / ${d("total_tokens")})))"
 
-  def termWeightSql: String = s"(${lnChainSql(idfCoreSql)} * $tfSatSql)"
+  /** idf = ln(1 + core): the +1 floors the idf at 0 for every df, so
+    * matching an extra mid-frequency term can never LOWER a score —
+    * raw ln(core) goes negative for df ∈ (N/2, 0.9·N] (the classic
+    * negative-IDF flaw; the df cap only prunes beyond 0.9·N), which
+    * inverted multi-term ranking for common-term matches. The +1 is
+    * the standard production fix (Robertson-Walker as deployed in
+    * Lucene), and (1 + core) keeps the sqrt-chain's bit-portability —
+    * one exact f64 add before the chain. */
+  def termWeightSql: String =
+    s"(${lnChainSql(s"(${d("1.0")} + $idfCoreSql)")} * $tfSatSql)"
 
   /** One rank's RRF contribution (NULL rank → 0). The caller's text
     * pins the lex-then-vec evaluation order. */
@@ -146,7 +156,7 @@ object HybridRetrieval {
   def lexicalTopKLog(docs: DataFrame, queryPred: Column,
       kEach: Int): DataFrame = {
     val scored = candidateRows(docs, queryPred)
-      .withColumn("w", log(expr(idfCoreSql)) * expr(tfSatSql))
+      .withColumn("w", log(lit(1.0) + expr(idfCoreSql)) * expr(tfSatSql))
     val agg = scored.groupBy("qid", "doc_id")
       .agg(sum(col("w")).as("s"))
     Similarity.topKPerQuery(
@@ -154,6 +164,31 @@ object HybridRetrieval {
           col("s").as("cos")), kEach)
       .select(col("qid"), col("vec_id").as("doc_id"),
         col("rank").as("lex_rank"))
+  }
+
+  /** s30's vector side, shared with every lifecycle row that fuses
+    * against it (s31–s34): brute-force chain-cosine top-`kEach`,
+    * queries broadcast, self-pairs excluded, as (qid, doc_id,
+    * vec_rank). ONE definition — the lifecycle rows hash-check
+    * against s30's oracle, so a drifted copy of this scorer would let
+    * both sides pass their own oracles while silently measuring
+    * different things. */
+  def exactVecTopK(emb: DataFrame, queryPred: Column, dim: Int,
+      kEach: Int): DataFrame = {
+    import graft.functions.VectorFunctions.{chainDot, chainNorm}
+    val nv = emb.withColumn("nrm", expr(chainNorm("embedding", dim, 0)))
+    val q = nv.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val scored = nv
+      .select(col("vec_id"), col("embedding").as("e"), col("nrm").as("en"))
+      .join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        expr(s"CAST(${chainDot("qe", "e", dim, 0)} AS DOUBLE)") /
+          (col("qn") * col("en")))
+    Similarity.topKPerQuery(scored, kEach)
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        col("rank").as("vec_rank"))
   }
 
   /** Fuse a lexical and a vector rank list by RRF and keep the final

@@ -150,6 +150,10 @@ object KnnGraphIndex {
     val spark = emb.sparkSession
     import spark.implicits._
     VectorFunctions.register(spark)
+    // pinned pre-rebuild pending set — the only part the rebuild makes
+    // stale (see the clearApplied call at the end)
+    val stale0 = graphTombstones(spark, name)
+      .map(tt => Frontier.pin(tt.select(col("vec_id")).distinct()))
     val first = emb.select(size(col("embedding"))).take(1)
     require(first.nonEmpty, "cannot build a graph over an empty corpus")
     val dim = first(0).getInt(0)
@@ -208,7 +212,9 @@ object KnnGraphIndex {
       DimProp -> dim.toString, BufProp -> edgeBuffer.toString,
       BaseDistProp -> baseDist.toString)
     }
-    clearTombstones(spark, name)
+    // subtract exactly the pre-rebuild pending set — a takedown that
+    // raced the flip targets the live graph and must stay pending
+    stale0.foreach(Tombstones.clearApplied(spark, name, _))
   }
 
   /** The when-to-RETRAIN signal for the graph's frozen coarse
@@ -441,9 +447,11 @@ object KnnGraphIndex {
     val (k, nprobe, dim, buf) = geometry(spark, name)
     val nb = numBuckets.getOrElse(
       bucketCountOf(spark, t(spark, name, "edges")).getOrElse(8))
+    // pinned up front; the post-flip clear subtracts exactly this set
+    val applied0 = graphTombstones(spark, name)
+      .map(tt => Frontier.pin(tt.select(col("vec_id")).distinct()))
     Generations.swap(spark, name, Members, gcKeep = gcKeep) { lease =>
-    val tombs = graphTombstones(spark, name)
-      .map(tt => broadcast(tt.select(col("vec_id")).distinct()))
+    val tombs = applied0.map(broadcast)
     def minus(df: DataFrame) = tombs.fold(df)(ids =>
       df.join(ids, Seq("vec_id"), "left_anti"))
     val edges0 = spark.table(t(spark, name, "edges"))
@@ -479,7 +487,7 @@ object KnnGraphIndex {
       DimProp -> dim.toString, BufProp -> buf.toString) ++
       baseDist.map(BaseDistProp -> _)
     }
-    clearTombstones(spark, name)
+    applied0.foreach(Tombstones.clearApplied(spark, name, _))
   }
 
   /** Current tombstone set, if any deletions are pending reclamation
@@ -501,6 +509,4 @@ object KnnGraphIndex {
     finally Generations.abort(spark, lease)
   }
 
-  private def clearTombstones(spark: SparkSession, name: String): Unit =
-    Tombstones.clear(spark, name)
 }

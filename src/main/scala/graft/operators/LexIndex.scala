@@ -168,6 +168,10 @@ object LexIndex {
   def writeLexIndex(docs: DataFrame, name: String, numBuckets: Int = 8,
       gcKeep: Int = 1): Unit = {
     val spark = docs.sparkSession
+    // pinned pre-rebuild pending set — the rebuild makes exactly IT
+    // stale; a takedown racing the flip survives the clearApplied
+    val stale0 = lexTombstones(spark, name)
+      .map(t => Frontier.pin(t.select(col("doc_id")).distinct()))
     Generations.swap(spark, name, Members, gcKeep = gcKeep) { lease =>
       val epoch = s"g${lease.gen}"
       val (tf0, len0) = termFrames(docs)
@@ -201,7 +205,7 @@ object LexIndex {
       }
       Map.empty
     }
-    Tombstones.clear(spark, name)
+    stale0.foreach(Tombstones.clearApplied(spark, name, _))
   }
 
   /** Append `batch` (doc_id, text) to the CURRENT generation in place,
@@ -324,14 +328,17 @@ object LexIndex {
     val catalog = spark.sessionState.catalog
     val AutoScan = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val auto0 = spark.conf.get(AutoScan)
+    // captured PINNED up front: the post-flip clear subtracts exactly
+    // this set (Tombstones.clearApplied) — a takedown racing the
+    // capture or the flip stays pending for the next pass instead of
+    // being wiped unapplied
+    val applied0 = lexTombstones(spark, name)
+      .map(t => Frontier.pin(t.select(col("doc_id")).distinct()))
     Generations.swap(spark, name, Members, gcKeep = gcKeep) { lease =>
       try {
         spark.conf.set(AutoScan, "false")
         val epoch = s"g${lease.gen}"
-        // read under the lease: no tombstone can land mid-rewrite, so
-        // clearing the set afterwards cannot lose a deletion
-        val tombs = lexTombstones(spark, name)
-          .map(t => broadcast(t.select(col("doc_id")).distinct()))
+        val tombs = applied0.map(broadcast)
         def purged(t: String): DataFrame =
           tombs.fold(spark.table(t))(tt =>
             spark.table(t).join(tt, Seq("doc_id"), "left_anti"))
@@ -383,7 +390,7 @@ object LexIndex {
         Map.empty[String, String]
       } finally spark.conf.set(AutoScan, auto0)
     }
-    Tombstones.clear(spark, name)
+    applied0.foreach(Tombstones.clearApplied(spark, name, _))
   }
 
   /** PROBE: lexical top-`kEach` per query against the maintained index

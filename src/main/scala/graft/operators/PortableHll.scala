@@ -108,10 +108,22 @@ object PortableHll {
     * integer boundaries in the linear-counting branch — the large-range
     * branch's amplified divergence is out of its reach and out of the
     * oracle's, per the per-branch caveat in the object Scaladoc). */
+  // ONE definition each for the raw-estimate chain and the branch
+  // predicate pieces: estExpr, largeRangeFlagExpr and the registers
+  // aggregation all derive from THESE — the flag's whole guarantee is
+  // sharing the estimate's inputs and predicate, so they must not be
+  // able to drift apart as copy-pasted twins (r13 review finding).
+  private val alphaExpr = s"(0.7213 / (1.0 + 1.079 / $M.0))"
+  private val denomExpr = "(znum + v * 2097152)" // absent buckets: 2^-0 = 2^21/2^21
+  private def rawExpr = s"$alphaExpr * $M.0 * $M.0 * 2097152.0 / $denomExpr"
+  private val linearBranchPred = s"$rawExpr <= ${M * 5 / 2}.0 AND v > 0"
+  private val largeBranchPred = s"$rawExpr > 4294967296.0 / 30.0"
+  private val znumVAgg: Seq[String] = Seq(
+    "CAST(COALESCE(sum(CAST(power(2, 21 - m) AS BIGINT)), 0) AS BIGINT)",
+    s"CAST($M - count(1) AS BIGINT)")
+
   private def estExpr: String = {
-    val alpha = s"(0.7213 / (1.0 + 1.079 / $M.0))"
-    val denom = "(znum + v * 2097152)" // absent buckets: 2^-0 = 2^21/2^21
-    val raw = s"$alpha * $M.0 * $M.0 * 2097152.0 / $denom"
+    val raw = rawExpr
     val two32 = "4294967296.0" // 2^32: the hash's value space
     // the large-range branch runs in EXPLICIT DOUBLE: bare fractional
     // literals parse as DECIMAL (in both engines — the PortableIvf
@@ -122,8 +134,8 @@ object PortableHll {
     // promises.
     val two32d = s"CAST($two32 AS DOUBLE)"
     s"""CAST(floor((CASE
-        WHEN $raw <= ${M * 5 / 2}.0 AND v > 0 THEN $M.0 * ln($M.0 / v)
-        WHEN $raw > $two32 / 30.0 THEN
+        WHEN $linearBranchPred THEN $M.0 * ln($M.0 / v)
+        WHEN $largeBranchPred THEN
           -$two32d * ln(greatest(CAST(1.0 AS DOUBLE) -
             CAST($raw AS DOUBLE) / $two32d, CAST(1.0 AS DOUBLE) / $two32d))
         ELSE $raw END) + 1e-9) AS BIGINT)"""
@@ -143,13 +155,10 @@ object PortableHll {
 
   /** The estimate from a register table (one row, column `alias`). */
   def estimateFromRegisters(regs: DataFrame, alias: String): DataFrame =
-    regs.agg(
-        // COALESCE: an empty (or all-NULL-key) input has zero register
-        // rows — znum 0 + v = m routes the estimate through linear
-        // counting to exactly 0 instead of a NULL that skips the CASE
-        expr("CAST(COALESCE(sum(CAST(power(2, 21 - m) AS BIGINT)), 0)" +
-          " AS BIGINT)").as("znum"),
-        expr(s"CAST($M - count(1) AS BIGINT)").as("v"))
+    // COALESCE (znumVAgg): an empty (or all-NULL-key) input has zero
+    // register rows — znum 0 + v = m routes the estimate through
+    // linear counting to exactly 0 instead of a NULL skipping the CASE
+    regs.agg(expr(znumVAgg(0)).as("znum"), expr(znumVAgg(1)).as("v"))
       .select(expr(estExpr).as(alias))
 
   /** Spark side: estimate the distinct count of `df.c` as a one-row
@@ -170,20 +179,13 @@ object PortableHll {
     * flaky hash. Same (znum, v) inputs and branch predicate as
     * [[estimateFromRegisters]], so flag and estimate can never
     * disagree about which branch ran. */
-  def largeRangeFlagExpr: String = {
-    val alpha = s"(0.7213 / (1.0 + 1.079 / $M.0))"
-    val denom = "(znum + v * 2097152)"
-    val raw = s"$alpha * $M.0 * $M.0 * 2097152.0 / $denom"
-    s"(NOT ($raw <= ${M * 5 / 2}.0 AND v > 0) AND $raw > 4294967296.0 / 30.0)"
-  }
+  def largeRangeFlagExpr: String =
+    s"(NOT ($linearBranchPred) AND $largeBranchPred)"
 
   /** [[estimateFromRegisters]] plus the saturation marker: one row,
     * columns (`alias`, `alias`_large_range). */
   def estimateWithFlag(regs: DataFrame, alias: String): DataFrame =
-    regs.agg(
-        expr("CAST(COALESCE(sum(CAST(power(2, 21 - m) AS BIGINT)), 0)" +
-          " AS BIGINT)").as("znum"),
-        expr(s"CAST($M - count(1) AS BIGINT)").as("v"))
+    regs.agg(expr(znumVAgg(0)).as("znum"), expr(znumVAgg(1)).as("v"))
       .select(expr(estExpr).as(alias),
         expr(largeRangeFlagExpr).as(s"${alias}_large_range"))
 
@@ -195,7 +197,7 @@ object PortableHll {
         regs_$tag AS (SELECT bucket, max(r) AS m FROM rho_$tag
           GROUP BY bucket),
         agg_$tag AS (SELECT
-            CAST(COALESCE(sum(CAST(power(2, 21 - m) AS BIGINT)), 0) AS BIGINT) AS znum,
-            CAST($M - count(1) AS BIGINT) AS v FROM regs_$tag),
+            ${znumVAgg(0)} AS znum,
+            ${znumVAgg(1)} AS v FROM regs_$tag),
         est_$tag AS (SELECT $estExpr AS $alias FROM agg_$tag)"""
 }

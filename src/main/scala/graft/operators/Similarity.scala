@@ -293,6 +293,20 @@ object Similarity {
     val firstVec = emb.select(size(col("embedding"))).take(1)
     if (firstVec.isEmpty) return emptyTopK(emb)
     val dim = firstVec(0).getInt(0)
+    // RAGGED vectors fail fast HERE, not downstream: chain_dot_f32
+    // returns NULL on a length mismatch (its typed contract), but the
+    // sign-bit derivation below would silently coerce that NULL to bit
+    // "0" through when(...).otherwise — half-failing into an all-home
+    // bucket with a NULL norm that later kills the typed TopKAgg with
+    // an opaque non-nullable-field error. One row-level guard keeps
+    // the operator's failure mode the contract's: malformed data is an
+    // ERROR naming the row, never a silent signature.
+    val checked = emb.withColumn("embedding",
+      when(size(col("embedding")) === dim, col("embedding"))
+        .otherwise(raise_error(concat(
+          lit("ragged embedding: vec_id="), col("vec_id").cast("string"),
+          lit(" has dim "), size(col("embedding")).cast("string"),
+          lit(s" != $dim"))).cast("array<float>")))
     // per-vector sign bits, computed ONCE per (table, plane) before the
     // signature explode — the b_t_p columns feed home AND flip sigs.
     // chain_dot_f32 against the ±1 sign vector IS the oracle's ±chain
@@ -304,7 +318,7 @@ object Similarity {
       yield when(chainDotF32(col("embedding"),
           typedLit(PortableLsh.signVector(t, p, dim))) >= lit(0f),
         lit("1")).otherwise(lit("0")).as(s"b_${t}_$p")
-    val bits = emb.select(col("vec_id") +: col("embedding") +:
+    val bits = checked.select(col("vec_id") +: col("embedding") +:
       sqrt(chainDotF32(col("embedding"), col("embedding")).cast("double"))
         .as("nrm") +:
       bitCols: _*)

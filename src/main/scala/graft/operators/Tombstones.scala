@@ -143,10 +143,42 @@ private[graft] object Tombstones {
     legacy.foreach(Generations.dropTableAndLocation(spark, _))
   }
 
+  /** Remove exactly the ids a compaction/rebuild APPLIED, leaving any
+    * tombstone that landed after the caller captured its snapshot
+    * pending for the next maintenance pass. [[clear]]'s whole-set
+    * reset is only safe while no other writer can mutate the set; the
+    * index writers release their lease at the generation flip, so a
+    * takedown arriving in the flip→clear window would be wiped
+    * UNAPPLIED by a blanket clear — a silently lost right-to-erasure.
+    * `applied` must be a PINNED frame (the capture survives the
+    * tombstone family's own generation GC). Itself a swap; a crash
+    * before its flip leaves applied-but-uncleared ids, harmless as
+    * ever (probes anti-join ids whose rows are already gone). */
+  def clearApplied(spark: SparkSession, index: String,
+      applied: DataFrame): Unit = {
+    dropOrphanLegacy(spark, index)
+    get(spark, index).foreach { cur =>
+      val idCol = cur.columns.head
+      val remaining = Frontier.pin(cur.join(
+        applied.select(col(applied.columns.head).cast("long").as(idCol)),
+        Seq(idCol), "left_anti"))
+      val n = remaining.count()
+      val fam = family(index)
+      val legacy = legacyTable(spark, index)
+        .filter(_ => Generations.currentGen(spark, fam).isEmpty)
+      Generations.swap(spark, fam, Members) { lease =>
+        writeIds(remaining, n, Generations.physical(fam, "ids", lease.gen))
+        Map(EmptyProp -> (n == 0L).toString, PendingProp -> n.toString)
+      }
+      legacy.foreach(Generations.dropTableAndLocation(spark, _))
+    }
+  }
+
   /** Reset to empty (after a compaction/rebuild applied the set) —
     * itself a swap: a crash before the flip leaves the applied set in
     * place, which is harmless (probes anti-join ids whose rows are
-    * already gone) and cleared by the next mutation. */
+    * already gone) and cleared by the next mutation. Callers that can
+    * race a concurrent takedown must use [[clearApplied]] instead. */
   def clear(spark: SparkSession, index: String): Unit = {
     dropOrphanLegacy(spark, index)
     if (get(spark, index).isDefined) {

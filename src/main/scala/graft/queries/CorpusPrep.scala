@@ -359,9 +359,9 @@ object CorpusPrep {
 
   /** Base builds of all four artifacts over the portable-synth vectors
     * — the shared front of p11/p12/p13. */
-  private def nightlyLoopBase(s: SparkSession, dir: String,
-      tag: String): (graft.streaming.StreamingNightlyIngest.Artifacts,
-      DataFrame) = {
+  private def nightlyLoopBase(s: SparkSession, dir: String, tag: String,
+      embed: org.apache.spark.sql.Column = expr(HybridSynthExpr)):
+      (graft.streaming.StreamingNightlyIngest.Artifacts, DataFrame) = {
     import graft.streaming.StreamingNightlyIngest
     val docs = Tables(s, dir, "documents")
     val arts = StreamingNightlyIngest.Artifacts(s"graft_${tag}_nd",
@@ -380,7 +380,7 @@ object CorpusPrep {
     Dedup.writeNearDupIndex(
       docs.select(col("doc_id"), col("text")), arts.ndIndex)
     val corpusVecs = docs.select(col("doc_id"))
-      .withColumn("embedding", expr(HybridSynthExpr))
+      .withColumn("embedding", embed)
       .select(col("doc_id").as("vec_id"), col("embedding"))
     graft.operators.AnnIndex.writeAnnIndex(corpusVecs, arts.annIndex,
       nCells = 8, m = 8, ksub = 16)
@@ -425,7 +425,8 @@ object CorpusPrep {
     val (arts, docs) = nightlyLoopBase(s, dir, tag)
     StreamingNightlyIngest.nightStep(arts,
       nightA7(docs).withColumn("embedding", expr(HybridSynthExpr)),
-      budget = P09Budget, salt = "p07b", tokensPerShard = 256L)
+      budget = P09Budget, salt = "p07b", tokensPerShard = 256L,
+      batchId = 0)
     if (retrainAfterNightA)
       graft.operators.AnnIndex.retrainAnnIndex(s, arts.annIndex,
         StreamingNightlyIngest.retrainCorpus(s, arts),
@@ -433,7 +434,7 @@ object CorpusPrep {
     StreamingNightlyIngest.nightStep(arts,
       nightB7(docs).withColumn("embedding", expr(HybridSynthExpr)),
       budget = P09Budget, salt = "p07b", tokensPerShard = 256L,
-      deletes = Some(P09Deleted.toDF("doc_id")))
+      batchId = 1, deletes = Some(P09Deleted.toDF("doc_id")))
     StreamingNightlyIngest.compactAll(s, arts)
     hybridServe(s, arts, docs)
   }
@@ -818,12 +819,13 @@ object CorpusPrep {
         StreamingNightlyIngest.nightStep(arts,
           nightA7(docs).withColumn("embedding",
             StreamingNightlyIngest.synthEmbedding),
-          budget = P09Budget, salt = "p07b", tokensPerShard = 256L)
+          budget = P09Budget, salt = "p07b", tokensPerShard = 256L,
+          batchId = 0)
         StreamingNightlyIngest.nightStep(arts,
           nightB7(docs).withColumn("embedding",
             StreamingNightlyIngest.synthEmbedding),
           budget = P09Budget, salt = "p07b", tokensPerShard = 256L,
-          deletes = Some(P09Deleted.toDF("doc_id")))
+          batchId = 1, deletes = Some(P09Deleted.toDF("doc_id")))
         val back = s.read.parquet(arts.shardPath)
           .withColumn("shard", col("shard").cast("long"))
         Sharding.manifest(back, "doc_id").orderBy("shard")
@@ -848,40 +850,18 @@ object CorpusPrep {
       (s, dir) => {
         import graft.streaming.StreamingNightlyIngest
         import s.implicits._
-        val docs = Tables(s, dir, "documents")
-        val arts = StreamingNightlyIngest.Artifacts("graft_p10_nd",
-          "graft_p10_ann", "graft_p10_anncorpus", "graft_p10_budget",
-          new java.io.File(sys.props("java.io.tmpdir"),
-            "graft_p10_shards").getAbsolutePath)
-        graft.operators.Generations.destroy(s, arts.annCorpusTable,
-          Seq("vecs"))
-        graft.operators.Generations.destroy(s,
-          StreamingNightlyIngest.deletedTable(arts), Seq("ids"))
-        graft.operators.Generations.destroy(s, arts.budgetTable, Seq("state"))
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
-        }
-        rm(new java.io.File(arts.shardPath))
-        Dedup.writeNearDupIndex(
-          docs.select(col("doc_id"), col("text")), arts.ndIndex)
-        val corpusVecs = docs.select(col("doc_id"))
-          .withColumn("embedding", StreamingNightlyIngest.synthEmbedding)
-          .select(col("doc_id").as("vec_id"), col("embedding"))
-        graft.operators.AnnIndex.writeAnnIndex(corpusVecs, arts.annIndex,
-          nCells = 8, m = 8, ksub = 16)
-        StreamingNightlyIngest.writeCorpus(s, arts, corpusVecs)
-        graft.operators.LexIndex.writeLexIndex(
-          docs.select(col("doc_id"), col("text")),
-          StreamingNightlyIngest.lexName(arts))
+        val (arts, docs) = nightlyLoopBase(s, dir, "p10",
+          embed = StreamingNightlyIngest.synthEmbedding)
         StreamingNightlyIngest.nightStep(arts,
           nightA7(docs).withColumn("embedding",
             StreamingNightlyIngest.synthEmbedding),
-          budget = P09Budget, salt = "p07b", tokensPerShard = 256L)
+          budget = P09Budget, salt = "p07b", tokensPerShard = 256L,
+          batchId = 0)
         StreamingNightlyIngest.nightStep(arts,
           nightB7(docs).withColumn("embedding",
             StreamingNightlyIngest.synthEmbedding),
           budget = P09Budget, salt = "p07b", tokensPerShard = 256L,
-          deletes = Some(P09Deleted.toDF("doc_id")))
+          batchId = 1, deletes = Some(P09Deleted.toDF("doc_id")))
         StreamingNightlyIngest.compactAll(s, arts)
         graft.operators.LexIndex.probeLexIndex(s,
             StreamingNightlyIngest.lexName(arts),
@@ -922,7 +902,7 @@ object CorpusPrep {
     // trainRel/corpusRel split again — rvec vs svec). MEASURED
     // discrimination, not assumed (the first cut retrained at the
     // same nCells and the fused top-10 came out identical to p11's —
-    // a vacuous detector): with the resize, 20 of the 80 fused rows
+    // a vacuous detector): with the resize, 12 of the 80 fused rows
     // differ from the frozen-model answer, so a retrain that silently
     // didn't happen, kept stale codes, or re-encoded under the wrong
     // corpus flips the hash.
@@ -947,7 +927,8 @@ object CorpusPrep {
     // the ANN side drops them before scoring. Both clauses MEASURED
     // discriminating on this fixture (the s35/p12 rule): replaying
     // the oracle with erasure ignored flips 5 of the 90 rows, with
-    // night B leaked into the snapshot 28 of 90.
+    // night B leaked into the snapshot 23 of 90 (re-measured under
+    // the ln(1+core) scorer).
     Q("p13_asof_hybrid_serve",
       (s, dir) => {
         import graft.streaming.StreamingNightlyIngest
@@ -955,7 +936,8 @@ object CorpusPrep {
         val (arts, docs) = nightlyLoopBase(s, dir, "p13")
         StreamingNightlyIngest.nightStep(arts,
           nightA7(docs).withColumn("embedding", expr(HybridSynthExpr)),
-          budget = P09Budget, salt = "p07b", tokensPerShard = 256L)
+          budget = P09Budget, salt = "p07b", tokensPerShard = 256L,
+          batchId = 0)
         StreamingNightlyIngest.compactAll(s, arts, retainGenerations = 2)
         val gLex = graft.operators.Generations
           .currentGen(s, StreamingNightlyIngest.lexName(arts)).get - 1
@@ -964,7 +946,7 @@ object CorpusPrep {
         StreamingNightlyIngest.nightStep(arts,
           nightB7(docs).withColumn("embedding", expr(HybridSynthExpr)),
           budget = P09Budget, salt = "p07b", tokensPerShard = 256L,
-          deletes = Some(P09Deleted.toDF("doc_id")))
+          batchId = 1, deletes = Some(P09Deleted.toDF("doc_id")))
         // the DISCRIMINATING ninth query (measured, not assumed — with
         // base-doc queries alone, ignoring the erasure changed zero of
         // the 80 rows): an admitted, NOT-deleted night-A fresh doc

@@ -51,24 +51,12 @@ object HybridQueries {
       ${HybridRetrieval.fusionTailSql(K, c = 60)}"""
   }
 
-  /** s30's vector side: brute-force chain-cosine top-20, queries
-    * broadcast (`vec_id < 8`). */
-  private def vecTopK(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables(s, dir, "embeddings")
-      .withColumn("nrm", expr(chainNorm("embedding", Dim, 0)))
-    val q = emb.filter(expr("vec_id < 8"))
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("nrm").as("qn"))
-    val scored = emb
-      .select(col("vec_id"), col("embedding").as("e"), col("nrm").as("en"))
-      .join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("cos",
-        expr(s"CAST(${chainDot("qe", "e", Dim, 0)} AS DOUBLE)") /
-          (col("qn") * col("en")))
-    Similarity.topKPerQuery(scored, KEach)
-      .select(col("qid"), col("vec_id").as("doc_id"),
-        col("rank").as("vec_rank"))
-  }
+  /** s30's vector side — the ONE shared definition
+    * ([[HybridRetrieval.exactVecTopK]]): brute-force chain-cosine
+    * top-20, queries broadcast (`vec_id < 8`). */
+  private def vecTopK(s: SparkSession, dir: String): DataFrame =
+    HybridRetrieval.exactVecTopK(Tables(s, dir, "embeddings"),
+      expr("vec_id < 8"), Dim, KEach)
 
   private def queriesOf(docs: DataFrame): DataFrame =
     docs.filter(col("doc_id") < 8).select(col("doc_id"), col("text"))

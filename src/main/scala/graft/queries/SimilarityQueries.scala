@@ -320,8 +320,9 @@ object SimilarityQueries {
     // ---- s30: hybrid (BM25-family + vector) retrieval, RRF-fused -----
     // The production RAG-retrieval shape: the lexical side scores
     // exact-term evidence over the inverted index (df-capped token
-    // equi-join, rational idf core × BM25 tf saturation — log-free by
-    // the t10 house rule, DECIMAL-summed per pair), the vector side is
+    // equi-join, TRUE log-BM25: ln(1 + idf core) × tf saturation, the
+    // ln bit-portable via HybridRetrieval.lnChainSql's sqrt chain,
+    // DECIMAL-summed per pair), the vector side is
     // s01's chain-cosine top-k, and reciprocal-rank fusion combines
     // the two lists on RANKS (1/(60+r) each side) — never comparing
     // the incommensurable scores. Both sides cut through the bounded
@@ -332,20 +333,8 @@ object SimilarityQueries {
       (s, dir) => {
         val lex = graft.operators.HybridRetrieval.lexicalTopK(
           Tables(s, dir, "documents"), expr("doc_id < 8"), kEach = 20)
-        val emb = Tables(s, dir, "embeddings")
-          .withColumn("nrm", expr(chainNorm("embedding", Dim, 0)))
-        val q = emb.filter(expr(QueryPred))
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-            col("nrm").as("qn"))
-        val scored = emb
-          .select(col("vec_id"), col("embedding").as("e"), col("nrm").as("en"))
-          .join(broadcast(q), col("vec_id") =!= col("qid"))
-          .withColumn("cos",
-            expr(s"CAST(${chainDot("qe", "e", Dim, 0)} AS DOUBLE)") /
-              (col("qn") * col("en")))
-        val vec = Similarity.topKPerQuery(scored, 20)
-          .select(col("qid"), col("vec_id").as("doc_id"),
-            col("rank").as("vec_rank"))
+        val vec = graft.operators.HybridRetrieval.exactVecTopK(
+          Tables(s, dir, "embeddings"), expr(QueryPred), Dim, kEach = 20)
         graft.operators.HybridRetrieval.rrfFuse(lex, vec, K)
           .orderBy("qid", "rank")
       },

@@ -460,15 +460,23 @@ object StreamingNightlyIngest {
       KnnGraphIndex.appendToKnnGraph(admittedVecs, graphName(arts))
     // the optional maintained lexical index advances with the same
     // admitted set — retrieval-facing like the ANN leg, so it serves
-    // exactly the kept corpus. Streaming nights (batchId >= 0) append
-    // ifAbsent keyed by the night id (replay convergence through the
-    // LexIndex batch fence); the direct batch path appends plain.
-    if (lexExists(spark, arts))
+    // exactly the kept corpus. ALWAYS appended ifAbsent keyed by the
+    // night id: the lexical append is the one non-swap mutation, so a
+    // retried night without the fence would double-count postings,
+    // doclen and stats — and compaction would rebuild stats from the
+    // duplicated doclen, making the drift permanent. Direct batch
+    // callers must therefore supply a real per-night batchId (the
+    // streaming path always does).
+    if (lexExists(spark, arts)) {
+      require(batchId >= 0, "a loop with the lexical leg opted in " +
+        "needs a distinct batchId per night (the lex append is fenced " +
+        "on it): pass batchId to nightStep on the direct path")
       LexIndex.appendToLexIndex(
         survivors.join(kept.select("doc_id"), "doc_id")
           .select(col("doc_id"), col("text")),
         lexName(arts), batchId = s"night-$batchId",
-        ifAbsent = batchId >= 0)
+        ifAbsent = true)
+    }
     val corpusT = corpusPhysical(spark, arts)
     admittedVecs.join(spark.table(corpusT).select("vec_id"),
         Seq("vec_id"), "left_anti")

@@ -300,4 +300,21 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(top10 == poolTop)
   }
+
+  test("lshTopK fails fast on a ragged embedding instead of silently bucketing it") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
+      (2L, Array(4.0f, 3.0f, 2.0f, 1.0f)),
+      (3L, Array(1.0f, 1.0f))) // ragged: dim 2 in a dim-4 corpus
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.lshTopK(spark, emb, col("vec_id") < 2, k = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("ragged embedding")),
+      s"expected the named-row ragged error, got: ${msgs(e)}")
+  }
 }

@@ -302,4 +302,32 @@ class TombstoneSpec extends SparkSpec {
       Seq.range(0L, 10L).map(_ + 1000000000L).toSet,
       "deleted docs resurfaced as duplicate evidence after the purge")
   }
+
+  test("clearApplied subtracts exactly the applied set: a takedown racing the flip->clear window survives") {
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 60)
+    val name = "graft_tomb_race"
+    import spark.implicits._
+    LexIndex.destroy(spark, name)
+    LexIndex.writeLexIndex(docs, name, numBuckets = 4)
+    // the compaction's captured snapshot: {3, 4}
+    LexIndex.tombstoneLex(spark, name, Seq(3L, 4L).toDF("doc_id"))
+    val captured = Frontier.pin(
+      LexIndex.lexTombstones(spark, name).get.select("doc_id"))
+    // ...a takedown lands AFTER the capture (the flip->clear window)
+    LexIndex.tombstoneLex(spark, name, Seq(5L).toDF("doc_id"))
+    // the blanket clear would wipe 5 unapplied; clearApplied must not
+    Tombstones.clearApplied(spark, name, captured)
+    val pending = LexIndex.lexTombstones(spark, name)
+      .map(_.collect().map(_.getLong(0)).toSet).getOrElse(Set.empty)
+    assert(pending == Set(5L),
+      s"racing takedown lost or stale ids kept: $pending")
+    // and the surviving tombstone still has its logical effect
+    val q = docs.filter(col("doc_id") === 5L).select(
+      (col("doc_id") + 9000000000L).as("doc_id"), col("text"))
+    val hits = LexIndex.probeLexIndex(spark, name, q, kEach = 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(!hits.contains(5L), "tombstoned doc 5 still retrievable")
+    LexIndex.destroy(spark, name)
+  }
 }
