@@ -149,9 +149,10 @@ object AnnIndex {
     }
     // a rebuild (or retrain) defines the index's contents from the
     // corpus it was handed — tombstones against the replaced
-    // generation are stale; subtract exactly those (clearApplied),
-    // never a takedown that raced the flip
-    stale0.foreach(Tombstones.clearApplied(spark, name, _))
+    // generation are stale; subtract exactly those (clearStale: no
+    // erased-registry claim, the vecs may be present in the fresh
+    // build), never a takedown that raced the flip
+    stale0.foreach(Tombstones.clearStale(spark, name, _))
   }
 
   /** (vec_id, codes, cell) for `emb` under the given frozen model —
@@ -252,9 +253,15 @@ object AnnIndex {
       require(scope.forall(batch.columns.contains),
         s"index $name is scoped on ${scope.mkString(",")}; batch must carry those columns")
       val ct = cellsTable(spark, name)
+      // barReplayed: a replay after an erasure compaction purged this
+      // batch's taken-down vecs would find them absent from codes and
+      // re-admit them — barred by the pending set or the durable
+      // erased registry (the LexIndex replay-resurrection fix, r13
+      // advice, applied uniformly to every ifAbsent append)
       val toAdd =
-        if (ifAbsent) batch.join(spark.table(ct).select("vec_id"),
-          Seq("vec_id"), "left_anti")
+        if (ifAbsent) Tombstones.barReplayed(
+          batch.join(spark.table(ct).select("vec_id"),
+            Seq("vec_id"), "left_anti"), name, "vec_id")
         else batch
       val (cents0, books0) = loadModel(spark, name, m)
       val cents = spark.sparkContext.broadcast(cents0)

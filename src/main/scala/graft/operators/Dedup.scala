@@ -836,8 +836,9 @@ object Dedup {
     // a rebuild defines the index's contents from scratch: tombstones
     // against the REPLACED generation are stale and would wrongly
     // suppress matches against the fresh entries — remove exactly
-    // those (clearApplied), never a takedown that raced the flip
-    stale0.foreach(Tombstones.clearApplied(spark, name, _))
+    // those (clearStale: no erased-registry claim, the docs may be
+    // present in the fresh build), never a takedown racing the flip
+    stale0.foreach(Tombstones.clearStale(spark, name, _))
   }
 
   /** The near-dup index family's members under [[Generations]]. */
@@ -932,9 +933,15 @@ object Dedup {
     try {
       requireShingleK(spark, name, k)
       val (bt, st) = (bucketsTable(spark, name), sigsTable(spark, name))
+      // barReplayed: a replay after an erasure compaction purged this
+      // batch's taken-down docs would find them sig-less and re-admit
+      // them — barred by the pending set or the durable erased
+      // registry (the LexIndex replay-resurrection fix, r13 advice,
+      // applied uniformly to every ifAbsent append)
       val toAdd =
-        if (ifAbsent) batch.join(spark.table(st).select("doc_id"),
-          Seq("doc_id"), "left_anti")
+        if (ifAbsent) Tombstones.barReplayed(
+          batch.join(spark.table(st).select("doc_id"),
+            Seq("doc_id"), "left_anti"), name, "doc_id")
         else batch
       val bs = Frontier.pin(signatures(toAdd, k))
       val bands = bandBuckets(bs)

@@ -214,7 +214,9 @@ object KnnGraphIndex {
     }
     // subtract exactly the pre-rebuild pending set — a takedown that
     // raced the flip targets the live graph and must stay pending
-    stale0.foreach(Tombstones.clearApplied(spark, name, _))
+    // (clearStale: no erased-registry claim, the rebuild redefines
+    // contents and the vecs may be present in the fresh build)
+    stale0.foreach(Tombstones.clearStale(spark, name, _))
   }
 
   /** The when-to-RETRAIN signal for the graph's frozen coarse
@@ -326,8 +328,15 @@ object KnnGraphIndex {
     // drop. The stored side is scoped through a broadcast semi-join on
     // the batch's own ids FIRST, so the corpus-sized vecs table is
     // scanned in place, never shuffled
+    // barReplayed: a replay after an erasure compaction purged this
+    // batch's taken-down vecs would find them absent from vecs and
+    // re-admit them — barred by the pending set or the durable erased
+    // registry (the LexIndex replay-resurrection fix, r13 advice,
+    // applied uniformly to every ifAbsent append)
     val toAdd = tm("fence:batch+pin")(Frontier.pin(
-      if (ifAbsent) fenced(batch, spark.table(vt), "vec_id", Seq("vec_id"))
+      if (ifAbsent) Tombstones.barReplayed(
+        fenced(batch, spark.table(vt), "vec_id", Seq("vec_id")),
+        name, "vec_id")
       else batch))
     if (tm("emptyCheck")(toAdd.isEmpty)) return None
     val cents = tm("loadCentroids")(

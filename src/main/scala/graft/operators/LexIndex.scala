@@ -205,7 +205,10 @@ object LexIndex {
       }
       Map.empty
     }
-    stale0.foreach(Tombstones.clearApplied(spark, name, _))
+    // stale, not applied: the rebuild redefines contents from `docs`
+    // (previously tombstoned ids may be present again) — clear without
+    // claiming an erasure happened
+    stale0.foreach(Tombstones.clearStale(spark, name, _))
   }
 
   /** Append `batch` (doc_id, text) to the CURRENT generation in place,
@@ -250,14 +253,21 @@ object LexIndex {
         // absent from doclen, or present UNDER THIS BATCH ID (a crashed
         // attempt's partial landing — ours to finish). Deterministic
         // across replays, which makes the stats delta deterministic.
+        // The [[Tombstones.barReplayed]] bar closes the resurrection
+        // window (r13 advice): a replay landing AFTER an erasure
+        // compaction finds neither the stats fence (consolidated) nor
+        // the purged docs in doclen and would otherwise classify them
+        // as admitted, re-inserting rows whose takedown was already
+        // physical — barred by the pending set (purge not yet run) or
+        // the durable erased registry (purge and clearApplied ran).
         val admitted =
           if (!ifAbsent) batch
-          else batch.join(
+          else Tombstones.barReplayed(batch.join(
               spark.table(lt).select(col("doc_id"),
                 col("batch_id").as("owner")),
               Seq("doc_id"), "left_outer")
             .filter(col("owner").isNull || col("owner") === batchId)
-            .select(batch.columns.map(col): _*)
+            .select(batch.columns.map(col): _*), name, "doc_id")
         val (tf0, len0) = termFrames(admitted)
         val tf = Frontier.pin(tf0)
         val len = Frontier.pin(len0)

@@ -301,8 +301,16 @@ object Similarity {
     // an opaque non-nullable-field error. One row-level guard keeps
     // the operator's failure mode the contract's: malformed data is an
     // ERROR naming the row, never a silent signature.
+    // NULL gets its OWN branch (r13 advice): `size(col) === dim` is
+    // NULL for a NULL embedding, which would route NULL rows into the
+    // ragged branch with a message rendering "has dim NULL" — failing
+    // the job with a label that misdescribes the defect. The failure
+    // message must name the actual malformation.
     val checked = emb.withColumn("embedding",
-      when(size(col("embedding")) === dim, col("embedding"))
+      when(col("embedding").isNull, raise_error(concat(
+          lit("null embedding: vec_id="), col("vec_id").cast("string")))
+        .cast("array<float>"))
+      .when(size(col("embedding")) === dim, col("embedding"))
         .otherwise(raise_error(concat(
           lit("ragged embedding: vec_id="), col("vec_id").cast("string"),
           lit(" has dim "), size(col("embedding")).cast("string"),

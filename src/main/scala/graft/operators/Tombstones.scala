@@ -37,6 +37,14 @@ private[graft] object Tombstones {
 
   private val Members = Seq("ids")
 
+  /** Test-only injection point inside [[clearApplied]], fired AFTER the
+    * erased-registry write but BEFORE the clearing swap acquires the
+    * tombstone family's lease — the residual race window (r13 advice):
+    * the caller's index lease is already released, so a concurrent
+    * takedown can commit here. Specs inject one and assert it
+    * survives. */
+  @volatile private[graft] var clearRaceHook: Option[() => Unit] = None
+
   /** "The current generation holds zero ids" — stamped atomically with
     * the pointer so emptiness never needs a data read. */
   val EmptyProp = "graft.tombstones.empty"
@@ -151,26 +159,69 @@ private[graft] object Tombstones {
     * takedown arriving in the flip→clear window would be wiped
     * UNAPPLIED by a blanket clear — a silently lost right-to-erasure.
     * `applied` must be a PINNED frame (the capture survives the
-    * tombstone family's own generation GC). Itself a swap; a crash
-    * before its flip leaves applied-but-uncleared ids, harmless as
-    * ever (probes anti-join ids whose rows are already gone). */
+    * tombstone family's own generation GC, and is re-read by both
+    * writes below). Itself a swap; a crash before its flip leaves
+    * applied-but-uncleared ids, harmless as ever (probes anti-join ids
+    * whose rows are already gone).
+    *
+    * Two r13-advice disciplines:
+    *
+    *  - `remaining` is computed INSIDE the swap callback, under the
+    *    tombstone family's writer lease. The caller's index lease is
+    *    already free here, so a concurrent takedown can commit a new
+    *    id between entry and our swap; a pre-lease anti-join would pin
+    *    a set that predates it and the flip would silently wipe that
+    *    takedown unapplied — the narrow remnant of the exact race this
+    *    method exists to close. Under the lease, any takedown either
+    *    committed before our `begin` (visible to the re-read, so it
+    *    survives the subtraction) or blocks until our flip (survives
+    *    trivially).
+    *  - the applied set is first recorded in the durable ERASED
+    *    registry ([[registerErased]]), so "this id was physically
+    *    purged" outlives the pending set it is being removed from. A
+    *    crash between the two writes leaves ids both registered AND
+    *    pending — harmless (each side anti-joins independently); the
+    *    reverse order would open a window where an erasure is neither
+    *    pending nor registered and an `ifAbsent` replay could re-admit
+    *    it. */
   def clearApplied(spark: SparkSession, index: String,
       applied: DataFrame): Unit = {
+    registerErased(spark, index, applied)
+    clearStale(spark, index, applied)
+  }
+
+  /** [[clearApplied]] WITHOUT the erased-registry write — the REBUILD
+    * path's clear: a rebuild defines the index's contents from scratch
+    * over the corpus it was handed, so the pre-rebuild pending set is
+    * STALE (it targets a replaced generation), not APPLIED — the docs
+    * may be fully present in the fresh generation, and registering
+    * them as erased would wrongly bar their future `ifAbsent` appends.
+    * Only a compaction — which physically purges the pending rows —
+    * may claim the erasure happened ([[clearApplied]]). Same
+    * under-lease subtraction discipline. */
+  def clearStale(spark: SparkSession, index: String,
+      applied: DataFrame): Unit = {
     dropOrphanLegacy(spark, index)
-    get(spark, index).foreach { cur =>
-      val idCol = cur.columns.head
-      val remaining = Frontier.pin(cur.join(
-        applied.select(col(applied.columns.head).cast("long").as(idCol)),
-        Seq(idCol), "left_anti"))
-      val n = remaining.count()
+    clearRaceHook.foreach(_.apply())
+    if (get(spark, index).isDefined) {
       val fam = family(index)
-      val legacy = legacyTable(spark, index)
-        .filter(_ => Generations.currentGen(spark, fam).isEmpty)
       Generations.swap(spark, fam, Members) { lease =>
+        val remaining = get(spark, index) match {
+          case Some(cur) =>
+            val idCol = cur.columns.head
+            Frontier.pin(cur.join(
+              applied.select(
+                col(applied.columns.head).cast("long").as(idCol)),
+              Seq(idCol), "left_anti"))
+          case None => spark.range(0).select(lit(0L).as("id"))
+        }
+        val n = remaining.count()
         writeIds(remaining, n, Generations.physical(fam, "ids", lease.gen))
         Map(EmptyProp -> (n == 0L).toString, PendingProp -> n.toString)
       }
-      legacy.foreach(Generations.dropTableAndLocation(spark, _))
+      // the swap committed, so the family is now the truth: retire a
+      // just-migrated plain legacy table (same post-flip step as add's)
+      dropOrphanLegacy(spark, index)
     }
   }
 
@@ -178,9 +229,14 @@ private[graft] object Tombstones {
     * itself a swap: a crash before the flip leaves the applied set in
     * place, which is harmless (probes anti-join ids whose rows are
     * already gone) and cleared by the next mutation. Callers that can
-    * race a concurrent takedown must use [[clearApplied]] instead. */
+    * race a concurrent takedown must use [[clearApplied]] instead.
+    * The whole set being cleared was applied (that is the contract),
+    * so it is recorded in the ERASED registry first — same ordering
+    * argument as [[clearApplied]]. */
   def clear(spark: SparkSession, index: String): Unit = {
     dropOrphanLegacy(spark, index)
+    get(spark, index).foreach(cur =>
+      registerErased(spark, index, Frontier.pin(cur)))
     if (get(spark, index).isDefined) {
       val fam = family(index)
       val legacy = legacyTable(spark, index)
@@ -243,10 +299,113 @@ private[graft] object Tombstones {
   /** Remove the family entirely — fixture/test reset, the
     * [[Generations.destroy]] twin. Any plain legacy table goes too:
     * leaving it would resurrect the stale pre-migration erasure set
-    * through [[get]]'s legacy fallback. */
+    * through [[get]]'s legacy fallback. The erased registry goes with
+    * it (destroy is the full-reset path; a production deployment never
+    * destroys — it [[readmit]]s). */
   def destroy(spark: SparkSession, index: String): Unit = {
     Generations.destroy(spark, family(index), Members)
+    Generations.destroy(spark, erasedFamily(index), Members)
     legacyTable(spark, index)
       .foreach(Generations.dropTableAndLocation(spark, _))
+  }
+
+  // ------------------------------------------------------------------
+  // The durable ERASED registry
+  // ------------------------------------------------------------------
+  //
+  // "This id's rows were physically purged from the index" must
+  // OUTLIVE the pending tombstone that caused the purge: a compaction
+  // consolidates the per-batch bookkeeping an `ifAbsent` replay fence
+  // keys on (the lex stats fence row vanishes, doclen loses the purged
+  // docs), so a micro-batch replayed after the compaction — the JVM
+  // died between the maintenance callback and the stream checkpoint
+  // commit — finds neither the fence nor the docs and would classify
+  // the erased docs as admitted, re-inserting rows whose takedown was
+  // already made physical (r13 advice). The pending set cannot carry
+  // this ("pending" ends at clearApplied, which is exactly when the
+  // window opens); a registry of applied erasures can. Ids only —
+  // the same footprint argument as the nightly pipeline's takedown
+  // registry (StreamingNightlyIngest), which plays this role at
+  // pipeline level; this one covers indexes maintained outside it.
+  //
+  // Policy: an erased id stays barred from `ifAbsent` (replay-capable)
+  // appends until an operator explicitly [[readmit]]s it — re-ingesting
+  // previously erased content is a deliberate act, never a replay
+  // side effect. Plain (ifAbsent = false) appends are unaffected.
+
+  def erasedFamily(index: String): String = s"${index}_erased"
+
+  /** The registry's contents, or None when empty/absent —
+    * catalog-metadata-only when empty ([[EmptyProp]], the [[get]]
+    * fast path). */
+  def erasedSet(spark: SparkSession, index: String): Option[DataFrame] = {
+    val fam = erasedFamily(index)
+    Generations.currentGen(spark, fam) match {
+      case Some(_)
+        if Generations.manifestProp(spark, fam, EmptyProp).contains("true") =>
+        None
+      case Some(_) => Some(spark.table(Generations.resolve(spark, fam, "ids")))
+      case None => None
+    }
+  }
+
+  /** Merge `ids` (first column, cast to long) into the erased
+    * registry — a [[Generations]] swap, idempotent (distinct-merged),
+    * with the merge computed UNDER the registry's writer lease (the
+    * [[clearApplied]] discipline: two concurrent registrations must
+    * both survive). Rewrite cost ∝ registry size — ids only, the
+    * accepted takedown-registry footprint. */
+  def registerErased(spark: SparkSession, index: String,
+      ids: DataFrame): Unit = {
+    val fam = erasedFamily(index)
+    Generations.swap(spark, fam, Members) { lease =>
+      val add = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
+        .distinct()
+      val merged = Frontier.pin(erasedSet(spark, index).fold(add)(cur =>
+        cur.unionByName(add.select(col(add.columns.head)
+          .as(cur.columns.head))).distinct()))
+      val n = merged.count()
+      writeIds(merged, n, Generations.physical(fam, "ids", lease.gen))
+      Map(EmptyProp -> (n == 0L).toString, PendingProp -> n.toString)
+    }
+  }
+
+  /** RE-ADMISSION: remove `ids` from the erased registry so a future
+    * ingest of those docs lands normally — the explicit operator act
+    * re-ingesting erased content requires (the nightly registry's
+    * removeFromRegistry policy, at index level). Computed under the
+    * registry's lease, same as [[registerErased]]. */
+  def readmit(spark: SparkSession, index: String, ids: DataFrame): Unit = {
+    val fam = erasedFamily(index)
+    if (erasedSet(spark, index).isDefined)
+      Generations.swap(spark, fam, Members) { lease =>
+        val remaining = erasedSet(spark, index) match {
+          case Some(cur) =>
+            val idCol = cur.columns.head
+            Frontier.pin(cur.join(
+              ids.select(col(ids.columns.head).cast("long").as(idCol)),
+              Seq(idCol), "left_anti"))
+          case None => spark.range(0).select(lit(0L).as("doc_id"))
+        }
+        val n = remaining.count()
+        writeIds(remaining, n, Generations.physical(fam, "ids", lease.gen))
+        Map(EmptyProp -> (n == 0L).toString, PendingProp -> n.toString)
+      }
+  }
+
+  /** The replay bar every `ifAbsent` append applies to its admitted
+    * set: anti-join `batch` against the PENDING set (a takedown whose
+    * compaction hasn't run yet — the replay arrived before the purge)
+    * and the ERASED registry (the purge and its clearApplied already
+    * ran — the post-compaction resurrection window, r13 advice). Both
+    * sides are id-only frames, broadcast-sized at takedown scale;
+    * no-op (no join added) when both are empty/absent. */
+  def barReplayed(batch: DataFrame, index: String,
+      idCol: String): DataFrame = {
+    val spark = batch.sparkSession
+    (get(spark, index).toSeq ++ erasedSet(spark, index).toSeq)
+      .foldLeft(batch)((b, ts) => b.join(
+        ts.select(col(ts.columns.head).cast("long").as(idCol)),
+        Seq(idCol), "left_anti"))
   }
 }

@@ -446,6 +446,56 @@ object DurableLab {
         check(lexProbeHash(spark, LexName) == lexStored(workDir, "base"),
           "lex probe hash after recovery compaction")
 
+      case "lex-kill-post-clear" =>
+        // THE resurrection window (r13 advice): batch appended,
+        // out-of-band takedown of its docs, nightly maintenance runs
+        // to COMPLETION — purge, stats consolidation, clearApplied
+        // (pending set cleared, erased registry written) — and the JVM
+        // dies BEFORE the stream checkpoint commits. Prior lab steps
+        // left registry state behind; reset it so the setup append
+        // provably lands (non-vacuity is asserted before the kill).
+        Generations.leaseTtlOverrideMs = Some(ShortTtlMs)
+        Tombstones.destroy(spark, LexName)
+        LexIndex.writeLexIndex(docs(spark), LexName, numBuckets = 4)
+        LexIndex.appendToLexIndex(lexAppendBatch(spark), LexName,
+          batchId = LexBatchId, ifAbsent = true)
+        check(spark.table(lexMember(spark, "doclen"))
+          .filter(col("doc_id") >= 2100000000L).count() == 5,
+          "setup append did not land — the kill window would be vacuous")
+        LexIndex.tombstoneLex(spark, LexName,
+          lexAppendBatch(spark).select("doc_id"))
+        LexIndex.compactLexIndex(spark, LexName)
+        Runtime.getRuntime.halt(137)
+
+      case "lex-recover-replay" =>
+        // fresh JVM, at-least-once redelivery of the SAME batch id:
+        // the stats fence is consolidated away and the purged docs are
+        // absent from doclen — the pre-fix classification would
+        // re-admit them. The pending set is already cleared, so only
+        // the durable erased registry stands between the replay and a
+        // resurrected takedown.
+        check(Tombstones.get(spark, LexName).isEmpty,
+          "pending set survived the completed maintenance")
+        check(Tombstones.erasedSet(spark, LexName)
+          .map(_.count()).getOrElse(0L) == 5,
+          "erased registry missing after the kill")
+        LexIndex.appendToLexIndex(lexAppendBatch(spark), LexName,
+          batchId = LexBatchId, ifAbsent = true)
+        check(spark.table(lexMember(spark, "doclen"))
+          .filter(col("doc_id") >= 2100000000L).count() == 0,
+          "replay resurrected physically erased docs")
+        check(lexProbeHash(spark, LexName) == lexStored(workDir, "base"),
+          "probe fingerprint moved after the barred replay")
+        // re-ingesting erased content is a deliberate act: readmit,
+        // then a NEW crawl lands and the family equals the clean
+        // one-shot over base ∪ batch (the s32 append-parity target)
+        Tombstones.readmit(spark, LexName,
+          lexAppendBatch(spark).select("doc_id"))
+        LexIndex.appendToLexIndex(lexAppendBatch(spark), LexName,
+          batchId = "lab-recrawl", ifAbsent = true)
+        check(lexProbeHash(spark, LexName) == lexStored(workDir, "appended"),
+          "readmitted recrawl != clean one-shot build over base ∪ batch")
+
       case other => sys.error(s"unknown lab command: $other")
     }
   }

@@ -142,5 +142,16 @@ class DurableCatalogSpec extends AnyFunSuite {
     run("lex-kill-compact-flip", 137)
     val r3 = run("lex-recover-compact", 0)
     assert(r3.contains("[lab] lex-recover-compact ok"), tail(r3))
+    // 8./9. the RESURRECTION window (r13 advice): maintenance runs to
+    //    completion — purge, stats consolidation, clearApplied — and
+    //    the JVM dies before the stream checkpoint commits. The
+    //    redelivered batch finds neither the fence nor its docs; only
+    //    the durable erased registry bars it from re-inserting rows
+    //    whose takedown was already physical. Then an explicit
+    //    readmit + fresh crawl restores ingestion to the append-parity
+    //    fingerprint.
+    run("lex-kill-post-clear", 137)
+    val r4 = run("lex-recover-replay", 0)
+    assert(r4.contains("[lab] lex-recover-replay ok"), tail(r4))
   }
 }

@@ -131,6 +131,42 @@ class LexIndexSpec extends SparkSpec {
     }
   }
 
+  test("ifAbsent replay after an erasure compaction cannot resurrect purged docs (r13 advice)") {
+    // the resurrection window: a batch lands, a takedown of its docs
+    // follows, the nightly callback compacts (purging the docs,
+    // consolidating the stats fence, clearing applied tombstones), and
+    // the JVM dies BEFORE the stream checkpoint commits — the replayed
+    // batch then finds neither the fence nor the docs and, unbarred,
+    // would re-insert rows whose erasure was already physical.
+    val name = "graft_t_lexres"
+    LexIndex.destroy(spark, name)
+    LexIndex.writeLexIndex(docs.filter(col("doc_id") < 100), name,
+      numBuckets = 4)
+    val b = batch(2000000L).localCheckpoint()
+    LexIndex.appendToLexIndex(b, name, "bz", ifAbsent = true)
+    LexIndex.tombstoneLex(spark, name, b.select("doc_id"))
+    LexIndex.compactLexIndex(spark, name)
+    assert(LexIndex.lexTombstones(spark, name).isEmpty,
+      "compaction did not clear the applied set")
+    def appended() = spark.table(Generations.resolve(spark, name, "doclen"))
+      .filter(col("doc_id") >= 2000000L).count()
+    assert(appended() == 0L, "compaction did not purge the batch")
+    // the at-least-once redelivery — same batch id, same rows
+    LexIndex.appendToLexIndex(b, name, "bz", ifAbsent = true)
+    assert(appended() == 0L, "replay resurrected physically erased docs")
+    val q = b.limit(3).select((col("doc_id") + 7000000L).as("doc_id"),
+      col("text")).localCheckpoint()
+    val hits = LexIndex.probeLexIndex(spark, name, q, kEach = 10)
+      .collect().map(_.getLong(1)).filter(_ >= 2000000L)
+    assert(hits.isEmpty, s"erased docs retrievable again: ${hits.toSeq}")
+    // re-ingesting erased content is a DELIBERATE act: after an
+    // explicit readmit, a fresh crawl (new batch id) lands normally
+    Tombstones.readmit(spark, name, b.select("doc_id"))
+    LexIndex.appendToLexIndex(b, name, "bz2", ifAbsent = true)
+    assert(appended() == b.count(), "readmitted docs did not ingest")
+    LexIndex.destroy(spark, name)
+  }
+
   test("tombstone: immediate candidacy exclusion, untouched statistics") {
     LexIndex.destroy(spark, "graft_t_lexd")
     LexIndex.writeLexIndex(docs, "graft_t_lexd", numBuckets = 4)

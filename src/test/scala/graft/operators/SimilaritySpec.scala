@@ -317,4 +317,26 @@ class SimilaritySpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("ragged embedding")),
       s"expected the named-row ragged error, got: ${msgs(e)}")
   }
+
+  test("lshTopK names a NULL embedding as null, not ragged (r13 advice)") {
+    // `size(col) === dim` is NULL for a NULL embedding: without its
+    // own branch the NULL row falls into the ragged error rendering
+    // "has dim NULL" — a message that misdescribes the defect
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
+      (2L, Array(4.0f, 3.0f, 2.0f, 1.0f)),
+      (3L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.lshTopK(spark, emb, col("vec_id") < 2, k = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("null embedding: vec_id=3")),
+      s"expected the named-row null error, got: ${msgs(e)}")
+    assert(!msgs(e).exists(_.contains("ragged embedding")),
+      s"NULL row misreported as ragged: ${msgs(e)}")
+  }
 }

@@ -330,4 +330,97 @@ class TombstoneSpec extends SparkSpec {
     assert(!hits.contains(5L), "tombstoned doc 5 still retrievable")
     LexIndex.destroy(spark, name)
   }
+
+  test("a takedown racing clearApplied's OWN capture->swap window survives (r13 advice)") {
+    // the narrower remnant of the flip->clear race: the index lease is
+    // already free when clearApplied runs, so a takedown can commit
+    // between clearApplied's entry and its clearing swap. remaining is
+    // computed UNDER the tombstone family's lease, so the late id is
+    // visible to the subtraction and stays pending.
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 60)
+    val name = "graft_tomb_race2"
+    import spark.implicits._
+    LexIndex.destroy(spark, name)
+    LexIndex.writeLexIndex(docs, name, numBuckets = 4)
+    LexIndex.tombstoneLex(spark, name, Seq(3L, 4L).toDF("doc_id"))
+    val captured = Frontier.pin(
+      LexIndex.lexTombstones(spark, name).get.select("doc_id"))
+    Tombstones.clearRaceHook = Some(() =>
+      LexIndex.tombstoneLex(spark, name, Seq(5L).toDF("doc_id")))
+    try Tombstones.clearApplied(spark, name, captured)
+    finally Tombstones.clearRaceHook = None
+    val pending = LexIndex.lexTombstones(spark, name)
+      .map(_.collect().map(_.getLong(0)).toSet).getOrElse(Set.empty)
+    assert(pending == Set(5L),
+      s"takedown racing clearApplied's swap was lost: $pending")
+    // and the applied set was durably registered as erased
+    val erased = Tombstones.erasedSet(spark, name)
+      .map(_.collect().map(_.getLong(0)).toSet).getOrElse(Set.empty)
+    assert(erased == Set(3L, 4L), s"erased registry wrong: $erased")
+    LexIndex.destroy(spark, name)
+  }
+
+  test("a crash between erased-registration and the clearing swap leaves the harmless both-sides state; the retry converges") {
+    // clearApplied is two swaps on two families, registry FIRST: a
+    // crash between them leaves ids both registered AND pending —
+    // each side anti-joins independently, so nothing resurfaces and
+    // nothing is lost — and the retried clearApplied converges. The
+    // reverse order would open a window where an erasure is neither
+    // pending nor registered (the resurrection window, r13 advice).
+    val name = "graft_tomb_crash2"
+    import spark.implicits._
+    Tombstones.destroy(spark, name)
+    def pending() = Tombstones.get(spark, name)
+      .map(_.collect().map(_.getLong(0)).toSet).getOrElse(Set.empty)
+    def erased() = Tombstones.erasedSet(spark, name)
+      .map(_.collect().map(_.getLong(0)).toSet).getOrElse(Set.empty)
+    Tombstones.add(spark, name, Seq(7L, 8L).toDF("doc_id"), "doc_id")
+    val captured = Frontier.pin(
+      Tombstones.get(spark, name).get.select("doc_id"))
+    // crash INSIDE the registry swap (before its flip): nothing changed
+    Generations.failpoint = Some("before-flip")
+    intercept[IllegalStateException] {
+      Tombstones.clearApplied(spark, name, captured)
+    }
+    Generations.failpoint = None
+    assert(pending() == Set(7L, 8L), "pending set mutated by a crashed registration")
+    assert(erased().isEmpty, "half-committed registry visible")
+    // crash BETWEEN the registry commit and the clearing swap
+    Tombstones.clearRaceHook =
+      Some(() => throw new IllegalStateException("injected between-swaps crash"))
+    try intercept[IllegalStateException] {
+      Tombstones.clearApplied(spark, name, captured)
+    } finally Tombstones.clearRaceHook = None
+    assert(erased() == Set(7L, 8L), "registration lost")
+    assert(pending() == Set(7L, 8L), "pending cleared before the clearing swap")
+    // the retry converges to the final state
+    Tombstones.clearApplied(spark, name, captured)
+    assert(pending().isEmpty && erased() == Set(7L, 8L))
+    Tombstones.destroy(spark, name)
+  }
+
+  test("erased registry: clearApplied registers durably, registration is idempotent, readmit removes") {
+    val name = "graft_tomb_reg"
+    import spark.implicits._
+    Tombstones.destroy(spark, name)
+    def erased() = Tombstones.erasedSet(spark, name)
+      .map(_.collect().map(_.getLong(0)).toSet).getOrElse(Set.empty)
+    Tombstones.add(spark, name, Seq(1L, 2L).toDF("doc_id"), "doc_id")
+    val captured = Frontier.pin(
+      Tombstones.get(spark, name).get.select("doc_id"))
+    Tombstones.clearApplied(spark, name, captured)
+    assert(Tombstones.get(spark, name).isEmpty, "pending not cleared")
+    assert(erased() == Set(1L, 2L), s"applied set not registered: ${erased()}")
+    // a retried clearApplied (crash-after-register replay) is a no-op
+    Tombstones.clearApplied(spark, name, captured)
+    assert(erased() == Set(1L, 2L), s"re-registration not idempotent")
+    // the empty-registry fast path answers from catalog metadata alone
+    Tombstones.readmit(spark, name, Seq(1L).toDF("doc_id"))
+    assert(erased() == Set(2L), s"readmit(1) left: ${erased()}")
+    Tombstones.readmit(spark, name, Seq(2L).toDF("doc_id"))
+    assert(Tombstones.erasedSet(spark, name).isEmpty,
+      "empty registry must read as None (EmptyProp fast path)")
+    Tombstones.destroy(spark, name)
+  }
 }
