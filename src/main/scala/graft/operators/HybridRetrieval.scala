@@ -173,14 +173,19 @@ object HybridRetrieval {
     * against s30's oracle, so a drifted copy of this scorer would let
     * both sides pass their own oracles while silently measuring
     * different things. */
+  /** `candPred`: serve-time candidacy filter over the corpus `vec_id`
+    * (the lexical probe's scope twin — s39): applied to the candidate
+    * side before the broadcast join, so the scan is narrower, the
+    * scores of surviving pairs are untouched (cosine has no corpus
+    * statistics), and only membership/rank changes. */
   def exactVecTopK(emb: DataFrame, queryPred: Column, dim: Int,
-      kEach: Int): DataFrame = {
+      kEach: Int, candPred: Option[Column] = None): DataFrame = {
     import graft.functions.VectorFunctions.{chainDot, chainNorm}
     val nv = emb.withColumn("nrm", expr(chainNorm("embedding", dim, 0)))
     val q = nv.filter(queryPred)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("nrm").as("qn"))
-    val scored = nv
+    val scored = candPred.fold(nv)(nv.filter)
       .select(col("vec_id"), col("embedding").as("e"), col("nrm").as("en"))
       .join(broadcast(q), col("vec_id") =!= col("qid"))
       .withColumn("cos",
@@ -233,11 +238,18 @@ object HybridRetrieval {
     * df that shrank while n_docs did not would score with statistics
     * no corpus ever had. Empty (the default) keeps the text
     * byte-identical to every pre-p13 oracle. */
+  /** `candPredSql` replays a serve-time candidacy SCOPE (s39): a
+    * predicate over `tfq.doc_id` ANDed into the scoring rows exactly
+    * where the tombstone exclusion goes — candidacy only, corpus-level
+    * df/n_docs/total_tokens untouched. None keeps the text
+    * byte-identical to every earlier oracle. */
   def lexicalOracleCtes(docsRel: String, predDoc: String,
-      kEach: Int, candDelIds: Seq[Long] = Nil): String = {
+      kEach: Int, candDelIds: Seq[Long] = Nil,
+      candPredSql: Option[String] = None): String = {
     val candFilter =
-      if (candDelIds.isEmpty) ""
-      else s" AND tfq.doc_id NOT IN (${candDelIds.mkString(", ")})"
+      (if (candDelIds.isEmpty) ""
+       else s" AND tfq.doc_id NOT IN (${candDelIds.mkString(", ")})") +
+      candPredSql.fold("")(p => s" AND ($p)")
     s"""tok AS MATERIALIZED (SELECT doc_id,
           unnest(${sqlTokens("text")}) AS tok FROM $docsRel),
       tfq AS MATERIALIZED (SELECT doc_id, tok, count(*) AS tf
@@ -268,9 +280,13 @@ object HybridRetrieval {
     * `predDoc`/`predVec` are the query predicate against the two id
     * columns (`doc_id < 8` / `vec_id < 8`). */
   def oracleSql(dim: Int, k: Int, kEach: Int, c: Int,
-      predDoc: String, predVec: String): String = {
+      predDoc: String, predVec: String,
+      candDocSql: Option[String] = None,
+      candVecSql: Option[String] = None): String = {
     import graft.functions.VectorFunctions.{chainDot, chainNorm}
-    s"""WITH ${lexicalOracleCtes("documents", predDoc, kEach)},
+    val vecCand = candVecSql.fold("")(p => s" AND ($p)")
+    s"""WITH ${lexicalOracleCtes("documents", predDoc, kEach,
+        candPredSql = candDocSql)},
       nv AS MATERIALIZED (SELECT vec_id, embedding,
           ${chainNorm("embedding", dim, 1)} AS nrm FROM embeddings),
       qv AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qe, nrm AS qn
@@ -278,7 +294,7 @@ object HybridRetrieval {
       vc AS MATERIALIZED (SELECT qid, vec_id AS doc_id,
           CAST(${chainDot("qe", "embedding", dim, 1)} AS DOUBLE)
             / (qn * nrm) AS cos
-        FROM nv, qv WHERE vec_id <> qid),
+        FROM nv, qv WHERE vec_id <> qid$vecCand),
       vec AS MATERIALIZED (SELECT qid, doc_id, vec_rank FROM (
         SELECT qid, doc_id, CAST(row_number() OVER (
             PARTITION BY qid ORDER BY cos DESC, doc_id) AS INT) AS vec_rank

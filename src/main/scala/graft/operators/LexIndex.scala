@@ -412,8 +412,18 @@ object LexIndex {
     * generation (frozen at the flip that superseded it) — with the
     * house asymmetry that TOMBSTONE exclusion stays current: erasure
     * overrides history. */
+  /** `candPred`: serve-time CANDIDACY filter over the candidate
+    * `doc_id` (tenancy scope, licensing shard, freshness class) on ONE
+    * shared index — the metadata-filtered retrieval every production
+    * serving layer needs. Applied with the tombstone exclusion, AFTER
+    * the df recount: a filter narrows who may be RETRIEVED, never the
+    * corpus statistics (df/n_docs/total_tokens stay corpus-level, so a
+    * doc's score is filter-invariant — LexIndexSpec pins that), and
+    * the probe's cost shape is unchanged: the filter prunes rows of
+    * the already-bounded query-term posting lists. */
   def probeLexIndex(spark: SparkSession, name: String, queries: DataFrame,
-      kEach: Int, asOf: Option[Long] = None): DataFrame = {
+      kEach: Int, asOf: Option[Long] = None,
+      candPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val pt = member(spark, name, "postings", asOf)
     val dt = member(spark, name, "dfcap", asOf)
     val st = member(spark, name, "stats", asOf)
@@ -462,9 +472,12 @@ object LexIndex {
     // physical and statistical at once (a candidacy-only exclusion is
     // internally consistent; a df that shrank while n_docs did not
     // would score with statistics no corpus ever had)
-    val cand = lexTombstones(spark, name).fold(rows)(t =>
+    val cand0 = lexTombstones(spark, name).fold(rows)(t =>
       rows.join(broadcast(t.select(col("doc_id")).distinct()),
         Seq("doc_id"), "left_anti"))
+    // serve-time scope: candidacy-only, like the tombstone exclusion
+    // above (and for the same statistical-consistency reason)
+    val cand = candPred.fold(cand0)(cand0.filter)
     val scored = cand.join(dfAgg, "tok")
       .crossJoin(nAgg)
       .filter(col("df") * 10 <= col("n_docs") * 9)

@@ -241,5 +241,37 @@ object HybridQueries {
             col("rank").as("vec_rank"))
         HybridRetrieval.rrfFuse(lex, vec, K).orderBy("qid", "rank")
       },
-      Some(ServeShapeOracle)))
+      Some(ServeShapeOracle)),
+
+    // ---- s39: FILTERED hybrid serve — metadata scope on ONE index ----
+    // The production serving feature every retrieval layer needs:
+    // per-query metadata filters (tenancy, licensing shard, freshness
+    // class — spelled `doc_id % 2 = 0` over the synthetic ids) served
+    // from ONE shared index, not per-scope index copies. The filter is
+    // CANDIDACY-ONLY on both legs, exactly like the tombstone
+    // exclusion and for the same statistical-consistency reason:
+    // df/n_docs/total_tokens stay corpus-level, so a doc's score is
+    // filter-invariant (LexIndexSpec pins that) and only membership
+    // and rank-packing change. At 100 TB the cost shape is untouched:
+    // the lexical filter prunes rows of the already-bounded query-term
+    // posting lists; the vector filter narrows the candidate scan
+    // before the broadcast join. Hash-exact: both oracle legs AND the
+    // fusion replay the same candidacy predicate in the same position.
+    Q("s39_filtered_hybrid_serve",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        LexIndex.writeLexIndex(docs.select(col("doc_id"), col("text")),
+          "graft_s39_lex")
+        val lex = LexIndex.probeLexIndex(s, "graft_s39_lex",
+          queriesOf(docs), KEach,
+          candPred = Some(col("doc_id") % 2 === 0))
+        val vec = HybridRetrieval.exactVecTopK(Tables(s, dir, "embeddings"),
+          expr("vec_id < 8"), Dim, KEach,
+          candPred = Some(col("vec_id") % 2 === 0))
+        HybridRetrieval.rrfFuse(lex, vec, K).orderBy("qid", "rank")
+      },
+      Some(HybridRetrieval.oracleSql(Dim, K, kEach = KEach, c = 60,
+        predDoc = "doc_id < 8", predVec = "vec_id < 8",
+        candDocSql = Some("tfq.doc_id % 2 = 0"),
+        candVecSql = Some("vec_id % 2 = 0")))))
 }

@@ -167,6 +167,35 @@ class LexIndexSpec extends SparkSpec {
     LexIndex.destroy(spark, name)
   }
 
+  test("serve-time candidacy filter: predicate holds on every hit, scores are filter-invariant") {
+    // the s39 contract: a metadata scope narrows WHO may be retrieved,
+    // never the corpus statistics — every surviving (qid, doc) keeps
+    // the exact score the unfiltered probe gave it, and every hit
+    // satisfies the predicate
+    val name = "graft_t_lexf"
+    LexIndex.destroy(spark, name)
+    LexIndex.writeLexIndex(docs, name, numBuckets = 4)
+    val unfiltered = probe(name)
+    val filtered = LexIndex.probeLexIndex(spark, name, queries, kEach = 10,
+        candPred = Some(col("doc_id") % 2 === 0))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(filtered.nonEmpty, "filtered probe returned nothing — vacuous")
+    assert(filtered.forall(_._2 % 2 == 0),
+      s"a hit violates the candidacy predicate: ${filtered.toSeq}")
+    val unfScores = unfiltered.map(t => (t._1, t._2) -> t._4).toMap
+    filtered.foreach { t =>
+      unfScores.get((t._1, t._2)).foreach(s0 => assert(s0 == t._4,
+        s"score of (${t._1}, ${t._2}) moved under the filter: $s0 != ${t._4}"))
+    }
+    // and the filter ADMITS new docs into the top-k (rank re-packing,
+    // not a mere subset cut): some filtered hit is absent upstream
+    val unfKeys = unfiltered.map(t => (t._1, t._2)).toSet
+    assert(filtered.exists(t => !unfKeys.contains((t._1, t._2))),
+      "filter only truncated the unfiltered list — fixture too small to discriminate")
+    LexIndex.destroy(spark, name)
+  }
+
   test("tombstone: immediate candidacy exclusion, untouched statistics") {
     LexIndex.destroy(spark, "graft_t_lexd")
     LexIndex.writeLexIndex(docs, "graft_t_lexd", numBuckets = 4)
