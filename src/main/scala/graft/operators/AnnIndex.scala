@@ -281,9 +281,10 @@ object AnnIndex {
     * `emb.filter(queryPred)`, as in the in-memory operators. */
   def probeAnnIndex(spark: SparkSession, name: String, emb: DataFrame,
       queryPred: org.apache.spark.sql.Column, k: Int = 10, nprobe: Int = 4,
-      shortlist: Int = 60, asOf: Option[Long] = None): DataFrame =
+      shortlist: Int = 60, asOf: Option[Long] = None,
+      candPred: Option[org.apache.spark.sql.Column] = None): DataFrame =
     probeQueries(spark, name, emb.filter(queryPred), emb, k, nprobe,
-      shortlist, asOf)
+      shortlist, asOf, candPred)
 
   /** Probe with an EXPLICIT query frame — the shape streaming ingest
     * needs, where the queries (an arriving micro-batch) are not yet
@@ -295,9 +296,18 @@ object AnnIndex {
     * all resolve from the SAME past generation (they swap as one
     * unit, and an as-of probe must keep that pairing), while the
     * tombstone exclusion stays CURRENT: erasure overrides history. */
+  /** `candPred`: serve-time CANDIDACY filter over the candidate
+    * `vec_id` (the lexical probe's scope twin — s40): applied to the
+    * codes BEFORE ADC scoring and the shortlist cut, so the filter
+    * composes with the approximation the way a production metadata
+    * filter must — the shortlist is spent on admissible candidates,
+    * not truncated after the fact (post-filtering a fixed shortlist
+    * is the classic filtered-ANN recall bug). Cost: the filter only
+    * narrows the pruned-cell scan. */
   def probeQueries(spark: SparkSession, name: String, queries: DataFrame,
       rerank: DataFrame, k: Int = 10, nprobe: Int = 4,
-      shortlist: Int = 60, asOf: Option[Long] = None): DataFrame = {
+      shortlist: Int = 60, asOf: Option[Long] = None,
+      candPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val ct = asOf.fold(cellsTable(spark, name))(g =>
       Generations.resolveAsOf(spark, name, "cells", g))
     val mt = asOf.fold(modelTable(spark, name))(g =>
@@ -350,11 +360,14 @@ object AnnIndex {
     // deletions apply logically at probe time: tombstoned vectors are
     // invisible the instant [[tombstoneAnn]] lands; the next
     // compaction/retrain reclaims their codes physically
-    val base = annTombstones(spark, name).fold(
+    val base0 = annTombstones(spark, name).fold(
       spark.table(ct))(tt =>
       spark.table(ct).join(
         broadcast(tt.select(col("vec_id")).distinct()),
         Seq("vec_id"), "left_anti"))
+    // serve-time scope: candidacy-only, before ADC + shortlist (see
+    // the method doc)
+    val base = candPred.fold(base0)(base0.filter)
     val scored = base
       .join(broadcast(q), "cell" +: scope)
       .filter(col("vec_id") =!= col("qid"))

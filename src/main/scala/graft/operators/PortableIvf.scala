@@ -267,12 +267,19 @@ object PortableIvf {
     * corpus (base ∪ appended − deleted) — the frozen-model semantics
     * of the persisted index. Defaults keep every existing oracle text
     * byte-identical. */
+  /** `candSql`: serve-time candidacy predicate over the candidate id
+    * (`a.vec_id`), ANDed into the ADC scoring rows BEFORE the
+    * shortlist cut — the replay of [[graft.operators.AnnIndex]]'s
+    * filtered probe (s40): the shortlist must be spent on admissible
+    * candidates, never truncated post-hoc. None keeps the text
+    * byte-identical to every earlier oracle. */
   def ivfPqOracleSql(dim: Int, k: Int, nCells: Int, nprobe: Int,
       m: Int, ksub: Int, shortlist: Int, predOn: String => String,
       residual: Boolean = false,
       iters: Int = 3, sampleN: Int = 2048,
       trainRel: String = "embeddings",
-      corpusRel: String = "embeddings"): String = {
+      corpusRel: String = "embeddings",
+      candSql: Option[String] = None): String = {
     val dsub = dim / m
     val (cc, cfin) = centroidsCte(dim, nCells, iters, sampleN, trainRel)
     val (bc, bfin) = booksCte(dim, m, ksub, iters,
@@ -332,7 +339,7 @@ object PortableIvf {
         FROM asg a JOIN prb p ON a.cell = p.cell$qcJoin
           JOIN ecode ec ON ec.vec_id = a.vec_id
           JOIN qlut l ON l.qid = p.qid AND l.j = ec.j AND l.code = ec.code
-        WHERE a.vec_id <> p.qid) t
+        WHERE a.vec_id <> p.qid${candSql.fold("")(p => s" AND ($p)")}) t
       GROUP BY t.qid, t.vec_id),
     sl AS MATERIALIZED (SELECT qid, vec_id, row_number() OVER (
         PARTITION BY qid ORDER BY cos DESC, vec_id) AS r FROM sc),

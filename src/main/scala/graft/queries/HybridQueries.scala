@@ -273,5 +273,44 @@ object HybridQueries {
       Some(HybridRetrieval.oracleSql(Dim, K, kEach = KEach, c = 60,
         predDoc = "doc_id < 8", predVec = "vec_id < 8",
         candDocSql = Some("tfq.doc_id % 2 = 0"),
-        candVecSql = Some("vec_id % 2 = 0")))))
+        candVecSql = Some("vec_id % 2 = 0")))),
+
+    // ---- s40: filtered FULL serve path — scope through BOTH indexes --
+    // s39's candidacy scope pushed through the s38 production shape:
+    // term posting lists from the LexIndex family AND ADC candidates
+    // from the AnnIndex family, the predicate applied BEFORE the ADC
+    // shortlist cut — post-filtering a fixed shortlist is the classic
+    // filtered-ANN recall bug (the admissible survivors of an
+    // unfiltered top-60 can be arbitrarily few), so the shortlist is
+    // spent on admissible candidates only, and the oracle replays the
+    // predicate at exactly that point. Hash-exact end to end.
+    Q("s40_filtered_serve_path",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val emb = Tables(s, dir, "embeddings")
+        LexIndex.writeLexIndex(docs.select(col("doc_id"), col("text")),
+          "graft_s40_lex")
+        AnnIndex.writeAnnIndex(
+          emb.select(col("vec_id"), col("embedding")), "graft_s40_ann")
+        val lex = LexIndex.probeLexIndex(s, "graft_s40_lex",
+          queriesOf(docs), KEach,
+          candPred = Some(col("doc_id") % 2 === 0))
+        val vec = AnnIndex.probeAnnIndex(s, "graft_s40_ann", emb,
+            expr("vec_id < 8"), k = KEach,
+            candPred = Some(col("vec_id") % 2 === 0))
+          .select(col("qid"), col("vec_id").as("doc_id"),
+            col("rank").as("vec_rank"))
+        HybridRetrieval.rrfFuse(lex, vec, K).orderBy("qid", "rank")
+      },
+      Some {
+        val ivf = PortableIvf.ivfPqOracleSql(Dim, KEach, nCells = 16,
+          nprobe = 4, m = 8, ksub = 32, shortlist = 60,
+          a => s"$a.vec_id < 8", candSql = Some("a.vec_id % 2 = 0"))
+        s"""WITH ${HybridRetrieval.lexicalOracleCtes(
+            "documents", "doc_id < 8", KEach,
+            candPredSql = Some("tfq.doc_id % 2 = 0"))},
+          vec AS MATERIALIZED (SELECT qid, vec_id AS doc_id, rank AS vec_rank
+            FROM ($ivf)),
+          ${HybridRetrieval.fusionTailSql(K, c = 60)}"""
+      }))
 }

@@ -37,6 +37,30 @@ class AnnIndexSpec extends SparkSpec {
     assert(props.get(AnnIndex.KsubProp).contains("32"))
   }
 
+  test("candidacy filter applies BEFORE the shortlist cut, not as a post-truncation") {
+    // the s40 contract: the filter must narrow who competes for the
+    // shortlist, so admissible docs that an unfiltered top-shortlist
+    // would have squeezed out ARE retrievable. Post-filtering would
+    // make the filtered result a subset of the unfiltered shortlist.
+    AnnIndex.writeAnnIndex(emb, "graft_test_ann_f")
+    val pred = col("vec_id") % 2 === 0
+    // a TIGHT unfiltered shortlist forces the distinction: the top-6
+    // unfiltered candidates include odd vec_ids, so a post-filter
+    // could keep at most the few even survivors
+    val filtered = AnnIndex.probeAnnIndex(spark, "graft_test_ann_f", emb,
+        col("vec_id") < 8, k = 5, shortlist = 6, candPred = Some(pred))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unfiltered = AnnIndex.probeAnnIndex(spark, "graft_test_ann_f", emb,
+        col("vec_id") < 8, k = 5, shortlist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(filtered.nonEmpty, "filtered probe returned nothing — vacuous")
+    assert(filtered.forall(_._2 % 2 == 0),
+      s"a hit violates the candidacy predicate: $filtered")
+    assert(filtered.exists(p => !unfiltered.contains(p)),
+      "every filtered hit was already in the unfiltered shortlist — " +
+        "the fixture cannot distinguish pre- from post-filtering")
+  }
+
   test("append encodes with the frozen model; probes find the new vectors") {
     val base = emb.select("vec_id", "embedding")
     AnnIndex.writeAnnIndex(base, "graft_test_ann_app")
