@@ -370,6 +370,22 @@ private[graft] object Tombstones {
     }
   }
 
+  /** Registry SIZE — [[pendingCount]]'s twin for the erased side,
+    * catalog-metadata-only (every registry write stamps the count). */
+  def erasedCount(spark: SparkSession, index: String): Long = {
+    val fam = erasedFamily(index)
+    Generations.currentGen(spark, fam) match {
+      case Some(_)
+        if Generations.manifestProp(spark, fam, EmptyProp).contains("true") =>
+        0L
+      case Some(_) =>
+        Generations.manifestProp(spark, fam, PendingProp).map(_.toLong)
+          .getOrElse(
+            spark.table(Generations.resolve(spark, fam, "ids")).count())
+      case None => 0L
+    }
+  }
+
   /** RE-ADMISSION: remove `ids` from the erased registry so a future
     * ingest of those docs lands normally — the explicit operator act
     * re-ingesting erased content requires (the nightly registry's

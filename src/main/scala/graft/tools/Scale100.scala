@@ -47,8 +47,8 @@ object Scale100 {
     require(opArgs.length <= 1, s"at most one op arg: ${opArgs.toSeq}")
     val op = opArgs.headOption.getOrElse("all")
     require(Set("all", "none", "d22", "s25", "s26", "d12", "s09", "s30",
-      "s31", "s38").contains(op),
-      s"unknown op '$op' (all|none|d22|s25|s26|d12|s09|s30|s31|s38)")
+      "s31", "s38", "s40").contains(op),
+      s"unknown op '$op' (all|none|d22|s25|s26|d12|s09|s30|s31|s38|s40)")
     val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_scale")
 
     def indicators(df: DataFrame): String = {
@@ -204,6 +204,32 @@ object Scale100 {
             spark, lName, queries, kEach = 20)
           val vec = graft.operators.AnnIndex.probeAnnIndex(
               spark, aName, emb, col("vec_id") < 8, k = 20)
+            .select(col("qid"), col("vec_id").as("doc_id"),
+              col("rank").as("vec_rank"))
+          graft.operators.HybridRetrieval.rrfFuse(lex, vec, 10)
+        })
+      }
+      // the FILTERED serve path (s40): the candidacy scope must not
+      // change the flat probe shape — it only narrows the already
+      // bounded posting-list rows and the pruned-cell ADC scan, so the
+      // filtered probe should track s38's times from below.
+      if (op == "all" || op == "s40") {
+        val lName = s"graft_s100_fhyb_lex_m$m"
+        val aName = s"graft_s100_fhyb_ann_m$m"
+        val t0 = System.nanoTime()
+        graft.operators.LexIndex.writeLexIndex(
+          docs.select(col("doc_id"), col("text")), lName, numBuckets = 8 * m)
+        graft.operators.AnnIndex.writeAnnIndex(emb, aName, nCells = 16 * m)
+        println(f"[s100] m=$m%-4d s40_build      ${(System.nanoTime() - t0) / 1e9}%8.2fs  (build)")
+        val queries = docs.filter(col("doc_id") < 8)
+          .select(col("doc_id"), col("text")).localCheckpoint()
+        time("s40_probe", () => {
+          val lex = graft.operators.LexIndex.probeLexIndex(
+            spark, lName, queries, kEach = 20,
+            candPred = Some(col("doc_id") % 2 === 0))
+          val vec = graft.operators.AnnIndex.probeAnnIndex(
+              spark, aName, emb, col("vec_id") < 8, k = 20,
+              candPred = Some(col("vec_id") % 2 === 0))
             .select(col("qid"), col("vec_id").as("doc_id"),
               col("rank").as("vec_rank"))
           graft.operators.HybridRetrieval.rrfFuse(lex, vec, 10)
