@@ -243,13 +243,21 @@ object HybridRetrieval {
     * where the tombstone exclusion goes — candidacy only, corpus-level
     * df/n_docs/total_tokens untouched. None keeps the text
     * byte-identical to every earlier oracle. */
+  /** `candPairCte` replays the PER-QUERY candidacy semi-join (s43): the
+    * named CTE (defined by the caller BEFORE this chain) must expose
+    * (qid, doc_id); scoring rows survive only when their pair exists
+    * there — the engine's `candPairs` broadcast semi-join as an
+    * EXISTS. */
   def lexicalOracleCtes(docsRel: String, predDoc: String,
       kEach: Int, candDelIds: Seq[Long] = Nil,
-      candPredSql: Option[String] = None): String = {
+      candPredSql: Option[String] = None,
+      candPairCte: Option[String] = None): String = {
     val candFilter =
       (if (candDelIds.isEmpty) ""
        else s" AND tfq.doc_id NOT IN (${candDelIds.mkString(", ")})") +
-      candPredSql.fold("")(p => s" AND ($p)")
+      candPredSql.fold("")(p => s" AND ($p)") +
+      candPairCte.fold("")(cte => s" AND EXISTS (SELECT 1 FROM $cte cp " +
+        "WHERE cp.qid = q.qid AND cp.doc_id = tfq.doc_id)")
     s"""tok AS MATERIALIZED (SELECT doc_id,
           unnest(${sqlTokens("text")}) AS tok FROM $docsRel),
       tfq AS MATERIALIZED (SELECT doc_id, tok, count(*) AS tf

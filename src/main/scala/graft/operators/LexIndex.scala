@@ -147,15 +147,22 @@ object LexIndex {
           "index.")
     }
 
-  /** (doc_id, tok, tf) + (doc_id, len) for a doc frame — the shared
-    * tokenize-aggregate of build and append. Docs with zero tokens
-    * contribute no rows (and therefore never count toward n_docs /
-    * total_tokens — matching the one-shot's countDistinct over the
-    * exploded token table). */
+  /** (doc_id, tok, tf, positions) + (doc_id, len) for a doc frame —
+    * the shared tokenize-aggregate of build and append. Docs with zero
+    * tokens contribute no rows (and therefore never count toward
+    * n_docs / total_tokens — matching the one-shot's countDistinct
+    * over the exploded token table).
+    *
+    * `positions` (0-based, sorted, distinct by construction) makes the
+    * postings POSITIONAL: the scoring probe never reads the column
+    * (parquet column pruning — LexIndexSpec pins the ReadSchema), so
+    * BM25 serving pays nothing for it, while [[probePhrase]] gets
+    * exact phrase retrieval from the same maintained artifact. */
   private def termFrames(docs: DataFrame): (DataFrame, DataFrame) = {
     val tok = docs.select(col("doc_id"),
-      explode(TextFunctions.tokens(col("text"))).as("tok"))
-    val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
+    val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"),
+      sort_array(collect_list(col("pos"))).as("positions"))
     val len = tf.groupBy("doc_id").agg(sum(col("tf")).as("len"))
     (tf, len)
   }
@@ -182,7 +189,7 @@ object LexIndex {
       val dt = Generations.physical(name, "dfcap", lease.gen)
       val st = Generations.physical(name, "stats", lease.gen)
       tf.join(len, "doc_id")
-        .select(col("tok"), col("doc_id"), col("tf"), col("len"))
+        .select(col("tok"), col("doc_id"), col("tf"), col("len"), col("positions"))
         .repartition(numBuckets, col("tok"))
         .write.format("parquet")
         .bucketBy(numBuckets, "tok").sortBy("tok").saveAsTable(pt)
@@ -272,7 +279,7 @@ object LexIndex {
         val tf = Frontier.pin(tf0)
         val len = Frontier.pin(len0)
         val post = tf.join(len, "doc_id")
-          .select(col("tok"), col("doc_id"), col("tf"), col("len"))
+          .select(col("tok"), col("doc_id"), col("tf"), col("len"), col("positions"))
         val postToAdd =
           if (ifAbsent) post.join(spark.table(pt).select("doc_id").distinct(),
             Seq("doc_id"), "left_anti")
@@ -420,10 +427,19 @@ object LexIndex {
     * corpus statistics (df/n_docs/total_tokens stay corpus-level, so a
     * doc's score is filter-invariant — LexIndexSpec pins that), and
     * the probe's cost shape is unchanged: the filter prunes rows of
-    * the already-bounded query-term posting lists. */
+    * the already-bounded query-term posting lists.
+    *
+    * `candPairs`: PER-QUERY candidacy — (qid, doc_id) rows a doc must
+    * appear under ITS query to be retrievable for it. This is the
+    * quoted-phrase search shape ("rank by relevance among docs
+    * containing MY phrase", s43): feed [[probePhrase]]'s matches in.
+    * Applied as a broadcast semi-join after the query join (the
+    * earliest point qid exists), before aggregation — candidacy-only,
+    * statistics untouched. */
   def probeLexIndex(spark: SparkSession, name: String, queries: DataFrame,
       kEach: Int, asOf: Option[Long] = None,
-      candPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      candPred: Option[org.apache.spark.sql.Column] = None,
+      candPairs: Option[DataFrame] = None): DataFrame = {
     val pt = member(spark, name, "postings", asOf)
     val dt = member(spark, name, "dfcap", asOf)
     val st = member(spark, name, "stats", asOf)
@@ -478,11 +494,15 @@ object LexIndex {
     // serve-time scope: candidacy-only, like the tombstone exclusion
     // above (and for the same statistical-consistency reason)
     val cand = candPred.fold(cand0)(cand0.filter)
-    val scored = cand.join(dfAgg, "tok")
+    val scored0 = cand.join(dfAgg, "tok")
       .crossJoin(nAgg)
       .filter(col("df") * 10 <= col("n_docs") * 9)
       .join(broadcast(qt), "tok")
       .filter(col("doc_id") =!= col("qid"))
+    val scored = candPairs.fold(scored0)(cp => scored0.join(
+        broadcast(cp.select(col(cp.columns.head).cast("long").as("qid"),
+          col(cp.columns(1)).cast("long").as("doc_id")).distinct()),
+        Seq("qid", "doc_id"), "left_semi"))
       .withColumn("w", expr(HybridRetrieval.termWeightSql))
     val agg = scored.groupBy("qid", "doc_id")
       .agg((sum(col("w").cast(DecimalType(18, 9))) * 1000000000L)
@@ -492,6 +512,59 @@ object LexIndex {
           col("lex_scaled").as("score")), kEach)
       .select(col("qid"), col("vec_id").as("doc_id"),
         col("rank").as("lex_rank"), col("score").as("lex_scaled"))
+  }
+
+  /** EXACT PHRASE retrieval from the persisted positional postings —
+    * the capability that justifies storing `positions` (the scoring
+    * probe never reads them; this probe is why they exist). `phrases`
+    * is (phrase_id, phrase); output is one row per (phrase_id, doc_id)
+    * containing the phrase as a CONTIGUOUS token run: `n_matches`
+    * occurrence count and `first_pos` (0-based anchor of the first).
+    *
+    * The classic positional-index intersection, spelled relationally:
+    * each phrase term's postings shift their positions back by the
+    * term's in-phrase offset, and a doc matches at anchor p iff ALL
+    * n terms put an anchor at p — a (phrase, doc, anchor) count
+    * reaching n. Repeated terms are handled by counting DISTINCT
+    * offsets (each occurrence slot must be present independently).
+    *
+    * Scale shape: the phrase side is tiny and broadcast; the postings
+    * scan is bounded by the PHRASE terms' posting lists (same bounded
+    * `tok IN (…)` pushdown as the scoring probe) and reads only
+    * (tok, doc_id, positions); the one shuffle groups anchor rows,
+    * whose count is at most the matched terms' total occurrences.
+    * Tombstoned docs lose candidacy immediately, as in every probe. */
+  def probePhrase(spark: SparkSession, name: String,
+      phrases: DataFrame): DataFrame = {
+    val pt = member(spark, name, "postings")
+    requireTokenizer(spark, Seq(pt))
+    val terms = phrases.select(col(phrases.columns.head).as("phrase_id"),
+      posexplode(TextFunctions.tokens(col(phrases.columns(1))))
+        .as(Seq("off", "tok")))
+    val nTerms = terms.groupBy("phrase_id")
+      .agg(countDistinct(col("off")).as("n"))
+    val postings0 = spark.table(pt)
+    val postings =
+      if (scanBytes(postings0) <= pushdownMinBytes(spark)) postings0
+      else {
+        val toks = terms.select("tok").distinct()
+          .limit(ProbePushdownMax + 1).collect().map(_.getString(0))
+        if (toks.length > ProbePushdownMax) postings0
+        else postings0.filter(col("tok").isin(toks.map(x => x: Any): _*))
+      }
+    val rows = postings.select("tok", "doc_id", "positions")
+      .join(broadcast(terms), "tok")
+    val cand = lexTombstones(spark, name).fold(rows)(t =>
+      rows.join(broadcast(t.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_anti"))
+    val anchors = cand.select(col("phrase_id"), col("doc_id"), col("off"),
+      explode(expr("transform(positions, x -> x - off)")).as("p"))
+    anchors.groupBy("phrase_id", "doc_id", "p")
+      .agg(countDistinct(col("off")).as("got"))
+      .join(broadcast(nTerms), "phrase_id")
+      .filter(col("got") === col("n") && col("p") >= 0)
+      .groupBy("phrase_id", "doc_id")
+      .agg(count(lit(1)).as("n_matches"), min(col("p")).as("first_pos"))
   }
 
   /** Remove the whole family + tombstones — fixture/test reset. */

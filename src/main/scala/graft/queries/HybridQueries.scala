@@ -312,5 +312,130 @@ object HybridQueries {
           vec AS MATERIALIZED (SELECT qid, vec_id AS doc_id, rank AS vec_rank
             FROM ($ivf)),
           ${HybridRetrieval.fusionTailSql(K, c = 60)}"""
-      }))
+      }),
+
+    // ---- s41: exact PHRASE retrieval from the positional postings ----
+    // The postings grew a `positions` column (0-based token offsets,
+    // column-pruned away by every scoring probe — BM25 serving pays
+    // nothing for it); this row serves quoted-phrase queries from the
+    // SAME maintained artifact: each phrase term's posting list shifts
+    // its positions back by the term's in-phrase offset, and a doc
+    // matches at anchor p iff all n terms agree on p — the classic
+    // positional-index intersection, cost bounded by the phrase
+    // terms' posting lists. Phrases = each query doc's first two
+    // tokens (~30 matching docs each over the small synthetic vocab —
+    // a wrong position anywhere flips the hash).
+    Q("s41_phrase_probe",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        LexIndex.writeLexIndex(docs.select(col("doc_id"), col("text")),
+          "graft_s41_lex")
+        LexIndex.probePhrase(s, "graft_s41_lex", phrasesOf(docs))
+          .select(col("phrase_id").as("qid"), col("doc_id"),
+            col("n_matches"), col("first_pos"))
+          .orderBy("qid", "doc_id")
+      },
+      Some(phraseOracle(corpusPredSql = None))),
+
+    // ---- s42: phrase retrieval THROUGH the maintenance lifecycle -----
+    // Positions must survive the whole lifecycle: build over 4/5 of
+    // the corpus, append the held-out fifth (positional rows land via
+    // the same termFrames), take down a deterministic slice, compact
+    // (the purged rewrite carries positions through), probe. Equal to
+    // the one-shot phrase scan over corpus-minus-deleted: a dropped
+    // positional append, a leaked purge, or positions corrupted by the
+    // bucketed rewrite all flip the hash.
+    Q("s42_phrase_lifecycle",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val name = "graft_s42_lex"
+        LexIndex.writeLexIndex(docs.filter(col("doc_id") % 5 =!= 3), name)
+        LexIndex.appendToLexIndex(docs.filter(col("doc_id") % 5 === 3),
+          name, batchId = "night1")
+        LexIndex.tombstoneLex(s, name, docs
+          .filter(col("doc_id") < 40 && col("doc_id") % 4 === 1)
+          .select("doc_id"))
+        LexIndex.compactLexIndex(s, name)
+        LexIndex.probePhrase(s, name,
+            phrasesOf(Tables(s, dir, "documents")))
+          .select(col("phrase_id").as("qid"), col("doc_id"),
+            col("n_matches"), col("first_pos"))
+          .orderBy("qid", "doc_id")
+      },
+      Some(phraseOracle(
+        corpusPredSql = Some("NOT (doc_id < 40 AND doc_id % 4 = 1)")))),
+
+    // ---- s43: quoted-phrase search — phrase-must + relevance ranking -
+    // The search-box shape: each query carries a REQUIRED phrase (its
+    // own two-token prefix) and a relevance query (its full text);
+    // the result is the BM25 top-k among the docs containing THAT
+    // query's phrase. Per-query candidacy rides probePhrase's matches
+    // into the scoring probe as a broadcast (qid, doc_id) semi-join —
+    // candidacy-only, corpus statistics untouched, both from the one
+    // maintained positional index. Oracle: the phrase CTE chain feeds
+    // the proven lexical scorer text through an EXISTS at the same
+    // position.
+    Q("s43_phrase_filtered_rank",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val name = "graft_s43_lex"
+        LexIndex.writeLexIndex(docs.select(col("doc_id"), col("text")),
+          name)
+        val pm = LexIndex.probePhrase(s, name, phrasesOf(docs))
+          .select(col("phrase_id").as("qid"), col("doc_id"))
+        LexIndex.probeLexIndex(s, name, queriesOf(docs), KEach,
+            candPairs = Some(pm))
+          .orderBy("qid", "lex_rank")
+      },
+      Some(s"""WITH ${phraseCtes(None)},
+        ${HybridRetrieval.lexicalOracleCtes("documents", "doc_id < 8",
+          KEach, candPairCte = Some("pm"))}
+        SELECT qid, doc_id, lex_rank, lex_scaled FROM lex
+        ORDER BY qid NULLS FIRST, lex_rank NULLS FIRST""")))
+
+  /** The phrase queries: each query doc's first two tokens. */
+  private def phrasesOf(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") < 8)
+      .select(col("doc_id").as("phrase_id"),
+        concat_ws(" ", slice(graft.functions.TextFunctions
+          .tokens(col("text")), 1, 2)).as("phrase"))
+
+  /** The phrase-match CTE chain: lockstep unnest(tk)/unnest(range)
+    * recovers 0-based positions, then the same shift-and-intersect
+    * text as [[graft.operators.LexIndex.probePhrase]], ending in
+    * `pm` (qid, doc_id, n_matches, first_pos). `corpusPredSql` removes
+    * erased docs from CANDIDACY (the s42 lifecycle row); phrases
+    * always come from the original table. */
+  private def phraseCtes(corpusPredSql: Option[String]): String = {
+    val corpusFilter = corpusPredSql.fold("")(p => s" WHERE $p")
+    s"""dt AS MATERIALIZED (SELECT doc_id,
+          ${graft.functions.TextFunctions.sqlTokens("text")} AS tk
+        FROM documents),
+      ph AS MATERIALIZED (SELECT doc_id AS phrase_id,
+          list_slice(tk, 1, 2) AS pt FROM dt WHERE doc_id < 8),
+      pht AS MATERIALIZED (SELECT phrase_id, unnest(pt) AS tok,
+          unnest(range(0, len(pt))) AS off FROM ph),
+      nt AS MATERIALIZED (SELECT phrase_id, count(DISTINCT off) AS n
+        FROM pht GROUP BY phrase_id),
+      tokp AS MATERIALIZED (SELECT doc_id, unnest(tk) AS tok,
+          unnest(range(0, len(tk))) AS pos FROM dt$corpusFilter),
+      anch AS MATERIALIZED (SELECT p.phrase_id, t.doc_id, p.off,
+          t.pos - p.off AS a
+        FROM tokp t JOIN pht p USING (tok)),
+      hit AS MATERIALIZED (SELECT phrase_id, doc_id, a,
+          count(DISTINCT off) AS got
+        FROM anch GROUP BY phrase_id, doc_id, a),
+      pm AS MATERIALIZED (SELECT h.phrase_id AS qid, h.doc_id,
+          CAST(count(*) AS BIGINT) AS n_matches,
+          CAST(min(h.a) AS INT) AS first_pos
+        FROM hit h JOIN nt USING (phrase_id)
+        WHERE h.got = nt.n AND h.a >= 0
+        GROUP BY h.phrase_id, h.doc_id)"""
+  }
+
+  private def phraseOracle(corpusPredSql: Option[String]): String =
+    s"""WITH ${phraseCtes(corpusPredSql)}
+      SELECT qid, doc_id, n_matches, first_pos FROM pm
+      ORDER BY qid NULLS FIRST, doc_id NULLS FIRST"""
 }

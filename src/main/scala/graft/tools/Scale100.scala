@@ -47,8 +47,8 @@ object Scale100 {
     require(opArgs.length <= 1, s"at most one op arg: ${opArgs.toSeq}")
     val op = opArgs.headOption.getOrElse("all")
     require(Set("all", "none", "d22", "s25", "s26", "d12", "s09", "s30",
-      "s31", "s38", "s40").contains(op),
-      s"unknown op '$op' (all|none|d22|s25|s26|d12|s09|s30|s31|s38|s40)")
+      "s31", "s38", "s40", "s41").contains(op),
+      s"unknown op '$op' (all|none|d22|s25|s26|d12|s09|s30|s31|s38|s40|s41)")
     val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_scale")
 
     def indicators(df: DataFrame): String = {
@@ -234,6 +234,23 @@ object Scale100 {
               col("rank").as("vec_rank"))
           graft.operators.HybridRetrieval.rrfFuse(lex, vec, 10)
         })
+      }
+      // phrase retrieval (s41): probe cost is bounded by the 8 query
+      // phrases' term posting lists (pushdown + anchor grouping) — the
+      // bounded-probe argument again, measured on positional postings.
+      if (op == "all" || op == "s41") {
+        val lName = s"graft_s100_ph_lex_m$m"
+        val t0 = System.nanoTime()
+        graft.operators.LexIndex.writeLexIndex(
+          docs.select(col("doc_id"), col("text")), lName, numBuckets = 8 * m)
+        println(f"[s100] m=$m%-4d s41_build      ${(System.nanoTime() - t0) / 1e9}%8.2fs  (build)")
+        val phrases = docs.filter(col("doc_id") < 8)
+          .select(col("doc_id").as("phrase_id"),
+            concat_ws(" ", slice(graft.functions.TextFunctions
+              .tokens(col("text")), 1, 2)).as("phrase"))
+          .localCheckpoint()
+        time("s41_probe", () => graft.operators.LexIndex.probePhrase(
+          spark, lName, phrases))
       }
       if (op == "all" || op == "s09") {
         val aName = s"graft_s100_ann_m$m"

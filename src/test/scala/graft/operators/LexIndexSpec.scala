@@ -196,6 +196,52 @@ class LexIndexSpec extends SparkSpec {
     LexIndex.destroy(spark, name)
   }
 
+  test("positional postings: scoring probe prunes the positions column; phrase probe reads it and matches a direct scan") {
+    val name = "graft_t_lexp"
+    LexIndex.destroy(spark, name)
+    LexIndex.writeLexIndex(docs, name, numBuckets = 4)
+    // the scan's ReadSchema from the plan string (the AQE-safe spelling
+    // this suite already uses for PushedFilters)
+    def postingsSchemas(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .filter(l => l.contains(s"${name}_postings") &&
+          l.contains("ReadSchema"))
+        .map(_.replaceAll(".*ReadSchema: ", "")).toList
+    // BM25 serving pays NOTHING for the positional column: the scoring
+    // probe's postings scans must not request it
+    val score = postingsSchemas(
+      LexIndex.probeLexIndex(spark, name, queries, kEach = 10))
+    assert(score.nonEmpty && score.forall(!_.contains("positions")),
+      s"scoring probe reads positions: $score")
+    val phrases = docs.filter(col("doc_id") < 8)
+      .select(col("doc_id").as("phrase_id"),
+        concat_ws(" ", slice(graft.functions.TextFunctions
+          .tokens(col("text")), 1, 2)).as("phrase"))
+    val probe = LexIndex.probePhrase(spark, name, phrases)
+    val phr = postingsSchemas(probe)
+    assert(phr.nonEmpty && phr.forall(_.contains("positions")),
+      s"phrase probe does not read positions: $phr")
+    // correctness vs a direct windowed scan of the raw text: count of
+    // contiguous 2-token runs + the first anchor, per (phrase, doc)
+    val got = probe.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getInt(3)))
+      .toMap
+    val toks = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val want = (for {
+      (pid, pt) <- phrases.collect()
+        .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+      (did, tk) <- toks
+      anchors = tk.indices.dropRight(pt.length - 1)
+        .filter(i => tk.slice(i, i + pt.length) == pt)
+      if anchors.nonEmpty
+    } yield (pid, did) -> (anchors.length.toLong, anchors.head)).toMap
+    assert(got == want,
+      s"phrase probe != direct scan: ${got.size} vs ${want.size} pairs")
+    LexIndex.destroy(spark, name)
+  }
+
   test("tombstone: immediate candidacy exclusion, untouched statistics") {
     LexIndex.destroy(spark, "graft_t_lexd")
     LexIndex.writeLexIndex(docs, "graft_t_lexd", numBuckets = 4)
