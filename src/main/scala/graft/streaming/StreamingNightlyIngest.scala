@@ -274,6 +274,14 @@ object StreamingNightlyIngest {
           "first, or the stale embedding would shadow the re-ingested " +
           "doc's new vector (corpus append anti-joins on vec_id)")
       writeRegistry(spark, arts, cur.join(del, Seq("doc_id"), "left_anti"))
+      // the INDEX-LEVEL erased registries (the r14 replay-resurrection
+      // bar: each index's ifAbsent appends anti-join them) must lift
+      // together with the pipeline-level one, or the re-crawl this
+      // method exists to allow would be silently skipped by every
+      // index append. readmit is a no-op on families with no registry
+      // (e.g. a loop that never ran the lex/graph legs).
+      Seq(arts.ndIndex, arts.annIndex, graphName(arts), lexName(arts))
+        .foreach(Tombstones.readmit(spark, _, del))
     }
 
   /** PHYSICAL erasure for the raw-vector corpus table — the one
