@@ -132,23 +132,30 @@ private[graft] object Tombstones {
       idCol: String): Unit = {
     val fam = family(index)
     dropOrphanLegacy(spark, index)
-    val legacy = legacyTable(spark, index)
-      .filter(_ => Generations.currentGen(spark, fam).isEmpty)
-    val add = ids.select(col(ids.columns.head).cast("long").as(idCol))
-      .distinct()
-    // `get` folds a legacy plain table in as the current set, so the
-    // first post-upgrade mutation MIGRATES it: merged into generation
-    // 0 of the family, then the plain table is retired (pin breaks
-    // the read-what-we-then-drop dependency)
-    val merged = Frontier.pin(get(spark, index)
-      .fold(add)(cur => cur.unionByName(
-        add.select(col(add.columns.head).as(cur.columns.head))).distinct()))
-    val n = merged.count() // pinned: the count re-reads the checkpoint
     Generations.swap(spark, fam, Members) { lease =>
+      // merged under the family's writer lease (the clearApplied
+      // discipline, applied symmetrically): a clearApplied committing
+      // between a pre-lease pin and this swap would otherwise see its
+      // subtraction re-added — benign (the re-added ids' rows are
+      // already purged) but a state no one should have to reason
+      // about. Under the lease the two mutations serialize cleanly.
+      val add = ids.select(col(ids.columns.head).cast("long").as(idCol))
+        .distinct()
+      // `get` folds a legacy plain table in as the current set, so the
+      // first post-upgrade mutation MIGRATES it: merged into the new
+      // generation (pin breaks the read-what-we-then-drop dependency;
+      // the plain table is retired after the flip)
+      val merged = Frontier.pin(get(spark, index)
+        .fold(add)(cur => cur.unionByName(
+          add.select(col(add.columns.head).as(cur.columns.head)))
+          .distinct()))
+      val n = merged.count() // pinned: the count re-reads the checkpoint
       writeIds(merged, n, Generations.physical(fam, "ids", lease.gen))
       Map(EmptyProp -> (n == 0L).toString, PendingProp -> n.toString)
     }
-    legacy.foreach(Generations.dropTableAndLocation(spark, _))
+    // the swap committed, so the family is the truth: retire a
+    // just-migrated plain legacy table
+    dropOrphanLegacy(spark, index)
   }
 
   /** Remove exactly the ids a compaction/rebuild APPLIED, leaving any
