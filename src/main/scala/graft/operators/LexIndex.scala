@@ -533,10 +533,14 @@ object LexIndex {
     * `tok IN (…)` pushdown as the scoring probe) and reads only
     * (tok, doc_id, positions); the one shuffle groups anchor rows,
     * whose count is at most the matched terms' total occurrences.
-    * Tombstoned docs lose candidacy immediately, as in every probe. */
+    * Tombstoned docs lose candidacy immediately, as in every probe.
+    * `asOf = Some(g)` probes a retained past generation's postings —
+    * with the house asymmetry that tombstone exclusion stays CURRENT:
+    * erasure overrides history (the s34/d25 contract, on the phrase
+    * path). */
   def probePhrase(spark: SparkSession, name: String,
-      phrases: DataFrame): DataFrame = {
-    val pt = member(spark, name, "postings")
+      phrases: DataFrame, asOf: Option[Long] = None): DataFrame = {
+    val pt = member(spark, name, "postings", asOf)
     requireTokenizer(spark, Seq(pt))
     val terms = phrases.select(col(phrases.columns.head).as("phrase_id"),
       posexplode(TextFunctions.tokens(col(phrases.columns(1))))

@@ -392,7 +392,38 @@ object HybridQueries {
         ${HybridRetrieval.lexicalOracleCtes("documents", "doc_id < 8",
           KEach, candPairCte = Some("pm"))}
         SELECT qid, doc_id, lex_rank, lex_scaled FROM lex
-        ORDER BY qid NULLS FIRST, lex_rank NULLS FIRST""")))
+        ORDER BY qid NULLS FIRST, lex_rank NULLS FIRST""")),
+
+    // ---- s44: phrase AS-OF — snapshot isolation + erasure override --
+    // The s34/d25 time-travel contract on the phrase path: a clean
+    // retaining compaction (gcKeep = 2) freezes the positional
+    // postings; near-dup edits of the query cohort are appended to
+    // the CURRENT generation (their two-token prefixes match every
+    // query phrase, so a snapshot leak floods the result with +1e9
+    // ids); a takedown of three query-cohort docs lands AFTER the
+    // snapshot and stays pending. Probing asOf the frozen generation
+    // must hide the appends AND still exclude the taken-down docs —
+    // tombstone candidacy is deliberately CURRENT (erasure overrides
+    // history), while positions come from the snapshot.
+    Q("s44_phrase_asof",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val name = "graft_s44_lex"
+        LexIndex.writeLexIndex(docs, name)
+        LexIndex.compactLexIndex(s, name, gcKeep = 2)
+        val g0 = graft.operators.Generations.currentGen(s, name).get - 1
+        LexIndex.appendToLexIndex(extras(docs), name, batchId = "extras")
+        import s.implicits._
+        LexIndex.tombstoneLex(s, name, Seq(0L, 2L, 4L).toDF("doc_id"))
+        LexIndex.probePhrase(s, name,
+            phrasesOf(Tables(s, dir, "documents")), asOf = Some(g0))
+          .select(col("phrase_id").as("qid"), col("doc_id"),
+            col("n_matches"), col("first_pos"))
+          .orderBy("qid", "doc_id")
+      },
+      Some(phraseOracle(
+        corpusPredSql = Some("NOT (doc_id IN (0, 2, 4))")))))
 
   /** The phrase queries: each query doc's first two tokens. */
   private def phrasesOf(docs: DataFrame): DataFrame =
