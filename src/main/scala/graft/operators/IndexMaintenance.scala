@@ -38,13 +38,21 @@ object IndexMaintenance {
 
   /** One member table's physical state: file count and bytes from the
     * filesystem listing, bucket count from the catalog (None for
-    * partitioned-not-bucketed members like the ANN cells table). */
+    * partitioned-not-bucketed members like the ANN cells table),
+    * `leaves` = the number of LEAF DIRECTORIES holding data files
+    * (partition directories for a partitioned member, 1 for a plain
+    * one) — the denominator when no bucket spec exists. */
   final case class MemberHealth(member: String, files: Long, bytes: Long,
-      buckets: Option[Int]) {
+      buckets: Option[Int], leaves: Long = 1L) {
     /** The fragmentation gauge: ~1.0 right after a compaction (one
-      * file per bucket), +1 per append since. */
+      * file per bucket — or per partition directory for members laid
+      * out by `partitionBy`, like the ANN cells table), +1 per append
+      * since. Dividing a partitioned member's file count by its LEAF
+      * count matters: the raw count grows with nCells, so a freshly
+      * compacted ANN family would otherwise read as permanently
+      * fragmented and an automated sweep would compact it forever. */
     def filesPerBucket: Double =
-      buckets.fold(files.toDouble)(b => files.toDouble / math.max(1, b))
+      files.toDouble / math.max(1L, buckets.map(_.toLong).getOrElse(leaves))
   }
 
   /** A family's full maintenance-relevant state, metadata-only. */
@@ -88,6 +96,7 @@ object IndexMaintenance {
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       var files = 0L
       var bytes = 0L
+      val leafDirs = scala.collection.mutable.HashSet.empty[String]
       if (fs.exists(loc)) {
         val it = fs.listFiles(loc, true)
         while (it.hasNext) {
@@ -95,10 +104,12 @@ object IndexMaintenance {
           val n = st.getPath.getName
           if (!n.startsWith("_") && !n.startsWith(".")) {
             files += 1; bytes += st.getLen
+            leafDirs += st.getPath.getParent.toString
           }
         }
       }
-      MemberHealth(m, files, bytes, meta.bucketSpec.map(_.numBuckets))
+      MemberHealth(m, files, bytes, meta.bucketSpec.map(_.numBuckets),
+        leaves = math.max(1L, leafDirs.size.toLong))
     }
     FamilyHealth(family, gen, mh,
       pendingTombstones = Tombstones.pendingCount(spark, family),

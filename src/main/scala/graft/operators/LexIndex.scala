@@ -132,6 +132,22 @@ object LexIndex {
     asOf.fold(Generations.resolve(spark, name, m))(g =>
       Generations.resolveAsOf(spark, name, m, g))
 
+  /** Positional-schema guard for indexes built BEFORE postings carried
+    * the `positions` column: an append would write 5 columns into the
+    * 4-column legacy table (failing with a parquet schema error),
+    * [[probePhrase]] would select a missing column, and a compaction
+    * carries the legacy schema forward — so a legacy family is
+    * read-only for scoring probes until an explicit rebuild upgrades
+    * it. This makes the contract LOUD at the two entry points that
+    * need positions, instead of a schema-mismatch stack trace. */
+  private def requirePositional(spark: SparkSession, pt: String): Unit =
+    require(spark.table(pt).columns.contains("positions"),
+      s"postings table $pt predates positional postings (no " +
+        "`positions` column): scoring probes keep working, but appends " +
+        "and phrase probes need the positional schema — rebuild the " +
+        "family with writeLexIndex (compaction deliberately carries " +
+        "the legacy schema forward; only a rebuild upgrades)")
+
   private def requireTokenizer(spark: SparkSession,
       tables: Seq[String]): Unit =
     tables.foreach { t =>
@@ -253,6 +269,7 @@ object LexIndex {
       val (pt, lt, st) = (member(spark, name, "postings"),
         member(spark, name, "doclen"), member(spark, name, "stats"))
       requireTokenizer(spark, Seq(pt, lt, st))
+      requirePositional(spark, pt)
       val applied = ifAbsent && !spark.table(st)
         .filter(col("batch_id") === batchId).isEmpty
       if (!applied) {
@@ -542,14 +559,22 @@ object LexIndex {
       phrases: DataFrame, asOf: Option[Long] = None): DataFrame = {
     val pt = member(spark, name, "postings", asOf)
     requireTokenizer(spark, Seq(pt))
-    val terms = phrases.select(col(phrases.columns.head).as("phrase_id"),
+    requirePositional(spark, pt)
+    val terms0 = phrases.select(col(phrases.columns.head).as("phrase_id"),
       posexplode(TextFunctions.tokens(col(phrases.columns(1))))
         .as(Seq("off", "tok")))
+    val postings0 = spark.table(pt)
+    val push = scanBytes(postings0) > pushdownMinBytes(spark)
+    // pinned when the pushdown collects keys from it (the probeLexIndex
+    // qt discipline): a nondeterministic phrases frame re-evaluated
+    // between the key collect and the join could otherwise push a
+    // token set that diverges from the joined rows — silently dropping
+    // matches
+    val terms = if (push) Frontier.pin(terms0) else terms0
     val nTerms = terms.groupBy("phrase_id")
       .agg(countDistinct(col("off")).as("n"))
-    val postings0 = spark.table(pt)
     val postings =
-      if (scanBytes(postings0) <= pushdownMinBytes(spark)) postings0
+      if (!push) postings0
       else {
         val toks = terms.select("tok").distinct()
           .limit(ProbePushdownMax + 1).collect().map(_.getString(0))

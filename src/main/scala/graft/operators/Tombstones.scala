@@ -220,7 +220,12 @@ private[graft] object Tombstones {
               applied.select(
                 col(applied.columns.head).cast("long").as(idCol)),
               Seq(idCol), "left_anti"))
-          case None => spark.range(0).select(lit(0L).as("id"))
+          // column named from the caller's frame, not a hardcoded 'id':
+          // the family otherwise carries the index's id column
+          // (doc_id/vec_id), and a future direct reader of the empty
+          // set must see the same schema
+          case None =>
+            spark.range(0).select(lit(0L).as(applied.columns.head))
         }
         val n = remaining.count()
         writeIds(remaining, n, Generations.physical(fam, "ids", lease.gen))
@@ -244,12 +249,13 @@ private[graft] object Tombstones {
     dropOrphanLegacy(spark, index)
     get(spark, index).foreach(cur =>
       registerErased(spark, index, Frontier.pin(cur)))
-    if (get(spark, index).isDefined) {
+    get(spark, index).map(_.columns.head).foreach { idName =>
       val fam = family(index)
       val legacy = legacyTable(spark, index)
         .filter(_ => Generations.currentGen(spark, fam).isEmpty)
       Generations.swap(spark, fam, Members) { lease =>
-        spark.range(0).select(lit(0L).as("id")).coalesce(1)
+        // empty set keeps the family's id column name (doc_id/vec_id)
+        spark.range(0).select(lit(0L).as(idName)).coalesce(1)
           .write.format("parquet")
           .saveAsTable(Generations.physical(fam, "ids", lease.gen))
         Map(EmptyProp -> "true", PendingProp -> "0")
@@ -408,7 +414,11 @@ private[graft] object Tombstones {
             Frontier.pin(cur.join(
               ids.select(col(ids.columns.head).cast("long").as(idCol)),
               Seq(idCol), "left_anti"))
-          case None => spark.range(0).select(lit(0L).as("doc_id"))
+          // same schema-consistency rule as clearStale's empty write:
+          // derive the column from the caller, never hardcode (vec-keyed
+          // families carry vec_id here)
+          case None =>
+            spark.range(0).select(lit(0L).as(ids.columns.head))
         }
         val n = remaining.count()
         writeIds(remaining, n, Generations.physical(fam, "ids", lease.gen))

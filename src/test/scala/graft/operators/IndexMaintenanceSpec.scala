@@ -70,7 +70,27 @@ class IndexMaintenanceSpec extends SparkSpec {
     val cells = h.members.find(_.member == "cells").get
     assert(cells.buckets.isEmpty && cells.files > 0 && cells.bytes > 0,
       s"cells member not readable: $cells")
-    assert(!IndexMaintenance.compactionDue(h,
-      IndexMaintenance.Policy(maxFilesPerBucket = cells.files + 1.0)).due)
+    // the partitioned member gauges files PER LEAF DIRECTORY (its
+    // nCells >= 16 partition dirs), not the raw file count — so a
+    // freshly built ANN family reads ~1.0 and the DEFAULT policy does
+    // not flag it compaction-due forever (the endless-churn bug an
+    // automated sweep would otherwise hit)
+    assert(cells.leaves > 1, s"cells leaf dirs not gauged: $cells")
+    assert(cells.filesPerBucket <= 2.0,
+      s"fresh ANN family reads fragmented: $cells")
+    assert(!IndexMaintenance.compactionDue(h).due,
+      s"fresh ANN family due under the DEFAULT policy: " +
+        s"${IndexMaintenance.compactionDue(h)}")
+    // appends fragment each cell directory; the per-leaf gauge moves
+    (1 to 2).foreach(i => AnnIndex.appendToAnnIndex(
+      emb.filter(col("vec_id") < 64)
+        .select((col("vec_id") + i * 1000000L).as("vec_id"),
+          col("embedding")),
+      "graft_t_maint_ann"))
+    val h2 = IndexMaintenance.health(spark, "graft_t_maint_ann",
+      Seq("cells", "model"))
+    val cells2 = h2.members.find(_.member == "cells").get
+    assert(cells2.filesPerBucket > cells.filesPerBucket,
+      s"appends did not move the per-leaf gauge: $cells2 vs $cells")
   }
 }

@@ -303,4 +303,48 @@ class LexIndexSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("tokenizer"))
   }
+
+  test("legacy positions-less postings: scoring probe keeps working, append and phrase probe fail loudly with rebuild-required") {
+    val name = "graft_t_lexleg"
+    LexIndex.destroy(spark, name)
+    LexIndex.writeLexIndex(docs.filter(col("doc_id") < 60), name,
+      numBuckets = 2)
+    val before = probe(name)
+    // fabricate a pre-positional deployment: rewrite the physical
+    // postings table without the positions column (same bucketing and
+    // tokenizer stamp — exactly what an index built before the schema
+    // change looks like)
+    val pt = Generations.resolve(spark, name, "postings")
+    val legacy = Frontier.pin(spark.table(pt).drop("positions"))
+    Generations.dropTableAndLocation(spark, pt)
+    legacy.write.format("parquet")
+      .bucketBy(2, "tok").sortBy("tok").saveAsTable(pt)
+    spark.sql(s"ALTER TABLE $pt SET TBLPROPERTIES " +
+      s"('${LexIndex.TokenizerProp}' = '${LexIndex.TokenizerId}')")
+    // BM25 scoring never reads positions — identical results on the
+    // legacy schema
+    assert(probe(name).sameElements(before),
+      "scoring probe changed on the legacy postings schema")
+    // appends would write 5 columns into the 4-column table; phrase
+    // probes would select a missing column — both must say WHY and
+    // name the fix instead of a parquet schema stack trace
+    val ea = intercept[IllegalArgumentException] {
+      LexIndex.appendToLexIndex(batch(4100000000L), name, batchId = "leg")
+    }
+    assert(ea.getMessage.contains("positional") &&
+      ea.getMessage.contains("writeLexIndex"), ea.getMessage)
+    import spark.implicits._
+    val ep = intercept[IllegalArgumentException] {
+      LexIndex.probePhrase(spark, name,
+        Seq((1L, "some phrase")).toDF("phrase_id", "phrase"))
+    }
+    assert(ep.getMessage.contains("positional"), ep.getMessage)
+    // the explicit rebuild upgrades; both paths work again
+    LexIndex.writeLexIndex(docs.filter(col("doc_id") < 60), name,
+      numBuckets = 2)
+    LexIndex.appendToLexIndex(batch(4100000000L), name, batchId = "leg")
+    assert(LexIndex.probePhrase(spark, name,
+      Seq((1L, "some phrase")).toDF("phrase_id", "phrase")).count() >= 0)
+    LexIndex.destroy(spark, name)
+  }
 }
