@@ -74,6 +74,10 @@ object AnnIndex {
     * model would silently mis-rank). */
   private val IndexMembers = Seq("cells", "model")
 
+  /** The family's member list for [[IndexMaintenance.health]] sweeps —
+    * the same list every writer passes to [[Generations]]. */
+  val maintenanceMembers: Seq[String] = IndexMembers
+
   private def cellsTable(spark: SparkSession, name: String): String =
     Generations.resolve(spark, name, "cells")
   private def modelTable(spark: SparkSession, name: String): String =

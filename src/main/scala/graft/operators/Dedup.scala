@@ -844,6 +844,10 @@ object Dedup {
   /** The near-dup index family's members under [[Generations]]. */
   private val IndexMembers = Seq("buckets", "sigs")
 
+  /** The family's member list for [[IndexMaintenance.health]] sweeps —
+    * the same list every writer passes to [[Generations]]. */
+  val maintenanceMembers: Seq[String] = IndexMembers
+
   /** Current physical tables of index `name` — every probe, append,
     * stats, and compaction path resolves through the generation
     * pointer, so a mid-swap reader still sees a complete index. */

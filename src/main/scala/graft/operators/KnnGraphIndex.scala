@@ -77,6 +77,10 @@ import graft.functions.VectorFunctions
 object KnnGraphIndex {
 
   private[operators] val Members = Seq("model", "vecs", "probes", "edges")
+
+  /** The family's member list for [[IndexMaintenance.health]] sweeps —
+    * the same list every writer passes to [[Generations]]. */
+  val maintenanceMembers: Seq[String] = Members
   private val KProp = "graft.graph.k"
   private val NProbeProp = "graft.graph.nprobe"
   private val DimProp = "graft.graph.dim"

@@ -85,6 +85,10 @@ object LexIndex {
 
   private val Members = Seq("postings", "doclen", "dfcap", "stats")
 
+  /** The family's member list for [[IndexMaintenance.health]] sweeps —
+    * the same list every writer passes to [[Generations]]. */
+  val maintenanceMembers: Seq[String] = Members
+
   /** Tokenizer contract stamp: an index probed/appended with a
     * different tokenization is silently incomparable (term universes
     * diverge), so every mutation and probe verifies the stamp — the

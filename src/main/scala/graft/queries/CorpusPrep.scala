@@ -962,6 +962,57 @@ object CorpusPrep {
       },
       Some(sqlP13AsofServe)),
 
+    // ---- p14: POLICY-DRIVEN maintenance == fixed-cadence maintenance -
+    // p10's exact fixture with the WHEN decided by IndexMaintenance
+    // instead of the operator's calendar: after the clean night the
+    // default policy must fire NOTHING (the in-body requires assert
+    // it), after the takedown night every maintained family owes
+    // erasure debt — the sweep logs the named reasons, runs only the
+    // due families' compaction bodies, and reclaims the raw-vector
+    // corpus off its own metadata gauge. The probe then hash-checks
+    // against p10's UNCHANGED oracle text: behavior-invisibility of
+    // WHEN, end to end — a sweep that compacted the wrong family,
+    // skipped a due one, or left stale df/stats flips the hash, and a
+    // sweep that silently no-op'd is caught by the in-body requires
+    // (pending counts and the corpus gauge must have reset).
+    Q("p14_policy_maintenance",
+      (s, dir) => {
+        import graft.streaming.StreamingNightlyIngest
+        import s.implicits._
+        val (arts, docs) = nightlyLoopBase(s, dir, "p14",
+          embed = StreamingNightlyIngest.synthEmbedding)
+        StreamingNightlyIngest.nightStep(arts,
+          nightA7(docs).withColumn("embedding",
+            StreamingNightlyIngest.synthEmbedding),
+          budget = P09Budget, salt = "p07b", tokensPerShard = 256L,
+          batchId = 0)
+        val clean = StreamingNightlyIngest.maintenanceSweep(s, arts)
+        require(clean.nonEmpty && clean.forall(!_._2.due),
+          s"clean night flagged compaction-due: $clean")
+        StreamingNightlyIngest.nightStep(arts,
+          nightB7(docs).withColumn("embedding",
+            StreamingNightlyIngest.synthEmbedding),
+          budget = P09Budget, salt = "p07b", tokensPerShard = 256L,
+          batchId = 1, deletes = Some(P09Deleted.toDF("doc_id")))
+        require(StreamingNightlyIngest.corpusErasureDue(s, arts),
+          "takedown night did not flag the corpus gauge")
+        val debt = StreamingNightlyIngest.maintenanceSweep(s, arts)
+        require(debt.forall { case (_, d) =>
+          d.due && d.reasons.exists(_.contains("erasure debt")) },
+          s"takedown debt did not fire on every family: $debt")
+        debt.foreach { case (f, _) =>
+          require(graft.operators.Tombstones.pendingCount(s, f) == 0L,
+            s"$f still owes reclamation after the sweep") }
+        require(!StreamingNightlyIngest.corpusErasureDue(s, arts),
+          "corpus gauge not reset by the sweep's compactCorpus")
+        graft.operators.LexIndex.probeLexIndex(s,
+            StreamingNightlyIngest.lexName(arts),
+            docs.filter(col("doc_id") < 8).select(col("doc_id"), col("text")),
+            kEach = 20)
+          .orderBy("qid", "lex_rank")
+      },
+      Some(sqlP10NightlyLex)),
+
     Q("p06_epoch_pack",
       (s, dir) => {
         val w = Seq("en" -> 0.5, "de" -> 2.0, "es" -> 1.0,

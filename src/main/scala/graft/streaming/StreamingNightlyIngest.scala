@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.functions.TextFunctions
-import graft.operators.{AnnIndex, Dedup, Frontier, Generations, KnnGraphIndex, LexIndex, Packing, Sampling, Sharding, Tombstones}
+import graft.operators.{AnnIndex, Dedup, Frontier, Generations, IndexMaintenance, KnnGraphIndex, LexIndex, Packing, Sampling, Sharding, Tombstones}
 
 /** The COMPOSED nightly-ingest loop: every maintained artifact this
   * engine keeps — the near-dup index, the ANN index + raw-vector
@@ -44,7 +44,7 @@ import graft.operators.{AnnIndex, Dedup, Frontier, Generations, KnnGraphIndex, L
   * p07 registers the two-night batch replay and hash-checks the final
   * shard manifest against a DuckDB chain of the same stages.
   */
-object StreamingNightlyIngest {
+object StreamingNightlyIngest extends org.apache.spark.internal.Logging {
 
   /** Artifact names for one composed pipeline instance. `budgetTable`
     * is the persisted per-stratum running-total state (one row per
@@ -157,13 +157,13 @@ object StreamingNightlyIngest {
     * run [[nightStep]] (whose [[corpusPhysical]] is otherwise the
     * only place the leftover was dropped). */
   def writeCorpus(spark: SparkSession, arts: Artifacts,
-      vecs: DataFrame): Unit = {
+      vecs: DataFrame, props: Map[String, String] = Map.empty): Unit = {
     val pinned = Frontier.pin(vecs)
     Generations.swap(spark, arts.annCorpusTable, CorpusMembers) { lease =>
       pinned.write.format("parquet")
         .saveAsTable(
           Generations.physical(arts.annCorpusTable, "vecs", lease.gen))
-      Map.empty
+      props
     }
     if (legacyCorpusExists(spark, arts))
       Generations.dropTableAndLocation(spark, arts.annCorpusTable)
@@ -295,8 +295,39 @@ object StreamingNightlyIngest {
     * instead of the per-night path. */
   def compactCorpus(spark: SparkSession, arts: Artifacts): Unit = {
     if (deletedLog(spark, arts).isEmpty) return
-    writeCorpus(spark, arts, retrainCorpus(spark, arts))
+    // registry generation captured BEFORE the rewrite: a takedown
+    // landing mid-rewrite advances the registry past this stamp, so
+    // the next policy sweep still sees debt (a post-rewrite capture
+    // could mark that takedown clean without having reclaimed it)
+    val rg = Generations.currentGen(spark, deletedTable(arts)).getOrElse(0L)
+    writeCorpus(spark, arts, retrainCorpus(spark, arts),
+      props = Map(CleanRegistryGenProp -> rg.toString))
   }
+
+  /** Corpus-family manifest stamp: the takedown registry's generation
+    * as of the last [[compactCorpus]] — the corpus's erasure-debt
+    * gauge, metadata-only like [[IndexMaintenance]]'s. The registry is
+    * append-forever (ids are the durable re-entry bar), so "registry
+    * nonempty" can never gauge debt; "registry MUTATED since the last
+    * corpus reclamation" can: [[applyDeletions]] bumps the registry's
+    * generation, so a stamp older than the registry means takedowns
+    * whose raw vectors are still physically in the corpus. */
+  val CleanRegistryGenProp = "graft.nightly.cleanRegistryGen"
+
+  /** Whether the raw-vector corpus owes a physical reclamation pass —
+    * catalog metadata only (two generation pointers and one manifest
+    * property). A registry mutation by [[allowReingest]] also fires
+    * this once; the resulting [[compactCorpus]] is a no-op rewrite
+    * (the readmitted ids were already reclaimed), accepted for the
+    * gauge's metadata-only cost. */
+  def corpusErasureDue(spark: SparkSession, arts: Artifacts): Boolean =
+    Generations.currentGen(spark, deletedTable(arts)) match {
+      case None => false
+      case Some(rg) =>
+        !Generations.manifestProp(spark, arts.annCorpusTable,
+            CleanRegistryGenProp)
+          .map(_.toLong).exists(_ >= rg)
+    }
 
   /** The pipeline's OPTIONAL maintained k-NN graph: if a
     * [[graft.operators.KnnGraphIndex]] family with this derived name
@@ -533,6 +564,72 @@ object StreamingNightlyIngest {
     compactCorpus(spark, arts)
   }
 
+  /** POLICY-DRIVEN maintenance — [[compactAll]] with the WHEN decided
+    * per family by [[IndexMaintenance]] instead of a fixed cadence:
+    * sweep every maintained family's health (metadata-only — file
+    * listing, stamped counts, lease; no data jobs), apply the policy,
+    * log the named reasons, and run that family's own compaction body
+    * only where due — fragmentation OR erasure debt. The raw-vector
+    * corpus rides its own metadata gauge ([[corpusErasureDue]]).
+    * Compactions are behavior-invisible (the s33/d13 hash rows and the
+    * p14 driver row, which proves the policy-driven loop's final
+    * artifacts hash-equal the fixed-cadence loop's end to end), so
+    * moving WHEN from the operator's calendar to the artifact's
+    * measured state changes efficiency and compliance timing, never
+    * results. Returns the per-family decisions for callers that audit;
+    * `onDecision` defaults to the engine log.
+    *
+    * Reference anchor: JetStream enforces stream limits broker-side
+    * over its persisted streams
+    * (`/root/reference/src/nats_client.py:81-102`) — policy lives with
+    * the artifact, not in the operator's eyeballs. */
+  def maintenanceSweep(spark: SparkSession, arts: Artifacts,
+      policy: IndexMaintenance.Policy = IndexMaintenance.Policy(),
+      retainGenerations: Int = 1,
+      onDecision: (String, IndexMaintenance.FamilyHealth,
+        IndexMaintenance.Decision) => Unit = logDecision)
+      : Seq[(String, IndexMaintenance.Decision)] = {
+    def keepFor(index: String) =
+      if (Tombstones.pendingCount(spark, index) > 0) 1
+      else retainGenerations
+    val families: Seq[(String, Seq[String], () => Unit)] = Seq(
+      Some((arts.ndIndex, Dedup.maintenanceMembers, () =>
+        Dedup.compactNearDupIndex(spark, arts.ndIndex,
+          gcKeep = keepFor(arts.ndIndex)))),
+      Some((arts.annIndex, AnnIndex.maintenanceMembers, () =>
+        AnnIndex.compactAnnIndex(spark, arts.annIndex,
+          gcKeep = keepFor(arts.annIndex)))),
+      Option.when(graphExists(spark, arts))(
+        (graphName(arts), KnnGraphIndex.maintenanceMembers, () =>
+          KnnGraphIndex.compactKnnGraph(spark, graphName(arts),
+            gcKeep = keepFor(graphName(arts))))),
+      Option.when(lexExists(spark, arts))(
+        (lexName(arts), LexIndex.maintenanceMembers, () =>
+          LexIndex.compactLexIndex(spark, lexName(arts),
+            gcKeep = keepFor(lexName(arts))))),
+    ).flatten
+    val decided = families.map { case (f, members, compact) =>
+      val h = IndexMaintenance.health(spark, f, members)
+      val d = IndexMaintenance.compactionDue(h, policy)
+      onDecision(f, h, d)
+      if (d.due) compact()
+      f -> d
+    }
+    if (corpusErasureDue(spark, arts)) compactCorpus(spark, arts)
+    decided
+  }
+
+  private def logDecision(family: String,
+      h: IndexMaintenance.FamilyHealth,
+      d: IndexMaintenance.Decision): Unit =
+    if (d.due)
+      logInfo(s"[maintenance] $family gen ${h.generation} compaction " +
+        s"due: ${d.reasons.mkString("; ")}")
+    else
+      logInfo(s"[maintenance] $family gen ${h.generation} healthy " +
+        f"(${h.maxFilesPerBucket}%.1f files/bucket, " +
+        s"${h.pendingTombstones} pending)")
+
   /** Drive the composed loop from a streaming (doc_id, text, lang,
     * n_chars, embedding) frame. `sink(kept, batchId)` receives each
     * night's admitted set. `compactEvery = n` compacts BOTH maintained
@@ -561,14 +658,26 @@ object StreamingNightlyIngest {
     * resume the window. The raw-vector corpus never retains: its
     * nightly appends are in-place (generations advance only at
     * [[compactCorpus]], which exists solely to erase). */
+  /** `maintenancePolicy = Some(p)` replaces the fixed `compactEvery`
+    * cadence with the policy-driven [[maintenanceSweep]] after EVERY
+    * batch: the sweep itself is metadata-only (cheap at any cadence),
+    * and compactions run only where a family's measured state says
+    * they are due — fragmentation or erasure debt, with the reasons in
+    * the engine log. Mutually exclusive with `compactEvery` (two
+    * compaction schedulers on one loop would race each other's
+    * generation GC windows for no benefit). */
   def start(spark: SparkSession, docs: DataFrame, arts: Artifacts,
       budget: Long, salt: String, seqBudget: Int = 256,
       tokensPerShard: Long = 2048L, compactEvery: Int = 0,
       driftCheckEvery: Int = 0, maxDrift: Double = 1.25,
-      retainGenerations: Int = 1)(
+      retainGenerations: Int = 1,
+      maintenancePolicy: Option[IndexMaintenance.Policy] = None)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
     require(retainGenerations >= 1,
       s"retainGenerations must be >= 1, got $retainGenerations")
+    require(maintenancePolicy.isEmpty || compactEvery == 0,
+      "choose ONE compaction scheduler: a fixed compactEvery cadence " +
+        "or a maintenancePolicy-driven sweep, not both")
     val hasOp = docs.columns.contains("op")
     val step: (Dataset[Row], Long) => Unit = (batch, batchId) => {
       val b = batch.persist()
@@ -583,6 +692,8 @@ object StreamingNightlyIngest {
           tokensPerShard, batchId, deletes = dels), batchId)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           compactAll(b.sparkSession, arts, retainGenerations)
+        maintenancePolicy.foreach(p =>
+          maintenanceSweep(b.sparkSession, arts, p, retainGenerations))
         if (driftCheckEvery > 0 && (batchId + 1) % driftCheckEvery == 0) {
           // drift and retrain see the corpus MINUS the takedown
           // registry — a retrain must never resurrect a deleted vector

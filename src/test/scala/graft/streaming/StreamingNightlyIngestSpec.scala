@@ -734,4 +734,123 @@ class StreamingNightlyIngestSpec extends SparkSpec {
     assert(lexProbe(arts) == lexProbe(clean),
       "lex probe diverged between crashed-replayed and clean pipelines")
   }
+
+  test("policy-driven maintenance: healthy families do not trigger, fragmentation and a takedown's erasure debt do (named reasons), and the sweep compacts only where due") {
+    import graft.operators.{IndexMaintenance, Tombstones}
+    val corpus = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .filter(col("doc_id") < 120).localCheckpoint()
+    val arts = mkArts("pol")
+    reset(arts, corpus)
+    def night(id: Long, docs: Seq[NightDoc],
+        deletes: Option[Seq[Long]] = None): Unit = {
+      import spark.implicits._
+      StreamingNightlyIngest.nightStep(arts,
+        docs.toDF().withColumn("embedding",
+          StreamingNightlyIngest.synthEmbedding),
+        budget = 100000L, salt = "pol", tokensPerShard = 256L, batchId = id,
+        deletes = deletes.map(_.toDF("doc_id")))
+      ()
+    }
+    def mkDocs(nightNo: Int, n: Int): Seq[NightDoc] =
+      (0 until n).map(i => NightDoc(nightNo * 1000000000L + 500 + i,
+        s"policy night $nightNo novel doc $i with vocabulary " +
+          s"pol$nightNo$i alpha beta gamma delta epsilon zeta eta theta",
+        "en", 80L))
+    def gens() = Seq(arts.ndIndex, arts.annIndex)
+      .map(f => Generations.currentGen(spark, f).get)
+
+    // one clean night: every family healthy under the DEFAULT policy —
+    // the sweep decides not-due for all and compacts NOTHING
+    night(0, mkDocs(1, 5))
+    val g0 = gens()
+    val d0 = StreamingNightlyIngest.maintenanceSweep(spark, arts)
+    assert(d0.nonEmpty && d0.forall(!_._2.due),
+      s"healthy families flagged due: $d0")
+    assert(gens() == g0, "a not-due sweep still compacted something")
+    assert(!StreamingNightlyIngest.corpusErasureDue(spark, arts),
+      "corpus owes reclamation with no takedown ever")
+
+    // two more append nights fragment the bucketed members; a tight
+    // fragmentation policy fires with the named reason, and the sweep
+    // runs exactly the due families' compactions (generation advanced
+    // iff due)
+    night(1, mkDocs(2, 5))
+    night(2, mkDocs(3, 5))
+    val g1 = gens()
+    val tight = IndexMaintenance.Policy(maxFilesPerBucket = 2.0,
+      maxPendingTombstones = 1L)
+    val d1 = StreamingNightlyIngest.maintenanceSweep(spark, arts, tight)
+    val dueMap = d1.toMap
+    assert(dueMap(arts.ndIndex).due &&
+      dueMap(arts.ndIndex).reasons.exists(_.contains("fragmentation")),
+      s"three appends did not trip the tight fragmentation bound: $d1")
+    d1.zip(g1).zip(gens()).foreach { case (((f, d), before), after) =>
+      assert((after > before) == d.due,
+        s"$f: due=${d.due} but generation $before -> $after")
+    }
+
+    // a takedown night accrues erasure debt on every maintained family
+    // AND the raw-vector corpus; the DEFAULT policy fires the
+    // compliance reason, the sweep reclaims, both gauges reset
+    val victims = Seq(1000000500L, 1000000501L)
+    night(3, mkDocs(4, 3), deletes = Some(victims))
+    assert(StreamingNightlyIngest.corpusErasureDue(spark, arts),
+      "takedown did not flag the corpus for reclamation")
+    val d2 = StreamingNightlyIngest.maintenanceSweep(spark, arts)
+    assert(d2.forall { case (_, d) =>
+      d.due && d.reasons.exists(_.contains("erasure debt")) },
+      s"takedown debt did not fire on every family: $d2")
+    Seq(arts.ndIndex, arts.annIndex).foreach(f =>
+      assert(Tombstones.pendingCount(spark, f) == 0L,
+        s"$f still owes reclamation after the sweep"))
+    assert(!StreamingNightlyIngest.corpusErasureDue(spark, arts),
+      "corpus still flagged after compactCorpus")
+    // the reclaimed embeddings are physically gone from the corpus
+    val vt = Generations.resolve(spark, arts.annCorpusTable, "vecs")
+    assert(spark.table(vt)
+      .filter(col("vec_id").isin(victims.map(x => x: Any): _*)).count() == 0,
+      "deleted vectors still physically in the corpus after the sweep")
+    // and the freshly maintained family reads healthy again
+    val d3 = StreamingNightlyIngest.maintenanceSweep(spark, arts)
+    assert(d3.forall(!_._2.due), s"freshly compacted families due: $d3")
+  }
+
+  test("start(maintenancePolicy): the streaming loop sweeps per batch instead of a fixed cadence") {
+    import graft.operators.Tombstones
+    val corpus = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .filter(col("doc_id") < 120).localCheckpoint()
+    val arts = mkArts("polstr")
+    reset(arts, corpus)
+    intercept[IllegalArgumentException] {
+      StreamingNightlyIngest.start(spark, corpus, arts, 100L, "x",
+        compactEvery = 1, maintenancePolicy =
+          Some(graft.operators.IndexMaintenance.Policy()))((_, _) => ())
+    }
+    val mem = MemoryStream[OpNightDoc](spark)
+    val q = StreamingNightlyIngest.start(spark,
+        mem.toDF().withColumn("embedding",
+          StreamingNightlyIngest.synthEmbedding),
+        arts, budget = 100000L, salt = "pol",
+        maintenancePolicy =
+          Some(graft.operators.IndexMaintenance.Policy()))((_, _) => ())
+    try {
+      // batch 0 ingests two novel docs; batch 1 takes one down — the
+      // per-batch sweep must reclaim the debt without any compactEvery
+      mem.addData(
+        OpNightDoc(5000000001L, "stream policy doc one alpha beta gamma" +
+          " delta epsilon zeta", "en", 60L, null),
+        OpNightDoc(5000000002L, "stream policy doc two alpha beta gamma" +
+          " delta epsilon eta", "en", 60L, null))
+      q.processAllAvailable()
+      mem.addData(OpNightDoc(5000000001L, "", "en", 0L, "delete"))
+      q.processAllAvailable()
+    } finally q.stop()
+    Seq(arts.ndIndex, arts.annIndex).foreach(f =>
+      assert(Tombstones.pendingCount(spark, f) == 0L,
+        s"$f: the in-loop sweep did not reclaim the takedown debt"))
+    assert(!StreamingNightlyIngest.corpusErasureDue(spark, arts),
+      "the in-loop sweep did not reclaim the corpus")
+  }
 }
