@@ -286,9 +286,10 @@ object AnnIndex {
   def probeAnnIndex(spark: SparkSession, name: String, emb: DataFrame,
       queryPred: org.apache.spark.sql.Column, k: Int = 10, nprobe: Int = 4,
       shortlist: Int = 60, asOf: Option[Long] = None,
-      candPred: Option[org.apache.spark.sql.Column] = None): DataFrame =
+      candPred: Option[org.apache.spark.sql.Column] = None,
+      candPairs: Option[DataFrame] = None): DataFrame =
     probeQueries(spark, name, emb.filter(queryPred), emb, k, nprobe,
-      shortlist, asOf, candPred)
+      shortlist, asOf, candPred, candPairs)
 
   /** Probe with an EXPLICIT query frame — the shape streaming ingest
     * needs, where the queries (an arriving micro-batch) are not yet
@@ -308,10 +309,20 @@ object AnnIndex {
     * not truncated after the fact (post-filtering a fixed shortlist
     * is the classic filtered-ANN recall bug). Cost: the filter only
     * narrows the pruned-cell scan. */
+  /** `candPairs`: PER-QUERY candidacy — (qid, vec_id) rows a candidate
+    * must appear under ITS query to be scorable for it (the lexical
+    * probe's `candPairs` twin — the quoted-phrase serve shape, s45:
+    * feed [[LexIndex.probePhrase]]'s matches in). Applied as a
+    * broadcast semi-join at the earliest point qid exists — after the
+    * query-cell join, BEFORE ADC scoring and the shortlist cut — so
+    * the shortlist is spent on each query's own admissible candidates
+    * (post-filtering a fixed shortlist is the classic filtered-ANN
+    * recall bug, same argument as `candPred`). */
   def probeQueries(spark: SparkSession, name: String, queries: DataFrame,
       rerank: DataFrame, k: Int = 10, nprobe: Int = 4,
       shortlist: Int = 60, asOf: Option[Long] = None,
-      candPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      candPred: Option[org.apache.spark.sql.Column] = None,
+      candPairs: Option[DataFrame] = None): DataFrame = {
     val ct = asOf.fold(cellsTable(spark, name))(g =>
       Generations.resolveAsOf(spark, name, "cells", g))
     val mt = asOf.fold(modelTable(spark, name))(g =>
@@ -372,9 +383,17 @@ object AnnIndex {
     // serve-time scope: candidacy-only, before ADC + shortlist (see
     // the method doc)
     val base = candPred.fold(base0)(base0.filter)
-    val scored = base
+    val joined = base
       .join(broadcast(q), "cell" +: scope)
       .filter(col("vec_id") =!= col("qid"))
+    // per-query candidacy at the pre-shortlist position (see method
+    // doc): qid exists only after the join above, so this is the
+    // earliest — and the only statistically safe — place for it
+    val cand = candPairs.fold(joined)(cp => joined.join(
+      broadcast(cp.select(col(cp.columns.head).cast("long").as("qid"),
+        col(cp.columns(1)).cast("long").as("vec_id")).distinct()),
+      Seq("qid", "vec_id"), "left_semi"))
+    val scored = cand
       .withColumn("cos", col("qc") + expr(
         s"aggregate(transform(codes, (c, j) -> element_at(lut, j * $ksub + c + 1)), " +
           "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))

@@ -423,7 +423,59 @@ object HybridQueries {
           .orderBy("qid", "doc_id")
       },
       Some(phraseOracle(
-        corpusPredSql = Some("NOT (doc_id IN (0, 2, 4))")))))
+        corpusPredSql = Some("NOT (doc_id IN (0, 2, 4))")))),
+
+    // ---- s45: quoted-phrase MUST through the FULL two-index serve ----
+    // The search-box query a real user types: "quoted phrase" +
+    // semantic relevance. s43 ranked phrase survivors lexically only;
+    // here probePhrase's per-query matches gate BOTH persisted legs —
+    // the lexical probe via its candPairs semi-join (s43's position)
+    // and the ANN probe via the new candPairs semi-join at the
+    // pre-shortlist position s39/s40 established for predicates (the
+    // shortlist is spent on docs containing MY phrase, so a phrase
+    // with few semantic neighbors cannot starve the vector list) —
+    // then RRF fuses the two rank lists, s38's shape. Candidacy-only
+    // on both legs: BM25 statistics stay corpus-level and ADC scores
+    // carry no corpus statistics, so every surviving score is
+    // bit-identical to its unfiltered value. The oracle composes the
+    // s41 phrase CTE chain into s38's serve-shape text: an EXISTS at
+    // the lexical scorer's candidacy point and the same EXISTS inside
+    // the IVF-PQ replay's pre-shortlist WHERE.
+    Q("s45_phrase_hybrid_serve",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val emb = Tables(s, dir, "embeddings")
+        LexIndex.writeLexIndex(docs.select(col("doc_id"), col("text")),
+          "graft_s45_lex")
+        AnnIndex.writeAnnIndex(
+          emb.select(col("vec_id"), col("embedding")), "graft_s45_ann")
+        // pinned: BOTH serve legs consume the phrase matches
+        val pm = graft.operators.Frontier.pin(
+          LexIndex.probePhrase(s, "graft_s45_lex", phrasesOf(docs))
+            .select(col("phrase_id").as("qid"), col("doc_id")))
+        val lex = LexIndex.probeLexIndex(s, "graft_s45_lex",
+          queriesOf(docs), KEach, candPairs = Some(pm))
+        val vec = AnnIndex.probeAnnIndex(s, "graft_s45_ann", emb,
+            expr("vec_id < 8"), k = KEach,
+            candPairs = Some(pm.select(col("qid"),
+              col("doc_id").as("vec_id"))))
+          .select(col("qid"), col("vec_id").as("doc_id"),
+            col("rank").as("vec_rank"))
+        HybridRetrieval.rrfFuse(lex, vec, K).orderBy("qid", "rank")
+      },
+      Some {
+        val ivf = PortableIvf.ivfPqOracleSql(Dim, KEach, nCells = 16,
+          nprobe = 4, m = 8, ksub = 32, shortlist = 60,
+          a => s"$a.vec_id < 8",
+          candSql = Some("EXISTS (SELECT 1 FROM pm cp " +
+            "WHERE cp.qid = p.qid AND cp.doc_id = a.vec_id)"))
+        s"""WITH ${phraseCtes(None)},
+          ${HybridRetrieval.lexicalOracleCtes("documents", "doc_id < 8",
+            KEach, candPairCte = Some("pm"))},
+          vec AS MATERIALIZED (SELECT qid, vec_id AS doc_id, rank AS vec_rank
+            FROM ($ivf)),
+          ${HybridRetrieval.fusionTailSql(K, c = 60)}"""
+      }))
 
   /** The phrase queries: each query doc's first two tokens. */
   private def phrasesOf(docs: DataFrame): DataFrame =

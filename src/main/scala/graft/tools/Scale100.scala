@@ -47,8 +47,8 @@ object Scale100 {
     require(opArgs.length <= 1, s"at most one op arg: ${opArgs.toSeq}")
     val op = opArgs.headOption.getOrElse("all")
     require(Set("all", "none", "d22", "s25", "s26", "d12", "s09", "s30",
-      "s31", "s38", "s40", "s41").contains(op),
-      s"unknown op '$op' (all|none|d22|s25|s26|d12|s09|s30|s31|s38|s40|s41)")
+      "s31", "s38", "s40", "s41", "s45").contains(op),
+      s"unknown op '$op' (all|none|d22|s25|s26|d12|s09|s30|s31|s38|s40|s41|s45)")
     val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_scale")
 
     def indicators(df: DataFrame): String = {
@@ -251,6 +251,41 @@ object Scale100 {
           .localCheckpoint()
         time("s41_probe", () => graft.operators.LexIndex.probePhrase(
           spark, lName, phrases))
+      }
+      // phrase-MUST hybrid serve (s45): probePhrase's per-query matches
+      // gate BOTH persisted legs. Probe cost = the phrase intersection
+      // (bounded by the 8 phrases' term posting lists) + the two gated
+      // index probes — all three bounded-by-query paths, so the
+      // composition should stay near-flat like s38/s41.
+      if (op == "all" || op == "s45") {
+        val lName = s"graft_s100_pm_lex_m$m"
+        val aName = s"graft_s100_pm_ann_m$m"
+        val t0 = System.nanoTime()
+        graft.operators.LexIndex.writeLexIndex(
+          docs.select(col("doc_id"), col("text")), lName, numBuckets = 8 * m)
+        graft.operators.AnnIndex.writeAnnIndex(emb, aName, nCells = 16 * m)
+        println(f"[s100] m=$m%-4d s45_build      ${(System.nanoTime() - t0) / 1e9}%8.2fs  (build)")
+        val queries = docs.filter(col("doc_id") < 8)
+          .select(col("doc_id"), col("text")).localCheckpoint()
+        val phrases = docs.filter(col("doc_id") < 8)
+          .select(col("doc_id").as("phrase_id"),
+            concat_ws(" ", slice(graft.functions.TextFunctions
+              .tokens(col("text")), 1, 2)).as("phrase"))
+          .localCheckpoint()
+        time("s45_probe", () => {
+          val pm = graft.operators.Frontier.pin(
+            graft.operators.LexIndex.probePhrase(spark, lName, phrases)
+              .select(col("phrase_id").as("qid"), col("doc_id")))
+          val lex = graft.operators.LexIndex.probeLexIndex(
+            spark, lName, queries, kEach = 20, candPairs = Some(pm))
+          val vec = graft.operators.AnnIndex.probeAnnIndex(
+              spark, aName, emb, col("vec_id") < 8, k = 20,
+              candPairs = Some(pm.select(col("qid"),
+                col("doc_id").as("vec_id"))))
+            .select(col("qid"), col("vec_id").as("doc_id"),
+              col("rank").as("vec_rank"))
+          graft.operators.HybridRetrieval.rrfFuse(lex, vec, 10)
+        })
       }
       if (op == "all" || op == "s09") {
         val aName = s"graft_s100_ann_m$m"

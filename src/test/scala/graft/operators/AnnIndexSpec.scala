@@ -61,6 +61,36 @@ class AnnIndexSpec extends SparkSpec {
         "the fixture cannot distinguish pre- from post-filtering")
   }
 
+  test("per-query candPairs apply BEFORE the shortlist cut, per query") {
+    import spark.implicits._
+    // the s45 contract, candPairs flavor: each query's own admissible
+    // set competes for ITS shortlist. Query 0 may only see odd ids,
+    // query 1 only even — a global filter could not express this, and
+    // a post-shortlist filter would leave only the few survivors of
+    // the unfiltered top-6.
+    AnnIndex.writeAnnIndex(emb, "graft_test_ann_cp")
+    val ids = emb.select("vec_id").collect().map(_.getLong(0))
+    val pairs = (ids.filter(_ % 2 == 1).map(v => (0L, v)) ++
+      ids.filter(v => v % 2 == 0 && v != 1L).map(v => (1L, v)))
+      .toSeq.toDF("qid", "vec_id")
+    val got = AnnIndex.probeAnnIndex(spark, "graft_test_ann_cp", emb,
+        col("vec_id") < 2, k = 5, shortlist = 6, candPairs = Some(pairs))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byQ = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byQ.getOrElse(0L, Set.empty).nonEmpty &&
+      byQ.getOrElse(1L, Set.empty).nonEmpty, s"vacuous: $byQ")
+    assert(byQ(0L).forall(_ % 2 == 1), s"query 0 leaked even ids: $byQ")
+    assert(byQ(1L).forall(_ % 2 == 0), s"query 1 leaked odd ids: $byQ")
+    // pre-shortlist placement: at least one hit per query would have
+    // been squeezed out of the UNFILTERED top-6 shortlist
+    val unfiltered = AnnIndex.probeAnnIndex(spark, "graft_test_ann_cp",
+        emb, col("vec_id") < 2, k = 6, shortlist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.exists(p => !unfiltered.contains(p)),
+      "every gated hit was already in the unfiltered shortlist — " +
+        "the fixture cannot distinguish pre- from post-filtering")
+  }
+
   test("append encodes with the frozen model; probes find the new vectors") {
     val base = emb.select("vec_id", "embedding")
     AnnIndex.writeAnnIndex(base, "graft_test_ann_app")
