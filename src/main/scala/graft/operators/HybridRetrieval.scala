@@ -248,16 +248,22 @@ object HybridRetrieval {
     * (qid, doc_id); scoring rows survive only when their pair exists
     * there — the engine's `candPairs` broadcast semi-join as an
     * EXISTS. */
+  /** `exclPairCte` replays the PER-QUERY exclusion anti-join (s46 —
+    * the boolean MUST_NOT leg): same CTE contract as `candPairCte`,
+    * spelled NOT EXISTS at the same candidacy position. */
   def lexicalOracleCtes(docsRel: String, predDoc: String,
       kEach: Int, candDelIds: Seq[Long] = Nil,
       candPredSql: Option[String] = None,
-      candPairCte: Option[String] = None): String = {
+      candPairCte: Option[String] = None,
+      exclPairCte: Option[String] = None): String = {
     val candFilter =
       (if (candDelIds.isEmpty) ""
        else s" AND tfq.doc_id NOT IN (${candDelIds.mkString(", ")})") +
       candPredSql.fold("")(p => s" AND ($p)") +
       candPairCte.fold("")(cte => s" AND EXISTS (SELECT 1 FROM $cte cp " +
-        "WHERE cp.qid = q.qid AND cp.doc_id = tfq.doc_id)")
+        "WHERE cp.qid = q.qid AND cp.doc_id = tfq.doc_id)") +
+      exclPairCte.fold("")(cte => s" AND NOT EXISTS (SELECT 1 FROM $cte xp " +
+        "WHERE xp.qid = q.qid AND xp.doc_id = tfq.doc_id)")
     s"""tok AS MATERIALIZED (SELECT doc_id,
           unnest(${sqlTokens("text")}) AS tok FROM $docsRel),
       tfq AS MATERIALIZED (SELECT doc_id, tok, count(*) AS tf

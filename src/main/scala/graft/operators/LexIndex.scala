@@ -456,11 +456,22 @@ object LexIndex {
     * containing MY phrase", s43): feed [[probePhrase]]'s matches in.
     * Applied as a broadcast semi-join after the query join (the
     * earliest point qid exists), before aggregation — candidacy-only,
-    * statistics untouched. */
+    * statistics untouched.
+    *
+    * `exclPairs`: PER-QUERY EXCLUSION — the boolean MUST_NOT leg
+    * ("-term" / excluded doc sets, s46): (qid, doc_id) rows a doc must
+    * NOT appear under its query to stay retrievable. The same
+    * broadcast shape as `candPairs`, as an ANTI-join at the same
+    * candidacy position — statistics stay corpus-level (the s39
+    * argument), so a surviving doc's score is exclusion-invariant.
+    * Single-term exclusions come from [[probePhrase]] on one-token
+    * phrases (containment pairs); arbitrary doc sets compose the same
+    * way. */
   def probeLexIndex(spark: SparkSession, name: String, queries: DataFrame,
       kEach: Int, asOf: Option[Long] = None,
       candPred: Option[org.apache.spark.sql.Column] = None,
-      candPairs: Option[DataFrame] = None): DataFrame = {
+      candPairs: Option[DataFrame] = None,
+      exclPairs: Option[DataFrame] = None): DataFrame = {
     val pt = member(spark, name, "postings", asOf)
     val dt = member(spark, name, "dfcap", asOf)
     val st = member(spark, name, "stats", asOf)
@@ -520,10 +531,14 @@ object LexIndex {
       .filter(col("df") * 10 <= col("n_docs") * 9)
       .join(broadcast(qt), "tok")
       .filter(col("doc_id") =!= col("qid"))
-    val scored = candPairs.fold(scored0)(cp => scored0.join(
-        broadcast(cp.select(col(cp.columns.head).cast("long").as("qid"),
-          col(cp.columns(1)).cast("long").as("doc_id")).distinct()),
-        Seq("qid", "doc_id"), "left_semi"))
+    val scored1 = candPairs.fold(scored0)(cp => scored0.join(
+      broadcast(cp.select(col(cp.columns.head).cast("long").as("qid"),
+        col(cp.columns(1)).cast("long").as("doc_id")).distinct()),
+      Seq("qid", "doc_id"), "left_semi"))
+    val scored = exclPairs.fold(scored1)(ep => scored1.join(
+        broadcast(ep.select(col(ep.columns.head).cast("long").as("qid"),
+          col(ep.columns(1)).cast("long").as("doc_id")).distinct()),
+        Seq("qid", "doc_id"), "left_anti"))
       .withColumn("w", expr(HybridRetrieval.termWeightSql))
     val agg = scored.groupBy("qid", "doc_id")
       .agg((sum(col("w").cast(DecimalType(18, 9))) * 1000000000L)

@@ -475,14 +475,59 @@ object HybridQueries {
           vec AS MATERIALIZED (SELECT qid, vec_id AS doc_id, rank AS vec_rank
             FROM ($ivf)),
           ${HybridRetrieval.fusionTailSql(K, c = 60)}"""
-      }))
+      }),
 
-  /** The phrase queries: each query doc's first two tokens. */
-  private def phrasesOf(docs: DataFrame): DataFrame =
+    // ---- s46: BOOLEAN retrieval — MUST + MUST_NOT + filter + rank ----
+    // The full boolean candidacy surface in one query: each query
+    // REQUIRES its two-token phrase (candPairs, s43's MUST), EXCLUDES
+    // docs containing its third token ("-term" — exclPairs, the new
+    // MUST_NOT leg: single-term probePhrase containment pairs
+    // anti-joined at the same candidacy position), and scopes to a
+    // metadata shard (candPred, s39's filter) — then BM25-ranks the
+    // survivors. All three are candidacy-only: df/n_docs/total_tokens
+    // stay corpus-level, so every surviving score is bit-identical to
+    // its unconstrained value and only membership/rank-packing moves.
+    // Oracle: containment CTEs over the shared token table feed the
+    // proven scorer text through EXISTS + NOT EXISTS + the predicate
+    // at the one candidacy point.
+    Q("s46_boolean_retrieval",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val name = "graft_s46_lex"
+        LexIndex.writeLexIndex(docs.select(col("doc_id"), col("text")),
+          name)
+        val pm = LexIndex.probePhrase(s, name, phrasesOf(docs))
+          .select(col("phrase_id").as("qid"), col("doc_id"))
+        val nm = LexIndex.probePhrase(s, name,
+            phrasesOf(docs, from = 3, len = 1))
+          .select(col("phrase_id").as("qid"), col("doc_id"))
+        LexIndex.probeLexIndex(s, name, queriesOf(docs), KEach,
+            candPred = Some(col("doc_id") % 2 === 0),
+            candPairs = Some(pm), exclPairs = Some(nm))
+          .orderBy("qid", "lex_rank")
+      },
+      Some(s"""WITH ${phraseCtes(None)},
+        negt AS MATERIALIZED (SELECT doc_id AS qid, tk[3] AS tok
+          FROM dt WHERE doc_id < 8),
+        nm AS MATERIALIZED (SELECT n.qid, t.doc_id
+          FROM tokp t JOIN negt n USING (tok) GROUP BY n.qid, t.doc_id),
+        ${HybridRetrieval.lexicalOracleCtes("documents", "doc_id < 8",
+          KEach, candPredSql = Some("tfq.doc_id % 2 = 0"),
+          candPairCte = Some("pm"), exclPairCte = Some("nm"))}
+        SELECT qid, doc_id, lex_rank, lex_scaled FROM lex
+        ORDER BY qid NULLS FIRST, lex_rank NULLS FIRST""")))
+
+  /** The phrase queries: each query doc's tokens [from, from+len) —
+    * defaults to the first two (the s41–s45 must-phrase); s46's
+    * MUST_NOT leg slices the third token as a one-term "phrase"
+    * (single-term [[graft.operators.LexIndex.probePhrase]] = per-query
+    * containment pairs). */
+  private def phrasesOf(docs: DataFrame, from: Int = 1,
+      len: Int = 2): DataFrame =
     docs.filter(col("doc_id") < 8)
       .select(col("doc_id").as("phrase_id"),
         concat_ws(" ", slice(graft.functions.TextFunctions
-          .tokens(col("text")), 1, 2)).as("phrase"))
+          .tokens(col("text")), from, len)).as("phrase"))
 
   /** The phrase-match CTE chain: lockstep unnest(tk)/unnest(range)
     * recovers 0-based positions, then the same shift-and-intersect
