@@ -496,9 +496,98 @@ object DurableLab {
         check(lexProbeHash(spark, LexName) == lexStored(workDir, "appended"),
           "readmitted recrawl != clean one-shot build over base ∪ batch")
 
+      // ---- NEAR-DUP resurrection window (r14 verdict #4) --------------
+      // lex-kill-post-clear proved the erased-registry bar on the lex
+      // family; barReplayed is shared code, but the near-dup append's
+      // bookkeeping members differ (sigs is the fully-applied marker,
+      // not a batch-id fence), so its post-compaction replay wreckage
+      // gets the same real-process-death proof: ingest a batch, take
+      // it down, run maintenance to COMPLETION (purge + clearApplied +
+      // erased registry), die before the stream checkpoint commits,
+      // then replay the same batch from a fresh JVM — barred by the
+      // registry alone — and restore ingestion via explicit readmit.
+      case "nd-kill-post-clear" =>
+        Generations.leaseTtlOverrideMs = Some(ShortTtlMs)
+        // earlier matrix steps left tombstone/registry state; reset so
+        // the setup append provably lands (non-vacuity asserted below)
+        Tombstones.destroy(spark, IndexName)
+        val stored = new String(
+          java.nio.file.Files.readAllBytes(hashFile(workDir)), "UTF-8")
+        check(probeHash(spark) == stored,
+          "base fingerprint drifted before the nd kill window")
+        Dedup.appendToNearDupIndex(ndKillBatch(spark), IndexName,
+          ifAbsent = true)
+        val st = Generations.resolve(spark, IndexName, "sigs")
+        check(spark.table(st).filter(col("doc_id") >= 2300000000L)
+          .count() == 3,
+          "setup append did not land — the kill window would be vacuous")
+        // the batch docs are exact-text copies of the novel probe docs,
+        // so while indexed they flip the fingerprint (novel probes
+        // become duplicates) — the discriminating state the replay
+        // must NOT be able to restore
+        val appended = probeHash(spark)
+        check(appended != stored, "nd kill batch does not move the probe")
+        java.nio.file.Files.write(ndHashFile(workDir),
+          appended.getBytes("UTF-8"))
+        Dedup.tombstoneNearDup(spark, IndexName,
+          ids(2300000000L, 2300000001L, 2300000002L))
+        Dedup.compactNearDupIndex(spark, IndexName)
+        Runtime.getRuntime.halt(137)
+
+      case "nd-recover-replay" =>
+        val stored = new String(
+          java.nio.file.Files.readAllBytes(hashFile(workDir)), "UTF-8")
+        // maintenance completed before the death: pending cleared, the
+        // durable erased registry holds exactly the batch, rows purged
+        check(Tombstones.get(spark, IndexName).isEmpty,
+          "pending set survived the completed maintenance")
+        check(Tombstones.erasedSet(spark, IndexName)
+          .map(_.count()).getOrElse(0L) == 3,
+          "erased registry missing after the kill")
+        val st = Generations.resolve(spark, IndexName, "sigs")
+        check(spark.table(st).filter(col("doc_id") >= 2300000000L)
+          .count() == 0, "purge left sig rows behind")
+        // at-least-once redelivery: the replayed batch finds its docs
+        // sig-less (the pre-fix classification would re-admit) — only
+        // the registry bars it
+        Dedup.appendToNearDupIndex(ndKillBatch(spark), IndexName,
+          ifAbsent = true)
+        check(spark.table(st).filter(col("doc_id") >= 2300000000L)
+          .count() == 0, "replay resurrected physically erased docs")
+        check(spark.table(Generations.resolve(spark, IndexName, "buckets"))
+          .filter(col("doc_id") >= 2300000000L).count() == 0,
+          "replay resurrected bucket rows of erased docs")
+        check(probeHash(spark) == stored,
+          "probe fingerprint moved after the barred replay")
+        // re-ingesting erased content is a deliberate act: readmit,
+        // recrawl, and the index serves the appended-state fingerprint
+        Tombstones.readmit(spark, IndexName,
+          ids(2300000000L, 2300000001L, 2300000002L))
+        Dedup.appendToNearDupIndex(ndKillBatch(spark), IndexName,
+          ifAbsent = true)
+        check(probeHash(spark) == new String(java.nio.file.Files
+          .readAllBytes(ndHashFile(workDir)), "UTF-8"),
+          "readmitted recrawl != the pre-takedown appended state")
+
       case other => sys.error(s"unknown lab command: $other")
     }
   }
+
+  /** The near-dup kill batch: exact-text copies of the three NOVEL
+    * probe docs under fresh ids — indexed, they turn every novel probe
+    * doc into a duplicate, so the fingerprint moves iff they are
+    * (re)admitted; guaranteed-caught (Jaccard 1.0), never a threshold
+    * coin-flip. */
+  private def ndKillBatch(spark: SparkSession) =
+    spark.range(3)
+      .select((col("id") + 2300000000L).as("doc_id"),
+        concat(lit("durable lab novel probe document "),
+          col("id").cast("string"),
+          lit(" alpha beta gamma delta epsilon zeta eta theta iota"))
+          .as("text"))
+
+  private def ndHashFile(workDir: String) =
+    java.nio.file.Paths.get(workDir, "nd_hash_appended.txt")
 
   // ---- LEX lab pieces ------------------------------------------------
   val LexName = "lab_lex"

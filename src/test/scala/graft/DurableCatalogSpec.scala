@@ -73,6 +73,17 @@ class DurableCatalogSpec extends AnyFunSuite {
     //    in-process crash matrix re-runs on the persistent catalog
     val r2 = run("recover-after", 0)
     assert(r2.contains("[lab] recover-after ok"), tail(r2))
+    // 6./7. the RESURRECTION window on the near-dup family (the lex
+    //    family's kill pair, replayed against different bookkeeping:
+    //    sigs-presence classification instead of a batch-id fence):
+    //    batch ingested, taken down, maintenance runs to COMPLETION —
+    //    purge, clearApplied, erased registry — and the JVM dies
+    //    before the stream checkpoint commits. A fresh JVM replays the
+    //    same batch: barred by the registry alone, fingerprint intact;
+    //    explicit readmit + recrawl restores the appended state.
+    run("nd-kill-post-clear", 137)
+    val r3 = run("nd-recover-replay", 0)
+    assert(r3.contains("[lab] nd-recover-replay ok"), tail(r3))
   }
 
   test("ANN cells+model family: kill-mid-retrain both windows — members move as one unit cross-process") {
