@@ -177,7 +177,23 @@ object LexIndex {
     * postings POSITIONAL: the scoring probe never reads the column
     * (parquet column pruning — LexIndexSpec pins the ReadSchema), so
     * BM25 serving pays nothing for it, while [[probePhrase]] gets
-    * exact phrase retrieval from the same maintained artifact. */
+    * exact phrase retrieval from the same maintained artifact.
+    *
+    * WRITE-SIDE COST, measured (tools/PositionsCost, sf0.1 × M=10,
+    * quiet box, SCALE.md round-15 table): positions are 1.43× on
+    * postings bytes, 1.74× on the isolated tokenize→write core at
+    * build scale (≈8% of the full writeLexIndex wall — the other
+    * members and the swap dominate), 1.23× on the compact rewrite
+    * core, and noise-level at append-batch scale. DECISION: keep
+    * positions INLINE rather than split a fifth positions-only
+    * member. A split would save ~30% of family bytes for BM25-only
+    * deployments but adds a member to every swap/lease/compaction/
+    * maintenance surface and forces either a second tokenize or a
+    * probe-time join; at <2× on every measured axis the operational
+    * surface costs more than the bytes. Revisit if a corpus with much
+    * longer documents (positions bytes grow with total tokens, the
+    * other columns with distinct terms) pushes the byte ratio past
+    * ~2×. */
   private def termFrames(docs: DataFrame): (DataFrame, DataFrame) = {
     val tok = docs.select(col("doc_id"),
       posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
