@@ -569,6 +569,64 @@ object DurableLab {
           .readAllBytes(ndHashFile(workDir)), "UTF-8"),
           "readmitted recrawl != the pre-takedown appended state")
 
+      // ---- ANN resurrection window (r14 verdict #4, shared body) ------
+      // The same kill pair on the vec-keyed ANN family: its append
+      // classifies admission by CELLS-PRESENCE (vec_id anti-join
+      // against the codes table), so after an erasure compaction's
+      // purge a replayed batch finds its vecs code-less and would
+      // re-encode them — only the durable erased registry bars it.
+      // The fingerprint here extends the probe's re-rank frame with
+      // the kill batch's raw vectors (a PQ index stores codes, not
+      // vectors): rows identical to the base probe while the batch is
+      // NOT indexed, guaranteed-moved while it is (each query's exact
+      // duplicate re-ranks to cos 1.0, never an ADC coin-flip).
+      case "ann-kill-post-clear" =>
+        Generations.leaseTtlOverrideMs = Some(ShortTtlMs)
+        Tombstones.destroy(spark, AnnName)
+        // the ANN matrix left the family at the clean nCells=8 state
+        val stored = annStored(workDir, 8)
+        check(annKillHash(spark) == stored,
+          "base fingerprint drifted before the ann kill window " +
+            "(extended re-rank frame must not move an unindexed probe)")
+        AnnIndex.appendToAnnIndex(annKillBatch(spark), AnnName,
+          ifAbsent = true)
+        val ct = Generations.resolve(spark, AnnName, "cells")
+        check(spark.table(ct).filter(col("vec_id") >= 3100000000L)
+          .count() == 8,
+          "setup append did not land — the kill window would be vacuous")
+        val appended = annKillHash(spark)
+        check(appended != stored, "ann kill batch does not move the probe")
+        java.nio.file.Files.write(annKillHashFile(workDir),
+          appended.getBytes("UTF-8"))
+        AnnIndex.tombstoneAnn(spark, AnnName,
+          vecIds((0L until 8L).map(_ + 3100000000L): _*))
+        AnnIndex.compactAnnIndex(spark, AnnName)
+        Runtime.getRuntime.halt(137)
+
+      case "ann-recover-replay" =>
+        val stored = annStored(workDir, 8)
+        check(Tombstones.get(spark, AnnName).isEmpty,
+          "pending set survived the completed maintenance")
+        check(Tombstones.erasedSet(spark, AnnName)
+          .map(_.count()).getOrElse(0L) == 8,
+          "erased registry missing after the kill")
+        val ct = Generations.resolve(spark, AnnName, "cells")
+        check(spark.table(ct).filter(col("vec_id") >= 3100000000L)
+          .count() == 0, "purge left code rows behind")
+        AnnIndex.appendToAnnIndex(annKillBatch(spark), AnnName,
+          ifAbsent = true)
+        check(spark.table(ct).filter(col("vec_id") >= 3100000000L)
+          .count() == 0, "replay resurrected physically erased vecs")
+        check(annKillHash(spark) == stored,
+          "probe fingerprint moved after the barred replay")
+        Tombstones.readmit(spark, AnnName,
+          vecIds((0L until 8L).map(_ + 3100000000L): _*))
+        AnnIndex.appendToAnnIndex(annKillBatch(spark), AnnName,
+          ifAbsent = true)
+        check(annKillHash(spark) == new String(java.nio.file.Files
+          .readAllBytes(annKillHashFile(workDir)), "UTF-8"),
+          "readmitted re-encode != the pre-takedown appended state")
+
       case other => sys.error(s"unknown lab command: $other")
     }
   }
@@ -588,6 +646,39 @@ object DurableLab {
 
   private def ndHashFile(workDir: String) =
     java.nio.file.Paths.get(workDir, "nd_hash_appended.txt")
+
+  /** The ANN kill batch: exact copies of the eight query vectors under
+    * fresh ids — indexed, each query's duplicate re-ranks to cos 1.0
+    * (same cell as its query by construction, so the cell probe and
+    * the ADC shortlist both admit it), guaranteed top-k. */
+  private def annKillBatch(spark: SparkSession) =
+    vecs(spark).filter(col("vec_id") < 8)
+      .select((col("vec_id") + 3100000000L).as("vec_id"), col("embedding"))
+
+  /** [[annProbeHash]] with the re-rank frame extended by the kill
+    * batch's raw vectors: bit-identical to the base probe while the
+    * batch is not indexed (candidates come from the index, queries
+    * stay vec_id < 8), moved while it is. */
+  private def annKillHash(spark: SparkSession): String = {
+    val emb = vecs(spark).unionByName(annKillBatch(spark))
+    val rows = AnnIndex.probeAnnIndex(spark, AnnName, emb,
+        col("vec_id") < 8, k = 10)
+      .collect()
+      .map(r => s"${r.getLong(0)}:${r.getLong(1)}:${r.getInt(2)}:" +
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+      .sorted.mkString(",")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(rows.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  private def vecIds(xs: Long*) = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    xs.toDF("vec_id")
+  }
+
+  private def annKillHashFile(workDir: String) =
+    java.nio.file.Paths.get(workDir, "ann_hash_kill.txt")
 
   // ---- LEX lab pieces ------------------------------------------------
   val LexName = "lab_lex"

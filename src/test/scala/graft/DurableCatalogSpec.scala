@@ -116,6 +116,17 @@ class DurableCatalogSpec extends AnyFunSuite {
     //    windows on the persistent catalog
     val r2 = run("ann-recover-after", 0)
     assert(r2.contains("[lab] ann-recover-after ok"), tail(r2))
+    // 6./7. the RESURRECTION window on the vec-keyed family: the ANN
+    //    append classifies admission by cells-presence, so after an
+    //    erasure compaction a replayed batch finds its vecs code-less
+    //    and would re-encode them. Kill after full maintenance
+    //    (tombstone + purge + clearApplied + erased registry), before
+    //    the stream checkpoint would commit; a fresh JVM's replay is
+    //    barred by the registry alone, and explicit readmit +
+    //    re-encode restores the appended-state fingerprint.
+    run("ann-kill-post-clear", 137)
+    val r3 = run("ann-recover-replay", 0)
+    assert(r3.contains("[lab] ann-recover-replay ok"), tail(r3))
   }
 
   test("LEX append fence windows + erasure-compaction flip: killed appenders replay to convergence cross-process") {
