@@ -631,6 +631,57 @@ object LexIndex {
       .agg(count(lit(1)).as("n_matches"), min(col("p")).as("first_pos"))
   }
 
+  /** MINIMUM-SHOULD-MATCH candidacy from the persisted postings — the
+    * boolean SHOULD leg completing the surface (MUST = phrase
+    * candPairs, s43/s45; MUST_NOT = exclPairs, s46; filters =
+    * candPred, s39): a doc is a candidate for a query iff it contains
+    * at least `minMatch` of the query's SHOULD terms (Lucene's
+    * `minimum_should_match`). `terms` is (qid, tok); output is
+    * (qid, doc_id, n_should) — feed it to [[probeLexIndex]]'s
+    * `candPairs`, where it stays CANDIDACY-ONLY: df/n_docs/
+    * total_tokens remain corpus-level, so every surviving score is
+    * bit-identical to its unconstrained value (the s39 argument).
+    *
+    * Containment needs no positions: the scan reads (tok, doc_id) and
+    * the positions column prunes away exactly as in BM25 scoring — so
+    * SHOULD also serves legacy (pre-positional) families. Scale
+    * shape: the terms side is tiny and broadcast; the postings scan
+    * is bounded by the SHOULD terms' posting lists (the bounded
+    * `tok IN (…)` pushdown); the one shuffle groups (qid, doc_id)
+    * hit rows, at most the matched posting lists' total. Tombstoned
+    * docs lose candidacy immediately, as in every probe; `asOf`
+    * probes a frozen generation's postings with CURRENT tombstone
+    * exclusion (erasure overrides history). */
+  def probeShould(spark: SparkSession, name: String, terms: DataFrame,
+      minMatch: Int, asOf: Option[Long] = None): DataFrame = {
+    require(minMatch >= 1, s"minMatch must be >= 1, got $minMatch")
+    val pt = member(spark, name, "postings", asOf)
+    requireTokenizer(spark, Seq(pt))
+    val terms1 = terms.select(col(terms.columns.head).as("qid"),
+      col(terms.columns(1)).as("tok")).distinct()
+    val postings0 = spark.table(pt)
+    val push = scanBytes(postings0) > pushdownMinBytes(spark)
+    // pinned when the pushdown collects keys from it (the qt
+    // discipline): the pushed token set must not diverge from the
+    // joined rows under a nondeterministic terms frame
+    val qt = if (push) Frontier.pin(terms1) else terms1
+    val postings =
+      if (!push) postings0
+      else {
+        val toks = qt.select("tok").distinct()
+          .limit(ProbePushdownMax + 1).collect().map(_.getString(0))
+        if (toks.length > ProbePushdownMax) postings0
+        else postings0.filter(col("tok").isin(toks.map(x => x: Any): _*))
+      }
+    val rows = postings.select("tok", "doc_id").join(broadcast(qt), "tok")
+    val cand = lexTombstones(spark, name).fold(rows)(t =>
+      rows.join(broadcast(t.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_anti"))
+    cand.groupBy("qid", "doc_id")
+      .agg(countDistinct(col("tok")).as("n_should"))
+      .filter(col("n_should") >= minMatch)
+  }
+
   /** Remove the whole family + tombstones — fixture/test reset. */
   def destroy(spark: SparkSession, name: String): Unit = {
     Generations.destroy(spark, name, Members)

@@ -515,6 +515,48 @@ object HybridQueries {
           KEach, candPredSql = Some("tfq.doc_id % 2 = 0"),
           candPairCte = Some("pm"), exclPairCte = Some("nm"))}
         SELECT qid, doc_id, lex_rank, lex_scaled FROM lex
+        ORDER BY qid NULLS FIRST, lex_rank NULLS FIRST""")),
+
+    // ---- s47: boolean SHOULD — minimum-should-match candidacy -------
+    // The third boolean leg (Lucene's minimum_should_match): each
+    // query contributes three SHOULD terms (tokens 2–4 of its paired
+    // doc — see shouldTermsOf for why not its own) and a doc is a
+    // candidate iff it contains at least 2 of them — OR-with-
+    // threshold, the shape between AND (m = n, s43's MUST) and plain
+    // OR (m = 1). probeShould derives the (qid, doc_id) pairs from
+    // the SAME persisted postings the scorer reads (containment-only:
+    // positions prune away), and candidacy-only composition keeps
+    // every surviving score bit-identical to its unconstrained value.
+    // Oracle: distinct doc-token containment joined to the per-query
+    // SHOULD set, HAVING >= 2, feeding the proven scorer text's
+    // EXISTS at the one candidacy point.
+    Q("s47_min_should_match",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val name = "graft_s47_lex"
+        LexIndex.writeLexIndex(docs.select(col("doc_id"), col("text")),
+          name)
+        val sm = graft.operators.Frontier.pin(
+          LexIndex.probeShould(s, name, shouldTermsOf(docs), minMatch = 2)
+            .select(col("qid"), col("doc_id")))
+        LexIndex.probeLexIndex(s, name, queriesOf(docs), KEach,
+            candPairs = Some(sm))
+          .orderBy("qid", "lex_rank")
+      },
+      Some(s"""WITH dt AS MATERIALIZED (SELECT doc_id,
+          ${graft.functions.TextFunctions.sqlTokens("text")} AS tk
+        FROM documents),
+        shq AS MATERIALIZED (SELECT DISTINCT qid, tok FROM (
+          SELECT doc_id - 8 AS qid, unnest(list_slice(tk, 2, 4)) AS tok
+          FROM dt WHERE doc_id >= 8 AND doc_id < 16)),
+        tokd AS MATERIALIZED (SELECT DISTINCT doc_id, tok FROM (
+          SELECT doc_id, unnest(tk) AS tok FROM dt)),
+        smc AS MATERIALIZED (SELECT sq.qid, td.doc_id
+          FROM tokd td JOIN shq sq USING (tok)
+          GROUP BY sq.qid, td.doc_id HAVING count(*) >= 2),
+        ${HybridRetrieval.lexicalOracleCtes("documents", "doc_id < 8",
+          KEach, candPairCte = Some("smc"))}
+        SELECT qid, doc_id, lex_rank, lex_scaled FROM lex
         ORDER BY qid NULLS FIRST, lex_rank NULLS FIRST""")))
 
   /** The phrase queries: each query doc's tokens [from, from+len) —
@@ -522,6 +564,21 @@ object HybridQueries {
     * MUST_NOT leg slices the third token as a one-term "phrase"
     * (single-term [[graft.operators.LexIndex.probePhrase]] = per-query
     * containment pairs). */
+  /** s47's SHOULD terms: tokens 2–4 of each query's PAIRED doc
+    * (doc_id + 8) as (qid, tok) rows. Drawn from a doc OTHER than the
+    * scoring query so the threshold genuinely bites: terms from the
+    * query itself are contained by nearly every top-BM25 doc (they
+    * are what the ranking rewards), making every minMatch produce the
+    * same final top-k — measured at sf0.01, paired-doc terms at
+    * minMatch = 2 differ from both the m=1 union (12 rows) and the
+    * m=3 intersection (39 rows), so the hash pins the threshold
+    * exactly. */
+  private def shouldTermsOf(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") >= 8 && col("doc_id") < 16)
+      .select((col("doc_id") - 8).as("qid"),
+        explode(slice(graft.functions.TextFunctions.tokens(col("text")),
+          2, 3)).as("tok"))
+
   private def phrasesOf(docs: DataFrame, from: Int = 1,
       len: Int = 2): DataFrame =
     docs.filter(col("doc_id") < 8)

@@ -242,6 +242,56 @@ class LexIndexSpec extends SparkSpec {
     LexIndex.destroy(spark, name)
   }
 
+  test("probeShould: minimum-should-match == direct containment at every threshold; positions pruned; tombstone exclusion") {
+    val name = "graft_t_lexs"
+    LexIndex.destroy(spark, name)
+    LexIndex.writeLexIndex(docs, name, numBuckets = 4)
+    val terms = docs.filter(col("doc_id") >= 8 && col("doc_id") < 12)
+      .select((col("doc_id") - 8).as("qid"),
+        explode(slice(graft.functions.TextFunctions.tokens(col("text")),
+          2, 3)).as("tok"))
+    // direct containment truth from the raw text
+    val toks = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val shouldSets = terms.collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    def want(m: Int) = (for {
+      (q, ts) <- shouldSets.toSeq
+      (d, tk) <- toks
+      n = ts.count(tk.contains)
+      if n >= m
+    } yield (q, d) -> n.toLong).toMap
+    for (m <- 1 to 3) {
+      val got = LexIndex.probeShould(spark, name, terms, m).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == want(m), s"minMatch=$m != direct containment")
+    }
+    // the fixture exercises a GENUINE threshold (strictly nested
+    // candidacy sets) — otherwise the loop above proves less than it
+    // reads
+    assert(want(1).size > want(2).size && want(2).size > want(3).size,
+      s"fixture thresholds degenerate: ${(1 to 3).map(want(_).size)}")
+    // containment reads (tok, doc_id) only — the positions column
+    // prunes away exactly as in BM25 scoring
+    val sch = LexIndex.probeShould(spark, name, terms, 2)
+      .queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains(s"${name}_postings") &&
+        l.contains("ReadSchema"))
+      .map(_.replaceAll(".*ReadSchema: ", "")).toList
+    assert(sch.nonEmpty && sch.forall(!_.contains("positions")),
+      s"SHOULD probe reads positions: $sch")
+    // tombstoned docs lose candidacy immediately
+    val victim = want(2).keys.head._2
+    LexIndex.tombstoneLex(spark, name,
+      spark.range(victim, victim + 1).toDF("doc_id"))
+    val after = LexIndex.probeShould(spark, name, terms, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!after.exists(_._2 == victim), "tombstoned doc still a candidate")
+    LexIndex.destroy(spark, name)
+  }
+
   test("tombstone: immediate candidacy exclusion, untouched statistics") {
     LexIndex.destroy(spark, "graft_t_lexd")
     LexIndex.writeLexIndex(docs, "graft_t_lexd", numBuckets = 4)
