@@ -682,6 +682,64 @@ object LexIndex {
       .filter(col("n_should") >= minMatch)
   }
 
+  /** PROXIMITY search (Lucene's SpanNear, unordered): docs where a
+    * query's two terms occur within `slop` token positions — the
+    * second capability the positional postings pay for (exact phrase
+    * = the `slop`-0 ordered special case, [[probePhrase]]). `pairs`
+    * is (qid, tok_a, tok_b); output (qid, doc_id, min_dist) with
+    * min_dist the smallest |posₐ − pos_b| over all occurrence pairs,
+    * kept when ≤ slop. (tok_a = tok_b degenerates to containment —
+    * every occurrence is at distance 0 from itself; pass distinct
+    * terms.)
+    *
+    * Spelled WITHOUT exploding positions: each side joins its term's
+    * postings rows (broadcast pairs, the bounded `tok IN (…)`
+    * pushdown), the two sides meet on (qid, doc_id) — at most one
+    * row per side per doc — and the min-distance folds over the two
+    * position ARRAYS in one codegen'd expression. Per-doc work is
+    * |posₐ|·|pos_b| inside the row (token frequencies, small);
+    * nothing new shuffles — the only exchange is the (qid, doc_id)
+    * join of two already-bounded row sets. Tombstoned docs lose
+    * candidacy immediately; `asOf` probes a frozen generation with
+    * CURRENT tombstone exclusion (the house asymmetry). */
+  def probeProximity(spark: SparkSession, name: String, pairs: DataFrame,
+      slop: Int, asOf: Option[Long] = None): DataFrame = {
+    require(slop >= 1, s"slop must be >= 1, got $slop (slop 0 contiguous" +
+      " ordered runs are probePhrase's job)")
+    val pt = member(spark, name, "postings", asOf)
+    requireTokenizer(spark, Seq(pt))
+    requirePositional(spark, pt)
+    val qp0 = pairs.select(col(pairs.columns.head).as("qid"),
+      col(pairs.columns(1)).as("tok_a"), col(pairs.columns(2)).as("tok_b"))
+    val postings0 = spark.table(pt)
+    val push = scanBytes(postings0) > pushdownMinBytes(spark)
+    // pinned when the pushdown collects keys from it (the qt discipline)
+    val qp = if (push) Frontier.pin(qp0) else qp0
+    val postings =
+      if (!push) postings0
+      else {
+        val toks = qp.select(explode(array(col("tok_a"), col("tok_b")))
+            .as("tok")).distinct()
+          .limit(ProbePushdownMax + 1).collect().map(_.getString(0))
+        if (toks.length > ProbePushdownMax) postings0
+        else postings0.filter(col("tok").isin(toks.map(x => x: Any): _*))
+      }
+    val posts = postings.select(col("tok"), col("doc_id"), col("positions"))
+    def side(tokCol: String, out: String) =
+      posts.join(broadcast(qp.select(col("qid"),
+        col(tokCol).as("tok"))), "tok")
+        .select(col("qid"), col("doc_id"), col("positions").as(out))
+    val hits = side("tok_a", "pa").join(side("tok_b", "pb"),
+        Seq("qid", "doc_id"))
+      .withColumn("min_dist", expr(
+        "array_min(flatten(transform(pa, x -> transform(pb, y -> abs(x - y)))))"))
+      .filter(col("min_dist") <= slop)
+      .select(col("qid"), col("doc_id"), col("min_dist"))
+    lexTombstones(spark, name).fold(hits)(t =>
+      hits.join(broadcast(t.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_anti"))
+  }
+
   /** Remove the whole family + tombstones — fixture/test reset. */
   def destroy(spark: SparkSession, name: String): Unit = {
     Generations.destroy(spark, name, Members)

@@ -557,7 +557,46 @@ object HybridQueries {
         ${HybridRetrieval.lexicalOracleCtes("documents", "doc_id < 8",
           KEach, candPairCte = Some("smc"))}
         SELECT qid, doc_id, lex_rank, lex_scaled FROM lex
-        ORDER BY qid NULLS FIRST, lex_rank NULLS FIRST""")))
+        ORDER BY qid NULLS FIRST, lex_rank NULLS FIRST""")),
+
+    // ---- s48: proximity search — two terms within slop positions ----
+    // SpanNear, the positional postings' second capability (phrase =
+    // the slop-0 ordered special case): each query asks for its
+    // paired doc's 2nd and 5th tokens within 3 positions of each
+    // other (the paired doc itself matches at exactly distance 3, so
+    // every query is non-vacuous, and the slop bound excludes docs
+    // containing both terms farther apart). min_dist is exact — the
+    // smallest |pos_a − pos_b| over all occurrence pairs — folded
+    // over the two position ARRAYS inside the postings rows, no
+    // position explode, no new shuffle. Oracle recovers positions by
+    // the lockstep-unnest trick and replays the same min-abs-HAVING.
+    Q("s48_proximity_search",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val name = "graft_s48_lex"
+        LexIndex.writeLexIndex(docs.select(col("doc_id"), col("text")),
+          name)
+        LexIndex.probeProximity(s, name, proximityPairsOf(docs), slop = 3)
+          .orderBy("qid", "doc_id")
+      },
+      Some(s"""WITH dt AS MATERIALIZED (SELECT doc_id,
+          ${graft.functions.TextFunctions.sqlTokens("text")} AS tk
+        FROM documents),
+        prq AS MATERIALIZED (SELECT doc_id - 8 AS qid, tk[2] AS ta,
+            tk[5] AS tb
+          FROM dt WHERE doc_id >= 8 AND doc_id < 16),
+        tokp AS MATERIALIZED (SELECT doc_id, unnest(tk) AS tok,
+          unnest(range(0, len(tk))) AS pos FROM dt),
+        posa AS MATERIALIZED (SELECT p.qid, t.doc_id, t.pos
+          FROM tokp t JOIN prq p ON t.tok = p.ta),
+        posb AS MATERIALIZED (SELECT p.qid, t.doc_id, t.pos
+          FROM tokp t JOIN prq p ON t.tok = p.tb)
+        SELECT a.qid, a.doc_id,
+          CAST(min(abs(a.pos - b.pos)) AS INT) AS min_dist
+        FROM posa a JOIN posb b USING (qid, doc_id)
+        GROUP BY a.qid, a.doc_id
+        HAVING min(abs(a.pos - b.pos)) <= 3
+        ORDER BY qid NULLS FIRST, doc_id NULLS FIRST""")))
 
   /** The phrase queries: each query doc's tokens [from, from+len) —
     * defaults to the first two (the s41–s45 must-phrase); s46's
@@ -578,6 +617,17 @@ object HybridQueries {
       .select((col("doc_id") - 8).as("qid"),
         explode(slice(graft.functions.TextFunctions.tokens(col("text")),
           2, 3)).as("tok"))
+
+  /** s48's proximity pairs: the paired doc's 2nd and 5th tokens as
+    * (qid, tok_a, tok_b) — in the paired doc itself they sit at
+    * distance exactly 3, so slop = 3 admits it and the row is never
+    * vacuous. */
+  private def proximityPairsOf(docs: DataFrame): DataFrame = {
+    val tk = graft.functions.TextFunctions.tokens(col("text"))
+    docs.filter(col("doc_id") >= 8 && col("doc_id") < 16)
+      .select((col("doc_id") - 8).as("qid"),
+        element_at(tk, 2).as("tok_a"), element_at(tk, 5).as("tok_b"))
+  }
 
   private def phrasesOf(docs: DataFrame, from: Int = 1,
       len: Int = 2): DataFrame =

@@ -47,8 +47,9 @@ object Scale100 {
     require(opArgs.length <= 1, s"at most one op arg: ${opArgs.toSeq}")
     val op = opArgs.headOption.getOrElse("all")
     require(Set("all", "none", "d22", "s25", "s26", "d12", "s09", "s30",
-      "s31", "s38", "s40", "s41", "s45").contains(op),
-      s"unknown op '$op' (all|none|d22|s25|s26|d12|s09|s30|s31|s38|s40|s41|s45)")
+      "s31", "s38", "s40", "s41", "s45", "s47", "s48").contains(op),
+      s"unknown op '$op' " +
+        "(all|none|d22|s25|s26|d12|s09|s30|s31|s38|s40|s41|s45|s47|s48)")
     val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_scale")
 
     def indicators(df: DataFrame): String = {
@@ -286,6 +287,49 @@ object Scale100 {
               col("rank").as("vec_rank"))
           graft.operators.HybridRetrieval.rrfFuse(lex, vec, 10)
         })
+      }
+      // boolean SHOULD candidacy + ranked serve (s47): probeShould's
+      // cost is the 24 SHOULD terms' posting lists (bounded pushdown,
+      // fixed bytes — the scaled fixture's suffixed copies never grow
+      // the base terms' lists), the scoring probe is s31's flat path
+      // gated by the candidacy semi-join → the composition should
+      // stay near-flat.
+      if (op == "all" || op == "s47") {
+        val lName = s"graft_s100_sh_lex_m$m"
+        val t0 = System.nanoTime()
+        graft.operators.LexIndex.writeLexIndex(
+          docs.select(col("doc_id"), col("text")), lName, numBuckets = 8 * m)
+        println(f"[s100] m=$m%-4d s47_build      ${(System.nanoTime() - t0) / 1e9}%8.2fs  (build)")
+        val terms = docs.filter(col("doc_id") >= 8 && col("doc_id") < 16)
+          .select((col("doc_id") - 8).as("qid"),
+            explode(slice(graft.functions.TextFunctions
+              .tokens(col("text")), 2, 3)).as("tok"))
+          .localCheckpoint()
+        val queries = docs.filter(col("doc_id") < 8)
+          .select(col("doc_id"), col("text")).localCheckpoint()
+        time("s47_probe", () => {
+          val sm = graft.operators.Frontier.pin(
+            graft.operators.LexIndex.probeShould(spark, lName, terms, 2)
+              .select(col("qid"), col("doc_id")))
+          graft.operators.LexIndex.probeLexIndex(
+            spark, lName, queries, kEach = 20, candPairs = Some(sm))
+        })
+      }
+      // proximity probe (s48): two bounded posting lists per query
+      // meet on (qid, doc_id); the min-distance folds inside the row.
+      if (op == "all" || op == "s48") {
+        val lName = s"graft_s100_px_lex_m$m"
+        val t0 = System.nanoTime()
+        graft.operators.LexIndex.writeLexIndex(
+          docs.select(col("doc_id"), col("text")), lName, numBuckets = 8 * m)
+        println(f"[s100] m=$m%-4d s48_build      ${(System.nanoTime() - t0) / 1e9}%8.2fs  (build)")
+        val tk = graft.functions.TextFunctions.tokens(col("text"))
+        val pairs = docs.filter(col("doc_id") >= 8 && col("doc_id") < 16)
+          .select((col("doc_id") - 8).as("qid"),
+            element_at(tk, 2).as("tok_a"), element_at(tk, 5).as("tok_b"))
+          .localCheckpoint()
+        time("s48_probe", () => graft.operators.LexIndex.probeProximity(
+          spark, lName, pairs, slop = 3))
       }
       if (op == "all" || op == "s09") {
         val aName = s"graft_s100_ann_m$m"

@@ -292,6 +292,47 @@ class LexIndexSpec extends SparkSpec {
     LexIndex.destroy(spark, name)
   }
 
+  test("probeProximity: min-distance == direct position scan at every slop; tombstone exclusion") {
+    val name = "graft_t_lexx"
+    LexIndex.destroy(spark, name)
+    LexIndex.writeLexIndex(docs, name, numBuckets = 4)
+    val tk = graft.functions.TextFunctions.tokens(col("text"))
+    val pairs = docs.filter(col("doc_id") >= 8 && col("doc_id") < 12)
+      .select((col("doc_id") - 8).as("qid"),
+        element_at(tk, 2).as("tok_a"), element_at(tk, 5).as("tok_b"))
+    // direct truth from the raw token streams
+    val toks = docs.select(col("doc_id"), tk.as("tks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val pr = pairs.collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), Option(r.getString(2))))
+    def want(slop: Int) = (for {
+      (q, Some(a), Some(b)) <- pr
+      (d, ts) <- toks
+      pa = ts.zipWithIndex.collect { case (t, i) if t == a => i }
+      pb = ts.zipWithIndex.collect { case (t, i) if t == b => i }
+      if pa.nonEmpty && pb.nonEmpty
+      md = (for (x <- pa; y <- pb) yield math.abs(x - y)).min
+      if md <= slop
+    } yield (q, d) -> md).toMap
+    for (slop <- Seq(1, 3, 8)) {
+      val got = LexIndex.probeProximity(spark, name, pairs, slop)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
+        .toMap
+      assert(got == want(slop), s"slop=$slop != direct scan")
+    }
+    // the slop genuinely bites on this fixture
+    assert(want(1).size < want(8).size,
+      s"fixture slop degenerate: ${want(1).size} vs ${want(8).size}")
+    // tombstoned docs lose candidacy immediately
+    val victim = want(8).keys.head._2
+    LexIndex.tombstoneLex(spark, name,
+      spark.range(victim, victim + 1).toDF("doc_id"))
+    val after = LexIndex.probeProximity(spark, name, pairs, 8)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(!after.contains(victim), "tombstoned doc still matched")
+    LexIndex.destroy(spark, name)
+  }
+
   test("tombstone: immediate candidacy exclusion, untouched statistics") {
     LexIndex.destroy(spark, "graft_t_lexd")
     LexIndex.writeLexIndex(docs, "graft_t_lexd", numBuckets = 4)
