@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AnnIndex, Dedup, Generations, LexIndex, Tombstones}
+import graft.operators.{AnnIndex, Dedup, Generations, KnnGraphIndex, LexIndex, Tombstones}
 
 /** CROSS-PROCESS durability lab for the [[Generations]] protocol (the
   * r11 verdict's structural finding): every crash-atomicity claim —
@@ -627,6 +627,72 @@ object DurableLab {
           .readAllBytes(annKillHashFile(workDir)), "UTF-8"),
           "readmitted re-encode != the pre-takedown appended state")
 
+      // ---- GRAPH resurrection window (r14 verdict #4, shared body) ----
+      // The last of the four maintained families: the k-NN graph's
+      // append classifies admission by VECS-PRESENCE (the fenced
+      // anti-join on the vecs member — the applied marker written
+      // LAST), and an erasure compaction purges every member row
+      // touching the ids, so a replayed batch finds itself absent
+      // everywhere and would re-land forward AND reverse edges — only
+      // the durable erased registry bars it. Every appended edge
+      // touches a batch endpoint, so the purge provably restores the
+      // base edge set and the fingerprint (full slice probe, rank and
+      // cos bits) detects any leaked edge row.
+      case "graph-build" =>
+        KnnGraphIndex.writeKnnGraph(vecs(spark), GraphName,
+          k = 10, nCells = 16)
+        java.nio.file.Files.write(graphHashFile(workDir, "base"),
+          graphProbeHash(spark).getBytes("UTF-8"))
+
+      case "graph-kill-post-clear" =>
+        Generations.leaseTtlOverrideMs = Some(ShortTtlMs)
+        Tombstones.destroy(spark, GraphName)
+        val stored = graphStored(workDir, "base")
+        check(graphProbeHash(spark) == stored,
+          "base fingerprint drifted before the graph kill window")
+        KnnGraphIndex.appendToKnnGraph(graphKillBatch(spark), GraphName,
+          ifAbsent = true)
+        val vt = Generations.resolve(spark, GraphName, "vecs")
+        check(spark.table(vt).filter(col("vec_id") >= 3200000000L)
+          .count() == 8,
+          "setup append did not land — the kill window would be vacuous")
+        val appended = graphProbeHash(spark)
+        check(appended != stored,
+          "graph kill batch does not move the probe")
+        java.nio.file.Files.write(graphHashFile(workDir, "kill"),
+          appended.getBytes("UTF-8"))
+        KnnGraphIndex.tombstoneGraph(spark, GraphName,
+          vecIds((0L until 8L).map(_ + 3200000000L): _*))
+        KnnGraphIndex.compactKnnGraph(spark, GraphName)
+        Runtime.getRuntime.halt(137)
+
+      case "graph-recover-replay" =>
+        val stored = graphStored(workDir, "base")
+        check(Tombstones.get(spark, GraphName).isEmpty,
+          "pending set survived the completed maintenance")
+        check(Tombstones.erasedSet(spark, GraphName)
+          .map(_.count()).getOrElse(0L) == 8,
+          "erased registry missing after the kill")
+        val vt = Generations.resolve(spark, GraphName, "vecs")
+        val et = Generations.resolve(spark, GraphName, "edges")
+        check(spark.table(vt).filter(col("vec_id") >= 3200000000L)
+          .count() == 0, "purge left vec rows behind")
+        check(spark.table(et).filter(col("qid") >= 3200000000L ||
+          col("vec_id") >= 3200000000L).count() == 0,
+          "purge left edge rows touching erased endpoints")
+        KnnGraphIndex.appendToKnnGraph(graphKillBatch(spark), GraphName,
+          ifAbsent = true)
+        check(spark.table(vt).filter(col("vec_id") >= 3200000000L)
+          .count() == 0, "replay resurrected physically erased vecs")
+        check(graphProbeHash(spark) == stored,
+          "probe fingerprint moved after the barred replay")
+        Tombstones.readmit(spark, GraphName,
+          vecIds((0L until 8L).map(_ + 3200000000L): _*))
+        KnnGraphIndex.appendToKnnGraph(graphKillBatch(spark), GraphName,
+          ifAbsent = true)
+        check(graphProbeHash(spark) == graphStored(workDir, "kill"),
+          "readmitted re-append != the pre-takedown appended state")
+
       case other => sys.error(s"unknown lab command: $other")
     }
   }
@@ -679,6 +745,38 @@ object DurableLab {
 
   private def annKillHashFile(workDir: String) =
     java.nio.file.Paths.get(workDir, "ann_hash_kill.txt")
+
+  // ---- GRAPH lab pieces ------------------------------------------------
+  val GraphName = "lab_graph"
+
+  /** Graph kill batch: exact copies of the eight query vectors under
+    * fresh ids — their reverse edges land in the slice probe's qids
+    * at cos 1.0 (same cell as the query, which probes it), guaranteed
+    * top-k while (re)admitted. */
+  private def graphKillBatch(spark: SparkSession) =
+    vecs(spark).filter(col("vec_id") < 8)
+      .select((col("vec_id") + 3200000000L).as("vec_id"), col("embedding"))
+
+  /** Deterministic graph fingerprint: the full slice probe (qid < 8),
+    * rank and exact cos bits — a leaked edge row, lost vec, or stale
+    * model all move it. */
+  private def graphProbeHash(spark: SparkSession): String = {
+    val rows = KnnGraphIndex.probeKnnGraph(spark, GraphName,
+        col("qid") < 8)
+      .collect()
+      .map(r => s"${r.getLong(0)}:${r.getLong(1)}:${r.getInt(2)}:" +
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+      .sorted.mkString(",")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(rows.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  private def graphHashFile(workDir: String, tag: String) =
+    java.nio.file.Paths.get(workDir, s"graph_hash_$tag.txt")
+
+  private def graphStored(workDir: String, tag: String): String =
+    new String(java.nio.file.Files.readAllBytes(
+      graphHashFile(workDir, tag)), "UTF-8")
 
   // ---- LEX lab pieces ------------------------------------------------
   val LexName = "lab_lex"

@@ -129,6 +129,27 @@ class DurableCatalogSpec extends AnyFunSuite {
     assert(r3.contains("[lab] ann-recover-replay ok"), tail(r3))
   }
 
+  test("GRAPH four-member family: post-clear resurrection window — replay barred by the registry alone cross-process") {
+    val workDir = Files.createTempDirectory("graft_durable_graph").toString
+    def run(cmd: String, expectRc: Int): String = {
+      val (rc, out) = fork(workDir, cmd)
+      assert(rc == expectRc,
+        s"$cmd: expected exit $expectRc, got $rc\n${tail(out)}")
+      out
+    }
+    // the fourth maintained family's kill pair: admission classified
+    // by vecs-presence (the applied marker written LAST), the erasure
+    // compaction purges every member row touching the ids, and the
+    // replayed batch — which would re-land forward AND reverse edges
+    // — is barred by the durable erased registry alone; readmit +
+    // re-append restores the appended-state fingerprint.
+    val b = run("graph-build", 0)
+    assert(b.contains("[lab] graph-build ok"), tail(b))
+    run("graph-kill-post-clear", 137)
+    val r = run("graph-recover-replay", 0)
+    assert(r.contains("[lab] graph-recover-replay ok"), tail(r))
+  }
+
   test("LEX append fence windows + erasure-compaction flip: killed appenders replay to convergence cross-process") {
     val workDir = Files.createTempDirectory("graft_durable_lex").toString
     def run(cmd: String, expectRc: Int): String = {
