@@ -596,7 +596,85 @@ object HybridQueries {
         FROM posa a JOIN posb b USING (qid, doc_id)
         GROUP BY a.qid, a.doc_id
         HAVING min(abs(a.pos - b.pos)) <= 3
-        ORDER BY qid NULLS FIRST, doc_id NULLS FIRST""")))
+        ORDER BY qid NULLS FIRST, doc_id NULLS FIRST""")),
+
+    // ---- s49: the FULL boolean grammar through the two-index serve --
+    // The capstone composition — one query speaking the whole
+    // production search-box grammar at once: MUST (quoted phrase) ∧
+    // SHOULD ≥ 2-of-3 (paired-doc terms) ∧ ¬MUST_NOT ("-term") ∧
+    // metadata filter, ranked by BOTH persisted indexes and
+    // RRF-fused (s38's shape). The boolean algebra resolves to ONE
+    // per-query allowed set BEFORE the serve: bq = pm ∩ smc − nm,
+    // plain pair-set operations on the probes' outputs — then bq
+    // gates both legs as candPairs (the pre-shortlist position) with
+    // the metadata filter riding candPred beside it, proving the two
+    // candidacy mechanisms compose on each leg. Every leg stays
+    // candidacy-only, so all surviving scores are bit-identical to
+    // their unconstrained values; only membership and packing move.
+    // Oracle: the same algebra as CTEs (pm from the phrase chain,
+    // smc from containment, nm from the negated term), one EXISTS +
+    // the predicate at each leg's candidacy point.
+    Q("s49_full_boolean_serve",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val emb = Tables(s, dir, "embeddings")
+        val name = "graft_s49_lex"
+        LexIndex.writeLexIndex(docs.select(col("doc_id"), col("text")),
+          name)
+        AnnIndex.writeAnnIndex(
+          emb.select(col("vec_id"), col("embedding")), "graft_s49_ann")
+        val pm = LexIndex.probePhrase(s, name, phrasesOf(docs))
+          .select(col("phrase_id").as("qid"), col("doc_id"))
+        val sm = LexIndex.probeShould(s, name, shouldTermsOf(docs), 2)
+          .select(col("qid"), col("doc_id"))
+        val nm = LexIndex.probePhrase(s, name,
+            phrasesOf(docs, from = 3, len = 1))
+          .select(col("phrase_id").as("qid"), col("doc_id"))
+        // the boolean algebra, resolved once, pinned, fed to BOTH legs
+        val bq = graft.operators.Frontier.pin(
+          pm.join(sm, Seq("qid", "doc_id"))
+            .join(nm, Seq("qid", "doc_id"), "left_anti"))
+        val lex = LexIndex.probeLexIndex(s, name, queriesOf(docs), KEach,
+          candPred = Some(col("doc_id") % 2 === 0),
+          candPairs = Some(bq))
+        val vec = AnnIndex.probeAnnIndex(s, "graft_s49_ann", emb,
+            expr("vec_id < 8"), k = KEach,
+            candPred = Some(col("vec_id") % 2 === 0),
+            candPairs = Some(bq.select(col("qid"),
+              col("doc_id").as("vec_id"))))
+          .select(col("qid"), col("vec_id").as("doc_id"),
+            col("rank").as("vec_rank"))
+        HybridRetrieval.rrfFuse(lex, vec, K).orderBy("qid", "rank")
+      },
+      Some {
+        val ivf = PortableIvf.ivfPqOracleSql(Dim, KEach, nCells = 16,
+          nprobe = 4, m = 8, ksub = 32, shortlist = 60,
+          a => s"$a.vec_id < 8",
+          candSql = Some("a.vec_id % 2 = 0 AND EXISTS (SELECT 1 FROM " +
+            "bq cp WHERE cp.qid = p.qid AND cp.doc_id = a.vec_id)"))
+        s"""WITH ${phraseCtes(None)},
+          shq AS MATERIALIZED (SELECT DISTINCT qid, tok FROM (
+            SELECT doc_id - 8 AS qid, unnest(list_slice(tk, 2, 4)) AS tok
+            FROM dt WHERE doc_id >= 8 AND doc_id < 16)),
+          smc AS MATERIALIZED (SELECT sq.qid, td.doc_id
+            FROM (SELECT DISTINCT doc_id, tok FROM tokp) td
+            JOIN shq sq USING (tok)
+            GROUP BY sq.qid, td.doc_id HAVING count(*) >= 2),
+          negt AS MATERIALIZED (SELECT doc_id AS qid, tk[3] AS tok
+            FROM dt WHERE doc_id < 8),
+          nm AS MATERIALIZED (SELECT n.qid, t.doc_id
+            FROM tokp t JOIN negt n USING (tok) GROUP BY n.qid, t.doc_id),
+          bq AS MATERIALIZED (SELECT pm.qid, pm.doc_id
+            FROM pm JOIN smc USING (qid, doc_id)
+            WHERE NOT EXISTS (SELECT 1 FROM nm
+              WHERE nm.qid = pm.qid AND nm.doc_id = pm.doc_id)),
+          ${HybridRetrieval.lexicalOracleCtes("documents", "doc_id < 8",
+            KEach, candPredSql = Some("tfq.doc_id % 2 = 0"),
+            candPairCte = Some("bq"))},
+          vec AS MATERIALIZED (SELECT qid, vec_id AS doc_id,
+            rank AS vec_rank FROM ($ivf)),
+          ${HybridRetrieval.fusionTailSql(K, c = 60)}"""
+      }))
 
   /** The phrase queries: each query doc's tokens [from, from+len) —
     * defaults to the first two (the s41–s45 must-phrase); s46's
