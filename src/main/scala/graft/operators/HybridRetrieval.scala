@@ -45,6 +45,11 @@ import graft.functions.TextFunctions.{sqlTokens, tokens}
   */
 object HybridRetrieval {
 
+  /** Bounded literal-pushdown budget for [[snippets]]' doc-id fetch —
+    * the hit set is top-k-per-query small by construction; past this
+    * the fetch degrades to the plain broadcast join. */
+  val SnippetPushdownMax = 1024
+
   /** DOUBLE-cast literal (a bare `1.2` parses as DECIMAL in DuckDB —
     * the PortableIvf trap). */
   private def d(x: String) = s"CAST($x AS DOUBLE)"
@@ -224,6 +229,78 @@ object HybridRetrieval {
       .select("qid", "doc_id", "rank", "rrf", "lex_rank", "vec_rank")
   }
 
+  /** SNIPPET generation — the token window a search page shows under
+    * each hit, the match highlighted: `matches` carries (qid, doc_id,
+    * first_pos, …passthrough) (first_pos = a phrase match's 0-based
+    * anchor, [[graft.operators.LexIndex.probePhrase]]); the output is
+    * `matches` plus a `snippet` column of `ctx` tokens of context on
+    * each side with the `phraseLen`-token match wrapped in «…».
+    * Clamped at both document edges; tokens re-split by the index's
+    * tokenizer contract, so positions and text agree by construction.
+    *
+    * Scale shape: the matches side is per-query bounded (top-k rows),
+    * so its doc ids are COLLECTED (bounded by [[SnippetPushdownMax]],
+    * with a broadcast-join fallback past it) and pushed into the
+    * doc-text scan as an `In(doc_id)` filter — on a doc_id-sorted or
+    * ranged doc store that is file/row-group pruning, which is what
+    * turns the hit fetch into a point lookup at 100 TB instead of a
+    * corpus scan. The matches frame is pinned before the collect (the
+    * probe pushdown discipline): a nondeterministic frame re-evaluated
+    * between the key collect and the join could otherwise push an id
+    * set that diverges from the joined rows. Either way the corpus
+    * side reads (doc_id, text) only and the matches side broadcasts. */
+  def snippets(matches: DataFrame, docs: DataFrame, phraseLen: Int,
+      ctx: Int): DataFrame = {
+    require(phraseLen >= 1 && ctx >= 0,
+      s"phraseLen >= 1 and ctx >= 0 required, got $phraseLen/$ctx")
+    val m = Frontier.pin(matches)
+    val ids = m.select("doc_id").distinct()
+      .limit(SnippetPushdownMax + 1).collect().map(_.getLong(0))
+    val lookup =
+      if (ids.length > SnippetPushdownMax) docs
+      else docs.filter(col("doc_id").isin(ids.map(x => x: Any): _*))
+    val ms = col("first_pos") + 1 // 1-based match start
+    val begin = greatest(ms - ctx, lit(1))
+    val end = least(col("first_pos") + phraseLen + ctx, size(col("tk")))
+    broadcast(m)
+      .join(lookup.select(col("doc_id"), tokens(col("text")).as("tk")),
+        "doc_id")
+      .withColumn("snippet", array_join(concat(
+        slice(col("tk"), begin, ms - begin),
+        array(concat(lit("«"),
+          array_join(slice(col("tk"), ms, lit(phraseLen)), " "),
+          lit("»"))),
+        slice(col("tk"), ms + phraseLen,
+          end - (col("first_pos") + phraseLen))), " "))
+      .drop("tk")
+  }
+
+  /** FACET counts — the navigation rail beside search results: for
+    * each query, the distribution of its CANDIDATE set (not just the
+    * top-k page) over one or more metadata dimensions. `cands` is
+    * (qid, doc_id) — feed a boolean-probe output (phrase / SHOULD /
+    * full boolean algebra); `meta` carries doc_id plus the facet
+    * columns; output (qid, dim, facet, cnt).
+    *
+    * Scale shape: one join on doc_id (the candidate side is bounded
+    * by the probes' posting lists — large enough that we do NOT force
+    * a broadcast; AQE picks, and at 100 TB a doc_id-bucketed metadata
+    * store co-locates it), then one grouping per dimension over the
+    * already-narrow (qid, facet) rows, unioned. The meta scan reads
+    * doc_id + the facet columns only. */
+  def facetCounts(cands: DataFrame, meta: DataFrame,
+      facets: Seq[String]): DataFrame = {
+    require(facets.nonEmpty, "at least one facet dimension required")
+    val joined = cands.select("qid", "doc_id").distinct()
+      .join(meta.select("doc_id", facets: _*), "doc_id")
+    facets.map { f =>
+        joined.select(col("qid"), lit(f).as("dim"),
+          col(f).cast("string").as("facet"))
+      }.reduce(_ unionByName _)
+      .groupBy("qid", "dim", "facet")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** The lexical-side CTE chain (tok → … → lex), parameterized on the
     * docs relation so the nightly fold-in's oracle (p10) can score a
     * CHAINED admitted-corpus CTE with the SAME text the s30-family
@@ -251,11 +328,18 @@ object HybridRetrieval {
   /** `exclPairCte` replays the PER-QUERY exclusion anti-join (s46 —
     * the boolean MUST_NOT leg): same CTE contract as `candPairCte`,
     * spelled NOT EXISTS at the same candidacy position. */
+  /** `qtSql` overrides the query TERM SET derivation (s52 — fuzzy
+    * "did you mean" ranking, where the scored terms are corrected
+    * SUGGESTIONS, not the typed text): a SELECT yielding (qid, tok),
+    * free to reference CTEs the caller defined before this chain.
+    * None keeps qt = the docs relation's own tokens (byte-identical
+    * to every earlier oracle). */
   def lexicalOracleCtes(docsRel: String, predDoc: String,
       kEach: Int, candDelIds: Seq[Long] = Nil,
       candPredSql: Option[String] = None,
       candPairCte: Option[String] = None,
-      exclPairCte: Option[String] = None): String = {
+      exclPairCte: Option[String] = None,
+      qtSql: Option[String] = None): String = {
     val candFilter =
       (if (candDelIds.isEmpty) ""
        else s" AND tfq.doc_id NOT IN (${candDelIds.mkString(", ")})") +
@@ -273,8 +357,8 @@ object HybridRetrieval {
       dfq AS MATERIALIZED (SELECT tok, count(*) AS df FROM tfq GROUP BY tok),
       nq AS MATERIALIZED (SELECT count(DISTINCT doc_id) AS n_docs,
           count(*) AS total_tokens FROM tok),
-      qt AS MATERIALIZED (SELECT doc_id AS qid, tok FROM tfq
-        WHERE $predDoc),
+      qt AS MATERIALIZED (${qtSql.getOrElse(
+        s"SELECT doc_id AS qid, tok FROM tfq WHERE $predDoc")}),
       lw AS MATERIALIZED (SELECT q.qid, tfq.doc_id,
           CAST($termWeightSql AS DECIMAL(18,9)) AS w
         FROM tfq JOIN dfq USING (tok) JOIN lenq USING (doc_id)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -621,12 +621,17 @@ object LexIndex {
     val cand = lexTombstones(spark, name).fold(rows)(t =>
       rows.join(broadcast(t.select(col("doc_id")).distinct()),
         Seq("doc_id"), "left_anti"))
+    // negative anchors (a term occurring before its in-phrase offset
+    // could place it) can never complete a match — the off-0 term's
+    // anchor is its own position, >= 0 — so they are shed BEFORE the
+    // grouping shuffle rather than after (r14 advisory)
     val anchors = cand.select(col("phrase_id"), col("doc_id"), col("off"),
-      explode(expr("transform(positions, x -> x - off)")).as("p"))
+        explode(expr("transform(positions, x -> x - off)")).as("p"))
+      .filter(col("p") >= 0)
     anchors.groupBy("phrase_id", "doc_id", "p")
       .agg(countDistinct(col("off")).as("got"))
       .join(broadcast(nTerms), "phrase_id")
-      .filter(col("got") === col("n") && col("p") >= 0)
+      .filter(col("got") === col("n"))
       .groupBy("phrase_id", "doc_id")
       .agg(count(lit(1)).as("n_matches"), min(col("p")).as("first_pos"))
   }
@@ -738,6 +743,148 @@ object LexIndex {
     lexTombstones(spark, name).fold(hits)(t =>
       hits.join(broadcast(t.select(col("doc_id")).distinct()),
         Seq("doc_id"), "left_anti"))
+  }
+
+  /** PREFIX search (Lucene's `PrefixQuery` through its term
+    * dictionary): docs containing any term starting with a query's
+    * prefix. `prefixes` is (qid, prefix); output (qid, doc_id,
+    * n_terms) with n_terms the count of DISTINCT matched expansion
+    * terms the doc contains.
+    *
+    * Two stages, both bounded the way Lucene bounds them:
+    *
+    *  1. '''Expansion''': the term dictionary (distinct `tok` — an
+    *     exchange-free aggregation on the bucketed tok layout) is
+    *     matched per query prefix and capped at `maxExpansions` terms
+    *     in TERM ORDER (Lucene's `max_expansions` — the cap is what
+    *     keeps a one-letter prefix from exploding downstream cost;
+    *     term order makes WHICH terms survive deterministic). The
+    *     match is an EQUI-join per distinct prefix LENGTH
+    *     (`substring(tok, 1, len) = prefix` — broadcast hash, never a
+    *     nested loop), and the scan itself is pruned by pushing the
+    *     `startsWith` disjunction into the sorted buckets
+    *     (parquet `StringStartsWith` + min/max on the sorted runs).
+    *  2. '''Matching''': the capped expansion set joins the postings
+    *     exactly like query terms in the scoring probe — cost bounded
+    *     by the expansions' posting lists.
+    *
+    * The expansion vocabulary is a CORPUS statistic (like df): terms
+    * occurring only in tombstoned docs still expand until compaction
+    * makes the erasure physical — doc CANDIDACY is excluded
+    * immediately, as in every probe. `asOf` probes a frozen
+    * generation's postings with CURRENT tombstone exclusion. */
+  def probePrefix(spark: SparkSession, name: String, prefixes: DataFrame,
+      maxExpansions: Int = 16, asOf: Option[Long] = None): DataFrame = {
+    require(maxExpansions >= 1,
+      s"maxExpansions must be >= 1, got $maxExpansions")
+    val pt = member(spark, name, "postings", asOf)
+    requireTokenizer(spark, Seq(pt))
+    val px0 = prefixes.select(col(prefixes.columns.head).as("qid"),
+      col(prefixes.columns(1)).as("prefix")).distinct()
+    val postings0 = spark.table(pt)
+    val push = scanBytes(postings0) > pushdownMinBytes(spark)
+    // pinned when the pushdown collects keys from it (the qt
+    // discipline): the pushed prefix set must not diverge from the
+    // joined rows under a nondeterministic prefixes frame
+    val px = if (push) Frontier.pin(px0) else px0
+    val postings =
+      if (!push) postings0
+      else {
+        val prefs = px.select("prefix").distinct()
+          .limit(ProbePushdownMax + 1).collect().map(_.getString(0))
+        if (prefs.isEmpty) postings0.filter(lit(false))
+        else if (prefs.length > ProbePushdownMax) postings0
+        else postings0.filter(
+          prefs.map(p => col("tok").startsWith(p)).reduce(_ || _))
+      }
+    // term-dictionary expansion, capped in term order (Lucene)
+    val vocab = postings.select("tok").distinct()
+    val lens = px.select(length(col("prefix")).as("l")).distinct()
+      .limit(ProbePushdownMax + 1).collect().map(_.getInt(0))
+    val matched =
+      if (lens.isEmpty) px.select(col("qid"), col("prefix").as("tok"))
+        .filter(lit(false))
+      else if (lens.length > ProbePushdownMax)
+        // catch-all for a pathological prefix-length spread: the
+        // predicate join (still broadcast — the prefixes side is the
+        // per-query tiny one)
+        vocab.join(broadcast(px), col("tok").startsWith(col("prefix")))
+          .select(col("qid"), col("tok"))
+      else lens.toSeq.map { l =>
+        vocab.join(broadcast(px.filter(length(col("prefix")) === l)),
+            substring(col("tok"), 1, l) === col("prefix"))
+          .select(col("qid"), col("tok"))
+      }.reduce(_ unionByName _)
+    val expansions = matched.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy("tok")))
+      .filter(col("rn") <= maxExpansions).drop("rn")
+    val rows = postings.select("tok", "doc_id")
+      .join(broadcast(expansions), "tok")
+    val cand = lexTombstones(spark, name).fold(rows)(t =>
+      rows.join(broadcast(t.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_anti"))
+    cand.groupBy("qid", "doc_id")
+      .agg(countDistinct(col("tok")).as("n_terms"))
+  }
+
+  /** All deletion variants of `colName` removing UP TO `maxEdits`
+    * characters, including the identity — the SymSpell neighborhood
+    * key set (Garbe's symmetric-delete spelling correction): two
+    * strings within Damerau/Levenshtein distance d share at least one
+    * ≤d-deletion variant, so an equi-join on variants finds every
+    * candidate pair and an exact distance check removes the false
+    * positives (e.g. "ab"/"ba" share variant "a" at distance 2). */
+  private def deletionKeys(colName: String, maxEdits: Int): Column = {
+    val d1 = s"transform(sequence(0, length($colName)), i -> " +
+      s"concat(substring($colName, 1, i), substring($colName, i + 2)))"
+    val all =
+      if (maxEdits == 1) d1
+      else s"flatten(transform($d1, y -> transform(sequence(0, " +
+        "length(y)), j -> concat(substring(y, 1, j), substring(y, j + 2)))))"
+    expr(s"array_distinct($all)")
+  }
+
+  /** FUZZY term match (Lucene's `FuzzyQuery` / "did you mean"):
+    * vocabulary terms within edit distance `maxEdits` of each query
+    * term. `terms` is (qid, term); output (qid, term, suggestion,
+    * dist, df) — `df` is the suggestion's EXACT document frequency
+    * (one row per (tok, doc) in the postings, counted on the bucketed
+    * tok layout exchange-free), the noisy-channel ranking signal:
+    * order by df DESC for "did you mean".
+    *
+    * Scale shape — the SymSpell symmetric-delete join, never a
+    * vocabulary cross product: both sides expand to their ≤maxEdits
+    * DELETION variants ([[deletionKeys]]), candidates meet on an
+    * equi-join of variants (query side broadcast), and one
+    * codegen'd `levenshtein` pass verifies the exact distance. The
+    * vocabulary derivation is one postings scan reading (tok) only
+    * (positions and doc ids prune away); the variant blow-up is
+    * ×(len+1) per edit on the VOCABULARY's size, not the corpus's.
+    * Like df/n_docs, the vocabulary is a corpus statistic: terms of
+    * tombstoned docs suggest (and count their df) until compaction —
+    * erasure of DOC candidacy is immediate everywhere a doc_id
+    * surfaces, but this probe surfaces terms. `asOf` reads a frozen
+    * generation's vocabulary. */
+  def probeFuzzy(spark: SparkSession, name: String, terms: DataFrame,
+      maxEdits: Int = 1, asOf: Option[Long] = None): DataFrame = {
+    require(maxEdits == 1 || maxEdits == 2,
+      s"maxEdits must be 1 or 2 (Lucene's bound), got $maxEdits")
+    val pt = member(spark, name, "postings", asOf)
+    requireTokenizer(spark, Seq(pt))
+    val vocab = spark.table(pt).groupBy("tok")
+      .agg(count(lit(1)).as("df"))
+    val qt = terms.select(col(terms.columns.head).as("qid"),
+      col(terms.columns(1)).as("term")).distinct()
+    val vk = vocab.select(col("tok"), col("df"),
+      explode(deletionKeys("tok", maxEdits)).as("k"))
+    val qk = qt.select(col("qid"), col("term"),
+      explode(deletionKeys("term", maxEdits)).as("k"))
+    vk.join(broadcast(qk), "k")
+      .filter(levenshtein(col("term"), col("tok")) <= maxEdits)
+      .select(col("qid"), col("term"), col("tok").as("suggestion"),
+        levenshtein(col("term"), col("tok")).as("dist"), col("df"))
+      .distinct()
   }
 
   /** Remove the whole family + tombstones — fixture/test reset. */

@@ -674,7 +674,184 @@ object HybridQueries {
           vec AS MATERIALIZED (SELECT qid, vec_id AS doc_id,
             rank AS vec_rank FROM ($ivf)),
           ${HybridRetrieval.fusionTailSql(K, c = 60)}"""
-      }))
+      }),
+
+    // ---- s50: PREFIX search from the term dictionary ----------------
+    // Lucene's PrefixQuery: each query asks for docs containing any
+    // term starting with its first token's first character. The probe
+    // expands the prefix against the term dictionary (distinct tok —
+    // exchange-free on the bucketed layout, scan pruned by the pushed
+    // startsWith disjunction), caps the expansion at 4 terms in TERM
+    // ORDER (Lucene's max_expansions — the 's' query expands to 6
+    // vocabulary terms, so the hash pins both the cap and the order),
+    // and joins the survivors' posting lists. Oracle: starts_with
+    // expansion + the same row_number cap.
+    Q("s50_prefix_search",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val name = "graft_s50_lex"
+        LexIndex.writeLexIndex(docs.select(col("doc_id"), col("text")),
+          name)
+        LexIndex.probePrefix(s, name, prefixesOf(docs), maxExpansions = 4)
+          .orderBy("qid", "doc_id")
+      },
+      Some(s"""WITH dt AS MATERIALIZED (SELECT doc_id,
+          ${graft.functions.TextFunctions.sqlTokens("text")} AS tk
+        FROM documents),
+        tokd AS MATERIALIZED (SELECT DISTINCT doc_id, tok FROM (
+          SELECT doc_id, unnest(tk) AS tok FROM dt)),
+        voc AS MATERIALIZED (SELECT DISTINCT tok FROM tokd),
+        px AS MATERIALIZED (SELECT DISTINCT doc_id AS qid,
+          left(tk[1], 1) AS prefix FROM dt WHERE doc_id < 8),
+        exp AS MATERIALIZED (SELECT qid, tok FROM (
+            SELECT p.qid, v.tok, row_number() OVER (
+              PARTITION BY p.qid ORDER BY v.tok) AS rn
+            FROM voc v JOIN px p ON starts_with(v.tok, p.prefix))
+          WHERE rn <= 4)
+        SELECT e.qid, t.doc_id, count(DISTINCT t.tok) AS n_terms
+        FROM tokd t JOIN exp e USING (tok)
+        GROUP BY e.qid, t.doc_id
+        ORDER BY qid NULLS FIRST, doc_id NULLS FIRST""")),
+
+    // ---- s51: FUZZY term match — "did you mean" suggestions ---------
+    // Lucene's FuzzyQuery by the SymSpell symmetric-delete join: each
+    // query misspells two of its paired doc's tokens (2nd char
+    // deleted — guaranteed edit distance 1 from a vocab term), and
+    // the probe finds every vocabulary term within edit distance 1,
+    // with its EXACT df as the noisy-channel ranking signal. Never a
+    // vocabulary cross product: both sides expand to their ≤1-deletion
+    // variants, candidates meet on an equi-join of variants (query
+    // side broadcast), one levenshtein pass removes the
+    // shared-variant-but-distance-2 false positives the oracle's
+    // naive cross join never produces.
+    Q("s51_fuzzy_suggest",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val name = "graft_s51_lex"
+        LexIndex.writeLexIndex(docs.select(col("doc_id"), col("text")),
+          name)
+        LexIndex.probeFuzzy(s, name, fuzzyTermsOf(docs))
+          .orderBy("qid", "term", "suggestion")
+      },
+      Some(s"""WITH ${fuzzyCtes()}
+        SELECT f.qid, f.term, v.tok AS suggestion,
+          CAST(levenshtein(f.term, v.tok) AS INT) AS dist, v.df
+        FROM voc v JOIN fq f ON levenshtein(f.term, v.tok) <= 1
+        ORDER BY qid NULLS FIRST, term NULLS FIRST,
+          suggestion NULLS FIRST""")),
+
+    // ---- s52: FUZZY search end to end — misspelled query still ranks
+    // The "did you mean" loop closed: the misspelled terms' fuzzy
+    // matches are reduced to ONE correction each (highest df, term
+    // order as the tiebreak — the noisy-channel argmax), the
+    // corrected term set replaces the typed text as the scoring
+    // probe's query terms, and BM25 ranks as if the user had typed
+    // correctly. Oracle: the same correction argmax as CTEs feeding
+    // the proven scorer text through the qt override — the one place
+    // the scored term set is NOT the docs relation's own tokens.
+    Q("s52_fuzzy_rank",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val name = "graft_s52_lex"
+        LexIndex.writeLexIndex(docs.select(col("doc_id"), col("text")),
+          name)
+        val sugg = LexIndex.probeFuzzy(s, name, fuzzyTermsOf(docs))
+        val best = sugg.withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("qid", "term")
+              .orderBy(col("df").desc, col("suggestion"))))
+          .filter(col("rn") === 1)
+        val corrected = best.groupBy("qid")
+          .agg(concat_ws(" ",
+            sort_array(collect_set(col("suggestion")))).as("text"))
+          .select(col("qid").as("doc_id"), col("text"))
+        LexIndex.probeLexIndex(s, name, corrected, KEach)
+          .orderBy("qid", "lex_rank")
+      },
+      Some(s"""WITH ${fuzzyCtes()},
+        sugg AS MATERIALIZED (SELECT f.qid, f.term, v.tok, v.df
+          FROM voc v JOIN fq f ON levenshtein(f.term, v.tok) <= 1),
+        best AS MATERIALIZED (SELECT qid, tok FROM (
+            SELECT qid, term, tok, row_number() OVER (
+              PARTITION BY qid, term ORDER BY df DESC, tok) AS rn
+            FROM sugg) WHERE rn = 1),
+        corr AS MATERIALIZED (SELECT DISTINCT qid, tok FROM best),
+        ${HybridRetrieval.lexicalOracleCtes("documents", "doc_id < 8",
+          KEach, qtSql = Some("SELECT qid, tok FROM corr"))}
+        SELECT qid, doc_id, lex_rank, lex_scaled FROM lex
+        ORDER BY qid NULLS FIRST, lex_rank NULLS FIRST""")),
+
+    // ---- s53: FACET counts over the candidate set -------------------
+    // The navigation rail beside search results: for each query, the
+    // distribution of its phrase-MUST candidate set (the full set,
+    // not the top-k page) over the lang and source metadata
+    // dimensions — the aggregation a user refines a search by.
+    // Candidates from the persisted positional index; one doc_id
+    // join; one narrow grouping per dimension.
+    Q("s53_facet_counts",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val name = "graft_s53_lex"
+        LexIndex.writeLexIndex(docs.select(col("doc_id"), col("text")),
+          name)
+        val pm = LexIndex.probePhrase(s, name, phrasesOf(docs))
+          .select(col("phrase_id").as("qid"), col("doc_id"))
+        HybridRetrieval.facetCounts(pm, docs, Seq("lang", "source"))
+          .orderBy("qid", "dim", "facet")
+      },
+      Some(s"""WITH ${phraseCtes(None)}
+        SELECT qid, dim, facet, cnt FROM (
+          SELECT p.qid, 'lang' AS dim, CAST(d.lang AS VARCHAR) AS facet,
+            count(*) AS cnt
+          FROM pm p JOIN documents d USING (doc_id) GROUP BY p.qid, d.lang
+          UNION ALL
+          SELECT p.qid, 'source' AS dim, CAST(d.source AS VARCHAR) AS facet,
+            count(*) AS cnt
+          FROM pm p JOIN documents d USING (doc_id) GROUP BY p.qid, d.source)
+        ORDER BY qid NULLS FIRST, dim NULLS FIRST, facet NULLS FIRST""")),
+
+    // ---- s54: the SEARCH PAGE — ranked hits with highlighted snippets
+    // What a result page actually renders: the phrase-MUST BM25
+    // top-k (s43's shape), each hit carrying a snippet — 3 tokens of
+    // context each side of the «highlighted» 2-token match, clamped
+    // at document edges, cut from the SAME positions the phrase probe
+    // matched (probePhrase's first_pos drives the window; the text
+    // re-splits under the index's tokenizer contract, so positions
+    // and text agree by construction). The matches frame is pinned:
+    // BOTH the candidacy semi-join and the snippet join consume it.
+    Q("s54_search_page",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val name = "graft_s54_lex"
+        LexIndex.writeLexIndex(docs.select(col("doc_id"), col("text")),
+          name)
+        val pm = graft.operators.Frontier.pin(
+          LexIndex.probePhrase(s, name, phrasesOf(docs))
+            .select(col("phrase_id").as("qid"), col("doc_id"),
+              col("first_pos")))
+        val ranked = LexIndex.probeLexIndex(s, name, queriesOf(docs),
+          KEach, candPairs = Some(pm.select("qid", "doc_id")))
+        val hits = ranked.join(pm, Seq("qid", "doc_id"))
+        HybridRetrieval.snippets(hits,
+            docs.select(col("doc_id"), col("text")),
+            phraseLen = 2, ctx = 3)
+          .select("qid", "doc_id", "lex_rank", "lex_scaled", "snippet")
+          .orderBy("qid", "lex_rank")
+      },
+      Some(s"""WITH ${phraseCtes(None)},
+        ${HybridRetrieval.lexicalOracleCtes("documents", "doc_id < 8",
+          KEach, candPairCte = Some("pm"))}
+        SELECT l.qid, l.doc_id, l.lex_rank, l.lex_scaled,
+          array_to_string(
+            list_slice(tk, greatest(p.first_pos + 1 - 3, 1), p.first_pos)
+            || ['«' || array_to_string(
+                 list_slice(tk, p.first_pos + 1, p.first_pos + 2), ' ')
+               || '»']
+            || list_slice(tk, p.first_pos + 3,
+                 least(p.first_pos + 5, len(tk))), ' ') AS snippet
+        FROM lex l JOIN pm p ON p.qid = l.qid AND p.doc_id = l.doc_id
+          JOIN dt ON dt.doc_id = l.doc_id
+        ORDER BY l.qid NULLS FIRST, l.lex_rank NULLS FIRST""")))
 
   /** The phrase queries: each query doc's tokens [from, from+len) —
     * defaults to the first two (the s41–s45 must-phrase); s46's
@@ -706,6 +883,52 @@ object HybridQueries {
       .select((col("doc_id") - 8).as("qid"),
         element_at(tk, 2).as("tok_a"), element_at(tk, 5).as("tok_b"))
   }
+
+  /** s50's prefixes: each query doc's first token's FIRST character —
+    * the synthetic vocabulary is ~31 terms whose 3-char prefixes are
+    * all unique, so only the 1-char prefix genuinely expands (the
+    * 's' query expands to 6 terms — scan/slow/small/sort/spark/
+    * stream — past the maxExpansions = 4 cap, so the hash pins the
+    * cap and the term order at both driver SFs). */
+  private def prefixesOf(docs: DataFrame): DataFrame = {
+    val tk = graft.functions.TextFunctions.tokens(col("text"))
+    docs.filter(col("doc_id") < 8)
+      .select(col("doc_id").as("qid"),
+        substring(element_at(tk, 1), 1, 1).as("prefix"))
+  }
+
+  /** s51/s52's misspelled terms: the paired doc's 1st and 3rd tokens,
+    * each with its 2nd character deleted — guaranteed edit distance 1
+    * from a real vocabulary term, so every query has at least one
+    * suggestion and the correction argmax is non-vacuous. */
+  private def fuzzyTermsOf(docs: DataFrame): DataFrame = {
+    val tk = graft.functions.TextFunctions.tokens(col("text"))
+    docs.filter(col("doc_id") >= 8 && col("doc_id") < 16)
+      .select((col("doc_id") - 8).as("qid"),
+        explode(array(element_at(tk, 1), element_at(tk, 3))).as("t"))
+      .select(col("qid"),
+        expr("concat(left(t, 1), substring(t, 3))").as("term"))
+      .distinct()
+  }
+
+  /** The fuzzy-match CTE prelude shared by s51/s52: the vocabulary
+    * with exact df, and the misspelled query terms ([[fuzzyTermsOf]]'s
+    * 2nd-char deletions). The oracle pairs them by a NAIVE levenshtein
+    * cross join — the quadratic form the engine's symmetric-delete
+    * join exists to avoid, which is exactly what makes it an
+    * independent check. */
+  private def fuzzyCtes(): String =
+    s"""dt AS MATERIALIZED (SELECT doc_id,
+          ${graft.functions.TextFunctions.sqlTokens("text")} AS tk
+        FROM documents),
+      tokd AS MATERIALIZED (SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(tk) AS tok FROM dt)),
+      voc AS MATERIALIZED (SELECT tok, count(*) AS df FROM tokd
+        GROUP BY tok),
+      fq AS MATERIALIZED (SELECT DISTINCT doc_id - 8 AS qid,
+          left(t, 1) || substr(t, 3) AS term
+        FROM (SELECT doc_id, unnest([tk[1], tk[3]]) AS t FROM dt
+          WHERE doc_id >= 8 AND doc_id < 16))"""
 
   private def phrasesOf(docs: DataFrame, from: Int = 1,
       len: Int = 2): DataFrame =

@@ -47,9 +47,10 @@ object Scale100 {
     require(opArgs.length <= 1, s"at most one op arg: ${opArgs.toSeq}")
     val op = opArgs.headOption.getOrElse("all")
     require(Set("all", "none", "d22", "s25", "s26", "d12", "s09", "s30",
-      "s31", "s38", "s40", "s41", "s45", "s47", "s48").contains(op),
-      s"unknown op '$op' " +
-        "(all|none|d22|s25|s26|d12|s09|s30|s31|s38|s40|s41|s45|s47|s48)")
+      "s31", "s38", "s40", "s41", "s45", "s47", "s48", "s49", "s50",
+      "s52", "s54").contains(op),
+      s"unknown op '$op' (all|none|d22|s25|s26|d12|s09|s30|s31|s38|" +
+        "s40|s41|s45|s47|s48|s49|s50|s52|s54)")
     val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_scale")
 
     def indicators(df: DataFrame): String = {
@@ -330,6 +331,144 @@ object Scale100 {
           .localCheckpoint()
         time("s48_probe", () => graft.operators.LexIndex.probeProximity(
           spark, lName, pairs, slop = 3))
+      }
+      // the FULL boolean grammar through the two-index serve (s49):
+      // MUST ∧ SHOULD≥2 ∧ ¬MUST_NOT ∧ filter, both legs gated — every
+      // constituent is a bounded-by-query path, and the boolean
+      // algebra itself is pair-set operations on those probes'
+      // per-query outputs, so the capstone should inherit the
+      // near-flat shape of s45/s47.
+      if (op == "all" || op == "s49") {
+        val lName = s"graft_s100_bq_lex_m$m"
+        val aName = s"graft_s100_bq_ann_m$m"
+        val t0 = System.nanoTime()
+        graft.operators.LexIndex.writeLexIndex(
+          docs.select(col("doc_id"), col("text")), lName, numBuckets = 8 * m)
+        graft.operators.AnnIndex.writeAnnIndex(emb, aName, nCells = 16 * m)
+        println(f"[s100] m=$m%-4d s49_build      ${(System.nanoTime() - t0) / 1e9}%8.2fs  (build)")
+        val tkx = graft.functions.TextFunctions.tokens(col("text"))
+        val queries = docs.filter(col("doc_id") < 8)
+          .select(col("doc_id"), col("text")).localCheckpoint()
+        val phrases = docs.filter(col("doc_id") < 8)
+          .select(col("doc_id").as("phrase_id"),
+            concat_ws(" ", slice(tkx, 1, 2)).as("phrase")).localCheckpoint()
+        val negs = docs.filter(col("doc_id") < 8)
+          .select(col("doc_id").as("phrase_id"),
+            concat_ws(" ", slice(tkx, 3, 1)).as("phrase")).localCheckpoint()
+        val terms = docs.filter(col("doc_id") >= 8 && col("doc_id") < 16)
+          .select((col("doc_id") - 8).as("qid"),
+            explode(slice(tkx, 2, 3)).as("tok")).localCheckpoint()
+        time("s49_probe", () => {
+          val pm = graft.operators.LexIndex.probePhrase(spark, lName,
+              phrases)
+            .select(col("phrase_id").as("qid"), col("doc_id"))
+          val sm = graft.operators.LexIndex.probeShould(spark, lName,
+              terms, 2)
+            .select(col("qid"), col("doc_id"))
+          val nm = graft.operators.LexIndex.probePhrase(spark, lName, negs)
+            .select(col("phrase_id").as("qid"), col("doc_id"))
+          val bq = graft.operators.Frontier.pin(
+            pm.join(sm, Seq("qid", "doc_id"))
+              .join(nm, Seq("qid", "doc_id"), "left_anti"))
+          val lex = graft.operators.LexIndex.probeLexIndex(spark, lName,
+            queries, kEach = 20, candPred = Some(col("doc_id") % 2 === 0),
+            candPairs = Some(bq))
+          val vec = graft.operators.AnnIndex.probeAnnIndex(spark, aName,
+              emb, col("vec_id") < 8, k = 20,
+              candPred = Some(col("vec_id") % 2 === 0),
+              candPairs = Some(bq.select(col("qid"),
+                col("doc_id").as("vec_id"))))
+            .select(col("qid"), col("vec_id").as("doc_id"),
+              col("rank").as("vec_rank"))
+          graft.operators.HybridRetrieval.rrfFuse(lex, vec, 10)
+        })
+      }
+      // prefix search (s50): the expansion stage scans the TERM
+      // DICTIONARY (∝ vocabulary, which the suffixed fixture grows
+      // ∝ M — the worst case; real corpora grow vocab sublinearly,
+      // Heaps' law), pruned by the pushed startsWith disjunction and
+      // capped at maxExpansions; the matching stage is the capped
+      // expansions' posting lists. The honest claim is
+      // vocabulary-bound, not corpus-bound.
+      if (op == "all" || op == "s50") {
+        val lName = s"graft_s100_pf_lex_m$m"
+        val t0 = System.nanoTime()
+        graft.operators.LexIndex.writeLexIndex(
+          docs.select(col("doc_id"), col("text")), lName, numBuckets = 8 * m)
+        println(f"[s100] m=$m%-4d s50_build      ${(System.nanoTime() - t0) / 1e9}%8.2fs  (build)")
+        val tkx = graft.functions.TextFunctions.tokens(col("text"))
+        val prefixes = docs.filter(col("doc_id") < 8)
+          .select(col("doc_id").as("qid"),
+            substring(element_at(tkx, 1), 1, 1).as("prefix"))
+          .localCheckpoint()
+        time("s50_probe", () => graft.operators.LexIndex.probePrefix(
+          spark, lName, prefixes, maxExpansions = 4))
+      }
+      // fuzzy end to end (s52): the symmetric-delete join is
+      // vocabulary-bound by design (both sides expand deletion
+      // variants; candidates meet on an equi-join) — the suffixed
+      // fixture grows the vocabulary ∝ M, so this measures the
+      // WORST-case vocab growth; the downstream corrected-rank is
+      // s31's flat path.
+      if (op == "all" || op == "s52") {
+        val lName = s"graft_s100_fz_lex_m$m"
+        val t0 = System.nanoTime()
+        graft.operators.LexIndex.writeLexIndex(
+          docs.select(col("doc_id"), col("text")), lName, numBuckets = 8 * m)
+        println(f"[s100] m=$m%-4d s52_build      ${(System.nanoTime() - t0) / 1e9}%8.2fs  (build)")
+        val tkx = graft.functions.TextFunctions.tokens(col("text"))
+        val terms = docs.filter(col("doc_id") >= 8 && col("doc_id") < 16)
+          .select((col("doc_id") - 8).as("qid"),
+            explode(array(element_at(tkx, 1), element_at(tkx, 3))).as("t"))
+          .select(col("qid"),
+            expr("concat(left(t, 1), substring(t, 3))").as("term"))
+          .distinct().localCheckpoint()
+        time("s52_probe", () => {
+          val sugg = graft.operators.LexIndex.probeFuzzy(spark, lName,
+            terms)
+          val best = sugg.withColumn("rn", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy("qid", "term")
+                .orderBy(col("df").desc, col("suggestion"))))
+            .filter(col("rn") === 1)
+          val corrected = best.groupBy("qid")
+            .agg(concat_ws(" ",
+              sort_array(collect_set(col("suggestion")))).as("text"))
+            .select(col("qid").as("doc_id"), col("text"))
+          graft.operators.LexIndex.probeLexIndex(spark, lName, corrected,
+            kEach = 20)
+        })
+      }
+      // the search page (s54): phrase-MUST rank + snippet fetch. The
+      // snippet stage pushes the ≤k·|queries| hit ids into the
+      // doc-text scan as In(doc_id) — with per-copy id ranges the
+      // parquet file stats prune every non-base copy, so the fetch
+      // must stay flat while the corpus grows ∝ M.
+      if (op == "all" || op == "s54") {
+        val lName = s"graft_s100_sp_lex_m$m"
+        val t0 = System.nanoTime()
+        graft.operators.LexIndex.writeLexIndex(
+          docs.select(col("doc_id"), col("text")), lName, numBuckets = 8 * m)
+        println(f"[s100] m=$m%-4d s54_build      ${(System.nanoTime() - t0) / 1e9}%8.2fs  (build)")
+        val tkx = graft.functions.TextFunctions.tokens(col("text"))
+        val queries = docs.filter(col("doc_id") < 8)
+          .select(col("doc_id"), col("text")).localCheckpoint()
+        val phrases = docs.filter(col("doc_id") < 8)
+          .select(col("doc_id").as("phrase_id"),
+            concat_ws(" ", slice(tkx, 1, 2)).as("phrase")).localCheckpoint()
+        time("s54_probe", () => {
+          val pm = graft.operators.Frontier.pin(
+            graft.operators.LexIndex.probePhrase(spark, lName, phrases)
+              .select(col("phrase_id").as("qid"), col("doc_id"),
+                col("first_pos")))
+          val ranked = graft.operators.LexIndex.probeLexIndex(spark,
+            lName, queries, kEach = 20,
+            candPairs = Some(pm.select("qid", "doc_id")))
+          val hits = ranked.join(pm, Seq("qid", "doc_id"))
+          graft.operators.HybridRetrieval.snippets(hits,
+            docs.select(col("doc_id"), col("text")),
+            phraseLen = 2, ctx = 3)
+        })
       }
       if (op == "all" || op == "s09") {
         val aName = s"graft_s100_ann_m$m"

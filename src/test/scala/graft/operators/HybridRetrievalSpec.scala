@@ -41,6 +41,43 @@ class HybridRetrievalSpec extends SparkSpec {
     assert(lex.count() == 0, "universal token leaked through the df cap")
   }
 
+  test("snippets: context window clamps at both document edges; the " +
+      "match is highlighted; passthrough columns survive") {
+    val docs = Seq((0L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    // matches at the start (no left context), middle, and end (right
+    // context clamped): phraseLen = 2, ctx = 3
+    val matches = Seq((7L, 0L, 0, 42L), (8L, 0L, 4, 43L), (9L, 0L, 8, 44L))
+      .toDF("qid", "doc_id", "first_pos", "extra")
+    val out = HybridRetrieval.snippets(matches, docs, phraseLen = 2,
+        ctx = 3).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[String]("snippet"),
+        r.getAs[Long]("extra"))).sortBy(_._1)
+    assert(out.map(_._2).toSeq == Seq(
+      "«a b» c d e",            // left-clamped: no tokens before pos 0
+      "b c d «e f» g h i",      // full 3-token window both sides
+      "f g h «i j»"),           // right-clamped: match ends the doc
+      out.toSeq.toString)
+    assert(out.map(_._3).toSeq == Seq(42L, 43L, 44L),
+      "passthrough column lost")
+  }
+
+  test("facetCounts: per-query candidate distribution == manual " +
+      "grouping; duplicate candidate pairs count once") {
+    val cands = Seq((0L, 10L), (0L, 11L), (0L, 12L), (0L, 12L),
+      (1L, 11L)).toDF("qid", "doc_id")
+    val meta = Seq((10L, "en", "web"), (11L, "en", "book"),
+      (12L, "fr", "web")).toDF("doc_id", "lang", "source")
+    val out = HybridRetrieval.facetCounts(cands, meta,
+        Seq("lang", "source")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(out == Set(
+      (0L, "lang", "en", 2L), (0L, "lang", "fr", 1L),
+      (0L, "source", "web", 2L), (0L, "source", "book", 1L),
+      (1L, "lang", "en", 1L), (1L, "source", "book", 1L)),
+      out.toString)
+  }
+
   test("self-exclusion and lexical determinism under repartitioning") {
     val docs = Tables(spark, sf, "documents").select("doc_id", "text")
     val a = HybridRetrieval.lexicalTopK(docs, col("doc_id") < 8, 20)

@@ -333,6 +333,114 @@ class LexIndexSpec extends SparkSpec {
     LexIndex.destroy(spark, name)
   }
 
+  test("probePrefix: capped term-order expansion == direct scan; the " +
+      "startsWith disjunction reaches the postings scan; tombstones") {
+    val name = "graft_t_lexp"
+    LexIndex.destroy(spark, name)
+    LexIndex.writeLexIndex(docs, name, numBuckets = 4)
+    import spark.implicits._
+    val tkc = graft.functions.TextFunctions.tokens(col("text"))
+    // mixed prefix LENGTHS on purpose — the expansion join unions one
+    // equi-join per distinct length; 's' expands to 6 vocabulary
+    // terms, so the cap genuinely bites
+    val prefixes = Seq((0L, "s"), (1L, "ta"), (2L, "b"), (3L, "fil"))
+      .toDF("qid", "prefix")
+    // direct truth from the raw text
+    val toks = docs.select(col("doc_id"), tkc.as("tk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val vocab = toks.values.flatten.toSet
+    val px = prefixes.collect().map(r => (r.getLong(0), r.getString(1)))
+    def want(cap: Int) = (for {
+      (q, p) <- px.toSeq
+      exps = vocab.filter(_.startsWith(p)).toSeq.sorted.take(cap).toSet
+      (d, tk) <- toks
+      n = exps.count(tk.contains)
+      if n > 0
+    } yield (q, d) -> n.toLong).toMap
+    for (cap <- Seq(2, 8, 1000)) {
+      val got = LexIndex.probePrefix(spark, name, prefixes, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(got == want(cap), s"maxExpansions=$cap != direct scan")
+    }
+    // the cap genuinely bites on this fixture (otherwise the loop
+    // proves less than it reads)
+    assert(want(2) != want(1000), "fixture cap degenerate")
+    // forced pushdown: the prefix disjunction reaches the scan
+    val min0 = spark.conf.get(LexIndex.PushdownMinBytesConf, null)
+    try {
+      spark.conf.set(LexIndex.PushdownMinBytesConf, "0")
+      val got = LexIndex.probePrefix(spark, name, prefixes, 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(got == want(8), "forced-pushdown probe diverged")
+      val plan = LexIndex.probePrefix(spark, name, prefixes, 8)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("StringStartsWith(tok"), plan)
+    } finally {
+      if (min0 == null) spark.conf.unset(LexIndex.PushdownMinBytesConf)
+      else spark.conf.set(LexIndex.PushdownMinBytesConf, min0)
+    }
+    // tombstoned docs lose candidacy immediately
+    val victim = want(8).keys.head._2
+    LexIndex.tombstoneLex(spark, name,
+      spark.range(victim, victim + 1).toDF("doc_id"))
+    val after = LexIndex.probePrefix(spark, name, prefixes, 8)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(!after.contains(victim), "tombstoned doc still matched")
+    LexIndex.destroy(spark, name)
+  }
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("probeFuzzy: symmetric-delete join == naive levenshtein over " +
+      "the vocabulary at maxEdits 1 and 2 (exact df carried)") {
+    val name = "graft_t_lexf"
+    LexIndex.destroy(spark, name)
+    LexIndex.writeLexIndex(docs, name, numBuckets = 4)
+    val tkc = graft.functions.TextFunctions.tokens(col("text"))
+    val terms = docs.filter(col("doc_id") >= 8 && col("doc_id") < 12)
+      .select((col("doc_id") - 8).as("qid"),
+        element_at(tkc, 1).as("t"))
+      .select(col("qid"),
+        expr("concat(left(t, 1), substring(t, 3))").as("term"))
+    // naive truth: every vocab term within edit distance d, with its
+    // exact df — the quadratic scan the symmetric-delete join avoids;
+    // equality kills BOTH misses (an ED-1 pair sharing no deletion
+    // variant cannot exist) AND false positives (shared-variant ED-2
+    // pairs must be removed by the verify pass)
+    val dfm = docs.select(col("doc_id"),
+        explode(array_distinct(tkc)).as("tok"))
+      .groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val qs = terms.collect().map(r => (r.getLong(0), r.getString(1)))
+    for (d <- Seq(1, 2)) {
+      val want = (for {
+        (q, t) <- qs.toSeq
+        (v, df) <- dfm
+        dist = lev(t, v)
+        if dist <= d
+      } yield (q, t, v, dist, df)).toSet
+      val got = LexIndex.probeFuzzy(spark, name, terms, maxEdits = d)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getInt(3), r.getLong(4))).toSet
+      assert(got == want, s"maxEdits=$d: ${got.size} vs ${want.size}")
+      // every query found at least one suggestion (the misspelling is
+      // one deletion from a real token)
+      assert(qs.map(_._1).toSet.subsetOf(got.map(_._1)),
+        s"maxEdits=$d: a query found no suggestion")
+    }
+    LexIndex.destroy(spark, name)
+  }
+
   test("tombstone: immediate candidacy exclusion, untouched statistics") {
     LexIndex.destroy(spark, "graft_t_lexd")
     LexIndex.writeLexIndex(docs, "graft_t_lexd", numBuckets = 4)
