@@ -275,6 +275,42 @@ object HybridRetrieval {
       .drop("tk")
   }
 
+  /** FIELDED retrieval (BM25F with INTEGER field weights) by the
+    * exact reduction to plain BM25 over a weighted pseudo-document.
+    * BM25F (Robertson/Zaragoza's field-weighted model; Lucene's
+    * `combined_fields`) scores with combined statistics
+    * tf′(t,d) = Σ_f w_f·tf(t,f,d) and len′(d) = Σ_f w_f·len_f(d),
+    * one saturation over the combined tf — NOT a weighted sum of
+    * per-field BM25 scores (that double-saturates). For integer w_f,
+    * repeating each field's text w_f times produces EXACTLY those
+    * statistics (and df over the union of fields), so indexing the
+    * pseudo-docs in the same maintained [[graft.operators.LexIndex]]
+    * serves fielded search with zero new index machinery — build,
+    * append, compact, tombstone, as-of all inherited.
+    *
+    * `fields` is (doc_id, field, text); `weights` maps field name →
+    * integer weight (fields absent from the map are dropped). The
+    * pseudo-text concatenates (field, repetition)-sorted copies, so
+    * the output is deterministic. Scale shape: one narrow explode
+    * (×w_f on the FIELD rows, not the corpus), one grouping on
+    * doc_id. */
+  def fieldWeightedDocs(fields: DataFrame,
+      weights: Map[String, Int]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 1),
+      s"integer weights >= 1 required, got $weights")
+    val w = weights.foldLeft(lit(0)) { case (acc, (f, k)) =>
+      when(col("field") === f, lit(k)).otherwise(acc) }
+    fields.select(col("doc_id"), col("field"), col("text"))
+      .withColumn("w", w).filter(col("w") >= 1)
+      .select(col("doc_id"), col("field"),
+        explode(expr("sequence(1, w)")).as("rep"), col("text"))
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("field"), col("rep"),
+          col("text")))),
+        x => x.getField("text")), " ").as("text"))
+  }
+
   /** FACET counts — the navigation rail beside search results: for
     * each query, the distribution of its CANDIDATE set (not just the
     * top-k page) over one or more metadata dimensions. `cands` is

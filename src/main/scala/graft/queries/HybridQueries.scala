@@ -851,7 +851,50 @@ object HybridQueries {
                  least(p.first_pos + 5, len(tk))), ' ') AS snippet
         FROM lex l JOIN pm p ON p.qid = l.qid AND p.doc_id = l.doc_id
           JOIN dt ON dt.doc_id = l.doc_id
-        ORDER BY l.qid NULLS FIRST, l.lex_rank NULLS FIRST""")))
+        ORDER BY l.qid NULLS FIRST, l.lex_rank NULLS FIRST""")),
+
+    // ---- s55: FIELDED search — BM25F by the integer-weight reduction
+    // Multi-field relevance (title²+body, the Lucene combined_fields
+    // model): BM25F's combined statistics tf' = Σ w_f·tf_f and
+    // len' = Σ w_f·len_f are EXACTLY what indexing a pseudo-document
+    // with each field repeated w_f times produces — one saturation
+    // over the combined tf, never the double-saturating per-field
+    // score sum. Fields synthesized from the corpus (title = first 4
+    // tokens, weight 2; body = the rest, weight 1 — so title hits
+    // genuinely outrank body hits and the hash pins the weighting);
+    // the pseudo-docs land in the SAME maintained index machinery.
+    // Oracle: the identical pseudo-doc construction as a CTE feeding
+    // the proven scorer text over `pdocs` instead of `documents`.
+    Q("s55_fielded_bm25f",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val name = "graft_s55_lex"
+        val tk = graft.functions.TextFunctions.tokens(col("text"))
+        val fields = docs.select(col("doc_id"),
+            lit("title").as("field"),
+            array_join(slice(tk, 1, 4), " ").as("text"))
+          .unionByName(docs.select(col("doc_id"),
+            lit("body").as("field"),
+            array_join(slice(tk, lit(5),
+              greatest(size(tk) - 4, lit(0))), " ").as("text")))
+        val pdocs = HybridRetrieval.fieldWeightedDocs(fields,
+          Map("title" -> 2, "body" -> 1))
+        LexIndex.writeLexIndex(pdocs, name)
+        LexIndex.probeLexIndex(s, name,
+            pdocs.filter(col("doc_id") < 8), KEach)
+          .orderBy("qid", "lex_rank")
+      },
+      Some(s"""WITH dt AS MATERIALIZED (SELECT doc_id,
+          ${graft.functions.TextFunctions.sqlTokens("text")} AS tk
+        FROM documents),
+        pdocs AS MATERIALIZED (SELECT doc_id, array_to_string(
+            list_slice(tk, 1, 4) || list_slice(tk, 1, 4)
+            || list_slice(tk, 5, len(tk)), ' ') AS text
+          FROM dt),
+        ${HybridRetrieval.lexicalOracleCtes("pdocs", "doc_id < 8",
+          KEach)}
+        SELECT qid, doc_id, lex_rank, lex_scaled FROM lex
+        ORDER BY qid NULLS FIRST, lex_rank NULLS FIRST""")))
 
   /** The phrase queries: each query doc's tokens [from, from+len) —
     * defaults to the first two (the s41–s45 must-phrase); s46's

@@ -78,6 +78,29 @@ class HybridRetrievalSpec extends SparkSpec {
       out.toString)
   }
 
+  test("fieldWeightedDocs: integer-weight BM25F statistics — tf' and " +
+      "len' equal the weighted field sums; unmapped fields drop; " +
+      "deterministic text") {
+    val fields = Seq(
+      (0L, "title", "spark fast"), (0L, "body", "spark joins data"),
+      (0L, "junk", "NOISE"),       // not in the weight map -> dropped
+      (1L, "body", "slow scan"))   // no title at all
+      .toDF("doc_id", "field", "text")
+    val out = HybridRetrieval.fieldWeightedDocs(fields,
+        Map("title" -> 3, "body" -> 1)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 0: tf'(spark) = 3*1 + 1*1 = 4, len' = 3*2 + 1*3 = 9
+    val t0 = out(0L).split("\\s+")
+    assert(t0.count(_ == "spark") == 4 && t0.length == 9, out(0L))
+    assert(!t0.contains("NOISE"), "unmapped field leaked")
+    assert(out(1L).split("\\s+").toSeq == Seq("slow", "scan"))
+    // deterministic under repartitioning (collect_list order is not)
+    val again = HybridRetrieval.fieldWeightedDocs(
+        fields.repartition(7, col("field")), Map("title" -> 3, "body" -> 1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == out, "pseudo-text not deterministic")
+  }
+
   test("self-exclusion and lexical determinism under repartitioning") {
     val docs = Tables(spark, sf, "documents").select("doc_id", "text")
     val a = HybridRetrieval.lexicalTopK(docs, col("doc_id") < 8, 20)
