@@ -395,7 +395,7 @@ object HybridRetrieval {
           count(*) AS total_tokens FROM tok),
       qt AS MATERIALIZED (${qtSql.getOrElse(
         s"SELECT doc_id AS qid, tok FROM tfq WHERE $predDoc")}),
-      lw AS MATERIALIZED (SELECT q.qid, tfq.doc_id,
+      lw AS MATERIALIZED (SELECT q.qid, tfq.doc_id, tfq.tok,
           CAST($termWeightSql AS DECIMAL(18,9)) AS w
         FROM tfq JOIN dfq USING (tok) JOIN lenq USING (doc_id)
           JOIN qt q ON q.tok = tfq.tok CROSS JOIN nq

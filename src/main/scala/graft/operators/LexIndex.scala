@@ -488,6 +488,27 @@ object LexIndex {
       candPred: Option[org.apache.spark.sql.Column] = None,
       candPairs: Option[DataFrame] = None,
       exclPairs: Option[DataFrame] = None): DataFrame = {
+    val scored = scoredRows(spark, name, queries, asOf, candPred,
+      candPairs, exclPairs)
+    val agg = scored.groupBy("qid", "doc_id")
+      .agg((sum(col("w").cast(DecimalType(18, 9))) * 1000000000L)
+        .cast("long").as("lex_scaled"))
+    Similarity.topKPerQueryLong(
+        agg.select(col("qid"), col("doc_id").as("vec_id"),
+          col("lex_scaled").as("score")), kEach)
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        col("rank").as("lex_rank"), col("score").as("lex_scaled"))
+  }
+
+  /** The probe's PER-(query, doc, term) scored rows — everything
+    * [[probeLexIndex]] does before the per-doc aggregation, shared
+    * with [[explainHits]] so the explanation decomposes the EXACT
+    * weights the serve path sums. */
+  private def scoredRows(spark: SparkSession, name: String,
+      queries: DataFrame, asOf: Option[Long],
+      candPred: Option[org.apache.spark.sql.Column],
+      candPairs: Option[DataFrame],
+      exclPairs: Option[DataFrame]): DataFrame = {
     val pt = member(spark, name, "postings", asOf)
     val dt = member(spark, name, "dfcap", asOf)
     val st = member(spark, name, "stats", asOf)
@@ -551,19 +572,44 @@ object LexIndex {
       broadcast(cp.select(col(cp.columns.head).cast("long").as("qid"),
         col(cp.columns(1)).cast("long").as("doc_id")).distinct()),
       Seq("qid", "doc_id"), "left_semi"))
-    val scored = exclPairs.fold(scored1)(ep => scored1.join(
+    exclPairs.fold(scored1)(ep => scored1.join(
         broadcast(ep.select(col(ep.columns.head).cast("long").as("qid"),
           col(ep.columns(1)).cast("long").as("doc_id")).distinct()),
         Seq("qid", "doc_id"), "left_anti"))
       .withColumn("w", expr(HybridRetrieval.termWeightSql))
-    val agg = scored.groupBy("qid", "doc_id")
-      .agg((sum(col("w").cast(DecimalType(18, 9))) * 1000000000L)
-        .cast("long").as("lex_scaled"))
-    Similarity.topKPerQueryLong(
-        agg.select(col("qid"), col("doc_id").as("vec_id"),
-          col("lex_scaled").as("score")), kEach)
-      .select(col("qid"), col("vec_id").as("doc_id"),
-        col("rank").as("lex_rank"), col("score").as("lex_scaled"))
+  }
+
+  /** EXPLAIN (Lucene's `Explanation` / the `_explain` API): the
+    * per-TERM decomposition of each top-`kEach` hit's score — one row
+    * per (qid, doc_id, tok) with `w_scaled`, the term's exact
+    * contribution on the probe's ×10⁹ DECIMAL scale, alongside the
+    * hit's rank and total. Because every per-term weight carries at
+    * most 9 decimal places, the per-term scaled longs sum EXACTLY to
+    * `lex_scaled` — the explanation provably accounts for the whole
+    * score, not an approximation of it (the s56 oracle pins that by
+    * joining the decomposition back to the proven scorer text).
+    *
+    * Cost: the ranked probe plus one more pass over the SAME bounded
+    * scored rows (posting lists of the query's terms), semi-joined to
+    * the ≤ kEach·|queries| hit pairs — never a corpus-sized job. All
+    * candidacy legs (`candPred`/`candPairs`/`exclPairs`/tombstones/
+    * `asOf`) compose exactly as in [[probeLexIndex]]: the rows being
+    * decomposed are the rows that were summed. */
+  def explainHits(spark: SparkSession, name: String, queries: DataFrame,
+      kEach: Int, asOf: Option[Long] = None,
+      candPred: Option[org.apache.spark.sql.Column] = None,
+      candPairs: Option[DataFrame] = None,
+      exclPairs: Option[DataFrame] = None): DataFrame = {
+    val hits = probeLexIndex(spark, name, queries, kEach, asOf,
+      candPred, candPairs, exclPairs)
+    val scored = scoredRows(spark, name, queries, asOf, candPred,
+        candPairs, exclPairs)
+      .select(col("qid"), col("doc_id"), col("tok"),
+        (col("w").cast(DecimalType(18, 9)) * 1000000000L)
+          .cast("long").as("w_scaled"))
+    hits.join(scored, Seq("qid", "doc_id"))
+      .select("qid", "doc_id", "lex_rank", "tok", "w_scaled",
+        "lex_scaled")
   }
 
   /** EXACT PHRASE retrieval from the persisted positional postings —
@@ -706,9 +752,16 @@ object LexIndex {
     * nothing new shuffles — the only exchange is the (qid, doc_id)
     * join of two already-bounded row sets. Tombstoned docs lose
     * candidacy immediately; `asOf` probes a frozen generation with
-    * CURRENT tombstone exclusion (the house asymmetry). */
+    * CURRENT tombstone exclusion (the house asymmetry).
+    *
+    * `ordered = true` is SpanNear's in-order form: tok_b must occur
+    * STRICTLY AFTER tok_a, min_dist = min(pos_b − posₐ) over the
+    * positive differences — "A … then B", the citation/attribution
+    * pattern order matters for. Same cost shape: only the folded
+    * expression changes. */
   def probeProximity(spark: SparkSession, name: String, pairs: DataFrame,
-      slop: Int, asOf: Option[Long] = None): DataFrame = {
+      slop: Int, asOf: Option[Long] = None,
+      ordered: Boolean = false): DataFrame = {
     require(slop >= 1, s"slop must be >= 1, got $slop (slop 0 contiguous" +
       " ordered runs are probePhrase's job)")
     val pt = member(spark, name, "postings", asOf)
@@ -734,10 +787,14 @@ object LexIndex {
       posts.join(broadcast(qp.select(col("qid"),
         col(tokCol).as("tok"))), "tok")
         .select(col("qid"), col("doc_id"), col("positions").as(out))
+    val distSql =
+      if (ordered) "array_min(filter(flatten(transform(pa, x -> " +
+        "transform(pb, y -> y - x))), v -> v > 0))"
+      else "array_min(flatten(transform(pa, x -> " +
+        "transform(pb, y -> abs(x - y)))))"
     val hits = side("tok_a", "pa").join(side("tok_b", "pb"),
         Seq("qid", "doc_id"))
-      .withColumn("min_dist", expr(
-        "array_min(flatten(transform(pa, x -> transform(pb, y -> abs(x - y)))))"))
+      .withColumn("min_dist", expr(distSql))
       .filter(col("min_dist") <= slop)
       .select(col("qid"), col("doc_id"), col("min_dist"))
     lexTombstones(spark, name).fold(hits)(t =>
@@ -779,6 +836,54 @@ object LexIndex {
       s"maxExpansions must be >= 1, got $maxExpansions")
     val pt = member(spark, name, "postings", asOf)
     requireTokenizer(spark, Seq(pt))
+    val (matched, postings) = prefixVocab(spark, pt, prefixes)
+    // term-dictionary expansion, capped in TERM order (Lucene)
+    val expansions = matched.select("qid", "tok").withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy("tok")))
+      .filter(col("rn") <= maxExpansions).drop("rn")
+    val rows = postings.select("tok", "doc_id")
+      .join(broadcast(expansions), "tok")
+    val cand = lexTombstones(spark, name).fold(rows)(t =>
+      rows.join(broadcast(t.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_anti"))
+    cand.groupBy("qid", "doc_id")
+      .agg(countDistinct(col("tok")).as("n_terms"))
+  }
+
+  /** AUTOCOMPLETE (Lucene's terms-enum suggester): the top-`k` index
+    * terms per prefix, ranked by document frequency (df DESC, term
+    * order as the tiebreak) — the search-box completion list, served
+    * from the SAME maintained postings the scorer reads. Output
+    * (qid, tok, df, rank). Like every vocabulary surface, df is a
+    * CORPUS statistic (tombstoned docs count until compaction), and
+    * `asOf` reads a frozen generation's dictionary. */
+  def suggestTerms(spark: SparkSession, name: String, prefixes: DataFrame,
+      k: Int = 8, asOf: Option[Long] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pt = member(spark, name, "postings", asOf)
+    requireTokenizer(spark, Seq(pt))
+    val (matched, _) = prefixVocab(spark, pt, prefixes)
+    matched.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("df").desc, col("tok"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("tok"), col("df"), col("rank"))
+  }
+
+  /** Prefix-matched vocabulary — (qid, tok, df) rows pairing each
+    * query with every term-dictionary entry starting with its prefix,
+    * plus the (pruned) postings frame the dictionary came from.
+    * Shared by [[probePrefix]] (caps in term order) and
+    * [[suggestTerms]] (ranks by df). The dictionary is an
+    * exchange-free aggregation on the bucketed tok layout; the scan
+    * is pruned by pushing the startsWith disjunction into the sorted
+    * buckets; the match is an EQUI-join per distinct prefix LENGTH
+    * (`substring(tok, 1, len) = prefix`, broadcast hash — never a
+    * nested loop), with a guarded predicate-join fallback for a
+    * pathological length spread. */
+  private def prefixVocab(spark: SparkSession, pt: String,
+      prefixes: DataFrame): (DataFrame, DataFrame) = {
     val px0 = prefixes.select(col(prefixes.columns.head).as("qid"),
       col(prefixes.columns(1)).as("prefix")).distinct()
     val postings0 = spark.table(pt)
@@ -797,35 +902,23 @@ object LexIndex {
         else postings0.filter(
           prefs.map(p => col("tok").startsWith(p)).reduce(_ || _))
       }
-    // term-dictionary expansion, capped in term order (Lucene)
-    val vocab = postings.select("tok").distinct()
+    // the term dictionary with exact df (one postings row per
+    // (tok, doc), counted exchange-free on the bucket key)
+    val vocab = postings.groupBy("tok").agg(count(lit(1)).as("df"))
     val lens = px.select(length(col("prefix")).as("l")).distinct()
       .limit(ProbePushdownMax + 1).collect().map(_.getInt(0))
     val matched =
-      if (lens.isEmpty) px.select(col("qid"), col("prefix").as("tok"))
-        .filter(lit(false))
+      if (lens.isEmpty) px.select(col("qid"), col("prefix").as("tok"),
+        lit(0L).as("df")).filter(lit(false))
       else if (lens.length > ProbePushdownMax)
-        // catch-all for a pathological prefix-length spread: the
-        // predicate join (still broadcast — the prefixes side is the
-        // per-query tiny one)
         vocab.join(broadcast(px), col("tok").startsWith(col("prefix")))
-          .select(col("qid"), col("tok"))
+          .select(col("qid"), col("tok"), col("df"))
       else lens.toSeq.map { l =>
         vocab.join(broadcast(px.filter(length(col("prefix")) === l)),
             substring(col("tok"), 1, l) === col("prefix"))
-          .select(col("qid"), col("tok"))
+          .select(col("qid"), col("tok"), col("df"))
       }.reduce(_ unionByName _)
-    val expansions = matched.withColumn("rn",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy("qid").orderBy("tok")))
-      .filter(col("rn") <= maxExpansions).drop("rn")
-    val rows = postings.select("tok", "doc_id")
-      .join(broadcast(expansions), "tok")
-    val cand = lexTombstones(spark, name).fold(rows)(t =>
-      rows.join(broadcast(t.select(col("doc_id")).distinct()),
-        Seq("doc_id"), "left_anti"))
-    cand.groupBy("qid", "doc_id")
-      .agg(countDistinct(col("tok")).as("n_terms"))
+    (matched, postings)
   }
 
   /** All deletion variants of `colName` removing UP TO `maxEdits`

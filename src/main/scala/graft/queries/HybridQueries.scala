@@ -894,7 +894,64 @@ object HybridQueries {
         ${HybridRetrieval.lexicalOracleCtes("pdocs", "doc_id < 8",
           KEach)}
         SELECT qid, doc_id, lex_rank, lex_scaled FROM lex
-        ORDER BY qid NULLS FIRST, lex_rank NULLS FIRST""")))
+        ORDER BY qid NULLS FIRST, lex_rank NULLS FIRST""")),
+
+    // ---- s56: EXPLAIN — the per-term decomposition of every hit ----
+    // Lucene's Explanation / the _explain API: each top-k hit's score
+    // broken into one row per matched term, w_scaled the term's exact
+    // contribution on the probe's ×10⁹ DECIMAL scale. Because every
+    // weight carries at most 9 decimal places, the per-term scaled
+    // longs sum EXACTLY to lex_scaled — the oracle pins that by
+    // joining the lw decomposition back to the proven scorer text, so
+    // a decomposition that failed to account for the whole score
+    // flips the hash.
+    Q("s56_score_explain",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val name = "graft_s56_lex"
+        LexIndex.writeLexIndex(docs.select(col("doc_id"), col("text")),
+          name)
+        LexIndex.explainHits(s, name, queriesOf(docs), KEach)
+          .orderBy("qid", "lex_rank", "tok")
+      },
+      Some(s"""WITH ${HybridRetrieval.lexicalOracleCtes("documents",
+          "doc_id < 8", KEach)}
+        SELECT l.qid, l.doc_id, l.lex_rank, w.tok,
+          CAST(w.w * 1000000000 AS BIGINT) AS w_scaled, l.lex_scaled
+        FROM lex l JOIN lw w ON w.qid = l.qid AND w.doc_id = l.doc_id
+        ORDER BY l.qid NULLS FIRST, l.lex_rank NULLS FIRST,
+          w.tok NULLS FIRST""")),
+
+    // ---- s57: AUTOCOMPLETE — df-ranked prefix completion -----------
+    // The search-box completion list (Lucene's terms-enum suggester):
+    // top-3 index terms per 1-char prefix, ranked df DESC with term
+    // order as the tiebreak, from the SAME maintained postings the
+    // scorer reads. The 's' prefix has 6 candidates, so the hash
+    // pins the cut, the df ranking, and the tiebreak at once.
+    Q("s57_autocomplete",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val name = "graft_s57_lex"
+        LexIndex.writeLexIndex(docs.select(col("doc_id"), col("text")),
+          name)
+        LexIndex.suggestTerms(s, name, prefixesOf(docs), k = 3)
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH dt AS MATERIALIZED (SELECT doc_id,
+          ${graft.functions.TextFunctions.sqlTokens("text")} AS tk
+        FROM documents),
+        tokd AS MATERIALIZED (SELECT DISTINCT doc_id, tok FROM (
+          SELECT doc_id, unnest(tk) AS tok FROM dt)),
+        voc AS MATERIALIZED (SELECT tok, count(*) AS df FROM tokd
+          GROUP BY tok),
+        px AS MATERIALIZED (SELECT DISTINCT doc_id AS qid,
+          left(tk[1], 1) AS prefix FROM dt WHERE doc_id < 8)
+        SELECT qid, tok, df, rank FROM (
+          SELECT p.qid, v.tok, v.df, CAST(row_number() OVER (
+            PARTITION BY p.qid ORDER BY v.df DESC, v.tok) AS INT) AS rank
+          FROM voc v JOIN px p ON starts_with(v.tok, p.prefix))
+        WHERE rank <= 3
+        ORDER BY qid NULLS FIRST, rank NULLS FIRST""")))
 
   /** The phrase queries: each query doc's tokens [from, from+len) —
     * defaults to the first two (the s41–s45 must-phrase); s46's

@@ -320,6 +320,25 @@ class LexIndexSpec extends SparkSpec {
         .toMap
       assert(got == want(slop), s"slop=$slop != direct scan")
     }
+    // ordered (SpanNear inOrder): b strictly after a, distance = the
+    // smallest positive pos_b - pos_a
+    def wantOrdered(slop: Int) = (for {
+      (q, Some(a), Some(b)) <- pr
+      (d, ts) <- toks
+      pa = ts.zipWithIndex.collect { case (t, i) if t == a => i }
+      pb = ts.zipWithIndex.collect { case (t, i) if t == b => i }
+      ds = for (x <- pa; y <- pb; if y > x) yield y - x
+      if ds.nonEmpty && ds.min <= slop
+    } yield (q, d) -> ds.min).toMap
+    for (slop <- Seq(3, 8)) {
+      val got = LexIndex.probeProximity(spark, name, pairs, slop,
+          ordered = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
+        .toMap
+      assert(got == wantOrdered(slop), s"ordered slop=$slop != direct")
+    }
+    // order genuinely bites: some unordered match has b only BEFORE a
+    assert(wantOrdered(8) != want(8), "fixture order degenerate")
     // the slop genuinely bites on this fixture
     assert(want(1).size < want(8).size,
       s"fixture slop degenerate: ${want(1).size} vs ${want(8).size}")
@@ -438,6 +457,85 @@ class LexIndexSpec extends SparkSpec {
       assert(qs.map(_._1).toSet.subsetOf(got.map(_._1)),
         s"maxEdits=$d: a query found no suggestion")
     }
+    LexIndex.destroy(spark, name)
+  }
+
+  test("explainHits: per-term w_scaled sums EXACTLY to each hit's " +
+      "lex_scaled; hit set identical to the probe") {
+    val name = "graft_t_lexe"
+    LexIndex.destroy(spark, name)
+    LexIndex.writeLexIndex(docs, name, numBuckets = 4)
+    val hits = LexIndex.probeLexIndex(spark, name, queries, kEach = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getLong(3))).toMap
+    val expl = LexIndex.explainHits(spark, name, queries, kEach = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getString(3), r.getLong(4), r.getLong(5)))
+    // same hit set, same ranks/totals
+    val explHits = expl.map(t => (t._1, t._2) -> (t._3, t._6)).toMap
+    assert(explHits == hits, "explain hit set != probe hit set")
+    // the decomposition accounts for the WHOLE score, exactly
+    expl.groupBy(t => (t._1, t._2)).foreach { case (k, rows) =>
+      assert(rows.map(_._5).sum == hits(k)._2,
+        s"per-term sum != lex_scaled for $k")
+      // and a hit decomposes into >= 1 term rows with distinct terms
+      assert(rows.map(_._4).distinct.length == rows.length,
+        s"duplicate term rows for $k")
+    }
+    // multi-term evidence exists (otherwise the sum check is trivial)
+    assert(expl.groupBy(t => (t._1, t._2)).exists(_._2.length > 1),
+      "fixture degenerate: every hit matched one term")
+    LexIndex.destroy(spark, name)
+  }
+
+  test("suggestTerms + probePrefix: df ranking == direct; as-of reads " +
+      "the frozen dictionary while current sees appended vocab") {
+    import spark.implicits._
+    val name = "graft_t_lexa"
+    LexIndex.destroy(spark, name)
+    LexIndex.writeLexIndex(docs, name, numBuckets = 4)
+    val prefixes = Seq((0L, "s"), (1L, "b")).toDF("qid", "prefix")
+    // direct df truth
+    val dfm = docs.select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.TextFunctions.tokens(col("text")))).as("tok"))
+      .groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def wantTop(p: String, k: Int) = dfm.toSeq
+      .filter(_._1.startsWith(p))
+      .sortBy { case (t, d) => (-d, t) }.take(k)
+    val got = LexIndex.suggestTerms(spark, name, prefixes, k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getInt(3)))
+    assert(got.filter(_._1 == 0L).sortBy(_._4).map(t => (t._2, t._3))
+      .toSeq == wantTop("s", 3), s"suggest 's' != direct: ${got.toSeq}")
+    assert(got.filter(_._1 == 1L).sortBy(_._4).map(t => (t._2, t._3))
+      .toSeq == wantTop("b", 3), s"suggest 'b' != direct")
+    // freeze a generation, append NEW vocabulary matching the prefix
+    LexIndex.compactLexIndex(spark, name, gcKeep = 2)
+    val g0 = Generations.currentGen(spark, name).get - 1
+    val before = LexIndex.suggestTerms(spark, name, prefixes, k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val beforePfx = LexIndex.probePrefix(spark, name, prefixes, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    LexIndex.appendToLexIndex(
+      Seq((900L, "szz szz szz szz szz szz szz szz szz bzz")) // df 1, but
+        .toDF("doc_id", "text"),                             // new terms
+      name, batchId = "t_vocab")
+    // current dictionary sees the appended terms...
+    val cur = LexIndex.suggestTerms(spark, name, prefixes, k = 10)
+      .collect().map(r => r.getString(1)).toSet
+    assert(cur.contains("szz") && cur.contains("bzz"),
+      "appended vocabulary not suggested")
+    // ...the frozen generation does not (and prefix matching agrees)
+    val asOf = LexIndex.suggestTerms(spark, name, prefixes, k = 3,
+        asOf = Some(g0))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(asOf == before, "as-of dictionary leaked appended terms")
+    val asOfPfx = LexIndex.probePrefix(spark, name, prefixes, 4,
+        asOf = Some(g0))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(asOfPfx == beforePfx, "as-of prefix probe leaked appends")
     LexIndex.destroy(spark, name)
   }
 
