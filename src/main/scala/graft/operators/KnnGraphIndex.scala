@@ -274,9 +274,22 @@ object KnnGraphIndex {
     * touch the current generation, so a retained past one is the
     * graph exactly as superseded). The tombstone exclusion below
     * stays CURRENT even then: erasure overrides history. */
+  /** `candPred`: FILTERED graph serving — a predicate over the
+    * NEIGHBOR `vec_id` (tenancy scope, licensing shard) applied to
+    * the stored adjacency BEFORE the top-k cut, riding the same
+    * `edgeBuffer` margin deletions do: where a vertex's stored
+    * k + edgeBuffer edges contain ≥ k admissible neighbors the answer
+    * is EXACTLY the filtered top-k (the s27 bound with exclusions in
+    * place of deletions); past the buffer the answer is the best
+    * stored admissible — the inherent contract of a MATERIALIZED
+    * graph, whose edges were cut at build time (contrast the
+    * cell-scan ANN probe, which filters before its shortlist is ever
+    * formed, `AnnIndex.probeAnnIndex`). Size `edgeBuffer` to the
+    * selectivity the serving layer must survive. */
   def probeKnnGraph(spark: SparkSession, name: String,
       pred: org.apache.spark.sql.Column = lit(true),
-      asOf: Option[Long] = None): DataFrame = {
+      asOf: Option[Long] = None,
+      candPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val (k, _, _, _) = geometry(spark, name)
     val et = asOf.fold(t(spark, name, "edges"))(g =>
       Generations.resolveAsOf(spark, name, "edges", g))
@@ -287,7 +300,8 @@ object KnnGraphIndex {
           "left_anti")
         .join(ids, Seq("vec_id"), "left_anti")
     }
-    Similarity.topKPerQuery(live.select("qid", "vec_id", "cos"), k)
+    val cand = candPred.fold(live)(live.filter)
+    Similarity.topKPerQuery(cand.select("qid", "vec_id", "cos"), k)
   }
 
   /** The replay fence, shared by every append effect: drop rows of

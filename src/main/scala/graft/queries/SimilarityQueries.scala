@@ -809,6 +809,46 @@ object SimilarityQueries {
         SELECT qid, vec_id, rank, cos FROM r WHERE rank <= 5
         ORDER BY qid NULLS FIRST, rank NULLS FIRST""")),
 
+    // ---- s58: FILTERED serve on the MAINTAINED graph -----------------
+    // The last index family gains the filtered-serving leg (s39/s40
+    // gave it to the lex and cell-scan ANN families): a candidacy
+    // predicate over the neighbor id, applied to the stored adjacency
+    // BEFORE the top-k cut, riding the same edgeBuffer margin
+    // deletions do. A materialized graph cannot pre-filter candidate
+    // GENERATION (its edges were cut at build time) — the honest
+    // contract is top-k over the stored admissible edges, exact
+    // wherever the buffer holds >= k admissible (the s27 deletion
+    // bound with exclusions; KnnGraphIndexSpec measures the bound's
+    // coverage on this fixture). Built exact (nprobe = nCells), so
+    // the oracle replays the two-stage cut verbatim: stored
+    // top-(k + buffer) -> predicate -> top-k.
+    Q("s58_filtered_graph_serve",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+          .filter(col("vec_id") < 300).select("vec_id", "embedding")
+        KnnGraphIndex.writeKnnGraph(emb, "graft_s58_graph", k = 5,
+          nCells = 16, nprobe = 16, edgeBuffer = 15)
+        KnnGraphIndex.probeKnnGraph(s, "graft_s58_graph",
+            candPred = Some(col("vec_id") % 2 === 0))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH n AS (SELECT vec_id, embedding,
+            ${chainNorm("embedding", Dim, 1)} AS nrm FROM embeddings
+          WHERE vec_id < 300),
+        c AS (SELECT q.vec_id AS qid, n.vec_id,
+            CAST(${chainDot("q.embedding", "n.embedding", Dim, 1)} AS DOUBLE)
+              / (q.nrm * n.nrm) AS cos
+          FROM n q JOIN n ON n.vec_id <> q.vec_id),
+        stored AS (SELECT qid, vec_id, cos FROM (
+          SELECT qid, vec_id, cos, row_number() OVER (
+            PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM c)
+          WHERE rank <= 20),
+        f AS (SELECT qid, vec_id, cos, CAST(row_number() OVER (
+            PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank
+          FROM stored WHERE vec_id % 2 = 0)
+        SELECT qid, vec_id, rank, cos FROM f WHERE rank <= 5
+        ORDER BY qid NULLS FIRST, rank NULLS FIRST""")),
+
     // ---- s36: AS-OF probe of the persisted ANN index -----------------
     // d25's time-travel story on the vector side, now driver-gated
     // instead of spec-only: compaction publishes gen g+1 retaining g

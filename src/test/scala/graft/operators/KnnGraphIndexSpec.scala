@@ -219,6 +219,49 @@ class KnnGraphIndexSpec extends SparkSpec {
       "probe changed across logical->physical deletion")
   }
 
+  test("filtered serve: exact filtered top-k wherever the buffer " +
+      "holds >= k admissible; best stored admissible past it") {
+    val emb = Tables(spark, sf, "embeddings")
+      .filter(col("vec_id") < 200).select("vec_id", "embedding")
+      .localCheckpoint()
+    val name = "graft_kgi_filt_spec"
+    val (k, buf) = (5, 8)
+    KnnGraphIndex.writeKnnGraph(emb, name,
+      k = k, nCells = 8, nprobe = 8, edgeBuffer = buf)
+    val got = KnnGraphIndex.probeKnnGraph(spark, name,
+        candPred = Some(col("vec_id") % 2 === 0)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .groupBy(_._1).map { case (q, xs) =>
+        q -> xs.sortBy(_._3).map(_._2).toSeq }
+    // ground truth from the FULL exact ranking (nprobe = nCells,
+    // k = n - 1 so every neighbor is ranked)
+    val full = Similarity.knnGraph(spark, emb, k = 199, nCells = 8,
+        nprobe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .groupBy(_._1).map { case (q, xs) =>
+        q -> xs.sortBy(_._3).map(_._2).toSeq }
+    val exactQids = full.keys.filter { q =>
+      full(q).take(k + buf).count(_ % 2 == 0) >= k }
+    // where the stored k+buffer edges hold >= k admissible neighbors,
+    // the filtered serve is EXACTLY the filtered top-k...
+    exactQids.foreach { q =>
+      val want = full(q).filter(_ % 2 == 0).take(k)
+      assert(got(q) == want, s"qid=$q: filtered serve not exact " +
+        s"(${got(q)} vs $want) though the buffer held >= $k")
+    }
+    // ...and the bound genuinely covers this fixture (non-vacuity),
+    // while at least one qid exercises the degraded branch too
+    assert(exactQids.size > full.size / 2,
+      s"fixture degenerate: bound covers only ${exactQids.size}/${full.size}")
+    val degraded = full.keys.filterNot(exactQids.toSet)
+    degraded.foreach { q =>
+      // past the buffer: the best STORED admissible, never garbage
+      val storedAdmissible = full(q).take(k + buf).filter(_ % 2 == 0)
+      assert(got.getOrElse(q, Seq.empty) == storedAdmissible,
+        s"qid=$q: degraded branch != best stored admissible")
+    }
+  }
+
   test("as-of probe: the retained pre-append graph is frozen") {
     val emb = Tables(spark, sf, "embeddings")
     val name = "graft_graph_asof"
