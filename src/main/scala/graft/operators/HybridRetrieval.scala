@@ -102,6 +102,17 @@ object HybridRetrieval {
   def rrfTermSql(rank: String, c: Int): String =
     s"COALESCE(${d("1.0")} / (${d(c.toString)} + ${d(rank)}), ${d("0.0")})"
 
+  /** [[rrfTermSql]] with a leg weight (Elasticsearch's weighted-RRF
+    * retriever knob): w · 1/(c + rank). `w = 1.0` emits the unweighted
+    * text byte-identical to [[rrfTermSql]], so every pre-existing
+    * oracle is untouched. Pick binary-exact weights (0.75, 0.25, …) —
+    * the single IEEE multiply is then bit-portable, like everything
+    * else on this path. */
+  def rrfTermSql(rank: String, c: Int, w: Double): String =
+    if (w == 1.0) rrfTermSql(rank, c)
+    else s"COALESCE(${d(w.toString)} * (${d("1.0")} / " +
+      s"(${d(c.toString)} + ${d(rank)})), ${d("0.0")})"
+
   /** Lexical top-`kEach` per query doc as (qid, doc_id, lex_rank,
     * lex_scaled), ties (score DESC, doc_id) via the bounded exact-long
     * [[Similarity.TopKLongAgg]]. */
@@ -202,11 +213,15 @@ object HybridRetrieval {
   }
 
   /** Fuse a lexical and a vector rank list by RRF and keep the final
-    * top-k: rrf = 1/(c+lex_rank) + 1/(c+vec_rank), absent side = 0,
-    * ties (rrf DESC, doc_id). Inputs carry (qid, doc_id, lex_rank) /
-    * (qid, doc_id, vec_rank). */
+    * top-k: rrf = wLex/(c+lex_rank) + wVec/(c+vec_rank), absent side
+    * = 0, ties (rrf DESC, doc_id). Inputs carry (qid, doc_id,
+    * lex_rank) / (qid, doc_id, vec_rank). The default weights (1, 1)
+    * are classic RRF; unequal weights are the tuning knob every
+    * production hybrid exposes (keyword-heavy vs semantic-heavy
+    * surfaces) — use binary-exact values so the one extra multiply
+    * stays bit-portable (s59 pins 0.75/0.25 hash-exact). */
   def rrfFuse(lex: DataFrame, vec: DataFrame, k: Int,
-      c: Int = 60): DataFrame = {
+      c: Int = 60, wLex: Double = 1.0, wVec: Double = 1.0): DataFrame = {
     // `fused` is referenced twice below (the TopK cut and the rank
     // join-back); AQE exchange reuse dedupes the shared upstream probe
     // DAG at execution, so the double reference costs nothing material
@@ -217,7 +232,8 @@ object HybridRetrieval {
       .join(vec.select("qid", "doc_id", "vec_rank"),
         Seq("qid", "doc_id"), "full_outer")
       .withColumn("rrf",
-        expr(s"${rrfTermSql("lex_rank", c)} + ${rrfTermSql("vec_rank", c)}"))
+        expr(s"${rrfTermSql("lex_rank", c, wLex)} + " +
+          rrfTermSql("vec_rank", c, wVec)))
     // the fused pool is ≤ 2·kEach rows per query — TopKAgg again
     val ranked = Similarity.topKPerQuery(
         fused.select(col("qid"), col("doc_id").as("vec_id"),
@@ -441,9 +457,11 @@ object HybridRetrieval {
     * shared with the serve-shape oracle (s38), whose `vec` list comes
     * from the [[PortableIvf]] replay of the persisted ANN index
     * instead of the exact chain-cosine scan. */
-  def fusionTailSql(k: Int, c: Int): String =
+  def fusionTailSql(k: Int, c: Int, wLex: Double = 1.0,
+      wVec: Double = 1.0): String =
     s"""fused AS MATERIALIZED (SELECT qid, doc_id, lex_rank, vec_rank,
-          ${rrfTermSql("lex_rank", c)} + ${rrfTermSql("vec_rank", c)} AS rrf
+          ${rrfTermSql("lex_rank", c, wLex)} +
+            ${rrfTermSql("vec_rank", c, wVec)} AS rrf
         FROM lex FULL OUTER JOIN vec USING (qid, doc_id)),
       fr AS MATERIALIZED (SELECT qid, doc_id, CAST(row_number() OVER (
           PARTITION BY qid ORDER BY rrf DESC, doc_id) AS INT) AS rank,

@@ -951,7 +951,45 @@ object HybridQueries {
             PARTITION BY p.qid ORDER BY v.df DESC, v.tok) AS INT) AS rank
           FROM voc v JOIN px p ON starts_with(v.tok, p.prefix))
         WHERE rank <= 3
-        ORDER BY qid NULLS FIRST, rank NULLS FIRST""")))
+        ORDER BY qid NULLS FIRST, rank NULLS FIRST""")),
+
+    // ---- s59: WEIGHTED hybrid fusion — the keyword-vs-semantic knob -
+    // Elasticsearch's weighted-RRF retriever: the full two-index serve
+    // (s38's shape) fused at wLex = 0.75 / wVec = 0.25 — the
+    // keyword-heavy tuning every production hybrid exposes. Weights
+    // are binary-exact doubles, so the one extra IEEE multiply per
+    // term is bit-portable and the row stays hash-exact; a fixture
+    // where the weighting provably reorders vs classic RRF (checked
+    // at both driver SFs), so the hash pins the weights, not just the
+    // shape.
+    Q("s59_weighted_fusion",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val emb = Tables(s, dir, "embeddings")
+        LexIndex.writeLexIndex(docs.select(col("doc_id"), col("text")),
+          "graft_s59_lex")
+        AnnIndex.writeAnnIndex(
+          emb.select(col("vec_id"), col("embedding")), "graft_s59_ann")
+        val lex = LexIndex.probeLexIndex(s, "graft_s59_lex",
+          queriesOf(docs), KEach)
+        val vec = AnnIndex.probeAnnIndex(s, "graft_s59_ann", emb,
+            expr("vec_id < 8"), k = KEach)
+          .select(col("qid"), col("vec_id").as("doc_id"),
+            col("rank").as("vec_rank"))
+        HybridRetrieval.rrfFuse(lex, vec, K, wLex = 0.75, wVec = 0.25)
+          .orderBy("qid", "rank")
+      },
+      Some {
+        val ivf = PortableIvf.ivfPqOracleSql(Dim, KEach, nCells = 16,
+          nprobe = 4, m = 8, ksub = 32, shortlist = 60,
+          a => s"$a.vec_id < 8")
+        s"""WITH ${HybridRetrieval.lexicalOracleCtes(
+            "documents", "doc_id < 8", KEach)},
+          vec AS MATERIALIZED (SELECT qid, vec_id AS doc_id, rank AS vec_rank
+            FROM ($ivf)),
+          ${HybridRetrieval.fusionTailSql(K, c = 60, wLex = 0.75,
+            wVec = 0.25)}"""
+      }))
 
   /** The phrase queries: each query doc's tokens [from, from+len) —
     * defaults to the first two (the s41–s45 must-phrase); s46's
