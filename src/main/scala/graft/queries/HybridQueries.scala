@@ -989,7 +989,144 @@ object HybridQueries {
             FROM ($ivf)),
           ${HybridRetrieval.fusionTailSql(K, c = 60, wLex = 0.75,
             wVec = 0.25)}"""
-      }))
+      }),
+
+    // ---- s60: PASSAGE retrieval with document rollup (the RAG shape)
+    // Long documents are served at CHUNK granularity (t09's 64-token
+    // windows at stride 48 — the context-length split every RAG
+    // pipeline makes), the chunks land in the SAME maintained index
+    // (chunk id = doc·1000 + idx + 1e7, disjoint from query ids), the
+    // probe retrieves the top-40 passages per query, and MAX-PASSAGE
+    // rollup ranks documents by their best chunk (ties → lowest
+    // chunk, then doc id) — retrieve passages, answer documents.
+    // Chunk-level BM25 statistics are the point: df/len are over
+    // chunks, so a term dense in one passage of a long doc scores as
+    // strong local evidence instead of being drowned by the doc's
+    // length norm. Oracle: t09's chunk CTE chain feeds the proven
+    // scorer text over the chunks relation (query terms via the s52
+    // qt override — queries stay whole-document), then the same
+    // two-window rollup.
+    Q("s60_passage_rollup",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val name = "graft_s60_lex"
+        val (w, st, off) = (64, 48, 10000000L)
+        val tk = graft.functions.TextFunctions.tokens(col("text"))
+        val chunks = docs.select(col("doc_id"), tk.as("toks"))
+          .withColumn("n", size(col("toks")))
+          .withColumn("n_chunks", expr(s"CASE WHEN n <= $w THEN 1 " +
+            s"ELSE (n - $w + ${st - 1}) DIV $st + 1 END"))
+          .select(col("doc_id"), posexplode(expr(
+            s"transform(sequence(0, n_chunks - 1), i -> " +
+              s"array_join(slice(toks, i * $st + 1, $w), ' '))")))
+          .select((col("doc_id") * 1000 + col("pos") + off).as("doc_id"),
+            col("col").as("text"))
+        LexIndex.writeLexIndex(chunks, name)
+        val hits = LexIndex.probeLexIndex(s, name, queriesOf(docs),
+            kEach = 40)
+          .withColumn("parent", expr(s"(doc_id - ${off}L) DIV 1000"))
+          .withColumn("cidx", expr(s"CAST((doc_id - ${off}L) % 1000 AS INT)"))
+        val w1 = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid", "parent")
+          .orderBy(col("lex_scaled").desc, col("cidx"))
+        val w2 = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid")
+          .orderBy(col("lex_scaled").desc, col("parent"))
+        hits.withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+          .withColumn("rank", row_number().over(w2))
+          .filter(col("rank") <= K)
+          .select(col("qid"), col("parent").as("doc_id"), col("rank"),
+            col("lex_scaled").as("best_scaled"),
+            col("cidx").as("best_chunk"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH toks AS MATERIALIZED (SELECT doc_id,
+          ${graft.functions.TextFunctions.sqlTokens("text")} AS tk
+        FROM documents),
+        cc AS MATERIALIZED (SELECT doc_id, tk,
+          CASE WHEN len(tk) <= 64 THEN 1
+            ELSE (len(tk) - 64 + 47) // 48 + 1 END AS n_chunks FROM toks),
+        ee AS MATERIALIZED (SELECT doc_id, tk,
+          unnest(range(0, n_chunks)) AS i FROM cc),
+        chunks AS MATERIALIZED (SELECT doc_id * 1000 + i + 10000000 AS doc_id,
+          array_to_string(tk[i * 48 + 1:i * 48 + 64], ' ') AS text FROM ee),
+        qtok AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(tk) AS tok
+          FROM toks WHERE doc_id < 8),
+        ${HybridRetrieval.lexicalOracleCtes("chunks", "doc_id < 8", 40,
+          qtSql = Some("SELECT doc_id AS qid, tok FROM qtok"))},
+        ch AS MATERIALIZED (SELECT qid,
+          (doc_id - 10000000) // 1000 AS parent,
+          CAST((doc_id - 10000000) % 1000 AS INT) AS cidx, lex_scaled
+          FROM lex),
+        bc AS MATERIALIZED (SELECT qid, parent, cidx, lex_scaled FROM (
+          SELECT qid, parent, cidx, lex_scaled, row_number() OVER (
+            PARTITION BY qid, parent ORDER BY lex_scaled DESC, cidx) AS rn
+          FROM ch) WHERE rn = 1)
+        SELECT qid, doc_id, rank, best_scaled, best_chunk FROM (
+          SELECT qid, parent AS doc_id, CAST(row_number() OVER (
+              PARTITION BY qid ORDER BY lex_scaled DESC, parent) AS INT)
+              AS rank,
+            lex_scaled AS best_scaled, cidx AS best_chunk
+          FROM bc)
+        WHERE rank <= $K
+        ORDER BY qid NULLS FIRST, rank NULLS FIRST""")),
+
+    // ---- s61: RERANKED serve — the cross-encoder position ----------
+    // The last stage of a production retrieval stack: the fused
+    // two-index top-k (s38's shape) re-scored PAIRWISE against the
+    // query text and re-ordered (rerank DESC, prior rank as the
+    // stable tiebreak). The model rides the Reranker trait exactly
+    // like the enrichment DAG's TextClassifier — per-executor handle,
+    // batched mapPartitions over the ≤ k·|queries| final pairs, doc
+    // texts fetched by the snippets In-pushdown discipline — so a
+    // real ONNX cross-encoder drops in with zero dataflow change;
+    // offline the integer-Dice stand-in keeps the row hash-exact
+    // (DuckDB replays list_intersect over distinct token lists with
+    // floor division). Reranking provably reorders: rr_rank != rank
+    // for some hits at sf0.01 (the hash pins the reordering).
+    Q("s61_reranked_serve",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val emb = Tables(s, dir, "embeddings")
+        LexIndex.writeLexIndex(docs.select(col("doc_id"), col("text")),
+          "graft_s61_lex")
+        AnnIndex.writeAnnIndex(
+          emb.select(col("vec_id"), col("embedding")), "graft_s61_ann")
+        val lex = LexIndex.probeLexIndex(s, "graft_s61_lex",
+          queriesOf(docs), KEach)
+        val vec = AnnIndex.probeAnnIndex(s, "graft_s61_ann", emb,
+            expr("vec_id < 8"), k = KEach)
+          .select(col("qid"), col("vec_id").as("doc_id"),
+            col("rank").as("vec_rank"))
+        val fused = graft.operators.Frontier.pin(
+          HybridRetrieval.rrfFuse(lex, vec, K))
+        val rr = graft.operators.Rerank.rerank(s, fused,
+          queriesOf(docs), docs.select(col("doc_id"), col("text")),
+          graft.operators.DiceReranker)
+        fused.join(rr, Seq("qid", "doc_id"))
+          .withColumn("rr_rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("qid")
+              .orderBy(col("rerank_micro").desc, col("rank"))))
+          .select(col("qid"), col("doc_id"), col("rr_rank"),
+            col("rerank_micro"), col("rank"))
+          .orderBy("qid", "rr_rank")
+      },
+      Some(s"""WITH tokset AS MATERIALIZED (SELECT doc_id,
+          list_distinct(${graft.functions.TextFunctions
+            .sqlTokens("text")}) AS tks
+        FROM documents),
+        serve AS MATERIALIZED (SELECT qid, doc_id, rank
+          FROM ($ServeShapeOracle)),
+        rr AS MATERIALIZED (SELECT s.qid, s.doc_id, s.rank,
+            CAST(2 * 1000000 * len(list_intersect(q.tks, d.tks))
+              // (len(q.tks) + len(d.tks)) AS BIGINT) AS rerank_micro
+          FROM serve s JOIN tokset d ON d.doc_id = s.doc_id
+            JOIN tokset q ON q.doc_id = s.qid)
+        SELECT qid, doc_id, CAST(row_number() OVER (PARTITION BY qid
+            ORDER BY rerank_micro DESC, rank) AS INT) AS rr_rank,
+          rerank_micro, rank
+        FROM rr
+        ORDER BY qid NULLS FIRST, rr_rank NULLS FIRST""")))
 
   /** The phrase queries: each query doc's tokens [from, from+len) —
     * defaults to the first two (the s41–s45 must-phrase); s46's
