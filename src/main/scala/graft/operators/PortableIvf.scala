@@ -355,8 +355,31 @@ object PortableIvf {
     * doc), and the strict-improvement argmax over the rel-sorted pool
     * is a (score DESC, rel DESC, vec_id) row_number. */
   def mmrOracleSql(dim: Int, k: Int, pool: Int,
-      predOn: String => String): String = {
-    val lam = "CAST(0.7 AS DOUBLE)"
+      predOn: String => String): String =
+    s"""WITH sc0 AS MATERIALIZED (
+      SELECT q.vec_id AS qid, e.vec_id,
+        ${simDot("q.embedding", "e.embedding", dim)} AS dt,
+        ${simDot("q.embedding", "q.embedding", dim)} AS nx,
+        ${simDot("e.embedding", "e.embedding", dim)} AS ny
+      FROM embeddings e, embeddings q
+      WHERE ${predOn("q")} AND e.vec_id <> q.vec_id),
+    pool AS MATERIALIZED (SELECT qid, vec_id, rel FROM (
+      SELECT qid, vec_id,
+        CASE WHEN nx = 0 OR ny = 0 THEN 0.0
+             ELSE dt / (sqrt(nx) * sqrt(ny)) END AS rel,
+        row_number() OVER (PARTITION BY qid ORDER BY
+          CASE WHEN nx = 0 OR ny = 0 THEN 0.0
+               ELSE dt / (sqrt(nx) * sqrt(ny)) END DESC, vec_id) AS r
+      FROM sc0) WHERE r <= $pool),
+    ${mmrChainSql(dim, k, "CAST(0.7 AS DOUBLE)")}"""
+
+  /** The greedy-MMR CTE chain over a caller-provided `pool` CTE
+    * exposing (qid, vec_id, rel) — [[mmrOracleSql]]'s tail, exposed so
+    * relevance can come from ANY ranked list (s62 feeds the fused RRF
+    * score — diversity over the hybrid serve, not just raw cosine).
+    * Pairwise pool similarities still come from `embeddings`. The
+    * caller's WITH must define `pool` before splicing this in. */
+  def mmrChainSql(dim: Int, k: Int, lam: String): String = {
     val steps = (2 to k).flatMap { t =>
       Seq(
         s"""ms$t AS MATERIALIZED (
@@ -380,22 +403,7 @@ object PortableIvf {
     val outUnion = (1 to k).map(t =>
       s"SELECT qid, vec_id, $t AS rank, rel AS cos, score AS mmr FROM st$t")
       .mkString("\n      UNION ALL ")
-    s"""WITH sc0 AS MATERIALIZED (
-      SELECT q.vec_id AS qid, e.vec_id,
-        ${simDot("q.embedding", "e.embedding", dim)} AS dt,
-        ${simDot("q.embedding", "q.embedding", dim)} AS nx,
-        ${simDot("e.embedding", "e.embedding", dim)} AS ny
-      FROM embeddings e, embeddings q
-      WHERE ${predOn("q")} AND e.vec_id <> q.vec_id),
-    pool AS MATERIALIZED (SELECT qid, vec_id, rel FROM (
-      SELECT qid, vec_id,
-        CASE WHEN nx = 0 OR ny = 0 THEN 0.0
-             ELSE dt / (sqrt(nx) * sqrt(ny)) END AS rel,
-        row_number() OVER (PARTITION BY qid ORDER BY
-          CASE WHEN nx = 0 OR ny = 0 THEN 0.0
-               ELSE dt / (sqrt(nx) * sqrt(ny)) END DESC, vec_id) AS r
-      FROM sc0) WHERE r <= $pool),
-    pv AS MATERIALIZED (SELECT p.qid, p.vec_id, p.rel, e.embedding,
+    s"""pv AS MATERIALIZED (SELECT p.qid, p.vec_id, p.rel, e.embedding,
         sqrt(${wDot("e.embedding", "e.embedding", dim)}) AS nrm
       FROM pool p JOIN embeddings e ON e.vec_id = p.vec_id),
     psim AS MATERIALIZED (SELECT a.qid, a.vec_id AS a, b.vec_id AS b,

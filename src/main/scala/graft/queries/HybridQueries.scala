@@ -1126,7 +1126,58 @@ object HybridQueries {
             ORDER BY rerank_micro DESC, rank) AS INT) AS rr_rank,
           rerank_micro, rank
         FROM rr
-        ORDER BY qid NULLS FIRST, rr_rank NULLS FIRST""")))
+        ORDER BY qid NULLS FIRST, rr_rank NULLS FIRST""")),
+
+    // ---- s62: DIVERSIFIED serve — MMR over the fused hybrid pool ---
+    // Result diversity at the serve tail: the fused two-index top-20
+    // becomes the MMR pool with the RRF score as RELEVANCE (s12's
+    // greedy selection composes with ANY ranked list — that is what
+    // mmrRerank's pool contract is for), λ = 0.5 trading relevance
+    // against embedding-space redundancy, final top-10. The oracle
+    // splices the unrolled greedy chain (mmrChainSql) onto a pool CTE
+    // drawn from the nested s38-shape serve text — both engines walk
+    // the identical selection, so the row is hash-exact even though
+    // the greedy is iterative. Diversity provably bites: the
+    // diversified order differs from the pure-relevance order.
+    Q("s62_diversified_serve",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val emb = Tables(s, dir, "embeddings")
+        LexIndex.writeLexIndex(docs.select(col("doc_id"), col("text")),
+          "graft_s62_lex")
+        AnnIndex.writeAnnIndex(
+          emb.select(col("vec_id"), col("embedding")), "graft_s62_ann")
+        val lex = LexIndex.probeLexIndex(s, "graft_s62_lex",
+          queriesOf(docs), KEach)
+        val vec = AnnIndex.probeAnnIndex(s, "graft_s62_ann", emb,
+            expr("vec_id < 8"), k = KEach)
+          .select(col("qid"), col("vec_id").as("doc_id"),
+            col("rank").as("vec_rank"))
+        val fused = HybridRetrieval.rrfFuse(lex, vec, KEach)
+        Similarity.mmrRerank(
+            fused.select(col("qid"), col("doc_id").as("vec_id"),
+              col("rrf").as("cos")),
+            emb.select(col("vec_id"), col("embedding")),
+            k = K, lambda = 0.5)
+          .select(col("qid"), col("vec_id").as("doc_id"), col("rank"),
+            col("cos").as("rrf"), col("mmr"))
+          .orderBy("qid", "rank")
+      },
+      Some {
+        val ivf = PortableIvf.ivfPqOracleSql(Dim, KEach, nCells = 16,
+          nprobe = 4, m = 8, ksub = 32, shortlist = 60,
+          a => s"$a.vec_id < 8")
+        val serve20 = s"""WITH ${HybridRetrieval.lexicalOracleCtes(
+            "documents", "doc_id < 8", KEach)},
+          vec AS MATERIALIZED (SELECT qid, vec_id AS doc_id, rank AS vec_rank
+            FROM ($ivf)),
+          ${HybridRetrieval.fusionTailSql(KEach, c = 60)}"""
+        s"""SELECT qid, vec_id AS doc_id, rank, cos AS rrf, mmr FROM (
+          WITH pool AS MATERIALIZED (SELECT qid, doc_id AS vec_id,
+              rrf AS rel FROM ($serve20)),
+          ${PortableIvf.mmrChainSql(Dim, K, "CAST(0.5 AS DOUBLE)")})
+        ORDER BY qid NULLS FIRST, rank NULLS FIRST"""
+      }))
 
   /** The phrase queries: each query doc's tokens [from, from+len) —
     * defaults to the first two (the s41–s45 must-phrase); s46's

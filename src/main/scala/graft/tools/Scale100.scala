@@ -48,9 +48,9 @@ object Scale100 {
     val op = opArgs.headOption.getOrElse("all")
     require(Set("all", "none", "d22", "s25", "s26", "d12", "s09", "s30",
       "s31", "s38", "s40", "s41", "s45", "s47", "s48", "s49", "s50",
-      "s52", "s54").contains(op),
+      "s52", "s54", "s60", "s61").contains(op),
       s"unknown op '$op' (all|none|d22|s25|s26|d12|s09|s30|s31|s38|" +
-        "s40|s41|s45|s47|s48|s49|s50|s52|s54)")
+        "s40|s41|s45|s47|s48|s49|s50|s52|s54|s60|s61)")
     val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_scale")
 
     def indicators(df: DataFrame): String = {
@@ -468,6 +468,78 @@ object Scale100 {
           graft.operators.HybridRetrieval.snippets(hits,
             docs.select(col("doc_id"), col("text")),
             phraseLen = 2, ctx = 3)
+        })
+      }
+      // passage rollup (s60): the chunk index is corpus-∝ at BUILD
+      // (more chunks), but the probe is the same bounded-posting-list
+      // path over chunk postings + a two-window rollup over the
+      // ≤ 40·|queries| hit rows — flat like s31.
+      if (op == "all" || op == "s60") {
+        val lName = s"graft_s100_pr_lex_m$m"
+        val tkx = graft.functions.TextFunctions.tokens(col("text"))
+        val chunks = docs.select(col("doc_id"), tkx.as("toks"))
+          .withColumn("n", size(col("toks")))
+          .withColumn("n_chunks", expr("CASE WHEN n <= 64 THEN 1 " +
+            "ELSE (n - 64 + 47) DIV 48 + 1 END"))
+          .select(col("doc_id"), posexplode(expr(
+            "transform(sequence(0, n_chunks - 1), i -> " +
+              "array_join(slice(toks, i * 48 + 1, 64), ' '))")))
+          .select((col("doc_id") * 1000 + col("pos") + 10000000L)
+            .as("doc_id"), col("col").as("text"))
+        val t0 = System.nanoTime()
+        graft.operators.LexIndex.writeLexIndex(chunks, lName,
+          numBuckets = 8 * m)
+        println(f"[s100] m=$m%-4d s60_build      ${(System.nanoTime() - t0) / 1e9}%8.2fs  (build)")
+        val queries = docs.filter(col("doc_id") < 8)
+          .select(col("doc_id"), col("text")).localCheckpoint()
+        time("s60_probe", () => {
+          val hits = graft.operators.LexIndex.probeLexIndex(spark, lName,
+              queries, kEach = 40)
+            .withColumn("parent", expr("(doc_id - 10000000L) DIV 1000"))
+            .withColumn("cidx",
+              expr("CAST((doc_id - 10000000L) % 1000 AS INT)"))
+          val w1 = org.apache.spark.sql.expressions.Window
+            .partitionBy("qid", "parent")
+            .orderBy(col("lex_scaled").desc, col("cidx"))
+          val w2 = org.apache.spark.sql.expressions.Window
+            .partitionBy("qid")
+            .orderBy(col("lex_scaled").desc, col("parent"))
+          hits.withColumn("rn", row_number().over(w1))
+            .filter(col("rn") === 1)
+            .withColumn("rank", row_number().over(w2))
+            .filter(col("rank") <= 10)
+        })
+      }
+      // reranked serve (s61): the rerank stage is ≤ k·|queries| text
+      // pairs whatever the corpus — the In-pushdown doc fetch prunes
+      // to the hit files, the mapPartitions pass is pair-bounded — so
+      // the composition should track s38 from just above.
+      if (op == "all" || op == "s61") {
+        val lName = s"graft_s100_rr_lex_m$m"
+        val aName = s"graft_s100_rr_ann_m$m"
+        val t0 = System.nanoTime()
+        graft.operators.LexIndex.writeLexIndex(
+          docs.select(col("doc_id"), col("text")), lName, numBuckets = 8 * m)
+        graft.operators.AnnIndex.writeAnnIndex(emb, aName, nCells = 16 * m)
+        println(f"[s100] m=$m%-4d s61_build      ${(System.nanoTime() - t0) / 1e9}%8.2fs  (build)")
+        val queries = docs.filter(col("doc_id") < 8)
+          .select(col("doc_id"), col("text")).localCheckpoint()
+        time("s61_probe", () => {
+          val lex = graft.operators.LexIndex.probeLexIndex(spark, lName,
+            queries, kEach = 20)
+          val vec = graft.operators.AnnIndex.probeAnnIndex(spark, aName,
+              emb, col("vec_id") < 8, k = 20)
+            .select(col("qid"), col("vec_id").as("doc_id"),
+              col("rank").as("vec_rank"))
+          val fused = graft.operators.Frontier.pin(
+            graft.operators.HybridRetrieval.rrfFuse(lex, vec, 10))
+          val rr = graft.operators.Rerank.rerank(spark, fused, queries,
+            docs.select(col("doc_id"), col("text")),
+            graft.operators.DiceReranker)
+          fused.join(rr, Seq("qid", "doc_id"))
+            .withColumn("rr_rank", row_number().over(
+              org.apache.spark.sql.expressions.Window.partitionBy("qid")
+                .orderBy(col("rerank_micro").desc, col("rank"))))
         })
       }
       if (op == "all" || op == "s09") {
