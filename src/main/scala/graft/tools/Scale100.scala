@@ -48,9 +48,9 @@ object Scale100 {
     val op = opArgs.headOption.getOrElse("all")
     require(Set("all", "none", "d22", "s25", "s26", "d12", "s09", "s30",
       "s31", "s38", "s40", "s41", "s45", "s47", "s48", "s49", "s50",
-      "s52", "s54", "s60", "s61").contains(op),
+      "s52", "s54", "s60", "s61", "s62").contains(op),
       s"unknown op '$op' (all|none|d22|s25|s26|d12|s09|s30|s31|s38|" +
-        "s40|s41|s45|s47|s48|s49|s50|s52|s54|s60|s61)")
+        "s40|s41|s45|s47|s48|s49|s50|s52|s54|s60|s61|s62)")
     val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_scale")
 
     def indicators(df: DataFrame): String = {
@@ -540,6 +540,33 @@ object Scale100 {
             .withColumn("rr_rank", row_number().over(
               org.apache.spark.sql.expressions.Window.partitionBy("qid")
                 .orderBy(col("rerank_micro").desc, col("rank"))))
+        })
+      }
+      // diversified serve (s62): the fused pool is <= kEach rows per
+      // query, the greedy MMR is pool-local inside flatMapGroups, and
+      // the pairwise sims join the pool against the embeddings table
+      // on vec_id — pool-bounded work on top of s38's flat serve.
+      if (op == "all" || op == "s62") {
+        val lName = s"graft_s100_dv_lex_m$m"
+        val aName = s"graft_s100_dv_ann_m$m"
+        val t0 = System.nanoTime()
+        graft.operators.LexIndex.writeLexIndex(
+          docs.select(col("doc_id"), col("text")), lName, numBuckets = 8 * m)
+        graft.operators.AnnIndex.writeAnnIndex(emb, aName, nCells = 16 * m)
+        println(f"[s100] m=$m%-4d s62_build      ${(System.nanoTime() - t0) / 1e9}%8.2fs  (build)")
+        val queries = docs.filter(col("doc_id") < 8)
+          .select(col("doc_id"), col("text")).localCheckpoint()
+        time("s62_probe", () => {
+          val lex = graft.operators.LexIndex.probeLexIndex(spark, lName,
+            queries, kEach = 20)
+          val vec = graft.operators.AnnIndex.probeAnnIndex(spark, aName,
+              emb, col("vec_id") < 8, k = 20)
+            .select(col("qid"), col("vec_id").as("doc_id"),
+              col("rank").as("vec_rank"))
+          val fused = graft.operators.HybridRetrieval.rrfFuse(lex, vec, 20)
+          graft.operators.Similarity.mmrRerank(
+            fused.select(col("qid"), col("doc_id").as("vec_id"),
+              col("rrf").as("cos")), emb, k = 10, lambda = 0.5)
         })
       }
       if (op == "all" || op == "s09") {
