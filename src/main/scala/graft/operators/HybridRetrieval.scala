@@ -327,6 +327,46 @@ object HybridRetrieval {
         x => x.getField("text")), " ").as("text"))
   }
 
+  /** Chunk-id packing stride: a chunk's id is
+    * `doc_id · ChunkStride + chunk_idx + offset`, injective over
+    * (doc_id, chunk_idx) iff chunk_idx < ChunkStride — [[chunkDocs]]
+    * raises (never aliases) past it. */
+  val ChunkStride = 1000L
+
+  /** Split each doc into `window`-token chunks at `stride` (the RAG
+    * context split, t09's shape), chunk ids packed as
+    * `doc_id · ChunkStride + idx + offset` — disjoint from query ids
+    * by the offset, decodable as parent = (id − offset) DIV stride,
+    * idx = (id − offset) % stride. The packing is injective for any
+    * doc_id ≥ 0 (d₁·S + p₁ = d₂·S + p₂ with p < S forces d₁ = d₂,
+    * p₁ = p₂); the two inputs that would silently corrupt the decode —
+    * a negative doc_id (DIV truncates toward zero) or a document with
+    * more than [[ChunkStride]] chunks (~ window + stride·(S−1) tokens)
+    * — FAIL LOUDLY via raise_error instead of aliasing across parents
+    * (r15 advice; Scale100's s60 ladder reuses this at 100×). */
+  def chunkDocs(docs: DataFrame, window: Int, stride: Int,
+      offset: Long): DataFrame = {
+    require(window >= 1 && stride >= 1 && offset >= 0,
+      s"window/stride >= 1 and offset >= 0 required, got " +
+        s"$window/$stride/$offset")
+    val guarded = when(col("doc_id") < 0 || col("n_chunks") > ChunkStride,
+        raise_error(concat(
+          lit(s"chunk-id packing (stride $ChunkStride) violated: doc_id "),
+          col("doc_id").cast("string"), lit(" with "),
+          col("n_chunks").cast("string"),
+          lit(" chunks would alias across parents — split the document" +
+            " upstream or widen ChunkStride"))).cast("long"))
+      .otherwise(col("doc_id") * ChunkStride + col("pos") + offset)
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("n_chunks", expr(s"CASE WHEN n <= $window THEN 1 " +
+        s"ELSE (n - $window + ${stride - 1}) DIV $stride + 1 END"))
+      .select(col("doc_id"), col("n_chunks"), posexplode(expr(
+        s"transform(sequence(0, n_chunks - 1), i -> " +
+          s"array_join(slice(toks, i * $stride + 1, $window), ' '))")))
+      .select(guarded.as("doc_id"), col("col").as("text"))
+  }
+
   /** FACET counts — the navigation rail beside search results: for
     * each query, the distribution of its CANDIDATE set (not just the
     * top-k page) over one or more metadata dimensions. `cands` is

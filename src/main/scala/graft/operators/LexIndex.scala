@@ -600,9 +600,15 @@ object LexIndex {
       candPred: Option[org.apache.spark.sql.Column] = None,
       candPairs: Option[DataFrame] = None,
       exclPairs: Option[DataFrame] = None): DataFrame = {
-    val hits = probeLexIndex(spark, name, queries, kEach, asOf,
+    // pinned ONCE for both passes (r15 advice): the ranked probe and
+    // the decomposition each run their own pushdown key-collect; a
+    // nondeterministic queries frame re-evaluated between them could
+    // otherwise make the hit set and the per-term rows disagree,
+    // breaking the sums-exactly invariant this method documents
+    val q = Frontier.pin(queries)
+    val hits = probeLexIndex(spark, name, q, kEach, asOf,
       candPred, candPairs, exclPairs)
-    val scored = scoredRows(spark, name, queries, asOf, candPred,
+    val scored = scoredRows(spark, name, q, asOf, candPred,
         candPairs, exclPairs)
       .select(col("qid"), col("doc_id"), col("tok"),
         (col("w").cast(DecimalType(18, 9)) * 1000000000L)

@@ -1010,17 +1010,10 @@ object HybridQueries {
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
         val name = "graft_s60_lex"
-        val (w, st, off) = (64, 48, 10000000L)
-        val tk = graft.functions.TextFunctions.tokens(col("text"))
-        val chunks = docs.select(col("doc_id"), tk.as("toks"))
-          .withColumn("n", size(col("toks")))
-          .withColumn("n_chunks", expr(s"CASE WHEN n <= $w THEN 1 " +
-            s"ELSE (n - $w + ${st - 1}) DIV $st + 1 END"))
-          .select(col("doc_id"), posexplode(expr(
-            s"transform(sequence(0, n_chunks - 1), i -> " +
-              s"array_join(slice(toks, i * $st + 1, $w), ' '))")))
-          .select((col("doc_id") * 1000 + col("pos") + off).as("doc_id"),
-            col("col").as("text"))
+        val off = 10000000L
+        val chunks = HybridRetrieval.chunkDocs(
+          docs.select(col("doc_id"), col("text")),
+          window = 64, stride = 48, offset = off)
         LexIndex.writeLexIndex(chunks, name)
         val hits = LexIndex.probeLexIndex(s, name, queriesOf(docs),
             kEach = 40)
@@ -1111,9 +1104,14 @@ object HybridQueries {
             col("rerank_micro"), col("rank"))
           .orderBy("qid", "rr_rank")
       },
+      // tokset mirrors DiceReranker's empty-token filter (r15 advice):
+      // string_split_regex on a blank text yields [''], and without the
+      // list_filter the oracle would score blank-vs-blank 10^6 where
+      // the engine scores 0 — the fixture has no blank texts today, but
+      // the documented edge must agree in both engines, not by luck
       Some(s"""WITH tokset AS MATERIALIZED (SELECT doc_id,
-          list_distinct(${graft.functions.TextFunctions
-            .sqlTokens("text")}) AS tks
+          list_filter(list_distinct(${graft.functions.TextFunctions
+            .sqlTokens("text")}), t -> t <> '') AS tks
         FROM documents),
         serve AS MATERIALIZED (SELECT qid, doc_id, rank
           FROM ($ServeShapeOracle)),

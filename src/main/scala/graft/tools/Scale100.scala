@@ -476,16 +476,9 @@ object Scale100 {
       // ≤ 40·|queries| hit rows — flat like s31.
       if (op == "all" || op == "s60") {
         val lName = s"graft_s100_pr_lex_m$m"
-        val tkx = graft.functions.TextFunctions.tokens(col("text"))
-        val chunks = docs.select(col("doc_id"), tkx.as("toks"))
-          .withColumn("n", size(col("toks")))
-          .withColumn("n_chunks", expr("CASE WHEN n <= 64 THEN 1 " +
-            "ELSE (n - 64 + 47) DIV 48 + 1 END"))
-          .select(col("doc_id"), posexplode(expr(
-            "transform(sequence(0, n_chunks - 1), i -> " +
-              "array_join(slice(toks, i * 48 + 1, 64), ' '))")))
-          .select((col("doc_id") * 1000 + col("pos") + 10000000L)
-            .as("doc_id"), col("col").as("text"))
+        val chunks = graft.operators.HybridRetrieval.chunkDocs(
+          docs.select(col("doc_id"), col("text")),
+          window = 64, stride = 48, offset = 10000000L)
         val t0 = System.nanoTime()
         graft.operators.LexIndex.writeLexIndex(chunks, lName,
           numBuckets = 8 * m)
