@@ -287,9 +287,10 @@ object AnnIndex {
       queryPred: org.apache.spark.sql.Column, k: Int = 10, nprobe: Int = 4,
       shortlist: Int = 60, asOf: Option[Long] = None,
       candPred: Option[org.apache.spark.sql.Column] = None,
-      candPairs: Option[DataFrame] = None): DataFrame =
+      candPairs: Option[DataFrame] = None,
+      exclPairs: Option[DataFrame] = None): DataFrame =
     probeQueries(spark, name, emb.filter(queryPred), emb, k, nprobe,
-      shortlist, asOf, candPred, candPairs)
+      shortlist, asOf, candPred, candPairs, exclPairs)
 
   /** Probe with an EXPLICIT query frame — the shape streaming ingest
     * needs, where the queries (an arriving micro-batch) are not yet
@@ -318,11 +319,20 @@ object AnnIndex {
     * the shortlist is spent on each query's own admissible candidates
     * (post-filtering a fixed shortlist is the classic filtered-ANN
     * recall bug, same argument as `candPred`). */
+  /** `exclPairs`: PER-QUERY EXCLUSION — the boolean MUST_NOT leg on
+    * the vector side ([[graft.operators.LexIndex.probeLexIndex]]'s
+    * exclPairs twin): (qid, vec_id) rows a candidate must NOT appear
+    * under its query to stay scorable. Anti-joined at the SAME
+    * pre-shortlist position as `candPairs` — excluding after the
+    * shortlist cut would waste shortlist slots on excluded docs (the
+    * filtered-ANN recall bug in its MUST_NOT form). ADC scores carry
+    * no corpus statistics, so surviving scores are untouched. */
   def probeQueries(spark: SparkSession, name: String, queries: DataFrame,
       rerank: DataFrame, k: Int = 10, nprobe: Int = 4,
       shortlist: Int = 60, asOf: Option[Long] = None,
       candPred: Option[org.apache.spark.sql.Column] = None,
-      candPairs: Option[DataFrame] = None): DataFrame = {
+      candPairs: Option[DataFrame] = None,
+      exclPairs: Option[DataFrame] = None): DataFrame = {
     val ct = asOf.fold(cellsTable(spark, name))(g =>
       Generations.resolveAsOf(spark, name, "cells", g))
     val mt = asOf.fold(modelTable(spark, name))(g =>
@@ -389,10 +399,15 @@ object AnnIndex {
     // per-query candidacy at the pre-shortlist position (see method
     // doc): qid exists only after the join above, so this is the
     // earliest — and the only statistically safe — place for it
-    val cand = candPairs.fold(joined)(cp => joined.join(
+    val cand0 = candPairs.fold(joined)(cp => joined.join(
       broadcast(cp.select(col(cp.columns.head).cast("long").as("qid"),
         col(cp.columns(1)).cast("long").as("vec_id")).distinct()),
       Seq("qid", "vec_id"), "left_semi"))
+    // MUST_NOT at the same pre-shortlist position (see method doc)
+    val cand = exclPairs.fold(cand0)(ep => cand0.join(
+      broadcast(ep.select(col(ep.columns.head).cast("long").as("qid"),
+        col(ep.columns(1)).cast("long").as("vec_id")).distinct()),
+      Seq("qid", "vec_id"), "left_anti"))
     val scored = cand
       .withColumn("cos", col("qc") + expr(
         s"aggregate(transform(codes, (c, j) -> element_at(lut, j * $ksub + c + 1)), " +

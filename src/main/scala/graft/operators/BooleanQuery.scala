@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The user-facing BOOLEAN QUERY surface — Lucene's `BooleanQuery`
+  * over the maintained [[LexIndex]] family: s49 proved the whole
+  * grammar (MUST phrase ∧ SHOULD ≥ m ∧ ¬MUST_NOT ∧ metadata filter)
+  * composes hash-exactly as hand-wired pair-set algebra on the probes'
+  * outputs; this object is that algebra factored into ONE entry point,
+  * so a caller states clauses instead of wiring joins (the r15 verdict
+  * ask — s49's hash row now runs THROUGH this API).
+  *
+  * Clause semantics (Lucene's occur model):
+  *
+  *  - `must` (qid, phrase): the doc must contain EVERY one of its
+  *    query's phrases as a contiguous token run ([[LexIndex
+  *    .probePhrase]]; a one-token "phrase" is term containment).
+  *  - `should` (qid, tok) with `minShould`: the doc must contain at
+  *    least `minShould` of its query's SHOULD terms
+  *    ([[LexIndex.probeShould]] — `minimum_should_match`).
+  *  - `mustNot` (qid, phrase): the doc must contain NONE of its
+  *    query's negated phrases.
+  *  - `filter`: a serve-time metadata predicate over the candidate
+  *    `doc_id` (tenancy/licensing/freshness — s39's candPred).
+  *
+  * Everything resolves to CANDIDACY ONLY, at the one pre-shortlist
+  * position every probe exposes: BM25 statistics stay corpus-level and
+  * ADC scores carry none, so every surviving score is bit-identical to
+  * its unconstrained value — only membership and rank packing move
+  * (the s39/s43/s46 argument, inherited clause by clause).
+  *
+  * Scale shape: each clause's probe is bounded by ITS query terms'
+  * posting lists (the pushed `tok IN (…)`); the algebra is pair-set
+  * joins on those bounded outputs, pinned once and broadcast to both
+  * serve legs. Nothing here is corpus-proportional at query time.
+  */
+object BooleanQuery {
+
+  /** One boolean query set over a shared query-id space. All frames
+    * are 2-column (qid, …) in the documented order; absent clauses are
+    * simply None. */
+  final case class Clauses(
+      must: Option[DataFrame] = None,
+      should: Option[DataFrame] = None,
+      minShould: Int = 1,
+      mustNot: Option[DataFrame] = None,
+      filter: Option[Column] = None)
+
+  /** The resolved candidacy legs, ready for [[LexIndex.probeLexIndex]]
+    * / [[AnnIndex.probeAnnIndex]]: `candPairs` = the per-query allowed
+    * set (None when no positive clause constrains membership),
+    * `exclPairs` = the MUST_NOT pairs when they could not be folded
+    * into `candPairs` (no positive clause present). `candPairs` is
+    * PINNED — both serve legs consume it, and a re-evaluated
+    * nondeterministic probe chain must not feed them different sets. */
+  final case class Resolved(candPairs: Option[DataFrame],
+      exclPairs: Option[DataFrame])
+
+  /** Phrase containment pairs for a (qid, phrase) clause frame with
+    * ALL-phrases-per-query semantics (Lucene MUST: every clause must
+    * match). Distinct phrases probe ONCE keyed by their own text —
+    * [[LexIndex.probePhrase]] needs one phrase per key, and two
+    * different phrases under one qid would interleave their term
+    * offsets — then matches join back to the (qid, phrase) rows and a
+    * doc survives iff it matched its query's full phrase count. */
+  private def phrasePairs(spark: SparkSession, name: String,
+      clause: DataFrame, asOf: Option[Long]): DataFrame = {
+    val qp = clause.select(col(clause.columns.head).cast("long").as("qid"),
+      col(clause.columns(1)).as("phrase")).distinct()
+    val uniq = qp.select("phrase").distinct()
+      .select(col("phrase").as("phrase_id"), col("phrase"))
+    val pm = LexIndex.probePhrase(spark, name, uniq, asOf)
+      .select(col("phrase_id").as("phrase"), col("doc_id"))
+    val nPer = qp.groupBy("qid").agg(count(lit(1)).as("n_must"))
+    qp.join(pm, "phrase")
+      .groupBy("qid", "doc_id")
+      .agg(count(lit(1)).as("n_hit"))
+      .join(broadcast(nPer), "qid")
+      .filter(col("n_hit") === col("n_must"))
+      .select("qid", "doc_id")
+  }
+
+  /** Resolve the clause set to its candidacy legs (the s49 algebra:
+    * positives intersect, MUST_NOT anti-joins — folded into the pair
+    * set when a positive clause exists, handed to the probe's
+    * `exclPairs` anti-join otherwise; both spellings are provably the
+    * same membership at the same candidacy position). */
+  def resolve(spark: SparkSession, name: String, clauses: Clauses,
+      asOf: Option[Long] = None): Resolved = {
+    require(clauses.should.isEmpty || clauses.minShould >= 1,
+      s"minShould must be >= 1, got ${clauses.minShould}")
+    val mustPairs = clauses.must.map(phrasePairs(spark, name, _, asOf))
+    val shouldPairs = clauses.should.map(sm =>
+      LexIndex.probeShould(spark, name, sm, clauses.minShould, asOf)
+        .select("qid", "doc_id"))
+    val notPairs = clauses.mustNot.map(phrasePairs(spark, name, _, asOf))
+    val positive = (mustPairs.toSeq ++ shouldPairs.toSeq)
+      .reduceOption(_.join(_, Seq("qid", "doc_id")))
+    (positive, notPairs) match {
+      case (Some(pos), Some(neg)) =>
+        Resolved(Some(Frontier.pin(
+          pos.join(neg, Seq("qid", "doc_id"), "left_anti"))), None)
+      case (Some(pos), None) => Resolved(Some(Frontier.pin(pos)), None)
+      case (None, neg) => Resolved(None, neg.map(Frontier.pin(_)))
+    }
+  }
+
+  /** Ranked LEXICAL serve of the boolean query: resolve the clauses,
+    * then BM25-rank the survivors from the same maintained index —
+    * s43/s46/s47's shape behind one call. `queries` is (qid, text). */
+  def search(spark: SparkSession, name: String, queries: DataFrame,
+      kEach: Int, clauses: Clauses,
+      asOf: Option[Long] = None): DataFrame = {
+    val r = resolve(spark, name, clauses, asOf)
+    LexIndex.probeLexIndex(spark, name, queries, kEach, asOf,
+      candPred = clauses.filter, candPairs = r.candPairs,
+      exclPairs = r.exclPairs)
+  }
+
+  /** The FULL two-index fused serve (s49's capstone shape behind one
+    * call): the resolved pair set gates the lexical probe AND the ANN
+    * probe at the pre-shortlist position, the metadata filters ride
+    * candPred beside it on each leg, and RRF fuses the two rank lists.
+    * `queries` is (qid, text); `emb` the embeddings relation the ANN
+    * probe draws queries from (`vecQueryPred` selects them);
+    * `vecFilter` the vec-side metadata scope (the doc-side scope is
+    * `clauses.filter`). */
+  def serve(spark: SparkSession, lexName: String, annName: String,
+      queries: DataFrame, emb: DataFrame, vecQueryPred: Column,
+      clauses: Clauses, k: Int, kEach: Int,
+      vecFilter: Option[Column] = None): DataFrame = {
+    val r = resolve(spark, lexName, clauses)
+    val lex = LexIndex.probeLexIndex(spark, lexName, queries, kEach,
+      candPred = clauses.filter, candPairs = r.candPairs,
+      exclPairs = r.exclPairs)
+    val vec = AnnIndex.probeAnnIndex(spark, annName, emb, vecQueryPred,
+        k = kEach, candPred = vecFilter,
+        candPairs = r.candPairs.map(_.select(col("qid"),
+          col("doc_id").as("vec_id"))),
+        exclPairs = r.exclPairs.map(_.select(col("qid"),
+          col("doc_id").as("vec_id"))))
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        col("rank").as("vec_rank"))
+    HybridRetrieval.rrfFuse(lex, vec, k)
+  }
+}

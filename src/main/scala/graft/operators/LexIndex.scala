@@ -32,15 +32,31 @@ import graft.functions.TextFunctions
   *    sorted on doc_id — the append bookkeeping spine ("fully
   *    applied" marker, replay classification, stats recount source).
   *    Probes never read it.
-  *  - `dfcap` (tok, df): the document-frequency summary AS OF the last
-  *    build/compaction, bucketed+sorted on tok. Probe-side it is ONLY
-  *    a stop-word prune, and a provably SAFE one: df grows
-  *    monotonically between compactions (appends add docs, deletions
-  *    become physical only at compaction), so `df_stale·10 > N_now·9`
-  *    already implies the exact cap fails — those posting lists are
-  *    never read at all. Terms that pass the prune get their EXACT df
-  *    counted from the posting rows the probe reads anyway, so the
-  *    stale summary can never change a result, only skip dead work.
+  *  - `dfcap` (tok, df, max_tf, min_len): the TERM-DICTIONARY snapshot
+  *    AS OF the last build/compaction, bucketed+sorted on tok. The
+  *    scoring probe uses only `df`, as a stop-word prune, and a
+  *    provably SAFE one: df grows monotonically between compactions
+  *    (appends add docs, deletions become physical only at
+  *    compaction), so `df_stale·10 > N_now·9` already implies the
+  *    exact cap fails — those posting lists are never read at all.
+  *    Terms that pass the prune get their EXACT df counted from the
+  *    posting rows the probe reads anyway, so the stale summary can
+  *    never change a result, only skip dead work. `max_tf`/`min_len`
+  *    are the per-term IMPACT-BOUND stamps (max tf over the term's
+  *    postings, min doc length) the bounded MaxScore probe derives
+  *    score upper bounds from.
+  *  - `vocab` (tok, df, max_tf, min_len, batch_id): the dictionary's
+  *    per-append DELTA rows, bucketed+sorted on tok — the r15 finding's
+  *    fix: every vocabulary surface (fuzzy, prefix, autocomplete) used
+  *    to derive the term dictionary by a corpus-proportional postings
+  *    scan per probe; now it reads dfcap ∪ vocab, which is VOCAB-sized
+  *    (Heaps-law sublinear on real corpora). Appends only ever ADD
+  *    (tok, doc) rows, so dfcap.df + Σ delta.df is the EXACT current
+  *    df — not a bound — and max(max_tf)/min(min_len) over the union
+  *    stay true impact bounds; compaction rebuilds dfcap exactly and
+  *    empties the deltas. batch_id keys the same exactly-once replay
+  *    fence as doclen's (written after doclen, before the stats
+  *    fence — see the append-idempotency note).
   *  - `stats` (batch_id, n_docs, total_tokens): per-mutation-epoch
   *    delta rows; the probe sums them (a few rows — one per append
   *    since the last compaction). batch_id keys the exactly-once
@@ -83,7 +99,7 @@ import graft.functions.TextFunctions
   */
 object LexIndex {
 
-  private val Members = Seq("postings", "doclen", "dfcap", "stats")
+  private val Members = Seq("postings", "doclen", "dfcap", "stats", "vocab")
 
   /** The family's member list for [[IndexMaintenance.health]] sweeps —
     * the same list every writer passes to [[Generations]]. */
@@ -152,6 +168,21 @@ object LexIndex {
         "family with writeLexIndex (compaction deliberately carries " +
         "the legacy schema forward; only a rebuild upgrades)")
 
+  /** Dictionary-schema guard for families built BEFORE the maintained
+    * term dictionary (no `vocab` member / no impact-bound columns on
+    * dfcap): scoring, phrase, SHOULD and proximity probes keep working
+    * (they never touch the dictionary), but appends and the vocabulary
+    * surfaces (fuzzy / prefix / autocomplete) need it — loud at the
+    * entry points instead of a missing-table stack trace, the
+    * [[requirePositional]] discipline. */
+  private def requireDictionary(spark: SparkSession, name: String,
+      vt: String): Unit =
+    require(spark.sessionState.catalog.tableExists(parse(spark, vt)),
+      s"index family $name predates the maintained term dictionary " +
+        "(no `vocab` member): scoring/phrase probes keep working, but " +
+        "appends and the vocabulary surfaces (fuzzy/prefix/autocomplete) " +
+        "need it — rebuild the family with writeLexIndex")
+
   private def requireTokenizer(spark: SparkSession,
       tables: Seq[String]): Unit =
     tables.foreach { t =>
@@ -203,6 +234,16 @@ object LexIndex {
     (tf, len)
   }
 
+  /** Term-dictionary rows over a (tok, doc_id, tf, len, …) postings
+    * frame: exact df plus the per-term impact-bound stamps (max tf,
+    * min doc length — the tf-saturation component of a BM25 weight is
+    * monotone UP in tf and DOWN in len, so evaluating it at
+    * (max_tf, min_len) upper-bounds every row's). Shared by build,
+    * append (the per-batch delta) and compaction (the exact rebuild). */
+  private def dictRows(post: DataFrame): DataFrame =
+    post.groupBy("tok").agg(count(lit(1)).as("df"),
+      max(col("tf")).as("max_tf"), min(col("len")).as("min_len"))
+
   /** Build (or rebuild from scratch) the index over `docs` — one
     * crash-atomic generation swap; readers of any existing generation
     * are undisturbed until the single pointer flip. Tombstones against
@@ -218,31 +259,38 @@ object LexIndex {
     Generations.swap(spark, name, Members, gcKeep = gcKeep) { lease =>
       val epoch = s"g${lease.gen}"
       val (tf0, len0) = termFrames(docs)
-      val tf = Frontier.pin(tf0)
       val len = Frontier.pin(len0)
+      // the (tok, doc, tf, len, positions) frame feeds BOTH the
+      // postings write and the dictionary aggregation — pinned once
+      val post = Frontier.pin(tf0.join(len, "doc_id").select(col("tok"),
+        col("doc_id"), col("tf"), col("len"), col("positions")))
       val pt = Generations.physical(name, "postings", lease.gen)
       val lt = Generations.physical(name, "doclen", lease.gen)
       val dt = Generations.physical(name, "dfcap", lease.gen)
       val st = Generations.physical(name, "stats", lease.gen)
-      tf.join(len, "doc_id")
-        .select(col("tok"), col("doc_id"), col("tf"), col("len"), col("positions"))
-        .repartition(numBuckets, col("tok"))
+      val vt = Generations.physical(name, "vocab", lease.gen)
+      post.repartition(numBuckets, col("tok"))
         .write.format("parquet")
         .bucketBy(numBuckets, "tok").sortBy("tok").saveAsTable(pt)
       len.select(col("doc_id"), col("len"), lit(epoch).as("batch_id"))
         .repartition(numBuckets, col("doc_id"))
         .write.format("parquet")
         .bucketBy(numBuckets, "doc_id").sortBy("doc_id").saveAsTable(lt)
-      tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      dictRows(post)
         .repartition(numBuckets, col("tok"))
         .write.format("parquet")
         .bucketBy(numBuckets, "tok").sortBy("tok").saveAsTable(dt)
+      // the dictionary delta member starts EMPTY — dfcap IS the exact
+      // dictionary at build time; appends land their deltas here
+      dictRows(post.limit(0)).withColumn("batch_id", lit(""))
+        .coalesce(1).write.format("parquet")
+        .bucketBy(numBuckets, "tok").sortBy("tok").saveAsTable(vt)
       len.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("total_tokens"))
         .select(lit(epoch).as("batch_id"), col("n_docs"),
           coalesce(col("total_tokens"), lit(0L)).as("total_tokens"))
         .coalesce(1)
         .write.format("parquet").saveAsTable(st)
-      Seq(pt, lt, dt, st).foreach { t =>
+      Seq(pt, lt, dt, st, vt).foreach { t =>
         spark.sql(
           s"ALTER TABLE $t SET TBLPROPERTIES ('$TokenizerProp' = '$TokenizerId')")
       }
@@ -288,7 +336,9 @@ object LexIndex {
     try {
       val (pt, lt, st) = (member(spark, name, "postings"),
         member(spark, name, "doclen"), member(spark, name, "stats"))
-      requireTokenizer(spark, Seq(pt, lt, st))
+      val vt = member(spark, name, "vocab")
+      requireDictionary(spark, name, vt)
+      requireTokenizer(spark, Seq(pt, lt, st, vt))
       requirePositional(spark, pt)
       val applied = ifAbsent && !spark.table(st)
         .filter(col("batch_id") === batchId).isEmpty
@@ -331,6 +381,19 @@ object LexIndex {
           else lenRows
         appendWith(lenToAdd, lt)
         crashPoint("after-doclen")
+        // the dictionary delta, over the FULL admitted set (not
+        // postToAdd: a crashed attempt's landed postings are admitted
+        // rows whose df the delta must still count exactly once — the
+        // stats-delta argument). Its own batch-id presence check fences
+        // replays that died between this write and the stats fence;
+        // with it, dfcap.df + Σ vocab.df equals the postings-scan df at
+        // every point in the lifecycle (the exactness invariant the
+        // vocabulary probes rely on).
+        val vocabDone = ifAbsent && !spark.table(vt)
+          .filter(col("batch_id") === batchId).isEmpty
+        if (!vocabDone)
+          appendWith(dictRows(post).withColumn("batch_id", lit(batchId)), vt)
+        crashPoint("after-vocab")
         // the fence, written LAST: delta over the admitted set (docs a
         // crashed attempt already landed are IN the admitted set, so
         // the count is the same whichever attempt finishes)
@@ -339,7 +402,7 @@ object LexIndex {
             coalesce(col("total_tokens"), lit(0L)).as("total_tokens"))
           .coalesce(1)
           .write.format("parquet").mode("append").saveAsTable(st)
-        Seq(pt, lt, st).foreach(spark.catalog.refreshTable)
+        Seq(pt, lt, st, vt).foreach(spark.catalog.refreshTable)
       }
     } finally Generations.abort(spark, lease)
   }
@@ -417,13 +480,25 @@ object LexIndex {
           purged(member(spark, name, "doclen"))
             .select(col("doc_id"), col("len"), lit(epoch).as("batch_id")))
         // df/stats rebuilt EXACTLY from the rows that survived — the
-        // moment logical deletions become statistical deletions
+        // moment logical deletions become statistical deletions. The
+        // dictionary consolidates with them: dfcap gets the exact
+        // post-purge (df, max_tf, min_len) per term and the delta
+        // member resets to empty (this is also the in-place UPGRADE
+        // path for families built before the dictionary existed — the
+        // rebuild derives everything from the compacted postings).
+        val nb = numBuckets.getOrElse(
+          catalog.getTableMetadata(parse(spark, pt)).bucketSpec.get.numBuckets)
         val dt = {
-          val nb = numBuckets.getOrElse(
-            catalog.getTableMetadata(parse(spark, pt)).bucketSpec.get.numBuckets)
           val nt = Generations.physical(name, "dfcap", lease.gen)
-          spark.table(pt).groupBy("tok").agg(count(lit(1)).as("df"))
+          dictRows(spark.table(pt))
             .write.format("parquet")
+            .bucketBy(nb, "tok").sortBy("tok").saveAsTable(nt)
+          nt
+        }
+        val vt = {
+          val nt = Generations.physical(name, "vocab", lease.gen)
+          dictRows(spark.table(pt).limit(0)).withColumn("batch_id", lit(""))
+            .coalesce(1).write.format("parquet")
             .bucketBy(nb, "tok").sortBy("tok").saveAsTable(nt)
           nt
         }
@@ -437,7 +512,7 @@ object LexIndex {
             .write.format("parquet").saveAsTable(nt)
           nt
         }
-        Seq(pt, lt, dt, st).foreach { t =>
+        Seq(pt, lt, dt, st, vt).foreach { t =>
           spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
             s"('$TokenizerProp' = '$TokenizerId')")
         }
@@ -816,20 +891,21 @@ object LexIndex {
     *
     * Two stages, both bounded the way Lucene bounds them:
     *
-    *  1. '''Expansion''': the term dictionary (distinct `tok` — an
-    *     exchange-free aggregation on the bucketed tok layout) is
-    *     matched per query prefix and capped at `maxExpansions` terms
-    *     in TERM ORDER (Lucene's `max_expansions` — the cap is what
-    *     keeps a one-letter prefix from exploding downstream cost;
-    *     term order makes WHICH terms survive deterministic). The
-    *     match is an EQUI-join per distinct prefix LENGTH
-    *     (`substring(tok, 1, len) = prefix` — broadcast hash, never a
-    *     nested loop), and the scan itself is pruned by pushing the
-    *     `startsWith` disjunction into the sorted buckets
-    *     (parquet `StringStartsWith` + min/max on the sorted runs).
+    *  1. '''Expansion''': the MAINTAINED term dictionary
+    *     ([[vocabFrame]] — dfcap ∪ deltas, vocab-sized, never a
+    *     postings scan) is matched per query prefix and capped at
+    *     `maxExpansions` terms in TERM ORDER (Lucene's
+    *     `max_expansions` — the cap is what keeps a one-letter prefix
+    *     from exploding downstream cost; term order makes WHICH terms
+    *     survive deterministic). The match is an EQUI-join per
+    *     distinct prefix LENGTH (`substring(tok, 1, len) = prefix` —
+    *     broadcast hash, never a nested loop), and the member scans
+    *     are pruned by pushing the `startsWith` disjunction into their
+    *     sorted tok runs (parquet `StringStartsWith` + min/max).
     *  2. '''Matching''': the capped expansion set joins the postings
     *     exactly like query terms in the scoring probe — cost bounded
-    *     by the expansions' posting lists.
+    *     by the expansions' posting lists, pruned by the pushed
+    *     `tok IN (…)` over the post-cap expansion terms.
     *
     * The expansion vocabulary is a CORPUS statistic (like df): terms
     * occurring only in tombstoned docs still expand until compaction
@@ -842,12 +918,27 @@ object LexIndex {
       s"maxExpansions must be >= 1, got $maxExpansions")
     val pt = member(spark, name, "postings", asOf)
     requireTokenizer(spark, Seq(pt))
-    val (matched, postings) = prefixVocab(spark, pt, prefixes)
-    // term-dictionary expansion, capped in TERM order (Lucene)
-    val expansions = matched.select("qid", "tok").withColumn("rn",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy("qid").orderBy("tok")))
-      .filter(col("rn") <= maxExpansions).drop("rn")
+    val matched = prefixVocab(spark, name, prefixes, asOf)
+    // term-dictionary expansion, capped in TERM order (Lucene) —
+    // pinned: the postings pushdown below collects its token set from
+    // this frame and then joins it (the qt discipline)
+    val expansions = Frontier.pin(
+      matched.select("qid", "tok").withColumn("rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("qid").orderBy("tok")))
+        .filter(col("rn") <= maxExpansions).drop("rn"))
+    // matching stage: the capped expansions' posting lists only — the
+    // bounded `tok IN (…)` pushdown, tighter than the old startsWith
+    // prune (≤ maxExpansions·|queries| literals, post-cap)
+    val postings0 = spark.table(pt)
+    val postings =
+      if (scanBytes(postings0) <= pushdownMinBytes(spark)) postings0
+      else {
+        val toks = expansions.select("tok").distinct()
+          .limit(ProbePushdownMax + 1).collect().map(_.getString(0))
+        if (toks.length > ProbePushdownMax) postings0
+        else postings0.filter(col("tok").isin(toks.map(x => x: Any): _*))
+      }
     val rows = postings.select("tok", "doc_id")
       .join(broadcast(expansions), "tok")
     val cand = lexTombstones(spark, name).fold(rows)(t =>
@@ -867,9 +958,7 @@ object LexIndex {
   def suggestTerms(spark: SparkSession, name: String, prefixes: DataFrame,
       k: Int = 8, asOf: Option[Long] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val pt = member(spark, name, "postings", asOf)
-    requireTokenizer(spark, Seq(pt))
-    val (matched, _) = prefixVocab(spark, pt, prefixes)
+    val matched = prefixVocab(spark, name, prefixes, asOf)
     matched.withColumn("rank",
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy("qid").orderBy(col("df").desc, col("tok"))))
@@ -877,54 +966,89 @@ object LexIndex {
       .select(col("qid"), col("tok"), col("df"), col("rank"))
   }
 
+  /** The CURRENT term dictionary — (tok, df, max_tf, min_len) with df
+    * EXACT, not a bound — read from the MAINTAINED vocab-sized members
+    * (dfcap ∪ delta rows, summed/max'd/min'd per term), never from a
+    * postings scan (the r15 scale-killer fix: the dictionary is
+    * Heaps-law sublinear in the corpus; the postings are not). Between
+    * compactions appends only ever ADD (tok, doc) rows, so the delta
+    * sum equals the postings-scan df at every lifecycle point
+    * (LexIndexSpec pins the invariant through append, crash-replay,
+    * tombstone and compaction). Like df everywhere, the dictionary is
+    * a CORPUS statistic: tombstoned docs count until compaction.
+    * `asOf` reads a frozen generation's dictionary (its dfcap plus the
+    * deltas that landed while it was current). */
+  /** `tokFilter`: an optional predicate over `tok` pushed into BOTH
+    * member scans (sorted tok runs → row-group pruning) — the prefix
+    * surfaces pass their startsWith disjunction here. Spelled as a
+    * join of the two members rather than a union-then-aggregate: a
+    * grouped union of two co-bucketed scans tempts the planner into
+    * an exchange-free final aggregate whose co-partitioning assumption
+    * silently breaks when one side's bucketed-scan decision differs —
+    * the join path always states its distribution requirement
+    * explicitly and still rides the shared (tok) bucketing. */
+  def vocabFrame(spark: SparkSession, name: String,
+      asOf: Option[Long] = None,
+      tokFilter: Option[Column] = None): DataFrame = {
+    val dt = member(spark, name, "dfcap", asOf)
+    val vt = member(spark, name, "vocab", asOf)
+    requireDictionary(spark, name, vt)
+    requireTokenizer(spark, Seq(dt, vt))
+    def scan(t: String) = {
+      val s = spark.table(t).select(col("tok"), col("df"),
+        col("max_tf"), col("min_len"))
+      tokFilter.fold(s)(s.filter)
+    }
+    // per-term delta consolidation rides the delta member's (tok)
+    // bucketing exchange-free; the full-outer join is vocab-sized on
+    // both sides (terms only in dfcap / only in deltas both survive)
+    val deltas = scan(vt).groupBy("tok").agg(sum(col("df")).as("df"),
+      max(col("max_tf")).as("max_tf"), min(col("min_len")).as("min_len"))
+    scan(dt).as("c").join(deltas.as("d"), Seq("tok"), "full_outer")
+      .select(col("tok"),
+        (coalesce(col("c.df"), lit(0L)) +
+          coalesce(col("d.df"), lit(0L))).as("df"),
+        greatest(col("c.max_tf"), col("d.max_tf")).as("max_tf"),
+        least(col("c.min_len"), col("d.min_len")).as("min_len"))
+  }
+
   /** Prefix-matched vocabulary — (qid, tok, df) rows pairing each
-    * query with every term-dictionary entry starting with its prefix,
-    * plus the (pruned) postings frame the dictionary came from.
+    * query with every term-dictionary entry starting with its prefix.
     * Shared by [[probePrefix]] (caps in term order) and
-    * [[suggestTerms]] (ranks by df). The dictionary is an
-    * exchange-free aggregation on the bucketed tok layout; the scan
-    * is pruned by pushing the startsWith disjunction into the sorted
-    * buckets; the match is an EQUI-join per distinct prefix LENGTH
+    * [[suggestTerms]] (ranks by df). The dictionary comes from the
+    * MAINTAINED vocab members ([[vocabFrame]] — never a postings
+    * scan), with the startsWith disjunction pushed into their sorted
+    * tok runs; the match is an EQUI-join per distinct prefix LENGTH
     * (`substring(tok, 1, len) = prefix`, broadcast hash — never a
     * nested loop), with a guarded predicate-join fallback for a
-    * pathological length spread. */
-  private def prefixVocab(spark: SparkSession, pt: String,
-      prefixes: DataFrame): (DataFrame, DataFrame) = {
-    val px0 = prefixes.select(col(prefixes.columns.head).as("qid"),
-      col(prefixes.columns(1)).as("prefix")).distinct()
-    val postings0 = spark.table(pt)
-    val push = scanBytes(postings0) > pushdownMinBytes(spark)
-    // pinned when the pushdown collects keys from it (the qt
-    // discipline): the pushed prefix set must not diverge from the
-    // joined rows under a nondeterministic prefixes frame
-    val px = if (push) Frontier.pin(px0) else px0
-    val postings =
-      if (!push) postings0
-      else {
-        val prefs = px.select("prefix").distinct()
-          .limit(ProbePushdownMax + 1).collect().map(_.getString(0))
-        if (prefs.isEmpty) postings0.filter(lit(false))
-        else if (prefs.length > ProbePushdownMax) postings0
-        else postings0.filter(
-          prefs.map(p => col("tok").startsWith(p)).reduce(_ || _))
-      }
-    // the term dictionary with exact df (one postings row per
-    // (tok, doc), counted exchange-free on the bucket key)
-    val vocab = postings.groupBy("tok").agg(count(lit(1)).as("df"))
-    val lens = px.select(length(col("prefix")).as("l")).distinct()
-      .limit(ProbePushdownMax + 1).collect().map(_.getInt(0))
-    val matched =
-      if (lens.isEmpty) px.select(col("qid"), col("prefix").as("tok"),
-        lit(0L).as("df")).filter(lit(false))
-      else if (lens.length > ProbePushdownMax)
-        vocab.join(broadcast(px), col("tok").startsWith(col("prefix")))
-          .select(col("qid"), col("tok"), col("df"))
-      else lens.toSeq.map { l =>
-        vocab.join(broadcast(px.filter(length(col("prefix")) === l)),
-            substring(col("tok"), 1, l) === col("prefix"))
-          .select(col("qid"), col("tok"), col("df"))
-      }.reduce(_ unionByName _)
-    (matched, postings)
+    * pathological prefix count. The prefixes frame is pinned
+    * UNCONDITIONALLY and collected ONCE (r15 advice): the pushdown
+    * filter, the length set and the per-length joins all derive from
+    * that single evaluation, so they can never diverge. */
+  private def prefixVocab(spark: SparkSession, name: String,
+      prefixes: DataFrame, asOf: Option[Long]): DataFrame = {
+    val px = Frontier.pin(
+      prefixes.select(col(prefixes.columns.head).as("qid"),
+        col(prefixes.columns(1)).as("prefix")).distinct())
+    val prefs = px.select("prefix").distinct()
+      .limit(ProbePushdownMax + 1).collect().map(_.getString(0))
+    val tokFilter =
+      if (prefs.isEmpty) Some(lit(false))
+      else if (prefs.length > ProbePushdownMax) None
+      else Some(prefs.map(p => col("tok").startsWith(p)).reduce(_ || _))
+    val vocab = vocabFrame(spark, name, asOf, tokFilter)
+      .select(col("tok"), col("df"))
+    if (prefs.isEmpty)
+      px.select(col("qid"), col("prefix").as("tok"), lit(0L).as("df"))
+        .filter(lit(false))
+    else if (prefs.length > ProbePushdownMax)
+      vocab.join(broadcast(px), col("tok").startsWith(col("prefix")))
+        .select(col("qid"), col("tok"), col("df"))
+    else prefs.map(_.length).distinct.toSeq.map { l =>
+      vocab.join(broadcast(px.filter(length(col("prefix")) === l)),
+          substring(col("tok"), 1, l) === col("prefix"))
+        .select(col("qid"), col("tok"), col("df"))
+    }.reduce(_ unionByName _)
   }
 
   /** All deletion variants of `colName` removing UP TO `maxEdits`
@@ -957,22 +1081,20 @@ object LexIndex {
     * DELETION variants ([[deletionKeys]]), candidates meet on an
     * equi-join of variants (query side broadcast), and one
     * codegen'd `levenshtein` pass verifies the exact distance. The
-    * vocabulary derivation is one postings scan reading (tok) only
-    * (positions and doc ids prune away); the variant blow-up is
-    * ×(len+1) per edit on the VOCABULARY's size, not the corpus's.
-    * Like df/n_docs, the vocabulary is a corpus statistic: terms of
-    * tombstoned docs suggest (and count their df) until compaction —
-    * erasure of DOC candidacy is immediate everywhere a doc_id
-    * surfaces, but this probe surfaces terms. `asOf` reads a frozen
-    * generation's vocabulary. */
+    * vocabulary comes from the MAINTAINED dictionary members
+    * ([[vocabFrame]] — dfcap ∪ deltas, vocab-sized; the r15 fix for
+    * the per-probe postings scan that was corpus-proportional); the
+    * variant blow-up is ×(len+1) per edit on the VOCABULARY's size,
+    * not the corpus's. Like df/n_docs, the vocabulary is a corpus
+    * statistic: terms of tombstoned docs suggest (and count their df)
+    * until compaction — erasure of DOC candidacy is immediate
+    * everywhere a doc_id surfaces, but this probe surfaces terms.
+    * `asOf` reads a frozen generation's vocabulary. */
   def probeFuzzy(spark: SparkSession, name: String, terms: DataFrame,
       maxEdits: Int = 1, asOf: Option[Long] = None): DataFrame = {
     require(maxEdits == 1 || maxEdits == 2,
       s"maxEdits must be 1 or 2 (Lucene's bound), got $maxEdits")
-    val pt = member(spark, name, "postings", asOf)
-    requireTokenizer(spark, Seq(pt))
-    val vocab = spark.table(pt).groupBy("tok")
-      .agg(count(lit(1)).as("df"))
+    val vocab = vocabFrame(spark, name, asOf).select("tok", "df")
     val qt = terms.select(col(terms.columns.head).as("qid"),
       col(terms.columns(1)).as("term")).distinct()
     val vk = vocab.select(col("tok"), col("df"),
@@ -980,9 +1102,10 @@ object LexIndex {
     val qk = qt.select(col("qid"), col("term"),
       explode(deletionKeys("term", maxEdits)).as("k"))
     vk.join(broadcast(qk), "k")
-      .filter(levenshtein(col("term"), col("tok")) <= maxEdits)
+      .withColumn("dist", levenshtein(col("term"), col("tok")))
+      .filter(col("dist") <= maxEdits)
       .select(col("qid"), col("term"), col("tok").as("suggestion"),
-        levenshtein(col("term"), col("tok")).as("dist"), col("df"))
+        col("dist"), col("df"))
       .distinct()
   }
 

@@ -953,6 +953,36 @@ object HybridQueries {
         WHERE rank <= 3
         ORDER BY qid NULLS FIRST, rank NULLS FIRST""")),
 
+    // ---- s58: MAINTAINED dictionary through the append lifecycle ----
+    // The r15 scale-killer fix's hash row: the vocabulary surfaces now
+    // read the maintained term dictionary (dfcap ∪ per-batch deltas —
+    // vocab-sized) instead of scanning postings per probe. s51 pins
+    // the dfcap path (fresh build, empty delta); this row pins the
+    // DELTA path: build over 4/5 of the corpus, append the held-out
+    // fifth as a nightly batch, then fuzzy-probe — the result must
+    // equal the naive oracle over the FULL corpus, which only holds if
+    // dfcap.df + delta.df is the exact df (a dropped delta, a
+    // double-counted replay, or a term lost in the consolidation all
+    // flip the hash).
+    Q("s58_vocab_maintenance",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val name = "graft_s58_lex"
+        LexIndex.writeLexIndex(docs.filter(col("doc_id") % 5 =!= 3), name)
+        LexIndex.appendToLexIndex(docs.filter(col("doc_id") % 5 === 3),
+          name, batchId = "night1")
+        LexIndex.probeFuzzy(s, name,
+            fuzzyTermsOf(Tables(s, dir, "documents")))
+          .orderBy("qid", "term", "suggestion")
+      },
+      Some(s"""WITH ${fuzzyCtes()}
+        SELECT f.qid, f.term, v.tok AS suggestion,
+          CAST(levenshtein(f.term, v.tok) AS INT) AS dist, v.df
+        FROM voc v JOIN fq f ON levenshtein(f.term, v.tok) <= 1
+        ORDER BY qid NULLS FIRST, term NULLS FIRST,
+          suggestion NULLS FIRST""")),
+
     // ---- s59: WEIGHTED hybrid fusion — the keyword-vs-semantic knob -
     // Elasticsearch's weighted-RRF retriever: the full two-index serve
     // (s38's shape) fused at wLex = 0.75 / wVec = 0.25 — the

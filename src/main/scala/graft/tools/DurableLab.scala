@@ -367,13 +367,15 @@ object DurableLab {
 
       case "lex-recover-postings" =>
         // window-1 wreckage is exactly as specified: postings landed,
-        // doclen and the stats fence did not
+        // doclen, the dictionary delta and the stats fence did not
         check(spark.table(lexMember(spark, "postings"))
           .filter(col("doc_id") >= 2100000000L).count() > 0,
           "postings did not land before the kill")
         check(spark.table(lexMember(spark, "doclen"))
           .filter(col("doc_id") >= 2100000000L).count() == 0,
           "doclen landed before its window")
+        check(lexVocabDeltaRows(spark) == 0,
+          "vocab delta landed before its window")
         lexCheckFenceAbsentAndReplay(spark, workDir)
 
       case "lex-kill-after-doclen" =>
@@ -390,7 +392,7 @@ object DurableLab {
       case "lex-recover-doclen" =>
         // window-2 wreckage: postings AND doclen landed (owner = this
         // batch id — the classification a replay relies on), the
-        // stats fence did not
+        // dictionary delta and the stats fence did not
         check(spark.table(lexMember(spark, "postings"))
           .filter(col("doc_id") >= 2100000000L).count() > 0,
           "postings did not land before the kill")
@@ -398,7 +400,35 @@ object DurableLab {
           .filter(col("doc_id") >= 2100000000L &&
             col("batch_id") === LexBatchId).count() == 5,
           "doclen rows missing or mis-owned after the second window")
+        check(lexVocabDeltaRows(spark) == 0,
+          "vocab delta landed before its window")
         lexCheckFenceAbsentAndReplay(spark, workDir)
+
+      case "lex-kill-after-vocab" =>
+        // reset to base, then kill the append in its THIRD window:
+        // postings + doclen + the dictionary delta landed, the stats
+        // fence did not — the replay must SKIP the delta (its batch-id
+        // presence check) or the dictionary double-counts forever
+        LexIndex.writeLexIndex(docs(spark), LexName, numBuckets = 4)
+        Generations.leaseTtlOverrideMs = Some(ShortTtlMs)
+        LexIndex.appendFailpointHalt = true
+        LexIndex.appendFailpoint = Some("after-vocab")
+        LexIndex.appendToLexIndex(lexAppendBatch(spark), LexName,
+          batchId = LexBatchId, ifAbsent = true)
+        sys.error("unreachable: the append should have halted the JVM")
+
+      case "lex-recover-vocab" =>
+        check(spark.table(lexMember(spark, "doclen"))
+          .filter(col("doc_id") >= 2100000000L &&
+            col("batch_id") === LexBatchId).count() == 5,
+          "doclen rows missing after the third window")
+        check(lexVocabDeltaRows(spark) > 0,
+          "vocab delta did not land before the kill")
+        lexCheckFenceAbsentAndReplay(spark, workDir)
+        // the replay wrote the delta ONCE: the maintained dictionary
+        // equals the postings-derived one exactly (df, not just counts)
+        check(lexDictConsistent(spark), "dictionary != postings after " +
+          "the after-vocab replay (delta double-counted or skipped)")
 
       case "lex-kill-compact-flip" =>
         // takedown of the appended docs, then the ERASURE COMPACTION —
@@ -430,6 +460,10 @@ object DurableLab {
           spark.table(lexMember(spark, "stats"))
             .agg(sum(col("n_docs"))).head().getLong(0),
           "stats inconsistent with live doclen")
+        check(lexVocabDeltaRows(spark) == 0,
+          "compaction did not reset the dictionary delta member")
+        check(lexDictConsistent(spark),
+          "compacted dictionary != compacted postings")
         // clear() never ran: applied-but-uncleared tombstones are
         // harmless no-ops (the purged rows are gone)
         check(LexIndex.lexTombstones(spark, LexName).isDefined,
@@ -820,6 +854,28 @@ object DurableLab {
 
   private def lexMember(spark: SparkSession, m: String): String =
     Generations.resolve(spark, LexName, m)
+
+  /** Rows in the family's dictionary-delta member — 0 on a fresh
+    * build/compaction, > 0 once an append's delta landed. */
+  private def lexVocabDeltaRows(spark: SparkSession): Long =
+    spark.table(lexMember(spark, "vocab")).count()
+
+  /** The dictionary-exactness invariant, checked in full: the
+    * maintained vocabFrame (dfcap ∪ deltas) equals the dictionary
+    * derived from a postings scan — same terms, same df, same
+    * impact-bound stamps. */
+  private def lexDictConsistent(spark: SparkSession): Boolean = {
+    val fromPostings = spark.table(lexMember(spark, "postings"))
+      .groupBy("tok").agg(count(lit(1)).as("df"),
+        max(col("tf")).as("max_tf"), min(col("len")).as("min_len"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val maintained = LexIndex.vocabFrame(spark, LexName).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    maintained == fromPostings
+  }
 
   private def lexHashFile(workDir: String, tag: String) =
     java.nio.file.Paths.get(workDir, s"lex_hash_$tag.txt")

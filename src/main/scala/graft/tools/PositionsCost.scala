@@ -129,7 +129,7 @@ object PositionsCost {
     val tBuild = time(LexIndex.writeLexIndex(docs, name, numBuckets))
     val pt = Generations.resolve(spark, name, "postings")
     val bytesWith = tableBytes(pt)
-    val others = Seq("doclen", "dfcap", "stats").map(m =>
+    val others = Seq("doclen", "dfcap", "stats", "vocab").map(m =>
       m -> tableBytes(Generations.resolve(spark, name, m)))
     phase("bytes: positions-less rewrite, identical layout")
     bucketWrite(spark.table(pt).drop("positions"), "poscost_post_nopos")

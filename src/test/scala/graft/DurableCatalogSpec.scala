@@ -178,6 +178,13 @@ class DurableCatalogSpec extends AnyFunSuite {
     run("lex-kill-after-doclen", 137)
     val r2 = run("lex-recover-doclen", 0)
     assert(r2.contains("[lab] lex-recover-doclen ok"), tail(r2))
+    // 5b. killed after the THIRD job (the dictionary delta landed, the
+    //    stats fence did not): the replay must land everything else
+    //    while SKIPPING the already-written delta — a double-counted
+    //    delta would corrupt the maintained dictionary forever
+    run("lex-kill-after-vocab", 137)
+    val r2b = run("lex-recover-vocab", 0)
+    assert(r2b.contains("[lab] lex-recover-vocab ok"), tail(r2b))
     // 6./7. the ERASURE COMPACTION (all four members rebuilt in one
     //    swap) killed right after its atomic flip: probe fingerprint
     //    already the base build's (physical + statistical erasure

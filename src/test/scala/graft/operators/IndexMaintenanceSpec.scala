@@ -14,7 +14,7 @@ class IndexMaintenanceSpec extends SparkSpec {
   private def docs = Tables(spark, sf, "documents")
     .select(col("doc_id"), col("text")).filter(col("doc_id") < 300)
 
-  private val LexMembers = Seq("postings", "doclen", "dfcap", "stats")
+  private val LexMembers = LexIndex.maintenanceMembers
 
   test("gauges track the lifecycle; the policy fires with named reasons; compaction resets") {
     import spark.implicits._

@@ -98,8 +98,25 @@ class LexIndexSpec extends SparkSpec {
     (r.getLong(0), r.getLong(1))
   }
 
-  test("append replay converges across both partial-crash windows") {
-    for (fp <- Seq("after-postings", "after-doclen")) {
+  /** The dictionary-exactness invariant: the maintained vocabFrame
+    * (dfcap ∪ deltas) == the dictionary a postings scan derives —
+    * terms, exact df, and the impact-bound stamps. */
+  private def dictConsistent(name: String): Boolean = {
+    val fromPostings = spark
+      .table(Generations.resolve(spark, name, "postings"))
+      .groupBy("tok").agg(count(lit(1)).as("df"),
+        max(col("tf")).as("max_tf"), min(col("len")).as("min_len"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val maintained = LexIndex.vocabFrame(spark, name).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    maintained == fromPostings
+  }
+
+  test("append replay converges across all three partial-crash windows") {
+    for (fp <- Seq("after-postings", "after-doclen", "after-vocab")) {
       LexIndex.destroy(spark, "graft_t_lexc")
       LexIndex.destroy(spark, "graft_t_lexr")
       val base = docs.filter(col("doc_id") < 200)
@@ -128,7 +145,121 @@ class LexIndexSpec extends SparkSpec {
       val pr = spark.table(Generations.resolve(spark, "graft_t_lexr",
         "postings")).count()
       assert(pc == pr, s"postings count diverged after $fp: $pc vs $pr")
+      // the maintained dictionary converged too: delta written exactly
+      // once (the after-vocab window's replay must SKIP it; the earlier
+      // windows' replays must write it) — df would double otherwise
+      assert(dictConsistent("graft_t_lexr"),
+        s"dictionary diverged from postings after crash at $fp")
     }
+  }
+
+  test("maintained dictionary stays EXACT through the whole lifecycle " +
+      "(build, appends, tombstone, compaction) and vocabulary probes " +
+      "never scan postings") {
+    import spark.implicits._
+    val name = "graft_t_lexv"
+    LexIndex.destroy(spark, name)
+    LexIndex.writeLexIndex(docs.filter(col("doc_id") % 5 =!= 3), name,
+      numBuckets = 4)
+    assert(dictConsistent(name), "fresh build: dfcap != postings")
+    // append the held-out fifth — the delta path
+    LexIndex.appendToLexIndex(docs.filter(col("doc_id") % 5 === 3), name,
+      batchId = "n1")
+    assert(dictConsistent(name), "after append: dfcap+delta != postings")
+    // a second append REUSING existing vocabulary (df sums across
+    // deltas) plus novel terms (dictionary grows)
+    LexIndex.appendToLexIndex(
+      Seq((910L, "spark stream zzqx zzqy zzqx")).toDF("doc_id", "text"),
+      name, batchId = "n2")
+    assert(dictConsistent(name), "after 2nd append: delta sum wrong")
+    // tombstones do NOT move the dictionary (corpus statistic until
+    // compaction — the df asymmetry, on the vocabulary surface)
+    LexIndex.tombstoneLex(spark, name, Seq(910L).toDF("doc_id"))
+    assert(dictConsistent(name), "tombstone moved the dictionary")
+    assert(LexIndex.vocabFrame(spark, name)
+      .filter(col("tok") === "zzqx").count() == 1,
+      "tombstoned doc's terms left the dictionary before compaction")
+    // compaction consolidates: dfcap exact over survivors, delta empty
+    LexIndex.compactLexIndex(spark, name)
+    assert(dictConsistent(name), "after compaction: dfcap != postings")
+    assert(spark.table(Generations.resolve(spark, name, "vocab")).isEmpty,
+      "compaction did not reset the delta member")
+    assert(LexIndex.vocabFrame(spark, name)
+      .filter(col("tok") === "zzqx").isEmpty,
+      "erased doc's unique terms survived consolidation")
+    // the vocabulary surfaces never touch the postings member: no
+    // postings scan appears in their plans (the r15 scale-killer fix)
+    val tkc = graft.functions.TextFunctions.tokens(col("text"))
+    val terms = docs.filter(col("doc_id") >= 8 && col("doc_id") < 12)
+      .select((col("doc_id") - 8).as("qid"), element_at(tkc, 1).as("t"))
+      .select(col("qid"), expr("concat(left(t, 1), substring(t, 3))")
+        .as("term"))
+    val prefixes = Seq((0L, "s")).toDF("qid", "prefix")
+    Seq(LexIndex.probeFuzzy(spark, name, terms),
+        LexIndex.suggestTerms(spark, name, prefixes, k = 3)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains(s"${name}_postings"),
+        s"vocabulary probe still scans postings:\n$plan")
+    }
+    // probePrefix touches postings ONLY for the capped expansions'
+    // matching stage — with the In(tok) pushdown, not a full scan
+    val min0 = spark.conf.get(LexIndex.PushdownMinBytesConf, null)
+    try {
+      spark.conf.set(LexIndex.PushdownMinBytesConf, "0")
+      val plan = LexIndex.probePrefix(spark, name, prefixes, 4)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [In(tok"),
+        s"prefix matching stage lost the In(tok) pushdown:\n$plan")
+    } finally {
+      if (min0 == null) spark.conf.unset(LexIndex.PushdownMinBytesConf)
+      else spark.conf.set(LexIndex.PushdownMinBytesConf, min0)
+    }
+    LexIndex.destroy(spark, name)
+  }
+
+  test("legacy pre-dictionary family: scoring keeps working, vocabulary " +
+      "surfaces and appends fail loudly, compaction upgrades in place") {
+    val name = "graft_t_lexnd"
+    LexIndex.destroy(spark, name)
+    LexIndex.writeLexIndex(docs.filter(col("doc_id") < 60), name,
+      numBuckets = 2)
+    val before = LexIndex.probeLexIndex(spark, name,
+        queries, kEach = 10).collect().map(_.toString).sorted
+    // fabricate a pre-dictionary deployment: drop the vocab member and
+    // rewrite dfcap without the impact-bound columns
+    val vt = Generations.resolve(spark, name, "vocab")
+    Generations.dropTableAndLocation(spark, vt)
+    val dt = Generations.resolve(spark, name, "dfcap")
+    val legacy = Frontier.pin(spark.table(dt).select("tok", "df"))
+    Generations.dropTableAndLocation(spark, dt)
+    legacy.write.format("parquet")
+      .bucketBy(2, "tok").sortBy("tok").saveAsTable(dt)
+    spark.sql(s"ALTER TABLE $dt SET TBLPROPERTIES " +
+      s"('${LexIndex.TokenizerProp}' = '${LexIndex.TokenizerId}')")
+    // the scoring probe reads dfcap's df column only — identical
+    assert(LexIndex.probeLexIndex(spark, name, queries, kEach = 10)
+      .collect().map(_.toString).sorted.sameElements(before),
+      "scoring probe changed on the legacy dictionary schema")
+    // vocabulary surfaces and appends say WHY and name the fix
+    import spark.implicits._
+    val ef = intercept[IllegalArgumentException] {
+      LexIndex.probeFuzzy(spark, name, Seq((0L, "tble")).toDF("qid", "term"))
+        .collect()
+    }
+    assert(ef.getMessage.contains("term dictionary"), ef.getMessage)
+    val ea = intercept[IllegalArgumentException] {
+      LexIndex.appendToLexIndex(batch(4200000000L), name, batchId = "leg")
+    }
+    assert(ea.getMessage.contains("term dictionary"), ea.getMessage)
+    // compaction rebuilds the dictionary from the postings — the
+    // in-place upgrade path — and the surfaces work again
+    LexIndex.compactLexIndex(spark, name)
+    assert(dictConsistent(name), "upgrade compaction: dictionary wrong")
+    assert(LexIndex.probeFuzzy(spark, name,
+      Seq((0L, "tble")).toDF("qid", "term")).count() >= 0)
+    LexIndex.appendToLexIndex(batch(4200000000L), name, batchId = "leg")
+    assert(dictConsistent(name), "post-upgrade append: dictionary wrong")
+    LexIndex.destroy(spark, name)
   }
 
   test("ifAbsent replay after an erasure compaction cannot resurrect purged docs (r13 advice)") {
@@ -393,9 +524,19 @@ class LexIndexSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
         .toMap
       assert(got == want(8), "forced-pushdown probe diverged")
+      // the startsWith disjunction reaches the DICTIONARY member scans
+      // (asserted on suggestTerms — probePrefix pins its expansion set,
+      // which evaluates the dictionary side eagerly out of the plan)
+      val dictPlan = LexIndex.suggestTerms(spark, name, prefixes, 8)
+        .queryExecution.executedPlan.toString
+      assert(dictPlan.contains("StringStartsWith(tok"), dictPlan)
+      assert(!dictPlan.contains(s"${name}_postings"),
+        s"dictionary expansion still scans postings:\n$dictPlan")
+      // and the matching stage pushes the capped expansions into the
+      // postings scan as an In(tok) filter
       val plan = LexIndex.probePrefix(spark, name, prefixes, 8)
         .queryExecution.executedPlan.toString
-      assert(plan.contains("StringStartsWith(tok"), plan)
+      assert(plan.contains("PushedFilters: [In(tok"), plan)
     } finally {
       if (min0 == null) spark.conf.unset(LexIndex.PushdownMinBytesConf)
       else spark.conf.set(LexIndex.PushdownMinBytesConf, min0)

@@ -103,14 +103,14 @@ class StreamingLexIngestSpec extends SparkSpec {
     // 1 build + 3 appends would hold ≥4 file sets per bucketed member
     // without compaction; compacting after each batch holds it at one
     // file per bucket
-    val files = Seq("postings", "doclen", "dfcap").map { m =>
+    val files = Seq("postings", "doclen", "dfcap", "vocab").map { m =>
       val t = Generations.resolve(spark, "graft_slx_cmp", m)
       val loc = spark.sessionState.catalog.getTableMetadata(
         spark.sessionState.sqlParser.parseTableIdentifier(t)).location
       Option(new java.io.File(new java.net.URI(loc.getPath).getPath)
         .listFiles()).toSeq.flatten.count(_.getName.endsWith(".parquet"))
     }.sum
-    assert(files <= 12, s"file count not held flat: $files")
+    assert(files <= 16, s"file count not held flat: $files")
     // and the consolidated stats survived the swaps exactly
     val st = spark.table(Generations.resolve(spark, "graft_slx_cmp", "stats"))
       .agg(sum("n_docs"), sum("total_tokens")).head()
