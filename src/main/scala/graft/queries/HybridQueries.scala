@@ -614,6 +614,13 @@ object HybridQueries {
     // Oracle: the same algebra as CTEs (pm from the phrase chain,
     // smc from containment, nm from the negated term), one EXISTS +
     // the predicate at each leg's candidacy point.
+    //
+    // Since r16 the body runs THROUGH the user-facing
+    // [[graft.operators.BooleanQuery]] API (the r15 ask: factor the
+    // hand-wired pair-set algebra into one entry point) — the oracle
+    // text is UNCHANGED, so this row hash-proves the API reproduces
+    // the hand-wired composition exactly. BooleanQuerySpec walks every
+    // clause combination against the manual wiring besides.
     Q("s49_full_boolean_serve",
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
@@ -623,28 +630,18 @@ object HybridQueries {
           name)
         AnnIndex.writeAnnIndex(
           emb.select(col("vec_id"), col("embedding")), "graft_s49_ann")
-        val pm = LexIndex.probePhrase(s, name, phrasesOf(docs))
-          .select(col("phrase_id").as("qid"), col("doc_id"))
-        val sm = LexIndex.probeShould(s, name, shouldTermsOf(docs), 2)
-          .select(col("qid"), col("doc_id"))
-        val nm = LexIndex.probePhrase(s, name,
-            phrasesOf(docs, from = 3, len = 1))
-          .select(col("phrase_id").as("qid"), col("doc_id"))
-        // the boolean algebra, resolved once, pinned, fed to BOTH legs
-        val bq = graft.operators.Frontier.pin(
-          pm.join(sm, Seq("qid", "doc_id"))
-            .join(nm, Seq("qid", "doc_id"), "left_anti"))
-        val lex = LexIndex.probeLexIndex(s, name, queriesOf(docs), KEach,
-          candPred = Some(col("doc_id") % 2 === 0),
-          candPairs = Some(bq))
-        val vec = AnnIndex.probeAnnIndex(s, "graft_s49_ann", emb,
-            expr("vec_id < 8"), k = KEach,
-            candPred = Some(col("vec_id") % 2 === 0),
-            candPairs = Some(bq.select(col("qid"),
-              col("doc_id").as("vec_id"))))
-          .select(col("qid"), col("vec_id").as("doc_id"),
-            col("rank").as("vec_rank"))
-        HybridRetrieval.rrfFuse(lex, vec, K).orderBy("qid", "rank")
+        val clauses = graft.operators.BooleanQuery.Clauses(
+          must = Some(phrasesOf(docs)
+            .select(col("phrase_id").as("qid"), col("phrase"))),
+          should = Some(shouldTermsOf(docs)), minShould = 2,
+          mustNot = Some(phrasesOf(docs, from = 3, len = 1)
+            .select(col("phrase_id").as("qid"), col("phrase"))),
+          filter = Some(col("doc_id") % 2 === 0))
+        graft.operators.BooleanQuery.serve(s, name, "graft_s49_ann",
+            queriesOf(docs), emb, expr("vec_id < 8"), clauses,
+            k = K, kEach = KEach,
+            vecFilter = Some(col("vec_id") % 2 === 0))
+          .orderBy("qid", "rank")
       },
       Some {
         val ivf = PortableIvf.ivfPqOracleSql(Dim, KEach, nCells = 16,
