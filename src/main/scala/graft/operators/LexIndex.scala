@@ -883,6 +883,94 @@ object LexIndex {
         Seq("doc_id"), "left_anti"))
   }
 
+  /** N-TERM PROXIMITY (Lucene's SpanNear with n clauses — the r15 ask
+    * generalizing the 2-term [[probeProximity]]): docs containing ALL
+    * n of a query's terms within a token window of span ≤ `slop`.
+    * `clauses` is (qid, off, tok) — `off` = 0-based clause position,
+    * one term per (qid, off); output (qid, doc_id, min_span) with
+    * min_span the smallest max−min over choices of one occurrence per
+    * clause (for n = 2 this is exactly [[probeProximity]]'s
+    * min |posₐ − pos_b| — the spec pins the agreement).
+    *
+    * `ordered = true` is SpanNear's in-order form: the chosen
+    * positions must be strictly increasing in clause order,
+    * min_span = min over chains of p_{n−1} − p₀ (the greedy
+    * earliest-next chain from each start is optimal, folded inside
+    * the row).
+    *
+    * Scale shape: n posting-list sides are ONE bounded scan (the
+    * pushed `tok IN (…)` over all clause terms) joined to the
+    * broadcast clause frame; the only shuffle groups the bounded
+    * (qid, doc_id, off) rows; the window fold runs over the n position
+    * ARRAYS inside the grouped row — per-doc work ∝ Σ|positions| ×
+    * |starts| (token frequencies, small), nothing corpus-sized.
+    * Tombstoned docs lose candidacy immediately; `asOf` probes a
+    * frozen generation with CURRENT tombstone exclusion. Clause terms
+    * should be distinct per query (a repeated term satisfies two
+    * clauses with one occurrence — Lucene's SpanNear caveat too). */
+  def probeProximityN(spark: SparkSession, name: String,
+      clauses: DataFrame, slop: Int, asOf: Option[Long] = None,
+      ordered: Boolean = false): DataFrame = {
+    require(slop >= 1, s"slop must be >= 1, got $slop")
+    val pt = member(spark, name, "postings", asOf)
+    requireTokenizer(spark, Seq(pt))
+    requirePositional(spark, pt)
+    val qn0 = clauses.select(col(clauses.columns.head).as("qid"),
+      col(clauses.columns(1)).cast("int").as("off"),
+      col(clauses.columns(2)).as("tok")).distinct()
+    val postings0 = spark.table(pt)
+    val push = scanBytes(postings0) > pushdownMinBytes(spark)
+    // pinned when the pushdown collects keys from it (the qt discipline)
+    val qn = if (push) Frontier.pin(qn0) else qn0
+    val postings =
+      if (!push) postings0
+      else {
+        val toks = qn.select("tok").distinct()
+          .limit(ProbePushdownMax + 1).collect().map(_.getString(0))
+        if (toks.length > ProbePushdownMax) postings0
+        else postings0.filter(col("tok").isin(toks.map(x => x: Any): _*))
+      }
+    val nq = qn.groupBy("qid").agg(countDistinct(col("off")).as("n"))
+    val rows = postings.select(col("tok"), col("doc_id"), col("positions"))
+      .join(broadcast(qn), "tok")
+    val cand = lexTombstones(spark, name).fold(rows)(t =>
+      rows.join(broadcast(t.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_anti"))
+    // one grouped row per (query, doc): the n clause position arrays,
+    // clause-ordered — the fold's input
+    val grouped = cand
+      .groupBy("qid", "doc_id")
+      .agg(countDistinct(col("off")).as("got"),
+        sort_array(collect_list(struct(col("off"), col("positions"))))
+          .as("arrs"))
+      .join(broadcast(nq), "qid")
+      .filter(col("got") === col("n"))
+    // per-clause earliest occurrence at-or-after s — shared sub-text
+    val minsAt = "transform(arrs, a -> array_min(filter(a.positions, " +
+      "p -> p >= s)))"
+    val spanSql =
+      if (ordered)
+        // greedy earliest-next chain from each start of clause 0; a
+        // clause with no position beyond acc yields NULL, which
+        // propagates through the fold and is skipped by array_min
+        "array_min(transform(element_at(arrs, 1).positions, s -> " +
+          "aggregate(transform(slice(arrs, 2, size(arrs) - 1), " +
+          "x -> x.positions), s, " +
+          "(acc, a) -> array_min(filter(a, p -> p > acc))) - s))"
+      else
+        // candidate window starts = every occurrence of any clause; a
+        // start some clause cannot cover is INVALIDATED (array_max
+        // skips nulls, so without the CASE a partial cover would fake
+        // a smaller span)
+        "array_min(filter(transform(flatten(transform(arrs, " +
+          "a -> a.positions)), s -> " +
+          s"CASE WHEN exists($minsAt, m -> m IS NULL) THEN NULL " +
+          s"ELSE array_max($minsAt) - s END), v -> v IS NOT NULL))"
+    grouped.withColumn("min_span", expr(spanSql))
+      .filter(col("min_span") <= slop)
+      .select(col("qid"), col("doc_id"), col("min_span"))
+  }
+
   /** PREFIX search (Lucene's `PrefixQuery` through its term
     * dictionary): docs containing any term starting with a query's
     * prefix. `prefixes` is (qid, prefix); output (qid, doc_id,

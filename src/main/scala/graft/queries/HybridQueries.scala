@@ -1202,7 +1202,89 @@ object HybridQueries {
               rrf AS rel FROM ($serve20)),
           ${PortableIvf.mmrChainSql(Dim, K, "CAST(0.5 AS DOUBLE)")})
         ORDER BY qid NULLS FIRST, rank NULLS FIRST"""
-      }))
+      }),
+
+    // ---- s63: N-TERM proximity — SpanNear with n clauses ------------
+    // probeProximity generalized past 2 terms (the r15 ask): each
+    // query asks for its paired doc's 2nd, 5th and 7th tokens within a
+    // 6-token window span. One row carries BOTH forms — min_span (any
+    // order: the smallest max−min over one-occurrence-per-clause
+    // choices) and o_span (SpanNear inOrder: strictly increasing in
+    // clause order, NULL when no in-order chain fits) — so the hash
+    // pins the window fold, the greedy chain, AND that order genuinely
+    // bites (rows with min_span ≤ slop but NULL o_span) and slop bites
+    // (docs containing all three terms farther apart never appear).
+    // Oracle: relational window-start enumeration (every occurrence
+    // anchors a candidate window; per-clause earliest-at-or-after
+    // mins; covered starts only) and the greedy unrolled for n = 3 —
+    // the naive quadratic form the engine's in-row array fold avoids.
+    Q("s63_proximity_n",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val name = "graft_s63_lex"
+        LexIndex.writeLexIndex(docs.select(col("doc_id"), col("text")),
+          name)
+        val tk = graft.functions.TextFunctions.tokens(col("text"))
+        val clauses = docs.filter(col("doc_id") >= 8 && col("doc_id") < 16)
+          .select((col("doc_id") - 8).as("qid"), posexplode(
+            array(element_at(tk, 2), element_at(tk, 5), element_at(tk, 7))))
+          .select(col("qid"), col("pos").as("off"), col("col").as("tok"))
+        val u = LexIndex.probeProximityN(s, name, clauses, slop = 6)
+        val o = LexIndex.probeProximityN(s, name, clauses, slop = 6,
+            ordered = true)
+          .select(col("qid"), col("doc_id"), col("min_span").as("o_span"))
+        u.join(o, Seq("qid", "doc_id"), "left_outer")
+          .orderBy("qid", "doc_id")
+      },
+      Some(s"""WITH dt AS MATERIALIZED (SELECT doc_id,
+          ${graft.functions.TextFunctions.sqlTokens("text")} AS tk
+        FROM documents),
+        qd AS MATERIALIZED (SELECT DISTINCT doc_id - 8 AS qid,
+            unnest([0, 1, 2]) AS off,
+            unnest([tk[2], tk[5], tk[7]]) AS tok
+          FROM dt WHERE doc_id >= 8 AND doc_id < 16),
+        nq AS MATERIALIZED (SELECT qid, count(DISTINCT off) AS n
+          FROM qd GROUP BY qid),
+        tokp AS MATERIALIZED (SELECT doc_id, unnest(tk) AS tok,
+          unnest(range(0, len(tk))) AS pos FROM dt),
+        rws AS MATERIALIZED (SELECT q.qid, q.off, t.doc_id, t.pos
+          FROM tokp t JOIN qd q USING (tok)),
+        cov AS MATERIALIZED (SELECT r.qid, r.doc_id,
+            count(DISTINCT r.off) AS got
+          FROM rws r GROUP BY r.qid, r.doc_id),
+        fullc AS MATERIALIZED (SELECT c.qid, c.doc_id
+          FROM cov c JOIN nq USING (qid) WHERE c.got = nq.n),
+        starts AS MATERIALIZED (SELECT DISTINCT r.qid, r.doc_id,
+            r.pos AS s
+          FROM rws r JOIN fullc USING (qid, doc_id)),
+        permin AS MATERIALIZED (SELECT st.qid, st.doc_id, st.s, r.off,
+            min(r.pos) AS mp
+          FROM starts st JOIN rws r ON r.qid = st.qid
+            AND r.doc_id = st.doc_id AND r.pos >= st.s
+          GROUP BY st.qid, st.doc_id, st.s, r.off),
+        spans AS MATERIALIZED (SELECT p.qid, p.doc_id, p.s,
+            max(p.mp) - p.s AS span, count(*) AS covd
+          FROM permin p GROUP BY p.qid, p.doc_id, p.s),
+        uspan AS MATERIALIZED (SELECT s2.qid, s2.doc_id,
+            CAST(min(s2.span) AS INT) AS min_span
+          FROM spans s2 JOIN nq USING (qid) WHERE s2.covd = nq.n
+          GROUP BY s2.qid, s2.doc_id HAVING min(s2.span) <= 6),
+        o1 AS MATERIALIZED (SELECT s0.qid, s0.doc_id, s0.pos AS s,
+            min(r1.pos) AS p1
+          FROM rws s0 JOIN rws r1 ON r1.qid = s0.qid
+            AND r1.doc_id = s0.doc_id AND r1.off = 1 AND r1.pos > s0.pos
+          WHERE s0.off = 0 GROUP BY s0.qid, s0.doc_id, s0.pos),
+        o2 AS MATERIALIZED (SELECT o1.qid, o1.doc_id, o1.s,
+            min(r2.pos) AS p2
+          FROM o1 JOIN rws r2 ON r2.qid = o1.qid
+            AND r2.doc_id = o1.doc_id AND r2.off = 2 AND r2.pos > o1.p1
+          GROUP BY o1.qid, o1.doc_id, o1.s),
+        ospan AS MATERIALIZED (SELECT qid, doc_id,
+            CAST(min(p2 - s) AS INT) AS o_span
+          FROM o2 GROUP BY qid, doc_id HAVING min(p2 - s) <= 6)
+        SELECT u.qid, u.doc_id, u.min_span, o.o_span
+        FROM uspan u LEFT JOIN ospan o USING (qid, doc_id)
+        ORDER BY qid NULLS FIRST, doc_id NULLS FIRST""")))
 
   /** The phrase queries: each query doc's tokens [from, from+len) —
     * defaults to the first two (the s41–s45 must-phrase); s46's

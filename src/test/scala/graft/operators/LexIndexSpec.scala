@@ -483,6 +483,86 @@ class LexIndexSpec extends SparkSpec {
     LexIndex.destroy(spark, name)
   }
 
+  test("probeProximityN: n-term window span == direct scan (unordered " +
+      "and ordered); n = 2 agrees with probeProximity; tombstones") {
+    val name = "graft_t_lexn"
+    LexIndex.destroy(spark, name)
+    LexIndex.writeLexIndex(docs, name, numBuckets = 4)
+    val tk = graft.functions.TextFunctions.tokens(col("text"))
+    // three clauses per query: the paired doc's 2nd, 5th and 7th tokens
+    val clauses = docs.filter(col("doc_id") >= 8 && col("doc_id") < 12)
+      .select((col("doc_id") - 8).as("qid"), posexplode(
+        array(element_at(tk, 2), element_at(tk, 5), element_at(tk, 7))))
+      .select(col("qid"), col("pos").as("off"), col("col").as("tok"))
+    // direct truth from the raw token streams (brute force over all
+    // occurrence choices)
+    val toks = docs.select(col("doc_id"), tk.as("tks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val cl = clauses.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1).map { case (q, xs) =>
+        q -> xs.sortBy(_._2).map(_._3).toSeq }
+    def positions(d: Seq[String], t: String) =
+      d.zipWithIndex.collect { case (x, i) if x == t => i }
+    def wantU(slop: Int) = (for {
+      (q, ts) <- cl.toSeq
+      (d, dt) <- toks.toSeq
+      ps = ts.map(positions(dt, _))
+      if ps.forall(_.nonEmpty)
+      span = (for (c <- ps.map(_.toSeq).foldLeft(Seq(Seq.empty[Int]))(
+        (acc, a) => acc.flatMap(pre => a.map(pre :+ _))))
+        yield c.max - c.min).min
+      if span <= slop
+    } yield (q, d) -> span).toMap
+    def wantO(slop: Int) = (for {
+      (q, ts) <- cl.toSeq
+      (d, dt) <- toks.toSeq
+      ps = ts.map(positions(dt, _))
+      if ps.forall(_.nonEmpty)
+      chains = ps.map(_.toSeq).foldLeft(Seq(Seq.empty[Int]))((acc, a) =>
+        acc.flatMap(pre => a.filter(p => pre.isEmpty || p > pre.last)
+          .map(pre :+ _)))
+      if chains.nonEmpty
+      span = chains.map(c => c.max - c.min).min
+      if span <= slop
+    } yield (q, d) -> span).toMap
+    for (slop <- Seq(4, 6, 12)) {
+      val gotU = LexIndex.probeProximityN(spark, name, clauses, slop)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
+        .toMap
+      assert(gotU == wantU(slop), s"unordered slop=$slop != direct")
+      val gotO = LexIndex.probeProximityN(spark, name, clauses, slop,
+          ordered = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
+        .toMap
+      assert(gotO == wantO(slop), s"ordered slop=$slop != direct")
+    }
+    // the fixture genuinely discriminates: order bites (some unordered
+    // match has no in-order chain within the slop) and slop bites
+    assert(wantO(6).keySet != wantU(6).keySet, "fixture order degenerate")
+    assert(wantU(4).size < wantU(12).size, "fixture slop degenerate")
+    // n = 2 degenerates to probeProximity's min |pos_a - pos_b|
+    val two = clauses.filter(col("off") < 2)
+    val pairs = docs.filter(col("doc_id") >= 8 && col("doc_id") < 12)
+      .select((col("doc_id") - 8).as("qid"),
+        element_at(tk, 2).as("tok_a"), element_at(tk, 5).as("tok_b"))
+    val g2 = LexIndex.probeProximityN(spark, name, two, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
+      .toMap
+    val g2p = LexIndex.probeProximity(spark, name, pairs, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
+      .toMap
+    assert(g2 == g2p, "n=2 probeProximityN != probeProximity")
+    // tombstoned docs lose candidacy immediately
+    val victim = wantU(12).keys.head._2
+    LexIndex.tombstoneLex(spark, name,
+      spark.range(victim, victim + 1).toDF("doc_id"))
+    assert(!LexIndex.probeProximityN(spark, name, clauses, 12)
+      .collect().map(_.getLong(1)).contains(victim),
+      "tombstoned doc still matched")
+    LexIndex.destroy(spark, name)
+  }
+
   test("probePrefix: capped term-order expansion == direct scan; the " +
       "startsWith disjunction reaches the postings scan; tombstones") {
     val name = "graft_t_lexp"
