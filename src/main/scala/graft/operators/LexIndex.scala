@@ -1139,6 +1139,71 @@ object LexIndex {
     }.reduce(_ unionByName _)
   }
 
+  /** TERM-HIT HIGHLIGHTING (Lucene's highlighter shape, the r15 ask):
+    * the best `w`-token fragment per ranked hit — a plain relevance
+    * query has no phrase anchor for [[HybridRetrieval.snippets]]'s
+    * `first_pos`, so this derives one from the SAME positional
+    * postings the index already stores: per (qid, doc_id) hit, the
+    * window start maximizing the count of DISTINCT query terms inside
+    * `[s, s + w)`, ties broken to the EARLIEST start (deterministic).
+    * `hits` is (qid, doc_id, …) — feed [[probeLexIndex]]'s output;
+    * `queries` is (qid, text); output (qid, doc_id, win_start,
+    * n_terms) — join it back and hand `win_start` to snippets as
+    * `first_pos` with `phraseLen = w`.
+    *
+    * Scale shape: the postings scan is bounded by the QUERY terms'
+    * posting lists (the pushed `tok IN (…)`), then semi-joined to the
+    * top-k-bounded hit pairs — never corpus-sized; the argmax folds
+    * over the per-hit position arrays inside one grouped row (work ∝
+    * |starts| × n_terms per hit — token frequencies, small). Candidate
+    * starts are query-term occurrences only (the standard highlighter
+    * restriction: a window not starting at a hit term is dominated by
+    * one that does). Tombstone exclusion is inherited from the probe
+    * that produced `hits`; `asOf` reads a frozen generation's
+    * positions. */
+  def bestWindows(spark: SparkSession, name: String, hits: DataFrame,
+      queries: DataFrame, w: Int, asOf: Option[Long] = None): DataFrame = {
+    require(w >= 1, s"window size must be >= 1, got $w")
+    val pt = member(spark, name, "postings", asOf)
+    requireTokenizer(spark, Seq(pt))
+    requirePositional(spark, pt)
+    val h = hits.select(col(hits.columns.head).cast("long").as("qid"),
+      col(hits.columns(1)).cast("long").as("doc_id")).distinct()
+    val qt0 = queries.select(col(queries.columns.head).as("qid"),
+        explode(TextFunctions.tokens(col(queries.columns(1)))).as("tok"))
+      .distinct()
+    val postings0 = spark.table(pt)
+    val push = scanBytes(postings0) > pushdownMinBytes(spark)
+    // pinned when the pushdown collects keys from it (the qt discipline)
+    val qt = if (push) Frontier.pin(qt0) else qt0
+    val postings =
+      if (!push) postings0
+      else {
+        val toks = qt.select("tok").distinct()
+          .limit(ProbePushdownMax + 1).collect().map(_.getString(0))
+        if (toks.length > ProbePushdownMax) postings0
+        else postings0.filter(col("tok").isin(toks.map(x => x: Any): _*))
+      }
+    val rows = postings.select(col("tok"), col("doc_id"), col("positions"))
+      .join(broadcast(qt), "tok")
+      .join(broadcast(h), Seq("qid", "doc_id"), "left_semi")
+    // one row per hit: its query terms' position arrays (one array per
+    // term, so counting covering ARRAYS counts distinct terms)
+    val grouped = rows.groupBy("qid", "doc_id")
+      .agg(sort_array(collect_list(struct(col("tok"), col("positions"))))
+        .as("arrs"))
+    val nAt = "size(filter(arrs, a -> exists(a.positions, " +
+      s"p -> p >= s AND p <= s + ${w - 1})))"
+    // starts sorted ascending + strict > comparison = earliest start
+    // wins among maximal-coverage windows
+    val bestSql = "aggregate(sort_array(flatten(transform(arrs, " +
+      "a -> a.positions))), named_struct('n', -1, 's', -1), " +
+      s"(acc, s) -> IF($nAt > acc.n, named_struct('n', $nAt, 's', s), acc))"
+    grouped.withColumn("best", expr(bestSql))
+      .select(col("qid"), col("doc_id"),
+        col("best.s").as("win_start"), col("best.n").as("n_terms"))
+  }
+
   /** All deletion variants of `colName` removing UP TO `maxEdits`
     * characters, including the identity — the SymSpell neighborhood
     * key set (Garbe's symmetric-delete spelling correction): two

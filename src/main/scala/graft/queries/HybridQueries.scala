@@ -1284,7 +1284,78 @@ object HybridQueries {
           FROM o2 GROUP BY qid, doc_id HAVING min(p2 - s) <= 6)
         SELECT u.qid, u.doc_id, u.min_span, o.o_span
         FROM uspan u LEFT JOIN ospan o USING (qid, doc_id)
-        ORDER BY qid NULLS FIRST, doc_id NULLS FIRST""")))
+        ORDER BY qid NULLS FIRST, doc_id NULLS FIRST""")),
+
+    // ---- s64: HIGHLIGHTED serve — best-fragment snippets, no anchor -
+    // s54's snippets need a phrase first_pos; a plain relevance query
+    // has none — this is Lucene's highlighter shape (the r15 ask): per
+    // ranked hit, pick the 5-token window with the MOST DISTINCT query
+    // terms (earliest start on ties, deterministic) from the
+    // positional postings the index already stores, then render it
+    // through the proven snippet text («…» with 2 tokens of context).
+    // The hash pins the window argmax, the tiebreak, AND the
+    // composition probeLexIndex → bestWindows → snippets. Oracle:
+    // relational window enumeration (anchors = query-term occurrences,
+    // count distinct covered terms, row_number argmax) + the s54
+    // rendering text at (5, 2).
+    Q("s64_highlight_serve",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val name = "graft_s64_lex"
+        LexIndex.writeLexIndex(docs.select(col("doc_id"), col("text")),
+          name)
+        val q = queriesOf(docs)
+        // pinned: BOTH the window derivation and the final join-back
+        // consume the ranked list
+        val ranked = graft.operators.Frontier.pin(
+          LexIndex.probeLexIndex(s, name, q, kEach = 10))
+        val bw = LexIndex.bestWindows(s, name,
+          ranked.select("qid", "doc_id"), q, w = 5)
+        val hits = ranked.join(bw, Seq("qid", "doc_id"))
+          .select(col("qid"), col("doc_id"), col("lex_rank"),
+            col("n_terms"), col("win_start").as("first_pos"))
+        HybridRetrieval.snippets(hits,
+            docs.select(col("doc_id"), col("text")),
+            phraseLen = 5, ctx = 2)
+          .select("qid", "doc_id", "lex_rank", "n_terms", "snippet")
+          .orderBy("qid", "lex_rank")
+      },
+      Some(s"""WITH ${HybridRetrieval.lexicalOracleCtes("documents",
+          "doc_id < 8", 10)},
+        dt AS MATERIALIZED (SELECT doc_id,
+          ${graft.functions.TextFunctions.sqlTokens("text")} AS tk
+          FROM documents),
+        tokp AS MATERIALIZED (SELECT doc_id, unnest(tk) AS tok,
+          unnest(range(0, len(tk))) AS pos FROM dt),
+        qtok AS MATERIALIZED (SELECT DISTINCT qid, tok FROM (
+          SELECT doc_id AS qid, unnest(tk) AS tok FROM dt
+          WHERE doc_id < 8)),
+        hpos AS MATERIALIZED (SELECT l.qid, l.doc_id, t.tok, t.pos
+          FROM lex l JOIN qtok q ON q.qid = l.qid
+            JOIN tokp t ON t.doc_id = l.doc_id AND t.tok = q.tok),
+        wins AS MATERIALIZED (SELECT a.qid, a.doc_id, a.pos AS s,
+            count(DISTINCT m.tok) AS n
+          FROM hpos a JOIN hpos m ON m.qid = a.qid
+            AND m.doc_id = a.doc_id AND m.pos >= a.pos
+            AND m.pos <= a.pos + 4
+          GROUP BY a.qid, a.doc_id, a.pos),
+        best AS MATERIALIZED (SELECT qid, doc_id, s AS first_pos,
+            CAST(n AS INT) AS n_terms
+          FROM (SELECT qid, doc_id, s, n, row_number() OVER (
+              PARTITION BY qid, doc_id ORDER BY n DESC, s) AS rn
+            FROM wins)
+          WHERE rn = 1)
+        SELECT l.qid, l.doc_id, l.lex_rank, b.n_terms,
+          array_to_string(
+            list_slice(tk, greatest(b.first_pos + 1 - 2, 1), b.first_pos)
+            || ['«' || array_to_string(
+                 list_slice(tk, b.first_pos + 1, b.first_pos + 5), ' ')
+               || '»']
+            || list_slice(tk, b.first_pos + 6,
+                 least(b.first_pos + 7, len(tk))), ' ') AS snippet
+        FROM lex l JOIN best b ON b.qid = l.qid AND b.doc_id = l.doc_id
+          JOIN dt ON dt.doc_id = l.doc_id
+        ORDER BY l.qid NULLS FIRST, l.lex_rank NULLS FIRST""")))
 
   /** The phrase queries: each query doc's tokens [from, from+len) —
     * defaults to the first two (the s41–s45 must-phrase); s46's

@@ -681,6 +681,43 @@ class LexIndexSpec extends SparkSpec {
     LexIndex.destroy(spark, name)
   }
 
+  test("bestWindows: max-distinct-query-terms window == brute force, " +
+      "earliest start on ties, one row per hit") {
+    val name = "graft_t_lexw"
+    LexIndex.destroy(spark, name)
+    LexIndex.writeLexIndex(docs, name, numBuckets = 4)
+    val q = queries
+    val ranked = LexIndex.probeLexIndex(spark, name, q, kEach = 10)
+      .select("qid", "doc_id").localCheckpoint()
+    val w = 5
+    val got = LexIndex.bestWindows(spark, name, ranked, q, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getInt(3))).toMap
+    // brute force from the raw token streams
+    val toks = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val hitPairs = ranked.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = hitPairs.map { case (qid, d) =>
+      val qts = toks(qid).toSet
+      val dt = toks(d)
+      val starts = dt.zipWithIndex.collect {
+        case (t, i) if qts.contains(t) => i }
+      val scored = starts.map(s =>
+        (s, dt.slice(s, s + w).filter(qts.contains).distinct.size))
+      val bestN = scored.map(_._2).max
+      val bestS = scored.filter(_._2 == bestN).map(_._1).min
+      (qid, d) -> (bestS, bestN)
+    }.toMap
+    assert(got == want, s"${got.size} hits; first diff: " +
+      want.find(kv => got.get(kv._1) != Some(kv._2)))
+    assert(got.keySet == hitPairs.toSet, "a hit lost its window")
+    // the argmax genuinely discriminates: not every window is maximal
+    assert(want.values.map(_._2).toSet.size > 1 ||
+      want.values.map(_._1).exists(_ > 0), "fixture degenerate")
+    LexIndex.destroy(spark, name)
+  }
+
   test("explainHits: per-term w_scaled sums EXACTLY to each hit's " +
       "lex_scaled; hit set identical to the probe") {
     val name = "graft_t_lexe"
