@@ -351,6 +351,55 @@ object CorpusPrep {
 
   private val sqlP11NightlyHybrid: String = sqlNightlyHybridOracle("bvec")
 
+  /** p15's fixture: doc ids 100–119 re-crawled with REPLACEMENT text
+    * (novel vocabulary, so admission is trivially clean and the oracle
+    * needs no dedup/budget replay), plus 30 genuinely new docs — a
+    * mixed update night. */
+  private val P15RevWhere = "doc_id >= 100 AND doc_id < 120"
+  // parameterized on the string-cast spelling: Spark says STRING,
+  // DuckDB says VARCHAR — the produced text is byte-identical
+  private def p15RevText(cast: String) =
+    "'revised document number ' || " +
+    s"CAST(doc_id AS $cast) || ' with replacement vocabulary lambda " +
+    "kappa sigma tau upsilon phi chi psi omega'"
+  private def p15AddText(cast: String) =
+    "'p15 added document number ' || " +
+    s"CAST(doc_id AS $cast) || ' with fresh vocabulary alef bet " +
+    "gimel dalet he vav zayin chet'"
+
+  /** p15's oracle: the serve after a one-night replace must equal a
+    * FRESH BUILD over the revised corpus — documents with the revised
+    * ids' text REPLACED (not duplicated: a leaked old version, a
+    * both-versions state, or a dropped re-ingest all flip the hash)
+    * plus the night's admitted adds. The ANN replay keeps the
+    * lifecycle's relation split: the model trains on the BASE corpus
+    * (the loop never retrains here — purge and re-encode ride the
+    * frozen model), serving runs over the survivors. */
+  private val sqlP15UpdateServe: String = {
+    import graft.functions.VectorFunctions.portableSynthEmbeddingSql
+    val ivf = graft.operators.PortableIvf.ivfPqOracleSql(
+      dim = 16, k = 20, nCells = 8, nprobe = 4, m = 8, ksub = 16,
+      shortlist = 60, a => s"$a.vec_id < 8",
+      trainRel = "bvec", corpusRel = "svec")
+    s"""WITH lexsrc AS MATERIALIZED (
+        SELECT doc_id, text FROM documents WHERE NOT ($P15RevWhere)
+        UNION ALL SELECT doc_id, ${p15RevText("VARCHAR")}
+          FROM documents WHERE $P15RevWhere
+        UNION ALL SELECT doc_id + 3000000000, ${p15AddText("VARCHAR")}
+          FROM documents WHERE doc_id >= 250 AND doc_id < 280),
+      bvec AS MATERIALIZED (SELECT doc_id AS vec_id,
+          ${portableSynthEmbeddingSql("doc_id", 16)} AS embedding
+        FROM documents),
+      svec AS MATERIALIZED (SELECT doc_id AS vec_id,
+          ${portableSynthEmbeddingSql("doc_id", 16)} AS embedding
+        FROM lexsrc),
+      ${graft.operators.HybridRetrieval.lexicalOracleCtes(
+        "lexsrc", "doc_id < 8", 20)},
+      vec AS MATERIALIZED (SELECT qid, vec_id AS doc_id,
+          rank AS vec_rank FROM ($ivf)),
+      ${graft.operators.HybridRetrieval.fusionTailSql(10, c = 60)}"""
+  }
+
   /** The shared p11/p12 body: the composed loop (base builds, night A,
     * optional retrain, night B + takedown, fold-in compaction) then
     * the two-sided serve — lex probe + ANN probe + RRF. */
@@ -1065,5 +1114,41 @@ object CorpusPrep {
             CAST(start_tok % 256 AS INT) AS seq_offset
           FROM c ORDER BY doc_id NULLS FIRST, copy_idx NULLS FIRST"""
       }),
+
+    // ---- p15: DOCUMENT UPDATE — the one-night replace ----------------
+    // The CDC feed's third verb (r15 ask): a re-crawled CHANGED doc
+    // used to need takedown night → compaction → readmit → re-ingest
+    // (three nights); nightStep's revisions path composes the same
+    // proven steps into ONE night — old versions purged from all four
+    // artifacts + the raw-vector corpus BEFORE the admission path runs
+    // (the ifAbsent appends key on presence), re-entry bars lifted (a
+    // revision is a replace, not an erasure), the new versions then
+    // ride the normal quality/dedup/budget/append chain beside the
+    // night's genuine adds. The serve afterwards must be bit-identical
+    // to a FRESH BUILD over the revised corpus: a leaked old version,
+    // a both-versions state, a dropped re-ingest, or a registry bar
+    // that survived the replace all flip the hash. DurableLab's upd
+    // kill pair replays the night across both crash windows
+    // cross-process.
+    Q("p15_update_replace",
+      (s, dir) => {
+        import graft.streaming.StreamingNightlyIngest
+        val (arts, docs) = nightlyLoopBase(s, dir, "p15")
+        val rev = docs.filter(expr(P15RevWhere))
+          .select(col("doc_id"), expr(p15RevText("STRING")).as("text"),
+            col("lang"), length(expr(p15RevText("STRING"))).as("n_chars"))
+          .withColumn("embedding", expr(HybridSynthExpr))
+        val adds = docs.filter(col("doc_id") >= 250 && col("doc_id") < 280)
+          .select(col("doc_id"), expr(p15AddText("STRING")).as("text"),
+            col("lang"), length(expr(p15AddText("STRING"))).as("n_chars"))
+          .select((col("doc_id") + 3000000000L).as("doc_id"), col("text"),
+            col("lang"), col("n_chars"))
+          .withColumn("embedding", expr(HybridSynthExpr))
+        StreamingNightlyIngest.nightStep(arts, adds, budget = P09Budget,
+          salt = "p07b", tokensPerShard = 256L, batchId = 0,
+          revisions = Some(rev))
+        hybridServe(s, arts, docs)
+      },
+      Some(sqlP15UpdateServe)),
   )
 }

@@ -410,13 +410,59 @@ object StreamingNightlyIngest extends org.apache.spark.internal.Logging {
     *  - the shard append is keyed-idempotent on doc_id (a replay's
     *    recomputed offsets differ, but its keys all drop → no-op).
     */
+  /** `revisions`: the night's DOCUMENT UPDATES (op = "update" on the
+    * CDC feed) — full rows like `batch`'s, re-crawls of CHANGED docs.
+    * A revision is a ONE-NIGHT REPLACE (the r15 ask; previously a
+    * changed doc needed takedown night → compaction → readmit →
+    * re-ingest, three nights): before the ingest, the old versions
+    * leave every artifact ([[applyDeletions]] — tombstones + durable
+    * registry + shard rows), the erasure is made PHYSICAL immediately
+    * ([[compactAll]] — the `ifAbsent` appends key admission on
+    * presence, so the purge must precede the re-ingest), the re-entry
+    * bars lift ([[allowReingest]] — a revision is a replace, not an
+    * erasure), and the new versions then ride the night's normal
+    * admission path (quality gate, dedup, budget, every index). Budget
+    * already consumed by the old version is NOT refunded (history is
+    * append-only, the takedown rule); the new version consumes budget
+    * like any arrival. An update night pays its compactions eagerly —
+    * the deliberate price of one-night visibility; batch revisions
+    * together and the cost is one compaction per family per night.
+    *
+    * Replay convergence: every link in the replace chain is already
+    * idempotent (tombstone add is distinct-merged, the compactions
+    * purge-or-no-op, allowReingest subtracts, the appends are fenced),
+    * so a crashed update night — including one that died AFTER the new
+    * version landed, leaving it live — re-runs to exactly the clean
+    * night's state: the replay re-tombstones whatever version is
+    * live, purges it, and re-ingests the same revision rows
+    * (DurableLab's upd kill pair proves both windows cross-process). */
   def nightStep(arts: Artifacts, batch: DataFrame, budget: Long,
       salt: String, seqBudget: Int = 256,
       tokensPerShard: Long = 2048L, batchId: Long = -1L,
-      deletes: Option[DataFrame] = None): DataFrame = {
+      deletes: Option[DataFrame] = None,
+      revisions: Option[DataFrame] = None): DataFrame = {
     val spark = batch.sparkSession
     val delIds = deletes.map(d => Frontier.pin(
       d.select(col(d.columns.head).cast("long").as("doc_id")).distinct()))
+    // 0. the REPLACE: purge the revised docs' OLD versions from every
+    //    artifact before the night's admission path runs (see the
+    //    scaladoc above), then fold the new versions into the batch
+    val revs = revisions.map(Frontier.pin(_))
+    revs.foreach { rv =>
+      val revIds = Frontier.pin(rv.select(col("doc_id").cast("long")
+        .as("doc_id")).distinct())
+      if (!revIds.isEmpty) {
+        import spark.implicits._
+        val schema0 = Sharding.shardAssignments(Packing.packPlan(
+          Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens"),
+          "doc_id", "n_tokens", seqBudget), tokensPerShard).schema
+        applyDeletions(arts, revIds, schema0)
+        compactAll(spark, arts)
+        allowReingest(spark, arts, revIds)
+      }
+    }
+    val batch1 = revs.fold(batch)(rv =>
+      batch.unionByName(rv.select(batch.columns.map(col): _*)))
     // 1. quality gate — p01's stage-1 predicate, narrow — plus the
     //    takedown bar: ids in the durable registry must not re-enter.
     //    The bar excludes TONIGHT's own takedown set: a same-night
@@ -430,8 +476,8 @@ object StreamingNightlyIngest extends org.apache.spark.internal.Logging {
         Some(log.select("doc_id").join(d, Seq("doc_id"), "left_anti"))
       case (log, _) => log.map(_.select("doc_id"))
     }
-    val quality = Frontier.pin(barred.fold(batch)(d =>
-        batch.join(d, Seq("doc_id"), "left_anti"))
+    val quality = Frontier.pin(barred.fold(batch1)(d =>
+        batch1.join(d, Seq("doc_id"), "left_anti"))
       .filter(length(trim(col("text"))) > 0)
       .filter(TextFunctions.quality(col("text"), col("n_chars")) >= 0.5))
     val batchIds = quality.select("doc_id")
@@ -682,14 +728,21 @@ object StreamingNightlyIngest extends org.apache.spark.internal.Logging {
     val step: (Dataset[Row], Long) => Unit = (batch, batchId) => {
       val b = batch.persist()
       try {
-        val (adds, dels) =
+        // op ∈ {null/add, update, delete}: updates are full rows (the
+        // re-crawled revision) and run the one-night replace path;
+        // deletes are doc_id-only and apply LAST (ingest-then-delete),
+        // so a doc updated AND deleted tonight ends deleted
+        val (adds, dels, upds) =
           if (hasOp)
-            (b.toDF().filter(col("op").isNull || col("op") =!= "delete")
+            (b.toDF().filter(col("op").isNull ||
+               (col("op") =!= "delete" && col("op") =!= "update"))
                .drop("op"),
-             Some(b.toDF().filter(col("op") === "delete").select("doc_id")))
-          else (b.toDF(), None)
+             Some(b.toDF().filter(col("op") === "delete").select("doc_id")),
+             Some(b.toDF().filter(col("op") === "update").drop("op")))
+          else (b.toDF(), None, None)
         sink(nightStep(arts, adds, budget, salt, seqBudget,
-          tokensPerShard, batchId, deletes = dels), batchId)
+          tokensPerShard, batchId, deletes = dels, revisions = upds),
+          batchId)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           compactAll(b.sparkSession, arts, retainGenerations)
         maintenancePolicy.foreach(p =>

@@ -727,8 +727,169 @@ object DurableLab {
         check(graphProbeHash(spark) == graphStored(workDir, "kill"),
           "readmitted re-append != the pre-takedown appended state")
 
+      // ---- UPDATE window: the one-night replace under process death --
+      // nightStep's revisions path chains applyDeletions → compactAll
+      // → allowReingest → re-ingest. Two kill windows, both followed
+      // by an at-least-once redelivery of the SAME night from a fresh
+      // JVM: (a) mid-replace — halt at the first generation flip
+      // inside the chain (tombstones committed, nothing purged; the
+      // OLD versions still live everywhere); (b) post-night — the
+      // whole night completed (NEW versions live) and the JVM dies
+      // before the stream checkpoint commits, so the replay re-runs
+      // the replace against the already-updated state (the
+      // both-versions-visible wreckage class). Convergence target: a
+      // TWIN artifact set that ran the identical night cleanly —
+      // lexical probe fingerprint (any leaked old row moves n_docs/df
+      // and flips it), corpus id set, and the shard KEY set (offsets
+      // of re-packed revisions legitimately differ under replay; keys
+      // and token accounting must not).
+      case "upd-build" =>
+        updReset(spark, updArts("twin"))
+        runUpdNight(spark, updArts("twin"))
+        java.nio.file.Files.write(updHashFile(workDir),
+          updFingerprint(spark, updArts("twin")).getBytes("UTF-8"))
+        updReset(spark, updArts("real"))
+
+      case "upd-kill-mid-replace" =>
+        Generations.leaseTtlOverrideMs = Some(ShortTtlMs)
+        Generations.failpointHalt = true
+        Generations.failpoint = Some("after-flip")
+        runUpdNight(spark, updArts("real"))
+        sys.error("unreachable: the replace chain should have halted")
+
+      case "upd-recover-mid" =>
+        // window (a): some tombstone/registry swap committed, the
+        // purge did not run to completion — the redelivered night must
+        // converge to the twin
+        Generations.leaseTtlOverrideMs = Some(ShortTtlMs)
+        runUpdNight(spark, updArts("real"))
+        check(updFingerprint(spark, updArts("real")) ==
+          new String(java.nio.file.Files.readAllBytes(
+            updHashFile(workDir)), "UTF-8"),
+          "mid-replace replay did not converge to the clean night")
+
+      case "upd-kill-post-night" =>
+        // reset and run the WHOLE night, then die before the stream
+        // checkpoint would commit — the new versions are live
+        updReset(spark, updArts("real"))
+        runUpdNight(spark, updArts("real"))
+        Runtime.getRuntime.halt(137)
+
+      case "upd-recover-post" =>
+        // window (b): the replay re-runs the replace against the
+        // already-updated state (re-tombstones the NEW versions,
+        // purges them, re-ingests the same revision rows) and must
+        // land exactly the clean night again
+        Generations.leaseTtlOverrideMs = Some(ShortTtlMs)
+        runUpdNight(spark, updArts("real"))
+        check(updFingerprint(spark, updArts("real")) ==
+          new String(java.nio.file.Files.readAllBytes(
+            updHashFile(workDir)), "UTF-8"),
+          "post-night replay did not converge to the clean night")
+
       case other => sys.error(s"unknown lab command: $other")
     }
+  }
+
+  // ---- UPDATE lab pieces ---------------------------------------------
+
+  private def updHashFile(workDir: String) =
+    java.nio.file.Paths.get(workDir, "upd_hash_clean.txt")
+
+  private def updArts(tag: String) =
+    graft.streaming.StreamingNightlyIngest.Artifacts(s"lab_upd_${tag}_nd",
+      s"lab_upd_${tag}_ann", s"lab_upd_${tag}_corpus",
+      s"lab_upd_${tag}_budget",
+      new java.io.File(sys.props("java.io.tmpdir"),
+        s"lab_upd_${tag}_shards").getAbsolutePath)
+
+  private def updReset(spark: SparkSession,
+      arts: graft.streaming.StreamingNightlyIngest.Artifacts): Unit = {
+    import graft.streaming.StreamingNightlyIngest
+    Seq(arts.ndIndex, arts.annIndex, StreamingNightlyIngest.lexName(arts))
+      .foreach(Tombstones.destroy(spark, _))
+    Generations.destroy(spark, arts.ndIndex, Dedup.maintenanceMembers)
+    Generations.destroy(spark, arts.annIndex, AnnIndex.maintenanceMembers)
+    Generations.destroy(spark, StreamingNightlyIngest.lexName(arts),
+      LexIndex.maintenanceMembers)
+    Generations.destroy(spark, arts.annCorpusTable, Seq("vecs"))
+    Generations.destroy(spark,
+      StreamingNightlyIngest.deletedTable(arts), Seq("ids"))
+    Generations.destroy(spark, arts.budgetTable, Seq("state"))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(arts.shardPath))
+    val corpus = docs(spark)
+    Dedup.writeNearDupIndex(corpus, arts.ndIndex, numBuckets = 4)
+    val vecs = corpus.select(col("doc_id"))
+      .withColumn("embedding",
+        graft.streaming.StreamingNightlyIngest.synthEmbedding)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    AnnIndex.writeAnnIndex(vecs, arts.annIndex,
+      nCells = 4, m = 8, ksub = 16)
+    StreamingNightlyIngest.writeCorpus(spark, arts, vecs)
+    LexIndex.writeLexIndex(corpus, StreamingNightlyIngest.lexName(arts),
+      numBuckets = 4)
+  }
+
+  /** The update night: docs 20–24 re-crawled with replacement text
+    * (novel vocabulary) + three genuine adds. Idempotent inputs — the
+    * redelivery runs the exact same call. */
+  private def runUpdNight(spark: SparkSession,
+      arts: graft.streaming.StreamingNightlyIngest.Artifacts): Unit = {
+    import graft.streaming.StreamingNightlyIngest
+    val rev = docs(spark).filter(col("doc_id") >= 20 && col("doc_id") < 25)
+      .select(col("doc_id"),
+        concat(lit("lab revision of document "), col("doc_id").cast("string"),
+          lit(" with replacement vocabulary quorum zenith warden" +
+            " ember kestrel")).as("text"))
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        length(col("text")).cast("long").as("n_chars"))
+      .withColumn("embedding",
+        graft.streaming.StreamingNightlyIngest.synthEmbedding)
+    val adds = spark.range(3)
+      .select((col("id") + 2500000000L).as("doc_id"),
+        concat(lit("lab update-night added document "),
+          col("id").cast("string"),
+          lit(" with fresh vocabulary onyx quill raven sable")).as("text"))
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        length(col("text")).cast("long").as("n_chars"))
+      .withColumn("embedding",
+        graft.streaming.StreamingNightlyIngest.synthEmbedding)
+    StreamingNightlyIngest.nightStep(arts, adds, budget = 1000000L,
+      salt = "labupd", tokensPerShard = 256L, batchId = 0,
+      revisions = Some(rev))
+    ()
+  }
+
+  /** Convergence fingerprint: the lexical probe's full result (one
+    * query carrying the replacement vocabulary — hits exactly the
+    * revised docs when the replace landed; corpus-level stats fold
+    * every leaked/lost row into every score), the corpus id set, the
+    * registry size, and the shard KEY set (doc_id, n_tokens). */
+  private def updFingerprint(spark: SparkSession,
+      arts: graft.streaming.StreamingNightlyIngest.Artifacts): String = {
+    import graft.streaming.StreamingNightlyIngest
+    val q = spark.range(1)
+      .select(lit(9500000000L).as("doc_id"),
+        lit("quorum zenith warden ember kestrel onyx quill").as("text"))
+      .unionByName(docs(spark).filter(col("doc_id").isin(50L, 51L))
+        .select((col("doc_id") + 9600000000L).as("doc_id"), col("text")))
+    val lex = LexIndex.probeLexIndex(spark,
+        StreamingNightlyIngest.lexName(arts), q, kEach = 10)
+      .collect()
+      .map(r => s"${r.getLong(0)}:${r.getLong(1)}:${r.getInt(2)}:" +
+        r.getLong(3)).sorted.mkString(",")
+    val corpusIds = StreamingNightlyIngest.corpus(spark, arts)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.mkString(",")
+    val reg = StreamingNightlyIngest.deletedIds(spark, arts).count()
+    val shardKeys = spark.read.parquet(arts.shardPath)
+      .select(col("doc_id"), col("n_tokens")).collect()
+      .map(r => s"${r.getLong(0)}:${r.getLong(1)}").sorted.mkString(",")
+    val all = s"$lex|$corpusIds|$reg|$shardKeys"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(all.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
   /** The near-dup kill batch: exact-text copies of the three NOVEL

@@ -204,4 +204,33 @@ class DurableCatalogSpec extends AnyFunSuite {
     val r4 = run("lex-recover-replay", 0)
     assert(r4.contains("[lab] lex-recover-replay ok"), tail(r4))
   }
+
+  test("UPDATE window: the one-night replace killed mid-replace and post-night — redelivered nights converge to the clean twin cross-process") {
+    val workDir = Files.createTempDirectory("graft_durable_upd").toString
+    def run(cmd: String, expectRc: Int): String = {
+      val (rc, out) = fork(workDir, cmd)
+      assert(rc == expectRc,
+        s"$cmd: expected exit $expectRc, got $rc\n${tail(out)}")
+      out
+    }
+    // 1. build twin + real artifact sets; the twin runs the identical
+    //    update night CLEANLY and its fingerprint (lexical probe +
+    //    corpus ids + registry + shard keys) is the convergence target
+    val b = run("upd-build", 0)
+    assert(b.contains("[lab] upd-build ok"), tail(b))
+    // 2./3. window (a): the replace chain halts at its FIRST
+    //    generation flip (tombstones committed, nothing purged — old
+    //    versions fully live); a fresh JVM redelivers the same night
+    //    and must converge
+    run("upd-kill-mid-replace", 137)
+    val r1 = run("upd-recover-mid", 0)
+    assert(r1.contains("[lab] upd-recover-mid ok"), tail(r1))
+    // 4./5. window (b): the night COMPLETES (new versions live) and
+    //    the JVM dies before the stream checkpoint commits; the replay
+    //    re-runs the replace against the already-updated state — the
+    //    both-versions wreckage class — and must converge again
+    run("upd-kill-post-night", 137)
+    val r2 = run("upd-recover-post", 0)
+    assert(r2.contains("[lab] upd-recover-post ok"), tail(r2))
+  }
 }

@@ -446,6 +446,89 @@ class StreamingNightlyIngestSpec extends SparkSpec {
       s"composed-loop lex index diverged from fresh build: $post vs $control")
   }
 
+  test("update feed: op=update replaces in ONE night on every artifact; " +
+      "the result equals a fresh build and redelivered nights converge") {
+    import graft.operators.LexIndex
+    val corpus = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .filter(col("doc_id") < 120).localCheckpoint()
+    val arts = mkArts("upd")
+    reset(arts, corpus)
+    // opt the lexical artifact in (existence is the opt-in)
+    LexIndex.writeLexIndex(corpus.select(col("doc_id"), col("text")),
+      StreamingNightlyIngest.lexName(arts), numBuckets = 4)
+    def embed(df: DataFrame): DataFrame =
+      df.withColumn("embedding", StreamingNightlyIngest.synthEmbedding)
+    val revIds = Seq(20L, 21L, 22L)
+    def revText(id: Long) = s"revised doc $id with replacement " +
+      s"vocabulary zork$id yonder quill ember warden"
+    val updates = revIds.map(id =>
+      OpNightDoc(id, revText(id), "en", 70L, "update"))
+    val adds = Seq(OpNightDoc(5000000000L, "update night addition with " +
+      "vocabulary umber violet wisp granite", "en", 60L, "add"))
+    val mem = MemoryStream[OpNightDoc](spark)
+    val q = StreamingNightlyIngest.start(spark, embed(mem.toDF()), arts,
+      budget = 100000L, salt = "updt") { (_, _) => () }
+    try {
+      mem.addData(updates ++ adds: _*); q.processAllAvailable()
+    } finally q.stop()
+    // probe queries: the replacement vocabulary (hits exactly the
+    // revised docs iff the replace landed) + two regular corpus docs
+    val queries = Seq(
+        (9000000000L, "zork20 yonder quill ember warden"),
+        (9000000001L, corpus.filter(col("doc_id") === 0L)
+          .head().getString(1)),
+        (9000000002L, corpus.filter(col("doc_id") === 3L)
+          .head().getString(1)))
+      .toDF("doc_id", "text").localCheckpoint()
+    def probe(name: String) =
+      LexIndex.probeLexIndex(spark, name, queries, kEach = 10)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    val got = probe(StreamingNightlyIngest.lexName(arts))
+    // 1. one-night visibility: the vocab query retrieves the revised
+    //    docs (new text live tonight, not in three nights)
+    val vocabHits = got.filter(_._1 == 9000000000L).map(_._2).toSet
+    assert(revIds.toSet.subsetOf(vocabHits),
+      s"revised docs not retrievable by their new text: $vocabHits")
+    // 2. the whole family equals a FRESH BUILD over the revised corpus
+    //    (replaced, not duplicated — stats fold any leak into every
+    //    score)
+    val revised = corpus.filter(!col("doc_id").isin(revIds: _*))
+      .select(col("doc_id"), col("text"))
+      .unionByName(revIds.map(id => (id, revText(id)))
+        .toDF("doc_id", "text"))
+      .unionByName(adds.map(a => (a.doc_id, a.text)).toDF("doc_id", "text"))
+    LexIndex.writeLexIndex(revised, "graft_sni_upd_twin", numBuckets = 4)
+    assert(got == probe("graft_sni_upd_twin"),
+      "update night != fresh build over the revised corpus")
+    // 3. corpus: each revised vec present exactly once; registry empty
+    val cnt = StreamingNightlyIngest.corpus(spark, arts)
+      .filter(col("vec_id").isin(revIds: _*)).count()
+    assert(cnt == revIds.size, s"revised vectors in corpus: $cnt")
+    assert(StreamingNightlyIngest.deletedIds(spark, arts).isEmpty,
+      "a revision left a durable re-entry bar behind")
+    // 4. redelivery of the SAME night (at-least-once): the replace
+    //    re-runs against the already-updated state and converges —
+    //    probe identical, shard keys identical (offsets of re-packed
+    //    revisions may legitimately move; keys and token accounting
+    //    must not)
+    def shardKeys() = spark.read.parquet(arts.shardPath)
+      .select(col("doc_id"), col("n_tokens")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val keys0 = shardKeys()
+    StreamingNightlyIngest.nightStep(arts,
+      embed(adds.toDF().drop("op")), budget = 100000L, salt = "updt",
+      batchId = 0,
+      revisions = Some(embed(updates.toDF().drop("op"))))
+    assert(probe(StreamingNightlyIngest.lexName(arts)) == got,
+      "redelivered update night diverged from the clean run")
+    assert(shardKeys() == keys0,
+      "redelivery changed the shard key set")
+    LexIndex.destroy(spark, "graft_sni_upd_twin")
+  }
+
   test("allowReingest refuses while an index is only tombstoned (pre-compaction)") {
     val corpus = Tables(spark, sf, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
