@@ -269,9 +269,14 @@ object LexIndex {
       val dt = Generations.physical(name, "dfcap", lease.gen)
       val st = Generations.physical(name, "stats", lease.gen)
       val vt = Generations.physical(name, "vocab", lease.gen)
+      // postings sorted by (tok, doc_id): the secondary sort costs
+      // nothing at write time and gives the bounded MaxScore probe's
+      // candidate-completion scan real row-group pruning for its
+      // pushed In(doc_id) — within each term's run, parquet min/max on
+      // doc_id skips row groups holding no candidate
       post.repartition(numBuckets, col("tok"))
         .write.format("parquet")
-        .bucketBy(numBuckets, "tok").sortBy("tok").saveAsTable(pt)
+        .bucketBy(numBuckets, "tok").sortBy("tok", "doc_id").saveAsTable(pt)
       len.select(col("doc_id"), col("len"), lit(epoch).as("batch_id"))
         .repartition(numBuckets, col("doc_id"))
         .write.format("parquet")
@@ -459,7 +464,8 @@ object LexIndex {
         def purged(t: String): DataFrame =
           tombs.fold(spark.table(t))(tt =>
             spark.table(t).join(tt, Seq("doc_id"), "left_anti"))
-        def rewrite(m: String, bcol: String, df: DataFrame): String = {
+        def rewrite(m: String, bcol: String, df: DataFrame,
+            sortCols: Seq[String]): String = {
           val old = member(spark, name, m)
           val sp = catalog.getTableMetadata(parse(spark, old)).bucketSpec
             .getOrElse(sys.error(s"$old is not a bucketed index table"))
@@ -470,15 +476,20 @@ object LexIndex {
             if (nb == sp.numBuckets && sp.bucketColumnNames == Seq(bcol)) df
             else df.repartition(nb, col(bcol))
           shaped.write.format("parquet")
-            .bucketBy(nb, bcol).sortBy(bcol).saveAsTable(nt)
+            .bucketBy(nb, bcol).sortBy(sortCols.head, sortCols.tail: _*)
+            .saveAsTable(nt)
           nt
         }
         val oldP = member(spark, name, "postings")
         requireTokenizer(spark, Seq(oldP))
-        val pt = rewrite("postings", "tok", purged(oldP))
+        // (tok, doc_id) sort: compaction also UPGRADES a tok-only
+        // legacy layout to the MaxScore-prunable one (see writeLexIndex)
+        val pt = rewrite("postings", "tok", purged(oldP),
+          Seq("tok", "doc_id"))
         val lt = rewrite("doclen", "doc_id",
           purged(member(spark, name, "doclen"))
-            .select(col("doc_id"), col("len"), lit(epoch).as("batch_id")))
+            .select(col("doc_id"), col("len"), lit(epoch).as("batch_id")),
+          Seq("doc_id"))
         // df/stats rebuilt EXACTLY from the rows that survived — the
         // moment logical deletions become statistical deletions. The
         // dictionary consolidates with them: dfcap gets the exact
@@ -568,6 +579,190 @@ object LexIndex {
     val agg = scored.groupBy("qid", "doc_id")
       .agg((sum(col("w").cast(DecimalType(18, 9))) * 1000000000L)
         .cast("long").as("lex_scaled"))
+    Similarity.topKPerQueryLong(
+        agg.select(col("qid"), col("doc_id").as("vec_id"),
+          col("lex_scaled").as("score")), kEach)
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        col("rank").as("lex_rank"), col("score").as("lex_scaled"))
+  }
+
+  /** Candidate-pair budget for [[probeLexIndexMaxScore]]'s completion
+    * pushdown; past it the probe falls back to [[probeLexIndex]]. */
+  private val CandidatesMax = 10000
+
+  /** Diagnostics from the last [[probeLexIndexMaxScore]] call on this
+    * JVM: (surviving terms, essential (qid, term) pairs, total (qid,
+    * term) pairs, candidate pairs) — None when a fallback path ran.
+    * Observability for specs/ladders (the pruning DECISION is what
+    * they pin; the bytes win is measured at scale). */
+  @volatile private[graft] var lastBoundedStats
+    : Option[(Int, Int, Int, Int)] = None
+
+  /** BOUNDED scoring — batch MaxScore (Turtle/Flood 1995; the Lucene
+    * serving optimization the r15 verdict asked for): [[probeLexIndex]]
+    * reads the FULL posting list of every surviving term, and a common
+    * term just under the df cap is still a huge list at 100 TB. This
+    * probe reads, provably losslessly:
+    *
+    *  1. the SEED list — each query's highest-upper-bound term (the
+    *     rarest, hence shortest, list): its k-th best single-term
+    *     score is a valid LOWER bound θ on the final k-th score
+    *     (every doc's final score ≥ any of its term scores — weights
+    *     are non-negative);
+    *  2. the ESSENTIAL lists — terms outside the maximal low-bound
+    *     suffix whose upper bounds sum below θ. A doc containing ONLY
+    *     non-essential terms scores ≤ that sum < θ ≤ the final k-th
+    *     score, so it can never enter the top k (strictly below, so
+    *     no tiebreak can admit it) — candidates come from essential
+    *     lists only, and the long low-impact lists are never read for
+    *     candidacy;
+    *  3. the COMPLETION rows — every surviving term's rows for the
+    *     candidate docs only, with the candidate ids pushed as
+    *     `In(doc_id)` into the (tok, doc_id)-sorted postings (parquet
+    *     min/max on doc_id inside each term's run skips row groups
+    *     holding no candidate — the measured bytes-read win).
+    *
+    * Upper bounds come from the maintained dictionary's impact stamps
+    * (dfcap ∪ deltas: exact df, max_tf, min_len — [[vocabFrame]]),
+    * evaluated through the SAME termWeightSql text BY Spark (so the
+    * bound is the engine's own arithmetic, not a reimplementation),
+    * padded by +2 on the ×10⁹ scale for the DECIMAL rounding. The df
+    * cap applies with the dictionary's exact df — the identical
+    * decision [[probeLexIndex]]'s recount makes — and the completion
+    * rows score with the same df/stats/weight text, so the output is
+    * BIT-IDENTICAL to probeLexIndex's (the s65 hash row shares s31's
+    * oracle family; LexIndexSpec pins equality on a skew fixture).
+    * Falls back to [[probeLexIndex]] whenever a budget trips (term
+    * set, candidate set, index below the pushdown floor) — lossless
+    * either way. Plain serve only: filtered/candidacy variants ride
+    * [[probeLexIndex]]. */
+  def probeLexIndexMaxScore(spark: SparkSession, name: String,
+      queries: DataFrame, kEach: Int,
+      asOf: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    lastBoundedStats = None
+    val pt = member(spark, name, "postings", asOf)
+    val st = member(spark, name, "stats", asOf)
+    requireTokenizer(spark, Seq(pt, st))
+    val postings0 = spark.table(pt)
+    if (scanBytes(postings0) <= pushdownMinBytes(spark))
+      return probeLexIndex(spark, name, queries, kEach, asOf)
+    val qt = Frontier.pin(queries.select(
+        col(queries.columns.head).cast("long").as("qid"),
+        explode(TextFunctions.tokens(col(queries.columns(1)))).as("tok"))
+      .distinct())
+    val qPairs = qt.limit(ProbePushdownMax + 1).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    if (qPairs.length > ProbePushdownMax)
+      return probeLexIndex(spark, name, queries, kEach, asOf)
+    val nRow = spark.table(st)
+      .agg(sum(col("n_docs")), sum(col("total_tokens"))).head()
+    val (nDocs, totTok) = (nRow.getLong(0), nRow.getLong(1))
+    val allToks = qPairs.map(_._2).distinct.toSeq
+    // the dictionary's exact df + impact stamps for the query terms
+    val vstats = vocabFrame(spark, name, asOf,
+        Some(col("tok").isin(allToks.map(x => x: Any): _*)))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // the df cap with EXACT df — the same decision the full probe's
+    // recount makes (capped lists are never read at all, as there)
+    val surviving = allToks
+      .filter(t => vstats.get(t).exists(_._1 * 10 <= nDocs * 9))
+    def emptyResult = spark.range(0).select(col("id").as("qid"),
+      col("id").as("doc_id"), col("id").cast("int").as("lex_rank"),
+      col("id").as("lex_scaled"))
+    if (surviving.isEmpty) return emptyResult
+    // per-term upper bound, evaluated by the ENGINE's own weight text
+    // at (max_tf, min_len) with the exact df — monotone up in tf, down
+    // in len, so this dominates every row's weight (up to float ulps,
+    // absorbed by the +2 pad on the scaled-long domain)
+    val ub: Map[String, Long] = surviving
+      .map(t => { val (df, mtf, mln) = vstats(t)
+        (t, mtf, mln, df, nDocs, totTok) })
+      .toDF("tok", "tf", "len", "df", "n_docs", "total_tokens")
+      .withColumn("w", expr(HybridRetrieval.termWeightSql))
+      .select("tok", "w").collect()
+      .map(r => r.getString(0) ->
+        (math.ceil(r.getDouble(1) * 1e9).toLong + 2L)).toMap
+    val byQid = qPairs.filter(p => ub.contains(p._2))
+      .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSeq }
+    if (byQid.isEmpty) return emptyResult
+    val tomb = lexTombstones(spark, name)
+      .map(t => broadcast(t.select(col("doc_id")).distinct()))
+    def candExcl(df: DataFrame) =
+      tomb.fold(df)(tt => df.join(tt, Seq("doc_id"), "left_anti"))
+    val dfFrame = broadcast(
+      surviving.map(t => (t, vstats(t)._1)).toDF("tok", "df"))
+    // per-(query, doc, term) scaled weight — summing these longs is
+    // exactly the probe's (sum(DECIMAL) × 10⁹) (the explainHits
+    // identity), so totals are bit-identical
+    def scoredOf(rows: DataFrame, pairs: DataFrame) = rows
+      .join(broadcast(pairs), "tok")
+      .filter(col("doc_id") =!= col("qid"))
+      .join(dfFrame, "tok")
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("total_tokens", lit(totTok))
+      .withColumn("ws", (expr(HybridRetrieval.termWeightSql)
+        .cast(DecimalType(18, 9)) * 1000000000L).cast("long"))
+    // ---- pass 1: θ from each query's seed (highest-ub) term ---------
+    val seedPairs = byQid.toSeq
+      .map { case (q, ts) => (q, ts.maxBy(t => (ub(t), t))) }
+    val seedToks = seedPairs.map(_._2).distinct
+    val pass1 = scoredOf(
+      candExcl(postings0
+        .filter(col("tok").isin(seedToks.map(x => x: Any): _*))
+        .select(col("tok"), col("doc_id"), col("tf"), col("len"))),
+      seedPairs.toDF("qid", "tok"))
+    val theta: Map[Long, Long] = Similarity.topKPerQueryLong(
+        pass1.select(col("qid"), col("doc_id").as("vec_id"),
+          col("ws").as("score")), kEach)
+      .filter(col("rank") === kEach)
+      .select("qid", "score").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ---- essential split: drop the maximal suffix summing below θ ---
+    val essPairs: Seq[(Long, String)] = byQid.toSeq.flatMap {
+      case (q, ts) =>
+        theta.get(q) match {
+          case None => ts.map(q -> _) // fewer than k seed docs: no floor
+          case Some(th) =>
+            val sorted = ts.sortBy(t => (-ub(t), t))
+            var i = sorted.length - 1
+            var acc = 0L
+            while (i >= 0 && acc + ub(sorted(i)) < th) {
+              acc += ub(sorted(i)); i -= 1
+            }
+            sorted.take(i + 1).map(q -> _)
+        }
+    }
+    // ---- pass 2a: candidates from the essential lists only ----------
+    val essToks = essPairs.map(_._2).distinct
+    val candidates = candExcl(postings0
+        .filter(col("tok").isin(essToks.map(x => x: Any): _*))
+        .select(col("tok"), col("doc_id")))
+      .join(broadcast(essPairs.toDF("qid", "tok")), "tok")
+      .filter(col("doc_id") =!= col("qid"))
+      .select("qid", "doc_id").distinct()
+    val candPairs = candidates.limit(CandidatesMax + 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    if (candPairs.length > CandidatesMax)
+      return probeLexIndex(spark, name, queries, kEach, asOf)
+    lastBoundedStats = Some((surviving.length, essPairs.length,
+      byQid.values.map(_.length).sum, candPairs.length))
+    if (candPairs.isEmpty) return emptyResult
+    val candDocs = candPairs.map(_._2).distinct.toSeq
+    // ---- pass 2b: complete the candidates over ALL surviving terms --
+    // (the In(doc_id) is what the (tok, doc_id) sort prunes by)
+    val rows2 = postings0
+      .filter(col("tok").isin(surviving.map(x => x: Any): _*) &&
+        col("doc_id").isin(candDocs.map(x => x: Any): _*))
+      .select(col("tok"), col("doc_id"), col("tf"), col("len"))
+    val scored2 = scoredOf(rows2,
+        qPairs.filter(p => ub.contains(p._2)).toSeq.toDF("qid", "tok"))
+      .join(broadcast(candPairs.toSeq.toDF("qid", "doc_id")),
+        Seq("qid", "doc_id"), "left_semi")
+    val agg = scored2.groupBy("qid", "doc_id")
+      .agg(sum(col("ws")).as("lex_scaled"))
     Similarity.topKPerQueryLong(
         agg.select(col("qid"), col("doc_id").as("vec_id"),
           col("lex_scaled").as("score")), kEach)

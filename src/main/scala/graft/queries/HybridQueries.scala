@@ -1355,7 +1355,45 @@ object HybridQueries {
                  least(b.first_pos + 7, len(tk))), ' ') AS snippet
         FROM lex l JOIN best b ON b.qid = l.qid AND b.doc_id = l.doc_id
           JOIN dt ON dt.doc_id = l.doc_id
-        ORDER BY l.qid NULLS FIRST, l.lex_rank NULLS FIRST""")))
+        ORDER BY l.qid NULLS FIRST, l.lex_rank NULLS FIRST""")),
+
+    // ---- s65: BOUNDED scoring — batch MaxScore over the same index --
+    // The Lucene serving optimization (block-max/MaxScore, the r15
+    // ask): instead of reading every surviving term's FULL posting
+    // list, the probe reads each query's seed (rarest) list for a
+    // score floor θ, candidacy from the essential lists only (terms
+    // whose summed upper bounds could reach θ — bounds from the
+    // maintained dictionary's exact df + max_tf/min_len stamps,
+    // evaluated by the engine's own weight text), and completes just
+    // the candidates with the ids pushed as In(doc_id) into the
+    // (tok, doc_id)-sorted postings. Lossless by the upper-bound
+    // argument, so the row shares s31's ORACLE FAMILY: the bounded
+    // probe must be bit-identical to the one-shot scorer — a bound
+    // that under-estimated, a dropped candidate, or a θ from an
+    // excluded doc all flip the hash. The bytes-read reduction is
+    // measured on the Scale100 ladder (SCALE.md).
+    Q("s65_maxscore_serve",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val name = "graft_s65_lex"
+        LexIndex.writeLexIndex(docs.select(col("doc_id"), col("text")),
+          name)
+        // force the pushdown branch at fixture scale (the production
+        // default keeps small indexes on the plain path)
+        val min0 = s.conf.get(LexIndex.PushdownMinBytesConf, null)
+        val out = try {
+          s.conf.set(LexIndex.PushdownMinBytesConf, "0")
+          LexIndex.probeLexIndexMaxScore(s, name, queriesOf(docs), KEach)
+        } finally {
+          if (min0 == null) s.conf.unset(LexIndex.PushdownMinBytesConf)
+          else s.conf.set(LexIndex.PushdownMinBytesConf, min0)
+        }
+        out.orderBy("qid", "lex_rank")
+      },
+      Some(s"""WITH ${HybridRetrieval.lexicalOracleCtes("documents",
+          "doc_id < 8", KEach)}
+        SELECT qid, doc_id, lex_rank, lex_scaled FROM lex
+        ORDER BY qid NULLS FIRST, lex_rank NULLS FIRST""")))
 
   /** The phrase queries: each query doc's tokens [from, from+len) —
     * defaults to the first two (the s41–s45 must-phrase); s46's

@@ -48,9 +48,11 @@ object Scale100 {
     val op = opArgs.headOption.getOrElse("all")
     require(Set("all", "none", "d22", "s25", "s26", "d12", "s09", "s30",
       "s31", "s38", "s40", "s41", "s45", "s47", "s48", "s49", "s50",
-      "s52", "s54", "s60", "s61", "s62").contains(op),
+      "s51h", "s52", "s54", "s57h", "s60", "s61", "s62", "s63",
+      "s64").contains(op),
       s"unknown op '$op' (all|none|d22|s25|s26|d12|s09|s30|s31|s38|" +
-        "s40|s41|s45|s47|s48|s49|s50|s52|s54|s60|s61|s62)")
+        "s40|s41|s45|s47|s48|s49|s50|s51h|s52|s54|s57h|s60|s61|s62|" +
+        "s63|s64)")
     val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_scale")
 
     def indicators(df: DataFrame): String = {
@@ -383,12 +385,98 @@ object Scale100 {
           graft.operators.HybridRetrieval.rrfFuse(lex, vec, 10)
         })
       }
-      // prefix search (s50): the expansion stage scans the TERM
-      // DICTIONARY (∝ vocabulary, which the suffixed fixture grows
-      // ∝ M — the worst case; real corpora grow vocab sublinearly,
-      // Heaps' law), pruned by the pushed startsWith disjunction and
-      // capped at maxExpansions; the matching stage is the capped
-      // expansions' posting lists. The honest claim is
+      // vocabulary surfaces on the HEAPS-HONEST fixture (r15 finding
+      // #1's ladder fix): the suffix fixture above grows the
+      // VOCABULARY at exactly the corpus rate, so its s50/s52
+      // exponents could not distinguish vocab-bound from
+      // postings-scan-bound work. Here the copies REUSE the base
+      // text verbatim (ids salted): postings grow ×M while the
+      // dictionary stays CONSTANT — the regime that exposed the old
+      // per-probe postings scan. With the maintained vocab members,
+      // fuzzy (s51h) and autocomplete (s57h) read dfcap ∪ deltas and
+      // must run near-FLAT against the ×M postings; real corpora
+      // (Heaps' law) sit between the two fixtures.
+      if (op == "s51h" || op == "s57h") {
+        val heaps = spark.read.parquet(scaled(m, "documents_heaps", k =>
+          docs0.select((col("doc_id") + k * 10000000000L).as("doc_id"),
+            col("text"), col("lang"), col("n_chars"))))
+        val lName = s"graft_s100_hv_lex_m$m"
+        val t0 = System.nanoTime()
+        graft.operators.LexIndex.writeLexIndex(
+          heaps.select(col("doc_id"), col("text")), lName,
+          numBuckets = 8 * m)
+        println(f"[s100] m=$m%-4d ${op}_build     ${(System.nanoTime() - t0) / 1e9}%8.2fs  (build)")
+        val tkx = graft.functions.TextFunctions.tokens(col("text"))
+        if (op == "s51h") {
+          val terms = heaps
+            .filter(col("doc_id") >= 8 && col("doc_id") < 16)
+            .select((col("doc_id") - 8).as("qid"),
+              explode(array(element_at(tkx, 1), element_at(tkx, 3)))
+                .as("t"))
+            .select(col("qid"),
+              expr("concat(left(t, 1), substring(t, 3))").as("term"))
+            .distinct().localCheckpoint()
+          time("s51h_fuzzy", () => graft.operators.LexIndex.probeFuzzy(
+            spark, lName, terms))
+        } else {
+          val prefixes = heaps.filter(col("doc_id") < 8)
+            .select(col("doc_id").as("qid"),
+              substring(element_at(tkx, 1), 1, 1).as("prefix"))
+            .localCheckpoint()
+          time("s57h_suggest", () => graft.operators.LexIndex
+            .suggestTerms(spark, lName, prefixes, k = 8))
+        }
+      }
+      // n-term proximity (s63): three bounded posting-list sides on
+      // one pushed scan; the window fold is row-local.
+      if (op == "s63") {
+        val lName = s"graft_s100_pn_lex_m$m"
+        val t0 = System.nanoTime()
+        graft.operators.LexIndex.writeLexIndex(
+          docs.select(col("doc_id"), col("text")), lName, numBuckets = 8 * m)
+        println(f"[s100] m=$m%-4d s63_build      ${(System.nanoTime() - t0) / 1e9}%8.2fs  (build)")
+        val tkx = graft.functions.TextFunctions.tokens(col("text"))
+        val clauses = docs.filter(col("doc_id") >= 8 && col("doc_id") < 16)
+          .select((col("doc_id") - 8).as("qid"), posexplode(
+            array(element_at(tkx, 2), element_at(tkx, 5),
+              element_at(tkx, 7))))
+          .select(col("qid"), col("pos").as("off"), col("col").as("tok"))
+          .localCheckpoint()
+        time("s63_probe", () => graft.operators.LexIndex.probeProximityN(
+          spark, lName, clauses, slop = 6))
+      }
+      // highlighted serve (s64): ranked probe + best-window fold over
+      // the top-k hits' position arrays + the In-pushdown snippet
+      // fetch — every stage bounded by the query/hit sets.
+      if (op == "s64") {
+        val lName = s"graft_s100_hl_lex_m$m"
+        val t0 = System.nanoTime()
+        graft.operators.LexIndex.writeLexIndex(
+          docs.select(col("doc_id"), col("text")), lName, numBuckets = 8 * m)
+        println(f"[s100] m=$m%-4d s64_build      ${(System.nanoTime() - t0) / 1e9}%8.2fs  (build)")
+        val queries = docs.filter(col("doc_id") < 8)
+          .select(col("doc_id"), col("text")).localCheckpoint()
+        time("s64_probe", () => {
+          val ranked = graft.operators.Frontier.pin(
+            graft.operators.LexIndex.probeLexIndex(spark, lName, queries,
+              kEach = 10))
+          val bw = graft.operators.LexIndex.bestWindows(spark, lName,
+            ranked.select("qid", "doc_id"), queries, w = 5)
+          val hits = ranked.join(bw, Seq("qid", "doc_id"))
+            .select(col("qid"), col("doc_id"), col("lex_rank"),
+              col("n_terms"), col("win_start").as("first_pos"))
+          graft.operators.HybridRetrieval.snippets(hits,
+            docs.select(col("doc_id"), col("text")),
+            phraseLen = 5, ctx = 2)
+        })
+      }
+      // prefix search (s50): the expansion stage reads the MAINTAINED
+      // term dictionary (dfcap ∪ deltas — ∝ vocabulary, which the
+      // suffixed fixture grows ∝ M, the worst case; the s51h/s57h ops
+      // measure the constant-vocab regime), pruned by the pushed
+      // startsWith disjunction and capped at maxExpansions; the
+      // matching stage is the capped expansions' posting lists via
+      // the In(tok) pushdown. The honest claim on THIS fixture is
       // vocabulary-bound, not corpus-bound.
       if (op == "all" || op == "s50") {
         val lName = s"graft_s100_pf_lex_m$m"

@@ -681,6 +681,72 @@ class LexIndexSpec extends SparkSpec {
     LexIndex.destroy(spark, name)
   }
 
+  test("probeLexIndexMaxScore: bit-identical to probeLexIndex, and the " +
+      "essential split prunes a heavy low-impact list on a skew fixture") {
+    import spark.implicits._
+    val min0 = spark.conf.get(LexIndex.PushdownMinBytesConf, null)
+    try {
+      spark.conf.set(LexIndex.PushdownMinBytesConf, "0")
+      // equality on the regular corpus (forced pushdown)
+      val name = "graft_t_lexms"
+      LexIndex.destroy(spark, name)
+      LexIndex.writeLexIndex(docs, name, numBuckets = 4)
+      val full = probe(name)
+      val bounded = LexIndex.probeLexIndexMaxScore(spark, name, queries, 10)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._3))
+      assert(bounded.sameElements(full), "MaxScore != full probe")
+      // tombstones honored on every pass (θ, candidates, completion)
+      val victim = full.head._2
+      LexIndex.tombstoneLex(spark, name,
+        spark.range(victim, victim + 1).toDF("doc_id"))
+      val fullT = probe(name)
+      val boundedT = LexIndex.probeLexIndexMaxScore(spark, name, queries, 10)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._3))
+      assert(boundedT.sameElements(fullT), "MaxScore != probe post-delete")
+      LexIndex.destroy(spark, name)
+      // SKEW fixture: a heavy term in 60% of docs (df-cap survivor,
+      // long list, LOW idf) + rare discriminative terms. The rare
+      // terms' upper bounds dwarf the heavy term's, so θ from the seed
+      // list makes the heavy term NON-ESSENTIAL — its list never feeds
+      // candidacy (the 100 TB win) — while completion keeps scores
+      // bit-identical.
+      val skew = spark.range(1000).select(col("id").as("doc_id"),
+        concat(
+          when(col("id") % 5 < 3, lit("heavy ")).otherwise(lit("")),
+          lit("rare"), (col("id") % 50).cast("string"),
+          lit(" filler"), col("id").cast("string"),
+          lit(" pad alpha beta gamma")).as("text"))
+      val sName = "graft_t_lexsk"
+      LexIndex.destroy(spark, sName)
+      LexIndex.writeLexIndex(skew, sName, numBuckets = 4)
+      val q2 = Seq((7777777L, "heavy rare7 rare13")).toDF("doc_id", "text")
+      val f2 = LexIndex.probeLexIndex(spark, sName, q2, kEach = 5)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._3))
+      val b2 = LexIndex.probeLexIndexMaxScore(spark, sName, q2, kEach = 5)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._3))
+      assert(b2.sameElements(f2), "MaxScore != full probe on skew fixture")
+      assert(f2.nonEmpty, "skew fixture vacuous")
+      val Some((surv, ess, tot, cands)) = LexIndex.lastBoundedStats
+      assert(surv == 3 && tot == 3,
+        s"expected 3 surviving query terms, got $surv/$tot")
+      assert(ess < tot,
+        s"essential split never pruned: $ess of $tot pairs essential " +
+          s"($cands candidates) — fixture or split broken")
+      LexIndex.destroy(spark, sName)
+    } finally {
+      if (min0 == null) spark.conf.unset(LexIndex.PushdownMinBytesConf)
+      else spark.conf.set(LexIndex.PushdownMinBytesConf, min0)
+    }
+  }
+
   test("bestWindows: max-distinct-query-terms window == brute force, " +
       "earliest start on ties, one row per hit") {
     val name = "graft_t_lexw"
