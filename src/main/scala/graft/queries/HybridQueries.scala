@@ -950,7 +950,7 @@ object HybridQueries {
         WHERE rank <= 3
         ORDER BY qid NULLS FIRST, rank NULLS FIRST""")),
 
-    // ---- s58: MAINTAINED dictionary through the append lifecycle ----
+    // ---- s66: MAINTAINED dictionary through the append lifecycle ----
     // The r15 scale-killer fix's hash row: the vocabulary surfaces now
     // read the maintained term dictionary (dfcap ∪ per-batch deltas —
     // vocab-sized) instead of scanning postings per probe. s51 pins
@@ -961,11 +961,11 @@ object HybridQueries {
     // dfcap.df + delta.df is the exact df (a dropped delta, a
     // double-counted replay, or a term lost in the consolidation all
     // flip the hash).
-    Q("s58_vocab_maintenance",
+    Q("s66_vocab_maintenance",
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
           .select(col("doc_id"), col("text"))
-        val name = "graft_s58_lex"
+        val name = "graft_s66_lex"
         LexIndex.writeLexIndex(docs.filter(col("doc_id") % 5 =!= 3), name)
         LexIndex.appendToLexIndex(docs.filter(col("doc_id") % 5 === 3),
           name, batchId = "night1")
