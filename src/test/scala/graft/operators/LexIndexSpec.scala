@@ -740,6 +740,24 @@ class LexIndexSpec extends SparkSpec {
       assert(ess < tot,
         s"essential split never pruned: $ess of $tot pairs essential " +
           s"($cands candidates) — fixture or split broken")
+      // as-of: the bounded probe reads the frozen generation's
+      // postings AND dictionary, equal to the full probe's as-of read
+      LexIndex.compactLexIndex(spark, sName, gcKeep = 2)
+      val g0 = Generations.currentGen(spark, sName).get - 1
+      LexIndex.appendToLexIndex(
+        spark.range(5).select((col("id") + 5000000L).as("doc_id"),
+          concat(lit("heavy rare7 extra appended doc "),
+            col("id").cast("string")).as("text")),
+        sName, batchId = "ms-asof")
+      val fA = LexIndex.probeLexIndex(spark, sName, q2, kEach = 5,
+          asOf = Some(g0)).collect().map(_.toString).sorted
+      val bA = LexIndex.probeLexIndexMaxScore(spark, sName, q2, kEach = 5,
+          asOf = Some(g0)).collect().map(_.toString).sorted
+      assert(bA.sameElements(fA), "as-of MaxScore != as-of full probe")
+      assert(!bA.sameElements(
+        LexIndex.probeLexIndexMaxScore(spark, sName, q2, kEach = 5)
+          .collect().map(_.toString).sorted),
+        "fixture degenerate: the append did not move the current probe")
       LexIndex.destroy(spark, sName)
     } finally {
       if (min0 == null) spark.conf.unset(LexIndex.PushdownMinBytesConf)
