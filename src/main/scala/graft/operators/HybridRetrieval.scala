@@ -327,6 +327,34 @@ object HybridRetrieval {
         x => x.getField("text")), " ").as("text"))
   }
 
+  /** QUERY-TIME SYNONYM EXPANSION (Lucene's SynonymGraphFilter / ES
+    * `synonym_graph`, query-side): each query's term set gains the
+    * synonyms of its terms, and the expanded set feeds the scoring
+    * probe — so "fast disk" also retrieves "quick disk" docs, ranked
+    * by the same BM25 statistics. `synonyms` is (term, synonym) rows,
+    * one direction per row (pass both directions for symmetric
+    * vocabularies); unmatched terms pass through untouched. Output is
+    * (qid|doc_id, text) — the probe input shape, the s52 corrected-
+    * query trick: the probe derives its TERM SET from the text and
+    * ignores query-side tf, so set semantics are exact.
+    *
+    * Scale shape: work is QUERY-sized — one explode of the query
+    * texts, a broadcast join against the (small by nature) synonym
+    * table, one per-query aggregation. Nothing corpus-shaped; the
+    * probe's bounded pushdown then carries the expanded set. */
+  def expandQueries(queries: DataFrame, synonyms: DataFrame): DataFrame = {
+    val qt = queries.select(col(queries.columns.head).as("qid"),
+      explode(tokens(col(queries.columns(1)))).as("tok")).distinct()
+    val syn = synonyms.select(col(synonyms.columns.head).as("term"),
+      col(synonyms.columns(1)).as("synonym"))
+    qt.unionByName(
+        qt.join(broadcast(syn), col("tok") === col("term"))
+          .select(col("qid"), col("synonym").as("tok")))
+      .groupBy("qid")
+      .agg(concat_ws(" ", sort_array(collect_set(col("tok")))).as("text"))
+      .select(col("qid").as("doc_id"), col("text"))
+  }
+
   /** Chunk-id packing stride: a chunk's id is
     * `doc_id · ChunkStride + chunk_idx + offset`, injective over
     * (doc_id, chunk_idx) iff chunk_idx < ChunkStride — [[chunkDocs]]

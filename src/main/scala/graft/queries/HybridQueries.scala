@@ -1393,6 +1393,49 @@ object HybridQueries {
       Some(s"""WITH ${HybridRetrieval.lexicalOracleCtes("documents",
           "doc_id < 8", KEach)}
         SELECT qid, doc_id, lex_rank, lex_scaled FROM lex
+        ORDER BY qid NULLS FIRST, lex_rank NULLS FIRST""")),
+
+    // ---- s67: SYNONYM-expanded serve — the analyzer chain's last leg
+    // Lucene's query-side SynonymGraphFilter: the query's term set
+    // gains its terms' synonyms (a fixed vocabulary table — here four
+    // pairs over the corpus vocabulary, so expansion provably fires)
+    // and the SAME maintained index ranks the expanded set — "fast"
+    // queries retrieve "slow"-doc evidence, scored by corpus-level
+    // BM25 statistics like any typed term. Together with fuzzy (s51),
+    // prefix (s50) and autocomplete (s57) this completes the
+    // query-rewrite surface in front of the scorer. Oracle: the same
+    // expansion as a UNION over the query token CTE, feeding the
+    // proven scorer text through the s52 qt override.
+    Q("s67_synonym_serve",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val name = "graft_s67_lex"
+        LexIndex.writeLexIndex(docs.select(col("doc_id"), col("text")),
+          name)
+        val syn = Seq(("fast", "slow"), ("big", "small"),
+          ("sort", "order"), ("scan", "query")).toDF("term", "synonym")
+        val expanded = HybridRetrieval.expandQueries(queriesOf(docs), syn)
+        LexIndex.probeLexIndex(s, name, expanded, KEach)
+          .orderBy("qid", "lex_rank")
+      },
+      Some(s"""WITH syn AS MATERIALIZED (
+          SELECT 'fast' AS term, 'slow' AS synonym
+          UNION ALL SELECT 'big', 'small'
+          UNION ALL SELECT 'sort', 'order'
+          UNION ALL SELECT 'scan', 'query'),
+        dtq AS MATERIALIZED (SELECT DISTINCT qid, tok FROM (
+          SELECT doc_id AS qid,
+            unnest(${graft.functions.TextFunctions.sqlTokens("text")})
+              AS tok
+          FROM documents WHERE doc_id < 8)),
+        exq AS MATERIALIZED (SELECT DISTINCT qid, tok FROM (
+          SELECT qid, tok FROM dtq
+          UNION ALL SELECT q.qid, sy.synonym
+            FROM dtq q JOIN syn sy ON sy.term = q.tok)),
+        ${HybridRetrieval.lexicalOracleCtes("documents", "doc_id < 8",
+          KEach, qtSql = Some("SELECT qid, tok FROM exq"))}
+        SELECT qid, doc_id, lex_rank, lex_scaled FROM lex
         ORDER BY qid NULLS FIRST, lex_rank NULLS FIRST""")))
 
   /** The phrase queries: each query doc's tokens [from, from+len) —

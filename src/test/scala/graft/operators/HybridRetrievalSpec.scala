@@ -101,6 +101,38 @@ class HybridRetrievalSpec extends SparkSpec {
     assert(again == out, "pseudo-text not deterministic")
   }
 
+  test("expandQueries: term set == original ∪ synonyms-of-terms; " +
+      "unmatched terms pass through; empty table is probe-identity") {
+    val queries = Seq((0L, "fast disk read"), (1L, "no match here"))
+      .toDF("doc_id", "text")
+    val syn = Seq(("fast", "quick"), ("fast", "rapid"), ("disk", "drive"),
+      ("absent", "never")).toDF("term", "synonym")
+    val out = HybridRetrieval.expandQueries(queries, syn).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ").toSet).toMap
+    assert(out(0L) == Set("fast", "quick", "rapid", "disk", "drive",
+      "read"), s"q0 expansion: ${out(0L)}")
+    assert(out(1L) == Set("no", "match", "here"),
+      "unmatched terms did not pass through untouched")
+    // empty synonym table: the rebuilt text re-orders tokens, but the
+    // probe consumes the TERM SET, so scoring is identity — checked
+    // through the probe itself
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    LexIndex.destroy(spark, "graft_t_syn")
+    LexIndex.writeLexIndex(docs, "graft_t_syn", numBuckets = 4)
+    val q = docs.filter(col("doc_id") < 4)
+    val empty = Seq.empty[(String, String)].toDF("term", "synonym")
+    val plain = LexIndex.probeLexIndex(spark, "graft_t_syn", q, 10)
+      .collect().map(_.toString).sorted
+    val viaEmpty = LexIndex.probeLexIndex(spark, "graft_t_syn",
+        HybridRetrieval.expandQueries(q, empty), 10)
+      .collect().map(_.toString).sorted
+    assert(viaEmpty.sameElements(plain),
+      "empty-synonym expansion changed probe results")
+    LexIndex.destroy(spark, "graft_t_syn")
+  }
+
   test("self-exclusion and lexical determinism under repartitioning") {
     val docs = Tables(spark, sf, "documents").select("doc_id", "text")
     val a = HybridRetrieval.lexicalTopK(docs, col("doc_id") < 8, 20)
