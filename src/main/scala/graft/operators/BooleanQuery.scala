@@ -85,7 +85,15 @@ object BooleanQuery {
     * positives intersect, MUST_NOT anti-joins — folded into the pair
     * set when a positive clause exists, handed to the probe's
     * `exclPairs` anti-join otherwise; both spellings are provably the
-    * same membership at the same candidacy position). */
+    * same membership at the same candidacy position).
+    *
+    * Positive clauses intersect PER QUERY, not frame-wise (r16
+    * advice): a qid present in the must frame but absent from the
+    * should frame (or vice versa) is constrained only by the clause
+    * types it actually has — Lucene's occur model, where a query
+    * simply lacking a clause type is not thereby unmatchable. A qid
+    * present in a clause INPUT frame whose probe matched nothing
+    * still requires that clause (and so matches no docs). */
   def resolve(spark: SparkSession, name: String, clauses: Clauses,
       asOf: Option[Long] = None): Resolved = {
     require(clauses.should.isEmpty || clauses.minShould >= 1,
@@ -95,8 +103,27 @@ object BooleanQuery {
       LexIndex.probeShould(spark, name, sm, clauses.minShould, asOf)
         .select("qid", "doc_id"))
     val notPairs = clauses.mustNot.map(phrasePairs(spark, name, _, asOf))
-    val positive = (mustPairs.toSeq ++ shouldPairs.toSeq)
-      .reduceOption(_.join(_, Seq("qid", "doc_id")))
+    def norm(df: DataFrame) = df.select(col("qid").cast("long").as("qid"),
+      col("doc_id").cast("long").as("doc_id"))
+    // the qid universe each positive clause CONSTRAINS comes from its
+    // input frame (a clause whose probe matched nothing still binds)
+    def qidsOf(f: DataFrame) =
+      f.select(col(f.columns.head).cast("long").as("qid")).distinct()
+    val positive = (mustPairs.map(norm).toSeq ++
+        shouldPairs.map(norm).toSeq) match {
+      case Nil => None
+      case Seq(one) => Some(one)
+      case many =>
+        val need = (clauses.must.map(qidsOf).toSeq ++
+            clauses.should.map(qidsOf).toSeq)
+          .map(_.withColumn("c", lit(1L))).reduce(_ unionByName _)
+          .groupBy("qid").agg(sum(col("c")).as("need"))
+        Some(many.reduce(_ unionByName _)
+          .groupBy("qid", "doc_id").agg(count(lit(1)).as("got"))
+          .join(broadcast(need), "qid")
+          .filter(col("got") === col("need"))
+          .select("qid", "doc_id"))
+    }
     (positive, notPairs) match {
       case (Some(pos), Some(neg)) =>
         Resolved(Some(Frontier.pin(
@@ -108,12 +135,20 @@ object BooleanQuery {
 
   /** Ranked LEXICAL serve of the boolean query: resolve the clauses,
     * then BM25-rank the survivors from the same maintained index —
-    * s43/s46/s47's shape behind one call. `queries` is (qid, text). */
+    * s43/s46/s47's shape behind one call. `queries` is (qid, text).
+    * `bounded = true` serves through the MaxScore probe
+    * ([[LexIndex.probeLexIndexMaxScore]] — bit-identical output,
+    * bounded reads; it falls back to the full probe on any budget
+    * trip, so the flag is always safe to set). */
   def search(spark: SparkSession, name: String, queries: DataFrame,
       kEach: Int, clauses: Clauses,
-      asOf: Option[Long] = None): DataFrame = {
+      asOf: Option[Long] = None, bounded: Boolean = false): DataFrame = {
     val r = resolve(spark, name, clauses, asOf)
-    LexIndex.probeLexIndex(spark, name, queries, kEach, asOf,
+    if (bounded)
+      LexIndex.probeLexIndexMaxScore(spark, name, queries, kEach, asOf,
+        candPred = clauses.filter, candPairs = r.candPairs,
+        exclPairs = r.exclPairs)
+    else LexIndex.probeLexIndex(spark, name, queries, kEach, asOf,
       candPred = clauses.filter, candPairs = r.candPairs,
       exclPairs = r.exclPairs)
   }
@@ -129,11 +164,16 @@ object BooleanQuery {
   def serve(spark: SparkSession, lexName: String, annName: String,
       queries: DataFrame, emb: DataFrame, vecQueryPred: Column,
       clauses: Clauses, k: Int, kEach: Int,
-      vecFilter: Option[Column] = None): DataFrame = {
+      vecFilter: Option[Column] = None,
+      bounded: Boolean = false): DataFrame = {
     val r = resolve(spark, lexName, clauses)
-    val lex = LexIndex.probeLexIndex(spark, lexName, queries, kEach,
-      candPred = clauses.filter, candPairs = r.candPairs,
-      exclPairs = r.exclPairs)
+    val lex =
+      if (bounded) LexIndex.probeLexIndexMaxScore(spark, lexName, queries,
+        kEach, candPred = clauses.filter, candPairs = r.candPairs,
+        exclPairs = r.exclPairs)
+      else LexIndex.probeLexIndex(spark, lexName, queries, kEach,
+        candPred = clauses.filter, candPairs = r.candPairs,
+        exclPairs = r.exclPairs)
     val vec = AnnIndex.probeAnnIndex(spark, annName, emb, vecQueryPred,
         k = kEach, candPred = vecFilter,
         candPairs = r.candPairs.map(_.select(col("qid"),

@@ -57,6 +57,21 @@ import graft.functions.TextFunctions
   *    empties the deltas. batch_id keys the same exactly-once replay
   *    fence as doclen's (written after doclen, before the stats
   *    fence — see the append-idempotency note).
+  *  - `impacts` (tok, blk, doc_lo, doc_hi, n_rows, max_tf, min_len,
+  *    batch_id): PER-BLOCK impact stamps — the dictionary's
+  *    (max_tf, min_len) discipline extended one level down (Lucene's
+  *    `impacts` on postings enums; BMW/block-max, Ding & Suel 2011).
+  *    Each term's postings run is cut into blocks of
+  *    [[ImpactBlockRowsConf]] rows in doc_id order at build/compaction
+  *    (appends stamp their own batch's rows — the vocab-delta
+  *    lifecycle, fenced by batch_id), so EVERY postings row is covered
+  *    by a stamp written in the same mutation that landed it. The
+  *    bounded probe turns stamps into doc_id-range pushdowns: seed
+  *    lists read only their top-impact blocks for θ, and essential
+  *    lists skip blocks whose block upper bound cannot lift a doc past
+  *    θ — both provably lossless (see [[probeLexIndexMaxScore]]).
+  *    Bucketed+sorted on tok; block count ≈ vocab + postings/blockRows
+  *    — sublinear in the corpus like the dictionary itself.
   *  - `stats` (batch_id, n_docs, total_tokens): per-mutation-epoch
   *    delta rows; the probe sums them (a few rows — one per append
   *    since the last compaction). batch_id keys the exactly-once
@@ -99,7 +114,8 @@ import graft.functions.TextFunctions
   */
 object LexIndex {
 
-  private val Members = Seq("postings", "doclen", "dfcap", "stats", "vocab")
+  private val Members =
+    Seq("postings", "doclen", "dfcap", "stats", "vocab", "impacts")
 
   /** The family's member list for [[IndexMaintenance.health]] sweeps —
     * the same list every writer passes to [[Generations]]. */
@@ -114,6 +130,24 @@ object LexIndex {
 
   /** Bounded literal-pushdown budget (the d12 probe's limit). */
   private val ProbePushdownMax = 10000
+
+  /** Session-conf override for the impact-stamp block size (postings
+    * rows per stamped block, per term). 65536 keeps the member
+    * vocab-plus-sized at corpus scale while giving a multi-million-row
+    * posting list dozens of skippable ranges; tests/ladders set it
+    * small so fixture-sized lists still have blocks to skip. */
+  private[graft] val ImpactBlockRowsConf = "graft.lex.impactBlockRows"
+  private def impactBlockRows(spark: SparkSession): Int =
+    spark.conf.get(ImpactBlockRowsConf, "65536").toInt
+
+  /** Collected-stamp budget for the bounded probe (stamp rows for the
+    * query's surviving terms); past it block pruning is skipped — the
+    * probe stays lossless, just without range pushdowns. */
+  private val ImpactsMax = 100000
+
+  /** Pushed doc_id-range budget (seed + essential scans each); past it
+    * the respective scan reads its full posting lists. */
+  private val RangesMax = 4096
 
   /** Test-only crash injection for the append's three-job window
     * (the [[Generations.failpoint]] pattern): `Some("after-postings")`
@@ -183,6 +217,15 @@ object LexIndex {
         "appends and the vocabulary surfaces (fuzzy/prefix/autocomplete) " +
         "need it — rebuild the family with writeLexIndex")
 
+  /** Whether the family carries the maintained term dictionary — the
+    * bounded scorer's silent downgrade test ([[probeLexIndexMaxScore]]
+    * falls back to the full probe on a legacy family instead of
+    * tripping [[requireDictionary]]'s loud append-path guard). */
+  private def hasDictionary(spark: SparkSession, name: String,
+      asOf: Option[Long]): Boolean =
+    spark.sessionState.catalog.tableExists(
+      parse(spark, member(spark, name, "vocab", asOf)))
+
   private def requireTokenizer(spark: SparkSession,
       tables: Seq[String]): Unit =
     tables.foreach { t =>
@@ -244,6 +287,26 @@ object LexIndex {
     post.groupBy("tok").agg(count(lit(1)).as("df"),
       max(col("tf")).as("max_tf"), min(col("len")).as("min_len"))
 
+  /** Per-BLOCK impact stamps over a (tok, doc_id, tf, len, …) postings
+    * frame: each term's rows in doc_id order, cut into blocks of
+    * `blockRows`, one row per (tok, blk) carrying the block's doc_id
+    * range and its (max_tf, min_len) impact bound — [[dictRows]] one
+    * level down. Shared by build, append (the per-batch delta — every
+    * landed row is stamped by the mutation that landed it) and
+    * compaction (the exact rebuild). The window is partitioned on tok
+    * (the member's own bucketing), never unpartitioned. */
+  private def impactRows(post: DataFrame, blockRows: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("tok").orderBy("doc_id")
+    post.select(col("tok"), col("doc_id"), col("tf"), col("len"))
+      .withColumn("blk",
+        ((row_number().over(w) - 1) / blockRows).cast("int"))
+      .groupBy("tok", "blk")
+      .agg(min(col("doc_id")).as("doc_lo"), max(col("doc_id")).as("doc_hi"),
+        count(lit(1)).as("n_rows"), max(col("tf")).as("max_tf"),
+        min(col("len")).as("min_len"))
+  }
+
   /** Build (or rebuild from scratch) the index over `docs` — one
     * crash-atomic generation swap; readers of any existing generation
     * are undisturbed until the single pointer flip. Tombstones against
@@ -290,12 +353,21 @@ object LexIndex {
       dictRows(post.limit(0)).withColumn("batch_id", lit(""))
         .coalesce(1).write.format("parquet")
         .bucketBy(numBuckets, "tok").sortBy("tok").saveAsTable(vt)
+      // the block stamps cover every postings row from birth (the
+      // bounded probe's skipping argument needs every row dominated by
+      // a stamp written in the mutation that landed it)
+      val it = Generations.physical(name, "impacts", lease.gen)
+      impactRows(post, impactBlockRows(spark))
+        .withColumn("batch_id", lit(epoch))
+        .repartition(numBuckets, col("tok"))
+        .write.format("parquet")
+        .bucketBy(numBuckets, "tok").sortBy("tok").saveAsTable(it)
       len.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("total_tokens"))
         .select(lit(epoch).as("batch_id"), col("n_docs"),
           coalesce(col("total_tokens"), lit(0L)).as("total_tokens"))
         .coalesce(1)
         .write.format("parquet").saveAsTable(st)
-      Seq(pt, lt, dt, st, vt).foreach { t =>
+      Seq(pt, lt, dt, st, vt, it).foreach { t =>
         spark.sql(
           s"ALTER TABLE $t SET TBLPROPERTIES ('$TokenizerProp' = '$TokenizerId')")
       }
@@ -399,6 +471,24 @@ object LexIndex {
         if (!vocabDone)
           appendWith(dictRows(post).withColumn("batch_id", lit(batchId)), vt)
         crashPoint("after-vocab")
+        // the block-stamp delta, over the same FULL admitted set (a
+        // stamp over rows a crashed attempt never landed is a superset
+        // stamp — dominating a subset is still dominating; a landed row
+        // MISSING its stamp would break the skipping argument, which is
+        // why stamps ride the same batch-id fence as the dictionary).
+        // Families built before the impacts member exist skip the stamp
+        // (no table): their probes never block-skip until a compaction
+        // upgrades the family, so losslessness holds either way.
+        val it = member(spark, name, "impacts")
+        val hasImp = spark.sessionState.catalog.tableExists(parse(spark, it))
+        if (hasImp) {
+          val impDone = ifAbsent && !spark.table(it)
+            .filter(col("batch_id") === batchId).isEmpty
+          if (!impDone)
+            appendWith(impactRows(post, impactBlockRows(spark))
+              .withColumn("batch_id", lit(batchId)), it)
+        }
+        crashPoint("after-impacts")
         // the fence, written LAST: delta over the admitted set (docs a
         // crashed attempt already landed are IN the admitted set, so
         // the count is the same whichever attempt finishes)
@@ -407,7 +497,8 @@ object LexIndex {
             coalesce(col("total_tokens"), lit(0L)).as("total_tokens"))
           .coalesce(1)
           .write.format("parquet").mode("append").saveAsTable(st)
-        Seq(pt, lt, st, vt).foreach(spark.catalog.refreshTable)
+        (Seq(pt, lt, st, vt) ++ (if (hasImp) Seq(it) else Nil))
+          .foreach(spark.catalog.refreshTable)
       }
     } finally Generations.abort(spark, lease)
   }
@@ -513,6 +604,19 @@ object LexIndex {
             .bucketBy(nb, "tok").sortBy("tok").saveAsTable(nt)
           nt
         }
+        // block stamps rebuilt exactly from the compacted postings —
+        // this is also the in-place UPGRADE path for families built
+        // before the impacts member (the vocab discipline): from this
+        // compaction on, every row is stamped and probes may block-skip
+        val it = {
+          val nt = Generations.physical(name, "impacts", lease.gen)
+          impactRows(spark.table(pt), impactBlockRows(spark))
+            .withColumn("batch_id", lit(epoch))
+            .repartition(nb, col("tok"))
+            .write.format("parquet")
+            .bucketBy(nb, "tok").sortBy("tok").saveAsTable(nt)
+          nt
+        }
         val st = {
           val nt = Generations.physical(name, "stats", lease.gen)
           spark.table(lt)
@@ -523,7 +627,7 @@ object LexIndex {
             .write.format("parquet").saveAsTable(nt)
           nt
         }
-        Seq(pt, lt, dt, st, vt).foreach { t =>
+        Seq(pt, lt, dt, st, vt, it).foreach { t =>
           spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
             s"('$TokenizerProp' = '$TokenizerId')")
         }
@@ -541,8 +645,9 @@ object LexIndex {
     * retrieves itself. `asOf = Some(g)` probes a retained past
     * generation (frozen at the flip that superseded it) — with the
     * house asymmetry that TOMBSTONE exclusion stays current: erasure
-    * overrides history. */
-  /** `candPred`: serve-time CANDIDACY filter over the candidate
+    * overrides history.
+    *
+    * `candPred`: serve-time CANDIDACY filter over the candidate
     * `doc_id` (tenancy scope, licensing shard, freshness class) on ONE
     * shared index — the metadata-filtered retrieval every production
     * serving layer needs. Applied with the tombstone exclusion, AFTER
@@ -598,24 +703,48 @@ object LexIndex {
   @volatile private[graft] var lastBoundedStats
     : Option[(Int, Int, Int, Int)] = None
 
-  /** BOUNDED scoring — batch MaxScore (Turtle/Flood 1995; the Lucene
-    * serving optimization the r15 verdict asked for): [[probeLexIndex]]
-    * reads the FULL posting list of every surviving term, and a common
-    * term just under the df cap is still a huge list at 100 TB. This
-    * probe reads, provably losslessly:
+  /** Block-skipping diagnostics from the last [[probeLexIndexMaxScore]]
+    * call: (seed ranges pushed, essential stamps kept, essential
+    * stamps total) — None when no stamps were used (legacy family,
+    * budget trip, or single-block terms). The DECISION observability
+    * twin of [[lastBoundedStats]]; the bytes win is measured by
+    * tools/BlockCost. */
+  @volatile private[graft] var lastBlockStats
+    : Option[(Int, Int, Int)] = None
+
+  /** BOUNDED scoring — batch MaxScore with per-block impact skipping
+    * (Turtle/Flood 1995; Ding/Suel 2011's block-max refinement — the
+    * Lucene serving optimizations the r15/r16 verdicts asked for):
+    * [[probeLexIndex]] reads the FULL posting list of every surviving
+    * term, and a common term just under the df cap is still a huge
+    * list at 100 TB. This probe reads, provably losslessly:
     *
     *  1. the SEED list — each query's highest-upper-bound term (the
     *     rarest, hence shortest, list): its k-th best single-term
     *     score is a valid LOWER bound θ on the final k-th score
     *     (every doc's final score ≥ any of its term scores — weights
-    *     are non-negative);
+    *     are non-negative). When the family carries block stamps
+    *     (`impacts` member), only the seed's TOP-IMPACT blocks are
+    *     read, enough to cover [[seedFloor]] rows: the k-th best
+    *     single-term score over ANY SUBSET of the list is still a
+    *     valid lower bound (top-k over a superset dominates), so
+    *     subsetting can only shrink θ — lossless, never wrong;
     *  2. the ESSENTIAL lists — terms outside the maximal low-bound
     *     suffix whose upper bounds sum below θ. A doc containing ONLY
     *     non-essential terms scores ≤ that sum < θ ≤ the final k-th
     *     score, so it can never enter the top k (strictly below, so
     *     no tiebreak can admit it) — candidates come from essential
     *     lists only, and the long low-impact lists are never read for
-    *     candidacy;
+    *     candidacy. WITH block stamps, essential lists additionally
+    *     skip whole blocks: block b of essential term t is read only
+    *     if blockUB(t, b) + Σ_{t′≠t} ub(t′) ≥ θ_q for SOME query q
+    *     having t essential (the per-tok union of kept doc_id ranges
+    *     is pushed into the (tok, doc_id)-sorted runs). Lossless:
+    *     every postings row is covered by the stamp written by the
+    *     mutation that landed it, so a doc read from NO kept range
+    *     has, for each of its essential terms t, w_t(d) ≤ its own
+    *     block's UB < θ_q − Σ_{t′≠t} ub(t′) — its total score is
+    *     strictly below θ_q and it can never enter the top k;
     *  3. the COMPLETION rows — every surviving term's rows for the
     *     candidate docs only, with the candidate ids pushed as
     *     `In(doc_id)` into the (tok, doc_id)-sorted postings (parquet
@@ -623,30 +752,52 @@ object LexIndex {
     *     holding no candidate — the measured bytes-read win).
     *
     * Upper bounds come from the maintained dictionary's impact stamps
-    * (dfcap ∪ deltas: exact df, max_tf, min_len — [[vocabFrame]]),
-    * evaluated through the SAME termWeightSql text BY Spark (so the
-    * bound is the engine's own arithmetic, not a reimplementation),
-    * padded by +2 on the ×10⁹ scale for the DECIMAL rounding. The df
-    * cap applies with the dictionary's exact df — the identical
-    * decision [[probeLexIndex]]'s recount makes — and the completion
-    * rows score with the same df/stats/weight text, so the output is
+    * (dfcap ∪ deltas: exact df, max_tf, min_len — [[vocabFrame]]) and
+    * the per-block `impacts` stamps, BOTH evaluated through the SAME
+    * termWeightSql text BY Spark (so every bound is the engine's own
+    * arithmetic, not a reimplementation), padded by +2 on the ×10⁹
+    * scale for the DECIMAL rounding. The df cap applies with the
+    * dictionary's exact df — the identical decision
+    * [[probeLexIndex]]'s recount makes — and the completion rows
+    * score with the same df/stats/weight text, so the output is
     * BIT-IDENTICAL to probeLexIndex's (the s65 hash row shares s31's
     * oracle family; LexIndexSpec pins equality on a skew fixture).
     * Falls back to [[probeLexIndex]] whenever a budget trips (term
-    * set, candidate set, index below the pushdown floor) — lossless
-    * either way. Plain serve only: filtered/candidacy variants ride
-    * [[probeLexIndex]]. */
+    * set, candidate set, index below the pushdown floor) or the
+    * family predates the maintained dictionary — lossless either way;
+    * a family without the `impacts` member runs the bounded probe
+    * WITHOUT block skipping (global bounds only).
+    *
+    * Candidacy legs (`candPred` — a DOC-level predicate over the
+    * candidate `doc_id` — `candPairs`, `exclPairs`) compose exactly as
+    * in [[probeLexIndex]]: all three are applied to the θ-seeding pass
+    * as well (θ must lower-bound the k-th CONSTRAINED score — a floor
+    * from an ineligible doc could prune eligible ones), to candidacy,
+    * and transitively to completion; statistics stay corpus-level, so
+    * every surviving score is bit-identical to its unconstrained value
+    * (the s39/s43/s46 argument — BooleanQuerySpec pins equality under
+    * every clause combination). */
   def probeLexIndexMaxScore(spark: SparkSession, name: String,
       queries: DataFrame, kEach: Int,
-      asOf: Option[Long] = None): DataFrame = {
+      asOf: Option[Long] = None,
+      candPred: Option[org.apache.spark.sql.Column] = None,
+      candPairs: Option[DataFrame] = None,
+      exclPairs: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     lastBoundedStats = None
+    lastBlockStats = None
+    def fullProbe() = probeLexIndex(spark, name, queries, kEach, asOf,
+      candPred, candPairs, exclPairs)
     val pt = member(spark, name, "postings", asOf)
     val st = member(spark, name, "stats", asOf)
     requireTokenizer(spark, Seq(pt, st))
     val postings0 = spark.table(pt)
     if (scanBytes(postings0) <= pushdownMinBytes(spark))
-      return probeLexIndex(spark, name, queries, kEach, asOf)
+      return fullProbe()
+    // legacy pre-dictionary family: the loud requireDictionary guard
+    // is for APPENDS — a scoring probe silently downgrades instead
+    // (r16 advice)
+    if (!hasDictionary(spark, name, asOf)) return fullProbe()
     val qt = Frontier.pin(queries.select(
         col(queries.columns.head).cast("long").as("qid"),
         explode(TextFunctions.tokens(col(queries.columns(1)))).as("tok"))
@@ -654,7 +805,7 @@ object LexIndex {
     val qPairs = qt.limit(ProbePushdownMax + 1).collect()
       .map(r => (r.getLong(0), r.getString(1)))
     if (qPairs.length > ProbePushdownMax)
-      return probeLexIndex(spark, name, queries, kEach, asOf)
+      return fullProbe()
     val nRow = spark.table(st)
       .agg(sum(col("n_docs")), sum(col("total_tokens"))).head()
     val (nDocs, totTok) = (nRow.getLong(0), nRow.getLong(1))
@@ -690,28 +841,111 @@ object LexIndex {
     if (byQid.isEmpty) return emptyResult
     val tomb = lexTombstones(spark, name)
       .map(t => broadcast(t.select(col("doc_id")).distinct()))
-    def candExcl(df: DataFrame) =
-      tomb.fold(df)(tt => df.join(tt, Seq("doc_id"), "left_anti"))
+    // the candidacy legs, normalized and PINNED once: θ-seeding,
+    // candidacy and completion all gate on them, and a
+    // nondeterministic pair frame re-evaluated between passes could
+    // otherwise make θ a floor over a different eligible set
+    val cpPin = candPairs.map(p => Frontier.pin(
+      p.select(col(p.columns.head).cast("long").as("qid"),
+        col(p.columns(1)).cast("long").as("doc_id")).distinct()))
+    val epPin = exclPairs.map(p => Frontier.pin(
+      p.select(col(p.columns.head).cast("long").as("qid"),
+        col(p.columns(1)).cast("long").as("doc_id")).distinct()))
+    // doc-level candidacy on raw postings rows (pre-qid): tombstones +
+    // the metadata filter — the same pre-shortlist position as the
+    // full probe's
+    def candExcl(df: DataFrame) = {
+      val a = tomb.fold(df)(tt => df.join(tt, Seq("doc_id"), "left_anti"))
+      candPred.fold(a)(a.filter)
+    }
     val dfFrame = broadcast(
       surviving.map(t => (t, vstats(t)._1)).toDF("tok", "df"))
     // per-(query, doc, term) scaled weight — summing these longs is
     // exactly the probe's (sum(DECIMAL) × 10⁹) (the explainHits
-    // identity), so totals are bit-identical
-    def scoredOf(rows: DataFrame, pairs: DataFrame) = rows
-      .join(broadcast(pairs), "tok")
-      .filter(col("doc_id") =!= col("qid"))
+    // identity), so totals are bit-identical. Pair-level candidacy
+    // applies right after the qid join — the earliest point qid exists
+    def pairGate(df: DataFrame) = {
+      val a = cpPin.fold(df)(p =>
+        df.join(broadcast(p), Seq("qid", "doc_id"), "left_semi"))
+      epPin.fold(a)(p =>
+        a.join(broadcast(p), Seq("qid", "doc_id"), "left_anti"))
+    }
+    def scoredOf(rows: DataFrame, pairs: DataFrame) =
+      pairGate(rows
+        .join(broadcast(pairs), "tok")
+        .filter(col("doc_id") =!= col("qid")))
       .join(dfFrame, "tok")
       .withColumn("n_docs", lit(nDocs))
       .withColumn("total_tokens", lit(totTok))
       .withColumn("ws", (expr(HybridRetrieval.termWeightSql)
         .cast(DecimalType(18, 9)) * 1000000000L).cast("long"))
+    // ---- block stamps: per-(tok, block) (doc range, rows, UB) --------
+    // collected bounded; the UBs ride the same engine-text evaluation
+    // as `ub`. Empty map = no skipping (legacy family / budget trip) —
+    // the probe is lossless either way, stamps only remove reads.
+    val stamps: Map[String, Seq[(Long, Long, Long, Long)]] = {
+      val it = member(spark, name, "impacts", asOf)
+      if (!spark.sessionState.catalog.tableExists(parse(spark, it)))
+        Map.empty
+      else {
+        val raw = spark.table(it)
+          .filter(col("tok").isin(surviving.map(x => x: Any): _*))
+          .select(col("tok"), col("doc_lo"), col("doc_hi"),
+            col("n_rows"), col("max_tf"), col("min_len"))
+          .limit(ImpactsMax + 1).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5)))
+        if (raw.length > ImpactsMax || raw.isEmpty) Map.empty
+        else {
+          val ubs = raw.toSeq.zipWithIndex
+            .map { case ((t, _, _, _, mtf, mln), i) =>
+              (i, mtf, mln, vstats(t)._1, nDocs, totTok) }
+            .toDF("i", "tf", "len", "df", "n_docs", "total_tokens")
+            .withColumn("w", expr(HybridRetrieval.termWeightSql))
+            .select("i", "w").collect()
+            .map(r => r.getInt(0) ->
+              (math.ceil(r.getDouble(1) * 1e9).toLong + 2L)).toMap
+          raw.toSeq.zipWithIndex
+            .map { case ((t, lo, hi, n, _, _), i) => (t, (lo, hi, n, ubs(i))) }
+            .groupBy(_._1).map { case (t, bs) => t -> bs.map(_._2) }
+        }
+      }
+    }
+    def rangePred(t: String, rs: Seq[(Long, Long)]) =
+      col("tok") === t &&
+        rs.map { case (lo, hi) => col("doc_id").between(lo, hi) }
+          .reduce(_ || _)
     // ---- pass 1: θ from each query's seed (highest-ub) term ---------
     val seedPairs = byQid.toSeq
       .map { case (q, ts) => (q, ts.maxBy(t => (ub(t), t))) }
     val seedToks = seedPairs.map(_._2).distinct
+    // block-subset the seed reads: per seed term, the top-blockUB
+    // stamped ranges covering at least seedFloor rows (θ over a
+    // subset is still a valid lower bound — see the scaladoc). A term
+    // whose selection would cover the whole list reads it plainly.
+    val seedFloor = math.max(kEach * 4, 256).toLong
+    val seedSel: Map[String, Seq[(Long, Long)]] = seedToks.flatMap { t =>
+      stamps.get(t).flatMap { bs =>
+        val sorted = bs.sortBy(b => (-b._4, b._1))
+        var acc = 0L
+        var n = 0
+        while (n < sorted.length && acc < seedFloor) {
+          acc += sorted(n)._3; n += 1
+        }
+        if (n >= sorted.length) None
+        else Some(t -> sorted.take(n).map(b => (b._1, b._2)))
+      }
+    }.toMap
+    val nSeedRanges = seedSel.valuesIterator.map(_.length).sum
+    val seedScan0 = postings0
+      .filter(col("tok").isin(seedToks.map(x => x: Any): _*))
+    val seedScan =
+      if (seedSel.isEmpty || nSeedRanges > RangesMax) seedScan0
+      else postings0.filter(seedToks.map { t =>
+        seedSel.get(t).fold(col("tok") === t)(rangePred(t, _))
+      }.reduce(_ || _))
     val pass1 = scoredOf(
-      candExcl(postings0
-        .filter(col("tok").isin(seedToks.map(x => x: Any): _*))
+      candExcl(seedScan
         .select(col("tok"), col("doc_id"), col("tf"), col("len"))),
       seedPairs.toDF("qid", "tok"))
     val theta: Map[Long, Long] = Similarity.topKPerQueryLong(
@@ -736,21 +970,69 @@ object LexIndex {
         }
     }
     // ---- pass 2a: candidates from the essential lists only ----------
+    // with stamps: per essential term the union (over its queries) of
+    // kept block ranges — a block is kept for q iff
+    // blockUB + Σ_{t′≠t} ub(t′) ≥ θ_q (see the scaladoc's losslessness
+    // argument); a query without θ keeps everything
     val essToks = essPairs.map(_._2).distinct
-    val candidates = candExcl(postings0
-        .filter(col("tok").isin(essToks.map(x => x: Any): _*))
-        .select(col("tok"), col("doc_id")))
-      .join(broadcast(essPairs.toDF("qid", "tok")), "tok")
-      .filter(col("doc_id") =!= col("qid"))
+    val sumUb: Map[Long, Long] =
+      byQid.map { case (q, ts) => q -> ts.map(ub).sum }
+    val essByTok = essPairs.groupBy(_._2)
+      .map { case (t, qs) => t -> qs.map(_._1) }
+    // per-tok skip threshold: the MINIMUM need over its queries (most
+    // permissive) — one pushed range set per term, lossless for all
+    val essSel: Map[String, Option[Seq[(Long, Long)]]] =
+      if (stamps.isEmpty) essToks.map(t => t -> None).toMap
+      else essToks.map { t =>
+        val needs = essByTok(t).map { q =>
+          theta.get(q).fold(Long.MinValue)(th => th - (sumUb(q) - ub(t)))
+        }
+        val need = needs.min
+        t -> (if (need <= 0L) None
+              else stamps.get(t).map(_.filter(_._4 >= need)
+                .map(b => (b._1, b._2))))
+      }.toMap
+    val nEssTotal = essToks.flatMap(stamps.get(_)).map(_.length).sum
+    val nEssKept = essToks.map(t => essSel(t) match {
+      case None => stamps.get(t).map(_.length).getOrElse(0)
+      case Some(rs) => rs.length
+    }).sum
+    val nEssRanges = essSel.valuesIterator.flatMap(_.map(_.length)).sum
+    if (stamps.nonEmpty)
+      lastBlockStats = Some((
+        if (seedSel.isEmpty || nSeedRanges > RangesMax) 0 else nSeedRanges,
+        nEssKept, nEssTotal))
+    val essScan0 = postings0
+      .filter(col("tok").isin(essToks.map(x => x: Any): _*))
+    val essScan =
+      if (stamps.isEmpty || nEssRanges > RangesMax ||
+          essSel.valuesIterator.forall(_.isEmpty)) essScan0
+      else {
+        val preds = essToks.flatMap { t =>
+          essSel(t) match {
+            case None => Some(col("tok") === t)
+            case Some(Nil) => None // every block skipped: no rows
+            case Some(rs) => Some(rangePred(t, rs))
+          }
+        }
+        if (preds.isEmpty) essScan0.filter(lit(false))
+        else postings0.filter(preds.reduce(_ || _))
+      }
+    val candidates = pairGate(
+        candExcl(essScan.select(col("tok"), col("doc_id")))
+          .join(broadcast(essPairs.toDF("qid", "tok")), "tok")
+          .filter(col("doc_id") =!= col("qid")))
       .select("qid", "doc_id").distinct()
-    val candPairs = candidates.limit(CandidatesMax + 1).collect()
+    val candCollected = candidates.limit(CandidatesMax + 1).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    if (candPairs.length > CandidatesMax)
-      return probeLexIndex(spark, name, queries, kEach, asOf)
+    if (candCollected.length > CandidatesMax) {
+      lastBlockStats = None // a fallback ran: no bounded read happened
+      return fullProbe()
+    }
     lastBoundedStats = Some((surviving.length, essPairs.length,
-      byQid.values.map(_.length).sum, candPairs.length))
-    if (candPairs.isEmpty) return emptyResult
-    val candDocs = candPairs.map(_._2).distinct.toSeq
+      byQid.values.map(_.length).sum, candCollected.length))
+    if (candCollected.isEmpty) return emptyResult
+    val candDocs = candCollected.map(_._2).distinct.toSeq
     // ---- pass 2b: complete the candidates over ALL surviving terms --
     // (the In(doc_id) is what the (tok, doc_id) sort prunes by)
     val rows2 = postings0
@@ -759,7 +1041,7 @@ object LexIndex {
       .select(col("tok"), col("doc_id"), col("tf"), col("len"))
     val scored2 = scoredOf(rows2,
         qPairs.filter(p => ub.contains(p._2)).toSeq.toDF("qid", "tok"))
-      .join(broadcast(candPairs.toSeq.toDF("qid", "doc_id")),
+      .join(broadcast(candCollected.toSeq.toDF("qid", "doc_id")),
         Seq("qid", "doc_id"), "left_semi")
     val agg = scored2.groupBy("qid", "doc_id")
       .agg(sum(col("ws")).as("lex_scaled"))
@@ -1260,8 +1542,9 @@ object LexIndex {
     * tombstone and compaction). Like df everywhere, the dictionary is
     * a CORPUS statistic: tombstoned docs count until compaction.
     * `asOf` reads a frozen generation's dictionary (its dfcap plus the
-    * deltas that landed while it was current). */
-  /** `tokFilter`: an optional predicate over `tok` pushed into BOTH
+    * deltas that landed while it was current).
+    *
+    * `tokFilter`: an optional predicate over `tok` pushed into BOTH
     * member scans (sorted tok runs → row-group pruning) — the prefix
     * surfaces pass their startsWith disjunction here. Spelled as a
     * join of the two members rather than a union-then-aggregate: a

@@ -428,6 +428,20 @@ object StreamingNightlyIngest extends org.apache.spark.internal.Logging {
     * the deliberate price of one-night visibility; batch revisions
     * together and the cost is one compaction per family per night.
     *
+    * FAILURE SEMANTICS of a replace (r16 advice): revisions are
+    * PRE-FILTERED through the quality predicate BEFORE the old
+    * versions are purged — a re-crawl whose new text fails the gate is
+    * REFUSED (the old version stays live and retrievable), never a
+    * silent takedown. Downstream admission can still drop the new
+    * version — dedup (the revised text now collides with another doc)
+    * or budget exhaustion — and THOSE failures do delete the document
+    * for the night: both are corpus-level decisions unknowable before
+    * the purge (dedup's history probe must not see the old version;
+    * budget is a global scan), and keeping the old version after its
+    * physical purge would need an un-erasure no artifact supports.
+    * Operators wanting replace-or-keep under dedup/budget must stage
+    * revisions through a dry-run night.
+    *
     * Replay convergence: every link in the replace chain is already
     * idempotent (tombstone add is distinct-merged, the compactions
     * purge-or-no-op, allowReingest subtracts, the appends are fenced),
@@ -446,8 +460,15 @@ object StreamingNightlyIngest extends org.apache.spark.internal.Logging {
       d.select(col(d.columns.head).cast("long").as("doc_id")).distinct()))
     // 0. the REPLACE: purge the revised docs' OLD versions from every
     //    artifact before the night's admission path runs (see the
-    //    scaladoc above), then fold the new versions into the batch
-    val revs = revisions.map(Frontier.pin(_))
+    //    scaladoc above), then fold the new versions into the batch.
+    //    Pre-filtered through the SAME quality predicate as step 1
+    //    (r16 advice): a revision whose new text would fail the gate
+    //    is refused — its old version must stay live, so it must not
+    //    reach the purge. The predicate is a pure per-row function of
+    //    the revision, so replays converge identically.
+    val revs = revisions.map(rv => Frontier.pin(rv
+      .filter(length(trim(col("text"))) > 0)
+      .filter(TextFunctions.quality(col("text"), col("n_chars")) >= 0.5)))
     revs.foreach { rv =>
       val revIds = Frontier.pin(rv.select(col("doc_id").cast("long")
         .as("doc_id")).distinct())

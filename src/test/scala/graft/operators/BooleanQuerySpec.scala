@@ -83,10 +83,67 @@ class BooleanQuerySpec extends SparkSpec {
       val combo = s"must=$useMust should=$useShould not=$useNot " +
         s"filter=$useFilter"
       assert(got == want, s"API != hand-wired at $combo")
+      // the BOUNDED serve (MaxScore with candidacy legs) must be
+      // bit-identical under every clause combination — θ is seeded
+      // from the CONSTRAINED list, so the equality here is the
+      // lossless-under-candidacy proof the r16 verdict asked for
+      // (forced pushdown floor so the bounded path actually runs)
+      val min0 = spark.conf.get(LexIndex.PushdownMinBytesConf, null)
+      val gotB = try {
+        spark.conf.set(LexIndex.PushdownMinBytesConf, "0")
+        rows(BooleanQuery.search(spark, name, queries, 10, clauses,
+          bounded = true))
+      } finally {
+        if (min0 == null) spark.conf.unset(LexIndex.PushdownMinBytesConf)
+        else spark.conf.set(LexIndex.PushdownMinBytesConf, min0)
+      }
+      assert(gotB == want, s"bounded API != hand-wired at $combo")
       if (got.nonEmpty) nontrivial += 1
     }
     // the lattice walk proved something: most combos return hits
     assert(nontrivial >= 12, s"fixture too degenerate: $nontrivial/16")
+    LexIndex.destroy(spark, name)
+  }
+
+  test("positive clauses intersect PER QUERY: a qid absent from one " +
+      "clause frame is constrained only by the frames that mention it") {
+    val name = "graft_t_bqqid"
+    LexIndex.destroy(spark, name)
+    LexIndex.writeLexIndex(docs, name, numBuckets = 4)
+    // must covers qids {0, 1}; should covers qids {1, 2} — under the
+    // old frame-wise inner join, qids 0 and 2 vanished entirely
+    val mustP = mustFrame.filter(col("qid") < 2)
+    val shouldP = shouldFrame.filter(col("qid") >= 1 && col("qid") < 3)
+    val r = BooleanQuery.resolve(spark, name, BooleanQuery.Clauses(
+      must = Some(mustP), should = Some(shouldP), minShould = 2))
+    val got = r.candPairs.get.collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val pm = LexIndex.probePhrase(spark, name, mustP
+        .select(col("qid").as("phrase_id"), col("phrase")))
+      .select(col("phrase_id").cast("long").as("qid"), col("doc_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val sm = LexIndex.probeShould(spark, name, shouldP, minMatch = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val want = pm.filter(_._1 == 0L) ++
+      (pm.filter(_._1 == 1L) intersect sm.filter(_._1 == 1L)) ++
+      sm.filter(_._1 == 2L)
+    assert(got == want, s"${got.size} vs ${want.size}")
+    // the semantics genuinely bite: both single-clause qids matched
+    assert(want.exists(_._1 == 0L) && want.exists(_._1 == 2L),
+      "fixture degenerate: a single-clause qid matched nothing")
+    // a qid present in a clause INPUT frame whose probe matched
+    // nothing still requires that clause: give qid 0 an unmatchable
+    // must phrase — it must match NO docs even though should covers it
+    import spark.implicits._
+    val r2 = BooleanQuery.resolve(spark, name, BooleanQuery.Clauses(
+      must = Some(Seq((0L, "zzzz-no-such-token qqqq")).toDF("qid", "phrase")),
+      should = Some(shouldP.unionByName(
+        shouldFrame.filter(col("qid") === 0))), minShould = 2))
+    val got2 = r2.candPairs.get.collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(!got2.exists(_._1 == 0L),
+      "an unmatched MUST clause stopped binding its qid")
+    assert(got2.exists(_._1 == 2L), "should-only qid lost")
     LexIndex.destroy(spark, name)
   }
 

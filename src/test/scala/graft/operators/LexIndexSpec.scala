@@ -115,8 +115,26 @@ class LexIndexSpec extends SparkSpec {
     maintained == fromPostings
   }
 
-  test("append replay converges across all three partial-crash windows") {
-    for (fp <- Seq("after-postings", "after-doclen", "after-vocab")) {
+  /** The block-skipping losslessness precondition: every postings row
+    * has at least one covering stamp that dominates it (same tok,
+    * doc_id inside the stamped range, max_tf ≥ tf, min_len ≤ len) —
+    * a dropped row's own block must bound its weight from above. */
+  private def stampsCover(name: String): Boolean = {
+    val post = spark.table(Generations.resolve(spark, name, "postings"))
+      .select("tok", "doc_id", "tf", "len")
+    val st = spark.table(Generations.resolve(spark, name, "impacts"))
+    post.as("p").join(st.as("s"),
+        col("p.tok") === col("s.tok") &&
+          col("p.doc_id").between(col("s.doc_lo"), col("s.doc_hi")) &&
+          col("s.max_tf") >= col("p.tf") &&
+          col("s.min_len") <= col("p.len"),
+        "left_anti")
+      .isEmpty
+  }
+
+  test("append replay converges across all four partial-crash windows") {
+    for (fp <- Seq("after-postings", "after-doclen", "after-vocab",
+        "after-impacts")) {
       LexIndex.destroy(spark, "graft_t_lexc")
       LexIndex.destroy(spark, "graft_t_lexr")
       val base = docs.filter(col("doc_id") < 200)
@@ -150,6 +168,13 @@ class LexIndexSpec extends SparkSpec {
       // windows' replays must write it) — df would double otherwise
       assert(dictConsistent("graft_t_lexr"),
         s"dictionary diverged from postings after crash at $fp")
+      // every landed row is covered by a dominating stamp on BOTH the
+      // clean and the replayed family — the after-postings window is
+      // the one where rows land before their stamps; its replay must
+      // close the gap (and after-impacts' replay must not double-stamp
+      // in a way that stops dominating — superset stamps are fine)
+      assert(stampsCover("graft_t_lexr"),
+        s"a postings row lost stamp coverage after crash at $fp")
     }
   }
 
@@ -762,6 +787,82 @@ class LexIndexSpec extends SparkSpec {
     } finally {
       if (min0 == null) spark.conf.unset(LexIndex.PushdownMinBytesConf)
       else spark.conf.set(LexIndex.PushdownMinBytesConf, min0)
+    }
+  }
+
+  test("per-block impact stamps: lossless block skipping on a spiky " +
+      "list (θ from top blocks, essential blocks pruned), stamps " +
+      "re-walked through append and compaction") {
+    import spark.implicits._
+    val name = "graft_t_lexbm"
+    val min0 = spark.conf.get(LexIndex.PushdownMinBytesConf, null)
+    val blk0 = spark.conf.get(LexIndex.ImpactBlockRowsConf, null)
+    try {
+      spark.conf.set(LexIndex.PushdownMinBytesConf, "0")
+      spark.conf.set(LexIndex.ImpactBlockRowsConf, "32")
+      LexIndex.destroy(spark, name)
+      // SPIKY fixture (the BMW regime): `bulk` sits in 60% of docs —
+      // low idf but a df-cap survivor — with tf=1 in long docs except
+      // ten short high-tf docs at the low end of the doc_id order, so
+      // in (doc_id-ordered) blocks of 32 exactly the first block(s)
+      // carry a high impact bound and every other block's upper bound
+      // sits far below θ
+      val spiky = spark.range(1000).select(col("id").as("doc_id"),
+        when(col("id") < 10, lit("bulk bulk bulk bulk"))
+          .otherwise(concat(
+            when(col("id") % 5 < 3, lit("bulk ")).otherwise(lit("")),
+            lit("filler"), col("id").cast("string"),
+            lit(" pad alpha beta gamma delta epsilon zeta eta theta")))
+          .as("text"))
+      LexIndex.writeLexIndex(spiky, name, numBuckets = 4)
+      assert(stampsCover(name), "fresh build: a row has no stamp")
+      val q = Seq((7777777L, "bulk")).toDF("doc_id", "text")
+      def run(k: Int) = {
+        val f = LexIndex.probeLexIndex(spark, name, q, kEach = k)
+          .collect().map(_.toString).sorted
+        val b = LexIndex.probeLexIndexMaxScore(spark, name, q, kEach = k)
+          .collect().map(_.toString).sorted
+        assert(b.sameElements(f), s"bounded != full at k=$k")
+        assert(f.nonEmpty, "fixture vacuous")
+      }
+      run(3)
+      val Some((seedRanges, kept, total)) = LexIndex.lastBlockStats
+      assert(total > 5, s"fixture produced too few blocks: $total")
+      assert(kept < total,
+        s"block skipping never fired: $kept of $total stamps kept")
+      assert(seedRanges > 0, "seed subsetting never fired")
+      // append ten MORE spiky docs at the high end: their stamps land
+      // as the batch's own blocks; the bounded probe must pick them up
+      // (new top-k members live in appended blocks — a stale stamp
+      // view would lose them, flipping equality)
+      LexIndex.appendToLexIndex(
+        spark.range(10).select((col("id") + 900000L).as("doc_id"),
+          lit("bulk bulk bulk bulk bulk").as("text")),
+        name, batchId = "bm1")
+      assert(stampsCover(name), "after append: a row has no stamp")
+      run(3)
+      // tombstone a spiky doc: candidacy exclusion must hold on the
+      // block-skipped path too (θ from eligible docs only)
+      LexIndex.tombstoneLex(spark, name, Seq(0L).toDF("doc_id"))
+      run(3)
+      // compaction consolidates stamps exactly over the survivors
+      LexIndex.compactLexIndex(spark, name)
+      assert(stampsCover(name), "after compaction: a row has no stamp")
+      run(3)
+      // candidacy legs ride the block-skipped path bit-identically
+      val fF = LexIndex.probeLexIndex(spark, name, q, kEach = 3,
+          candPred = Some(col("doc_id") % 2 === 0))
+        .collect().map(_.toString).sorted
+      val bF = LexIndex.probeLexIndexMaxScore(spark, name, q, kEach = 3,
+          candPred = Some(col("doc_id") % 2 === 0))
+        .collect().map(_.toString).sorted
+      assert(bF.sameElements(fF), "bounded != full under candPred")
+      LexIndex.destroy(spark, name)
+    } finally {
+      if (min0 == null) spark.conf.unset(LexIndex.PushdownMinBytesConf)
+      else spark.conf.set(LexIndex.PushdownMinBytesConf, min0)
+      if (blk0 == null) spark.conf.unset(LexIndex.ImpactBlockRowsConf)
+      else spark.conf.set(LexIndex.ImpactBlockRowsConf, blk0)
     }
   }
 

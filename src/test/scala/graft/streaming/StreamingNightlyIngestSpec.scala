@@ -529,6 +529,47 @@ class StreamingNightlyIngestSpec extends SparkSpec {
     LexIndex.destroy(spark, "graft_sni_upd_twin")
   }
 
+  test("a revision failing the quality gate is REFUSED: the old version " +
+      "stays live instead of being silently deleted") {
+    import graft.operators.LexIndex
+    val corpus = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .filter(col("doc_id") < 30).localCheckpoint()
+    val arts = mkArts("revq")
+    reset(arts, corpus)
+    val lexN = StreamingNightlyIngest.lexName(arts)
+    LexIndex.writeLexIndex(corpus.select(col("doc_id"), col("text")),
+      lexN, numBuckets = 4)
+    def embed(df: DataFrame): DataFrame =
+      df.withColumn("embedding", StreamingNightlyIngest.synthEmbedding)
+    val oldText = corpus.filter(col("doc_id") === 21L).head().getString(1)
+    // doc 20's revision passes the gate; doc 21's new crawl is blank —
+    // the gate must refuse the REPLACE, not just drop the new text
+    val revs = Seq(
+      NightDoc(20L, "revised doc twenty with replacement vocabulary " +
+        "zorkq yonder quill ember warden", "en", 70L),
+      NightDoc(21L, "   ", "en", 3L))
+    StreamingNightlyIngest.nightStep(arts,
+      embed(Seq.empty[NightDoc].toDF()), budget = 100000L, salt = "revq",
+      batchId = 7, revisions = Some(embed(revs.toDF())))
+    val queries = Seq((9000000000L, oldText),
+        (9000000001L, "zorkq yonder quill ember warden"))
+      .toDF("doc_id", "text").localCheckpoint()
+    val got = LexIndex.probeLexIndex(spark, lexN, queries, kEach = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((9000000000L, 21L)),
+      "doc 21's OLD version stopped being retrievable — the failing " +
+        "revision deleted it instead of being refused")
+    assert(got.contains((9000000001L, 20L)),
+      "the passing revision did not replace doc 20")
+    // no registry bar, no corpus hole for the refused revision
+    assert(StreamingNightlyIngest.deletedIds(spark, arts).isEmpty,
+      "the refused revision left a durable re-entry bar")
+    assert(StreamingNightlyIngest.corpus(spark, arts)
+      .filter(col("vec_id") === 21L).count() == 1L,
+      "the refused revision purged doc 21's vector")
+  }
+
   test("allowReingest refuses while an index is only tombstoned (pre-compaction)") {
     val corpus = Tables(spark, sf, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
