@@ -355,6 +355,75 @@ object HybridRetrieval {
       .select(col("qid").as("doc_id"), col("text"))
   }
 
+  /** The rules of a synonym table fired against each query's token
+    * SEQUENCE — the multi-token-LHS half of Lucene's
+    * SynonymGraphFilter ([[expandQueries]] is term→term only; synonyms
+    * are phrases: "new york" ↔ "nyc"). A rule fires for a query iff
+    * its LHS token sequence occurs as a CONTIGUOUS run of the query's
+    * tokens — sequence, not set: "scan slow" does not fire on a query
+    * containing "slow … scan". Output (qid, term, synonym), one row
+    * per fired (query, rule).
+    *
+    * Detection is an EQUI-join, never a nested loop: the query tokens
+    * posexplode once, rules broadcast and join on their FIRST LHS
+    * token, and one array-slice comparison verifies the full run —
+    * work ∝ query tokens × rules-sharing-a-first-token, all
+    * query-sized. Overlapping LHS matches all fire independently
+    * (Lucene's graph semantics; the expansion is a set union, so
+    * overlap order can never make the result nondeterministic). */
+  def firedSynonyms(queries: DataFrame, synonyms: DataFrame): DataFrame = {
+    val q = queries.select(col(queries.columns.head).as("qid"),
+      tokens(col(queries.columns(1))).as("tks"))
+    val rules = synonyms.select(col(synonyms.columns.head).as("term"),
+        col(synonyms.columns(1)).as("synonym"))
+      .distinct()
+      .withColumn("ltk", tokens(col("term")))
+      .withColumn("l0", element_at(col("ltk"), 1))
+    q.select(col("qid"), col("tks"),
+        posexplode(col("tks")).as(Seq("p", "tok")))
+      .join(broadcast(rules), col("tok") === col("l0"))
+      .filter(expr("slice(tks, p + 1, size(ltk)) = ltk"))
+      .select(col("qid"), col("term"), col("synonym"))
+      .distinct()
+  }
+
+  /** SYNONYM-GRAPH query expansion (the r16 ask — [[expandQueries]]
+    * generalized to multi-token rules): every fired rule's RHS tokens
+    * join the query's term set; unmatched queries pass through
+    * untouched. Output (doc_id, text) — the probe input shape, exactly
+    * [[expandQueries]]'s contract (and byte-identical to it when every
+    * LHS is a single token). A multi-token RHS contributes its tokens
+    * as individual scoring terms here — the standard graph-filter
+    * scoring approximation; callers needing the RHS to match as an
+    * exact phrase feed [[synonymPhrases]] to [[graft.operators
+    * .BooleanQuery]] / [[graft.operators.LexIndex.probePhrase]]
+    * alongside. Scale shape: query-sized throughout (one posexplode of
+    * the query tokens, broadcast rules, one per-query aggregation). */
+  def expandQueriesGraph(queries: DataFrame,
+      synonyms: DataFrame): DataFrame = {
+    val qt = queries.select(col(queries.columns.head).as("qid"),
+      explode(tokens(col(queries.columns(1)))).as("tok")).distinct()
+    val fired = firedSynonyms(queries, synonyms)
+      .select(col("qid"), explode(tokens(col("synonym"))).as("tok"))
+    qt.unionByName(fired)
+      .groupBy("qid")
+      .agg(concat_ws(" ", sort_array(collect_set(col("tok")))).as("text"))
+      .select(col("qid").as("doc_id"), col("text"))
+  }
+
+  /** The fired rules whose RHS is itself a phrase, as (qid, phrase)
+    * rows — Lucene's graph-side output position: "nyc" → "new york"
+    * must match the CONTIGUOUS run, not the token set. Feed these to
+    * [[graft.operators.LexIndex.probePhrase]] (whose (phrase_id,
+    * phrase) keying [[graft.operators.BooleanQuery]] already adapts)
+    * and OR the containment pairs into candidacy — the phrase-exact
+    * half of the synonym serve. */
+  def synonymPhrases(queries: DataFrame, synonyms: DataFrame): DataFrame =
+    firedSynonyms(queries, synonyms)
+      .filter(size(tokens(col("synonym"))) >= 2)
+      .select(col("qid"), col("synonym").as("phrase"))
+      .distinct()
+
   /** Chunk-id packing stride: a chunk's id is
     * `doc_id · ChunkStride + chunk_idx + offset`, injective over
     * (doc_id, chunk_idx) iff chunk_idx < ChunkStride — [[chunkDocs]]

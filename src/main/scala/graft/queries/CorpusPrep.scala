@@ -452,7 +452,11 @@ object CorpusPrep {
     val queries0 = docs.filter(col("doc_id") < 8)
       .select(col("doc_id"), col("text"))
     val queries = extraQueries.fold(queries0)(queries0.unionByName(_))
-    val lex = graft.operators.LexIndex.probeLexIndex(s,
+    // the lexical leg rides the BOUNDED scorer (r16 ask: MaxScore in
+    // the production serve paths end to end) — bit-identical output,
+    // bounded reads at scale; below the pushdown floor it IS the full
+    // probe, so the fixture-scale hash rows are untouched
+    val lex = graft.operators.LexIndex.probeLexIndexMaxScore(s,
       StreamingNightlyIngest.lexName(arts), queries, kEach = 20,
       asOf = asOfLex)
     val qv = queries.select(col("doc_id"))

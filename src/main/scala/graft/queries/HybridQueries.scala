@@ -233,7 +233,11 @@ object HybridQueries {
           "graft_s38_lex")
         AnnIndex.writeAnnIndex(
           emb.select(col("vec_id"), col("embedding")), "graft_s38_ann")
-        val lex = LexIndex.probeLexIndex(s, "graft_s38_lex",
+        // the production serve posture (r16 ask): the lexical leg asks
+        // the BOUNDED scorer, which self-selects — full probe below
+        // the pushdown floor, block-max MaxScore at scale — always
+        // bit-identical, so the oracle is unchanged
+        val lex = LexIndex.probeLexIndexMaxScore(s, "graft_s38_lex",
           queriesOf(docs), KEach)
         val vec = AnnIndex.probeAnnIndex(s, "graft_s38_ann", emb,
             expr("vec_id < 8"), k = KEach)
@@ -817,38 +821,8 @@ object HybridQueries {
     // and text agree by construction). The matches frame is pinned:
     // BOTH the candidacy semi-join and the snippet join consume it.
     Q("s54_search_page",
-      (s, dir) => {
-        val docs = Tables(s, dir, "documents")
-        val name = "graft_s54_lex"
-        LexIndex.writeLexIndex(docs.select(col("doc_id"), col("text")),
-          name)
-        val pm = graft.operators.Frontier.pin(
-          LexIndex.probePhrase(s, name, phrasesOf(docs))
-            .select(col("phrase_id").as("qid"), col("doc_id"),
-              col("first_pos")))
-        val ranked = LexIndex.probeLexIndex(s, name, queriesOf(docs),
-          KEach, candPairs = Some(pm.select("qid", "doc_id")))
-        val hits = ranked.join(pm, Seq("qid", "doc_id"))
-        HybridRetrieval.snippets(hits,
-            docs.select(col("doc_id"), col("text")),
-            phraseLen = 2, ctx = 3)
-          .select("qid", "doc_id", "lex_rank", "lex_scaled", "snippet")
-          .orderBy("qid", "lex_rank")
-      },
-      Some(s"""WITH ${phraseCtes(None)},
-        ${HybridRetrieval.lexicalOracleCtes("documents", "doc_id < 8",
-          KEach, candPairCte = Some("pm"))}
-        SELECT l.qid, l.doc_id, l.lex_rank, l.lex_scaled,
-          array_to_string(
-            list_slice(tk, greatest(p.first_pos + 1 - 3, 1), p.first_pos)
-            || ['«' || array_to_string(
-                 list_slice(tk, p.first_pos + 1, p.first_pos + 2), ' ')
-               || '»']
-            || list_slice(tk, p.first_pos + 3,
-                 least(p.first_pos + 5, len(tk))), ' ') AS snippet
-        FROM lex l JOIN pm p ON p.qid = l.qid AND p.doc_id = l.doc_id
-          JOIN dt ON dt.doc_id = l.doc_id
-        ORDER BY l.qid NULLS FIRST, l.lex_rank NULLS FIRST""")),
+      (s, dir) => searchPage(s, dir, "graft_s54_lex", bounded = false),
+      Some(SearchPageOracle)),
 
     // ---- s55: FIELDED search — BM25F by the integer-weight reduction
     // Multi-field relevance (title²+body, the Lucene combined_fields
@@ -1436,7 +1410,127 @@ object HybridQueries {
         ${HybridRetrieval.lexicalOracleCtes("documents", "doc_id < 8",
           KEach, qtSql = Some("SELECT qid, tok FROM exq"))}
         SELECT qid, doc_id, lex_rank, lex_scaled FROM lex
-        ORDER BY qid NULLS FIRST, lex_rank NULLS FIRST""")))
+        ORDER BY qid NULLS FIRST, lex_rank NULLS FIRST""")),
+
+    // ---- s68: the COMPOSED bounded serve — the search page through --
+    // MaxScore. s54's full result-page shape (phrase-MUST candidacy,
+    // BM25 ranking, highlighted snippets) with the ranking leg served
+    // by the BOUNDED scorer (block-max MaxScore, forced past the
+    // pushdown floor at fixture scale): θ seeds from the
+    // phrase-CONSTRAINED list, candidacy/completion gate on the same
+    // pairs, and the row shares s54's ORACLE TEXT — a θ floor drawn
+    // from an ineligible doc, a dropped constrained candidate, or a
+    // stamp bound that under-estimated all flip the hash.
+    Q("s68_bounded_search_page",
+      (s, dir) => searchPage(s, dir, "graft_s68_lex", bounded = true),
+      Some(SearchPageOracle)),
+
+    // ---- s69: SYNONYM GRAPH — multi-token rules on the token SEQUENCE
+    // Lucene's SynonymGraphFilter proper (s67's expandQueries is
+    // term→term): rules with phrase LHS fire only when the LHS occurs
+    // as a CONTIGUOUS run of the query's tokens. The fixture pins all
+    // three contract points in one hash: "scan slow"→vector fires on
+    // the query containing that exact run; the DECOY "slow scan"→merge
+    // must NOT fire even though both tokens are present as a set (a
+    // set-detection bug gains `merge` and flips the hash); "sort
+    // hash"→"order column" carries a multi-token RHS whose tokens join
+    // the term set. Detection is an equi-join on the LHS's first token
+    // + one array-slice compare — query-sized, never a nested loop.
+    // Oracle: an independent bigram-string spelling of the sequence
+    // match feeding the proven scorer text through the qt override.
+    Q("s69_synonym_graph_serve",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val name = "graft_s69_lex"
+        LexIndex.writeLexIndex(docs.select(col("doc_id"), col("text")),
+          name)
+        val syn = Seq(("big", "small"), ("scan slow", "vector"),
+          ("slow scan", "merge"), ("sort hash", "order column"))
+          .toDF("term", "synonym")
+        val expanded = HybridRetrieval.expandQueriesGraph(
+          queriesOf(docs), syn)
+        LexIndex.probeLexIndex(s, name, expanded, KEach)
+          .orderBy("qid", "lex_rank")
+      },
+      Some(s"""WITH syn1 AS MATERIALIZED (
+          SELECT 'big' AS term, 'small' AS synonym),
+        syn2 AS MATERIALIZED (
+          SELECT 'scan slow' AS term, 'vector' AS synonym
+          UNION ALL SELECT 'slow scan', 'merge'
+          UNION ALL SELECT 'sort hash', 'order column'),
+        dtq AS MATERIALIZED (SELECT doc_id AS qid,
+            ${graft.functions.TextFunctions.sqlTokens("text")} AS tk
+          FROM documents WHERE doc_id < 8),
+        qbig AS MATERIALIZED (SELECT qid, tk[i] || ' ' || tk[i + 1] AS bg
+          FROM (SELECT qid, tk, unnest(range(1, len(tk))) AS i FROM dtq)),
+        fired AS MATERIALIZED (
+          SELECT q.qid, s.synonym FROM (
+              SELECT qid, unnest(tk) AS tok FROM dtq) q
+            JOIN syn1 s ON s.term = q.tok
+          UNION ALL
+          SELECT b.qid, s.synonym FROM qbig b JOIN syn2 s ON s.term = b.bg),
+        exq AS MATERIALIZED (SELECT DISTINCT qid, tok FROM (
+          SELECT qid, unnest(tk) AS tok FROM dtq
+          UNION ALL SELECT qid, unnest(string_split(synonym, ' ')) AS tok
+            FROM fired)),
+        ${HybridRetrieval.lexicalOracleCtes("documents", "doc_id < 8",
+          KEach, qtSql = Some("SELECT qid, tok FROM exq"))}
+        SELECT qid, doc_id, lex_rank, lex_scaled FROM lex
+        ORDER BY qid NULLS FIRST, lex_rank NULLS FIRST""")),
+
+    // ---- s70: DID-YOU-MEAN ranking contract (driver-gated) -----------
+    // s51 returns suggestions with exact df as the noisy-channel
+    // signal; this row makes the RANKING claim checkable instead of
+    // asserted (the s05/s25 contract pattern): on the planted-typo
+    // fixture (each query term is a real vocabulary token with its 2nd
+    // character deleted — guaranteed distance 1 from its source), the
+    // top-1 suggestion by (dist ASC, df DESC, term order) must recover
+    // the planted source for at least the floor fraction of typos.
+    // The floor (0.70) sits under the measured sf0.01 rate with
+    // margin; non-vacuity is gated alongside.
+    Q("s70_didyoumean_contract",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val name = "graft_s70_lex"
+        LexIndex.writeLexIndex(docs.select(col("doc_id"), col("text")),
+          name)
+        val tk = graft.functions.TextFunctions.tokens(col("text"))
+        val planted = graft.operators.Frontier.pin(
+          docs.filter(col("doc_id") >= 8 && col("doc_id") < 16)
+            .select((col("doc_id") - 8).as("qid"),
+              explode(array(element_at(tk, 1), element_at(tk, 3)))
+                .as("src"))
+            .select(col("qid"), col("src"),
+              expr("concat(left(src, 1), substring(src, 3))").as("term"))
+            .distinct())
+        val top1 = LexIndex.probeFuzzy(s, name,
+            planted.select("qid", "term"), maxEdits = 1)
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("qid", "term")
+              .orderBy(col("dist"), col("df").desc, col("suggestion"))))
+          .filter(col("rn") === 1)
+        val rec = graft.operators.Frontier.pin(
+          planted.join(top1, Seq("qid", "term"), "left")
+            .agg((sum(when(col("suggestion") === col("src"), 1L)
+                .otherwise(0L)) / count(lit(1)).cast("double"))
+              .as("recovery"), count(lit(1)).as("n")))
+        def row(metric: String, bound: Double,
+            ok: org.apache.spark.sql.Column) =
+          rec.select(lit(metric).as("metric"), lit(bound).as("bound"),
+            ok.as("ok"))
+        row("dym_non_vacuous", 0.0, col("n") > 0)
+          .unionByName(row("dym_top1_recovery", 0.70,
+            col("recovery") >= 0.70))
+          .orderBy("metric")
+      },
+      Some("""SELECT * FROM (
+          SELECT 'dym_non_vacuous' AS metric, CAST(0.0 AS DOUBLE) AS bound,
+            true AS ok
+          UNION ALL
+          SELECT 'dym_top1_recovery', CAST(0.70 AS DOUBLE), true)
+        ORDER BY metric NULLS FIRST""")))
 
   /** The phrase queries: each query doc's tokens [from, from+len) —
     * defaults to the first two (the s41–s45 must-phrase); s46's
@@ -1514,6 +1608,71 @@ object HybridQueries {
           left(t, 1) || substr(t, 3) AS term
         FROM (SELECT doc_id, unnest([tk[1], tk[3]]) AS t FROM dt
           WHERE doc_id >= 8 AND doc_id < 16))"""
+
+  /** s54/s68's shared body — the result page: phrase-MUST BM25 top-k
+    * with highlighted snippets. `bounded = true` routes the ranking
+    * through [[graft.operators.LexIndex.probeLexIndexMaxScore]] with
+    * the phrase pairs as its candidacy leg — the composed
+    * bounded-serve shape (the r16 ask), bit-identical by the MaxScore
+    * losslessness argument, which is exactly what sharing s54's oracle
+    * text proves. */
+  private def searchPage(s: SparkSession, dir: String, name: String,
+      bounded: Boolean): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    LexIndex.writeLexIndex(docs.select(col("doc_id"), col("text")),
+      name)
+    val pm = graft.operators.Frontier.pin(
+      LexIndex.probePhrase(s, name, phrasesOf(docs))
+        .select(col("phrase_id").as("qid"), col("doc_id"),
+          col("first_pos")))
+    val ranked =
+      if (bounded) forcedPushdown(s) {
+        LexIndex.probeLexIndexMaxScore(s, name, queriesOf(docs),
+          KEach, candPairs = Some(pm.select("qid", "doc_id")))
+      }
+      else LexIndex.probeLexIndex(s, name, queriesOf(docs),
+        KEach, candPairs = Some(pm.select("qid", "doc_id")))
+    val hits = ranked.join(pm, Seq("qid", "doc_id"))
+    HybridRetrieval.snippets(hits,
+        docs.select(col("doc_id"), col("text")),
+        phraseLen = 2, ctx = 3)
+      .select("qid", "doc_id", "lex_rank", "lex_scaled", "snippet")
+      .orderBy("qid", "lex_rank")
+  }
+
+  // a def, not a val: the `all` Seq above initializes first and reads
+  // this during object construction
+  private def SearchPageOracle: String =
+    s"""WITH ${phraseCtes(None)},
+      ${HybridRetrieval.lexicalOracleCtes("documents", "doc_id < 8",
+        KEach, candPairCte = Some("pm"))}
+      SELECT l.qid, l.doc_id, l.lex_rank, l.lex_scaled,
+        array_to_string(
+          list_slice(tk, greatest(p.first_pos + 1 - 3, 1), p.first_pos)
+          || ['«' || array_to_string(
+               list_slice(tk, p.first_pos + 1, p.first_pos + 2), ' ')
+             || '»']
+          || list_slice(tk, p.first_pos + 3,
+               least(p.first_pos + 5, len(tk))), ' ') AS snippet
+      FROM lex l JOIN pm p ON p.qid = l.qid AND p.doc_id = l.doc_id
+        JOIN dt ON dt.doc_id = l.doc_id
+      ORDER BY l.qid NULLS FIRST, l.lex_rank NULLS FIRST"""
+
+  /** Force the bounded-probe pushdown branch at fixture scale (the
+    * production default keeps small indexes on the plain path) —
+    * s65/s68's floor override, restored after the body builds its
+    * PLAN (execution happens at the driver's collect; the probe's
+    * bounded decisions are all made at plan-build time). */
+  private def forcedPushdown[A](s: SparkSession)(body: => A): A = {
+    val min0 = s.conf.get(LexIndex.PushdownMinBytesConf, null)
+    try {
+      s.conf.set(LexIndex.PushdownMinBytesConf, "0")
+      body
+    } finally {
+      if (min0 == null) s.conf.unset(LexIndex.PushdownMinBytesConf)
+      else s.conf.set(LexIndex.PushdownMinBytesConf, min0)
+    }
+  }
 
   private def phrasesOf(docs: DataFrame, from: Int = 1,
       len: Int = 2): DataFrame =

@@ -133,6 +133,48 @@ class HybridRetrievalSpec extends SparkSpec {
     LexIndex.destroy(spark, "graft_t_syn")
   }
 
+  test("expandQueriesGraph: SEQUENCE detection (not set), overlapping " +
+      "LHS both fire deterministically, multi-token RHS splits to " +
+      "terms and surfaces as synonymPhrases") {
+    val queries = Seq(
+        (0L, "key scan slow fast table"), // "scan slow" AND "slow fast"
+        (1L, "slow table scan fast"),     // set {scan, slow} but no run
+        (2L, "sort hash stream"))
+      .toDF("doc_id", "text")
+    val syn = Seq(
+      ("scan slow", "vector"),   // overlaps the next rule on q0
+      ("slow fast", "merge"),
+      ("slow scan", "never"),    // reversed order: must not fire
+      ("sort hash", "order column"), // multi-token RHS
+      ("key", "lock"))           // single-token LHS passthrough
+      .toDF("term", "synonym")
+    def run() = HybridRetrieval.expandQueriesGraph(queries, syn)
+      .collect().map(r => r.getLong(0) ->
+        r.getString(1).split(" ").toSet).toMap
+    val out = run()
+    assert(out(0L) == Set("key", "scan", "slow", "fast", "table",
+      "vector", "merge", "lock"),
+      s"q0 (overlapping LHS must BOTH fire): ${out(0L)}")
+    assert(out(1L) == Set("slow", "table", "scan", "fast"),
+      s"q1 (set-present, sequence-absent: nothing fires): ${out(1L)}")
+    assert(out(2L) == Set("sort", "hash", "stream", "order", "column"),
+      s"q2 (multi-token RHS splits to terms): ${out(2L)}")
+    // determinism under overlap: a re-run (fresh plan) is identical
+    assert(run() == out, "overlap expansion nondeterministic")
+    // the phrase-exact half: only fired MULTI-token RHS surface
+    val ph = HybridRetrieval.synonymPhrases(queries, syn).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ph == Set((2L, "order column")), s"synonymPhrases: $ph")
+    // single-token-LHS rules reproduce expandQueries exactly
+    val syn1 = syn.filter(!col("term").contains(" "))
+    val graphOut = HybridRetrieval.expandQueriesGraph(queries, syn1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val plainOut = HybridRetrieval.expandQueries(queries, syn1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(graphOut == plainOut,
+      "graph expansion != expandQueries on single-token rules")
+  }
+
   test("self-exclusion and lexical determinism under repartitioning") {
     val docs = Tables(spark, sf, "documents").select("doc_id", "text")
     val a = HybridRetrieval.lexicalTopK(docs, col("doc_id") < 8, 20)
