@@ -624,7 +624,12 @@ object HybridQueries {
     // hand-wired pair-set algebra into one entry point) — the oracle
     // text is UNCHANGED, so this row hash-proves the API reproduces
     // the hand-wired composition exactly. BooleanQuerySpec walks every
-    // clause combination against the manual wiring besides.
+    // clause combination against the manual wiring besides. Since r17
+    // the lexical leg runs BOUNDED (block-max MaxScore, forced past
+    // the pushdown floor at fixture scale — the r16 ask #2 done-bar):
+    // the same unchanged oracle now also proves the bounded scorer
+    // lossless under the FULL clause grammar, θ seeded from the
+    // boolean-constrained list.
     Q("s49_full_boolean_serve",
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
@@ -641,11 +646,14 @@ object HybridQueries {
           mustNot = Some(phrasesOf(docs, from = 3, len = 1)
             .select(col("phrase_id").as("qid"), col("phrase"))),
           filter = Some(col("doc_id") % 2 === 0))
-        graft.operators.BooleanQuery.serve(s, name, "graft_s49_ann",
-            queriesOf(docs), emb, expr("vec_id < 8"), clauses,
-            k = K, kEach = KEach,
-            vecFilter = Some(col("vec_id") % 2 === 0))
-          .orderBy("qid", "rank")
+        forcedPushdown(s) {
+          graft.operators.BooleanQuery.serve(s, name, "graft_s49_ann",
+              queriesOf(docs), emb, expr("vec_id < 8"), clauses,
+              k = K, kEach = KEach,
+              vecFilter = Some(col("vec_id") % 2 === 0),
+              bounded = true)
+            .orderBy("qid", "rank")
+        }
       },
       Some {
         val ivf = PortableIvf.ivfPqOracleSql(Dim, KEach, nCells = 16,
