@@ -424,6 +424,66 @@ object HybridRetrieval {
       .select(col("qid"), col("synonym").as("phrase"))
       .distinct()
 
+  /** The COMPOSED synonym-graph serve with PHRASE-EXACT multi-token
+    * RHS candidacy (the full Lucene SynonymGraphFilter story behind
+    * one call): scoring uses the graph-expanded term set
+    * ([[expandQueriesGraph]]), while CANDIDACY ties multi-token RHS
+    * rules to the exact contiguous run — a doc is retrievable for a
+    * query iff it contains at least one ORIGIN term (the query's own
+    * tokens, plus fired single-token RHS — each a term-OR, as in
+    * Lucene) or a fired phrase-RHS as a contiguous token run
+    * ([[graft.operators.LexIndex.probePhrase]]). So "nyc" → "new
+    * york" retrieves "new york" documents but NOT documents
+    * containing only "new" — the loose-token admission the plain
+    * expansion would make. Scoring stays the expanded-term-set
+    * approximation for admitted docs (the graph filter's standard
+    * scoring shape; candidacy is where phrase exactness pays), and
+    * candidacy stays statistics-free, so every surviving score is
+    * bit-identical to its s69-expansion value — only membership
+    * moves (the s39 argument, on the synonym surface; the s71 row
+    * hash-pins both directions: loose-token docs excluded AND a
+    * phrase-matching doc with no origin term admitted).
+    *
+    * Scale shape: detection and expansion are query-sized; the
+    * candidacy legs are one [[graft.operators.LexIndex.probeShould]]
+    * (bounded by the origin terms' posting lists) and one
+    * [[graft.operators.LexIndex.probePhrase]] over the fired phrases
+    * (bounded by the phrase terms' lists); the serve is the bounded
+    * probe when `bounded` is set. */
+  def searchSynonymGraph(spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      queries: DataFrame, synonyms: DataFrame, kEach: Int,
+      asOf: Option[Long] = None, bounded: Boolean = false): DataFrame = {
+    val q = Frontier.pin(queries.select(
+      col(queries.columns.head).cast("long").as("qid"),
+      col(queries.columns(1)).as("text")))
+    val fired = Frontier.pin(firedSynonyms(q, synonyms))
+    val single = fired.filter(size(tokens(col("synonym"))) === 1)
+    val multi = fired.filter(size(tokens(col("synonym"))) >= 2)
+    // candidacy leg 1: ≥1 origin term (query tokens ∪ single-RHS)
+    val origTerms = q.select(col("qid"),
+        explode(tokens(col("text"))).as("tok"))
+      .unionByName(single.select(col("qid"), col("synonym").as("tok")))
+    val shouldPairs = LexIndex.probeShould(spark, name, origTerms,
+      minMatch = 1, asOf).select("qid", "doc_id")
+    // candidacy leg 2: fired phrase-RHS as a contiguous run — distinct
+    // phrases probe once keyed by their own text, matches join back
+    val phr = multi.select(col("qid"), col("synonym").as("phrase"))
+    val uniq = phr.select("phrase").distinct()
+      .select(col("phrase").as("phrase_id"), col("phrase"))
+    val phPairs = phr.join(
+        LexIndex.probePhrase(spark, name, uniq, asOf)
+          .select(col("phrase_id").as("phrase"), col("doc_id")), "phrase")
+      .select("qid", "doc_id")
+    val cand = Frontier.pin(shouldPairs.unionByName(phPairs).distinct())
+    val expanded = expandQueriesGraph(q, synonyms)
+    if (bounded)
+      LexIndex.probeLexIndexMaxScore(spark, name, expanded, kEach, asOf,
+        candPairs = Some(cand))
+    else LexIndex.probeLexIndex(spark, name, expanded, kEach, asOf,
+      candPairs = Some(cand))
+  }
+
   /** Chunk-id packing stride: a chunk's id is
     * `doc_id · ChunkStride + chunk_idx + offset`, injective over
     * (doc_id, chunk_idx) iff chunk_idx < ChunkStride — [[chunkDocs]]

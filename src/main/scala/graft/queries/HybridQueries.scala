@@ -1538,7 +1538,99 @@ object HybridQueries {
             true AS ok
           UNION ALL
           SELECT 'dym_top1_recovery', CAST(0.70 AS DOUBLE), true)
-        ORDER BY metric NULLS FIRST""")))
+        ORDER BY metric NULLS FIRST""")),
+
+    // ---- s71: synonym-graph serve with PHRASE-EXACT RHS candidacy ---
+    // The other half of the graph filter (s69 scores multi-token RHS
+    // as loose tokens): candidacy ties a fired phrase-RHS to the
+    // exact contiguous run — a doc is retrievable iff it contains an
+    // ORIGIN term (query tokens ∪ fired single-token RHS) or a fired
+    // phrase-RHS contiguously. The queries use out-of-vocabulary
+    // tokens mapped by rules (the vocabulary-gap synonym use case),
+    // which makes candidacy LOAD-BEARING at fixture scale: qid 0's
+    // only origin term matches nothing, so its entire result list is
+    // the "query order" PHRASE docs ranked by the expanded terms —
+    // under loose token admission ~94% of the corpus would compete
+    // and the top-k flips wholesale (measured: the two top-20 lists
+    // share nothing but the phrase docs). qid 1 pins the single-RHS
+    // origin leg, qid 2 the no-rule passthrough, qid 3 the two-token
+    // LHS + phrase union with its reversed-order decoy. Scores of
+    // survivors stay bit-identical to the plain expansion's
+    // (candidacy-only, the s39 argument). Oracle: the s69 firing/
+    // expansion CTEs + origin-term containment ∪ the
+    // shift-and-intersect phrase chain at the candidacy position.
+    Q("s71_synonym_phrase_serve",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val name = "graft_s71_lex"
+        LexIndex.writeLexIndex(docs.select(col("doc_id"), col("text")),
+          name)
+        val queries = Seq((0L, "qsyma"), (1L, "qsymb"),
+          (2L, "key agg"), (3L, "small fast")).toDF("doc_id", "text")
+        val syn = Seq(("qsyma", "query order"), ("qsymb", "merge"),
+          ("small fast", "sort key"), ("fast small", "never"))
+          .toDF("term", "synonym")
+        HybridRetrieval.searchSynonymGraph(s, name, queries, syn, KEach)
+          .orderBy("qid", "lex_rank")
+      },
+      Some(s"""WITH dta AS MATERIALIZED (SELECT doc_id,
+          ${graft.functions.TextFunctions.sqlTokens("text")} AS tk
+        FROM documents),
+        dtq AS MATERIALIZED (
+          SELECT CAST(0 AS BIGINT) AS qid, string_split('qsyma', ' ') AS qtk
+          UNION ALL SELECT 1, string_split('qsymb', ' ')
+          UNION ALL SELECT 2, string_split('key agg', ' ')
+          UNION ALL SELECT 3, string_split('small fast', ' ')),
+        syn1 AS MATERIALIZED (
+          SELECT 'qsyma' AS term, 'query order' AS synonym
+          UNION ALL SELECT 'qsymb', 'merge'),
+        syn2 AS MATERIALIZED (
+          SELECT 'small fast' AS term, 'sort key' AS synonym
+          UNION ALL SELECT 'fast small', 'never'),
+        qtok AS MATERIALIZED (SELECT DISTINCT qid, tok FROM (
+          SELECT qid, unnest(qtk) AS tok FROM dtq)),
+        qbg AS MATERIALIZED (SELECT qid, qtk[i] || ' ' || qtk[i + 1] AS bg
+          FROM (SELECT qid, qtk, unnest(range(1, len(qtk))) AS i FROM dtq)),
+        fired AS MATERIALIZED (
+          SELECT q.qid, s.synonym FROM qtok q JOIN syn1 s ON s.term = q.tok
+          UNION ALL
+          SELECT b.qid, s.synonym FROM qbg b JOIN syn2 s ON s.term = b.bg),
+        fs AS MATERIALIZED (SELECT qid, synonym,
+          string_split(synonym, ' ') AS st FROM fired),
+        exq AS MATERIALIZED (SELECT DISTINCT qid, tok FROM (
+          SELECT qid, tok FROM qtok
+          UNION ALL SELECT qid, unnest(st) AS tok FROM fs)),
+        origq AS MATERIALIZED (SELECT DISTINCT qid, tok FROM (
+          SELECT qid, tok FROM qtok
+          UNION ALL SELECT qid, synonym AS tok FROM fs WHERE len(st) = 1)),
+        tokd AS MATERIALIZED (SELECT DISTINCT doc_id, tok FROM (
+          SELECT doc_id, unnest(tk) AS tok FROM dta)),
+        phu AS MATERIALIZED (SELECT DISTINCT synonym AS phrase, st
+          FROM fs WHERE len(st) >= 2),
+        pht AS MATERIALIZED (SELECT phrase, unnest(st) AS tok,
+          unnest(range(0, len(st))) AS off FROM phu),
+        ntp AS MATERIALIZED (SELECT phrase, count(DISTINCT off) AS n
+          FROM pht GROUP BY phrase),
+        tokp AS MATERIALIZED (SELECT doc_id, unnest(tk) AS tok,
+          unnest(range(0, len(tk))) AS pos FROM dta),
+        anchp AS MATERIALIZED (SELECT p.phrase, t.doc_id, p.off,
+          t.pos - p.off AS a FROM tokp t JOIN pht p USING (tok)),
+        hitp AS MATERIALIZED (SELECT phrase, doc_id, a,
+          count(DISTINCT off) AS got FROM anchp GROUP BY phrase, doc_id, a),
+        pmx AS MATERIALIZED (SELECT DISTINCT h.phrase, h.doc_id
+          FROM hitp h JOIN ntp USING (phrase)
+          WHERE h.got = ntp.n AND h.a >= 0),
+        cand AS MATERIALIZED (SELECT DISTINCT qid, doc_id FROM (
+          SELECT o.qid, t.doc_id FROM origq o JOIN tokd t USING (tok)
+          UNION ALL
+          SELECT f.qid, m.doc_id FROM fs f JOIN pmx m
+            ON m.phrase = f.synonym)),
+        ${HybridRetrieval.lexicalOracleCtes("documents", "doc_id < 8",
+          KEach, qtSql = Some("SELECT qid, tok FROM exq"),
+          candPairCte = Some("cand"))}
+        SELECT qid, doc_id, lex_rank, lex_scaled FROM lex
+        ORDER BY qid NULLS FIRST, lex_rank NULLS FIRST""")))
 
   /** The phrase queries: each query doc's tokens [from, from+len) —
     * defaults to the first two (the s41–s45 must-phrase); s46's

@@ -175,6 +175,34 @@ class HybridRetrievalSpec extends SparkSpec {
       "graph expansion != expandQueries on single-token rules")
   }
 
+  test("searchSynonymGraph: a multi-token RHS admits only CONTIGUOUS " +
+      "phrase matches; origin terms (query + single-RHS) still admit") {
+    import spark.implicits._
+    val name = "graft_t_syng"
+    LexIndex.destroy(spark, name)
+    val docs = Seq(
+      (10L, "new york pizza shop"),
+      (11L, "york new pizza shop"), // both tokens, NO contiguous run
+      (12L, "plain pizza shop"),
+      (13L, "visit new york today"),
+      (14L, "nyc style bagel")).toDF("doc_id", "text")
+    LexIndex.writeLexIndex(docs, name, numBuckets = 2)
+    val queries = Seq((0L, "nyc"), (1L, "qx")).toDF("doc_id", "text")
+    val syn = Seq(("nyc", "new york"), ("qx", "bagel"))
+      .toDF("term", "synonym")
+    val got = HybridRetrieval.searchSynonymGraph(spark, name, queries,
+        syn, kEach = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+    // qid 0: phrase docs {10, 13} + the origin-term doc {14} ('nyc'
+    // itself) — doc 11 has both tokens but no contiguous run and MUST
+    // stay out (the loose expansion would admit it)
+    assert(got(0L) == Set(10L, 13L, 14L), s"qid0: ${got.get(0L)}")
+    // qid 1: single-token RHS joins the origin set — bagel doc only
+    assert(got(1L) == Set(14L), s"qid1: ${got.get(1L)}")
+    LexIndex.destroy(spark, name)
+  }
+
   test("self-exclusion and lexical determinism under repartitioning") {
     val docs = Tables(spark, sf, "documents").select("doc_id", "text")
     val a = HybridRetrieval.lexicalTopK(docs, col("doc_id") < 8, 20)
