@@ -398,16 +398,18 @@ object AnnIndex {
       .filter(col("vec_id") =!= col("qid"))
     // per-query candidacy at the pre-shortlist position (see method
     // doc): qid exists only after the join above, so this is the
-    // earliest — and the only statistically safe — place for it
+    // earliest — and the only statistically safe — place for it. The
+    // pair frame is data-dependent, so the broadcast is size-GATED
+    // (LexIndex.gatedPairs — pinned, counted, shuffle semi/anti past
+    // the budget): same candidacy position, row-identical either way
+    def normPin(p: DataFrame) = Frontier.pin(
+      p.select(col(p.columns.head).cast("long").as("qid"),
+        col(p.columns(1)).cast("long").as("vec_id")).distinct())
     val cand0 = candPairs.fold(joined)(cp => joined.join(
-      broadcast(cp.select(col(cp.columns.head).cast("long").as("qid"),
-        col(cp.columns(1)).cast("long").as("vec_id")).distinct()),
-      Seq("qid", "vec_id"), "left_semi"))
+      LexIndex.gatedPairs(normPin(cp)), Seq("qid", "vec_id"), "left_semi"))
     // MUST_NOT at the same pre-shortlist position (see method doc)
     val cand = exclPairs.fold(cand0)(ep => cand0.join(
-      broadcast(ep.select(col(ep.columns.head).cast("long").as("qid"),
-        col(ep.columns(1)).cast("long").as("vec_id")).distinct()),
-      Seq("qid", "vec_id"), "left_anti"))
+      LexIndex.gatedPairs(normPin(ep)), Seq("qid", "vec_id"), "left_anti"))
     val scored = cand
       .withColumn("cos", col("qc") + expr(
         s"aggregate(transform(codes, (c, j) -> element_at(lut, j * $ksub + c + 1)), " +

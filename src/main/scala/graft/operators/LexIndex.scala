@@ -131,6 +131,134 @@ object LexIndex {
   /** Bounded literal-pushdown budget (the d12 probe's limit). */
   private val ProbePushdownMax = 10000
 
+  /** Pair-set broadcast budget (rows; session-conf override, 0 forces
+    * the shuffle path — specs). A candidacy (qid, doc_id) frame is
+    * DATA-dependent — a common origin term on a 100 TB corpus can make
+    * it ~10⁸ rows — so the semi/anti joins that consume one must never
+    * FORCE a broadcast: at or under the budget the frame broadcasts
+    * (the selective-constraint fast path, the common case); past it
+    * the join runs as a shuffle semi/anti on (qid, doc_id) — the same
+    * candidacy position, so the result is row-identical and the query
+    * degrades instead of dying on a driver materialization (the house
+    * bounded-collect discipline, applied to the one place it was
+    * missing — r17 verdict finding #1; Lucene's analog: a filter's doc
+    * set is iterated per-segment, never materialized on one node). */
+  private[graft] val PairBroadcastMaxConf = "graft.lex.pairBroadcastMax"
+  private def pairBroadcastMax(spark: SparkSession): Int =
+    spark.conf.get(PairBroadcastMaxConf, "1000000").toInt
+
+  /** Count-gate a PINNED pair frame against [[PairBroadcastMaxConf]]:
+    * broadcast iff within budget, else hand it back plain (the
+    * consuming join then shuffles on its keys). The input must be
+    * pinned: the count and the join must observe the same rows, and on
+    * a pinned frame the count is a cached-block scan, not a recompute
+    * of the probe chain that produced it. */
+  private[operators] def gatedPairs(pinned: DataFrame): DataFrame = {
+    val max = pairBroadcastMax(pinned.sparkSession)
+    if (max > 0 && pinned.limit(max + 1).count() <= max) broadcast(pinned)
+    else pinned
+  }
+
+  /** Anchor-docs budget for the positional probes' doc_id pushdown
+    * (session-conf override; 0 disables the pushdown, tests force the
+    * unanchored scan with it). Past the budget the probe reads the
+    * clause terms' full posting lists exactly as before — lossless,
+    * the anchor only removes reads. */
+  private[graft] val AnchorDocsMaxConf = "graft.lex.anchorDocsMax"
+  private def anchorDocsMax(spark: SparkSession): Int =
+    spark.conf.get(AnchorDocsMaxConf, "10000").toInt
+
+  /** Diagnostics from the last positional probe's anchor pushdown on
+    * this JVM: (anchor terms, doc ids pushed) — None when the pushdown
+    * did not run (below the floor, legacy family, budget trip, conf
+    * off). Observability for specs/ladders; the bytes win is measured
+    * by tools/PhraseCost. */
+  @volatile private[graft] var lastAnchorStats: Option[(Int, Int)] = None
+
+  /** ANCHOR doc-set pushdown for the positional probes (the r17 ask:
+    * [[probePhrase]]/[[probeProximity]]/[[probeProximityN]] read the
+    * FULL posting rows of every clause term — a phrase containing one
+    * common term still scans that term's whole list at 100 TB, even
+    * though matches can only live in the RAREST term's docs).
+    *
+    * `clauseSets` rows are (group, clause, tok): a doc can match group
+    * g only if, for EVERY clause of g, it contains at least one of
+    * that clause's toks — the conjunctive shape shared by all three
+    * positional probes (phrase: one term per offset; proximity: the
+    * tok_a side and the tok_b side; proximity-n: one term per clause
+    * offset). Choosing ONE clause per group — the smallest by the
+    * dictionary's exact df, Lucene's lead-with-the-rarest-iterator
+    * rule — over-approximates the group's match docs: every match
+    * contains some anchor-clause token. The union over groups of the
+    * anchor clauses' doc sets (read from the postings themselves, ≤
+    * the anchors' summed df rows — the df budget check happens before
+    * the read) therefore contains every possible match doc, and is
+    * pushed as `In(doc_id)` into the (tok, doc_id)-sorted postings —
+    * the bounded probe's completion mechanism: within each common
+    * term's sorted run, parquet min/max on doc_id skips row groups
+    * holding no anchor doc.
+    *
+    * Lossless by construction: the doc set comes from the postings
+    * (ground truth), the dictionary df is only the anchor-CHOICE
+    * heuristic (a stale df could at worst pick a bigger anchor and
+    * trip the budget — never drop a match). A clause whose toks are
+    * all dictionary-absent makes its group unmatchable (the exact-df
+    * maintenance invariant the bounded probe's cap parity already
+    * rides): such groups contribute nothing. Returns None = no
+    * pushdown (read everything, as before); Some(docs) = every
+    * possible match doc is in `docs` (possibly empty: no group can
+    * match at all). Tombstoned docs may appear in `docs` — a harmless
+    * superset; exclusion stays where it always was. */
+  private def anchorDocs(spark: SparkSession, name: String,
+      asOf: Option[Long], pt: String,
+      clauseSets: Seq[(String, String, String)]): Option[Seq[Long]] = {
+    val max = anchorDocsMax(spark)
+    if (max <= 0 || clauseSets.isEmpty) return None
+    if (!hasDictionary(spark, name, asOf)) return None
+    val toks = clauseSets.map(_._3).distinct
+    val dfMap = vocabFrame(spark, name, asOf,
+        Some(col("tok").isin(toks.map(x => x: Any): _*)))
+      .select("tok", "df").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val anchors = scala.collection.mutable.LinkedHashSet[String]()
+    clauseSets.groupBy(_._1).foreach { case (_, rows) =>
+      val clauses = rows.groupBy(_._2)
+        .map { case (c, rs) => c -> rs.map(_._3).distinct }
+      val sized = clauses.map { case (c, ts) =>
+        (ts.map(t => dfMap.getOrElse(t, 0L)).sum, c, ts) }
+      // an empty clause (all toks dictionary-absent) = unmatchable
+      // group: no anchor needed, the group contributes no match docs
+      if (!sized.exists(_._1 == 0L))
+        anchors ++= sized.minBy(s => (s._1, s._2))._3
+    }
+    if (anchors.isEmpty) { lastAnchorStats = Some((0, 0)); return Some(Nil) }
+    if (anchors.toSeq.map(t => dfMap.getOrElse(t, 0L)).sum > max)
+      return None
+    val docs = spark.table(pt)
+      .filter(col("tok").isin(anchors.toSeq.map(x => x: Any): _*))
+      .select("doc_id").distinct()
+      .limit(max + 1).collect().map(_.getLong(0)).toSeq
+    if (docs.length > max) return None
+    lastAnchorStats = Some((anchors.size, docs.length))
+    Some(docs)
+  }
+
+  /** The shared pushdown tail of the three positional probes: bound
+    * the postings scan by the clause terms (`tok IN`, as before) AND
+    * by the [[anchorDocs]] doc set when it applies. */
+  private def anchoredScan(spark: SparkSession, name: String,
+      asOf: Option[Long], pt: String, postings0: DataFrame,
+      clauseSets: Seq[(String, String, String)]): DataFrame = {
+    val toks = clauseSets.map(_._3).distinct
+    val base = postings0.filter(col("tok").isin(toks.map(x => x: Any): _*))
+    anchorDocs(spark, name, asOf, pt, clauseSets) match {
+      case None => base
+      case Some(ds) if ds.isEmpty => base.filter(lit(false))
+      case Some(ds) =>
+        base.filter(col("doc_id").isin(ds.map(x => x: Any): _*))
+    }
+  }
+
   /** Session-conf override for the impact-stamp block size (postings
     * rows per stamped block, per term). 65536 keeps the member
     * vocab-plus-sized at corpus scale while giving a multi-million-row
@@ -144,6 +272,21 @@ object LexIndex {
     * query's surviving terms); past it block pruning is skipped — the
     * probe stays lossless, just without range pushdowns. */
   private val ImpactsMax = 100000
+
+  /** Per-TERM collected-stamp budget (session-conf override; tests and
+    * ladders set it small). A term whose list outgrows the budget used
+    * to trip the GLOBAL cap and silently disable ALL block skipping —
+    * exactly on the hot terms where skipping pays most (r17 ask #2).
+    * Now such a term keeps its top-B stamps BY BLOCK UPPER BOUND
+    * individually and collapses the rest into one virtual rest-stamp
+    * (doc-range hull, summed rows, max UB over the dropped blocks):
+    * every dropped block's rows remain dominated by the virtual stamp
+    * (its range contains theirs, its UB is ≥ theirs), so the skipping
+    * losslessness argument transfers verbatim — and a hot term's long
+    * low-impact tail skips as a single range decision. */
+  private[graft] val ImpactsPerTermMaxConf = "graft.lex.impactsPerTermMax"
+  private def impactsPerTermMax(spark: SparkSession): Int =
+    spark.conf.get(ImpactsPerTermMaxConf, "8192").toInt
 
   /** Pushed doc_id-range budget (seed + essential scans each); past it
     * the respective scan reads its full posting lists. */
@@ -661,14 +804,17 @@ object LexIndex {
     * appear under ITS query to be retrievable for it. This is the
     * quoted-phrase search shape ("rank by relevance among docs
     * containing MY phrase", s43): feed [[probePhrase]]'s matches in.
-    * Applied as a broadcast semi-join after the query join (the
-    * earliest point qid exists), before aggregation — candidacy-only,
-    * statistics untouched.
+    * Applied as a size-GATED semi-join (broadcast within
+    * [[PairBroadcastMaxConf]], shuffle semi past it — the pair frame
+    * is data-dependent and must never force a driver
+    * materialization) after the query join (the earliest point qid
+    * exists), before aggregation — candidacy-only, statistics
+    * untouched.
     *
     * `exclPairs`: PER-QUERY EXCLUSION — the boolean MUST_NOT leg
     * ("-term" / excluded doc sets, s46): (qid, doc_id) rows a doc must
     * NOT appear under its query to stay retrievable. The same
-    * broadcast shape as `candPairs`, as an ANTI-join at the same
+    * gated shape as `candPairs`, as an ANTI-join at the same
     * candidacy position — statistics stay corpus-level (the s39
     * argument), so a surviving doc's score is exclusion-invariant.
     * Single-term exclusions come from [[probePhrase]] on one-token
@@ -863,12 +1009,18 @@ object LexIndex {
     // per-(query, doc, term) scaled weight — summing these longs is
     // exactly the probe's (sum(DECIMAL) × 10⁹) (the explainHits
     // identity), so totals are bit-identical. Pair-level candidacy
-    // applies right after the qid join — the earliest point qid exists
+    // applies right after the qid join — the earliest point qid exists.
+    // The broadcast decision is size-GATED, made once per leg (the
+    // pinned frame keeps all three gate sites on the same rows), and
+    // past the budget the semi/anti join shuffles instead — same
+    // candidacy position, row-identical, no driver materialization.
+    val cpGated = cpPin.map(gatedPairs)
+    val epGated = epPin.map(gatedPairs)
     def pairGate(df: DataFrame) = {
-      val a = cpPin.fold(df)(p =>
-        df.join(broadcast(p), Seq("qid", "doc_id"), "left_semi"))
-      epPin.fold(a)(p =>
-        a.join(broadcast(p), Seq("qid", "doc_id"), "left_anti"))
+      val a = cpGated.fold(df)(p =>
+        df.join(p, Seq("qid", "doc_id"), "left_semi"))
+      epGated.fold(a)(p =>
+        a.join(p, Seq("qid", "doc_id"), "left_anti"))
     }
     def scoredOf(rows: DataFrame, pairs: DataFrame) =
       pairGate(rows
@@ -880,33 +1032,61 @@ object LexIndex {
       .withColumn("ws", (expr(HybridRetrieval.termWeightSql)
         .cast(DecimalType(18, 9)) * 1000000000L).cast("long"))
     // ---- block stamps: per-(tok, block) (doc range, rows, UB) --------
-    // collected bounded; the UBs ride the same engine-text evaluation
-    // as `ub`. Empty map = no skipping (legacy family / budget trip) —
-    // the probe is lossless either way, stamps only remove reads.
+    // collected bounded — globally by ImpactsMax AND per term by
+    // [[ImpactsPerTermMaxConf]] (see its doc): an over-budget term
+    // keeps its top-B stamps by block UB individually plus ONE virtual
+    // rest-stamp dominating every dropped block, so hot terms still
+    // skip. The UBs ride the SAME engine termWeightSql text as `ub`,
+    // evaluated inside the member scan itself (the dictionary's exact
+    // df joined in). Empty map = no skipping (legacy family / global
+    // budget trip) — the probe is lossless either way, stamps only
+    // remove reads.
     val stamps: Map[String, Seq[(Long, Long, Long, Long)]] = {
       val it = member(spark, name, "impacts", asOf)
       if (!spark.sessionState.catalog.tableExists(parse(spark, it)))
         Map.empty
       else {
-        val raw = spark.table(it)
+        val perTerm = impactsPerTermMax(spark)
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy("tok")
+          .orderBy(col("w").desc, col("blk"), col("doc_lo"))
+        // pinned: the top-B collect and the rest aggregate must see
+        // ONE evaluation of the ranked frame
+        val ranked = Frontier.pin(spark.table(it)
           .filter(col("tok").isin(surviving.map(x => x: Any): _*))
+          .join(dfFrame, "tok")
+          .withColumn("tf", col("max_tf"))
+          .withColumn("len", col("min_len"))
+          .withColumn("n_docs", lit(nDocs))
+          .withColumn("total_tokens", lit(totTok))
+          .withColumn("w", expr(HybridRetrieval.termWeightSql))
+          .select(col("tok"), col("blk"), col("doc_lo"), col("doc_hi"),
+            col("n_rows"), col("w"))
+          .withColumn("rnk", row_number().over(win)))
+        def scaled(w: Double) = math.ceil(w * 1e9).toLong + 2L
+        val top = ranked.filter(col("rnk") <= perTerm)
           .select(col("tok"), col("doc_lo"), col("doc_hi"),
-            col("n_rows"), col("max_tf"), col("min_len"))
+            col("n_rows"), col("w"))
           .limit(ImpactsMax + 1).collect()
-          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-            r.getLong(3), r.getLong(4), r.getLong(5)))
-        if (raw.length > ImpactsMax || raw.isEmpty) Map.empty
+          .map(r => (r.getString(0),
+            (r.getLong(1), r.getLong(2), r.getLong(3),
+              scaled(r.getDouble(4)))))
+        if (top.length > ImpactsMax || top.isEmpty) Map.empty
         else {
-          val ubs = raw.toSeq.zipWithIndex
-            .map { case ((t, _, _, _, mtf, mln), i) =>
-              (i, mtf, mln, vstats(t)._1, nDocs, totTok) }
-            .toDF("i", "tf", "len", "df", "n_docs", "total_tokens")
-            .withColumn("w", expr(HybridRetrieval.termWeightSql))
-            .select("i", "w").collect()
-            .map(r => r.getInt(0) ->
-              (math.ceil(r.getDouble(1) * 1e9).toLong + 2L)).toMap
-          raw.toSeq.zipWithIndex
-            .map { case ((t, lo, hi, n, _, _), i) => (t, (lo, hi, n, ubs(i))) }
+          // the virtual rest-stamp per over-budget term: hull of the
+          // dropped blocks' doc ranges, their summed rows (seed
+          // coverage accounting), and the MAX of their UBs — each
+          // dropped block is dominated, so skipping it through the
+          // virtual stamp is exactly as lossless as through its own
+          val rest = ranked.filter(col("rnk") > perTerm)
+            .groupBy("tok").agg(min(col("doc_lo")).as("lo"),
+              max(col("doc_hi")).as("hi"), sum(col("n_rows")).as("n"),
+              max(col("w")).as("mw"))
+            .collect()
+            .map(r => (r.getString(0),
+              (r.getLong(1), r.getLong(2), r.getLong(3),
+                scaled(r.getDouble(4)))))
+          (top.toSeq ++ rest.toSeq)
             .groupBy(_._1).map { case (t, bs) => t -> bs.map(_._2) }
         }
       }
@@ -998,14 +1178,21 @@ object LexIndex {
       case Some(rs) => rs.length
     }).sum
     val nEssRanges = essSel.valuesIterator.flatMap(_.map(_.length)).sum
+    // the range-budget trip falls back to the FULL essential scan
+    // below, so the diagnostics must report kept == total in that
+    // case — otherwise the block-skipping observability feeding the
+    // SCALE.md adjudications claims skipping that never executed
+    // (r17 advice). The all-None case already reports kept == total
+    // (a None selection counts its term's full stamp set as kept).
+    val essRangesOver = nEssRanges > RangesMax
     if (stamps.nonEmpty)
       lastBlockStats = Some((
         if (seedSel.isEmpty || nSeedRanges > RangesMax) 0 else nSeedRanges,
-        nEssKept, nEssTotal))
+        if (essRangesOver) nEssTotal else nEssKept, nEssTotal))
     val essScan0 = postings0
       .filter(col("tok").isin(essToks.map(x => x: Any): _*))
     val essScan =
-      if (stamps.isEmpty || nEssRanges > RangesMax ||
+      if (stamps.isEmpty || essRangesOver ||
           essSel.valuesIterator.forall(_.isEmpty)) essScan0
       else {
         val preds = essToks.flatMap { t =>
@@ -1120,14 +1307,17 @@ object LexIndex {
       .filter(col("df") * 10 <= col("n_docs") * 9)
       .join(broadcast(qt), "tok")
       .filter(col("doc_id") =!= col("qid"))
+    // the candidacy pair legs, normalized, PINNED (the count-gate and
+    // the join must see one evaluation) and size-GATED: broadcast only
+    // within [[PairBroadcastMaxConf]], shuffle semi/anti past it — the
+    // same candidacy position either way, so rows are identical
+    def normPin(p: DataFrame) = Frontier.pin(
+      p.select(col(p.columns.head).cast("long").as("qid"),
+        col(p.columns(1)).cast("long").as("doc_id")).distinct())
     val scored1 = candPairs.fold(scored0)(cp => scored0.join(
-      broadcast(cp.select(col(cp.columns.head).cast("long").as("qid"),
-        col(cp.columns(1)).cast("long").as("doc_id")).distinct()),
-      Seq("qid", "doc_id"), "left_semi"))
+      gatedPairs(normPin(cp)), Seq("qid", "doc_id"), "left_semi"))
     exclPairs.fold(scored1)(ep => scored1.join(
-        broadcast(ep.select(col(ep.columns.head).cast("long").as("qid"),
-          col(ep.columns(1)).cast("long").as("doc_id")).distinct()),
-        Seq("qid", "doc_id"), "left_anti"))
+        gatedPairs(normPin(ep)), Seq("qid", "doc_id"), "left_anti"))
       .withColumn("w", expr(HybridRetrieval.termWeightSql))
   }
 
@@ -1186,9 +1376,13 @@ object LexIndex {
     *
     * Scale shape: the phrase side is tiny and broadcast; the postings
     * scan is bounded by the PHRASE terms' posting lists (same bounded
-    * `tok IN (…)` pushdown as the scoring probe) and reads only
-    * (tok, doc_id, positions); the one shuffle groups anchor rows,
-    * whose count is at most the matched terms' total occurrences.
+    * `tok IN (…)` pushdown as the scoring probe) AND by the rarest
+    * phrase term's doc set ([[anchorDocs]] — a phrase with one common
+    * term no longer reads that term's whole list, only its rows in
+    * the rare anchor's docs, pushed as `In(doc_id)` into the sorted
+    * runs) and reads only (tok, doc_id, positions); the one shuffle
+    * groups anchor rows, whose count is at most the matched terms'
+    * total occurrences.
     * Tombstoned docs lose candidacy immediately, as in every probe.
     * `asOf = Some(g)` probes a retained past generation's postings —
     * with the house asymmetry that tombstone exclusion stays CURRENT:
@@ -1212,13 +1406,19 @@ object LexIndex {
     val terms = if (push) Frontier.pin(terms0) else terms0
     val nTerms = terms.groupBy("phrase_id")
       .agg(countDistinct(col("off")).as("n"))
+    lastAnchorStats = None
     val postings =
       if (!push) postings0
       else {
-        val toks = terms.select("tok").distinct()
-          .limit(ProbePushdownMax + 1).collect().map(_.getString(0))
-        if (toks.length > ProbePushdownMax) postings0
-        else postings0.filter(col("tok").isin(toks.map(x => x: Any): _*))
+        // one bounded collect serves both pushdowns: the tok IN (…)
+        // key set and the per-phrase clause sets (one term per offset)
+        // the anchor doc pushdown derives its rarest-clause from
+        val cs = terms.select(col("phrase_id").cast("string"),
+            col("off").cast("string"), col("tok"))
+          .distinct().limit(ProbePushdownMax + 1).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        if (cs.length > ProbePushdownMax) postings0
+        else anchoredScan(spark, name, asOf, pt, postings0, cs.toSeq)
       }
     val rows = postings.select("tok", "doc_id", "positions")
       .join(broadcast(terms), "tok")
@@ -1303,7 +1503,10 @@ object LexIndex {
     *
     * Spelled WITHOUT exploding positions: each side joins its term's
     * postings rows (broadcast pairs, the bounded `tok IN (…)`
-    * pushdown), the two sides meet on (qid, doc_id) — at most one
+    * pushdown, plus the rarer side's doc set as an `In(doc_id)`
+    * anchor — [[anchorDocs]]: both terms must share a doc, so the
+    * common side's scan is bounded by the rare side's docs), the two
+    * sides meet on (qid, doc_id) — at most one
     * row per side per doc — and the min-distance folds over the two
     * position ARRAYS in one codegen'd expression. Per-doc work is
     * |posₐ|·|pos_b| inside the row (token frequencies, small);
@@ -1331,14 +1534,23 @@ object LexIndex {
     val push = scanBytes(postings0) > pushdownMinBytes(spark)
     // pinned when the pushdown collects keys from it (the qt discipline)
     val qp = if (push) Frontier.pin(qp0) else qp0
+    lastAnchorStats = None
     val postings =
       if (!push) postings0
       else {
-        val toks = qp.select(explode(array(col("tok_a"), col("tok_b")))
-            .as("tok")).distinct()
-          .limit(ProbePushdownMax + 1).collect().map(_.getString(0))
-        if (toks.length > ProbePushdownMax) postings0
-        else postings0.filter(col("tok").isin(toks.map(x => x: Any): _*))
+        // clause sets per query: the tok_a side and the tok_b side
+        // (a match doc needs ≥1 of each — the conjunctive shape the
+        // anchor doc pushdown bounds by the rarer side)
+        val cs0 = qp.select(col("qid").cast("string"),
+            col("tok_a"), col("tok_b"))
+          .distinct().limit(ProbePushdownMax + 1).collect()
+        if (cs0.length > ProbePushdownMax) postings0
+        else {
+          val cs = cs0.toSeq.flatMap(r => Seq(
+            (r.getString(0), "a", r.getString(1)),
+            (r.getString(0), "b", r.getString(2))))
+          anchoredScan(spark, name, asOf, pt, postings0, cs)
+        }
       }
     val posts = postings.select(col("tok"), col("doc_id"), col("positions"))
     def side(tokCol: String, out: String) =
@@ -1376,7 +1588,10 @@ object LexIndex {
     * the row).
     *
     * Scale shape: n posting-list sides are ONE bounded scan (the
-    * pushed `tok IN (…)` over all clause terms) joined to the
+    * pushed `tok IN (…)` over all clause terms, plus the rarest
+    * clause's doc set as an `In(doc_id)` anchor — [[anchorDocs]]:
+    * every clause must hit the same doc, so the common clauses' scans
+    * are bounded by the rarest clause's docs) joined to the
     * broadcast clause frame; the only shuffle groups the bounded
     * (qid, doc_id, off) rows; the window fold runs over the n position
     * ARRAYS inside the grouped row — per-doc work ∝ Σ|positions| ×
@@ -1399,13 +1614,19 @@ object LexIndex {
     val push = scanBytes(postings0) > pushdownMinBytes(spark)
     // pinned when the pushdown collects keys from it (the qt discipline)
     val qn = if (push) Frontier.pin(qn0) else qn0
+    lastAnchorStats = None
     val postings =
       if (!push) postings0
       else {
-        val toks = qn.select("tok").distinct()
-          .limit(ProbePushdownMax + 1).collect().map(_.getString(0))
-        if (toks.length > ProbePushdownMax) postings0
-        else postings0.filter(col("tok").isin(toks.map(x => x: Any): _*))
+        // clause sets: one term per (qid, off) — ALL clauses required
+        // (got === n below), so the anchor doc pushdown bounds every
+        // clause term's scan by the rarest clause's docs
+        val cs = qn.select(col("qid").cast("string"),
+            col("off").cast("string"), col("tok"))
+          .distinct().limit(ProbePushdownMax + 1).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        if (cs.length > ProbePushdownMax) postings0
+        else anchoredScan(spark, name, asOf, pt, postings0, cs.toSeq)
       }
     val nq = qn.groupBy("qid").agg(countDistinct(col("off")).as("n"))
     val rows = postings.select(col("tok"), col("doc_id"), col("positions"))

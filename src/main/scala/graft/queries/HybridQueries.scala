@@ -296,7 +296,7 @@ object HybridQueries {
           "graft_s40_lex")
         AnnIndex.writeAnnIndex(
           emb.select(col("vec_id"), col("embedding")), "graft_s40_ann")
-        val lex = LexIndex.probeLexIndex(s, "graft_s40_lex",
+        val lex = LexIndex.probeLexIndexMaxScore(s, "graft_s40_lex",
           queriesOf(docs), KEach,
           candPred = Some(col("doc_id") % 2 === 0))
         val vec = AnnIndex.probeAnnIndex(s, "graft_s40_ann", emb,
@@ -388,7 +388,7 @@ object HybridQueries {
           name)
         val pm = LexIndex.probePhrase(s, name, phrasesOf(docs))
           .select(col("phrase_id").as("qid"), col("doc_id"))
-        LexIndex.probeLexIndex(s, name, queriesOf(docs), KEach,
+        LexIndex.probeLexIndexMaxScore(s, name, queriesOf(docs), KEach,
             candPairs = Some(pm))
           .orderBy("qid", "lex_rank")
       },
@@ -457,7 +457,7 @@ object HybridQueries {
         val pm = graft.operators.Frontier.pin(
           LexIndex.probePhrase(s, "graft_s45_lex", phrasesOf(docs))
             .select(col("phrase_id").as("qid"), col("doc_id")))
-        val lex = LexIndex.probeLexIndex(s, "graft_s45_lex",
+        val lex = LexIndex.probeLexIndexMaxScore(s, "graft_s45_lex",
           queriesOf(docs), KEach, candPairs = Some(pm))
         val vec = AnnIndex.probeAnnIndex(s, "graft_s45_ann", emb,
             expr("vec_id < 8"), k = KEach,
@@ -505,7 +505,7 @@ object HybridQueries {
         val nm = LexIndex.probePhrase(s, name,
             phrasesOf(docs, from = 3, len = 1))
           .select(col("phrase_id").as("qid"), col("doc_id"))
-        LexIndex.probeLexIndex(s, name, queriesOf(docs), KEach,
+        LexIndex.probeLexIndexMaxScore(s, name, queriesOf(docs), KEach,
             candPred = Some(col("doc_id") % 2 === 0),
             candPairs = Some(pm), exclPairs = Some(nm))
           .orderBy("qid", "lex_rank")
@@ -543,7 +543,7 @@ object HybridQueries {
         val sm = graft.operators.Frontier.pin(
           LexIndex.probeShould(s, name, shouldTermsOf(docs), minMatch = 2)
             .select(col("qid"), col("doc_id")))
-        LexIndex.probeLexIndex(s, name, queriesOf(docs), KEach,
+        LexIndex.probeLexIndexMaxScore(s, name, queriesOf(docs), KEach,
             candPairs = Some(sm))
           .orderBy("qid", "lex_rank")
       },
@@ -774,7 +774,7 @@ object HybridQueries {
           .agg(concat_ws(" ",
             sort_array(collect_set(col("suggestion")))).as("text"))
           .select(col("qid").as("doc_id"), col("text"))
-        LexIndex.probeLexIndex(s, name, corrected, KEach)
+        LexIndex.probeLexIndexMaxScore(s, name, corrected, KEach)
           .orderBy("qid", "lex_rank")
       },
       Some(s"""WITH ${fuzzyCtes()},
@@ -859,7 +859,7 @@ object HybridQueries {
         val pdocs = HybridRetrieval.fieldWeightedDocs(fields,
           Map("title" -> 2, "body" -> 1))
         LexIndex.writeLexIndex(pdocs, name)
-        LexIndex.probeLexIndex(s, name,
+        LexIndex.probeLexIndexMaxScore(s, name,
             pdocs.filter(col("doc_id") < 8), KEach)
           .orderBy("qid", "lex_rank")
       },
@@ -979,7 +979,7 @@ object HybridQueries {
           "graft_s59_lex")
         AnnIndex.writeAnnIndex(
           emb.select(col("vec_id"), col("embedding")), "graft_s59_ann")
-        val lex = LexIndex.probeLexIndex(s, "graft_s59_lex",
+        val lex = LexIndex.probeLexIndexMaxScore(s, "graft_s59_lex",
           queriesOf(docs), KEach)
         val vec = AnnIndex.probeAnnIndex(s, "graft_s59_ann", emb,
             expr("vec_id < 8"), k = KEach)
@@ -1024,8 +1024,8 @@ object HybridQueries {
           docs.select(col("doc_id"), col("text")),
           window = 64, stride = 48, offset = off)
         LexIndex.writeLexIndex(chunks, name)
-        val hits = LexIndex.probeLexIndex(s, name, queriesOf(docs),
-            kEach = 40)
+        val hits = LexIndex.probeLexIndexMaxScore(s, name,
+            queriesOf(docs), kEach = 40)
           .withColumn("parent", expr(s"(doc_id - ${off}L) DIV 1000"))
           .withColumn("cidx", expr(s"CAST((doc_id - ${off}L) % 1000 AS INT)"))
         val w1 = org.apache.spark.sql.expressions.Window
@@ -1094,7 +1094,7 @@ object HybridQueries {
           "graft_s61_lex")
         AnnIndex.writeAnnIndex(
           emb.select(col("vec_id"), col("embedding")), "graft_s61_ann")
-        val lex = LexIndex.probeLexIndex(s, "graft_s61_lex",
+        val lex = LexIndex.probeLexIndexMaxScore(s, "graft_s61_lex",
           queriesOf(docs), KEach)
         val vec = AnnIndex.probeAnnIndex(s, "graft_s61_ann", emb,
             expr("vec_id < 8"), k = KEach)
@@ -1154,7 +1154,7 @@ object HybridQueries {
           "graft_s62_lex")
         AnnIndex.writeAnnIndex(
           emb.select(col("vec_id"), col("embedding")), "graft_s62_ann")
-        val lex = LexIndex.probeLexIndex(s, "graft_s62_lex",
+        val lex = LexIndex.probeLexIndexMaxScore(s, "graft_s62_lex",
           queriesOf(docs), KEach)
         val vec = AnnIndex.probeAnnIndex(s, "graft_s62_ann", emb,
             expr("vec_id < 8"), k = KEach)
@@ -1571,7 +1571,8 @@ object HybridQueries {
         val syn = Seq(("qsyma", "query order"), ("qsymb", "merge"),
           ("small fast", "sort key"), ("fast small", "never"))
           .toDF("term", "synonym")
-        HybridRetrieval.searchSynonymGraph(s, name, queries, syn, KEach)
+        HybridRetrieval.searchSynonymGraph(s, name, queries, syn, KEach,
+            bounded = true)
           .orderBy("qid", "lex_rank")
       },
       Some(s"""WITH dta AS MATERIALIZED (SELECT doc_id,
@@ -1629,6 +1630,101 @@ object HybridQueries {
         ${HybridRetrieval.lexicalOracleCtes("documents", "doc_id < 8",
           KEach, qtSql = Some("SELECT qid, tok FROM exq"),
           candPairCte = Some("cand"))}
+        SELECT qid, doc_id, lex_rank, lex_scaled FROM lex
+        ORDER BY qid NULLS FIRST, lex_rank NULLS FIRST""")),
+
+    // ---- s72: ANCHORED phrase probe — the r18 doc-range pushdown ----
+    // s41's exact phrase semantics with the pushdown floor forced, so
+    // the anchor doc pushdown (LexIndex.anchorDocs: each phrase's
+    // rarest term's doc set bounds every other term's scan, pushed as
+    // In(doc_id) into the sorted runs) actually FIRES at driver scale
+    // — the oracle text is s41's, byte for byte, which is the point:
+    // the unchanged hash proves the anchored scan lossless (the s68
+    // pattern, on the positional path). A dropped match doc (an
+    // anchor set that missed a posting row) flips the hash.
+    Q("s72_anchored_phrase_serve",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        LexIndex.writeLexIndex(docs.select(col("doc_id"), col("text")),
+          "graft_s72_lex")
+        forcedPushdown(s) {
+          val out = LexIndex.probePhrase(s, "graft_s72_lex",
+              phrasesOf(docs))
+            .select(col("phrase_id").as("qid"), col("doc_id"),
+              col("n_matches"), col("first_pos"))
+            .orderBy("qid", "doc_id")
+          // non-vacuity (house rule): the row's point is the anchored
+          // scan, so a pushdown that silently fell back must FAIL the
+          // query, not pass on the unanchored path
+          require(LexIndex.lastAnchorStats.exists(_._2 > 0),
+            s"anchor pushdown never fired: ${LexIndex.lastAnchorStats}")
+          out
+        }
+      },
+      Some(phraseOracle(corpusPredSql = None))),
+
+    // ---- s73: HOT-TERM serve under the per-term stamp budget --------
+    // The r17 ask #2 hash row: tiny stamped blocks (32 postings rows)
+    // make every corpus term multi-block, and a per-term budget of 2
+    // trips on all of them — the bounded serve must keep its top-2
+    // stamps per term individually and collapse the tail into the
+    // virtual rest-stamp (doc-range hull, max UB — every dropped
+    // block dominated), instead of the pre-r18 behavior of silently
+    // disabling ALL skipping through the global cap. The oracle is
+    // s31/s65's unchanged scorer text: a rest-stamp that under-bounds
+    // (losing a candidate) or a budget that re-trips globally both
+    // flip the hash.
+    Q("s73_hot_term_serve",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val name = "graft_s73_lex"
+        withConfs(s, LexIndex.ImpactBlockRowsConf -> "32",
+            LexIndex.ImpactsPerTermMaxConf -> "2") {
+          LexIndex.writeLexIndex(docs.select(col("doc_id"), col("text")),
+            name)
+          forcedPushdown(s) {
+            val out = LexIndex.probeLexIndexMaxScore(s, name,
+              queriesOf(docs), KEach)
+            // non-vacuity (house rule): the row's point is block
+            // skipping under the per-term budget — a serve that fell
+            // back to the stampless path must FAIL, not pass vacuously
+            require(LexIndex.lastBlockStats.nonEmpty,
+              "block stamps never engaged under the per-term budget")
+            out
+          }
+        }.orderBy("qid", "lex_rank")
+      },
+      Some(s"""WITH ${HybridRetrieval.lexicalOracleCtes("documents",
+          "doc_id < 8", KEach)}
+        SELECT qid, doc_id, lex_rank, lex_scaled FROM lex
+        ORDER BY qid NULLS FIRST, lex_rank NULLS FIRST""")),
+
+    // ---- s74: SHUFFLE-candidacy serve — the gated pair-set fallback -
+    // The r17 verdict finding #1 hash row: s43's phrase-MUST ranked
+    // serve with the pair-broadcast budget forced to 0, so every
+    // candidacy semi-join runs as a SHUFFLE semi on (qid, doc_id) —
+    // the degraded plan a 100 TB origin term would take — instead of
+    // the broadcast fast path. The oracle is s43's byte for byte:
+    // the gate moves the join strategy, never the rows, and the
+    // unchanged hash is the proof.
+    Q("s74_shuffle_candidacy_serve",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val name = "graft_s74_lex"
+        LexIndex.writeLexIndex(docs.select(col("doc_id"), col("text")),
+          name)
+        withConfs(s, LexIndex.PairBroadcastMaxConf -> "0") {
+          forcedPushdown(s) {
+            val pm = LexIndex.probePhrase(s, name, phrasesOf(docs))
+              .select(col("phrase_id").as("qid"), col("doc_id"))
+            LexIndex.probeLexIndexMaxScore(s, name, queriesOf(docs),
+              KEach, candPairs = Some(pm))
+          }
+        }.orderBy("qid", "lex_rank")
+      },
+      Some(s"""WITH ${phraseCtes(None)},
+        ${HybridRetrieval.lexicalOracleCtes("documents", "doc_id < 8",
+          KEach, candPairCte = Some("pm"))}
         SELECT qid, doc_id, lex_rank, lex_scaled FROM lex
         ORDER BY qid NULLS FIRST, lex_rank NULLS FIRST""")))
 
@@ -1763,6 +1859,20 @@ object HybridQueries {
     * s65/s68's floor override, restored after the body builds its
     * PLAN (execution happens at the driver's collect; the probe's
     * bounded decisions are all made at plan-build time). */
+  /** Set session confs for the duration of `body`, restoring the
+    * previous values (or unsetting) after — the forcedPushdown shape
+    * generalized for the s73/s74 conf-forced twins. The confs matter
+    * at CONSTRUCTION time (the eager pushdown collects); the returned
+    * plan carries their effect as literals, so restoring immediately
+    * is safe. */
+  private def withConfs[A](s: SparkSession, kvs: (String, String)*)(
+      body: => A): A = {
+    val olds = kvs.map { case (k, _) => k -> s.conf.get(k, null) }
+    try { kvs.foreach { case (k, v) => s.conf.set(k, v) }; body }
+    finally olds.foreach { case (k, v) =>
+      if (v == null) s.conf.unset(k) else s.conf.set(k, v) }
+  }
+
   private def forcedPushdown[A](s: SparkSession)(body: => A): A = {
     val min0 = s.conf.get(LexIndex.PushdownMinBytesConf, null)
     try {

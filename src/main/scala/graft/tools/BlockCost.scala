@@ -30,12 +30,20 @@ import graft.operators.LexIndex
   * inputMetrics sums (two reps, first discarded for footer warmup).
   * Results feed SCALE.md's r17 table.
   *
-  * Usage: BlockCost <M> [baseDocs=4000]
+  * `perTermMax` (3rd arg) sets [[LexIndex.ImpactsPerTermMaxConf]] —
+  * the r17 ask #2 fixture: with a budget far below the hot term's
+  * block count (e.g. 4 at M=100's ~120 blocks), skipping must STILL
+  * fire through the virtual rest-stamp (top-B blocks individually,
+  * the low-impact tail as one dominated hull) instead of tripping a
+  * global cap into a full read.
+  *
+  * Usage: BlockCost <M> [baseDocs=4000] [perTermMax]
   */
 object BlockCost {
   def main(args: Array[String]): Unit = {
     val m = args(0).toInt
     val baseDocs = args.drop(1).headOption.map(_.toInt).getOrElse(4000)
+    val perTermMax = args.drop(2).headOption.map(_.toInt)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
@@ -50,6 +58,8 @@ object BlockCost {
     // ~2k-row stamped blocks: the base copy's bulk list is ~2.4k rows,
     // so the spiky block is one of 1-2 at M=1 and one of ~120 at M=100
     spark.conf.set(LexIndex.ImpactBlockRowsConf, "2048")
+    perTermMax.foreach(b =>
+      spark.conf.set(LexIndex.ImpactsPerTermMaxConf, b.toString))
 
     def copyDocs(k: Int) = {
       val ids = spark.range(baseDocs.toLong)
@@ -78,7 +88,11 @@ object BlockCost {
           bytes.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
     })
     import spark.implicits._
-    val queries = Seq((900000000L, "bulk"))
+    // query id OUTSIDE every copy's id space (k·10⁸ + id < 10¹⁰ for
+    // all k < 100): 9·10⁸ collided with copy k=9 once M ≥ 10, so the
+    // self-match exclusion silently dropped a real bulk doc (r17
+    // advice) — 10¹⁰ can never collide
+    val queries = Seq((10000000000L, "bulk"))
       .toDF("doc_id", "text").localCheckpoint()
 
     def measure(tag: String, run: () => Long): Unit =

@@ -98,6 +98,32 @@ class BooleanQuerySpec extends SparkSpec {
         else spark.conf.set(LexIndex.PushdownMinBytesConf, min0)
       }
       assert(gotB == want, s"bounded API != hand-wired at $combo")
+      // the pair-set broadcasts are size-GATED (r17 verdict finding
+      // #1): budget 0 forces the shuffle semi/anti fallback at the
+      // same candidacy position, on BOTH serve paths — membership
+      // must be identical (the gate moves the join strategy, never
+      // the rows)
+      if (useMust || useShould || useNot) {
+        val bc0 = spark.conf.get(LexIndex.PairBroadcastMaxConf, null)
+        val min0b = spark.conf.get(LexIndex.PushdownMinBytesConf, null)
+        val (gotS, gotSB) = try {
+          spark.conf.set(LexIndex.PairBroadcastMaxConf, "0")
+          val full = rows(BooleanQuery.search(spark, name, queries, 10,
+            clauses))
+          spark.conf.set(LexIndex.PushdownMinBytesConf, "0")
+          val bnd = rows(BooleanQuery.search(spark, name, queries, 10,
+            clauses, bounded = true))
+          (full, bnd)
+        } finally {
+          if (bc0 == null) spark.conf.unset(LexIndex.PairBroadcastMaxConf)
+          else spark.conf.set(LexIndex.PairBroadcastMaxConf, bc0)
+          if (min0b == null) spark.conf.unset(LexIndex.PushdownMinBytesConf)
+          else spark.conf.set(LexIndex.PushdownMinBytesConf, min0b)
+        }
+        assert(gotS == want, s"shuffle-fallback != hand-wired at $combo")
+        assert(gotSB == want,
+          s"bounded shuffle-fallback != hand-wired at $combo")
+      }
       if (got.nonEmpty) nontrivial += 1
     }
     // the lattice walk proved something: most combos return hits

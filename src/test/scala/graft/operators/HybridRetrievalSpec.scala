@@ -203,6 +203,75 @@ class HybridRetrievalSpec extends SparkSpec {
     LexIndex.destroy(spark, name)
   }
 
+  test("synonym expansion scores RHS terms with the dictionary's exact " +
+      "df: an expanded term's weight == its native-query weight " +
+      "bit-exactly") {
+    import spark.implicits._
+    val name = "graft_t_syndf"
+    LexIndex.destroy(spark, name)
+    val docs = Seq(
+      (10L, "bagel shop downtown corner"),
+      (11L, "bagel bagel bakery fresh"),
+      (12L, "plain pizza slice counter"),
+      (13L, "bagel with lox spread")).toDF("doc_id", "text")
+    LexIndex.writeLexIndex(docs, name, numBuckets = 2)
+    val syn = Seq(("nyc", "bagel")).toDF("term", "synonym")
+    // query A reaches 'bagel' ONLY through the fired rule (its own
+    // token is out-of-vocabulary); query B asks for it natively. The
+    // expansion is term-set level — scoring must use the dictionary's
+    // exact df for the RHS term, so the per-(doc, term) decomposed
+    // weight has to be BIT-identical between the two routes (a
+    // query-side df, a rule-weight scaling, or an expanded-corpus
+    // recount would all break the equality)
+    val expandedA = HybridRetrieval.expandQueriesGraph(
+      Seq((0L, "nyc")).toDF("doc_id", "text"), syn)
+    def weights(qs: org.apache.spark.sql.DataFrame) =
+      LexIndex.explainHits(spark, name, qs, kEach = 10)
+        .filter(col("tok") === "bagel")
+        .select("doc_id", "w_scaled").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wA = weights(expandedA)
+    val wB = weights(Seq((1L, "bagel")).toDF("doc_id", "text"))
+    assert(wA.nonEmpty, "expanded route produced no bagel weights")
+    assert(wA == wB,
+      s"expanded weight != native weight: $wA vs $wB")
+    LexIndex.destroy(spark, name)
+  }
+
+  test("searchSynonymGraph: bounded serve == unbounded serve under " +
+      "forced pushdown (ranks and scores)") {
+    import spark.implicits._
+    val name = "graft_t_syngb"
+    LexIndex.destroy(spark, name)
+    val docs = Seq(
+      (10L, "new york pizza shop"),
+      (11L, "york new pizza shop"),
+      (12L, "plain pizza shop"),
+      (13L, "visit new york today"),
+      (14L, "nyc style bagel")).toDF("doc_id", "text")
+    LexIndex.writeLexIndex(docs, name, numBuckets = 2)
+    val queries = Seq((0L, "nyc"), (1L, "qx")).toDF("doc_id", "text")
+    val syn = Seq(("nyc", "new york"), ("qx", "bagel"))
+      .toDF("term", "synonym")
+    def rows(bounded: Boolean) =
+      HybridRetrieval.searchSynonymGraph(spark, name, queries, syn,
+          kEach = 10, bounded = bounded)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getLong(3))).sortBy(t => (t._1, t._3)).toSeq
+    val min0 = spark.conf.get(LexIndex.PushdownMinBytesConf, null)
+    try {
+      spark.conf.set(LexIndex.PushdownMinBytesConf, "0")
+      val full = rows(bounded = false)
+      assert(full.nonEmpty, "vacuous fixture")
+      assert(rows(bounded = true) == full,
+        "bounded synonym-graph serve != unbounded")
+    } finally {
+      if (min0 == null) spark.conf.unset(LexIndex.PushdownMinBytesConf)
+      else spark.conf.set(LexIndex.PushdownMinBytesConf, min0)
+    }
+    LexIndex.destroy(spark, name)
+  }
+
   test("self-exclusion and lexical determinism under repartitioning") {
     val docs = Tables(spark, sf, "documents").select("doc_id", "text")
     val a = HybridRetrieval.lexicalTopK(docs, col("doc_id") < 8, 20)

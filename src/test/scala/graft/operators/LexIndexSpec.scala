@@ -448,6 +448,71 @@ class LexIndexSpec extends SparkSpec {
     LexIndex.destroy(spark, name)
   }
 
+  test("anchor doc pushdown: positional probes == the unanchored scan " +
+      "bit-exactly; In(doc_id) reaches the postings scan; an " +
+      "unmatchable clause empties its group") {
+    val name = "graft_t_lexanchor"
+    LexIndex.destroy(spark, name)
+    LexIndex.writeLexIndex(docs, name, numBuckets = 4)
+    val tk = graft.functions.TextFunctions.tokens(col("text"))
+    val phrases = docs.filter(col("doc_id") < 8)
+      .select(col("doc_id").as("phrase_id"),
+        concat_ws(" ", slice(tk, 1, 2)).as("phrase"))
+    val pairs = docs.filter(col("doc_id") >= 8 && col("doc_id") < 12)
+      .select((col("doc_id") - 8).as("qid"),
+        element_at(tk, 2).as("tok_a"), element_at(tk, 5).as("tok_b"))
+    val clauses = docs.filter(col("doc_id") >= 8 && col("doc_id") < 12)
+      .select((col("doc_id") - 8).as("qid"),
+        posexplode(slice(tk, 2, 3)).as(Seq("off", "tok")))
+    def rows(df: DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val min0 = spark.conf.get(LexIndex.PushdownMinBytesConf, null)
+    val anc0 = spark.conf.get(LexIndex.AnchorDocsMaxConf, null)
+    try {
+      spark.conf.set(LexIndex.PushdownMinBytesConf, "0")
+      val phOn = rows(LexIndex.probePhrase(spark, name, phrases))
+      assert(LexIndex.lastAnchorStats.exists(_._2 > 0),
+        s"phrase anchor pushdown never fired: ${LexIndex.lastAnchorStats}")
+      // the anchor doc set must reach the scan as a pushed In-filter —
+      // the row-group pruning inside a common term's sorted run
+      val plan = LexIndex.probePhrase(spark, name, phrases)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("In(doc_id"), plan)
+      val pxOn = rows(LexIndex.probeProximity(spark, name, pairs, 3))
+      assert(LexIndex.lastAnchorStats.exists(_._2 > 0),
+        "proximity anchor pushdown never fired")
+      val pnOn = rows(LexIndex.probeProximityN(spark, name, clauses, 4))
+      assert(LexIndex.lastAnchorStats.exists(_._2 > 0),
+        "proximity-n anchor pushdown never fired")
+      // budget 0 = the unanchored scan: identical rows on all three
+      // (the anchor only removes reads, never matches)
+      spark.conf.set(LexIndex.AnchorDocsMaxConf, "0")
+      assert(rows(LexIndex.probePhrase(spark, name, phrases)) == phOn,
+        "phrase probe moved under the anchor pushdown")
+      assert(LexIndex.lastAnchorStats.isEmpty)
+      assert(rows(LexIndex.probeProximity(spark, name, pairs, 3)) == pxOn,
+        "proximity probe moved under the anchor pushdown")
+      assert(rows(LexIndex.probeProximityN(spark, name, clauses, 4)) ==
+        pnOn, "proximity-n probe moved under the anchor pushdown")
+      spark.conf.unset(LexIndex.AnchorDocsMaxConf)
+      // a phrase whose every token is dictionary-absent is unmatchable:
+      // the anchored scan reads NOTHING (Some(Nil) → lit(false)) and
+      // returns empty — and so does the unanchored truth
+      import spark.implicits._
+      val ghost = Seq((99L, "zzzqxv zzzqxw")).toDF("phrase_id", "phrase")
+      assert(LexIndex.probePhrase(spark, name, ghost).isEmpty,
+        "ghost phrase matched")
+      assert(LexIndex.lastAnchorStats.contains((0, 0)),
+        s"unmatchable group did not short-circuit: ${LexIndex.lastAnchorStats}")
+    } finally {
+      if (min0 == null) spark.conf.unset(LexIndex.PushdownMinBytesConf)
+      else spark.conf.set(LexIndex.PushdownMinBytesConf, min0)
+      if (anc0 == null) spark.conf.unset(LexIndex.AnchorDocsMaxConf)
+      else spark.conf.set(LexIndex.AnchorDocsMaxConf, anc0)
+    }
+    LexIndex.destroy(spark, name)
+  }
+
   test("probeProximity: min-distance == direct position scan at every slop; tombstone exclusion") {
     val name = "graft_t_lexx"
     LexIndex.destroy(spark, name)
@@ -831,6 +896,24 @@ class LexIndexSpec extends SparkSpec {
       assert(kept < total,
         s"block skipping never fired: $kept of $total stamps kept")
       assert(seedRanges > 0, "seed subsetting never fired")
+      // HOT-TERM per-term budget (r17 ask #2): with the per-term cap
+      // far below the term's block count, skipping must STILL fire —
+      // top-B stamps individually, the dropped tail as one dominated
+      // virtual rest-stamp — and stay bit-identical to the full probe
+      val ptm0 = spark.conf.get(LexIndex.ImpactsPerTermMaxConf, null)
+      try {
+        spark.conf.set(LexIndex.ImpactsPerTermMaxConf, "4")
+        run(3)
+        val Some((_, keptB, totalB)) = LexIndex.lastBlockStats
+        assert(totalB == 5,
+          s"per-term budget not applied: $totalB stamps (want 4 + 1 " +
+            "virtual)")
+        assert(keptB < totalB,
+          s"skipping under per-term budget never fired: $keptB/$totalB")
+      } finally {
+        if (ptm0 == null) spark.conf.unset(LexIndex.ImpactsPerTermMaxConf)
+        else spark.conf.set(LexIndex.ImpactsPerTermMaxConf, ptm0)
+      }
       // append ten MORE spiky docs at the high end: their stamps land
       // as the batch's own blocks; the bounded probe must pick them up
       // (new top-k members live in appended blocks — a stale stamp
