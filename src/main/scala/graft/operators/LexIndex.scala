@@ -839,7 +839,15 @@ object LexIndex {
 
   /** Candidate-pair budget for [[probeLexIndexMaxScore]]'s completion
     * pushdown; past it the probe falls back to [[probeLexIndex]]. */
-  private val CandidatesMax = 10000
+  private val CandidatesMaxDefault = 10000
+
+  /** Session-conf override for the candidate-pair budget (s73 raises
+    * it so the budgeted-stamp path stays engaged at bench scale — the
+    * default trips on corpora whose essential lists cover most docs,
+    * which is the deliberate lossless fallback in production). */
+  private[graft] val CandidatesMaxConf = "graft.lex.candidatesMax"
+  private def candidatesMax(spark: SparkSession): Int =
+    spark.conf.get(CandidatesMaxConf, CandidatesMaxDefault.toString).toInt
 
   /** Diagnostics from the last [[probeLexIndexMaxScore]] call on this
     * JVM: (surviving terms, essential (qid, term) pairs, total (qid,
@@ -1210,9 +1218,10 @@ object LexIndex {
           .join(broadcast(essPairs.toDF("qid", "tok")), "tok")
           .filter(col("doc_id") =!= col("qid")))
       .select("qid", "doc_id").distinct()
-    val candCollected = candidates.limit(CandidatesMax + 1).collect()
+    val candMax = candidatesMax(spark)
+    val candCollected = candidates.limit(candMax + 1).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    if (candCollected.length > CandidatesMax) {
+    if (candCollected.length > candMax) {
       lastBlockStats = None // a fallback ran: no bounded read happened
       return fullProbe()
     }

@@ -1647,6 +1647,12 @@ object HybridQueries {
         val docs = Tables(s, dir, "documents")
         LexIndex.writeLexIndex(docs.select(col("doc_id"), col("text")),
           "graft_s72_lex")
+        // the anchor budget is raised alongside the forced floor: the
+        // row must exercise the ANCHORED scan at every driver SF (at
+        // sf0.1 the corpus terms' df sums trip the production default,
+        // which is the deliberate lossless fallback — not this row's
+        // point)
+        withConfs(s, LexIndex.AnchorDocsMaxConf -> "1000000") {
         forcedPushdown(s) {
           val out = LexIndex.probePhrase(s, "graft_s72_lex",
               phrasesOf(docs))
@@ -1659,6 +1665,7 @@ object HybridQueries {
           require(LexIndex.lastAnchorStats.exists(_._2 > 0),
             s"anchor pushdown never fired: ${LexIndex.lastAnchorStats}")
           out
+        }
         }
       },
       Some(phraseOracle(corpusPredSql = None))),
@@ -1678,8 +1685,14 @@ object HybridQueries {
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
         val name = "graft_s73_lex"
+        // the candidate budget is raised alongside the forced floor:
+        // the row must exercise the budgeted-stamp path at every
+        // driver SF (at sf0.1 the essential lists cover most docs and
+        // trip the production default — the deliberate lossless
+        // fallback, not this row's point)
         withConfs(s, LexIndex.ImpactBlockRowsConf -> "32",
-            LexIndex.ImpactsPerTermMaxConf -> "2") {
+            LexIndex.ImpactsPerTermMaxConf -> "2",
+            LexIndex.CandidatesMaxConf -> "1000000") {
           LexIndex.writeLexIndex(docs.select(col("doc_id"), col("text")),
             name)
           forcedPushdown(s) {
