@@ -484,6 +484,74 @@ object HybridRetrieval {
       candPairs = Some(cand))
   }
 
+  /** PSEUDO-RELEVANCE-FEEDBACK serve (Rocchio 1971's expansion loop /
+    * RM3's term pool, the blind-feedback shape Lucene exposes through
+    * MoreLikeThis-on-hits): serve the query, rank every term of the
+    * top-`kInit` hits by its summed BM25 weight over those hits
+    * ([[graft.operators.LexIndex.feedbackTerms]]), adjoin each
+    * query's top-`topE` NEW terms (the query's own terms are
+    * excluded from selection), and serve the expanded term set —
+    * "docs that look like what the query's best hits look like". The
+    * expanded terms score with the dictionary's exact corpus df like
+    * any typed term (the s67/s69 expansion contract), so every final
+    * score is a sum the one-shot scorer would also produce; only the
+    * term SET moves. A query with no initial hits expands by nothing
+    * and keeps its plain ranking (PRF degenerates to the serve).
+    *
+    * Scale shape: the feedback frame is kInit-bounded per query; term
+    * selection scans only the feedback docs' posting rows (pushed
+    * `In(doc_id)`); the final serve is the bounded probe. */
+  def searchWithFeedback(spark: org.apache.spark.sql.SparkSession,
+      name: String, queries: DataFrame, kInit: Int, topE: Int,
+      kEach: Int, asOf: Option[Long] = None,
+      bounded: Boolean = true): DataFrame = {
+    // the probes key queries by a literal `doc_id` column (the house
+    // query-frame shape) — normalize to it
+    val q = Frontier.pin(queries.select(
+      col(queries.columns.head).cast("long").as("doc_id"),
+      col(queries.columns(1)).as("text")))
+    val init =
+      if (bounded) LexIndex.probeLexIndexMaxScore(spark, name, q, kInit,
+        asOf)
+      else LexIndex.probeLexIndex(spark, name, q, kInit, asOf)
+    val qt0 = Frontier.pin(q.select(col("doc_id").as("qid"),
+      explode(tokens(col("text"))).as("tok")).distinct())
+    val exp = LexIndex.feedbackTerms(spark, name,
+      init.select(col("qid"), col("doc_id")), topE, Some(qt0), asOf)
+    val expanded = qt0.unionByName(exp)
+      .groupBy("qid")
+      .agg(concat_ws(" ", sort_array(collect_set(col("tok")))).as("text"))
+      .select(col("qid").as("doc_id"), col("text"))
+    if (bounded)
+      LexIndex.probeLexIndexMaxScore(spark, name, expanded, kEach, asOf)
+    else LexIndex.probeLexIndex(spark, name, expanded, kEach, asOf)
+  }
+
+  /** MORE-LIKE-THIS serve (Lucene's MoreLikeThis): each seed doc's
+    * top-`topE` "interesting terms" — its own tf·idf profile, ranked
+    * by the SAME per-(doc, term) weight the scorer sums
+    * ([[graft.operators.LexIndex.feedbackTerms]] with the seed as its
+    * own feedback set) — become the query, and the serve ranks the
+    * corpus against them. The seed never retrieves itself (the
+    * probes' self-exclusion fires on qid = seed id). `seeds` is one
+    * doc_id column; output is the probe shape keyed by seed id.
+    *
+    * Scale shape: seed-bounded term selection (pushed `In(doc_id)`
+    * over the seeds), query-sized expansion, bounded-probe serve. */
+  def moreLikeThis(spark: org.apache.spark.sql.SparkSession,
+      name: String, seeds: DataFrame, topE: Int, kEach: Int,
+      asOf: Option[Long] = None, bounded: Boolean = true): DataFrame = {
+    val sd = seeds.select(col(seeds.columns.head).cast("long").as("qid"))
+    val terms = LexIndex.feedbackTerms(spark, name,
+      sd.select(col("qid"), col("qid").as("doc_id")), topE, None, asOf)
+    val mq = terms.groupBy("qid")
+      .agg(concat_ws(" ", sort_array(collect_set(col("tok")))).as("text"))
+      .select(col("qid").as("doc_id"), col("text"))
+    if (bounded)
+      LexIndex.probeLexIndexMaxScore(spark, name, mq, kEach, asOf)
+    else LexIndex.probeLexIndex(spark, name, mq, kEach, asOf)
+  }
+
   /** Chunk-id packing stride: a chunk's id is
     * `doc_id · ChunkStride + chunk_idx + offset`, injective over
     * (doc_id, chunk_idx) iff chunk_idx < ChunkStride — [[chunkDocs]]

@@ -1470,6 +1470,143 @@ object LexIndex {
     * docs lose candidacy immediately, as in every probe; `asOf`
     * probes a frozen generation's postings with CURRENT tombstone
     * exclusion (erasure overrides history). */
+  /** TOP-E TERM SELECTION from a bounded doc set — the shared engine
+    * of pseudo-relevance feedback (Rocchio 1971 / RM3's term pool;
+    * Elasticsearch's significant-terms shape) and More-Like-This
+    * (Lucene's MoreLikeThis "interesting terms"): rank every term of
+    * the `pairs` docs by its summed BM25 weight over those docs and
+    * keep each query's top `topE` by (weight DESC, tok) — for PRF the
+    * pairs are the initial serve's top-k hits and `exclude` carries
+    * the query's own terms; for MLT the pairs are (seed, seed) and
+    * the selection ranks the seed's own tf·idf profile. `pairs` is
+    * (qid, doc_id); output (qid, tok).
+    *
+    * The weights are the SAME per-(doc, term) arithmetic the scoring
+    * probe sums — df from the maintained dictionary ([[vocabFrame]] —
+    * exact, s66's contract), n_docs/total_tokens from the stats
+    * member, the engine termWeightSql text, per-row ×10⁹ DECIMAL→long
+    * scaling — so the selection is bit-reproducible against a
+    * relational replay (the s75/s76 oracles re-derive it from the raw
+    * corpus). The df cap applies as everywhere: a capped term can
+    * never be selected (it could never score).
+    *
+    * Scale shape: the pairs frame is k-bounded by construction (top-k
+    * hits / seed docs), broadcast; the postings scan is bounded by
+    * the pushed `In(doc_id)` over the feedback docs (the completion
+    * mechanism — budget-gated, plain join past it, lossless); the one
+    * shuffle groups (qid, tok) rows bounded by the feedback docs'
+    * token counts; the rank window partitions by qid. Tombstoned docs
+    * are excluded from the pairs BEFORE the scan (erasure overrides a
+    * stale feedback list — the d25/s34 asymmetry, on the feedback
+    * path). */
+  def feedbackTerms(spark: SparkSession, name: String, pairs: DataFrame,
+      topE: Int, exclude: Option[DataFrame] = None,
+      asOf: Option[Long] = None): DataFrame = {
+    require(topE >= 1, s"topE must be >= 1, got $topE")
+    val pt = member(spark, name, "postings", asOf)
+    val st = member(spark, name, "stats", asOf)
+    requireTokenizer(spark, Seq(pt, st))
+    val p0 = pairs.select(col(pairs.columns.head).cast("long").as("qid"),
+      col(pairs.columns(1)).cast("long").as("doc_id")).distinct()
+    val p1 = lexTombstones(spark, name).fold(p0)(t =>
+      p0.join(broadcast(t.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_anti"))
+    // pinned: the doc-id pushdown collect and the join must see one
+    // evaluation (the qt discipline)
+    val fb = Frontier.pin(p1)
+    val postings0 = spark.table(pt)
+    val postings =
+      if (scanBytes(postings0) <= pushdownMinBytes(spark)) postings0
+      else {
+        val ids = fb.select("doc_id").distinct()
+          .limit(ProbePushdownMax + 1).collect().map(_.getLong(0))
+        if (ids.length > ProbePushdownMax) postings0
+        else postings0.filter(col("doc_id").isin(ids.map(x => x: Any): _*))
+      }
+    val nRow = spark.table(st)
+      .agg(sum(col("n_docs")), sum(col("total_tokens"))).head()
+    val rows = postings.select(col("tok"), col("doc_id"), col("tf"),
+        col("len"))
+      .join(broadcast(fb), "doc_id")
+      .join(vocabFrame(spark, name, asOf).select("tok", "df"), "tok")
+      .withColumn("n_docs", lit(nRow.getLong(0)))
+      .withColumn("total_tokens", lit(nRow.getLong(1)))
+      .filter(col("df") * 10 <= col("n_docs") * 9)
+      .withColumn("ws", (expr(HybridRetrieval.termWeightSql)
+        .cast(DecimalType(18, 9)) * 1000000000L).cast("long"))
+    val kept = exclude.fold(rows)(ex => rows.join(
+      broadcast(ex.select(col(ex.columns.head).cast("long").as("qid"),
+        col(ex.columns(1)).as("tok")).distinct()),
+      Seq("qid", "tok"), "left_anti"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("s").desc, col("tok"))
+    kept.groupBy("qid", "tok").agg(sum(col("ws")).as("s"))
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= topE)
+      .select("qid", "tok")
+  }
+
+  /** SIGNIFICANT TERMS over a candidate doc set (Elasticsearch's
+    * `significant_terms` aggregation — "what characterizes THESE
+    * docs against the corpus"): for each query's (qid, doc_id)
+    * foreground set, rank the foreground docs' terms by LIFT —
+    * foreground rate over background rate, which within a query
+    * orders exactly by fg_df / df (the per-query foreground size and
+    * the corpus size are constants) — and keep the top `topE` with
+    * foreground df ≥ `minFgDf` (ES's min_doc_count). The ordering
+    * key is ONE IEEE division of two exact BIGINTs
+    * (`CAST(fg_df AS DOUBLE) / CAST(df AS DOUBLE)`) evaluated by
+    * both engines verbatim — bit-portable like every shared f64
+    * scalar on this surface — with tok as the tiebreak. The df cap
+    * applies as everywhere (a stopword is never significant);
+    * background df comes from the maintained dictionary
+    * ([[vocabFrame]], exact). Output (qid, tok, fg_df, df, rank).
+    *
+    * Scale shape: the pairs frame is candidacy-sized and broadcast;
+    * the postings scan is bounded by the pushed `In(doc_id)` over
+    * the foreground docs (budget-gated, plain join past it); one
+    * shuffle groups (qid, tok); the rank window partitions by qid.
+    * Tombstoned docs leave the foreground BEFORE the scan (erasure
+    * overrides a stale candidate list). */
+  def significantTerms(spark: SparkSession, name: String,
+      pairs: DataFrame, topE: Int, minFgDf: Int = 1,
+      asOf: Option[Long] = None): DataFrame = {
+    require(topE >= 1, s"topE must be >= 1, got $topE")
+    val pt = member(spark, name, "postings", asOf)
+    val st = member(spark, name, "stats", asOf)
+    requireTokenizer(spark, Seq(pt, st))
+    val p0 = pairs.select(col(pairs.columns.head).cast("long").as("qid"),
+      col(pairs.columns(1)).cast("long").as("doc_id")).distinct()
+    val p1 = lexTombstones(spark, name).fold(p0)(t =>
+      p0.join(broadcast(t.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_anti"))
+    val fg = Frontier.pin(p1)
+    val postings0 = spark.table(pt)
+    val postings =
+      if (scanBytes(postings0) <= pushdownMinBytes(spark)) postings0
+      else {
+        val ids = fg.select("doc_id").distinct()
+          .limit(ProbePushdownMax + 1).collect().map(_.getLong(0))
+        if (ids.length > ProbePushdownMax) postings0
+        else postings0.filter(col("doc_id").isin(ids.map(x => x: Any): _*))
+      }
+    val nDocs = spark.table(st).agg(sum(col("n_docs"))).head().getLong(0)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("lift").desc, col("tok"))
+    postings.select(col("tok"), col("doc_id"))
+      .join(broadcast(fg), "doc_id")
+      .groupBy("qid", "tok")
+      .agg(count(lit(1)).as("fg_df"))
+      .join(vocabFrame(spark, name, asOf).select("tok", "df"), "tok")
+      .filter(col("df") * 10 <= lit(nDocs) * 9)
+      .filter(col("fg_df") >= minFgDf)
+      .withColumn("lift",
+        col("fg_df").cast("double") / col("df").cast("double"))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= topE)
+      .select("qid", "tok", "fg_df", "df", "rank")
+  }
+
   def probeShould(spark: SparkSession, name: String, terms: DataFrame,
       minMatch: Int, asOf: Option[Long] = None): DataFrame = {
     require(minMatch >= 1, s"minMatch must be >= 1, got $minMatch")

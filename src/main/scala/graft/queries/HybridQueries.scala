@@ -1739,7 +1739,128 @@ object HybridQueries {
         ${HybridRetrieval.lexicalOracleCtes("documents", "doc_id < 8",
           KEach, candPairCte = Some("pm"))}
         SELECT qid, doc_id, lex_rank, lex_scaled FROM lex
-        ORDER BY qid NULLS FIRST, lex_rank NULLS FIRST""")))
+        ORDER BY qid NULLS FIRST, lex_rank NULLS FIRST""")),
+
+    // ---- s75: PSEUDO-RELEVANCE FEEDBACK — the Rocchio/RM3 loop -----
+    // Blind feedback, the classic second query-rewrite leg (Rocchio
+    // 1971; RM3; Lucene MoreLikeThis-on-hits): serve, rank every term
+    // of each query's top-10 hits by its summed BM25 weight over
+    // those hits (the SAME per-(doc, term) arithmetic the scorer
+    // sums, per-row ×10⁹-scaled so the selection is an exact-long
+    // rank), adjoin the top-3 NEW terms (query's own excluded), serve
+    // the expanded set. Expanded terms score with the exact corpus df
+    // like any typed term (the s67/s69 contract) — only the term SET
+    // moves, so the oracle re-derives selection AND re-ranking from
+    // the raw corpus with the proven scorer text (a second lw/lexs/
+    // lex chain reading the expanded term CTE). A selection that
+    // drifts by one term, a tie broken differently, or a feedback
+    // doc outside the true top-10 all flip the hash.
+    Q("s75_feedback_expansion_serve",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val name = "graft_s75_lex"
+        LexIndex.writeLexIndex(docs.select(col("doc_id"), col("text")),
+          name)
+        HybridRetrieval.searchWithFeedback(s, name, queriesOf(docs),
+            kInit = 10, topE = 3, kEach = KEach)
+          .orderBy("qid", "lex_rank")
+      },
+      Some(s"""WITH ${HybridRetrieval.lexicalOracleCtes("documents",
+          "doc_id < 8", 10)},
+        $dwCte,
+        fbw AS MATERIALIZED (SELECT l.qid, d.tok,
+            CAST(sum(d.ws) AS BIGINT) AS s
+          FROM lex l JOIN dw d ON d.doc_id = l.doc_id
+          WHERE NOT EXISTS (SELECT 1 FROM qt q0
+            WHERE q0.qid = l.qid AND q0.tok = d.tok)
+          GROUP BY l.qid, d.tok),
+        expt AS MATERIALIZED (SELECT qid, tok FROM (
+          SELECT qid, tok, row_number() OVER (
+            PARTITION BY qid ORDER BY s DESC, tok) AS rn FROM fbw)
+          WHERE rn <= 3),
+        exq AS MATERIALIZED (SELECT qid, tok FROM qt
+          UNION SELECT qid, tok FROM expt),
+        ${rescoreCtes("exq", KEach)}
+        SELECT qid, doc_id, lex_rank, lex_scaled FROM lex2
+        ORDER BY qid NULLS FIRST, lex_rank NULLS FIRST""")),
+
+    // ---- s76: MORE LIKE THIS — seed-doc similarity serve ------------
+    // Lucene's MoreLikeThis: each seed doc's top-3 "interesting
+    // terms" — its own tf·idf profile under the scorer's exact
+    // weight — become the query; the serve ranks the corpus against
+    // them and the seed never retrieves itself (the probes'
+    // self-exclusion fires on qid = seed id). Completes the
+    // query-construction surface: typed text (s31), prefix (s50),
+    // fuzzy (s51/s52), synonyms (s67/s69/s71), feedback (s75), and
+    // now a DOCUMENT as the query. Oracle: the same dw pool ranks
+    // each seed's own rows, the expanded chain re-ranks.
+    Q("s76_more_like_this",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val name = "graft_s76_lex"
+        LexIndex.writeLexIndex(docs.select(col("doc_id"), col("text")),
+          name)
+        HybridRetrieval.moreLikeThis(s, name,
+            docs.filter(col("doc_id") < 8).select(col("doc_id")),
+            topE = 3, kEach = KEach)
+          .orderBy("qid", "lex_rank")
+      },
+      Some(s"""WITH ${HybridRetrieval.lexicalOracleCtes("documents",
+          "doc_id < 8", KEach)},
+        $dwCte,
+        mlq AS MATERIALIZED (SELECT qid, tok FROM (
+          SELECT doc_id AS qid, tok, row_number() OVER (
+            PARTITION BY doc_id ORDER BY ws DESC, tok) AS rn
+          FROM dw WHERE doc_id < 8) WHERE rn <= 3),
+        ${rescoreCtes("mlq", KEach)}
+        SELECT qid, doc_id, lex_rank, lex_scaled FROM lex2
+        ORDER BY qid NULLS FIRST, lex_rank NULLS FIRST""")),
+
+    // ---- s77: SIGNIFICANT TERMS over phrase candidates --------------
+    // Elasticsearch's significant_terms: "what characterizes the docs
+    // matching MY phrase, against the corpus" — the discovery twin of
+    // facet counts (s53 counts a KNOWN dimension; this ranks the
+    // terms themselves). Per query: the phrase-match doc set is the
+    // foreground; its terms rank by lift (fg rate over corpus rate —
+    // within a query exactly fg_df/df, one IEEE division of two exact
+    // BIGINTs shared by both engines), with min_doc_count = 25 and the
+    // df cap (a stopword is never significant). The hash pins the
+    // foreground membership, the exact counts, the lift ordering and
+    // its tok tiebreak, and the min-count cut at once.
+    Q("s77_significant_terms",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val name = "graft_s77_lex"
+        LexIndex.writeLexIndex(docs.select(col("doc_id"), col("text")),
+          name)
+        val pm = LexIndex.probePhrase(s, name, phrasesOf(docs))
+          .select(col("phrase_id").as("qid"), col("doc_id"))
+        // min_doc_count sized to BITE at the sf0.01 gate (the house
+        // non-vacuity rule: the oracle with and without the cut
+        // differs — 35 vs 40 rows), since the synthetic corpus has no
+        // naturally rare foreground terms for a small threshold to cut
+        LexIndex.significantTerms(s, name, pm, topE = 5, minFgDf = 25)
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH ${phraseCtes(None)},
+        td AS MATERIALIZED (SELECT DISTINCT doc_id, tok FROM tokp),
+        dfx AS MATERIALIZED (SELECT tok, count(*) AS df FROM td
+          GROUP BY tok),
+        nx AS MATERIALIZED (SELECT count(DISTINCT doc_id) AS n_docs
+          FROM td),
+        fgt AS MATERIALIZED (SELECT p.qid, t.tok,
+            CAST(count(*) AS BIGINT) AS fg_df
+          FROM (SELECT DISTINCT qid, doc_id FROM pm) p
+          JOIN td t USING (doc_id)
+          GROUP BY p.qid, t.tok),
+        sig AS MATERIALIZED (SELECT qid, tok, fg_df, df,
+            CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY CAST(fg_df AS DOUBLE) / CAST(df AS DOUBLE) DESC,
+                tok) AS INT) AS rank
+          FROM fgt JOIN dfx USING (tok) CROSS JOIN nx
+          WHERE df * 10 <= n_docs * 9 AND fg_df >= 25)
+        SELECT qid, tok, fg_df, df, rank FROM sig WHERE rank <= 5
+        ORDER BY qid NULLS FIRST, rank NULLS FIRST""")))
 
   /** The phrase queries: each query doc's tokens [from, from+len) —
     * defaults to the first two (the s41–s45 must-phrase); s46's
@@ -1872,6 +1993,39 @@ object HybridQueries {
     * s65/s68's floor override, restored after the body builds its
     * PLAN (execution happens at the driver's collect; the probe's
     * bounded decisions are all made at plan-build time). */
+  /** Per-(doc, term) ×10⁹-scaled weight rows over the whole corpus —
+    * the term-selection pool of the s75/s76 feedback oracles: the
+    * SAME join and weight text as `lw`, minus the query join, scaled
+    * per row to the exact-long domain the engine sums. Expects the
+    * [[HybridRetrieval.lexicalOracleCtes]] base CTEs (tfq/dfq/lenq/
+    * nq) in scope. */
+  private def dwCte: String =
+    s"""dw AS MATERIALIZED (SELECT tfq.doc_id, tfq.tok,
+        CAST(CAST(CAST(${HybridRetrieval.termWeightSql}
+          AS DECIMAL(18,9)) AS DECIMAL(28,9))
+          * 1000000000 AS BIGINT) AS ws
+      FROM tfq JOIN dfq USING (tok) JOIN lenq USING (doc_id)
+        CROSS JOIN nq
+      WHERE df * 10 <= n_docs * 9)"""
+
+  /** The SECOND scorer pass of the feedback oracles: the lw/lexs/lex
+    * chain verbatim with suffix 2, reading its term set from `qtCte`
+    * (qid, tok) — byte-identical arithmetic, different CTE names so
+    * both passes coexist in one query. */
+  private def rescoreCtes(qtCte: String, kEach: Int): String =
+    s"""lw2 AS MATERIALIZED (SELECT q.qid, tfq.doc_id, tfq.tok,
+        CAST(${HybridRetrieval.termWeightSql} AS DECIMAL(18,9)) AS w
+      FROM tfq JOIN dfq USING (tok) JOIN lenq USING (doc_id)
+        JOIN $qtCte q ON q.tok = tfq.tok CROSS JOIN nq
+      WHERE df * 10 <= n_docs * 9 AND tfq.doc_id <> q.qid),
+    lexs2 AS MATERIALIZED (SELECT qid, doc_id,
+        CAST(sum(w) * 1000000000 AS BIGINT) AS lex_scaled
+      FROM lw2 GROUP BY qid, doc_id),
+    lex2 AS MATERIALIZED (SELECT qid, doc_id, lex_rank, lex_scaled
+      FROM (SELECT qid, doc_id, lex_scaled, CAST(row_number() OVER (
+          PARTITION BY qid ORDER BY lex_scaled DESC, doc_id) AS INT)
+        AS lex_rank FROM lexs2) WHERE lex_rank <= $kEach)"""
+
   /** Set session confs for the duration of `body`, restoring the
     * previous values (or unsetting) after — the forcedPushdown shape
     * generalized for the s73/s74 conf-forced twins. The confs matter
