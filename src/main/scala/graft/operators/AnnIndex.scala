@@ -131,17 +131,24 @@ object AnnIndex {
     Generations.swap(spark, name, IndexMembers, gcKeep = gcKeep) { lease =>
       val ct = Generations.physical(name, "cells", lease.gen)
       val mt = Generations.physical(name, "model", lease.gen)
-      encoded(emb, cents, bb, dim, m, residual, scope)
-        .write.format("parquet").partitionBy("cell")
-        .saveAsTable(ct)
-      val centRows = trained.zipWithIndex.map { case (v, i) =>
-        ("cent", i, 0, v.toSeq) }
-      val bookRows = for {
-        (book, j) <- books.zipWithIndex; (v, c) <- book.zipWithIndex
-      } yield ("book", j, c, v.toSeq)
-      (centRows ++ bookRows).toSeq.toDF("kind", "i", "j", "vec")
-        .coalesce(1).write.format("parquet").saveAsTable(mt)
-      val baseDist = meanCentroidDist(emb, cents)
+      // three independent jobs inside the atomic swap — the corpus
+      // encode+write, the tiny model write, and the base-drift gauge
+      // aggregate — overlapped per guide §2.6 (Par doc)
+      var baseDist = 0.0
+      Par.run(spark, Seq(
+        () => encoded(emb, cents, bb, dim, m, residual, scope)
+          .write.format("parquet").partitionBy("cell")
+          .saveAsTable(ct),
+        () => {
+          val centRows = trained.zipWithIndex.map { case (v, i) =>
+            ("cent", i, 0, v.toSeq) }
+          val bookRows = for {
+            (book, j) <- books.zipWithIndex; (v, c) <- book.zipWithIndex
+          } yield ("book", j, c, v.toSeq)
+          (centRows ++ bookRows).toSeq.toDF("kind", "i", "j", "vec")
+            .coalesce(1).write.format("parquet").saveAsTable(mt)
+        },
+        () => baseDist = meanCentroidDist(emb, cents)))
       Seq(ct, mt).foreach { t =>
         spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('$DimProp' = '$dim', " +
           s"'$MProp' = '$m', '$KsubProp' = '$ksub', " +
@@ -500,14 +507,17 @@ object AnnIndex {
       val src = applied0.fold(spark.table(t))(tt =>
         spark.table(t).join(broadcast(tt),
           Seq("vec_id"), "left_anti"))
-      // explicit task count: repartition(col) with no count is
-      // AQE-coalescible, and at small volumes AQE folds the rewrite into
-      // ONE task writing every cell directory serially (the ShardProfile
-      // finding, same class as Sharding.writeTasks)
-      src.repartition(spark.sessionState.conf.numShufflePartitions,
-          col("cell"))
-        .write.format("parquet").partitionBy("cell").saveAsTable(ct)
-      spark.table(mt0).coalesce(1).write.format("parquet").saveAsTable(mt)
+      // the two member rewrites are independent — overlapped (Par doc)
+      Par.run(spark, Seq(
+        // explicit task count: repartition(col) with no count is
+        // AQE-coalescible, and at small volumes AQE folds the rewrite into
+        // ONE task writing every cell directory serially (the ShardProfile
+        // finding, same class as Sharding.writeTasks)
+        () => src.repartition(spark.sessionState.conf.numShufflePartitions,
+            col("cell"))
+          .write.format("parquet").partitionBy("cell").saveAsTable(ct),
+        () => spark.table(mt0).coalesce(1).write.format("parquet")
+          .saveAsTable(mt)))
       Seq(ct, mt).foreach { nt =>
         spark.sql(s"ALTER TABLE $nt SET TBLPROPERTIES ('$DimProp' = '$dim', " +
           s"'$MProp' = '$m', '$KsubProp' = '$ksub', " +

@@ -815,15 +815,18 @@ object Dedup {
       val bt = Generations.physical(name, "buckets", lease.gen)
       val st = Generations.physical(name, "sigs", lease.gen)
       val hs = Frontier.pin(signatures(hist, k))
-      bandBuckets(hs).repartition(numBuckets, col("bh"))
-        .write.format("parquet")
-        .bucketBy(numBuckets, "bh").sortBy("bh")
-        .saveAsTable(bt)
-      hs.select(col("doc_id"), col("shs"))
-        .repartition(numBuckets, col("doc_id"))
-        .write.format("parquet")
-        .bucketBy(numBuckets, "doc_id").sortBy("doc_id")
-        .saveAsTable(st)
+      // both member writes consume only the pinned signatures and
+      // target disjoint tables — overlapped (guide §2.6 / Par doc)
+      Par.run(spark, Seq(
+        () => bandBuckets(hs).repartition(numBuckets, col("bh"))
+          .write.format("parquet")
+          .bucketBy(numBuckets, "bh").sortBy("bh")
+          .saveAsTable(bt),
+        () => hs.select(col("doc_id"), col("shs"))
+          .repartition(numBuckets, col("doc_id"))
+          .write.format("parquet")
+          .bucketBy(numBuckets, "doc_id").sortBy("doc_id")
+          .saveAsTable(st)))
       // stamp the shingle width on both tables: signatures built with a
       // different k are INCOMPARABLE (different shingle universe →
       // different minhashes and Jaccard denominators), so probe/append
@@ -1039,7 +1042,6 @@ object Dedup {
     Tombstones.requireErasurePurges(spark, name, gcKeep)
     val catalog = spark.sessionState.catalog
     val AutoScan = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val auto0 = spark.conf.get(AutoScan)
     // compaction is where tombstoned deletions become PHYSICAL: the
     // rewrite drops their rows from both tables. Captured PINNED up
     // front: the clear afterwards subtracts exactly this set
@@ -1055,10 +1057,11 @@ object Dedup {
     // leaves a complete index live (the old drop-and-rename had a
     // no-table window between the drop and the rename).
     Generations.swap(spark, name, IndexMembers, gcKeep = gcKeep) { lease =>
-    try {
-      spark.conf.set(AutoScan, "false")
+    Par.withConfOverride(spark, AutoScan, "false") {
       val tombs = applied0.map(broadcast)
-      IndexMembers.foreach { member =>
+      // member rewrites are independent (disjoint targets, old-gen
+      // sources) — overlapped per guide §2.6 (Par doc)
+      Par.run(spark, IndexMembers.map { member => () =>
         val t = Generations.resolve(spark, name, member)
         val meta = catalog
           .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(t))
@@ -1091,9 +1094,9 @@ object Dedup {
           .bucketBy(nb, bcol).sortBy(bcol)
           .saveAsTable(nt)
         spark.sql(s"ALTER TABLE $nt SET TBLPROPERTIES ('$ShingleKProp' = '$k')")
-      }
+      })
       Map.empty[String, String]
-    } finally spark.conf.set(AutoScan, auto0)
+    }
     }
     // after the flip the new generation no longer holds the rows, so
     // the APPLIED tombstones are inert — subtract exactly them. A

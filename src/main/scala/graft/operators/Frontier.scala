@@ -83,12 +83,26 @@ object Frontier {
     * hold the frame. */
   def pin[T](ds: Dataset[T]): Dataset[T] = {
     val spark = ds.sparkSession
-    if (!spark.conf.get(ReliableConf, "false").toBoolean) ds.localCheckpoint()
-    else {
-      ensureCheckpointDir(spark.sparkContext)
-      ds.persist()
-      try ds.checkpoint()
-      finally ds.unpersist(blocking = false)
-    }
+    val sc = spark.sparkContext
+    // label the materialization job with the CALLER's site (guide §1.5
+    // "label your jobs"): every pin otherwise reads "localCheckpoint at
+    // Frontier.scala" in the UI/profilers and the dominant cost center
+    // of the lifecycle operators is unattributable
+    val site = Thread.currentThread.getStackTrace.iterator
+      .drop(1)
+      .find(f => !f.getClassName.startsWith("graft.operators.Frontier") &&
+        !f.getClassName.startsWith("java.lang.Thread"))
+      .map(f => s"${f.getFileName}:${f.getLineNumber}").getOrElse("?")
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"pin at $site")
+    try {
+      if (!spark.conf.get(ReliableConf, "false").toBoolean) ds.localCheckpoint()
+      else {
+        ensureCheckpointDir(sc)
+        ds.persist()
+        try ds.checkpoint()
+        finally ds.unpersist(blocking = false)
+      }
+    } finally sc.setLocalProperty("spark.job.description", prev)
   }
 }

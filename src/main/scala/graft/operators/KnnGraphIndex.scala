@@ -187,30 +187,34 @@ object KnnGraphIndex {
     val edges = exactEdges(emb.select(col("vec_id"), col("embedding")),
       pool, dim, k + edgeBuffer)
     Generations.swap(spark, name, Members) { lease =>
-    trained.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
-      .toDF("cell", "centroid").coalesce(1)
-      .write.format("parquet")
-      .saveAsTable(Generations.physical(name, "model", lease.gen))
-    // each write pins its task count to the bucket count: the
-    // bucketed write then lands exactly ONE sorted file per bucket
-    // (tightest row-group pruning), and AQE cannot coalesce the
-    // upstream exchange into a single serial writer task — the same
-    // trap ShardProfile caught on the shard writer, measured here as
-    // a 107 s edges write at M=30 (vs ~7 s pinned)
-    tm("vecs write")(vecs.repartition(numBuckets, col("vec_id"))
-      .write.format("parquet")
-      .bucketBy(numBuckets, "vec_id").sortBy("vec_id")
-      .saveAsTable(Generations.physical(name, "vecs", lease.gen)))
-    tm("probes write")(probes.repartition(numBuckets, col("vec_id"))
-      .write.format("parquet")
-      .bucketBy(numBuckets, "vec_id").sortBy("vec_id")
-      .saveAsTable(Generations.physical(name, "probes", lease.gen)))
-    tm("edges write")(edges.repartition(numBuckets, col("qid"))
-      .write.format("parquet")
-      .bucketBy(numBuckets, "qid").sortBy("qid")
-      .saveAsTable(Generations.physical(name, "edges", lease.gen)))
-    val baseDist = tm("baseDist")(AnnIndex.meanCentroidDist(
-      emb.select(col("vec_id"), col("embedding")), cents))
+    // the four member writes and the drift gauge are independent jobs
+    // inside the atomic swap — overlapped per guide §2.6 (Par doc)
+    var baseDist = 0.0
+    Par.run(spark, Seq(
+      () => trained.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+        .toDF("cell", "centroid").coalesce(1)
+        .write.format("parquet")
+        .saveAsTable(Generations.physical(name, "model", lease.gen)),
+      // each write pins its task count to the bucket count: the
+      // bucketed write then lands exactly ONE sorted file per bucket
+      // (tightest row-group pruning), and AQE cannot coalesce the
+      // upstream exchange into a single serial writer task — the same
+      // trap ShardProfile caught on the shard writer, measured here as
+      // a 107 s edges write at M=30 (vs ~7 s pinned)
+      () => tm("vecs write")(vecs.repartition(numBuckets, col("vec_id"))
+        .write.format("parquet")
+        .bucketBy(numBuckets, "vec_id").sortBy("vec_id")
+        .saveAsTable(Generations.physical(name, "vecs", lease.gen))),
+      () => tm("probes write")(probes.repartition(numBuckets, col("vec_id"))
+        .write.format("parquet")
+        .bucketBy(numBuckets, "vec_id").sortBy("vec_id")
+        .saveAsTable(Generations.physical(name, "probes", lease.gen))),
+      () => tm("edges write")(edges.repartition(numBuckets, col("qid"))
+        .write.format("parquet")
+        .bucketBy(numBuckets, "qid").sortBy("qid")
+        .saveAsTable(Generations.physical(name, "edges", lease.gen))),
+      () => baseDist = tm("baseDist")(AnnIndex.meanCentroidDist(
+        emb.select(col("vec_id"), col("embedding")), cents))))
     Map(
       KProp -> k.toString, NProbeProp -> nprobe.toString,
       DimProp -> dim.toString, BufProp -> edgeBuffer.toString,
@@ -363,10 +367,15 @@ object KnnGraphIndex {
       Similarity.nearestCell(v.toArray, cents.value))
     val probesOf = udf((v: Seq[Float]) =>
       Similarity.nearestCells(v.toArray, cents.value, nprobe))
-    val newVecs = tm("newVecs pin")(Frontier.pin(toAdd.select(col("vec_id"),
-      col("embedding"), cellOf(col("embedding")).as("cell"))))
-    val newProbes = tm("newProbes pin")(Frontier.pin(toAdd.select(
-      col("vec_id"), explode(probesOf(col("embedding"))).as("cell"))))
+    // both pins derive only from the pinned toAdd — independent
+    // materializations, overlapped (guide §2.6 / Par doc)
+    var newVecs: DataFrame = null
+    var newProbes: DataFrame = null
+    Par.run(spark, Seq(
+      () => newVecs = tm("newVecs pin")(Frontier.pin(toAdd.select(
+        col("vec_id"), col("embedding"), cellOf(col("embedding")).as("cell")))),
+      () => newProbes = tm("newProbes pin")(Frontier.pin(toAdd.select(
+        col("vec_id"), explode(probesOf(col("embedding"))).as("cell"))))))
     val oldVecs = spark.table(vt)
     // forward: each new vector probes its cells over old ∪ new — the
     // BATCH side broadcasts, so the corpus-sized vecs scan streams in
@@ -424,12 +433,16 @@ object KnnGraphIndex {
         .saveAsTable(table)
       spark.catalog.refreshTable(table)
     }
-    tm("edges append")(appendTo(
-      fenced(st.newEdges, spark.table(et), "qid", Seq("qid", "vec_id")),
-      et, "qid"))
-    tm("probes append")(appendTo(
-      fenced(st.newProbes, spark.table(pt), "vec_id", Seq("vec_id")),
-      pt, "vec_id"))
+    // edges and probes are mutually independent (disjoint tables, both
+    // anti-join their own targets) and overlap (guide §2.6 / Par doc);
+    // the vecs applied-marker MUST still land strictly last
+    Par.run(spark, Seq(
+      () => tm("edges append")(appendTo(
+        fenced(st.newEdges, spark.table(et), "qid", Seq("qid", "vec_id")),
+        et, "qid")),
+      () => tm("probes append")(appendTo(
+        fenced(st.newProbes, spark.table(pt), "vec_id", Seq("vec_id")),
+        pt, "vec_id"))))
     tm("vecs append")(appendTo(st.newVecs, vt, "vec_id"))
   }
 
@@ -486,26 +499,32 @@ object KnnGraphIndex {
       edges0.join(ids.withColumnRenamed("vec_id", "qid"), Seq("qid"),
           "left_anti")
         .join(ids, Seq("vec_id"), "left_anti"))
-    val tight = Frontier.pin(Similarity
+    // single-consumer frames: each feeds exactly its own member write,
+    // so the old eager pins here were pure overhead (one extra
+    // materialization + read-back per member) — the writes read the
+    // still-live OLD generation directly. The four writes are
+    // independent and overlap (guide §2.6 / Par doc).
+    val tight = Similarity
       .topKPerQuery(liveEdges.select("qid", "vec_id", "cos"), k + buf)
-      .select("qid", "vec_id", "cos"))
-    val vecs = Frontier.pin(minus(spark.table(t(spark, name, "vecs"))))
-    val probes = Frontier.pin(minus(spark.table(t(spark, name, "probes"))))
-    val model = Frontier.pin(spark.table(t(spark, name, "model")))
-    model.write.format("parquet")
-      .saveAsTable(Generations.physical(name, "model", lease.gen))
-    // task count pinned to the bucket count — one sorted file per
-    // bucket, and no AQE coalescing into a serial writer (see
-    // writeKnnGraph's note)
-    vecs.repartition(nb, col("vec_id")).write.format("parquet")
-      .bucketBy(nb, "vec_id").sortBy("vec_id")
-      .saveAsTable(Generations.physical(name, "vecs", lease.gen))
-    probes.repartition(nb, col("vec_id")).write.format("parquet")
-      .bucketBy(nb, "vec_id").sortBy("vec_id")
-      .saveAsTable(Generations.physical(name, "probes", lease.gen))
-    tight.repartition(nb, col("qid")).write.format("parquet")
-      .bucketBy(nb, "qid").sortBy("qid")
-      .saveAsTable(Generations.physical(name, "edges", lease.gen))
+      .select("qid", "vec_id", "cos")
+    val vecs = minus(spark.table(t(spark, name, "vecs")))
+    val probes = minus(spark.table(t(spark, name, "probes")))
+    val model = spark.table(t(spark, name, "model"))
+    Par.run(spark, Seq(
+      () => model.write.format("parquet")
+        .saveAsTable(Generations.physical(name, "model", lease.gen)),
+      // task count pinned to the bucket count — one sorted file per
+      // bucket, and no AQE coalescing into a serial writer (see
+      // writeKnnGraph's note)
+      () => vecs.repartition(nb, col("vec_id")).write.format("parquet")
+        .bucketBy(nb, "vec_id").sortBy("vec_id")
+        .saveAsTable(Generations.physical(name, "vecs", lease.gen)),
+      () => probes.repartition(nb, col("vec_id")).write.format("parquet")
+        .bucketBy(nb, "vec_id").sortBy("vec_id")
+        .saveAsTable(Generations.physical(name, "probes", lease.gen)),
+      () => tight.repartition(nb, col("qid")).write.format("parquet")
+        .bucketBy(nb, "qid").sortBy("qid")
+        .saveAsTable(Generations.physical(name, "edges", lease.gen))))
     // carry the drift baseline across the swap — the quantizer is
     // unchanged, so the stamped baseline must survive compaction
     val baseDist = Generations.manifestProp(spark, name, BaseDistProp)

@@ -411,12 +411,18 @@ object LexIndex {
     * longer documents (positions bytes grow with total tokens, the
     * other columns with distinct terms) pushes the byte ratio past
     * ~2×. */
+  /** The returned `len` frame derives from the PINNED `tf` (not the raw
+    * lineage): callers pin both, and a `len` whose plan re-ran the
+    * tokenize would pay the posexplode + groupBy pass twice per
+    * build/append (measured: the second tokenize was ~40% of the
+    * append's pin cost at bench scale, pure waste at every scale). */
   private def termFrames(docs: DataFrame): (DataFrame, DataFrame) = {
     val tok = docs.select(col("doc_id"),
       posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
-    val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"),
+    val tf0 = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"),
       sort_array(collect_list(col("pos"))).as("positions"))
-    val len = tf.groupBy("doc_id").agg(sum(col("tf")).as("len"))
+    val tf = Frontier.pin(tf0)
+    val len = Frontier.pin(tf.groupBy("doc_id").agg(sum(col("tf")).as("len")))
     (tf, len)
   }
 
@@ -464,52 +470,55 @@ object LexIndex {
       .map(t => Frontier.pin(t.select(col("doc_id")).distinct()))
     Generations.swap(spark, name, Members, gcKeep = gcKeep) { lease =>
       val epoch = s"g${lease.gen}"
-      val (tf0, len0) = termFrames(docs)
-      val len = Frontier.pin(len0)
+      val (tf, len) = termFrames(docs) // both pinned (termFrames doc)
       // the (tok, doc, tf, len, positions) frame feeds BOTH the
       // postings write and the dictionary aggregation — pinned once
-      val post = Frontier.pin(tf0.join(len, "doc_id").select(col("tok"),
+      val post = Frontier.pin(tf.join(len, "doc_id").select(col("tok"),
         col("doc_id"), col("tf"), col("len"), col("positions")))
       val pt = Generations.physical(name, "postings", lease.gen)
       val lt = Generations.physical(name, "doclen", lease.gen)
       val dt = Generations.physical(name, "dfcap", lease.gen)
       val st = Generations.physical(name, "stats", lease.gen)
       val vt = Generations.physical(name, "vocab", lease.gen)
-      // postings sorted by (tok, doc_id): the secondary sort costs
-      // nothing at write time and gives the bounded MaxScore probe's
-      // candidate-completion scan real row-group pruning for its
-      // pushed In(doc_id) — within each term's run, parquet min/max on
-      // doc_id skips row groups holding no candidate
-      post.repartition(numBuckets, col("tok"))
-        .write.format("parquet")
-        .bucketBy(numBuckets, "tok").sortBy("tok", "doc_id").saveAsTable(pt)
-      len.select(col("doc_id"), col("len"), lit(epoch).as("batch_id"))
-        .repartition(numBuckets, col("doc_id"))
-        .write.format("parquet")
-        .bucketBy(numBuckets, "doc_id").sortBy("doc_id").saveAsTable(lt)
-      dictRows(post)
-        .repartition(numBuckets, col("tok"))
-        .write.format("parquet")
-        .bucketBy(numBuckets, "tok").sortBy("tok").saveAsTable(dt)
-      // the dictionary delta member starts EMPTY — dfcap IS the exact
-      // dictionary at build time; appends land their deltas here
-      dictRows(post.limit(0)).withColumn("batch_id", lit(""))
-        .coalesce(1).write.format("parquet")
-        .bucketBy(numBuckets, "tok").sortBy("tok").saveAsTable(vt)
-      // the block stamps cover every postings row from birth (the
-      // bounded probe's skipping argument needs every row dominated by
-      // a stamp written in the mutation that landed it)
+      // The six member writes consume only the two pinned frames (post,
+      // len) and target disjoint physical tables inside one atomic
+      // swap — independent jobs, overlapped per guide §2.6 (Par doc).
       val it = Generations.physical(name, "impacts", lease.gen)
-      impactRows(post, impactBlockRows(spark))
-        .withColumn("batch_id", lit(epoch))
-        .repartition(numBuckets, col("tok"))
-        .write.format("parquet")
-        .bucketBy(numBuckets, "tok").sortBy("tok").saveAsTable(it)
-      len.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("total_tokens"))
-        .select(lit(epoch).as("batch_id"), col("n_docs"),
-          coalesce(col("total_tokens"), lit(0L)).as("total_tokens"))
-        .coalesce(1)
-        .write.format("parquet").saveAsTable(st)
+      Par.run(spark, Seq(
+        // postings sorted by (tok, doc_id): the secondary sort costs
+        // nothing at write time and gives the bounded MaxScore probe's
+        // candidate-completion scan real row-group pruning for its
+        // pushed In(doc_id) — within each term's run, parquet min/max on
+        // doc_id skips row groups holding no candidate
+        () => post.repartition(numBuckets, col("tok"))
+          .write.format("parquet")
+          .bucketBy(numBuckets, "tok").sortBy("tok", "doc_id").saveAsTable(pt),
+        () => len.select(col("doc_id"), col("len"), lit(epoch).as("batch_id"))
+          .repartition(numBuckets, col("doc_id"))
+          .write.format("parquet")
+          .bucketBy(numBuckets, "doc_id").sortBy("doc_id").saveAsTable(lt),
+        () => dictRows(post)
+          .repartition(numBuckets, col("tok"))
+          .write.format("parquet")
+          .bucketBy(numBuckets, "tok").sortBy("tok").saveAsTable(dt),
+        // the dictionary delta member starts EMPTY — dfcap IS the exact
+        // dictionary at build time; appends land their deltas here
+        () => dictRows(post.limit(0)).withColumn("batch_id", lit(""))
+          .coalesce(1).write.format("parquet")
+          .bucketBy(numBuckets, "tok").sortBy("tok").saveAsTable(vt),
+        // the block stamps cover every postings row from birth (the
+        // bounded probe's skipping argument needs every row dominated by
+        // a stamp written in the mutation that landed it)
+        () => impactRows(post, impactBlockRows(spark))
+          .withColumn("batch_id", lit(epoch))
+          .repartition(numBuckets, col("tok"))
+          .write.format("parquet")
+          .bucketBy(numBuckets, "tok").sortBy("tok").saveAsTable(it),
+        () => len.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("total_tokens"))
+          .select(lit(epoch).as("batch_id"), col("n_docs"),
+            coalesce(col("total_tokens"), lit(0L)).as("total_tokens"))
+          .coalesce(1)
+          .write.format("parquet").saveAsTable(st)))
       Seq(pt, lt, dt, st, vt, it).foreach { t =>
         spark.sql(
           s"ALTER TABLE $t SET TBLPROPERTIES ('$TokenizerProp' = '$TokenizerId')")
@@ -582,9 +591,7 @@ object LexIndex {
               Seq("doc_id"), "left_outer")
             .filter(col("owner").isNull || col("owner") === batchId)
             .select(batch.columns.map(col): _*), name, "doc_id")
-        val (tf0, len0) = termFrames(admitted)
-        val tf = Frontier.pin(tf0)
-        val len = Frontier.pin(len0)
+        val (tf, len) = termFrames(admitted) // both pinned (termFrames doc)
         val post = tf.join(len, "doc_id")
           .select(col("tok"), col("doc_id"), col("tf"), col("len"), col("positions"))
         val postToAdd =
@@ -683,7 +690,6 @@ object LexIndex {
     Tombstones.requireErasurePurges(spark, name, gcKeep)
     val catalog = spark.sessionState.catalog
     val AutoScan = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val auto0 = spark.conf.get(AutoScan)
     // captured PINNED up front: the post-flip clear subtracts exactly
     // this set (Tombstones.clearApplied) — a takedown racing the
     // capture or the flip stays pending for the next pass instead of
@@ -691,8 +697,7 @@ object LexIndex {
     val applied0 = lexTombstones(spark, name)
       .map(t => Frontier.pin(t.select(col("doc_id")).distinct()))
     Generations.swap(spark, name, Members, gcKeep = gcKeep) { lease =>
-      try {
-        spark.conf.set(AutoScan, "false")
+      Par.withConfOverride(spark, AutoScan, "false") {
         val epoch = s"g${lease.gen}"
         val tombs = applied0.map(broadcast)
         def purged(t: String): DataFrame =
@@ -716,66 +721,70 @@ object LexIndex {
         }
         val oldP = member(spark, name, "postings")
         requireTokenizer(spark, Seq(oldP))
+        // Two waves of independent member writes (guide §2.6 / Par doc):
+        // wave 1 rewrites the row-bearing members from the OLD
+        // generation; wave 2 derives dictionary/stamps/stats by reading
+        // the NEW postings/doclen back (compacted, bucketed — the df
+        // recount rides the (tok) bucketing exchange-free), so it must
+        // wait for wave 1.
         // (tok, doc_id) sort: compaction also UPGRADES a tok-only
         // legacy layout to the MaxScore-prunable one (see writeLexIndex)
-        val pt = rewrite("postings", "tok", purged(oldP),
-          Seq("tok", "doc_id"))
-        val lt = rewrite("doclen", "doc_id",
-          purged(member(spark, name, "doclen"))
-            .select(col("doc_id"), col("len"), lit(epoch).as("batch_id")),
-          Seq("doc_id"))
+        val pt = Generations.physical(name, "postings", lease.gen)
+        val lt = Generations.physical(name, "doclen", lease.gen)
+        val vt = Generations.physical(name, "vocab", lease.gen)
+        val nbV = numBuckets.getOrElse(
+          catalog.getTableMetadata(parse(spark, oldP)).bucketSpec
+            .getOrElse(sys.error(s"$oldP is not a bucketed index table"))
+            .numBuckets)
+        Par.run(spark, Seq(
+          () => require(rewrite("postings", "tok", purged(oldP),
+            Seq("tok", "doc_id")) == pt),
+          () => require(rewrite("doclen", "doc_id",
+            purged(member(spark, name, "doclen"))
+              .select(col("doc_id"), col("len"), lit(epoch).as("batch_id")),
+            Seq("doc_id")) == lt),
+          // the delta member resets to empty (schema from the old
+          // postings — identical to the compacted table's)
+          () => dictRows(purged(oldP).limit(0)).withColumn("batch_id", lit(""))
+            .coalesce(1).write.format("parquet")
+            .bucketBy(nbV, "tok").sortBy("tok").saveAsTable(vt)))
         // df/stats rebuilt EXACTLY from the rows that survived — the
         // moment logical deletions become statistical deletions. The
         // dictionary consolidates with them: dfcap gets the exact
-        // post-purge (df, max_tf, min_len) per term and the delta
-        // member resets to empty (this is also the in-place UPGRADE
-        // path for families built before the dictionary existed — the
-        // rebuild derives everything from the compacted postings).
+        // post-purge (df, max_tf, min_len) per term (this is also the
+        // in-place UPGRADE path for families built before the
+        // dictionary existed — the rebuild derives everything from the
+        // compacted postings).
         val nb = numBuckets.getOrElse(
           catalog.getTableMetadata(parse(spark, pt)).bucketSpec.get.numBuckets)
-        val dt = {
-          val nt = Generations.physical(name, "dfcap", lease.gen)
-          dictRows(spark.table(pt))
-            .write.format("parquet")
-            .bucketBy(nb, "tok").sortBy("tok").saveAsTable(nt)
-          nt
-        }
-        val vt = {
-          val nt = Generations.physical(name, "vocab", lease.gen)
-          dictRows(spark.table(pt).limit(0)).withColumn("batch_id", lit(""))
-            .coalesce(1).write.format("parquet")
-            .bucketBy(nb, "tok").sortBy("tok").saveAsTable(nt)
-          nt
-        }
+        val dt = Generations.physical(name, "dfcap", lease.gen)
         // block stamps rebuilt exactly from the compacted postings —
         // this is also the in-place UPGRADE path for families built
         // before the impacts member (the vocab discipline): from this
         // compaction on, every row is stamped and probes may block-skip
-        val it = {
-          val nt = Generations.physical(name, "impacts", lease.gen)
-          impactRows(spark.table(pt), impactBlockRows(spark))
+        val it = Generations.physical(name, "impacts", lease.gen)
+        val st = Generations.physical(name, "stats", lease.gen)
+        Par.run(spark, Seq(
+          () => dictRows(spark.table(pt))
+            .write.format("parquet")
+            .bucketBy(nb, "tok").sortBy("tok").saveAsTable(dt),
+          () => impactRows(spark.table(pt), impactBlockRows(spark))
             .withColumn("batch_id", lit(epoch))
             .repartition(nb, col("tok"))
             .write.format("parquet")
-            .bucketBy(nb, "tok").sortBy("tok").saveAsTable(nt)
-          nt
-        }
-        val st = {
-          val nt = Generations.physical(name, "stats", lease.gen)
-          spark.table(lt)
+            .bucketBy(nb, "tok").sortBy("tok").saveAsTable(it),
+          () => spark.table(lt)
             .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("total_tokens"))
             .select(lit(epoch).as("batch_id"), col("n_docs"),
               coalesce(col("total_tokens"), lit(0L)).as("total_tokens"))
             .coalesce(1)
-            .write.format("parquet").saveAsTable(nt)
-          nt
-        }
+            .write.format("parquet").saveAsTable(st)))
         Seq(pt, lt, dt, st, vt, it).foreach { t =>
           spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
             s"('$TokenizerProp' = '$TokenizerId')")
         }
         Map.empty[String, String]
-      } finally spark.conf.set(AutoScan, auto0)
+      }
     }
     applied0.foreach(Tombstones.clearApplied(spark, name, _))
   }

@@ -426,17 +426,20 @@ object CorpusPrep {
       Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
     }
     rm(new java.io.File(arts.shardPath))
-    Dedup.writeNearDupIndex(
-      docs.select(col("doc_id"), col("text")), arts.ndIndex)
     val corpusVecs = docs.select(col("doc_id"))
       .withColumn("embedding", embed)
       .select(col("doc_id").as("vec_id"), col("embedding"))
-    graft.operators.AnnIndex.writeAnnIndex(corpusVecs, arts.annIndex,
-      nCells = 8, m = 8, ksub = 16)
-    StreamingNightlyIngest.writeCorpus(s, arts, corpusVecs)
-    graft.operators.LexIndex.writeLexIndex(
-      docs.select(col("doc_id"), col("text")),
-      StreamingNightlyIngest.lexName(arts))
+    // four independent base builds over disjoint families — overlapped
+    // per guide §2.6 (Par doc)
+    graft.operators.Par.run(s, Seq(
+      () => Dedup.writeNearDupIndex(
+        docs.select(col("doc_id"), col("text")), arts.ndIndex),
+      () => graft.operators.AnnIndex.writeAnnIndex(corpusVecs,
+        arts.annIndex, nCells = 8, m = 8, ksub = 16),
+      () => StreamingNightlyIngest.writeCorpus(s, arts, corpusVecs),
+      () => graft.operators.LexIndex.writeLexIndex(
+        docs.select(col("doc_id"), col("text")),
+        StreamingNightlyIngest.lexName(arts))))
     (arts, docs)
   }
 

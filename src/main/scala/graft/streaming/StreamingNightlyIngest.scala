@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.functions.TextFunctions
-import graft.operators.{AnnIndex, Dedup, Frontier, Generations, IndexMaintenance, KnnGraphIndex, LexIndex, Packing, Sampling, Sharding, Tombstones}
+import graft.operators.{AnnIndex, Dedup, Frontier, Generations, IndexMaintenance, KnnGraphIndex, LexIndex, Packing, Par, Sampling, Sharding, Tombstones}
 
 /** The COMPOSED nightly-ingest loop: every maintained artifact this
   * engine keeps — the near-dup index, the ANN index + raw-vector
@@ -368,18 +368,24 @@ object StreamingNightlyIngest extends org.apache.spark.internal.Logging {
     val del = Frontier.pin(
       ids.select(col(ids.columns.head).cast("long").as("doc_id")).distinct())
     if (del.isEmpty) return
-    Dedup.tombstoneNearDup(spark, arts.ndIndex, del)
-    AnnIndex.tombstoneAnn(spark, arts.annIndex,
-      del.select(col("doc_id").as("vec_id")))
-    if (graphExists(spark, arts))
-      KnnGraphIndex.tombstoneGraph(spark, graphName(arts),
-        del.select(col("doc_id").as("vec_id")))
-    if (lexExists(spark, arts))
-      LexIndex.tombstoneLex(spark, lexName(arts), del.select("doc_id"))
-    writeRegistry(spark, arts, deletedLog(spark, arts)
-      .fold(del.toDF())(cur => cur.unionByName(del).distinct()))
-    Sharding.deleteFromShards(spark, arts.shardPath, del,
-      schema = Some(assignSchema))
+    // six per-artifact effects of one takedown, all idempotent
+    // (distinct-merged tombstones, keyed registry union, keyed shard
+    // delete) over the one pinned set — disjoint targets, overlapped
+    // per guide §2.6 (Par doc); a crash mid-block replays to the same
+    // converged state whatever the interleaving, exactly as before
+    Par.run(spark, Seq(
+      () => Dedup.tombstoneNearDup(spark, arts.ndIndex, del),
+      () => AnnIndex.tombstoneAnn(spark, arts.annIndex,
+        del.select(col("doc_id").as("vec_id"))),
+      () => if (graphExists(spark, arts))
+        KnnGraphIndex.tombstoneGraph(spark, graphName(arts),
+          del.select(col("doc_id").as("vec_id"))),
+      () => if (lexExists(spark, arts))
+        LexIndex.tombstoneLex(spark, lexName(arts), del.select("doc_id")),
+      () => writeRegistry(spark, arts, deletedLog(spark, arts)
+        .fold(del.toDF())(cur => cur.unionByName(del).distinct())),
+      () => Sharding.deleteFromShards(spark, arts.shardPath, del,
+        schema = Some(assignSchema))))
     ()
   }
 
@@ -559,51 +565,66 @@ object StreamingNightlyIngest extends org.apache.spark.internal.Logging {
     val admittedVecs = Frontier.pin(
       withTokens.join(kept.select("doc_id"), "doc_id")
         .select(col("doc_id").as("vec_id"), col("embedding")))
-    AnnIndex.appendToAnnIndex(admittedVecs, arts.annIndex, ifAbsent = true)
-    // the optional maintained graph advances with the same admitted
-    // vectors (ifAbsent — its vecs marker fences replays on its own)
-    if (graphExists(spark, arts))
-      KnnGraphIndex.appendToKnnGraph(admittedVecs, graphName(arts))
-    // the optional maintained lexical index advances with the same
-    // admitted set — retrieval-facing like the ANN leg, so it serves
-    // exactly the kept corpus. ALWAYS appended ifAbsent keyed by the
-    // night id: the lexical append is the one non-swap mutation, so a
-    // retried night without the fence would double-count postings,
-    // doclen and stats — and compaction would rebuild stats from the
-    // duplicated doclen, making the drift permanent. Direct batch
-    // callers must therefore supply a real per-night batchId (the
-    // streaming path always does).
-    if (lexExists(spark, arts)) {
-      require(batchId >= 0, "a loop with the lexical leg opted in " +
-        "needs a distinct batchId per night (the lex append is fenced " +
-        "on it): pass batchId to nightStep on the direct path")
-      LexIndex.appendToLexIndex(
-        survivors.join(kept.select("doc_id"), "doc_id")
-          .select(col("doc_id"), col("text")),
-        lexName(arts), batchId = s"night-$batchId",
-        ifAbsent = true)
-    }
+    // The five artifact advances consume only the pinned frames and
+    // target disjoint tables/paths, each individually fenced — they
+    // overlap (guide §2.6 / Par doc). The lex append's four crash
+    // windows stay strictly ordered INSIDE its own thunk; cross-family
+    // replay convergence never depended on inter-family order (every
+    // link is idempotent, see the scaladoc above). The takedown stays
+    // strictly AFTER the block (ingest-then-delete).
     val corpusT = corpusPhysical(spark, arts)
-    admittedVecs.join(spark.table(corpusT).select("vec_id"),
-        Seq("vec_id"), "left_anti")
-      .write.format("parquet").mode("append")
-      .saveAsTable(corpusT)
-    spark.catalog.refreshTable(corpusT)
-    // 5. pack the admitted set in doc_id order, offsets continuing
-    //    from the layout's current end; 6. append to the shard layout
-    //    (keyed-idempotent — see above)
-    val base = StreamingShardIngest.layoutEnd(spark, arts.shardPath)
-    val packed = Packing.packPlan(kept.select(col("doc_id"),
-        col("n_tokens")), "doc_id", "n_tokens", seqBudget)
-      .select(col("doc_id"), col("n_tokens"),
-        (col("start_tok") + base).as("start_tok"))
-    val assign = Sharding.shardAssignments(packed, tokensPerShard)
-    if (base == 0L) Sharding.writeShards(assign, arts.shardPath)
-    else Sharding.appendShards(assign, arts.shardPath,
-      idempotentOn = Some("doc_id"))
+    var assignSchema: org.apache.spark.sql.types.StructType = null
+    Par.run(spark, Seq(
+      () => AnnIndex.appendToAnnIndex(admittedVecs, arts.annIndex,
+        ifAbsent = true),
+      // the optional maintained graph advances with the same admitted
+      // vectors (ifAbsent — its vecs marker fences replays on its own)
+      () => if (graphExists(spark, arts))
+        KnnGraphIndex.appendToKnnGraph(admittedVecs, graphName(arts)),
+      // the optional maintained lexical index advances with the same
+      // admitted set — retrieval-facing like the ANN leg, so it serves
+      // exactly the kept corpus. ALWAYS appended ifAbsent keyed by the
+      // night id: the lexical append is the one non-swap mutation, so a
+      // retried night without the fence would double-count postings,
+      // doclen and stats — and compaction would rebuild stats from the
+      // duplicated doclen, making the drift permanent. Direct batch
+      // callers must therefore supply a real per-night batchId (the
+      // streaming path always does).
+      () => if (lexExists(spark, arts)) {
+        require(batchId >= 0, "a loop with the lexical leg opted in " +
+          "needs a distinct batchId per night (the lex append is fenced " +
+          "on it): pass batchId to nightStep on the direct path")
+        LexIndex.appendToLexIndex(
+          survivors.join(kept.select("doc_id"), "doc_id")
+            .select(col("doc_id"), col("text")),
+          lexName(arts), batchId = s"night-$batchId",
+          ifAbsent = true)
+      },
+      () => {
+        admittedVecs.join(spark.table(corpusT).select("vec_id"),
+            Seq("vec_id"), "left_anti")
+          .write.format("parquet").mode("append")
+          .saveAsTable(corpusT)
+        spark.catalog.refreshTable(corpusT)
+      },
+      // 5. pack the admitted set in doc_id order, offsets continuing
+      //    from the layout's current end; 6. append to the shard layout
+      //    (keyed-idempotent — see above)
+      () => {
+        val base = StreamingShardIngest.layoutEnd(spark, arts.shardPath)
+        val packed = Packing.packPlan(kept.select(col("doc_id"),
+            col("n_tokens")), "doc_id", "n_tokens", seqBudget)
+          .select(col("doc_id"), col("n_tokens"),
+            (col("start_tok") + base).as("start_tok"))
+        val assign = Sharding.shardAssignments(packed, tokensPerShard)
+        assignSchema = assign.schema
+        if (base == 0L) Sharding.writeShards(assign, arts.shardPath)
+        else Sharding.appendShards(assign, arts.shardPath,
+          idempotentOn = Some("doc_id"))
+      }))
     // 7. the night's takedown set, applied LAST (ingest-then-delete:
     //    a doc both added and deleted tonight ends deleted)
-    delIds.foreach(d => applyDeletions(arts, d, assign.schema))
+    delIds.foreach(d => applyDeletions(arts, d, assignSchema))
     kept
   }
 
@@ -618,17 +639,20 @@ object StreamingNightlyIngest extends org.apache.spark.internal.Logging {
     def keepFor(index: String) =
       if (Tombstones.pendingCount(spark, index) > 0) 1
       else retainGenerations
-    Dedup.compactNearDupIndex(spark, arts.ndIndex,
-      gcKeep = keepFor(arts.ndIndex))
-    AnnIndex.compactAnnIndex(spark, arts.annIndex,
-      gcKeep = keepFor(arts.annIndex))
-    if (graphExists(spark, arts))
-      KnnGraphIndex.compactKnnGraph(spark, graphName(arts),
-        gcKeep = keepFor(graphName(arts)))
-    if (lexExists(spark, arts))
-      LexIndex.compactLexIndex(spark, lexName(arts),
-        gcKeep = keepFor(lexName(arts)))
-    compactCorpus(spark, arts)
+    // per-family compactions touch disjoint families (their own swaps,
+    // leases, tombstone sets) — overlapped per guide §2.6 (Par doc)
+    Par.run(spark, Seq(
+      () => Dedup.compactNearDupIndex(spark, arts.ndIndex,
+        gcKeep = keepFor(arts.ndIndex)),
+      () => AnnIndex.compactAnnIndex(spark, arts.annIndex,
+        gcKeep = keepFor(arts.annIndex)),
+      () => if (graphExists(spark, arts))
+        KnnGraphIndex.compactKnnGraph(spark, graphName(arts),
+          gcKeep = keepFor(graphName(arts))),
+      () => if (lexExists(spark, arts))
+        LexIndex.compactLexIndex(spark, lexName(arts),
+          gcKeep = keepFor(lexName(arts))),
+      () => compactCorpus(spark, arts)))
   }
 
   /** POLICY-DRIVEN maintenance — [[compactAll]] with the WHEN decided
@@ -675,15 +699,20 @@ object StreamingNightlyIngest extends org.apache.spark.internal.Logging {
           LexIndex.compactLexIndex(spark, lexName(arts),
             gcKeep = keepFor(lexName(arts))))),
     ).flatten
+    // decisions + logging stay sequential (metadata-only, ordered
+    // audit trail); the due families' compaction bodies are per-family
+    // independent and overlap (guide §2.6 / Par doc)
     val decided = families.map { case (f, members, compact) =>
       val h = IndexMaintenance.health(spark, f, members)
       val d = IndexMaintenance.compactionDue(h, policy)
       onDecision(f, h, d)
-      if (d.due) compact()
-      f -> d
+      (f, d, compact)
     }
-    if (corpusErasureDue(spark, arts)) compactCorpus(spark, arts)
-    decided
+    Par.run(spark,
+      decided.collect { case (_, d, compact) if d.due => compact } ++
+        (if (corpusErasureDue(spark, arts))
+          Seq(() => compactCorpus(spark, arts)) else Nil))
+    decided.map { case (f, d, _) => f -> d }
   }
 
   private def logDecision(family: String,

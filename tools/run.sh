@@ -13,6 +13,10 @@ ADD_OPENS="$ADD_OPENS --add-opens java.base/sun.nio.ch=ALL-UNNAMED"
 ADD_OPENS="$ADD_OPENS --add-opens java.base/sun.nio.cs=ALL-UNNAMED"
 ADD_OPENS="$ADD_OPENS --add-opens java.base/sun.security.action=ALL-UNNAMED"
 ADD_OPENS="$ADD_OPENS --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
+# SPARK_GRAFT_JAVA_OPTS (optional): extra -D flags, e.g. an isolated
+# -Dspark.sql.warehouse.dir/-Djava.io.tmpdir so a dev run can't trample
+# the tables of a concurrently running Verify/Bench of the same queries.
 exec java $ADD_OPENS -Xmx${SPARK_DRIVER_MEM:-24g} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  ${SPARK_GRAFT_JAVA_OPTS:-} \
   -cp "$CP" "$@"
