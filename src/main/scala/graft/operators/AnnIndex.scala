@@ -117,10 +117,18 @@ object AnnIndex {
     val firstVec = emb.select(size(col("embedding"))).take(1)
     require(firstVec.nonEmpty, "cannot build an ANN index over an empty corpus")
     val dim = firstVec(0).getInt(0)
-    val trained = Similarity.trainCentroids(emb, nCells)
+    // non-residual codebooks don't depend on the centroids — the two
+    // bounded training collects overlap (guide §2.6 / Par doc);
+    // residual training needs the centroids first and stays sequential
+    var trained: Array[Array[Float]] = null
+    var books0: Array[Array[Array[Float]]] = null
+    Par.run(spark, Seq(
+      () => trained = Similarity.trainCentroids(emb, nCells)) ++
+      (if (residual) Nil
+       else Seq(() => books0 = Similarity.trainPqCodebooks(emb, m, ksub))))
     val books =
       if (residual) Similarity.trainPqCodebooksResidual(emb, trained, m, ksub)
-      else Similarity.trainPqCodebooks(emb, m, ksub)
+      else books0
     val cents = spark.sparkContext.broadcast(trained)
     val bb = spark.sparkContext.broadcast(books)
     // pinned pre-rebuild pending set: only IT is stale after the flip
