@@ -292,11 +292,19 @@ object LexIndex {
     * the respective scan reads its full posting lists. */
   private val RangesMax = 4096
 
-  /** Test-only crash injection for the append's three-job window
-    * (the [[Generations.failpoint]] pattern): `Some("after-postings")`
-    * / `Some("after-doclen")` makes the next [[appendToLexIndex]] die
-    * at that point, as a crashed writer would — specs then replay the
-    * batch and assert convergence across both partial windows. */
+  /** Test-only crash injection for the append's member-write window
+    * (the [[Generations.failpoint]] pattern). The append's four member
+    * writes run OVERLAPPED (see [[appendToLexIndex]]), so a crash can
+    * leave ANY SUBSET of {postings, doclen, vocab, impacts} landed —
+    * not just a prefix. The failpoint names the landed set and the
+    * append dies right after landing exactly it:
+    *  - the legacy prefix names (`after-postings`, `after-doclen`,
+    *    `after-vocab`, `after-impacts`) land their historical prefix
+    *    sets, so every pre-existing window keeps its exact wreckage;
+    *  - `land-only:<m>[,<m>...]` lands an arbitrary subset — the
+    *    states only reachable under overlap (e.g. doclen+impacts
+    *    without postings).
+    * Specs replay the batch from each wreckage and assert convergence. */
   @volatile private[graft] var appendFailpoint: Option[String] = None
 
   /** Test-only: a triggered append failpoint HALTS the JVM (exit 137)
@@ -306,11 +314,26 @@ object LexIndex {
     * cross-process simulation DurableLab's kill matrix needs. */
   @volatile private[graft] var appendFailpointHalt: Boolean = false
 
-  private def crashPoint(p: String): Unit =
-    if (appendFailpoint.contains(p)) {
-      if (appendFailpointHalt) Runtime.getRuntime.halt(137)
-      throw new IllegalStateException(s"injected crash at $p")
+  /** The landed set a failpoint names (None = no failpoint): legacy
+    * prefix names map to their historical sets, `land-only:` to an
+    * arbitrary subset. See [[appendFailpoint]]. */
+  private def failpointLandSet(): Option[Set[String]] =
+    appendFailpoint.map {
+      case "after-postings" => Set("postings")
+      case "after-doclen" => Set("postings", "doclen")
+      case "after-vocab" => Set("postings", "doclen", "vocab")
+      case "after-impacts" => Set("postings", "doclen", "vocab", "impacts")
+      case s if s.startsWith("land-only:") =>
+        s.stripPrefix("land-only:").split(",").map(_.trim)
+          .filter(_.nonEmpty).toSet
+      case other => sys.error(s"unknown append failpoint: $other")
     }
+
+  private def crashNow(landed: Set[String]): Nothing = {
+    if (appendFailpointHalt) Runtime.getRuntime.halt(137)
+    throw new IllegalStateException(
+      s"injected crash: landed only {${landed.toSeq.sorted.mkString(",")}}")
+  }
 
   /** Session-conf override for the index-size floor (bytes) below
     * which [[probeLexIndex]] skips the bounded key pushdown; tests set
@@ -538,8 +561,8 @@ object LexIndex {
     * micro-batch id from streaming. `ifAbsent = true` buys replay
     * convergence (see object doc) at the price of per-doc anti-joins
     * against the index; the plain path is one tokenize of the batch +
-    * three batch-sized bucketed appends — the corpus is never
-    * rewritten.
+    * four batch-sized bucketed member appends (overlapped — see the
+    * in-body subset-state argument) — the corpus is never rewritten.
     *
     * `dfcap` is deliberately NOT maintained here: it is a safe
     * stop-word prune precisely because it is a lower bound of the
@@ -598,47 +621,66 @@ object LexIndex {
           if (ifAbsent) post.join(spark.table(pt).select("doc_id").distinct(),
             Seq("doc_id"), "left_anti")
           else post
-        appendWith(postToAdd, pt)
-        crashPoint("after-postings")
         val lenRows = len.select(col("doc_id"), col("len"),
           lit(batchId).as("batch_id"))
         val lenToAdd =
           if (ifAbsent) lenRows.join(spark.table(lt).select("doc_id"),
             Seq("doc_id"), "left_anti")
           else lenRows
-        appendWith(lenToAdd, lt)
-        crashPoint("after-doclen")
         // the dictionary delta, over the FULL admitted set (not
         // postToAdd: a crashed attempt's landed postings are admitted
         // rows whose df the delta must still count exactly once — the
         // stats-delta argument). Its own batch-id presence check fences
         // replays that died between this write and the stats fence;
         // with it, dfcap.df + Σ vocab.df equals the postings-scan df at
-        // every point in the lifecycle (the exactness invariant the
-        // vocabulary probes rely on).
+        // every quiesced point in the lifecycle (the exactness
+        // invariant the vocabulary probes rely on).
         val vocabDone = ifAbsent && !spark.table(vt)
           .filter(col("batch_id") === batchId).isEmpty
-        if (!vocabDone)
-          appendWith(dictRows(post).withColumn("batch_id", lit(batchId)), vt)
-        crashPoint("after-vocab")
         // the block-stamp delta, over the same FULL admitted set (a
         // stamp over rows a crashed attempt never landed is a superset
         // stamp — dominating a subset is still dominating; a landed row
-        // MISSING its stamp would break the skipping argument, which is
-        // why stamps ride the same batch-id fence as the dictionary).
-        // Families built before the impacts member exist skip the stamp
-        // (no table): their probes never block-skip until a compaction
-        // upgrades the family, so losslessness holds either way.
+        // MISSING its stamp never makes a probe WRONG, only makes the
+        // in-flight batch's docs not yet block-skippably retrievable —
+        // which is why stamps ride the same batch-id fence as the
+        // dictionary and the replay closes the gap). Families built
+        // before the impacts member exist skip the stamp (no table):
+        // their probes never block-skip until a compaction upgrades
+        // the family, so losslessness holds either way.
         val it = member(spark, name, "impacts")
         val hasImp = spark.sessionState.catalog.tableExists(parse(spark, it))
-        if (hasImp) {
-          val impDone = ifAbsent && !spark.table(it)
-            .filter(col("batch_id") === batchId).isEmpty
-          if (!impDone)
-            appendWith(impactRows(post, impactBlockRows(spark))
-              .withColumn("batch_id", lit(batchId)), it)
-        }
-        crashPoint("after-impacts")
+        val impDone = hasImp && ifAbsent && !spark.table(it)
+          .filter(col("batch_id") === batchId).isEmpty
+        // ---- the four member writes, OVERLAPPED (guide §2.6) ---------
+        // Safe to run concurrently because replay convergence needs no
+        // ORDER between them, only per-member idempotence — each write
+        // carries its own dedup/fence: postings and doclen left-anti
+        // their own table's doc_ids (ifAbsent), vocab and impacts ride
+        // the batch-id presence check, and `admitted` (pinned above,
+        // before any write) classifies by doclen OWNERSHIP, which any
+        // subset state preserves. So from ANY landed subset the replay
+        // lands exactly the missing members' deltas and the stats fence
+        // (below, strictly LAST — it alone flips `applied`): the
+        // prefix-window convergence proof generalizes to subset states
+        // (LexIndexSpec's window loop + DurableLab's kill matrix now
+        // drive non-prefix subsets too). Mid-crash visibility is the
+        // same class as the old prefix windows: the in-flight batch is
+        // partially retrievable until the replay, never wrong for docs
+        // the index already owned.
+        val landSet = failpointLandSet()
+        def gated(m: String, th: () => Unit): Option[() => Unit] =
+          if (landSet.forall(_.contains(m))) Some(th) else None
+        Par.run(spark, (Seq(
+          gated("postings", () => appendWith(postToAdd, pt)),
+          gated("doclen", () => appendWith(lenToAdd, lt))) ++
+          (if (!vocabDone) Seq(gated("vocab", () => appendWith(
+            dictRows(post).withColumn("batch_id", lit(batchId)), vt)))
+           else Nil) ++
+          (if (hasImp && !impDone) Seq(gated("impacts", () => appendWith(
+            impactRows(post, impactBlockRows(spark))
+              .withColumn("batch_id", lit(batchId)), it)))
+           else Nil)).flatten)
+        landSet.foreach(crashNow)
         // the fence, written LAST: delta over the admitted set (docs a
         // crashed attempt already landed are IN the admitted set, so
         // the count is the same whichever attempt finishes)

@@ -13,9 +13,11 @@ package graft.operators
   * Safety invariants the call sites must hold (and the ones here do):
   *  - thunks touch DISJOINT tables/paths (per-family generation swaps,
   *    per-member writes inside one swap);
-  *  - no thunk depends on another's side effects (sequential steps with
-  *    crash-window ordering — the lex append's four fenced windows —
-  *    must NOT go through here);
+  *  - no thunk depends on another's side effects; steps whose crash
+  *    contract is an ORDER may only go through here once that contract
+  *    is upgraded to subset states (the lex append's member writes did
+  *    exactly that — see appendToLexIndex's in-body argument — while
+  *    its stats fence stays strictly after the block);
   *  - threads are created FRESH per call: Spark's job-group/description
   *    local properties are InheritableThreadLocal, so fresh threads
   *    inherit the CALLER's group (the bench watchdog can still cancel a

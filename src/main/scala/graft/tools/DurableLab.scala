@@ -430,6 +430,35 @@ object DurableLab {
         check(lexDictConsistent(spark), "dictionary != postings after " +
           "the after-vocab replay (delta double-counted or skipped)")
 
+      case "lex-kill-subset" =>
+        // reset to base, then kill the append in a NON-PREFIX subset
+        // state only the OVERLAPPED member writes can produce: doclen,
+        // the dictionary delta AND the stamps landed, postings did NOT
+        // — the most adversarial wreckage (every fenced member present,
+        // the base member missing); the replay must land postings
+        // exactly once while SKIPPING the already-landed deltas
+        LexIndex.writeLexIndex(docs(spark), LexName, numBuckets = 4)
+        Generations.leaseTtlOverrideMs = Some(ShortTtlMs)
+        LexIndex.appendFailpointHalt = true
+        LexIndex.appendFailpoint = Some("land-only:doclen,vocab,impacts")
+        LexIndex.appendToLexIndex(lexAppendBatch(spark), LexName,
+          batchId = LexBatchId, ifAbsent = true)
+        sys.error("unreachable: the append should have halted the JVM")
+
+      case "lex-recover-subset" =>
+        check(spark.table(lexMember(spark, "postings"))
+          .filter(col("doc_id") >= 2100000000L).count() == 0,
+          "postings landed despite the subset window excluding them")
+        check(spark.table(lexMember(spark, "doclen"))
+          .filter(col("doc_id") >= 2100000000L &&
+            col("batch_id") === LexBatchId).count() == 5,
+          "doclen rows missing or mis-owned in the subset window")
+        check(lexVocabDeltaRows(spark) > 0,
+          "vocab delta did not land in the subset window")
+        lexCheckFenceAbsentAndReplay(spark, workDir)
+        check(lexDictConsistent(spark), "dictionary != postings after " +
+          "the subset replay (delta double-counted or skipped)")
+
       case "lex-kill-compact-flip" =>
         // takedown of the appended docs, then the ERASURE COMPACTION —
         // a four-member swap (postings purged, doclen purged, dfcap

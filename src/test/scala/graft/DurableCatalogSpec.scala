@@ -185,6 +185,14 @@ class DurableCatalogSpec extends AnyFunSuite {
     run("lex-kill-after-vocab", 137)
     val r2b = run("lex-recover-vocab", 0)
     assert(r2b.contains("[lab] lex-recover-vocab ok"), tail(r2b))
+    // 5c. the member writes run OVERLAPPED, so a crash can leave a
+    //    NON-PREFIX subset landed: kill with doclen + the dictionary
+    //    delta + the stamps landed but postings MISSING — the replay
+    //    must land postings exactly once while skipping the landed
+    //    deltas (each member's own fence, no cross-member order)
+    run("lex-kill-subset", 137)
+    val r2c = run("lex-recover-subset", 0)
+    assert(r2c.contains("[lab] lex-recover-subset ok"), tail(r2c))
     // 6./7. the ERASURE COMPACTION (all four members rebuilt in one
     //    swap) killed right after its atomic flip: probe fingerprint
     //    already the base build's (physical + statistical erasure

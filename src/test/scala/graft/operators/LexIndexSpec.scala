@@ -132,9 +132,16 @@ class LexIndexSpec extends SparkSpec {
       .isEmpty
   }
 
-  test("append replay converges across all four partial-crash windows") {
+  test("append replay converges across all partial-crash windows — " +
+      "the four legacy prefixes AND the non-prefix subsets the " +
+      "overlapped member writes make reachable") {
     for (fp <- Seq("after-postings", "after-doclen", "after-vocab",
-        "after-impacts")) {
+        "after-impacts",
+        // subset states only reachable under overlap: a base member
+        // missing while later-fenced members landed
+        "land-only:doclen",
+        "land-only:vocab,impacts",
+        "land-only:doclen,vocab,impacts")) {
       LexIndex.destroy(spark, "graft_t_lexc")
       LexIndex.destroy(spark, "graft_t_lexr")
       val base = docs.filter(col("doc_id") < 200)
