@@ -98,38 +98,59 @@ object BooleanQuery {
       asOf: Option[Long] = None): Resolved = {
     require(clauses.should.isEmpty || clauses.minShould >= 1,
       s"minShould must be >= 1, got ${clauses.minShould}")
-    val mustPairs = clauses.must.map(phrasePairs(spark, name, _, asOf))
-    val shouldPairs = clauses.should.map(sm =>
-      LexIndex.probeShould(spark, name, sm, clauses.minShould, asOf)
-        .select("qid", "doc_id"))
-    val notPairs = clauses.mustNot.map(phrasePairs(spark, name, _, asOf))
     def norm(df: DataFrame) = df.select(col("qid").cast("long").as("qid"),
       col("doc_id").cast("long").as("doc_id"))
+    // The three clause probes are INDEPENDENT DAGs over the same index;
+    // a single deferred pin of their combination evaluates them as one
+    // serial AQE stage chain (measured: the resolution pin was s49's
+    // single largest site, ~15 sequential jobs per run). Pin each
+    // clause's pair frame CONCURRENTLY instead (guide §2.6 — Par's
+    // overlap pattern): content is unchanged (each probe's output is a
+    // deterministic pair set; pinning moves only WHERE materialization
+    // happens), and the combination below becomes a shallow DAG over
+    // pinned inputs. Par.run joins its workers before returning, so
+    // the slot writes are safely published.
+    val slots = Array.fill[Option[DataFrame]](3)(None)
+    Par.run(spark, Seq(
+      clauses.must.map(m => () =>
+        slots(0) = Some(Frontier.pin(norm(phrasePairs(spark, name, m, asOf))))),
+      clauses.should.map(sm => () =>
+        slots(1) = Some(Frontier.pin(norm(
+          LexIndex.probeShould(spark, name, sm, clauses.minShould, asOf)
+            .select("qid", "doc_id"))))),
+      clauses.mustNot.map(mn => () =>
+        slots(2) = Some(Frontier.pin(norm(phrasePairs(spark, name, mn, asOf)))))
+    ).flatten)
+    val (mustPairs, shouldPairs, notPairs) = (slots(0), slots(1), slots(2))
     // the qid universe each positive clause CONSTRAINS comes from its
     // input frame (a clause whose probe matched nothing still binds)
     def qidsOf(f: DataFrame) =
       f.select(col(f.columns.head).cast("long").as("qid")).distinct()
-    val positive = (mustPairs.map(norm).toSeq ++
-        shouldPairs.map(norm).toSeq) match {
+    // `combined` tracks whether the positive leg is a fresh DAG over
+    // the pinned clause frames (pin the final product once) or a
+    // single already-pinned clause frame (re-pinning it would be a
+    // pure extra materialization)
+    val positive = (mustPairs.toSeq ++ shouldPairs.toSeq) match {
       case Nil => None
-      case Seq(one) => Some(one)
+      case Seq(one) => Some((one, false))
       case many =>
         val need = (clauses.must.map(qidsOf).toSeq ++
             clauses.should.map(qidsOf).toSeq)
           .map(_.withColumn("c", lit(1L))).reduce(_ unionByName _)
           .groupBy("qid").agg(sum(col("c")).as("need"))
-        Some(many.reduce(_ unionByName _)
+        Some((many.reduce(_ unionByName _)
           .groupBy("qid", "doc_id").agg(count(lit(1)).as("got"))
           .join(broadcast(need), "qid")
           .filter(col("got") === col("need"))
-          .select("qid", "doc_id"))
+          .select("qid", "doc_id"), true))
     }
     (positive, notPairs) match {
-      case (Some(pos), Some(neg)) =>
+      case (Some((pos, _)), Some(neg)) =>
         Resolved(Some(Frontier.pin(
           pos.join(neg, Seq("qid", "doc_id"), "left_anti"))), None)
-      case (Some(pos), None) => Resolved(Some(Frontier.pin(pos)), None)
-      case (None, neg) => Resolved(None, neg.map(Frontier.pin(_)))
+      case (Some((pos, combined)), None) =>
+        Resolved(Some(if (combined) Frontier.pin(pos) else pos), None)
+      case (None, neg) => Resolved(None, neg) // pinned above
     }
   }
 
