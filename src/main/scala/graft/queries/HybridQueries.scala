@@ -175,11 +175,19 @@ object HybridQueries {
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
         val pred = col("doc_id") < 8
-        val rat = graft.operators.Frontier.pin(
-          HybridRetrieval.lexicalTopK(docs, pred, KEach))
-        val lg = graft.operators.Frontier.pin(
-          HybridRetrieval.lexicalTopKLog(docs, pred, KEach))
-        val vec = graft.operators.Frontier.pin(vecTopK(s, dir))
+        // the three scored lists are independent computations (two
+        // scorer variants over the same corpus, plus the vector side);
+        // pin them CONCURRENTLY (guide §2.6 / Par doc) — content is
+        // unchanged, only the materialization schedule moves
+        var rat: DataFrame = null
+        var lg: DataFrame = null
+        var vec: DataFrame = null
+        graft.operators.Par.run(s, Seq(
+          () => rat = graft.operators.Frontier.pin(
+            HybridRetrieval.lexicalTopK(docs, pred, KEach)),
+          () => lg = graft.operators.Frontier.pin(
+            HybridRetrieval.lexicalTopKLog(docs, pred, KEach)),
+          () => vec = graft.operators.Frontier.pin(vecTopK(s, dir))))
         def top10(df: DataFrame) =
           df.filter(col("lex_rank") <= 10).select("qid", "doc_id", "lex_rank")
         val shared = top10(rat).withColumnRenamed("lex_rank", "r_rat")

@@ -357,12 +357,18 @@ object SimilarityQueries {
         AnnIndex.writeAnnIndex(
           emb.select(col("vec_id"), col("embedding"), col("label")),
           "graft_s14_idx", scope = Seq("label"))
-        val probe = graft.operators.Frontier.pin(
-          AnnIndex.probeAnnIndex(s, "graft_s14_idx", emb,
-            expr(QueryPred), K, nprobe = 8))
-        val exact = graft.operators.Frontier.pin(
-          Similarity.bruteForceTopK(s, emb, expr(QueryPred), K,
-            scope = Seq("label")))
+        // the index probe and the brute-force ground truth are
+        // independent computations — pin them concurrently (guide
+        // §2.6 / Par doc); content unchanged
+        var probe: org.apache.spark.sql.DataFrame = null
+        var exact: org.apache.spark.sql.DataFrame = null
+        graft.operators.Par.run(s, Seq(
+          () => probe = graft.operators.Frontier.pin(
+            AnnIndex.probeAnnIndex(s, "graft_s14_idx", emb,
+              expr(QueryPred), K, nprobe = 8)),
+          () => exact = graft.operators.Frontier.pin(
+            Similarity.bruteForceTopK(s, emb, expr(QueryPred), K,
+              scope = Seq("label")))))
         val lbl = emb.select(col("vec_id"), col("label"))
         val leaks = probe
           .join(lbl.select(col("vec_id").as("qid"), col("label").as("ql")), "qid")
@@ -673,10 +679,15 @@ object SimilarityQueries {
         val sub = Tables(s, dir, "embeddings")
           .filter(col("vec_id") < 300).select("vec_id", "embedding")
           .localCheckpoint()
-        val exact = Frontier.pin(Similarity.knnGraph(s, sub, k = 5,
-          nCells = 16, nprobe = 16, buffer = 15))
-        val approx = Frontier.pin(Similarity.knnGraph(s, sub, k = 5,
-          nCells = 16, nprobe = 4))
+        // the two graph constructions (wide vs narrow probe) are
+        // independent — pin them concurrently (guide §2.6 / Par doc)
+        var exact: org.apache.spark.sql.DataFrame = null
+        var approx: org.apache.spark.sql.DataFrame = null
+        graft.operators.Par.run(s, Seq(
+          () => exact = Frontier.pin(Similarity.knnGraph(s, sub, k = 5,
+            nCells = 16, nprobe = 16, buffer = 15)),
+          () => approx = Frontier.pin(Similarity.knnGraph(s, sub, k = 5,
+            nCells = 16, nprobe = 4))))
         val rec = Frontier.pin(exact.select(col("qid"), col("vec_id"))
           .join(approx.select(col("qid"), col("vec_id"), lit(1L).as("hit")),
             Seq("qid", "vec_id"), "left")
